@@ -1,0 +1,88 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Summary-statistics aggregations, re-expressing the reference's per-float
+  * and whole-file stats (reference: ingest/preprocess.py:295-357 = A1,
+  * fastapi_app.py:279-372 = A3).
+  *
+  * Single `groupBy(...).agg(...)` call per summary: Spark plans a partial
+  * (map-side) + final hash aggregate, so there is exactly one shuffle on the
+  * grouping key regardless of how many measures are packed in. No UDAF —
+  * every stat decomposes into builtin count/min/max/avg (all null-skipping,
+  * matching pandas NaN-skipping semantics once NaN is normalized to null at
+  * the scan).
+  */
+object Stats {
+
+  /** The `{count, min, max, mean}` block the reference packs per measurement
+    * (ingest/preprocess.py:331-339), as flat aliased columns.
+    * Doubles are rounded so a DuckDB oracle summing in a different order
+    * agrees bit-for-bit after rounding.
+    */
+  def measureStats(c: String): Seq[Column] = Seq(
+    count(col(c)).as(s"${c}_count"),
+    round(min(col(c)), 4).as(s"${c}_min"),
+    round(max(col(c)), 4).as(s"${c}_max"),
+    round(avg(col(c)), 6).as(s"${c}_mean")
+  )
+
+  /** A1: per-key summary — time range, distinct-count, and per-measure stats
+    * in ONE aggregate (one shuffle).
+    */
+  def perKeySummary(
+      df: DataFrame,
+      key: Seq[String],
+      tsCol: String,
+      distinctCol: String,
+      measures: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        countDistinct(col(distinctCol)).as("n_distinct"),
+        count(lit(1)).as("n_rows")
+      ) ++ measures.flatMap(measureStats)
+    df.groupBy(key.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A3: whole-table stats — same measure block, no grouping (single row). */
+  def globalSummary(df: DataFrame, tsCol: String, measures: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        count(lit(1)).as("n_rows")
+      ) ++ measures.flatMap(measureStats)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Nested `properties` struct exactly shaped like the reference's JSONB
+    * (ingest/preprocess.py:315-339): date_range / location-like value range /
+    * per-measurement stats map. Used by the JSON-packing query (F13).
+    */
+  def packProperties(summary: DataFrame, measures: Seq[String]): DataFrame = {
+    val measStruct = map(
+      measures.flatMap { m =>
+        Seq(
+          lit(m),
+          struct(
+            col(s"${m}_count").as("count"),
+            col(s"${m}_min").as("min"),
+            col(s"${m}_max").as("max"),
+            col(s"${m}_mean").as("mean")
+          )
+        )
+      }: _*
+    )
+    summary.withColumn(
+      "properties",
+      struct(
+        col("n_rows").cast("int").as("total_rows"),
+        struct(col("first_ts").as("start"), col("last_ts").as("end")).as("date_range"),
+        measStruct.as("measurements")
+      )
+    )
+  }
+}
