@@ -3,15 +3,18 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.agg.Stats
+import graft.agg.{Stats, Unpivot}
+import graft.functions.Scalars
 import graft.ingest.Clean
+import graft.operators.{FuzzyJoin, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 gets a `queries` entry; every
   * SQL-expressible one gets a DuckDB `oracleSql` twin with IDENTICAL column
   * names and row order. Double-valued aggregates are rounded on both sides so
-  * summation-order differences between engines can't flip the hash.
+  * summation-order differences between engines can't flip the hash; computed
+  * int columns are cast to long to match DuckDB's BIGINT.
   */
 object SparkEntry {
 
@@ -74,6 +77,173 @@ object SparkEntry {
           count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total_price"))
         .orderBy("r_name")
+    },
+
+    // ---- D1 last-writer-wins upsert (ingest/db_handler.py:180-187) --------
+    "d1_upsert_lastwins" -> { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("value"), lit(1).as("precedence"), lit("base").as("src"))
+      val updates = Tables.events(s, dir)
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("value") + 1000).as("value"),
+          lit(2).as("precedence"), lit("update").as("src"))
+      Upsert.lastWriterWins(base, updates, "event_id", "precedence", "event_id")
+        .select(col("event_id"), round(col("value"), 2).as("value"), col("src"))
+        .orderBy("event_id")
+    },
+
+    // ---- D2 insert-if-absent sink (ingest/db_handler.py:237-245) ----------
+    "d2_insert_ignore" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val existing = ev.filter(col("event_id") % 3 === 0)
+        .select("event_id", "event_type", "value")
+      val incoming = ev.select(col("event_id"), col("event_type"), (col("value") + 5).as("value"))
+      Upsert.insertIfAbsent(incoming, existing, "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- J1 skip-existing anti-join (ingest/db_handler.py:326-344) --------
+    "j1_skip_existing" -> { (s, dir) =>
+      Upsert.skipExisting(
+        Tables.customer(s, dir),
+        Tables.orders(s, dir).filter(col("o_custkey") % 7 =!= 0)
+          .select(col("o_custkey").as("c_custkey")),
+        "c_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- J2 fuzzy id-match join (update_chromadb_measurements.py:181-237) -
+    "j2_fuzzy_match" -> { (s, dir) =>
+      val dirty = Tables.customer(s, dir)
+        .select(col("c_custkey"), concat(lit("b'"), col("c_custkey"), lit(" '")).as("messy_id"))
+      val registry = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 2 === 0)
+        .select(lpad(col("c_custkey").cast("string"), 9, "0").as("reg_id"))
+        .distinct()
+      FuzzyJoin.fuzzyMatch(dirty, "messy_id", registry, "reg_id")
+        .select("c_custkey", "clean_id", "matched_id")
+        .orderBy("c_custkey")
+    },
+
+    // ---- J3 enrichment join (update_chromadb_measurements.py:239-311) -----
+    "j3_enrich_docs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("source_avg_chars"))
+      docs.join(broadcast(stats), Seq("source"), "left")
+        .select("doc_id", "source", "n_chars", "n_docs", "source_avg_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- W1 sort + limit → TakeOrderedAndProject (W1/W3) ------------------
+    "w1_top_orders" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+        .orderBy(col("order_date").desc, col("o_orderkey").desc)
+        .limit(100)
+    },
+
+    // ---- A2 profile grouping + W5 group-id synthesis (preprocess.py:373-385)
+    "a2_profile_groups" -> { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("user_id", "day")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(struct(col("ts"), col("event_id"), col("value"))).as("f"))
+        .withColumn("first_value", round(col("f.value"), 2))
+        .drop("f")
+      Unpivot.withGroupId(g, Seq("user_id", "day"))
+        .withColumn("group_id", col("group_id").cast("long"))
+        .orderBy("user_id", "day")
+    },
+
+    // ---- F1/F2 id cleanup (load_data.py:270-292, update_chromadb:167-179) -
+    "f1_f2_id_clean" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("messy_id",
+          when(col("c_custkey") % 10 === 7, lit(null: String))
+            .otherwise(concat(lit("b'"), col("c_custkey"), lit(" '"))))
+        .withColumn("clean_id", FuzzyJoin.cleanId(col("messy_id")))
+        .withColumn("safe_id", Scalars.safeIdString(col("clean_id").cast("double")))
+        .select("c_custkey", "clean_id", "safe_id")
+        .orderBy("c_custkey")
+    },
+
+    // ---- F5/F6 date label + season (embed.py:127-139, preprocess_floats:163-171)
+    "f5_f6_date_features" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("date_label", Scalars.dateTh(col("o_orderdate")))
+        .withColumn("order_season", Scalars.season(month(col("o_orderdate"))))
+        .groupBy("date_label", "order_season")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("date_label", "order_season")
+    },
+
+    // ---- F7/F8/F9 geo classifiers (embed.py:117-174) -----------------------
+    "f7_f9_geo_classify" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("lat", col("value") % 180 - 90)
+        .withColumn("lon", (col("value") * 2) % 360 - 180)
+        .withColumn("region", Scalars.oceanRegion(col("lat"), col("lon")))
+        .withColumn("band", Scalars.latBand(col("lat")))
+        .withColumn("lat_fmt", Scalars.hemisphereLat(col("lat")))
+        .groupBy("region", "band")
+        .agg(count(lit(1)).as("n"), min(col("lat_fmt")).as("sample_lat_fmt"))
+        .orderBy("region", "band")
+    },
+
+    // ---- F10 bbox center (embed.py:80-81) ---------------------------------
+    "f10_bbox_center" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("lat", col("value") % 180 - 90)
+        .withColumn("lon", (col("value") * 2) % 360 - 180)
+        .groupBy("user_id")
+        .agg(
+          round(Scalars.center(min(col("lat")), max(col("lat"))), 6).as("lat_center"),
+          round(Scalars.center(min(col("lon")), max(col("lon"))), 6).as("lon_center"))
+        .orderBy("user_id")
+    },
+
+    // ---- F13 JSON extraction (db_handler.py:171-177) -----------------------
+    "f13_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_bucket")
+    },
+
+    // ---- EAV unpivot (ingest/preprocess.py:359-431) ------------------------
+    "u1_measure_unpivot" -> { (s, dir) =>
+      Unpivot.toEav(
+        Tables.lineitem(s, dir),
+        keys = Seq("l_orderkey", "l_linenumber"),
+        measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("variable_name")
+        .agg(
+          count(col("variable_value")).as("n"),
+          round(sum("variable_value"), 2).as("sum_value"),
+          round(avg("variable_value"), 6).as("avg_value"),
+          round(min("variable_value"), 4).as("min_value"),
+          round(max("variable_value"), 4).as("max_value"))
+        .orderBy("variable_name")
+    },
+
+    // ---- positional explode (ingest/preprocess.py:113-175) -----------------
+    "u2_token_explode" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .withColumn("tokens", split(col("text"), " "))
+      Unpivot.explodeTokens(toks, "tokens")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), min(col("pos").cast("long")).as("first_pos"))
+        .orderBy("token")
     }
   )
 
@@ -136,6 +306,166 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name
-         ORDER BY r_name"""
+         ORDER BY r_name""",
+    "d1_upsert_lastwins" ->
+      """SELECT event_id, round(value, 2) AS value, src FROM (
+           SELECT event_id, value, src,
+                  row_number() OVER (PARTITION BY event_id ORDER BY precedence DESC) AS rn
+           FROM (
+             SELECT event_id, value, 1 AS precedence, 'base' AS src FROM events
+             UNION ALL
+             SELECT event_id, value + 1000, 2 AS precedence, 'update' AS src
+             FROM events WHERE event_id % 5 = 0
+           )
+         ) WHERE rn = 1
+         ORDER BY event_id""",
+    "d2_insert_ignore" ->
+      """WITH existing AS (
+           SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+         ), incoming AS (
+           SELECT event_id, event_type, value + 5 AS value FROM events
+         )
+         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (
+           SELECT * FROM existing
+           UNION ALL
+           SELECT * FROM incoming i
+           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = i.event_id)
+         )
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "j1_skip_existing" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_custkey % 7 <> 0)
+         ORDER BY c_custkey""",
+    "j2_fuzzy_match" ->
+      """WITH dirty AS (
+           SELECT c_custkey,
+                  trim(regexp_replace('b''' || c_custkey || ' ''', '^b''(.*)''$', '\1')) AS clean_id
+           FROM customer
+         ), reg AS (
+           SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS reg_id
+           FROM customer WHERE c_custkey % 2 = 0
+         )
+         SELECT d.c_custkey, d.clean_id, min(r.reg_id) AS matched_id
+         FROM dirty d LEFT JOIN reg r
+           ON d.clean_id = r.reg_id
+           OR contains(r.reg_id, d.clean_id)
+           OR contains(d.clean_id, r.reg_id)
+         GROUP BY d.c_custkey, d.clean_id
+         ORDER BY d.c_custkey""",
+    "j3_enrich_docs" ->
+      """SELECT doc_id, d.source, n_chars, n_docs, source_avg_chars
+         FROM documents d
+         JOIN (
+           SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS source_avg_chars
+           FROM documents GROUP BY source
+         ) s ON d.source = s.source
+         ORDER BY doc_id""",
+    "w1_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+         FROM orders
+         ORDER BY order_date DESC, o_orderkey DESC
+         LIMIT 100""",
+    "a2_profile_groups" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
+                  row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+         ), g AS (
+           SELECT user_id, day, count(*) AS n_events,
+                  round(max(CASE WHEN rn = 1 THEN value END), 2) AS first_value
+           FROM e GROUP BY user_id, day
+         )
+         SELECT user_id, day, n_events, first_value,
+                dense_rank() OVER (ORDER BY user_id, day) AS group_id
+         FROM g
+         ORDER BY user_id, day""",
+    "f1_f2_id_clean" ->
+      """SELECT c_custkey,
+         trim(regexp_replace(messy_id, '^b''(.*)''$', '\1')) AS clean_id,
+         CASE WHEN messy_id IS NULL THEN 'unknown'
+              ELSE CAST(CAST(trim(regexp_replace(messy_id, '^b''(.*)''$', '\1')) AS BIGINT) AS VARCHAR)
+         END AS safe_id
+         FROM (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 10 = 7 THEN NULL
+                       ELSE 'b''' || c_custkey || ' ''' END AS messy_id
+           FROM customer
+         )
+         ORDER BY c_custkey""",
+    "f5_f6_date_features" ->
+      """SELECT CAST(day(o_orderdate) AS VARCHAR) || 'th ' || strftime(o_orderdate, '%b %Y') AS date_label,
+         CASE WHEN month(o_orderdate) BETWEEN 3 AND 5 THEN 'spring'
+              WHEN month(o_orderdate) BETWEEN 6 AND 8 THEN 'summer'
+              WHEN month(o_orderdate) BETWEEN 9 AND 11 THEN 'autumn'
+              ELSE 'winter' END AS order_season,
+         count(*) AS n
+         FROM orders
+         GROUP BY date_label, order_season
+         ORDER BY date_label, order_season""",
+    "f7_f9_geo_classify" ->
+      """WITH geo AS (
+           SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
+           FROM events
+         ), cls AS (
+           SELECT lat, lon,
+             CASE WHEN lon BETWEEN 20 AND 120 AND lat BETWEEN -60 AND 30 THEN 'Indian Ocean'
+                  WHEN lon <= -60 THEN 'Pacific Ocean'
+                  WHEN lon BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
+                  WHEN lon >= 120 AND lat >= 0 THEN 'North Pacific Ocean'
+                  WHEN lon >= 120 AND lat < 0 THEN 'South Pacific Ocean'
+                  ELSE 'Global Ocean' END AS region,
+             CASE WHEN lat < -30 THEN 'Southern Ocean region'
+                  WHEN lat > 30 THEN 'Northern hemisphere waters'
+                  ELSE 'tropical and subtropical waters' END AS band,
+             printf('%.3f°%s', abs(lat), CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END) AS lat_fmt
+           FROM geo
+         )
+         SELECT region, band, count(*) AS n, min(lat_fmt) AS sample_lat_fmt
+         FROM cls
+         GROUP BY region, band
+         ORDER BY region, band""",
+    "f10_bbox_center" ->
+      """SELECT user_id,
+         round((min(fmod(value, 180) - 90) + max(fmod(value, 180) - 90)) / 2.0, 6) AS lat_center,
+         round((min(fmod(value * 2, 360) - 180) + max(fmod(value * 2, 360) - 180)) / 2.0, 6) AS lon_center
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
+    "f13_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events
+         GROUP BY k_bucket
+         ORDER BY k_bucket""",
+    "u1_measure_unpivot" ->
+      """SELECT variable_name,
+         count(variable_value) AS n,
+         round(sum(variable_value), 2) AS sum_value,
+         round(avg(variable_value), 6) AS avg_value,
+         round(min(variable_value), 4) AS min_value,
+         round(max(variable_value), 4) AS max_value
+         FROM (
+           SELECT 'l_quantity' AS variable_name, l_quantity AS variable_value FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+         )
+         GROUP BY variable_name
+         ORDER BY variable_name""",
+    "u2_token_explode" ->
+      """SELECT token, count(*) AS n, min(pos) AS first_pos
+         FROM (
+           SELECT unnest(string_split(text, ' ')) AS token,
+                  unnest(range(0, len(string_split(text, ' ')))) AS pos
+           FROM documents
+         )
+         WHERE token IS NOT NULL AND token <> ''
+         GROUP BY token
+         ORDER BY token"""
   )
 }

@@ -1,90 +1,99 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Local self-check mirroring the driver's DuckDB oracle compare.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
-oracle SQL from oracle_sql.json in DuckDB over the fixture tables in <sfDir>,
-then compares: row count, column names (sorted), and cell values after
-sorting columns by name and rows by all columns. NOT shipped code — dev-side
-verification only (mirrors what the driver does with CORRECTNESS_r{N}.json).
+For each <name>.parquet under verifyOutDir (written by graft.Verify), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the raw parquet tables
+of sfDir, sorts columns by name, sorts rows, and hash-compares values.
 """
-import json
-import sys
-import glob
-
+import sys, json, glob, os, hashlib
 import duckdb
-import pandas as pd
+import pyarrow.parquet as pq
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize for stable sort/compare
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
-    return df.reset_index(drop=True)
-
-
-def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
-    issues = []
-    if sorted(got.columns) != sorted(want.columns):
-        issues.append(f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}")
-        return issues
-    if len(got) != len(want):
-        issues.append(f"row count differs: spark={len(got)} oracle={len(want)}")
-    g, w = canon(got), canon(want)
-    n = min(len(g), len(w))
-    for c in g.columns:
-        gv, wv = g[c].iloc[:n], w[c].iloc[:n]
-        if pd.api.types.is_float_dtype(gv) and pd.api.types.is_float_dtype(wv):
-            bad = ~((gv == wv) | (gv.isna() & wv.isna()))
-        else:
-            bad = ~((gv.astype(str) == wv.astype(str)) | (gv.isna() & wv.isna()))
-        if bad.any():
-            i = bad.idxmax()
-            issues.append(f"col {c}: {int(bad.sum())} mismatches, first at row {i}: spark={gv[i]!r} oracle={wv[i]!r}")
-    return issues
-
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_skip = 0
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").split("/")[-1]
-        files = glob.glob(f"{d}/*.parquet")
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-        if name not in oracle:
-            print(f"SKIP  {name}: no oracle (rows={len(got)})")
-            n_skip += 1
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(d)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(files[0])
+        spark_cols = list(tbl.column_names)
+        spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+        sql = oracle.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows={len(spark_rows)})")
             continue
         try:
-            want = con.sql(oracle[name]).df()
+            res = con.execute(sql)
+            duck_cols = [c[0] for c in res.description]
+            duck_rows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        issues = compare(name, got, want)
-        if issues:
-            print(f"FAIL  {name}:")
-            for i in issues:
-                print(f"      {i}")
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+            n_fail += 1
+            continue
+        hs = table_hash(spark_cols, spark_rows)
+        hd = table_hash(duck_cols, duck_rows)
+        if hs != hd:
+            print(f"FAIL {name}: hash mismatch ({len(spark_rows)} rows)")
+            # show first differing row for debugging
+            order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+            order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+            ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in spark_rows)
+            ld = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in duck_rows)
+            for a, b in zip(ls, ld):
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}")
+                    break
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(spark_rows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
+    print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
-
-if __name__ == "__main__":
-    main()
+main()
