@@ -7,6 +7,9 @@ import graft.agg.{Stats, Unpivot}
 import graft.functions.Scalars
 import graft.ingest.Clean
 import graft.operators.{FuzzyJoin, Upsert}
+import graft.vector.{Embed, Knn}
+import graft.dedup.Dedup
+import graft.text.{Analysis, Summaries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -236,6 +239,222 @@ object SparkEntry {
         .orderBy("variable_name")
     },
 
+    // ---- exact dedup: content-hash groupBy (training-data pipeline) --------
+    "dd1_exact_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.exactDupGroups(docs.unionByName(dups), "text", "doc_id")
+        .groupBy("n_copies")
+        .agg(count(lit(1)).as("n_groups"), min("keep_id").as("min_keep_id"))
+        .orderBy("n_copies")
+    },
+
+    // ---- MinHash+LSH near-dup candidates (shingle→minhash→band→bucket) -----
+    "dd2_minhash_lsh" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val sh = docs.unionByName(dups)
+        .withColumn("toks", Dedup.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("shingle"))
+      val mh = Dedup.minhashAggs(6)
+      val sigs = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+      sigs.select(col("doc_id"), explode(Dedup.bandKeys(6, 2)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        .groupBy("band_id", "band_key").agg(count(lit(1)).as("n"))
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_buckets"),
+          sum(expr("(n * (n - 1)) div 2")).as("n_candidate_pairs"))
+        .orderBy("band_id")
+    },
+
+    // ---- SimHash fingerprints (16-bit, oracle-expressible) -----------------
+    "dd3_simhash" -> { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      Dedup.simhash16(tc, "doc_id").orderBy("doc_id")
+    },
+
+    // ---- n-gram Jaccard similarity over candidate pairs --------------------
+    "dd4_ngram_jaccard" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .withColumn("sh", array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 2)))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 20)
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a")
+    },
+
+    // ---- embedding-cosine near-dup, LSH-bucketed (sign-bit buckets) --------
+    "dd5_embed_neardup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .withColumn("bucket", concat((1 to 4).map(i =>
+          when(element_at(col("vec"), i) > 0, "1").otherwise("0")): _*))
+      val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("va"))
+      val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("vec").as("vb"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(Knn.cosine(col("va"), col("vb")), 6))
+        .select("bucket", "id_a", "id_b", "sim")
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    // ---- language-ID heuristic (marker-word argmax) ------------------------
+    "ta1_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("predicted", Analysis.langId(Dedup.tokens(col("text"))))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    // ---- quality scoring (length/stopword recipe) --------------------------
+    "ta2_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Dedup.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(Analysis.avgTokenLen(col("toks")), 6).as("avg_token_len"),
+          round(Analysis.stopwordRatio(col("toks")), 6).as("stopword_ratio"),
+          round(Analysis.qualityScore(col("toks")), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: whitespace + BPE-ish regex ------------------------
+    "ta3_token_count" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Dedup.tokens(col("text")))
+        .withColumn("rtoks", Analysis.regexTokens(col("text")))
+        .groupBy("source")
+        .agg(
+          sum(size(col("toks"))).as("sum_ws_tokens"),
+          sum(size(col("rtoks"))).as("sum_re_tokens"),
+          sum(ceil(col("n_chars") / 4.0).cast("long")).as("sum_bpe_est"))
+        .orderBy("source")
+    },
+
+    // ---- document fingerprinting (k-min token-hash sketch) -----------------
+    "ta4_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("fp", Analysis.fingerprint(Dedup.tokens(col("text"))))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          min("fp").as("min_fp"))
+        .orderBy("source")
+    },
+
+    // ---- T2 deployment-summary template (preprocess_floats:145-271) --------
+    "t2_deploy_summary" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min("ts").as("t0"), count(lit(1)).as("n"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .withColumn("lat", expr("mod(vmin, 90)"))
+        .select(col("user_id"),
+          Summaries.deploymentSummary(
+            Scalars.dateTh(col("t0")), col("user_id").cast("string"),
+            col("n").cast("string"), col("lat"), col("vmin"), col("vmax"))
+            .as("summary"))
+        .orderBy("user_id")
+    },
+
+    // ---- T5 structured JSON doc (sync_supabase_to_chromadb.py:121-177) -----
+    "t5_doc_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .withColumn("doc",
+          to_json(struct(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))))
+        .select("user_id", "doc")
+        .orderBy("user_id")
+    },
+
+    // ---- E1 deterministic embedder (embeddings/embed.py:176-198) -----------
+    // Oracle checks the invariants (dim, unit L2 norm, coverage); exact
+    // bucket values are additionally pinned by the ScalaTest spec.
+    "e1_embed_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("emb", Embed.embed(col("text")).cast("array<double>"))
+        .withColumn("norm", Knn.l2norm(col("emb")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(size(col("emb"))).as("dim"),
+          round(min("norm"), 4).as("norm_min"),
+          round(max("norm"), 4).as("norm_max"))
+        .orderBy("source")
+    },
+
+    // ---- E2/W4 KNN top-k with metadata filter (db_handler.py:465-491) ------
+    "e2_knn_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+      emb.filter(col("vec_id") =!= 0 && col("label") % 2 === 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ---- E3 batch KNN: per-query top-k via window (embed.py:363-404) -------
+    "e3_knn_batch" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      Knn.topK(
+        emb.filter(col("vec_id") >= 3).select("vec_id", "label", "vec"),
+        "vec", queries, "query_id", "qvec", k = 5, tiebreak = "vec_id")
+        .withColumn("rank", col("rank").cast("long"))
+        .select("query_id", "vec_id", "label", "sim", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- E4 missing-embedding repair (test_chromadb_embeddings.py:222-297) -
+    "e4_missing_repair" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding",
+          when(col("vec_id") % 10 === 0, lit(null)).otherwise(col("embedding")))
+      val missing = emb.filter(col("embedding").isNull || size(col("embedding")) === 0)
+      val repaired = missing.withColumn(
+        "embedding", Embed.embed(concat(lit("vec "), col("vec_id")), dim = 64))
+      val healthy = emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      healthy.unionByName(repaired)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(size(col("embedding")) === 64, 1).otherwise(0)).as("n_valid_after"),
+          sum(when(col("vec_id") % 10 === 0, 1).otherwise(0)).as("n_repaired"))
+    },
+
+    // ---- E5 embedding verification agg (test_chromadb_embeddings.py:81-159)
+    "e5_embed_verify" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(size(col("embedding")) === 64, 1).otherwise(0)).as("n_dim_ok"),
+          sum(when(col("embedding").isNull || size(col("embedding")) === 0, 1)
+            .otherwise(0)).as("n_missing"),
+          countDistinct(col("label")).as("n_labels"))
+    },
+
     // ---- positional explode (ingest/preprocess.py:113-175) -----------------
     "u2_token_explode" -> { (s, dir) =>
       val toks = Tables.documents(s, dir)
@@ -457,6 +676,182 @@ object SparkEntry {
          )
          GROUP BY variable_name
          ORDER BY variable_name""",
+    "dd1_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+               FROM all_docs GROUP BY 1)
+         SELECT n_copies, count(*) AS n_groups, min(keep_id) AS min_keep_id
+         FROM g GROUP BY n_copies ORDER BY n_copies""",
+    "dd2_minhash_lsh" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         sig AS (SELECT doc_id,
+                        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+                        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+                        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
+                 FROM sh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         bk AS (SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY 1, 2)
+         SELECT band_id, count(*) AS n_buckets,
+                CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_buckets,
+                CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+         FROM bk GROUP BY band_id ORDER BY band_id""",
+    "dd3_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(cnt * (((strpos('0123456789abcdef', substr(md5(token), b + 1, 1)) - 1) % 2) * 2 - 1)) AS w
+           FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+           GROUP BY doc_id, b)
+         SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash16
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "dd4_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                     FROM documents),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM tk WHERE len(toks) >= 2),
+         shl AS (SELECT doc_id, list(DISTINCT array_to_string(toks[i:i+1], ' ')) AS sh
+                 FROM sh0 GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+                round(len(list_intersect(a.sh, b.sh)) /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 20
+         ORDER BY doc_a""",
+    "dd5_embed_neardup" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS vec,
+                  concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
+                         CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+           FROM embeddings)
+         SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         ORDER BY sim DESC, id_a, id_b
+         LIMIT 20""",
+    "ta1_lang_id" ->
+      """WITH t AS (SELECT lang,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                    FROM documents),
+         s AS (SELECT lang,
+                 len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+                 len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                 len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                 len(list_filter(toks, t -> t IN ('el','los','las','y','es','un'))) AS s_es,
+                 len(list_filter(toks, t -> t IN ('的','是','在','了'))) AS s_zh
+               FROM t),
+         p AS (SELECT lang,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'unknown'
+                      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                      ELSE 'zh' END AS predicted
+               FROM s)
+         SELECT lang, predicted, count(*) AS n FROM p
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "ta2_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n_tokens,
+                 list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS sum_len,
+                 len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+               FROM t)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                round(sum_len / n_tokens, 6) AS avg_token_len,
+                round(n_stop / n_tokens, 6) AS stopword_ratio,
+                round(least(CAST(1.0 AS DOUBLE), n_tokens / 100.0) *
+                      (CAST(1.0 AS DOUBLE) - n_stop / n_tokens), 6) AS quality
+         FROM m ORDER BY doc_id""",
+    "ta3_token_count" ->
+      """SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_re_tokens,
+         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS sum_bpe_est
+         FROM documents GROUP BY source ORDER BY source""",
+    "ta4_fingerprint" ->
+      """WITH f AS (SELECT source,
+           md5(array_to_string(
+             (list_sort(list_transform(
+                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')),
+                t -> md5(t))))[1:5], ',')) AS fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp
+         FROM f GROUP BY source ORDER BY source""",
+    "t2_deploy_summary" ->
+      """WITH g AS (SELECT user_id, min(ts) AS t0, count(*) AS n,
+                           min(value) AS vmin, max(value) AS vmax
+                    FROM events GROUP BY user_id)
+         SELECT user_id,
+           printf('On %s, unit %s recorded %s event(s) near latitude %.3f°%s. Values ranged from %.2f to %.2f.',
+             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
+             CAST(user_id AS VARCHAR), CAST(n AS VARCHAR),
+             abs(round(fmod(vmin, 90), 3)),
+             CASE WHEN fmod(vmin, 90) >= 0 THEN 'N' ELSE 'S' END,
+             round(vmin, 2), round(vmax, 2)) AS summary
+         FROM g ORDER BY user_id""",
+    "t5_doc_json" ->
+      """SELECT user_id,
+         to_json(struct_pack(user_id := user_id, n_events := count(*),
+           first_ts := strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+           last_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S'))) AS doc
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "e1_embed_stats" ->
+      """SELECT source, count(*) AS n_docs, 384 AS dim,
+         CAST(1.0 AS DOUBLE) AS norm_min, CAST(1.0 AS DOUBLE) AS norm_max
+         FROM documents GROUP BY source ORDER BY source""",
+    "e2_knn_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+                round(list_cosine_similarity(embedding::DOUBLE[], qvec), 6) AS sim
+         FROM embeddings, q
+         WHERE vec_id <> 0 AND label % 2 = 0
+         ORDER BY sim DESC, vec_id
+         LIMIT 10""",
+    "e3_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS sim
+           FROM embeddings e, q WHERE e.vec_id >= 3)
+         SELECT query_id, vec_id, label, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "e4_missing_repair" ->
+      """SELECT count(*) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_valid_after,
+         CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
+         FROM embeddings""",
+    "e5_embed_verify" ->
+      """SELECT count(*) AS n_vecs,
+         CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok,
+         CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         count(DISTINCT label) AS n_labels
+         FROM embeddings""",
     "u2_token_explode" ->
       """SELECT token, count(*) AS n, min(pos) AS first_pos
          FROM (

@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * The reference dedups only by exact key (ON CONFLICT — ingest/db_handler.py
+  * :180-245); a 100 TB training-data pipeline needs content-level dedup too.
+  * All operators here are pure DataFrame compositions:
+  *
+  *   - exact: md5(content) hash-groupBy — one shuffle on the hash.
+  *   - MinHash+LSH: shingle → per-seed min-hash signature → banded bucket
+  *     keys → bucket groupBy. Candidate generation never does an O(n²) join:
+  *     cost is bounded by bucket sizes, which is the property that makes it
+  *     viable at 100 TB (the brute-force pairwise alternative is not).
+  *   - SimHash: per-token bit votes → 16-bit fingerprint (hex-digit parity
+  *     of md5 — chosen because it is expressible identically in the DuckDB
+  *     oracle; the scale path widens to 64 bits with the same shape).
+  *   - n-gram Jaccard: array_intersect/size over distinct shingle sets for
+  *     an explicitly-generated candidate pair list (LSH output at scale).
+  *
+  * Hashes are md5 (same lowercase hex in Spark and DuckDB) so every operator
+  * is oracle-checkable bit-for-bit.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles of a token array (empty array when too short). */
+  def shingles(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        i => concat_ws(" ", slice(toksCol, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact-dup groups: one row per distinct content hash with the surviving
+    * (minimum) id and the copy count.
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("content_hash", md5(col(textCol)))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature columns over an exploded (`doc_id`, `shingle`) frame:
+    * seed j's hash of a shingle is md5("j:" + shingle); the signature is the
+    * per-doc minimum. All seeds aggregate in ONE groupBy (one shuffle).
+    */
+  def minhashAggs(numSeeds: Int): Seq[Column] =
+    (0 until numSeeds).map { j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")
+    }
+
+  /** LSH band keys from a signature row: bands of `rowsPerBand` signature
+    * entries hashed together. Returns an array<struct<band_id,band_key>> to
+    * explode.
+    */
+  def bandKeys(numSeeds: Int, rowsPerBand: Int): Column = {
+    val bands = (0 until numSeeds / rowsPerBand).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      struct(lit(b).as("band_id"), md5(concat(parts: _*)).as("band_key"))
+    }
+    array(bands: _*)
+  }
+
+  /** 16-bit SimHash over a (`doc_id`, `token`, `cnt`) frame. Bit b of a
+    * token is the parity of hex digit b of md5(token); the document bit is
+    * the sign of the count-weighted vote sum.
+    */
+  def simhash16(docTokenCounts: DataFrame, idCol: String): DataFrame =
+    docTokenCounts
+      .withColumn("th", md5(col("token")))
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("bit",
+        expr("(instr('0123456789abcdef', substr(th, b + 1, 1)) - 1) % 2"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("w"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("w") > 0, expr("shiftleft(1, b)")).otherwise(0))
+        .cast("long").as("simhash16"))
+
+  /** Jaccard similarity between two distinct-shingle array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+}

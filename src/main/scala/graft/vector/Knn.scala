@@ -1,0 +1,64 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F11 cosine + E2/E3/W4 KNN top-k (reference: embeddings/embed.py:363-404
+  * linear-scan search; ingest/db_handler.py:465-491 ChromaDB query with
+  * metadata `where` filter).
+  *
+  * Cosine is a pure builtin-expression composition (`zip_with` +
+  * `aggregate`), so it stays codegen'd and is DuckDB-oracle-expressible
+  * (`list_cosine_similarity` agrees to 6 decimals — verified against the
+  * fixture vectors). Top-k is `orderBy(...).limit(k)` → Spark plans
+  * `TakeOrderedAndProject`: each partition keeps a k-heap, only k rows per
+  * partition reach the driver — the scan is embarrassingly parallel at any
+  * scale, no full sort.
+  *
+  * Batch KNN (many query vectors) broadcasts the query set and ranks with a
+  * window partitioned by query id — one shuffle on query_id, each partition
+  * top-k'd independently.
+  */
+object Knn {
+
+  /** Elementwise dot product over two `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** F11: cosine similarity (null-safe on zero norms → null, like the
+    * reference's guard at embeddings/embed.py:392-395).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
+
+  /** E2: exact top-k nearest candidates to each query vector, with the
+    * metadata filter applied BEFORE the distance computation (Catalyst pushes
+    * it into the scan). `queries` must be small (it is broadcast); candidates
+    * can be arbitrarily large.
+    *
+    * Output: all candidate columns + query_id, sim (rounded), rank.
+    */
+  def topK(
+      candidates: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      tiebreak: String): DataFrame = {
+    val scored = candidates
+      .crossJoin(broadcast(queries))
+      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(tiebreak))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop(queryVecCol)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.text.Analysis
+import graft.vector.{Embed, Knn}
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Embed is deterministic, unit-norm, fixed-dim") {
+    val a = Embed.embedTokens(Seq("hello", "world", "hello"), 384)
+    val b = Embed.embedTokens(Seq("hello", "world", "hello"), 384)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 384)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // repeated token weighs more: its bucket dominates
+    val hb = (Embed.fnv1a("hello") & 0x7fffffff) % 384
+    assert(a(hb) > 0.8f)
+  }
+
+  test("Embed column form matches direct computation") {
+    val df = Seq(("a b a", 1)).toDF("text", "id")
+      .withColumn("emb", Embed.embed(col("text"), 8))
+    val got = df.select("emb").as[Array[Float]].head().toSeq
+    assert(got == Embed.embedTokens(Seq("a", "b", "a"), 8).toSeq)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 2.0))
+    ).toDF("a", "b").withColumn("c", round(Knn.cosine(col("a"), col("b")), 6))
+    assert(df.select("c").as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("cosine is null on zero-norm input") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .withColumn("c", Knn.cosine(col("a"), col("b")))
+    assert(df.select("c").collect().head.isNullAt(0))
+  }
+
+  test("shingles produces n-grams and handles short docs") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .withColumn("sh", Dedup.shingles(Dedup.tokens(col("text")), 3))
+    val rows = df.select("sh").as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("exact dedup groups copies under the minimum id") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
+    val g = Dedup.exactDupGroups(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(g.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("simhash16 is stable and within 16 bits") {
+    val tc = Seq((1L, "alpha", 2L), (1L, "beta", 1L), (2L, "alpha", 2L), (2L, "beta", 1L))
+      .toDF("doc_id", "token", "cnt")
+    val out = Dedup.simhash16(tc, "doc_id").collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
+    assert(byDoc(1L) == byDoc(2L)) // same token distribution → same hash
+    assert(byDoc(1L) >= 0 && byDoc(1L) < (1 << 16))
+  }
+
+  test("jaccard matches hand computation") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .withColumn("j", round(Dedup.jaccard(col("x"), col("y")), 6))
+    assert(df.select("j").as[Double].head() == 0.5)
+  }
+
+  test("langId picks marker-majority language with fixed tie precedence") {
+    val df = Seq("the cat and the dog", "der hund ist gut", "zzz qqq").toDF("text")
+      .withColumn("l", Analysis.langId(Dedup.tokens(col("text"))))
+    assert(df.select("l").as[String].collect().toSeq == Seq("en", "de", "unknown"))
+  }
+
+  test("fingerprint is order-insensitive over tokens") {
+    val df = Seq("a b c", "c b a").toDF("text")
+      .withColumn("fp", Analysis.fingerprint(Dedup.tokens(col("text"))))
+    val fps = df.select("fp").as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
