@@ -295,14 +295,23 @@ object SparkEntry {
 
     // ---- embedding-cosine near-dup, LSH-bucketed (sign-bit buckets) --------
     "dd5_embed_neardup" -> { (s, dir) =>
+      // Norms are computed ONCE per row before the pair join (identical
+      // float ops to cosine() — dot / (norm_a * norm_b) — so the oracle
+      // hash is unchanged), not once per pair: at bucket size B that is
+      // O(B) instead of O(B²) norm work.
       val emb = Tables.embeddings(s, dir)
         .withColumn("vec", col("embedding").cast("array<double>"))
+        .withColumn("nrm", Knn.l2norm(col("vec")))
         .withColumn("bucket", concat((1 to 4).map(i =>
           when(element_at(col("vec"), i) > 0, "1").otherwise("0")): _*))
-      val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("va"))
-      val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("vec").as("vb"))
+      val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+      val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb"))
       a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(Knn.cosine(col("va"), col("vb")), 6))
+        .withColumn("sim", round(
+          when(col("na") * col("nb") > 0,
+            Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
         .select("bucket", "id_a", "id_b", "sim")
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
@@ -695,9 +704,9 @@ object SparkEntry {
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
          sig AS (SELECT doc_id,
-                        min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-                        min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-                        min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5
+                        min(substr(md5(shingle), 1, 5))  AS mh0, min(substr(md5(shingle), 6, 5))  AS mh1,
+                        min(substr(md5(shingle), 11, 5)) AS mh2, min(substr(md5(shingle), 16, 5)) AS mh3,
+                        min(substr(md5(shingle), 21, 5)) AS mh4, min(substr(md5(shingle), 26, 5)) AS mh5
                  FROM sh GROUP BY doc_id),
          bands AS (
            SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig

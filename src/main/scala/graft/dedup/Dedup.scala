@@ -44,14 +44,19 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature columns over an exploded (`doc_id`, `shingle`) frame:
-    * seed j's hash of a shingle is md5("j:" + shingle); the signature is the
-    * per-doc minimum. All seeds aggregate in ONE groupBy (one shuffle).
+  /** MinHash signature columns over an exploded (`doc_id`, `shingle`) frame.
+    * All lanes derive from ONE md5 per shingle: lane j is the 5-hex-char
+    * chunk at offset 5j (20 bits each — independent enough for banding, and
+    * 6× less hashing than one md5 per lane, which is what dominates the
+    * shingle scan at scale). The signature is the per-doc minimum per lane;
+    * all lanes aggregate in ONE groupBy (one shuffle).
     */
-  def minhashAggs(numSeeds: Int): Seq[Column] =
+  def minhashAggs(numSeeds: Int): Seq[Column] = {
+    require(numSeeds * 5 <= 32, "md5 provides 32 hex chars = at most 6 5-char lanes")
     (0 until numSeeds).map { j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")
+      min(substring(md5(col("shingle")), j * 5 + 1, 5)).as(s"mh$j")
     }
+  }
 
   /** LSH band keys from a signature row: bands of `rowsPerBand` signature
     * entries hashed together. Returns an array<struct<band_id,band_key>> to
@@ -68,18 +73,35 @@ object Dedup {
   /** 16-bit SimHash over a (`doc_id`, `token`, `cnt`) frame. Bit b of a
     * token is the parity of hex digit b of md5(token); the document bit is
     * the sign of the count-weighted vote sum.
+    *
+    * All 16 bit-votes are computed as WIDE columns in one scan pass and
+    * aggregated in ONE groupBy — not by exploding a bit-index column, which
+    * would amplify the token frame 16× and add a second shuffle. (At 100 TB
+    * that amplification is the difference between one pass and a broken
+    * stage.)
     */
-  def simhash16(docTokenCounts: DataFrame, idCol: String): DataFrame =
-    docTokenCounts
+  def simhash16(docTokenCounts: DataFrame, idCol: String): DataFrame = {
+    val withVotes = docTokenCounts
       .withColumn("th", md5(col("token")))
-      .withColumn("b", explode(sequence(lit(0), lit(15))))
-      .withColumn("bit",
-        expr("(instr('0123456789abcdef', substr(th, b + 1, 1)) - 1) % 2"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("w"))
+      .select(
+        col(idCol) +:
+          (0 until 16).map { b =>
+            (col("cnt") *
+              (expr(s"(instr('0123456789abcdef', substr(th, ${b + 1}, 1)) - 1) % 2") * 2 - 1))
+              .as(s"v$b")
+          }: _*)
+    withVotes
       .groupBy(col(idCol))
-      .agg(sum(when(col("w") > 0, expr("shiftleft(1, b)")).otherwise(0))
-        .cast("long").as("simhash16"))
+      .agg(
+        sum(col("v0")).as("w0"),
+        (1 until 16).map(b => sum(col(s"v$b")).as(s"w$b")): _*)
+      .select(
+        col(idCol),
+        (0 until 16)
+          .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+          .cast("long").as("simhash16"))
+  }
 
   /** Jaccard similarity between two distinct-shingle array columns. */
   def jaccard(a: Column, b: Column): Column = {

@@ -1,0 +1,68 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Upsert
+
+/** ST1/ST2: the reference's per-upload micro-batch path re-expressed as
+  * Structured Streaming (reference: fastapi_app.py:614-778 upload endpoint;
+  * main.py:270-277 skip-existing idempotence).
+  *
+  * The upload endpoint becomes a file source watching an inbox directory:
+  * every new parquet file is one micro-batch (`Trigger.AvailableNow` drains
+  * what's there and stops — the test/driver shape; a live deployment uses
+  * the default continuous trigger). `foreachBatch` applies the same
+  * set-oriented sink semantics as the batch path: dropDuplicates within the
+  * batch, anti-join against the sink for cross-batch idempotence (the
+  * ON CONFLICT DO NOTHING equivalent), then a partitioned append.
+  *
+  * Scale notes: the anti-join shuffles on the key only; checkpointing gives
+  * exactly-once file-source progress, and the sink append is atomic per
+  * batch via Spark's file commit protocol. At 100 TB the sink would be a
+  * transactional table format; the operator shape is unchanged.
+  */
+object Ingest {
+
+  /** Start the inbox→clean→dedup→append pipeline. `transform` is the
+    * per-batch cleaning/aggregation chain (the reference's extract→clean→agg
+    * spine); `key` is the idempotence key.
+    */
+  def start(
+      spark: SparkSession,
+      inbox: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      key: String,
+      transform: DataFrame => DataFrame): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inbox)
+      .transform(transform)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = batch.dropDuplicates(key)
+        val toWrite =
+          if (new java.io.File(sinkDir).exists())
+            Upsert.skipExisting(deduped, spark.read.parquet(sinkDir), key)
+          else deduped
+        // localCheckpoint: materialize BEFORE the append so the anti-join
+        // against the sink can't observe the rows it is currently writing.
+        toWrite.localCheckpoint(eager = true).write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .start()
+
+  /** ST2 batch-shaped equivalent, for oracle-checkable use in queries():
+    * union of per-"upload" frames with first-arrival-wins dedup.
+    */
+  def idempotentUnion(uploads: Seq[DataFrame], key: String, arrival: String): DataFrame =
+    uploads.reduce(_ unionByName _)
+      .transform(df => Upsert.lastWriterWins(
+        df, df.limit(0), key, precedence = arrival, tiebreak = key))
+}

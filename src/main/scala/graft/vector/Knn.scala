@@ -52,13 +52,20 @@ object Knn {
       queryVecCol: String,
       k: Int,
       tiebreak: String): DataFrame = {
+    // Norms are hoisted out of the pair loop: candidate norms once per row,
+    // query norms once per query — the same float ops as cosine() (dot /
+    // (norm·norm)), so results are bit-identical, but O(n+q) norm work
+    // instead of O(n·q).
     val scored = candidates
-      .crossJoin(broadcast(queries))
-      .withColumn("sim", round(cosine(col(vecCol), col(queryVecCol)), 6))
+      .withColumn("__cn", l2norm(col(vecCol)))
+      .crossJoin(broadcast(queries.withColumn("__qn", l2norm(col(queryVecCol)))))
+      .withColumn("sim", round(
+        when(col("__cn") * col("__qn") > 0,
+          dot(col(vecCol), col(queryVecCol)) / (col("__cn") * col("__qn"))), 6))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(tiebreak))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .drop(queryVecCol)
+      .drop(queryVecCol, "__cn", "__qn")
   }
 }
