@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.{Stats, Unpivot}
 import graft.functions.Scalars
-import graft.ingest.Clean
+import graft.ingest.{Clean, Extract}
 import graft.operators.{FuzzyJoin, Upsert}
+import graft.sources.Multimodal
+import graft.stream.Ingest
 import graft.vector.{Embed, Knn}
 import graft.dedup.Dedup
 import graft.text.{Analysis, Summaries}
@@ -237,6 +239,196 @@ object SparkEntry {
           round(min("variable_value"), 4).as("min_value"),
           round(max("variable_value"), 4).as("max_value"))
         .orderBy("variable_name")
+    },
+
+    // ---- S4 alias resolution + fill-value nulling (load_data.py:226-331) ---
+    "s4_alias_resolve" -> { (s, dir) =>
+      val variants = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") % 3 === 0, col("l_quantity")).as("QUANTITY"),
+        when(col("l_linenumber") % 3 === 1, col("l_quantity")).as("quantity_v2"),
+        when(col("l_linenumber") % 3 === 2, lit(-999.0)).as("qty_legacy"))
+      Extract.resolveAliases(variants, "qty",
+        Seq("QUANTITY", "quantity_v2", "qty_legacy"), fill = Some(-999.0))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("qty")).as("n_resolved"),
+          round(sum("qty"), 2).as("sum_qty"))
+    },
+
+    // ---- P12 document-shape classifier (cleanup_chromadb.py:73-116) --------
+    "p12_doc_shape" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("content",
+          when(col("doc_id") % 2 === 0,
+            to_json(struct(col("doc_id").as("id"), col("n_chars").as("n"), col("lang"))))
+            .otherwise(col("text")))
+        .withColumn("parsed",
+          from_json(col("content"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        .withColumn("shape",
+          when(col("parsed").isNotNull && array_contains(map_keys(col("parsed")), "id"), "json")
+            .otherwise("semantic"))
+        .groupBy("shape", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("shape", "lang")
+    },
+
+    // ---- A1 nested properties struct → JSON (preprocess.py:315-339 + F13) --
+    "a1_properties_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("total_rows"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+          round(min("value"), 4).as("vmin"),
+          round(max("value"), 4).as("vmax"),
+          round(avg("value"), 6).as("vmean"),
+          count(col("value")).as("vcount"))
+        .select(col("user_id"),
+          to_json(struct(
+            col("total_rows"),
+            struct(col("start_ts"), col("end_ts")).as("date_range"),
+            struct(
+              format_string("%.4f", col("vmin")).as("vmin"),
+              format_string("%.4f", col("vmax")).as("vmax"),
+              format_string("%.6f", col("vmean")).as("vmean"),
+              col("vcount")).as("value_stats"))).as("properties"))
+        .orderBy("user_id")
+    },
+
+    // ---- A4 total-measurement sum over the measurements map (A4) -----------
+    "a4_measure_total" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      val packed = Stats.packProperties(
+        Stats.perKeySummary(ev, Seq("user_id"), "ts", "event_id", Seq("value", "k")),
+        Seq("value", "k"))
+      packed.select(col("user_id"),
+        aggregate(map_values(col("properties.measurements")), lit(0L),
+          (acc, x) => acc + x.getField("count")).as("total_measurements"))
+        .orderBy("user_id")
+    },
+
+    // ---- A6 collection summary: conditional counts + bbox-style extremes ---
+    "a6_collection_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1).otherwise(0)).as("n_en"),
+          sum(when(col("n_chars") > 200, 1).otherwise(0)).as("n_long"),
+          min("n_chars").as("chars_min"),
+          max("n_chars").as("chars_max"))
+        .orderBy("source")
+    },
+
+    // ---- T1 metadata summary template (embed.py:46-148) --------------------
+    "t1_metadata_summary" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min("ts").as("d1"), max("ts").as("d2"), count(lit(1)).as("n"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .withColumn("lat", expr("mod(vmin, 90)"))
+        .withColumn("lon", expr("mod(vmax, 180)"))
+        .select(col("user_id"),
+          graft.text.Summaries.metadataSummary(
+            col("user_id").cast("string"),
+            date_format(col("d1"), "yyyy-MM-dd"),
+            date_format(col("d2"), "yyyy-MM-dd"),
+            col("lat"), col("lon"), col("n").cast("string")).as("summary"))
+        .orderBy("user_id")
+    },
+
+    // ---- T3 upload description template (fastapi_app.py:524-555) -----------
+    "t3_upload_description" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(
+          date_format(min("ts"), "yyyy-MM-dd").as("d1"),
+          date_format(max("ts"), "yyyy-MM-dd").as("d2"),
+          min("value").as("vmin"), max("value").as("vmax"),
+          avg("value").as("vmean"), count(col("value")).as("n"))
+        .select(graft.text.Summaries.uploadDescription(
+          col("d1"), col("d2"), col("vmin"), col("vmax"), col("vmean"),
+          col("n").cast("string")).as("description"))
+    },
+
+    // ---- T4 EAV pivot-back profile summary (embed.py:305-361) --------------
+    "t4_profile_summary" -> { (s, dir) =>
+      Unpivot.toEav(
+        Tables.lineitem(s, dir),
+        keys = Seq("l_orderkey"),
+        measures = Seq("l_quantity", "l_extendedprice"))
+        .groupBy("l_orderkey")
+        .agg(
+          min(when(col("variable_name") === "l_quantity", col("variable_value"))).as("qmin"),
+          max(when(col("variable_name") === "l_quantity", col("variable_value"))).as("qmax"),
+          min(when(col("variable_name") === "l_extendedprice", col("variable_value"))).as("pmin"),
+          max(when(col("variable_name") === "l_extendedprice", col("variable_value"))).as("pmax"))
+        .select(col("l_orderkey"),
+          format_string(
+            "Order %s with quantity from %.2f to %.2f and price from %.2f to %.2f",
+            col("l_orderkey").cast("string"),
+            round(col("qmin"), 2), round(col("qmax"), 2),
+            round(col("pmin"), 2), round(col("pmax"), 2)).as("summary"))
+        .orderBy("l_orderkey")
+    },
+
+    // ---- F3 filename → id parse (fastapi_app.py:660-675) -------------------
+    "f3_filename_parse" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("filename",
+          when(col("p_partkey") % 3 === 0, concat(lit("nodc_D"), col("p_partkey"), lit("_1.nc")))
+            .when(col("p_partkey") % 3 === 1, concat(lit("argo_R"), col("p_partkey"), lit("_2.nc")))
+            .otherwise(concat(lit("file_"), col("p_partkey"), lit(".nc"))))
+        .withColumn("float_id", regexp_extract(col("filename"), "_[DR](\\d+)", 1))
+        .withColumn("parsed", col("float_id") =!= "")
+        .groupBy("parsed")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(when(col("float_id") =!= "", col("float_id"))).as("n_ids"))
+        .orderBy("parsed")
+    },
+
+    // ---- F4 time coercion: null-on-failure parse (preprocess.py:226) -------
+    "f4_time_coerce" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("raw",
+          when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .withColumn("t", try_to_timestamp(col("raw"), lit("yyyy-MM-dd")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("t")).as("n_parsed"),
+          date_format(min("t"), "yyyy-MM-dd").as("first_day"),
+          date_format(max("t"), "yyyy-MM-dd").as("last_day"))
+    },
+
+    // ---- multimodal: binary payload + stubbed decode + features ------------
+    "mm1_media_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum("n_bytes").as("sum_bytes"),
+          countDistinct(col("content_md5")).as("n_distinct_payloads"),
+          sum(when(size(col("features")) === 8, 1).otherwise(0)).as("n_feat_ok"),
+          max(col("meta.width")).as("max_width"))
+        .orderBy("kind")
+    },
+
+    // ---- ST2 idempotent multi-upload union (first-arrival-wins) ------------
+    "st2_idempotent_union" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val u1 = ev.filter(col("event_id") % 3 === 0).withColumn("arrival", lit(1))
+      val u2 = ev.filter(col("event_id") % 3 === 1).withColumn("arrival", lit(2))
+      val u3 = ev.filter(col("event_id") % 2 === 0).withColumn("arrival", lit(3))
+      Ingest.idempotentUnion(Seq(u1, u2, u3), "event_id", "arrival")
+        .groupBy("arrival")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("arrival")
     },
 
     // ---- exact dedup: content-hash groupBy (training-data pipeline) --------
@@ -685,6 +877,142 @@ object SparkEntry {
          )
          GROUP BY variable_name
          ORDER BY variable_name""",
+    "s4_alias_resolve" ->
+      """WITH v AS (
+           SELECT CASE WHEN l_linenumber % 3 = 0 THEN l_quantity END AS c1,
+                  CASE WHEN l_linenumber % 3 = 1 THEN l_quantity END AS c2,
+                  CASE WHEN l_linenumber % 3 = 2 THEN CAST(-999.0 AS DOUBLE) END AS c3
+           FROM lineitem),
+         r AS (SELECT nullif(coalesce(c1, c2, c3), CAST(-999.0 AS DOUBLE)) AS qty FROM v)
+         SELECT count(*) AS n_rows, count(qty) AS n_resolved,
+                round(sum(qty), 2) AS sum_qty
+         FROM r""",
+    "p12_doc_shape" ->
+      """WITH c AS (
+           SELECT lang,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN CAST(to_json(struct_pack(id := doc_id, n := n_chars, lang := lang)) AS VARCHAR)
+                       ELSE text END AS content
+           FROM documents)
+         SELECT CASE WHEN json_valid(content)
+                      AND json_extract(CASE WHEN json_valid(content) THEN content
+                                            ELSE 'null' END, '$.id') IS NOT NULL
+                     THEN 'json' ELSE 'semantic' END AS shape,
+                lang, count(*) AS n
+         FROM c GROUP BY shape, lang ORDER BY shape, lang""",
+    "a1_properties_json" ->
+      """SELECT user_id,
+         to_json(struct_pack(
+           total_rows := count(*),
+           date_range := struct_pack(
+             start_ts := strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+             end_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S')),
+           value_stats := struct_pack(
+             vmin := printf('%.4f', round(min(value), 4)),
+             vmax := printf('%.4f', round(max(value), 4)),
+             vmean := printf('%.6f', round(avg(value), 6)),
+             vcount := count(value)))) AS properties
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a4_measure_total" ->
+      """SELECT user_id,
+         CAST(count(value) + count(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+           AS total_measurements
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a6_collection_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         min(n_chars) AS chars_min, max(n_chars) AS chars_max
+         FROM documents GROUP BY source ORDER BY source""",
+    "t1_metadata_summary" ->
+      """WITH g AS (SELECT user_id, min(ts) AS d1, max(ts) AS d2, count(*) AS n,
+                           min(value) AS vmin, max(value) AS vmax
+                    FROM events GROUP BY user_id),
+         geo AS (SELECT *, fmod(vmin, 90) AS lat, fmod(vmax, 180) AS lon FROM g)
+         SELECT user_id,
+           printf('Unit %s operated from %s to %s in the %s with %s records. This unit operated in %s, %s deployment.',
+             CAST(user_id AS VARCHAR),
+             strftime(d1, '%Y-%m-%d'), strftime(d2, '%Y-%m-%d'),
+             CASE WHEN lon BETWEEN 20 AND 120 AND lat BETWEEN -60 AND 30 THEN 'Indian Ocean'
+                  WHEN lon <= -60 THEN 'Pacific Ocean'
+                  WHEN lon BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
+                  WHEN lon >= 120 AND lat >= 0 THEN 'North Pacific Ocean'
+                  WHEN lon >= 120 AND lat < 0 THEN 'South Pacific Ocean'
+                  ELSE 'Global Ocean' END,
+             CAST(n AS VARCHAR),
+             CASE WHEN lat < -30 THEN 'Southern Ocean region'
+                  WHEN lat > 30 THEN 'Northern hemisphere waters'
+                  ELSE 'tropical and subtropical waters' END,
+             CASE WHEN month(d1) BETWEEN 3 AND 5 THEN 'spring'
+                  WHEN month(d1) BETWEEN 6 AND 8 THEN 'summer'
+                  WHEN month(d1) BETWEEN 9 AND 11 THEN 'autumn'
+                  ELSE 'winter' END) AS summary
+         FROM geo ORDER BY user_id""",
+    "t3_upload_description" ->
+      """SELECT printf('Data collected from %s to %s. Values: %.2f to %.2f (mean: %.2f, %s measurements).',
+           strftime(min(ts), '%Y-%m-%d'), strftime(max(ts), '%Y-%m-%d'),
+           round(min(value), 2), round(max(value), 2), round(avg(value), 2),
+           CAST(count(value) AS VARCHAR)) AS description
+         FROM events""",
+    "t4_profile_summary" ->
+      """WITH eav AS (
+           SELECT l_orderkey, 'l_quantity' AS variable_name, l_quantity AS variable_value FROM lineitem
+           UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem),
+         g AS (SELECT l_orderkey,
+                 min(CASE WHEN variable_name = 'l_quantity' THEN variable_value END) AS qmin,
+                 max(CASE WHEN variable_name = 'l_quantity' THEN variable_value END) AS qmax,
+                 min(CASE WHEN variable_name = 'l_extendedprice' THEN variable_value END) AS pmin,
+                 max(CASE WHEN variable_name = 'l_extendedprice' THEN variable_value END) AS pmax
+               FROM eav GROUP BY l_orderkey)
+         SELECT l_orderkey,
+           printf('Order %s with quantity from %.2f to %.2f and price from %.2f to %.2f',
+             CAST(l_orderkey AS VARCHAR),
+             round(qmin, 2), round(qmax, 2), round(pmin, 2), round(pmax, 2)) AS summary
+         FROM g ORDER BY l_orderkey""",
+    "f3_filename_parse" ->
+      """WITH f AS (
+           SELECT CASE WHEN p_partkey % 3 = 0 THEN 'nodc_D' || p_partkey || '_1.nc'
+                       WHEN p_partkey % 3 = 1 THEN 'argo_R' || p_partkey || '_2.nc'
+                       ELSE 'file_' || p_partkey || '.nc' END AS filename
+           FROM part),
+         e AS (SELECT regexp_extract(filename, '_[DR](\d+)', 1) AS float_id FROM f)
+         SELECT float_id <> '' AS parsed, count(*) AS n,
+                count(DISTINCT CASE WHEN float_id <> '' THEN float_id END) AS n_ids
+         FROM e GROUP BY parsed ORDER BY parsed""",
+    "f4_time_coerce" ->
+      """WITH r AS (
+           SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
+           FROM orders),
+         p AS (SELECT try_strptime(raw, '%Y-%m-%d') AS t FROM r)
+         SELECT count(*) AS n_rows, count(t) AS n_parsed,
+                strftime(min(t), '%Y-%m-%d') AS first_day,
+                strftime(max(t), '%Y-%m-%d') AS last_day
+         FROM p""",
+    "mm1_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS kind,
+                  octet_length(encode(text)) AS n_bytes,
+                  md5(text) AS content_md5,
+                  CAST(n_chars % 640 AS INTEGER) AS width
+           FROM documents)
+         SELECT kind, count(*) AS n_items,
+                CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+                count(DISTINCT content_md5) AS n_distinct_payloads,
+                CAST(count(*) AS BIGINT) AS n_feat_ok,
+                max(width) AS max_width
+         FROM m GROUP BY kind ORDER BY kind""",
+    "st2_idempotent_union" ->
+      """WITH u AS (
+           SELECT event_id, user_id, value, 1 AS arrival FROM events WHERE event_id % 3 = 0
+           UNION ALL SELECT event_id, user_id, value, 2 FROM events WHERE event_id % 3 = 1
+           UNION ALL SELECT event_id, user_id, value, 3 FROM events WHERE event_id % 2 = 0),
+         d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY arrival) AS rn FROM u)
+         SELECT arrival, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM d WHERE rn = 1 GROUP BY arrival ORDER BY arrival""",
     "dd1_exact_dedup" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents

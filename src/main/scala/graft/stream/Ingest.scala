@@ -59,10 +59,16 @@ object Ingest {
       .start()
 
   /** ST2 batch-shaped equivalent, for oracle-checkable use in queries():
-    * union of per-"upload" frames with first-arrival-wins dedup.
+    * union of per-"upload" frames with FIRST-arrival-wins dedup — the
+    * ON CONFLICT DO NOTHING semantic (later uploads of an existing key are
+    * ignored, matching the streaming path's anti-join).
     */
-  def idempotentUnion(uploads: Seq[DataFrame], key: String, arrival: String): DataFrame =
-    uploads.reduce(_ unionByName _)
-      .transform(df => Upsert.lastWriterWins(
-        df, df.limit(0), key, precedence = arrival, tiebreak = key))
+  def idempotentUnion(uploads: Seq[DataFrame], key: String, arrival: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = uploads.reduce(_ unionByName _)
+    val w = Window.partitionBy(col(key)).orderBy(col(arrival).asc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }
