@@ -241,6 +241,72 @@ object SparkEntry {
         .orderBy("variable_name")
     },
 
+    // ---- P2/P3/P4/P7 cleaning chain (preprocess.py:177-260, load_data:42) --
+    "p2_p4_clean_chain" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("lat",
+          (expr("mod(value, 180) - 90") *
+            when(col("event_id") % 11 === 0, 2).otherwise(1)))
+        .withColumn("lon", expr("mod(value * 2, 360) - 180"))
+        .withColumn("uid",
+          when(col("user_id") % 13 === 0, lit("nan"))
+            .otherwise(col("user_id").cast("string")))
+      val cleaned = Clean.validIdFilter(
+        Clean.timeFilter(
+          Clean.geoFilter(ev, "lat", "lon"),
+          "ts", "1999-01-01", "2026-01-01"),
+        "uid")
+      cleaned.agg(
+        count(lit(1)).as("n_clean"),
+        sum(when(col("lat").between(-60, 30) && col("lon").between(20, 120), 1)
+          .otherwise(0)).as("n_indian_box"),
+        round(sum("lat"), 2).as("sum_lat"))
+    },
+
+    // ---- S13 vector-collection delete + re-add update (cleanup_chromadb) ---
+    "s13_vector_update" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val toUpdate = emb.filter(col("vec_id") % 10 === 3)
+      val afterDelete = emb.join(toUpdate.select("vec_id"), Seq("vec_id"), "left_anti")
+      val updated = toUpdate.withColumn("label", col("label") + 100)
+      afterDelete.unionByName(updated)
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"),
+          sum(when(col("label") >= 100, 1).otherwise(0)).as("n_updated"))
+    },
+
+    // ---- A5 per-table row counts (db_handler.py:346-381) -------------------
+    "a5_table_counts" -> { (s, dir) =>
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "region")
+        .map(t => Tables.table(s, dir, t)
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("table_name", lit(t)))
+        .reduce(_ unionByName _)
+        .select("table_name", "n_rows")
+        .orderBy("table_name")
+    },
+
+    // ---- E6 IVF-style ANN: coarse-cell prefilter then exact in-cell --------
+    "e6_ivf_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val cents = Knn.ivfCentroids(emb, "vec", "label")
+      val q = emb.filter(col("vec_id") === 5).select(col("vec").as("qvec"))
+      val best = cents.crossJoin(broadcast(q))
+        .withColumn("csim", round(Knn.cosine(col("centroid"), col("qvec")), 6))
+        .orderBy(col("csim").desc, col("label"))
+        .limit(1)
+        .select("label", "qvec")
+      emb.join(broadcast(best), "label")
+        .filter(col("vec_id") =!= 5)
+        .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
+        .select("label", "vec_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    },
+
     // ---- S4 alias resolution + fill-value nulling (load_data.py:226-331) ---
     "s4_alias_resolve" -> { (s, dir) =>
       val variants = Tables.lineitem(s, dir).select(
@@ -877,6 +943,59 @@ object SparkEntry {
          )
          GROUP BY variable_name
          ORDER BY variable_name""",
+    "p2_p4_clean_chain" ->
+      """WITH ev AS (
+           SELECT ts,
+                  (fmod(value, 180) - 90) *
+                    (CASE WHEN event_id % 11 = 0 THEN 2 ELSE 1 END) AS lat,
+                  fmod(value * 2, 360) - 180 AS lon,
+                  CASE WHEN user_id % 13 = 0 THEN 'nan'
+                       ELSE CAST(user_id AS VARCHAR) END AS uid
+           FROM events),
+         cleaned AS (
+           SELECT * FROM ev
+           WHERE lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+             AND ts >= TIMESTAMP '1999-01-01' AND ts <= TIMESTAMP '2026-01-01'
+             AND uid IS NOT NULL AND uid <> 'nan')
+         SELECT count(*) AS n_clean,
+                CAST(sum(CASE WHEN lat BETWEEN -60 AND 30 AND lon BETWEEN 20 AND 120
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_indian_box,
+                round(sum(lat), 2) AS sum_lat
+         FROM cleaned""",
+    "s13_vector_update" ->
+      """WITH after AS (
+           SELECT vec_id, CASE WHEN vec_id % 10 = 3 THEN label + 100 ELSE label END AS label
+           FROM embeddings)
+         SELECT count(*) AS n_vecs,
+                count(DISTINCT label) AS n_labels,
+                CAST(sum(CASE WHEN label >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+         FROM after""",
+    "a5_table_counts" ->
+      """SELECT table_name, n_rows FROM (
+           SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+           UNION ALL SELECT 'documents', count(*) FROM documents
+           UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+           UNION ALL SELECT 'events', count(*) FROM events
+           UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+           UNION ALL SELECT 'nation', count(*) FROM nation
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'region', count(*) FROM region)
+         ORDER BY table_name""",
+    "e6_ivf_knn" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         px AS (SELECT label, pos, avg(vec[pos]) AS cx
+                FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+                GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px GROUP BY label),
+         q AS (SELECT vec AS qvec FROM e WHERE vec_id = 5),
+         best AS (SELECT c.label, q.qvec,
+                         round(list_cosine_similarity(c.centroid, q.qvec), 6) AS csim
+                  FROM cents c, q ORDER BY csim DESC, label LIMIT 1)
+         SELECT e.label, e.vec_id, round(list_cosine_similarity(e.vec, b.qvec), 6) AS sim
+         FROM e JOIN best b ON e.label = b.label
+         WHERE e.vec_id <> 5
+         ORDER BY sim DESC, vec_id
+         LIMIT 5""",
     "s4_alias_resolve" ->
       """WITH v AS (
            SELECT CASE WHEN l_linenumber % 3 = 0 THEN l_quantity END AS c1,

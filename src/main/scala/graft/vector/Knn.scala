@@ -37,6 +37,22 @@ object Knn {
     when(denom > 0, dot(a, b) / denom)
   }
 
+  /** IVF-style coarse centroids: the per-cell mean vector, computed with
+    * posexplode + two aggregations (both shuffle on the small cell key).
+    * At 100 TB this is the ANN scale path: assign each query to its nearest
+    * centroid and brute-force only inside that cell — candidate set drops
+    * from N to N/cells, and the centroid table is tiny (broadcastable).
+    * (k-means would iterate this exact computation; one pass over a labeled
+    * partitioning is the IVF shape without the training loop.)
+    */
+  def ivfCentroids(emb: DataFrame, vecCol: String, cellCol: String): DataFrame =
+    emb.select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(cellCol), col("pos")).agg(avg("x").as("cx"))
+      .groupBy(col(cellCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("centroid"))
+
   /** E2: exact top-k nearest candidates to each query vector, with the
     * metadata filter applied BEFORE the distance computation (Catalyst pushes
     * it into the scan). `queries` must be small (it is broadcast); candidates
