@@ -1,0 +1,77 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the vector hot path.
+  *
+  * The builtin-composition form (`aggregate(zip_with(a, b, *), 0, +)`)
+  * evaluates higher-order lambdas per element — per-row closure dispatch and
+  * boxed accumulation that dominates KNN/near-dup scans. This expression
+  * generates a tight primitive loop (`doGenCode`) inside whole-stage
+  * codegen: no allocation, no boxing, no virtual calls.
+  *
+  * Summation order is left-to-right, identical to the `aggregate` fold it
+  * replaces, so results are bit-for-bit unchanged and the DuckDB oracle
+  * (`list_cosine_similarity`, verified to agree at 6 decimals) still
+  * matches. Mismatched lengths use the min length (our vectors are
+  * fixed-dim; zip_with's null-padding would instead poison the sum).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-level dot product backed by the codegen expression. */
+  def dot(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      DotProduct(
+        GraftExpressionBridge.expression(a),
+        GraftExpressionBridge.expression(b)))
+}

@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Elementwise dot product over two `array<double>` columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product over two `array<double>` columns — a native
+    * codegen expression (graft.expressions.DotProduct): tight primitive
+    * loop inside whole-stage codegen, same left-to-right summation as the
+    * `aggregate(zip_with(...))` composition it replaces (bit-identical
+    * results, oracle-verified).
+    */
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorExpressions.dot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** F11: cosine similarity (null-safe on zero norms → null, like the
     * reference's guard at embeddings/embed.py:392-395).

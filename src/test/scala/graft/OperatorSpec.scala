@@ -31,6 +31,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Embed.embedTokens(Seq("a", "b", "a"), 8).toSeq)
   }
 
+  test("native DotProduct matches the aggregate/zip_with composition bit-for-bit") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+    val pairs = df.select(col("vec").as("a")).limit(50)
+      .crossJoin(df.select(col("vec").as("b")).limit(7))
+    val native = pairs.select(graft.expressions.VectorExpressions.dot(col("a"), col("b")).as("d"))
+      .as[Double].collect().toSeq
+    val builtin = pairs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
+      .as[Double].collect().toSeq
+    assert(native == builtin)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1.0, 0.0), Array(1.0, 0.0)),
