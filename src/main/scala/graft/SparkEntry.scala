@@ -722,6 +722,28 @@ object SparkEntry {
           countDistinct(col("label")).as("n_labels"))
     },
 
+    // ---- E2 full semantic-search workload: embed queries + docs with E1,
+    // ---- batch KNN top-3 per query (test_advanced_chromadb_queries.py).
+    // ---- E1 is not SQL-expressible → no oracle; driver records rows-only.
+    "e7_semantic_workload" -> { (s, dir) =>
+      import s.implicits._
+      val queryTexts = Seq(
+        "warm table scan fast", "slow window sort batch", "customer join merge",
+        "vector data stream", "key hash agg group", "big part filter line",
+        "spark query order column", "small row value the")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val queries = queryTexts.toDF("query_id", "query_text")
+        .withColumn("qvec", Embed.embed(col("query_text"), dim = 64).cast("array<double>"))
+        .select("query_id", "qvec")
+      val docs = Tables.documents(s, dir)
+        .withColumn("vec", Embed.embed(col("text"), dim = 64).cast("array<double>"))
+        .select(col("doc_id"), col("lang"), col("vec"))
+      Knn.topK(docs, "vec", queries, "query_id", "qvec", k = 3, tiebreak = "doc_id")
+        .withColumn("rank", col("rank").cast("long"))
+        .select("query_id", "doc_id", "lang", "sim", "rank")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- positional explode (ingest/preprocess.py:113-175) -----------------
     "u2_token_explode" -> { (s, dir) =>
       val toks = Tables.documents(s, dir)

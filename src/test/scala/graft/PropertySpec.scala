@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.FuzzyJoin
+import graft.vector.Embed
+
+/** Property tests for the cleaners and sketches (SURVEY.md §5: our test
+  * strategy is strictly stronger than the reference's log-only suite).
+  * Raw ScalaCheck generators with a fixed seed — deterministic across runs.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("cleanId strips any b'...' wrapper and whitespace") {
+    val ids = samples(Gen.alphaNumStr.map(_.take(30)), 40)
+    val df = ids.map(id => s"b'$id '").toDF("x")
+      .select(FuzzyJoin.cleanId(col("x")).as("c"))
+    assert(df.as[String].collect().toSeq == ids.map(_.trim))
+  }
+
+  test("embedTokens: unit norm for any non-empty token list, 0-vector for empty") {
+    samples(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty)), 40).foreach { toks =>
+      val v = Embed.embedTokens(toks, 64)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm for $toks")
+    }
+    assert(Embed.embedTokens(Nil, 64).forall(_ == 0.0f))
+  }
+
+  test("fnv1a is stable and spreads across buckets") {
+    val hashes = (0 until 1000).map(i => (Embed.fnv1a(s"tok$i") & 0x7fffffff) % 64)
+    assert(hashes.distinct.size > 48, "expected most of 64 buckets hit")
+    assert(Embed.fnv1a("abc") == Embed.fnv1a("abc"))
+  }
+
+  test("shingles count is max(0, n-k+1) for any token list") {
+    val cases = samples(
+      for {
+        toks <- Gen.listOf(Gen.identifier.suchThat(t => t.nonEmpty && !t.contains(" ")))
+        k <- Gen.chooseNum(2, 4)
+      } yield (toks, k), 40)
+    cases.foreach { case (toks, k) =>
+      val text = toks.mkString(" ")
+      val out = Seq(text).toDF("text")
+        .select(Dedup.shingles(Dedup.tokens(col("text")), k).as("sh"))
+        .as[Seq[String]].head()
+      assert(out.length == math.max(0, toks.length - k + 1), s"toks=$toks k=$k")
+    }
+  }
+
+  test("jaccard is 1 on identical sets and within [0,1] generally") {
+    val cases = samples(
+      for {
+        a <- Gen.nonEmptyListOf(Gen.identifier)
+        b <- Gen.nonEmptyListOf(Gen.identifier)
+      } yield (a.distinct, b.distinct), 30)
+    val df = cases.toDF("x", "y").select(
+      Dedup.jaccard(col("x"), col("y")).as("j"),
+      Dedup.jaccard(col("x"), col("x")).as("self"))
+    df.as[(Double, Double)].collect().foreach { case (j, self) =>
+      assert(j >= 0.0 && j <= 1.0)
+      assert(self == 1.0)
+    }
+  }
+}
