@@ -241,6 +241,29 @@ object SparkEntry {
         .orderBy("variable_name")
     },
 
+    // ---- full §3.1 lifecycle: raw arrays → tidy → clean → floats summary ---
+    "pl1_full_pipeline" -> { (s, dir) =>
+      val raw = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("float_id"),
+        col("event_id").cast("string").as("profile_id"),
+        col("ts").as("time"),
+        expr("mod(value, 180) - 90").as("latitude"),
+        expr("mod(value * 2, 360) - 180").as("longitude"),
+        array(expr("mod(value, 45)"), lit(null).cast("double"),
+          expr("mod(value, 50) - 5")).as("temperature"),
+        array(expr("mod(value, 50)"), expr("mod(value, 40)"),
+          lit(null).cast("double")).as("salinity"),
+        array(expr("mod(value, 6000)"), lit(null).cast("double"),
+          lit(null).cast("double")).as("pressure"))
+      graft.ingest.Pipeline.floats(
+        graft.ingest.Pipeline.clean(graft.ingest.Pipeline.tidy(raw), "2026-01-01"))
+        .select("float_id", "first_ts", "last_ts", "n_distinct", "n_rows",
+          "temperature_count", "temperature_min", "temperature_max", "temperature_mean",
+          "salinity_count", "salinity_min", "salinity_max", "salinity_mean",
+          "pressure_count", "pressure_min", "pressure_max", "pressure_mean")
+        .orderBy("float_id")
+    },
+
     // ---- P2/P3/P4/P7 cleaning chain (preprocess.py:177-260, load_data:42) --
     "p2_p4_clean_chain" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -965,6 +988,53 @@ object SparkEntry {
          )
          GROUP BY variable_name
          ORDER BY variable_name""",
+    "pl1_full_pipeline" ->
+      """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL))
+         SELECT float_id,
+                strftime(min(time), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                strftime(max(time), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                count(DISTINCT profile_id) AS n_distinct,
+                count(*) AS n_rows,
+                count(temperature) AS temperature_count,
+                round(min(temperature), 4) AS temperature_min,
+                round(max(temperature), 4) AS temperature_max,
+                round(avg(temperature), 6) AS temperature_mean,
+                count(salinity) AS salinity_count,
+                round(min(salinity), 4) AS salinity_min,
+                round(max(salinity), 4) AS salinity_max,
+                round(avg(salinity), 6) AS salinity_mean,
+                count(pressure) AS pressure_count,
+                round(min(pressure), 4) AS pressure_min,
+                round(max(pressure), 4) AS pressure_max,
+                round(avg(pressure), 6) AS pressure_mean
+         FROM cleaned
+         GROUP BY float_id ORDER BY float_id""",
     "p2_p4_clean_chain" ->
       """WITH ev AS (
            SELECT ts,

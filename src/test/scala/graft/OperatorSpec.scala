@@ -33,15 +33,16 @@ class OperatorSpec extends AnyFunSuite {
 
   test("native DotProduct matches the aggregate/zip_with composition bit-for-bit") {
     val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .withColumn("vec", col("embedding").cast("array<double>"))
+      .withColumn("vec", col("embedding").cast("array<double>")).orderBy("vec_id")
     val pairs = df.select(col("vec").as("a")).limit(50)
       .crossJoin(df.select(col("vec").as("b")).limit(7))
-    val native = pairs.select(graft.expressions.VectorExpressions.dot(col("a"), col("b")).as("d"))
-      .as[Double].collect().toSeq
-    val builtin = pairs.select(
-      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
-      .as[Double].collect().toSeq
-    assert(native == builtin)
+    // both forms in ONE plan so the same rows feed both expressions
+    val rows = pairs.select(
+      graft.expressions.VectorExpressions.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        .as("builtin"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall { case (n, b) => n == b })
   }
 
   test("cosine of identical vectors is 1, orthogonal is 0") {
