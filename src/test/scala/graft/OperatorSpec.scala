@@ -90,6 +90,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.select("j").as[Double].head() == 0.5)
   }
 
+  test("isFinite guards nulls, NaN and infinities (F12)") {
+    val df = Seq(Some(1.5), None, Some(Double.NaN), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity))
+      .toDF("x").select(graft.functions.Scalars.isFinite(col("x")).as("ok"))
+    assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false, false))
+  }
+
+  test("multimodal decode stub is deterministic and fixed-dim") {
+    val media = graft.sources.Multimodal.fromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(30))
+    val f1 = graft.sources.Multimodal.extractFeatures(media)
+      .select("media_id", "features").orderBy("media_id").as[(Long, Array[Float])].collect()
+    val f2 = graft.sources.Multimodal.extractFeatures(media)
+      .select("media_id", "features").orderBy("media_id").as[(Long, Array[Float])].collect()
+    assert(f1.map(_._2.toSeq).toSeq == f2.map(_._2.toSeq).toSeq)
+    assert(f1.forall(_._2.length == 8))
+    assert(f1.exists(_._2.exists(_ != 0.0f)))
+  }
+
   test("langId picks marker-majority language with fixed tie precedence") {
     val df = Seq("the cat and the dog", "der hund ist gut", "zzz qqq").toDF("text")
       .withColumn("l", Analysis.langId(Dedup.tokens(col("text"))))
