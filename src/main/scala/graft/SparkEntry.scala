@@ -241,6 +241,60 @@ object SparkEntry {
         .orderBy("variable_name")
     },
 
+    // ---- sessionization: gap-based session ids via lag + running sum -------
+    "w2_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(
+          max(col("session_id")).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- exact interpolated percentiles (builtin, no sort-the-world) -------
+    "a7_percentiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // ---- rollup: hierarchical partial aggregates in one pass ---------------
+    "a8_rollup" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .withColumn("event_type", coalesce(col("event_type"), lit("__total__")))
+        .orderBy("event_type")
+    },
+
+    // ---- skew-safe two-phase (salted) aggregation — same result, bounded
+    // ---- per-task key volume (the 100 TB skewed-key recipe) ----------------
+    "a9_salted_agg" -> { (s, dir) =>
+      val salted = Tables.events(s, dir)
+        .withColumn("salt", col("event_id") % 8)
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+      salted
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // ---- full §3.1 lifecycle: raw arrays → tidy → clean → floats summary ---
     "pl1_full_pipeline" -> { (s, dir) =>
       val raw = Tables.events(s, dir).select(
@@ -536,10 +590,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 50 === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
-      val sh = docs.unionByName(dups)
-        .withColumn("toks", Dedup.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("shingle"))
+      val sh = Dedup.withShingleHash(
+        docs.unionByName(dups)
+          .withColumn("toks", Dedup.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("shingle")))
       val mh = Dedup.minhashAggs(6)
       val sigs = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
       sigs.select(col("doc_id"), explode(Dedup.bandKeys(6, 2)).as("band"))
@@ -988,6 +1043,40 @@ object SparkEntry {
          )
          GROUP BY variable_name
          ORDER BY variable_name""",
+    "w2_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         t AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN prev_ts IS NULL OR
+                            CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM s),
+         u AS (
+           SELECT user_id,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM t),
+         g AS (SELECT user_id, session_id, count(*) AS n_events FROM u GROUP BY 1, 2)
+         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                CAST(max(n_events) AS BIGINT) AS max_session_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "a7_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a8_rollup" ->
+      """SELECT coalesce(event_type, '__total__') AS event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY ROLLUP(event_type)
+         ORDER BY event_type""",
+    "a9_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "pl1_full_pipeline" ->
       """WITH tidy AS (
            SELECT CAST(user_id AS VARCHAR) AS float_id,

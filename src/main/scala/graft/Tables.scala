@@ -15,9 +15,17 @@ object Tables {
   /** Read one fixture table. Plain parquet scan: Catalyst handles projection
     * and predicate pushdown (the reference hand-rolled both into its ERDDAP
     * URL builder — ingest/load_data.py:105-156; here they are free).
+    *
+    * DataFrames are memoized per (session, path): plans are immutable, and
+    * reuse lets repeated queries share the resolved FileIndex/schema instead
+    * of re-listing and re-reading parquet footers per query.
     */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

@@ -51,12 +51,18 @@ object Dedup {
     * shingle scan at scale). The signature is the per-doc minimum per lane;
     * all lanes aggregate in ONE groupBy (one shuffle).
     */
-  def minhashAggs(numSeeds: Int): Seq[Column] = {
+  def minhashAggs(numSeeds: Int, hashCol: String = "shingle_h"): Seq[Column] = {
     require(numSeeds * 5 <= 32, "md5 provides 32 hex chars = at most 6 5-char lanes")
     (0 until numSeeds).map { j =>
-      min(substring(md5(col("shingle")), j * 5 + 1, 5)).as(s"mh$j")
+      min(substring(col(hashCol), j * 5 + 1, 5)).as(s"mh$j")
     }
   }
+
+  /** Precompute the shingle md5 ONCE per row (the aggregate inputs above
+    * slice it; computing md5 inside each of the 6 min()s would hash 6×).
+    */
+  def withShingleHash(df: DataFrame): DataFrame =
+    df.withColumn("shingle_h", md5(col("shingle")))
 
   /** LSH band keys from a signature row: bands of `rowsPerBand` signature
     * entries hashed together. Returns an array<struct<band_id,band_key>> to
