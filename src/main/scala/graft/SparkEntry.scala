@@ -37,8 +37,8 @@ object SparkEntry {
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 6).as("avg_qty"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          Stats.exactMean(col("l_quantity")).as("avg_qty"),
+          Stats.exactMean(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -67,7 +67,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_rows"),
           count(col("value")).as("n_valid"),
-          round(avg("value"), 6).as("value_mean"))
+          Stats.exactMean(col("value")).as("value_mean"))
         .orderBy("event_type")
     },
 
@@ -137,7 +137,7 @@ object SparkEntry {
     "j3_enrich_docs" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val stats = docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 6).as("source_avg_chars"))
+        .agg(count(lit(1)).as("n_docs"), Stats.parityRound(sum(col("n_chars")).cast("double") / count(col("n_chars")), 6).as("source_avg_chars"))
       docs.join(broadcast(stats), Seq("source"), "left")
         .select("doc_id", "source", "n_chars", "n_docs", "source_avg_chars")
         .orderBy("doc_id")
@@ -235,7 +235,7 @@ object SparkEntry {
         .agg(
           count(col("variable_value")).as("n"),
           round(sum("variable_value"), 2).as("sum_value"),
-          round(avg("variable_value"), 6).as("avg_value"),
+          Stats.exactMean(col("variable_value")).as("avg_value"),
           round(min("variable_value"), 4).as("min_value"),
           round(max("variable_value"), 4).as("max_value"))
         .orderBy("variable_name")
@@ -427,7 +427,7 @@ object SparkEntry {
           date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
           round(min("value"), 4).as("vmin"),
           round(max("value"), 4).as("vmax"),
-          round(avg("value"), 6).as("vmean"),
+          Stats.exactMean(col("value")).as("vmean"),
           count(col("value")).as("vcount"))
         .select(col("user_id"),
           to_json(struct(
@@ -492,7 +492,7 @@ object SparkEntry {
           date_format(min("ts"), "yyyy-MM-dd").as("d1"),
           date_format(max("ts"), "yyyy-MM-dd").as("d2"),
           min("value").as("vmin"), max("value").as("vmax"),
-          avg("value").as("vmean"), count(col("value")).as("n"))
+          Stats.exactMean(col("value"), 2).as("vmean"), count(col("value")).as("n"))
         .select(graft.text.Summaries.uploadDescription(
           col("d1"), col("d2"), col("vmin"), col("vmax"), col("vmean"),
           col("n").cast("string")).as("description"))
@@ -624,7 +624,7 @@ object SparkEntry {
       val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, col("doc_b") === col("doc_a") + 20)
         .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+        .withColumn("jaccard", Stats.parityRound(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
         .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a")
     },
@@ -669,9 +669,9 @@ object SparkEntry {
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
-          round(Analysis.avgTokenLen(col("toks")), 6).as("avg_token_len"),
-          round(Analysis.stopwordRatio(col("toks")), 6).as("stopword_ratio"),
-          round(Analysis.qualityScore(col("toks")), 6).as("quality"))
+          Stats.parityRound(Analysis.avgTokenLen(col("toks")), 6).as("avg_token_len"),
+          Stats.parityRound(Analysis.stopwordRatio(col("toks")), 6).as("stopword_ratio"),
+          Stats.parityRound(Analysis.qualityScore(col("toks")), 6).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -840,8 +840,8 @@ object SparkEntry {
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_discount), 6) AS avg_disc,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+         floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -856,7 +856,7 @@ object SparkEntry {
          count(value) AS value_count,
          round(min(value), 4) AS value_min,
          round(max(value), 4) AS value_max,
-         round(avg(value), 6) AS value_mean
+         floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
@@ -868,13 +868,13 @@ object SparkEntry {
          count(value) AS value_count,
          round(min(value), 4) AS value_min,
          round(max(value), 4) AS value_max,
-         round(avg(value), 6) AS value_mean
+         floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
          FROM events""",
     "p5_clean_events" ->
       """SELECT event_type,
          count(*) AS n_rows,
          count(v) AS n_valid,
-         round(avg(v), 6) AS value_mean
+         floor(CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / count(v) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
          FROM (
            SELECT event_type,
                   CASE WHEN value BETWEEN 0 AND 200 THEN value END AS v
@@ -945,7 +945,7 @@ object SparkEntry {
       """SELECT doc_id, d.source, n_chars, n_docs, source_avg_chars
          FROM documents d
          JOIN (
-           SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS source_avg_chars
+           SELECT source, count(*) AS n_docs, floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS source_avg_chars
            FROM documents GROUP BY source
          ) s ON d.source = s.source
          ORDER BY doc_id""",
@@ -1032,7 +1032,7 @@ object SparkEntry {
       """SELECT variable_name,
          count(variable_value) AS n,
          round(sum(variable_value), 2) AS sum_value,
-         round(avg(variable_value), 6) AS avg_value,
+         floor(CAST(sum(CAST(variable_value AS DECIMAL(27,6))) AS DOUBLE) / count(variable_value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
          round(min(variable_value), 4) AS min_value,
          round(max(variable_value), 4) AS max_value
          FROM (
@@ -1113,15 +1113,15 @@ object SparkEntry {
                 count(temperature) AS temperature_count,
                 round(min(temperature), 4) AS temperature_min,
                 round(max(temperature), 4) AS temperature_max,
-                round(avg(temperature), 6) AS temperature_mean,
+                floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS temperature_mean,
                 count(salinity) AS salinity_count,
                 round(min(salinity), 4) AS salinity_min,
                 round(max(salinity), 4) AS salinity_max,
-                round(avg(salinity), 6) AS salinity_mean,
+                floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS salinity_mean,
                 count(pressure) AS pressure_count,
                 round(min(pressure), 4) AS pressure_min,
                 round(max(pressure), 4) AS pressure_max,
-                round(avg(pressure), 6) AS pressure_mean
+                floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
          FROM cleaned
          GROUP BY float_id ORDER BY float_id""",
     "p2_p4_clean_chain" ->
@@ -1210,7 +1210,7 @@ object SparkEntry {
            value_stats := struct_pack(
              vmin := printf('%.4f', round(min(value), 4)),
              vmax := printf('%.4f', round(max(value), 4)),
-             vmean := printf('%.6f', round(avg(value), 6)),
+             vmean := printf('%.6f', floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0),
              vcount := count(value)))) AS properties
          FROM events GROUP BY user_id ORDER BY user_id""",
     "a4_measure_total" ->
@@ -1251,7 +1251,7 @@ object SparkEntry {
     "t3_upload_description" ->
       """SELECT printf('Data collected from %s to %s. Values: %.2f to %.2f (mean: %.2f, %s measurements).',
            strftime(min(ts), '%Y-%m-%d'), strftime(max(ts), '%Y-%m-%d'),
-           round(min(value), 2), round(max(value), 2), round(avg(value), 2),
+           round(min(value), 2), round(max(value), 2), floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 100.0 + 0.5) / 100.0,
            CAST(count(value) AS VARCHAR)) AS description
          FROM events""",
     "t4_profile_summary" ->
@@ -1368,8 +1368,8 @@ object SparkEntry {
                  FROM sh0 GROUP BY doc_id)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-                round(len(list_intersect(a.sh, b.sh)) /
-                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+                floor(len(list_intersect(a.sh, b.sh)) /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 20
          ORDER BY doc_a""",
     "dd5_embed_neardup" ->
@@ -1415,10 +1415,10 @@ object SparkEntry {
                  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
                FROM t)
          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                round(sum_len / n_tokens, 6) AS avg_token_len,
-                round(n_stop / n_tokens, 6) AS stopword_ratio,
-                round(least(CAST(1.0 AS DOUBLE), n_tokens / 100.0) *
-                      (CAST(1.0 AS DOUBLE) - n_stop / n_tokens), 6) AS quality
+                floor(sum_len / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+                floor(n_stop / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                floor(least(CAST(1.0 AS DOUBLE), n_tokens / 100.0) *
+                      (CAST(1.0 AS DOUBLE) - n_stop / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS quality
          FROM m ORDER BY doc_id""",
     "ta3_token_count" ->
       """SELECT source,

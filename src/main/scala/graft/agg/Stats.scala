@@ -16,16 +16,40 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Order-independent mean: the sum runs in DECIMAL (exact, so partition
+    * and merge order cannot perturb it — fixture values are exact at 6
+    * decimals), is cast to double once, and divided by the count. A plain
+    * `avg` accumulates doubles in engine-specific order; when a mean lands
+    * exactly on a decimal rounding boundary (systematic here: power-of-two
+    * group sizes over 2-decimal data), the final ulp decides the rounded
+    * digit and two engines can disagree. This form is bit-identical across
+    * Spark and DuckDB.
+    */
+  def exactMean(c: Column, scale: Int = 6): Column =
+    parityRound(sum(c.cast("decimal(27,6)")).cast("double") / count(c), scale)
+
+  /** Cross-engine-deterministic rounding: pure double ops (multiply, add,
+    * floor, divide) evaluate bit-identically in any IEEE-754 engine, unlike
+    * `round`, which Spark routes through Double.toString shortest-repr
+    * (recreating decimal halfway cases that C-style rounding never sees).
+    * Half-values round toward +inf. Use for ratios/means whose inputs are
+    * bit-identical across engines; SQL twin: floor(x * 1e<n> + 0.5) / 1e<n>.
+    */
+  def parityRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
+
   /** The `{count, min, max, mean}` block the reference packs per measurement
     * (ingest/preprocess.py:331-339), as flat aliased columns.
     * Doubles are rounded so a DuckDB oracle summing in a different order
-    * agrees bit-for-bit after rounding.
+    * agrees bit-for-bit after rounding; the mean uses `exactMean`.
     */
   def measureStats(c: String): Seq[Column] = Seq(
     count(col(c)).as(s"${c}_count"),
     round(min(col(c)), 4).as(s"${c}_min"),
     round(max(col(c)), 4).as(s"${c}_max"),
-    round(avg(col(c)), 6).as(s"${c}_mean")
+    exactMean(col(c)).as(s"${c}_mean")
   )
 
   /** A1: per-key summary — time range, distinct-count, and per-measure stats

@@ -20,7 +20,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NULL"
-        return f"{v:.6g}"
+        return repr(v)  # exact: catches last-ulp engine differences
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
