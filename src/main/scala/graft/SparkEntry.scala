@@ -616,6 +616,20 @@ object SparkEntry {
       Dedup.simhash16(tc, "doc_id").orderBy("doc_id")
     },
 
+    // ---- wide SimHash + hamming-ball LSH candidate pairs (scale path) ------
+    "dd6_simhash_hamming" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" extraword")))
+      val tc = docs.unionByName(variants)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val sigs = Dedup.simhashWide(tc, "doc_id")
+      Dedup.hammingPairs(sigs, "doc_id", "simhash", bands = 3, maxDist = 16)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- n-gram Jaccard similarity over candidate pairs --------------------
     "dd4_ngram_jaccard" -> { (s, dir) =>
       val sh = Tables.documents(s, dir)
@@ -1358,6 +1372,33 @@ object SparkEntry {
            GROUP BY doc_id, b)
          SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash16
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "dd6_simhash_hamming" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 100 = 0),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM all_docs),
+         tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(cnt * ((((strpos('0123456789abcdef', substr(md5(token), b // 4 + 1, 1)) - 1) >> (b % 4)) & 1) * 2 - 1)) AS w
+           FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
+           GROUP BY doc_id, b),
+         sigs AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS h
+                  FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, h, band_id, (h >> (band_id * 21)) & 2097151 AS chunk
+           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band_id)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
+         ORDER BY id_a, id_b""",
     "dd4_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id,
                             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks

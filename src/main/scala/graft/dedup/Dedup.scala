@@ -29,11 +29,15 @@ object Dedup {
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles of a token array (empty array when too short). */
+  /** Word n-gram shingles of a token array (empty array when too short).
+    * Built with element_at (O(1) per access) rather than slice (which
+    * materializes a sub-array per shingle) — ~n× less allocation on the
+    * shingle-explode hot path.
+    */
   def shingles(toksCol: Column, n: Int): Column =
     when(size(toksCol) >= n,
       transform(sequence(lit(0), size(toksCol) - n),
-        i => concat_ws(" ", slice(toksCol, i + lit(1), lit(n)))))
+        i => concat_ws(" ", (1 to n).map(j => element_at(toksCol, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
 
   /** Exact-dup groups: one row per distinct content hash with the surviving
@@ -107,6 +111,73 @@ object Dedup {
           .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _)
           .cast("long").as("simhash16"))
+  }
+
+  /** Bit width of the wide SimHash: 63 keeps the fingerprint positive in a
+    * signed 64-bit long, so shifts/masks behave identically in Spark and
+    * DuckDB (1<<63 overflows DuckDB's BIGINT).
+    */
+  val WideBits = 63
+
+  /** Wide (63-bit) SimHash over a (`doc_id`, `token`, `cnt`) frame — the
+    * scale variant of [[simhash16]]. Bit b is bit (b mod 4) of md5 hex
+    * digit (b div 4), aggregated with the same wide one-pass shape: one
+    * vote column per bit, one groupBy, no row amplification.
+    */
+  def simhashWide(docTokenCounts: DataFrame, idCol: String): DataFrame = {
+    def bitExpr(b: Int): String = {
+      val digit = b / 4 + 1
+      val shift = b % 4
+      s"((instr('0123456789abcdef', substr(th, $digit, 1)) - 1) >> $shift) & 1"
+    }
+    val withVotes = docTokenCounts
+      .withColumn("th", md5(col("token")))
+      .select(
+        col(idCol) +:
+          (0 until WideBits).map(b =>
+            (col("cnt") * (expr(bitExpr(b)) * 2 - 1)).as(s"v$b")): _*)
+    withVotes
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("v0")).as("w0"),
+        (1 until WideBits).map(b => sum(col(s"v$b")).as(s"w$b")): _*)
+      .select(
+        col(idCol),
+        (0 until WideBits)
+          .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+          .cast("long").as("simhash"))
+  }
+
+  /** Hamming-ball near-dup candidates over wide simhashes. LSH on the
+    * fingerprint itself: split into `bands` chunks — any pair within
+    * Hamming distance < bands shares at least one exact chunk (pigeonhole),
+    * so candidate generation is equi-joins on chunk values, never O(n²)
+    * (pairs farther than `bands-1` bits may be missed unless they share a
+    * chunk — the standard LSH recall trade-off).
+    * Returns pairs with their exact Hamming distance ≤ `maxDist`.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      bands: Int, maxDist: Int): DataFrame = {
+    val width = WideBits / bands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(
+      col(idCol), col(hashCol),
+      posexplode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+          expr(s"($hashCol >> ${b * width}) & $mask").as("chunk"))): _*))
+        .as(Seq("pos", "bc")))
+      .select(col(idCol), col(hashCol), col("bc.band_id"), col("bc.chunk"))
+    val a = banded.select(col("band_id"), col("chunk"),
+      col(idCol).as("id_a"), col(hashCol).as("h_a"))
+    val b = banded.select(col("band_id"), col("chunk"),
+      col(idCol).as("id_b"), col(hashCol).as("h_b"))
+    a.join(b, Seq("band_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Jaccard similarity between two distinct-shingle array columns. */
