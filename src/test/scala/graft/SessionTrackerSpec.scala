@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.SessionTracker
+import graft.stream.SessionTracker.{ClosedSession, Event}
+
+class SessionTrackerSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fold closes sessions on gaps and keeps the open one") {
+    val (open, closed) = SessionTracker.fold(
+      None,
+      Seq(Event(1, 0), Event(1, 100), Event(1, 2000), Event(1, 2100)),
+      gapSeconds = 1800)
+    assert(closed == Seq(ClosedSession(1, 0, 100, 2)))
+    assert(open.contains(SessionTracker.OpenSession(2000, 2100, 2)))
+  }
+
+  test("streaming sessionization carries state across micro-batches") {
+    val base = Files.createTempDirectory("graft-sessions").toString
+    // batch 1: two events 100s apart; batch 2 (separate file, second run):
+    // one event inside the gap, one far beyond it
+    Seq(Event(7, 1000), Event(7, 1100)).toDS()
+      .write.parquet(s"$base/in/b1")
+
+    def run(): Seq[ClosedSession] = {
+      val in = spark.readStream.schema(Seq.empty[Event].toDS().schema)
+        .parquet(s"$base/in/*").as[Event]
+      val q = SessionTracker.sessions(in, gapSeconds = 1800)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+          batch.write.mode("append").parquet(s"$base/out")
+          ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (new java.io.File(s"$base/out").exists())
+        spark.read.parquet(s"$base/out").as[ClosedSession].collect().toSeq
+      else Seq.empty
+    }
+
+    assert(run().isEmpty) // first session still open, nothing closed yet
+
+    Seq(Event(7, 1500), Event(7, 9000)).toDS()
+      .write.parquet(s"$base/in/b2")
+    val closed = run()
+    // event 1500 extends the open session (state survived the restart);
+    // event 9000 closes it: one session [1000,1500] with 3 events
+    assert(closed == Seq(ClosedSession(7, 1000, 1500, 3)))
+  }
+}
