@@ -318,6 +318,58 @@ object SparkEntry {
         .orderBy("float_id")
     },
 
+    // ---- T2 exact reference-template parity: the deployment document whose
+    // ---- golden text ships in the reference's export (preprocess_floats_
+    // ---- to_chromadb.py:145-271; chromadb_export_20250917_124841.txt:35-37).
+    // ---- Every %.Nf argument is parity-rounded at its print scale first so
+    // ---- Java/C printf cannot disagree on halfway cases.
+    "t6_reference_doc" -> { (s, dir) =>
+      import Stats.{exactMean, parityRound => pr}
+      val raw = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("float_id"),
+        col("event_id").cast("string").as("profile_id"),
+        col("ts").as("time"),
+        expr("mod(value, 180) - 90").as("latitude"),
+        expr("mod(value * 2, 360) - 180").as("longitude"),
+        array(expr("mod(value, 45)"), lit(null).cast("double"),
+          expr("mod(value, 50) - 5")).as("temperature"),
+        array(expr("mod(value, 50)"), expr("mod(value, 40)"),
+          lit(null).cast("double")).as("salinity"),
+        array(expr("mod(value, 6000)"), lit(null).cast("double"),
+          lit(null).cast("double")).as("pressure"))
+      val cleaned = graft.ingest.Pipeline.clean(
+        graft.ingest.Pipeline.tidy(raw), "2026-01-01")
+      val g = cleaned.groupBy("float_id").agg(
+        min("time").as("t0"),
+        countDistinct(col("profile_id")).as("n_prof"),
+        ((min("latitude") + max("latitude")) / 2).as("latc"),
+        ((min("longitude") + max("longitude")) / 2).as("lonc"),
+        min("pressure").as("pmin"), max("pressure").as("pmax"),
+        exactMean(col("pressure")).as("pmean"),
+        min("temperature").as("tmin"), max("temperature").as("tmax"),
+        exactMean(col("temperature")).as("tmean"),
+        min("salinity").as("smin"), max("salinity").as("smax"),
+        exactMean(col("salinity")).as("smean"),
+        count(col("temperature")).as("tc"),
+        count(col("salinity")).as("sc"),
+        count(col("pressure")).as("pc"))
+      g.select(col("float_id"),
+        format_string(
+          "On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.",
+          Scalars.dateTh(col("t0")),
+          concat(lit("b'"), col("float_id"), lit(" '")),
+          concat(lit("b'"), col("float_id"), lit(" '")),
+          col("n_prof").cast("string"),
+          when(col("n_prof") === 1, "").otherwise("s"),
+          abs(pr(col("latc"), 3)), when(col("latc") >= 0, "N").otherwise("S"),
+          abs(pr(col("lonc"), 3)), when(col("lonc") >= 0, "E").otherwise("W"),
+          pr(col("pmin"), 1), pr(col("pmax"), 1), pr(col("pmean"), 0),
+          pr(col("tmin"), 1), pr(col("tmax"), 1), pr(col("tmean"), 1),
+          pr(col("smin"), 2), pr(col("smax"), 2), pr(col("smean"), 2),
+          (col("tc") + col("sc") + col("pc")).cast("string")).as("document"))
+        .orderBy("float_id")
+    },
+
     // ---- P2/P3/P4/P7 cleaning chain (preprocess.py:177-260, load_data:42) --
     "p2_p4_clean_chain" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -1138,6 +1190,63 @@ object SparkEntry {
                 floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
          FROM cleaned
          GROUP BY float_id ORDER BY float_id""",
+    "t6_reference_doc" ->
+      """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time, latitude, longitude,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
+         g AS (
+           SELECT float_id, min(time) AS t0, count(DISTINCT profile_id) AS n_prof,
+                  (min(latitude) + max(latitude)) / 2 AS latc,
+                  (min(longitude) + max(longitude)) / 2 AS lonc,
+                  min(pressure) AS pmin, max(pressure) AS pmax,
+                  floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pmean,
+                  min(temperature) AS tmin, max(temperature) AS tmax,
+                  floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS tmean,
+                  min(salinity) AS smin, max(salinity) AS smax,
+                  floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS smean,
+                  count(temperature) AS tc, count(salinity) AS sc, count(pressure) AS pc
+           FROM cleaned GROUP BY float_id)
+         SELECT float_id,
+           printf('On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.',
+             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
+             'b''' || float_id || ' ''', 'b''' || float_id || ' ''',
+             CAST(n_prof AS VARCHAR), CASE WHEN n_prof = 1 THEN '' ELSE 's' END,
+             abs(floor(latc * 1000.0 + 0.5) / 1000.0),
+             CASE WHEN latc >= 0 THEN 'N' ELSE 'S' END,
+             abs(floor(lonc * 1000.0 + 0.5) / 1000.0),
+             CASE WHEN lonc >= 0 THEN 'E' ELSE 'W' END,
+             floor(pmin * 10.0 + 0.5) / 10.0, floor(pmax * 10.0 + 0.5) / 10.0,
+             floor(pmean + 0.5),
+             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
+             floor(tmean * 10.0 + 0.5) / 10.0,
+             floor(smin * 100.0 + 0.5) / 100.0, floor(smax * 100.0 + 0.5) / 100.0,
+             floor(smean * 100.0 + 0.5) / 100.0,
+             CAST(tc + sc + pc AS VARCHAR)) AS document
+         FROM g ORDER BY float_id""",
     "p2_p4_clean_chain" ->
       """WITH ev AS (
            SELECT ts,
