@@ -125,17 +125,20 @@ object Dedup {
     * vote column per bit, one groupBy, no row amplification.
     */
   def simhashWide(docTokenCounts: DataFrame, idCol: String): DataFrame = {
-    def bitExpr(b: Int): String = {
-      val digit = b / 4 + 1
-      val shift = b % 4
-      s"((instr('0123456789abcdef', substr(th, $digit, 1)) - 1) >> $shift) & 1"
-    }
-    val withVotes = docTokenCounts
+    // Decode each md5 hex digit ONCE (16 string ops/row), then derive the
+    // 63 bit-votes from the integer digits (shift+mask only) — not one
+    // substr+instr per bit.
+    val withDigits = docTokenCounts
       .withColumn("th", md5(col("token")))
+      .select(
+        Seq(col(idCol), col("cnt")) ++
+          (1 to 16).map(d =>
+            expr(s"instr('0123456789abcdef', substr(th, $d, 1)) - 1").as(s"d$d")): _*)
+    val withVotes = withDigits
       .select(
         col(idCol) +:
           (0 until WideBits).map(b =>
-            (col("cnt") * (expr(bitExpr(b)) * 2 - 1)).as(s"v$b")): _*)
+            (col("cnt") * (expr(s"(d${b / 4 + 1} >> ${b % 4}) & 1") * 2 - 1)).as(s"v$b")): _*)
     withVotes
       .groupBy(col(idCol))
       .agg(

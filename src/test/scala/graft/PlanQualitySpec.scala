@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gate over every declared query: catches structural scale
+  * hazards at test time (SURVEY.md §9) — an accidental non-broadcast
+  * cartesian product would be quadratic at 100 TB regardless of how fast it
+  * runs on the fixtures.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("no query plans a non-broadcast cartesian product") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("explicitly-broadcast joins keep their broadcast in the physical plan") {
+    val broadcastQueries = Seq("j4_orders_by_region", "j3_enrich_docs",
+      "e2_knn_topk", "e3_knn_batch", "e6_ivf_knn")
+    broadcastQueries.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("Broadcast"), s"$name lost its broadcast:\n$plan")
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
+    Seq("w1_top_orders", "e2_knn_topk", "dd5_embed_neardup").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name does not use TakeOrderedAndProject:\n$plan")
+    }
+  }
+}
