@@ -67,11 +67,80 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: dot(a,b), ‖a‖² and ‖b‖² accumulate in ONE array
+  * traversal (the composed form costs three). Accumulation order per sum is
+  * left-to-right, and the final combine is dot / (sqrt(na)·sqrt(nb)) —
+  * exactly the ops of `Knn.dot`/`l2norm` composition, so results are
+  * bit-identical. Null (SQL) when either norm is zero, matching the
+  * reference's zero-vector guard (embeddings/embed.py:392-395).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      d += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) d / denom else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |  $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom > 0) { ${ev.value} = $d / $denom; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level dot product backed by the codegen expression. */
   def dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(
       DotProduct(
+        GraftExpressionBridge.expression(a),
+        GraftExpressionBridge.expression(b)))
+
+  /** Column-level fused cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      CosineSim(
         GraftExpressionBridge.expression(a),
         GraftExpressionBridge.expression(b)))
 }

@@ -32,13 +32,13 @@ object Knn {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** F11: cosine similarity (null-safe on zero norms → null, like the
-    * reference's guard at embeddings/embed.py:392-395).
+  /** F11: cosine similarity — fused single-pass codegen expression
+    * (graft.expressions.CosineSim); null on zero norms, like the
+    * reference's guard at embeddings/embed.py:392-395. Bit-identical to
+    * the dot/l2norm composition.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2norm(a) * l2norm(b)
-    when(denom > 0, dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
 
   /** IVF-style coarse centroids: the per-cell mean vector, computed with
     * posexplode + two aggregations (both shuffle on the small cell key).

@@ -10,6 +10,10 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // RocksDB keyed-state backend: the store that scales streaming state
+    // past executor heap (SURVEY.md §9); exercised by every streaming spec.
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .getOrCreate()
 }
 
