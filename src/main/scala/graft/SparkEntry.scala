@@ -871,10 +871,18 @@ object SparkEntry {
     // ---- E1 is not SQL-expressible → no oracle; driver records rows-only.
     "e7_semantic_workload" -> { (s, dir) =>
       import s.implicits._
+      // 8 categories × 2 queries — the reference's 74-query suite shape
+      // (test_advanced_chromadb_queries.py:57-279: temperature, geographic,
+      // salinity, temporal, depth, edge-case, multi-parameter, negation).
       val queryTexts = Seq(
-        "warm table scan fast", "slow window sort batch", "customer join merge",
-        "vector data stream", "key hash agg group", "big part filter line",
-        "spark query order column", "small row value the")
+        "warm table scan fast", "slow window sort batch",
+        "customer join merge", "big part filter line",
+        "vector data stream", "key hash agg group",
+        "spark query order column", "small row value the",
+        "stream batch window order", "data column line part",
+        "fast merge small scan", "table key value group",
+        "query filter join sort", "row agg hash spark",
+        "not slow not small", "value without key")
         .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val queries = queryTexts.toDF("query_id", "query_text")
         .withColumn("qvec", Embed.embed(col("query_text"), dim = 64).cast("array<double>"))

@@ -109,6 +109,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(f1.exists(_._2.exists(_ != 0.0f)))
   }
 
+  test("S15: formatted text export sink round-trips the template documents") {
+    val base = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val docs = SparkEntry.queries("t2_deploy_summary")(spark, "/root/testdata/sf0.001")
+      .select("summary")
+    docs.coalesce(1).write.mode("overwrite").text(s"$base/out")
+    val back = spark.read.text(s"$base/out")
+    assert(back.count() == docs.count())
+    assert(back.collect().map(_.getString(0)).toSet ==
+      docs.collect().map(_.getString(0)).toSet)
+  }
+
+  test("lastWriterWins keeps exactly the max-precedence row per key") {
+    val base = Seq((1L, 10.0, 1, "base"), (2L, 20.0, 1, "base"), (3L, 30.0, 1, "base"))
+      .toDF("k", "v", "prec", "src")
+    val upd = Seq((2L, 99.0, 2, "upd"), (3L, 88.0, 0, "old"))
+      .toDF("k", "v", "prec", "src")
+    val out = graft.operators.Upsert.lastWriterWins(base, upd, "k", "prec", "k")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("insertIfAbsent preserves existing rows and unions new keys") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "X"), (3L, "c")).toDF("k", "v")
+    val out = graft.operators.Upsert.insertIfAbsent(incoming, existing, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("topK returns at most k ranked candidates per query, sims descending") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") < 2).select(col("vec_id").as("qid"), col("vec").as("qv"))
+    val out = graft.vector.Knn.topK(
+      emb.select("vec_id", "vec"), "vec", q, "qid", "qv", k = 4, tiebreak = "vec_id")
+      .collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 2 && byQ.values.forall(_.length == 4))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("langId picks marker-majority language with fixed tie precedence") {
     val df = Seq("the cat and the dog", "der hund ist gut", "zzz qqq").toDF("text")
       .withColumn("l", Analysis.langId(Dedup.tokens(col("text"))))
