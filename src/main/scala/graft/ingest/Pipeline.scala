@@ -31,7 +31,7 @@ object Pipeline {
     * where every measurement is null (the reference's NaN-cell skip).
     */
   def tidy(raw: DataFrame, measures: Seq[String] = MeasureCols): DataFrame = {
-    val keep = raw.columns.filterNot(measures.contains).map(col)
+    val keep = raw.columns.filterNot(measures.contains).map(col).toIndexedSeq
     raw
       .select(keep :+ posexplode(arrays_zip(measures.map(col): _*)).as(Seq("level", "m")): _*)
       .select(keep ++ Seq(col("level")) ++ measures.map(c => col(s"m.$c").as(c)): _*)
