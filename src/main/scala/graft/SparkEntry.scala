@@ -318,6 +318,38 @@ object SparkEntry {
         .orderBy("float_id")
     },
 
+    // ---- as-of join (merge-sorted window form; oracled by DuckDB's native
+    // ---- ASOF JOIN): latest purchase price per user at or before each view.
+    "j6_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(expr("max_by(value, event_id)").as("price")) // unique (key, ts)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      graft.operators.TemporalJoins.asofJoin(
+        views, purchases, key = "user_id", time = "ts",
+        valueCol = "price", asofCol = "asof_price")
+        .select(col("event_id"), col("user_id"), round(col("asof_price"), 2).as("asof_price"))
+        .orderBy("event_id")
+    },
+
+    // ---- range join (bucket-explode equi-join; oracled by DuckDB's native
+    // ---- inequality join): events matched to overlapping value intervals.
+    "j5_range_join" -> { (s, dir) =>
+      val intervals = Tables.part(s, dir)
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("range_id"),
+          ((col("p_partkey") % 40) * lit(5.0)).as("lo"))
+        .withColumn("hi", col("lo") + 12.5)
+      graft.operators.TemporalJoins.bucketedRangeJoin(
+        Tables.events(s, dir).select("event_id", "value"), "value",
+        intervals, "lo", "hi", bucketWidth = 10.0)
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("n_points"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("range_id")
+    },
+
     // ---- T2 exact reference-template parity: the deployment document whose
     // ---- golden text ships in the reference's export (preprocess_floats_
     // ---- to_chromadb.py:145-271; chromadb_export_20250917_124841.txt:35-37).
@@ -1198,6 +1230,24 @@ object SparkEntry {
                 floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
          FROM cleaned
          GROUP BY float_id ORDER BY float_id""",
+    "j6_asof_join" ->
+      """SELECT q.event_id, q.user_id, round(u.price, 2) AS asof_price
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') q
+         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) u
+           ON q.user_id = u.user_id AND u.ts <= q.ts
+         ORDER BY q.event_id""",
+    "j5_range_join" ->
+      """WITH intervals AS (
+           SELECT p_partkey AS range_id,
+                  (p_partkey % 40) * 5.0 AS lo,
+                  (p_partkey % 40) * 5.0 + 12.5 AS hi
+           FROM part WHERE p_partkey <= 100)
+         SELECT range_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
+         FROM events e JOIN intervals i
+           ON e.value >= i.lo AND e.value < i.hi
+         GROUP BY range_id ORDER BY range_id""",
     "t6_reference_doc" ->
       """WITH tidy AS (
            SELECT CAST(user_id AS VARCHAR) AS float_id,

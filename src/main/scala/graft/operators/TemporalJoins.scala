@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — operators Spark lacks natively, composed from
+  * existing operators with shapes that survive 100 TB (SURVEY.md §7.3
+  * preference (a): compose before custom Catalyst work).
+  *
+  * As-of: the naive form (θ-join on `u.ts <= q.ts` + per-query max) is a
+  * nested loop. The scalable form is the merge-sorted union: tag both
+  * sides, sort within each key by (time, side), and forward-fill the last
+  * update value with an ignore-nulls window — ONE shuffle on the key, one
+  * sort, linear scan. Ties at equal time resolve update-first (the `<=`
+  * as-of convention, matching DuckDB's native ASOF JOIN, which oracles it).
+  *
+  * Range: points-in-interval via bucketing. Each interval explodes to the
+  * fixed-width buckets it overlaps; points compute their bucket in O(1);
+  * the join is then an equi-join on bucket + residual predicate — candidate
+  * pairs are bounded by (interval span / bucket width) per interval instead
+  * of |points|×|intervals|.
+  */
+object TemporalJoins {
+
+  /** For each row of `queries`, the `valueCol` of the latest `updates` row
+    * with the same `key` and time <= the query's time. Output: all query
+    * columns + `asofCol`. `updates` must be unique per (key, time).
+    */
+  def asofJoin(
+      queries: DataFrame, updates: DataFrame,
+      key: String, time: String, valueCol: String, asofCol: String): DataFrame = {
+    val qCols = queries.columns
+    val u = updates.select(col(key), col(time), col(valueCol).as("__uval"))
+      .withColumn("__side", lit(0))
+    val q = queries.withColumn("__uval", lit(null).cast(u.schema("__uval").dataType))
+      .withColumn("__side", lit(1))
+    val unioned = q.unionByName(u, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asofCol, last(col("__uval"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(qCols.map(col).toIndexedSeq :+ col(asofCol): _*)
+  }
+
+  /** Join `points` to the `intervals` containing them ([lo, hi)), via
+    * fixed-width bucket explosion. Output: point columns + interval columns.
+    */
+  def bucketedRangeJoin(
+      points: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    val ranged = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    val bucketed = points.withColumn("__bucket",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    bucketed.join(ranged, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}
