@@ -318,6 +318,21 @@ object SparkEntry {
         .orderBy("float_id")
     },
 
+    // ---- approx distinct (HLL): the 100 TB replacement for countDistinct.
+    // ---- HLL values differ per engine, so the oracle checks the exact
+    // ---- count plus a Spark-side tolerance assertion (flag must be true).
+    "a10_approx_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_distinct"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")) <=
+            greatest(col("exact_distinct") * 0.05, lit(5.0))).as("approx_ok"))
+        .orderBy("event_type")
+    },
+
     // ---- as-of join (merge-sorted window form; oracled by DuckDB's native
     // ---- ASOF JOIN): latest purchase price per user at or before each view.
     "j6_asof_join" -> { (s, dir) =>
@@ -1230,6 +1245,10 @@ object SparkEntry {
                 floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
          FROM cleaned
          GROUP BY float_id ORDER BY float_id""",
+    "a10_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+         true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "j6_asof_join" ->
       """SELECT q.event_id, q.user_id, round(u.price, 2) AS asof_price
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') q

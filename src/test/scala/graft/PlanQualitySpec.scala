@@ -28,6 +28,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("nested struct fields prune to the accessed leaf at the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sf)
+      .select(col("event_id"),
+        struct(col("user_id"), struct(col("value"), col("event_type")).as("inner"))
+          .as("props_struct"))
+      .write.parquet(s"$base/t")
+    val q = spark.read.parquet(s"$base/t")
+      .select(col("props_struct.inner.value"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && scan.contains("value") &&
+      !scan.contains("event_type"),
+      s"nested pruning failed — scan reads more than the accessed leaf:\n$scan")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     Seq("w1_top_orders", "e2_knn_topk", "dd5_embed_neardup").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
