@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.dedup.Dedup
+import graft.ingest.Pipeline
+import graft.text.Analysis
+import graft.vector.{Embed, Knn}
+
+/** User-facing façade: one method per entry point of the reference
+  * (SURVEY.md §3), so a user of `FloatChat-DataPipeLine` can switch to this
+  * library call-for-call:
+  *
+  *   - CLI batch pipeline (`python main.py --mode file|data-folder`) →
+  *     [[ingest]]
+  *   - upload endpoint (`POST /upload`, fastapi_app.py:614-778) →
+  *     [[ingestStream]]
+  *   - semantic search (`collection.query`, db_handler.py:465-491) →
+  *     [[search]]
+  *   - plus the training-data operators the reference lacks:
+  *     [[dedupExact]], [[nearDupCandidates]], [[qualityFilter]].
+  *
+  * Everything returns plain DataFrames — composable with any other Spark
+  * code, optimized by Catalyst as one plan.
+  */
+class Engine(spark: SparkSession) {
+
+  /** §3.1 batch lifecycle: raw profile rows (level arrays) → cleaned tidy
+    * measurements → (floats summary, profiles EAV). The reference's
+    * `process_raw_data` + `_store_data`, as two DataFrames.
+    */
+  def ingest(raw: DataFrame, timeUpper: String = "2100-01-01")
+      : (DataFrame, DataFrame) = {
+    val cleaned = Pipeline.clean(Pipeline.tidy(raw), timeUpper)
+    (Pipeline.floats(cleaned), Pipeline.profiles(cleaned))
+  }
+
+  /** §3.2 incremental path: watch `inbox` for new files, clean each
+    * micro-batch, idempotently append by `key` into `sinkDir`.
+    */
+  def ingestStream(
+      inbox: String, schema: StructType, sinkDir: String,
+      checkpointDir: String, key: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    stream.Ingest.start(spark, inbox, schema, sinkDir, checkpointDir, key, transform)
+
+  /** §3.3 semantic search: embed the query text with the deterministic
+    * featurizer, score every document passing `metadataFilter`, return the
+    * exact top-k (TakeOrderedAndProject — no full sort).
+    */
+  def search(
+      documents: DataFrame, textCol: String, idCol: String,
+      queryText: String, k: Int,
+      metadataFilter: Column = lit(true), dim: Int = 64): DataFrame = {
+    val docs = documents.filter(metadataFilter)
+      .withColumn("__vec", Embed.embed(col(textCol), dim).cast("array<double>"))
+    val q = spark.range(1).select(
+      lit(0L).as("__query_id"),
+      Embed.embed(lit(queryText), dim).cast("array<double>").as("__qvec"))
+    Knn.topK(docs, "__vec", q, "__query_id", "__qvec", k, tiebreak = idCol)
+      .drop("__vec", "__query_id")
+  }
+
+  /** Exact dedup: one surviving row per distinct `textCol` content (minimum
+    * `idCol` wins), the hash-groupBy form.
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(
+      Dedup.exactDupGroups(df, textCol, idCol)
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol))
+
+  /** MinHash+LSH near-duplicate candidate pairs over `textCol` (word
+    * 3-gram shingles, 6 lanes, 3 bands).
+    */
+  def nearDupCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = Dedup.withShingleHash(
+      df.withColumn("__toks", Dedup.tokens(col(textCol)))
+        .select(col(idCol),
+          explode(array_distinct(Dedup.shingles(col("__toks"), 3))).as("shingle")))
+    val mh = Dedup.minhashAggs(6)
+    val sigs = sh.groupBy(idCol).agg(mh.head, mh.tail: _*)
+    val bands = sigs.select(col(idCol), explode(Dedup.bandKeys(6, 2)).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Language-ID + quality scoring columns for corpus filtering. */
+  def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    df.withColumn("lang_pred", Analysis.langId(toks))
+      .withColumn("quality", Analysis.qualityScore(toks))
+      .filter(col("quality") >= minQuality)
+  }
+}
