@@ -14,6 +14,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultiFormatSourceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("mergeSchema unifies evolving parquet landings (new columns null-filled)") {
+    val base = Files.createTempDirectory("graft-evolve").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.select("event_id", "value").filter(col("event_id") < 100)
+      .write.parquet(s"$base/t/v1")
+    ev.select("event_id", "value", "event_type").filter(col("event_id") >= 100 && col("event_id") < 200)
+      .write.parquet(s"$base/t/v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t/*")
+    assert(merged.columns.toSet == Set("event_id", "value", "event_type"))
+    assert(merged.count() == 200)
+    assert(merged.filter(col("event_type").isNull).count() == 100)
+  }
+
   test("csv and json landings reproduce the parquet query result") {
     val base = Files.createTempDirectory("graft-formats").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
