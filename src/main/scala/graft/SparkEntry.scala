@@ -943,6 +943,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
+    // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real
+    // ---- pivot operator; embed.py:305-361) ---------------------------------
+    "u3_pivot_back" -> { (s, dir) =>
+      Unpivot.toEav(
+        Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"),
+        measures = Seq("l_quantity", "l_discount"))
+        .groupBy("l_returnflag")
+        .pivot("variable_name", Seq("l_quantity", "l_discount"))
+        .agg(Stats.exactMean(col("variable_value")))
+        .withColumnRenamed("l_quantity", "qty_mean")
+        .withColumnRenamed("l_discount", "disc_mean")
+        .orderBy("l_returnflag")
+    },
+
+    // ---- relational set ops: intersect / except over key sets --------------
+    "d3_set_ops" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val both = clickers.intersect(buyers)
+      val clickOnly = clickers.except(buyers)
+      val all = clickers.union(buyers).distinct()
+      both.agg(count(lit(1)).as("n_both"))
+        .crossJoin(clickOnly.agg(count(lit(1)).as("n_click_only")))
+        .crossJoin(all.agg(count(lit(1)).as("n_union")))
+    },
+
     // ---- positional explode (ingest/preprocess.py:113-175) -----------------
     "u2_token_explode" -> { (s, dir) =>
       val toks = Tables.documents(s, dir)
@@ -1716,6 +1744,18 @@ object SparkEntry {
          CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
          count(DISTINCT label) AS n_labels
          FROM embeddings""",
+    "u3_pivot_back" ->
+      """SELECT l_returnflag,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS qty_mean,
+         floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS disc_mean
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "d3_set_ops" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT
+           (SELECT count(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)) AS n_both,
+           (SELECT count(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM buyers)) AS n_click_only,
+           (SELECT count(*) FROM (SELECT * FROM clickers UNION SELECT * FROM buyers)) AS n_union""",
     "u2_token_explode" ->
       """SELECT token, count(*) AS n, min(pos) AS first_pos
          FROM (
