@@ -45,18 +45,43 @@ object SessionTracker {
       userId: Long,
       events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-    val (open, closed) = fold(state.getOption, events.toSeq, gapSeconds)
-    open.foreach(state.update)
-    closed.iterator
+    if (state.hasTimedOut) {
+      // Event-time timeout: the watermark passed the gap after the open
+      // session's last event with nothing new for this key — close it and
+      // release the state (no zombie keys).
+      val out = state.getOption.map(s =>
+        ClosedSession(userId, s.startSec, s.lastSec, s.nEvents)).iterator
+      state.remove()
+      out
+    } else {
+      val (open, closed) = fold(state.getOption, events.toSeq, gapSeconds)
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp((s.lastSec + gapSeconds) * 1000L)
+      }
+      closed.iterator
+    }
   }
 
-  /** Emit closed sessions; the open session per key stays in state. */
+  /** Emit closed sessions; the open session per key stays in state until
+    * either a later event closes it or the event-time watermark passes its
+    * gap (timeout path — sessions end even for keys that fall silent).
+    * `events` must carry a watermark on an event-time column when streaming.
+    */
   def sessions(events: Dataset[Event], gapSeconds: Long)(
       implicit spark: SparkSession): Dataset[ClosedSession] = {
     import spark.implicits._
-    events
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val withWatermark =
+      if (events.isStreaming)
+        events
+          .withColumn("eventTime", timestamp_seconds(col("tsSec")))
+          .withWatermark("eventTime", "0 seconds")
+          .as[Event]
+      else events
+    withWatermark
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         update(gapSeconds))
   }
 

@@ -28,6 +28,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ranked-filter queries get WindowGroupLimit (per-partition k-heaps before the shuffle)") {
+    Seq("e3_knn_batch", "d1_upsert_lastwins").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name window filter did not optimize to WindowGroupLimit:\n$plan")
+    }
+  }
+
   test("nested struct fields prune to the accessed leaf at the scan") {
     val base = java.nio.file.Files.createTempDirectory("graft-nested").toString
     import org.apache.spark.sql.functions._

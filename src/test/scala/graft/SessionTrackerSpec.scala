@@ -55,5 +55,13 @@ class SessionTrackerSpec extends AnyFunSuite {
     // event 1500 extends the open session (state survived the restart);
     // event 9000 closes it: one session [1000,1500] with 3 events
     assert(closed == Seq(ClosedSession(7, 1000, 1500, 3)))
+
+    // batch 3: an event for a DIFFERENT key far in the future advances the
+    // watermark past key 7's gap — its open session [9000] must close via
+    // the event-time TIMEOUT path, with no further key-7 events.
+    Seq(Event(8, 100000)).toDS().write.parquet(s"$base/in/b3")
+    val afterTimeout = run()
+    assert(afterTimeout.contains(ClosedSession(7, 9000, 9000, 1)),
+      s"expected key 7 timeout close, got: ${afterTimeout.mkString(", ")}")
   }
 }
