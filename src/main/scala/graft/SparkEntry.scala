@@ -721,6 +721,10 @@ object SparkEntry {
       val variants = docs.filter(col("doc_id") % 100 === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" extraword")))
+      // pre-count tokens per doc before the 63-column vote projection: the
+      // (doc_id, token) groupBy costs one small shuffle but roughly halves
+      // the rows entering the wide aggregate (measured faster than cnt=1
+      // per-occurrence votes).
       val tc = docs.unionByName(variants)
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
