@@ -318,6 +318,22 @@ object SparkEntry {
         .orderBy("float_id")
     },
 
+    // ---- deterministic hash sampling + train/valid/test split: reproducible
+    // ---- on any engine/cluster (no RNG), the training-corpus staple --------
+    "sp1_hash_split" -> { (s, dir) =>
+      // first 2 md5 hex digits of the id → uniform 0..255, engine-neutral
+      val hexVal = (1 to 2).map(i =>
+        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
+          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _)
+      Tables.documents(s, dir)
+        .withColumn("h", hexVal % 100)
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "valid").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+
     // ---- approx distinct (HLL): the 100 TB replacement for countDistinct.
     // ---- HLL values differ per engine, so the oracle checks the exact
     // ---- count plus a Spark-side tolerance assertion (flag must be true).
@@ -1277,6 +1293,16 @@ object SparkEntry {
                 floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
          FROM cleaned
          GROUP BY float_id ORDER BY float_id""",
+    "sp1_hash_split" ->
+      """WITH h AS (
+           SELECT lang, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv
+           FROM documents)
+         SELECT lang,
+                CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
+                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY lang, split ORDER BY lang, split""",
     "a10_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
          true AS approx_ok
