@@ -249,7 +249,8 @@ object SparkEntry {
         .withColumn("prev_ts", lag("ts", 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
         .withColumn("session_id", sum("new_session").over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       sessions
