@@ -434,6 +434,54 @@ object SparkEntry {
         .orderBy("float_id")
     },
 
+    // ---- T1 exact reference-template parity (embeddings/embed.py:46-148):
+    // ---- "Argo float X operated from ... in the <region> (latitude a to b,
+    // ---- longitude c to d) with N profiles measuring ..., This float
+    // ---- operated in <band>, <season> deployment." --------------------------
+    "t7_reference_t1" -> { (s, dir) =>
+      import Stats.{parityRound => pr}
+      val raw = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("float_id"),
+        col("event_id").cast("string").as("profile_id"),
+        col("ts").as("time"),
+        expr("mod(value, 180) - 90").as("latitude"),
+        expr("mod(value * 2, 360) - 180").as("longitude"),
+        array(expr("mod(value, 45)"), lit(null).cast("double"),
+          expr("mod(value, 50) - 5")).as("temperature"),
+        array(expr("mod(value, 50)"), expr("mod(value, 40)"),
+          lit(null).cast("double")).as("salinity"),
+        array(expr("mod(value, 6000)"), lit(null).cast("double"),
+          lit(null).cast("double")).as("pressure"))
+      val g = graft.ingest.Pipeline.clean(graft.ingest.Pipeline.tidy(raw), "2026-01-01")
+        .groupBy("float_id")
+        .agg(
+          date_format(min("time"), "yyyy-MM-dd").as("d1"),
+          date_format(max("time"), "yyyy-MM-dd").as("d2"),
+          month(min("time")).as("m1"),
+          countDistinct(col("profile_id")).as("n_prof"),
+          min("latitude").as("lat_min"), max("latitude").as("lat_max"),
+          min("longitude").as("lon_min"), max("longitude").as("lon_max"),
+          min("temperature").as("tmin"), max("temperature").as("tmax"),
+          min("salinity").as("smin"), max("salinity").as("smax"),
+          max("pressure").as("pmax"))
+        .withColumn("latc", Scalars.center(col("lat_min"), col("lat_max")))
+        .withColumn("lonc", Scalars.center(col("lon_min"), col("lon_max")))
+      g.select(col("float_id"),
+        format_string(
+          "Argo float %s operated from %s to %s in the %s (latitude %.1f to %.1f, longitude %.1f to %.1f) with %s profiles measuring temperature ranging from %.1f°C to %.1f°C, salinity from %.1f to %.1f PSU, pressures up to %.0f dbar. This float operated in %s, %s deployment.",
+          col("float_id"), col("d1"), col("d2"),
+          Scalars.oceanRegion(col("latc"), col("lonc")),
+          pr(col("lat_min"), 1), pr(col("lat_max"), 1),
+          pr(col("lon_min"), 1), pr(col("lon_max"), 1),
+          col("n_prof").cast("string"),
+          pr(col("tmin"), 1), pr(col("tmax"), 1),
+          pr(col("smin"), 1), pr(col("smax"), 1),
+          pr(col("pmax"), 0),
+          Scalars.latBand(col("latc")),
+          Scalars.season(col("m1"))).as("summary"))
+        .orderBy("float_id")
+    },
+
     // ---- P2/P3/P4/P7 cleaning chain (preprocess.py:177-260, load_data:42) --
     "p2_p4_clean_chain" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -1326,6 +1374,69 @@ object SparkEntry {
          FROM events e JOIN intervals i
            ON e.value >= i.lo AND e.value < i.hi
          GROUP BY range_id ORDER BY range_id""",
+    "t7_reference_t1" ->
+      """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time, latitude, longitude,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
+         g AS (
+           SELECT float_id,
+                  strftime(min(time), '%Y-%m-%d') AS d1, strftime(max(time), '%Y-%m-%d') AS d2,
+                  month(min(time)) AS m1,
+                  count(DISTINCT profile_id) AS n_prof,
+                  min(latitude) AS lat_min, max(latitude) AS lat_max,
+                  min(longitude) AS lon_min, max(longitude) AS lon_max,
+                  min(temperature) AS tmin, max(temperature) AS tmax,
+                  min(salinity) AS smin, max(salinity) AS smax,
+                  max(pressure) AS pmax
+           FROM cleaned GROUP BY float_id),
+         c AS (SELECT *, (lat_min + lat_max) / 2.0 AS latc, (lon_min + lon_max) / 2.0 AS lonc FROM g)
+         SELECT float_id,
+           printf('Argo float %s operated from %s to %s in the %s (latitude %.1f to %.1f, longitude %.1f to %.1f) with %s profiles measuring temperature ranging from %.1f°C to %.1f°C, salinity from %.1f to %.1f PSU, pressures up to %.0f dbar. This float operated in %s, %s deployment.',
+             float_id, d1, d2,
+             CASE WHEN lonc BETWEEN 20 AND 120 AND latc BETWEEN -60 AND 30 THEN 'Indian Ocean'
+                  WHEN lonc <= -60 THEN 'Pacific Ocean'
+                  WHEN lonc BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
+                  WHEN lonc >= 120 AND latc >= 0 THEN 'North Pacific Ocean'
+                  WHEN lonc >= 120 AND latc < 0 THEN 'South Pacific Ocean'
+                  ELSE 'Global Ocean' END,
+             floor(lat_min * 10.0 + 0.5) / 10.0, floor(lat_max * 10.0 + 0.5) / 10.0,
+             floor(lon_min * 10.0 + 0.5) / 10.0, floor(lon_max * 10.0 + 0.5) / 10.0,
+             CAST(n_prof AS VARCHAR),
+             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
+             floor(smin * 10.0 + 0.5) / 10.0, floor(smax * 10.0 + 0.5) / 10.0,
+             floor(pmax + 0.5),
+             CASE WHEN latc < -30 THEN 'Southern Ocean region'
+                  WHEN latc > 30 THEN 'Northern hemisphere waters'
+                  ELSE 'tropical and subtropical waters' END,
+             CASE WHEN m1 BETWEEN 3 AND 5 THEN 'spring'
+                  WHEN m1 BETWEEN 6 AND 8 THEN 'summer'
+                  WHEN m1 BETWEEN 9 AND 11 THEN 'autumn'
+                  ELSE 'winter' END) AS summary
+         FROM c ORDER BY float_id""",
     "t6_reference_doc" ->
       """WITH tidy AS (
            SELECT CAST(user_id AS VARCHAR) AS float_id,
