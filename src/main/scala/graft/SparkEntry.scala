@@ -754,8 +754,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 50 === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
+      // 32-way pinned: the shingle+md5 scan is compute-bound and the source
+      // parquet is a single row-group (one split), so without an explicit
+      // repartition the whole hash workload runs in ONE task.
       val sh = Dedup.withShingleHash(
         docs.unionByName(dups)
+          .repartition(32, col("doc_id"))
           .withColumn("toks", Dedup.tokens(col("text")))
           .select(col("doc_id"),
             explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("shingle")))
@@ -786,11 +790,16 @@ object SparkEntry {
       val variants = docs.filter(col("doc_id") % 100 === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" extraword")))
-      // pre-count tokens per doc before the 63-column vote projection: the
-      // (doc_id, token) groupBy costs one small shuffle but roughly halves
-      // the rows entering the wide aggregate (measured faster than cnt=1
-      // per-occurrence votes).
+      // One shuffle for the whole signature computation: repartitioning the
+      // (tiny) doc frame by doc_id up front parallelizes the tokenize+md5
+      // scan across cores AND satisfies the clustering requirement of BOTH
+      // downstream groupBys (doc_id+token, then doc_id — hash partitioning
+      // on a key subset co-locates them), so neither inserts an exchange.
+      // 32-way pinned explicitly: the md5-vote scan is compute-bound, so its
+      // parallelism should track cores, not the session's shuffle width
+      // (which a latency-tuned session keeps small for the tiny shuffles).
       val tc = docs.unionByName(variants)
+        .repartition(32, col("doc_id"))
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       val sigs = Dedup.simhashWide(tc, "doc_id")
@@ -811,26 +820,38 @@ object SparkEntry {
         .orderBy("doc_a")
     },
 
-    // ---- embedding-cosine near-dup, LSH-bucketed (sign-bit buckets) --------
+    // ---- embedding-cosine near-dup, banded sign-bit LSH (scale path) -------
     "dd5_embed_neardup" -> { (s, dir) =>
-      // Norms are computed ONCE per row before the pair join (identical
-      // float ops to cosine() — dot / (norm_a * norm_b) — so the oracle
-      // hash is unchanged), not once per pair: at bucket size B that is
-      // O(B) instead of O(B²) norm work.
+      // 24 hyperplane sign bits banded into 3×8-bit chunks (the dd6
+      // pigeonhole pattern): a candidate pair must match one FULL 8-bit
+      // chunk, so in-band bucket counts are 256 (vs 16 for a flat 4-bit
+      // bucket) and in-bucket pair cost drops from O(N²/16) to O(N²/256)
+      // per band — the difference between a bounded equi-join and a
+      // quadratic blow-up at 100 TB. Pigeonhole: any pair within signature
+      // hamming distance < 3 bands is guaranteed to share a chunk.
+      // Norms are computed ONCE per row before the pair join, not per pair.
+      val bits = 24; val bands = 3; val width = bits / bands
       val emb = Tables.embeddings(s, dir)
         .withColumn("vec", col("embedding").cast("array<double>"))
         .withColumn("nrm", Knn.l2norm(col("vec")))
-        .withColumn("bucket", concat((1 to 4).map(i =>
-          when(element_at(col("vec"), i) > 0, "1").otherwise("0")): _*))
-      val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+        .withColumn("sig", (0 until bits).map(i =>
+          when(element_at(col("vec"), i + 1) > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _))
+      val banded = emb.select(col("vec_id"), col("vec"), col("nrm"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"),
+            expr(s"(sig >> ${b * width}) & ${(1L << width) - 1}").as("chunk"))): _*)).as("bc"))
+        .select(col("vec_id"), col("vec"), col("nrm"), col("bc.band_id"), col("bc.chunk"))
+      val a = banded.select(col("band_id"), col("chunk"), col("vec_id").as("id_a"),
         col("vec").as("va"), col("nrm").as("na"))
-      val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      val b = banded.select(col("band_id"), col("chunk"), col("vec_id").as("id_b"),
         col("vec").as("vb"), col("nrm").as("nb"))
-      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      a.join(b, Seq("band_id", "chunk")).filter(col("id_a") < col("id_b"))
         .withColumn("sim", round(
           when(col("na") * col("nb") > 0,
             Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
-        .select("bucket", "id_a", "id_b", "sim")
+        .select("id_a", "id_b", "sim")
+        .distinct()
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     },
@@ -838,6 +859,7 @@ object SparkEntry {
     // ---- language-ID heuristic (marker-word argmax) ------------------------
     "ta1_lang_id" -> { (s, dir) =>
       Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // single-row-group source: spread the tokenize+score scan
         .withColumn("predicted", Analysis.langId(Dedup.tokens(col("text"))))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -1242,7 +1264,7 @@ object SparkEntry {
     "f13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
          count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events
          GROUP BY k_bucket
          ORDER BY k_bucket""",
@@ -1770,16 +1792,22 @@ object SparkEntry {
          FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 20
          ORDER BY doc_a""",
     "dd5_embed_neardup" ->
-      """WITH e AS (
-           SELECT vec_id, embedding::DOUBLE[] AS vec,
-                  concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
-                         CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
-           FROM embeddings)
-         SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
-         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         sig AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN vec[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+           FROM e CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i)
+           GROUP BY vec_id),
+         banded AS (
+           SELECT e.vec_id, e.vec, band_id, (sig >> (band_id * 8)) & 255 AS chunk
+           FROM sig JOIN e USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band_id)),
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, sim FROM pairs
          ORDER BY sim DESC, id_a, id_b
          LIMIT 20""",
     "ta1_lang_id" ->

@@ -33,11 +33,18 @@ object Unpivot {
 
   /** A2: synthesize a dense global group id over the grouping keys — the
     * pandas `ngroup()` equivalent (reference: ingest/preprocess.py:377).
-    * NOTE: a global dense_rank needs a single-partition window; acceptable
-    * only because group CARDINALITY (not row count) is small. At 100 TB,
-    * synthesize ids per-partition (`monotonically_increasing_id`) or hash
-    * the keys instead.
+    *
+    * Scale shape: only the DISTINCT key set (group cardinality, small by
+    * definition of "grouping") flows through the single-partition rank
+    * window; the full data never collapses to one task. The ranked key→id
+    * map is then broadcast-joined back, so the big side keeps its
+    * partitioning and the whole operator adds zero full-data shuffles.
     */
-  def withGroupId(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.withColumn("group_id", dense_rank().over(Window.orderBy(keys.map(col): _*)))
+  def withGroupId(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val ranked = df.select(keyCols: _*).distinct()
+      .withColumn("group_id", dense_rank().over(Window.orderBy(keyCols: _*)))
+    df.join(broadcast(ranked), keys)
+      .select(df.columns.map(col) :+ col("group_id"): _*)
+  }
 }

@@ -121,35 +121,52 @@ object Dedup {
 
   /** Wide (63-bit) SimHash over a (`doc_id`, `token`, `cnt`) frame — the
     * scale variant of [[simhash16]]. Bit b is bit (b mod 4) of md5 hex
-    * digit (b div 4), aggregated with the same wide one-pass shape: one
-    * vote column per bit, one groupBy, no row amplification.
+    * digit (b div 4), aggregated in one groupBy with no row amplification.
+    *
+    * Counter packing: the signed vote w_b = Σ cnt·(bit±1) equals 2·S_b − T
+    * where S_b = Σ cnt over rows with bit b set and T = Σ cnt, so only the
+    * NON-NEGATIVE S_b need aggregating — and five 12-bit S counters pack
+    * into each long. 63 bits therefore need 13 packed sum columns + 1
+    * total, not 63 separate sums: a 63-field aggregate buffer generates
+    * codegen methods past the JIT's compile limit and silently runs
+    * interpreted (~8× slower, measured). Bound: T < 4096 per doc — chunk
+    * longer docs upstream (fixtures max ~100 tokens).
     */
   def simhashWide(docTokenCounts: DataFrame, idCol: String): DataFrame = {
+    val GroupSize = 5 // S counters per packed long (5 × 12 bits < 63)
+    val CtrBits = 12
+    val nGroups = (WideBits + GroupSize - 1) / GroupSize
     // Decode each md5 hex digit ONCE (16 string ops/row), then derive the
-    // 63 bit-votes from the integer digits (shift+mask only) — not one
-    // substr+instr per bit.
+    // packed group increments from the integer digits (shift+mask only) —
+    // not one substr+instr per bit.
     val withDigits = docTokenCounts
       .withColumn("th", md5(col("token")))
       .select(
         Seq(col(idCol), col("cnt")) ++
           (1 to 16).map(d =>
             expr(s"instr('0123456789abcdef', substr(th, $d, 1)) - 1").as(s"d$d")): _*)
-    val withVotes = withDigits
-      .select(
-        col(idCol) +:
-          (0 until WideBits).map(b =>
-            (col("cnt") * (expr(s"(d${b / 4 + 1} >> ${b % 4}) & 1") * 2 - 1)).as(s"v$b")): _*)
-    withVotes
+    val packed = withDigits.select(
+      Seq(col(idCol), col("cnt")) ++
+        (0 until nGroups).map { g =>
+          val bits = (g * GroupSize) until math.min((g + 1) * GroupSize, WideBits)
+          bits.zipWithIndex.map { case (b, pos) =>
+            expr(s"((d${b / 4 + 1} >> ${b % 4}) & 1) * cnt") * lit(1L << (CtrBits * pos))
+          }.reduce(_ + _).as(s"p$g")
+        }: _*)
+    packed
       .groupBy(col(idCol))
       .agg(
-        sum(col("v0")).as("w0"),
-        (1 until WideBits).map(b => sum(col(s"v$b")).as(s"w$b")): _*)
+        sum(col("cnt")).as("tot"),
+        (0 until nGroups).map(g => sum(col(s"p$g")).as(s"s$g")): _*)
       .select(
         col(idCol),
-        (0 until WideBits)
-          .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _)
-          .cast("long").as("simhash"))
+        (0 until WideBits).map { b =>
+          val g = b / GroupSize; val pos = b % GroupSize
+          // bit set ⇔ w_b > 0 ⇔ 2·S_b > T
+          when(shiftright(col(s"s$g"), CtrBits * pos)
+            .bitwiseAND(lit((1L << CtrBits) - 1)) * 2 > col("tot"), lit(1L << b))
+            .otherwise(0L)
+        }.reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Hamming-ball near-dup candidates over wide simhashes. LSH on the
@@ -170,17 +187,34 @@ object Dedup {
         struct(lit(b).as("band_id"),
           expr(s"($hashCol >> ${b * width}) & $mask").as("chunk"))): _*))
         .as(Seq("pos", "bc")))
-      .select(col(idCol), col(hashCol), col("bc.band_id"), col("bc.chunk"))
-    val a = banded.select(col("band_id"), col("chunk"),
-      col(idCol).as("id_a"), col(hashCol).as("h_a"))
-    val b = banded.select(col("band_id"), col("chunk"),
-      col(idCol).as("id_b"), col(hashCol).as("h_b"))
-    a.join(b, Seq("band_id", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(h_a ^ h_b)").cast("long").as("hamming"))
-      .distinct()
+      .select(col(idCol).as("id"), col(hashCol).as("h"),
+        col("bc.band_id"), col("bc.chunk"))
+    // Pairs are generated WITHIN each bucket from its gathered member list,
+    // not by self-joining `banded`: a self-join consumes the (expensive)
+    // signature lineage twice — exchange reuse only shares work up to the
+    // last shuffle boundary — and shuffles every candidate pair again for
+    // dedup. Here sigs flow through ONCE, one groupBy gathers each
+    // bucket, and the i<j pair expansion is a per-bucket array transform
+    // whose cost is bounded by bucket size (the LSH invariant; compose the
+    // exact-dedup pre-pass upstream so identical documents can't create a
+    // degenerate hot bucket). sort_array orders members by id, so taking
+    // only later elements yields each pair exactly once with id_a < id_b.
+    // The near-free hamming filter runs before the cross-band distinct, so
+    // the only pair-level shuffle carries just the surviving near-dups.
+    val members = col("members")
+    banded.groupBy("band_id", "chunk")
+      .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("members"))
+      .filter(size(members) > 1)
+      .select(explode(flatten(transform(members, (x, i) =>
+        transform(slice(members, i + lit(2), size(members)),
+          y => struct(
+            x.getField("id").as("id_a"),
+            y.getField("id").as("id_b"),
+            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
+              .cast("long").as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Jaccard similarity between two distinct-shingle array columns. */

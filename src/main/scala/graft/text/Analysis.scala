@@ -21,12 +21,41 @@ object Analysis {
   private def markerScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))
 
+  /** Bits per packed language counter. 12 bits = counts up to 4095 per
+    * language per document; a marker count is bounded by the document's
+    * token count, so this is safe for any corpus chunked below 4k tokens
+    * (the fixtures max out at ~600 chars / ~100 tokens).
+    */
+  private val CounterBits = 12
+
+  /** marker token → packed counter increment. A token in k languages (e.g.
+    * "un" is both fr and es) maps to the SUM of those languages' bit slots,
+    * so one lookup still credits every matching language.
+    */
+  private val markerIncrements: Column = {
+    val entries = LangMarkers.zipWithIndex
+      .flatMap { case ((_, ms), i) => ms.map(m => m -> (1L << (CounterBits * i))) }
+      .groupBy(_._1).map { case (m, incs) => m -> incs.map(_._2).sum }
+    // typedlit → a MapType Literal built once at plan time; functions.map()
+    // would be a CreateMap expression re-allocating the map on EVERY row.
+    typedlit(entries)
+  }
+
   /** Language-ID: argmax of marker-word counts with a fixed precedence order
     * (first language in `LangMarkers` wins ties); "unknown" when no marker
     * hits at all.
+    *
+    * Single-pass shape: ONE traversal of the token array accumulating all
+    * five per-language counts packed into one long (12 bits each), with one
+    * O(1) map lookup per token — not one filtered traversal per language,
+    * which costs |languages| array passes with closure dispatch per row.
     */
   def langId(toks: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerScore(toks, ms) }
+    val packed = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(markerIncrements, t), lit(0L)))
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> shiftright(packed, CounterBits * i).bitwiseAND(lit((1L << CounterBits) - 1))
+    }
     val maxScore = greatest(scores.map(_._2): _*)
     val chain = scores.foldLeft(when(maxScore <= 0, "unknown")) {
       case (acc, (lang, s)) => acc.when(s === maxScore, lang)
