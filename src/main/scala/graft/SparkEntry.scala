@@ -9,7 +9,7 @@ import graft.ingest.{Clean, Extract}
 import graft.operators.{FuzzyJoin, Upsert}
 import graft.sources.Multimodal
 import graft.stream.Ingest
-import graft.vector.{Embed, Knn}
+import graft.vector.{Embed, Knn, SemanticWorkload}
 import graft.dedup.Dedup
 import graft.text.{Analysis, Summaries}
 
@@ -1004,33 +1004,23 @@ object SparkEntry {
           countDistinct(col("label")).as("n_labels"))
     },
 
-    // ---- E2 full semantic-search workload: embed queries + docs with E1,
-    // ---- batch KNN top-3 per query (test_advanced_chromadb_queries.py).
-    // ---- E1 is not SQL-expressible → no oracle; driver records rows-only.
+    // ---- E2 full semantic-search workload: ALL 79 reference query texts
+    // ---- (test_advanced_chromadb_queries.py:57-279, 8 categories) embedded
+    // ---- with E1 and batch-KNN-ranked with the reference's per-category
+    // ---- n_results (3; edge cases 2). The embed stage is deterministic —
+    // ---- its output is inlined into the DuckDB oracle as literals and
+    // ---- additionally pinned by SemanticWorkloadSpec — so the ranking
+    // ---- stage is fully hash-checked cross-engine.
     "e7_semantic_workload" -> { (s, dir) =>
-      import s.implicits._
-      // 8 categories × 2 queries — the reference's 74-query suite shape
-      // (test_advanced_chromadb_queries.py:57-279: temperature, geographic,
-      // salinity, temporal, depth, edge-case, multi-parameter, negation).
-      val queryTexts = Seq(
-        "warm table scan fast", "slow window sort batch",
-        "customer join merge", "big part filter line",
-        "vector data stream", "key hash agg group",
-        "spark query order column", "small row value the",
-        "stream batch window order", "data column line part",
-        "fast merge small scan", "table key value group",
-        "query filter join sort", "row agg hash spark",
-        "not slow not small", "value without key")
-        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      val queries = queryTexts.toDF("query_id", "query_text")
-        .withColumn("qvec", Embed.embed(col("query_text"), dim = 64).cast("array<double>"))
-        .select("query_id", "qvec")
-      val docs = Tables.documents(s, dir)
-        .withColumn("vec", Embed.embed(col("text"), dim = 64).cast("array<double>"))
-        .select(col("doc_id"), col("lang"), col("vec"))
-      Knn.topK(docs, "vec", queries, "query_id", "qvec", k = 3, tiebreak = "doc_id")
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      Knn.topK(
+        emb.select("vec_id", "label", "vec"), "vec",
+        SemanticWorkload.queryFrame(s), "query_id", "qvec",
+        k = 3, tiebreak = "vec_id")
+        .filter(col("rank") <= col("k"))
         .withColumn("rank", col("rank").cast("long"))
-        .select("query_id", "doc_id", "lang", "sim", "rank")
+        .select("query_id", "category", "vec_id", "label", "sim", "rank")
         .orderBy("query_id", "rank")
     },
 
@@ -1554,6 +1544,7 @@ object SparkEntry {
            UNION ALL SELECT 'orders', count(*) FROM orders
            UNION ALL SELECT 'region', count(*) FROM region)
          ORDER BY table_name""",
+    "e7_semantic_workload" -> SemanticWorkload.oracleSql,
     "e6_ivf_knn" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
          px AS (SELECT label, pos, avg(vec[pos]) AS cx

@@ -52,6 +52,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nested pruning failed — scan reads more than the accessed leaf:\n$scan")
   }
 
+  test("global (no-partitionBy) windows only ever see pre-reduced data") {
+    // A Window with an empty partitionSpec funnels its whole input through
+    // ONE task (Exchange SinglePartition). That is only scale-safe when the
+    // input was already reduced by an aggregation (distinct keys, grouped
+    // rows) — never over raw full data, where it becomes the serial
+    // bottleneck at 100 TB no matter how fast the fixtures run.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          val reduced = w.child.exists {
+            case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+            case _ => false
+          }
+          assert(reduced,
+            s"$name plans a global window over un-reduced (non-aggregated) data:\n$plan")
+        case _ => ()
+      }
+    }
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     Seq("w1_top_orders", "e2_knn_topk", "dd5_embed_neardup").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
