@@ -93,6 +93,25 @@ class Engine(spark: SparkSession) {
       .distinct()
   }
 
+  /** Wide-SimHash hamming-ball near-dup pairs with a MANDATORY exact-dedup
+    * pre-pass. Identical documents otherwise collapse onto identical
+    * signatures and form degenerate LSH hot buckets whose in-bucket pair
+    * expansion is quadratic in the clone count (the sf1 rehearsal measured
+    * 3.5M candidate pairs on a dup-heavy corpus — BENCH_NOTES.md). The
+    * pre-pass keeps one row per distinct content, so bucket sizes are
+    * bounded by true near-dup diversity, not by copy counts.
+    */
+  def nearDupHamming(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 3, maxDist: Int = 8): DataFrame = {
+    val unique = dedupExact(df, textCol, idCol)
+    val tc = unique
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("cnt"))
+    Dedup.hammingPairs(
+      Dedup.simhashWide(tc, idCol), idCol, "simhash", bands, maxDist)
+  }
+
   /** Language-ID + quality scoring columns for corpus filtering. */
   def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame = {
     val toks = Dedup.tokens(col(textCol))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.{Stats, Unpivot}
@@ -26,6 +26,62 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** Shared by t6/t8: the reference deployment pipeline (events → tidy EAV →
+    * bounds-clean → per-float aggregates), preprocess_floats_to_chromadb.py
+    * :145-271. One row per float with timing/location/measurement stats.
+    */
+  private def referenceFloatStats(s: SparkSession, dir: String): DataFrame = {
+    import Stats.exactMean
+    val raw = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("float_id"),
+      col("event_id").cast("string").as("profile_id"),
+      col("ts").as("time"),
+      expr("mod(value, 180) - 90").as("latitude"),
+      expr("mod(value * 2, 360) - 180").as("longitude"),
+      array(expr("mod(value, 45)"), lit(null).cast("double"),
+        expr("mod(value, 50) - 5")).as("temperature"),
+      array(expr("mod(value, 50)"), expr("mod(value, 40)"),
+        lit(null).cast("double")).as("salinity"),
+      array(expr("mod(value, 6000)"), lit(null).cast("double"),
+        lit(null).cast("double")).as("pressure"))
+    val cleaned = graft.ingest.Pipeline.clean(
+      graft.ingest.Pipeline.tidy(raw), "2026-01-01")
+    cleaned.groupBy("float_id").agg(
+      min("time").as("t0"),
+      countDistinct(col("profile_id")).as("n_prof"),
+      ((min("latitude") + max("latitude")) / 2).as("latc"),
+      ((min("longitude") + max("longitude")) / 2).as("lonc"),
+      min("pressure").as("pmin"), max("pressure").as("pmax"),
+      exactMean(col("pressure")).as("pmean"),
+      min("temperature").as("tmin"), max("temperature").as("tmax"),
+      exactMean(col("temperature")).as("tmean"),
+      min("salinity").as("smin"), max("salinity").as("smax"),
+      exactMean(col("salinity")).as("smean"),
+      count(col("temperature")).as("tc"),
+      count(col("salinity")).as("sc"),
+      count(col("pressure")).as("pc"))
+  }
+
+  /** The T2 deployment-summary document text over [[referenceFloatStats]]
+    * output (template: preprocess_floats_to_chromadb.py:145-271).
+    */
+  private def referenceDocText: Column = {
+    import Stats.{parityRound => pr}
+    format_string(
+      "On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.",
+      Scalars.dateTh(col("t0")),
+      concat(lit("b'"), col("float_id"), lit(" '")),
+      concat(lit("b'"), col("float_id"), lit(" '")),
+      col("n_prof").cast("string"),
+      when(col("n_prof") === 1, "").otherwise("s"),
+      abs(pr(col("latc"), 3)), when(col("latc") >= 0, "N").otherwise("S"),
+      abs(pr(col("lonc"), 3)), when(col("lonc") >= 0, "E").otherwise("W"),
+      pr(col("pmin"), 1), pr(col("pmax"), 1), pr(col("pmean"), 0),
+      pr(col("tmin"), 1), pr(col("tmax"), 1), pr(col("tmean"), 1),
+      pr(col("smin"), 2), pr(col("smax"), 2), pr(col("smean"), 2),
+      (col("tc") + col("sc") + col("pc")).cast("string"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline agg (reference A1-spine: scan→filter→agg→sort) ----------
@@ -388,50 +444,67 @@ object SparkEntry {
     // ---- Every %.Nf argument is parity-rounded at its print scale first so
     // ---- Java/C printf cannot disagree on halfway cases.
     "t6_reference_doc" -> { (s, dir) =>
-      import Stats.{exactMean, parityRound => pr}
-      val raw = Tables.events(s, dir).select(
-        col("user_id").cast("string").as("float_id"),
-        col("event_id").cast("string").as("profile_id"),
-        col("ts").as("time"),
-        expr("mod(value, 180) - 90").as("latitude"),
-        expr("mod(value * 2, 360) - 180").as("longitude"),
-        array(expr("mod(value, 45)"), lit(null).cast("double"),
-          expr("mod(value, 50) - 5")).as("temperature"),
-        array(expr("mod(value, 50)"), expr("mod(value, 40)"),
-          lit(null).cast("double")).as("salinity"),
-        array(expr("mod(value, 6000)"), lit(null).cast("double"),
-          lit(null).cast("double")).as("pressure"))
-      val cleaned = graft.ingest.Pipeline.clean(
-        graft.ingest.Pipeline.tidy(raw), "2026-01-01")
-      val g = cleaned.groupBy("float_id").agg(
-        min("time").as("t0"),
-        countDistinct(col("profile_id")).as("n_prof"),
-        ((min("latitude") + max("latitude")) / 2).as("latc"),
-        ((min("longitude") + max("longitude")) / 2).as("lonc"),
-        min("pressure").as("pmin"), max("pressure").as("pmax"),
-        exactMean(col("pressure")).as("pmean"),
-        min("temperature").as("tmin"), max("temperature").as("tmax"),
-        exactMean(col("temperature")).as("tmean"),
-        min("salinity").as("smin"), max("salinity").as("smax"),
-        exactMean(col("salinity")).as("smean"),
-        count(col("temperature")).as("tc"),
-        count(col("salinity")).as("sc"),
-        count(col("pressure")).as("pc"))
-      g.select(col("float_id"),
-        format_string(
-          "On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.",
-          Scalars.dateTh(col("t0")),
-          concat(lit("b'"), col("float_id"), lit(" '")),
-          concat(lit("b'"), col("float_id"), lit(" '")),
-          col("n_prof").cast("string"),
-          when(col("n_prof") === 1, "").otherwise("s"),
-          abs(pr(col("latc"), 3)), when(col("latc") >= 0, "N").otherwise("S"),
-          abs(pr(col("lonc"), 3)), when(col("lonc") >= 0, "E").otherwise("W"),
-          pr(col("pmin"), 1), pr(col("pmax"), 1), pr(col("pmean"), 0),
-          pr(col("tmin"), 1), pr(col("tmax"), 1), pr(col("tmean"), 1),
-          pr(col("smin"), 2), pr(col("smax"), 2), pr(col("smean"), 2),
-          (col("tc") + col("sc") + col("pc")).cast("string")).as("document"))
+      referenceFloatStats(s, dir)
+        .select(col("float_id"), referenceDocText.as("document"))
         .orderBy("float_id")
+    },
+
+    // ---- S15 assembled text-export report (export_chromadb_to_text.py:78-245):
+    // ---- header block + numbered per-document sections (metadata + content,
+    // ---- reusing the T2/T6 deployment documents) + the summary-statistics
+    // ---- footer (export_summary_statistics, :196-245) — the reference's
+    // ---- actual deliverable, as one ordered-section sink query. -------------
+    "t8_report_export" -> { (s, dir) =>
+      import Stats.{parityRound => pr}
+      import org.apache.spark.sql.expressions.Window
+      val eq = "=" * 100; val d80 = "-" * 80; val d40 = "-" * 40
+      val g = referenceFloatStats(s, dir)
+      val header = g.agg(count(lit(1)).as("n"))
+        .crossJoin(Tables.events(s, dir).agg(
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("export_date")))
+        .select(lit(0L).as("section_no"),
+          concat(
+            lit(eq + "\nCHROMADB DATA EXPORT - FLOAT EMBEDDINGS COLLECTION\n" +
+              eq + "\nExport Date: "),
+            col("export_date"),
+            lit("\nCollection: float_embeddings\nTotal Documents: "),
+            col("n").cast("string"),
+            lit("\n" + eq)).as("section"))
+      // global numbering window is fine here: input is the per-float
+      // aggregate (one row per float), never raw data
+      val sections = g
+        .select(col("float_id"), referenceDocText.as("document"))
+        .withColumn("i", row_number().over(Window.orderBy("float_id")))
+        .select(
+          col("i").cast("long").as("section_no"),
+          concat(
+            lit("DOCUMENT #"), col("i").cast("string"), lit("\n" + d80 + "\n"),
+            lit("Document ID: doc_"), col("float_id"), lit("\n" + d40 + "\n"),
+            lit("METADATA:\n  float_id: "), col("float_id"),
+            lit("\n  collection: float_embeddings\n" + d40 + "\n"),
+            lit("DOCUMENT CONTENT:\n"), col("document"),
+            lit("\n\n" + eq)).as("section"))
+      val footer = g.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("tc") > 0, 1).otherwise(0)).as("ta"),
+        sum(when(col("sc") > 0, 1).otherwise(0)).as("sa"),
+        sum(when(col("pc") > 0, 1).otherwise(0)).as("pa"),
+        min("latc").as("latmin"), max("latc").as("latmax"),
+        min("lonc").as("lonmin"), max("lonc").as("lonmax"))
+        .select((col("n") + 1).cast("long").as("section_no"),
+          concat(
+            lit("SUMMARY STATISTICS\n" + d80 + "\ntotal_documents: "),
+            col("n").cast("string"),
+            lit("\nmeasurement_availability: temperature="), col("ta").cast("string"),
+            lit(" salinity="), col("sa").cast("string"),
+            lit(" pressure="), col("pa").cast("string"),
+            lit("\nlocation_bounds: lat["),
+            format_string("%.3f", pr(col("latmin"), 3)), lit(", "),
+            format_string("%.3f", pr(col("latmax"), 3)),
+            lit("] lon["),
+            format_string("%.3f", pr(col("lonmin"), 3)), lit(", "),
+            format_string("%.3f", pr(col("lonmax"), 3)), lit("]")).as("section"))
+      header.unionByName(sections).unionByName(footer).orderBy("section_no")
     },
 
     // ---- T1 exact reference-template parity (embeddings/embed.py:46-148):
@@ -546,6 +619,46 @@ object SparkEntry {
         .select("label", "vec_id", "sim")
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(5)
+    },
+
+    // ---- IVF quality metric: recall@5 of the multi-probe ANN search (e6's
+    // ---- cell shape, nprobe=6 of 10 cells) vs the exact scan (e2/e3's
+    // ---- shape) over 20 queries — the metric that catches a silently
+    // ---- lossy approximate path. NOTE the fixture vectors are isotropic
+    // ---- random, the worst case for ANY coarse quantizer: recall tracks
+    // ---- the probed fraction (~nprobe/cells; measured ~0.14 per cell).
+    // ---- On clustered real-world embeddings the same pipeline probes far
+    // ---- fewer cells for the same recall — exactly the trade-off this
+    // ---- query exists to measure. ------------------------------------------
+    "e8_ivf_recall" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nprobe = 6
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val cands = emb.filter(col("vec_id") >= 20).select("vec_id", "label", "vec")
+      val exact = Knn.topK(cands, "vec", queries, "query_id", "qvec",
+        k = 5, tiebreak = "vec_id").select("query_id", "vec_id")
+      val cents = Knn.ivfCentroids(cands, "vec", "label")
+      val best = queries.crossJoin(broadcast(cents))
+        .withColumn("csim", round(Knn.cosine(col("qvec"), col("centroid")), 6))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))))
+        .filter(col("r") <= nprobe)
+        .select("query_id", "qvec", "label")
+      val ivf = cands.join(broadcast(best), "label")
+        .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("r") <= 5)
+        .select("query_id", "vec_id")
+      val hits = exact.join(ivf, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      queries.select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits5"))
+        .orderBy("query_id")
     },
 
     // ---- S4 alias resolution + fill-value nulling (load_data.py:226-331) ---
@@ -714,15 +827,26 @@ object SparkEntry {
 
     // ---- multimodal: binary payload + stubbed decode + features ------------
     "mm1_media_features" -> { (s, dir) =>
-      Multimodal.extractFeatures(
+      // REAL decode: PNG via javax.imageio, WAV via javax.sound.sampled
+      // (video: honest stub, nulls). The oracle recomputes the decoded
+      // metadata from the synthesis arithmetic — if encode OR decode
+      // drifts, the hash breaks.
+      Multimodal.decodeFeatures(
         Multimodal.fromDocuments(Tables.documents(s, dir)))
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_items"),
-          sum("n_bytes").as("sum_bytes"),
-          countDistinct(col("content_md5")).as("n_distinct_payloads"),
-          sum(when(size(col("features")) === 8, 1).otherwise(0)).as("n_feat_ok"),
-          max(col("meta.width")).as("max_width"))
+          sum(when(col("decoded.format").isNotNull ||
+            col("decoded.sample_rate").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_decoded"),
+          max("decoded.width").as("max_width"),
+          max("decoded.height").as("max_height"),
+          sum(when(col("decoded.format") === "png", 1).otherwise(0))
+            .cast("long").as("n_png"),
+          max("decoded.sample_rate").as("max_sample_rate"),
+          sum("decoded.n_frames").as("sum_frames"),
+          sum(when(size(col("features")) === 8, 1).otherwise(0))
+            .cast("long").as("n_feat_ok"))
         .orderBy("kind")
     },
 
@@ -1064,6 +1188,68 @@ object SparkEntry {
   )
 
   /** DuckDB twins of `queries` (same columns, same order). */
+  /** Shared DuckDB CTEs for t6/t8: the reference deployment pipeline down to
+    * the per-float aggregate `g` (mirror of [[referenceFloatStats]]).
+    */
+  private val referenceFloatCte =
+    """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time, latitude, longitude,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
+         g AS (
+           SELECT float_id, min(time) AS t0, count(DISTINCT profile_id) AS n_prof,
+                  (min(latitude) + max(latitude)) / 2 AS latc,
+                  (min(longitude) + max(longitude)) / 2 AS lonc,
+                  min(pressure) AS pmin, max(pressure) AS pmax,
+                  floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pmean,
+                  min(temperature) AS tmin, max(temperature) AS tmax,
+                  floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS tmean,
+                  min(salinity) AS smin, max(salinity) AS smax,
+                  floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS smean,
+                  count(temperature) AS tc, count(salinity) AS sc, count(pressure) AS pc
+           FROM cleaned GROUP BY float_id)"""
+
+  /** Mirror of [[referenceDocText]] in DuckDB printf. */
+  private val referenceDocPrintf =
+    """printf('On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.',
+             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
+             'b''' || float_id || ' ''', 'b''' || float_id || ' ''',
+             CAST(n_prof AS VARCHAR), CASE WHEN n_prof = 1 THEN '' ELSE 's' END,
+             abs(floor(latc * 1000.0 + 0.5) / 1000.0),
+             CASE WHEN latc >= 0 THEN 'N' ELSE 'S' END,
+             abs(floor(lonc * 1000.0 + 0.5) / 1000.0),
+             CASE WHEN lonc >= 0 THEN 'E' ELSE 'W' END,
+             floor(pmin * 10.0 + 0.5) / 10.0, floor(pmax * 10.0 + 0.5) / 10.0,
+             floor(pmean + 0.5),
+             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
+             floor(tmean * 10.0 + 0.5) / 10.0,
+             floor(smin * 100.0 + 0.5) / 100.0, floor(smax * 100.0 + 0.5) / 100.0,
+             floor(smean * 100.0 + 0.5) / 100.0,
+             CAST(tc + sc + pc AS VARCHAR))"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1450,62 +1636,53 @@ object SparkEntry {
                   ELSE 'winter' END) AS summary
          FROM c ORDER BY float_id""",
     "t6_reference_doc" ->
-      """WITH tidy AS (
-           SELECT CAST(user_id AS VARCHAR) AS float_id,
-                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
-                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
-                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
-                  fmod(value, 6000) AS pressure
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  NULL, fmod(value, 40), NULL
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  fmod(value, 50) - 5, NULL, NULL
-           FROM events),
-         cleaned AS (
-           SELECT float_id, profile_id, time, latitude, longitude,
-                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
-                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
-                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
-           FROM tidy
-           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
-             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
-             AND float_id IS NOT NULL AND float_id <> 'nan'
-             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
-         g AS (
-           SELECT float_id, min(time) AS t0, count(DISTINCT profile_id) AS n_prof,
-                  (min(latitude) + max(latitude)) / 2 AS latc,
-                  (min(longitude) + max(longitude)) / 2 AS lonc,
-                  min(pressure) AS pmin, max(pressure) AS pmax,
-                  floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pmean,
-                  min(temperature) AS tmin, max(temperature) AS tmax,
-                  floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS tmean,
-                  min(salinity) AS smin, max(salinity) AS smax,
-                  floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS smean,
-                  count(temperature) AS tc, count(salinity) AS sc, count(pressure) AS pc
-           FROM cleaned GROUP BY float_id)
+      s"""$referenceFloatCte
          SELECT float_id,
-           printf('On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.',
-             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
-             'b''' || float_id || ' ''', 'b''' || float_id || ' ''',
-             CAST(n_prof AS VARCHAR), CASE WHEN n_prof = 1 THEN '' ELSE 's' END,
-             abs(floor(latc * 1000.0 + 0.5) / 1000.0),
-             CASE WHEN latc >= 0 THEN 'N' ELSE 'S' END,
-             abs(floor(lonc * 1000.0 + 0.5) / 1000.0),
-             CASE WHEN lonc >= 0 THEN 'E' ELSE 'W' END,
-             floor(pmin * 10.0 + 0.5) / 10.0, floor(pmax * 10.0 + 0.5) / 10.0,
-             floor(pmean + 0.5),
-             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
-             floor(tmean * 10.0 + 0.5) / 10.0,
-             floor(smin * 100.0 + 0.5) / 100.0, floor(smax * 100.0 + 0.5) / 100.0,
-             floor(smean * 100.0 + 0.5) / 100.0,
-             CAST(tc + sc + pc AS VARCHAR)) AS document
+           $referenceDocPrintf AS document
          FROM g ORDER BY float_id""",
+    "t8_report_export" ->
+      s"""$referenceFloatCte,
+         numbered AS (
+           SELECT float_id, $referenceDocPrintf AS document,
+                  row_number() OVER (ORDER BY float_id) AS i
+           FROM g),
+         header AS (
+           SELECT CAST(0 AS BIGINT) AS section_no,
+                  repeat('=', 100) || chr(10) ||
+                  'CHROMADB DATA EXPORT - FLOAT EMBEDDINGS COLLECTION' || chr(10) ||
+                  repeat('=', 100) || chr(10) ||
+                  'Export Date: ' || strftime((SELECT max(ts) FROM events), '%Y-%m-%d %H:%M:%S') || chr(10) ||
+                  'Collection: float_embeddings' || chr(10) ||
+                  'Total Documents: ' || CAST((SELECT count(*) FROM g) AS VARCHAR) || chr(10) ||
+                  repeat('=', 100) AS section),
+         sections AS (
+           SELECT CAST(i AS BIGINT) AS section_no,
+                  'DOCUMENT #' || CAST(i AS VARCHAR) || chr(10) || repeat('-', 80) || chr(10) ||
+                  'Document ID: doc_' || float_id || chr(10) || repeat('-', 40) || chr(10) ||
+                  'METADATA:' || chr(10) || '  float_id: ' || float_id || chr(10) ||
+                  '  collection: float_embeddings' || chr(10) || repeat('-', 40) || chr(10) ||
+                  'DOCUMENT CONTENT:' || chr(10) || document || chr(10) || chr(10) ||
+                  repeat('=', 100) AS section
+           FROM numbered),
+         footer AS (
+           SELECT CAST((SELECT count(*) FROM g) + 1 AS BIGINT) AS section_no,
+                  'SUMMARY STATISTICS' || chr(10) || repeat('-', 80) || chr(10) ||
+                  'total_documents: ' || CAST(count(*) AS VARCHAR) || chr(10) ||
+                  'measurement_availability: temperature=' ||
+                    CAST(sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) AS VARCHAR) ||
+                  ' salinity=' || CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS VARCHAR) ||
+                  ' pressure=' || CAST(sum(CASE WHEN pc > 0 THEN 1 ELSE 0 END) AS VARCHAR) || chr(10) ||
+                  'location_bounds: lat[' ||
+                    printf('%.3f', floor(min(latc) * 1000.0 + 0.5) / 1000.0) || ', ' ||
+                    printf('%.3f', floor(max(latc) * 1000.0 + 0.5) / 1000.0) || '] lon[' ||
+                    printf('%.3f', floor(min(lonc) * 1000.0 + 0.5) / 1000.0) || ', ' ||
+                    printf('%.3f', floor(max(lonc) * 1000.0 + 0.5) / 1000.0) || ']' AS section
+           FROM g)
+         SELECT section_no, section FROM (
+           SELECT * FROM header
+           UNION ALL SELECT * FROM sections
+           UNION ALL SELECT * FROM footer)
+         ORDER BY section_no""",
     "p2_p4_clean_chain" ->
       """WITH ev AS (
            SELECT ts,
@@ -1545,6 +1722,38 @@ object SparkEntry {
            UNION ALL SELECT 'region', count(*) FROM region)
          ORDER BY table_name""",
     "e7_semantic_workload" -> SemanticWorkload.oracleSql,
+    "e8_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
+         c AS (SELECT vec_id, label, vec FROM e WHERE vec_id >= 20),
+         px AS (SELECT label, pos, avg(vec[pos]) AS cx
+                FROM c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+                GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px GROUP BY label),
+         best AS (SELECT query_id, qvec, label FROM (
+             SELECT q.query_id, q.qvec, ct.label,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(ct.centroid, q.qvec), 6) DESC,
+                               ct.label) AS r
+             FROM q CROSS JOIN cents ct) WHERE r <= 6),
+         ivf AS (SELECT query_id, vec_id FROM (
+             SELECT b.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY b.query_id
+                      ORDER BY round(list_cosine_similarity(c.vec, b.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c JOIN best b ON c.label = b.label) WHERE r <= 5),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c CROSS JOIN q) WHERE r <= 5),
+         hits AS (SELECT x.query_id, count(*) AS n
+                  FROM exact x JOIN ivf USING (query_id, vec_id)
+                  GROUP BY x.query_id)
+         SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits5
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     "e6_ivf_knn" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
          px AS (SELECT label, pos, avg(vec[pos]) AS cx
@@ -1677,16 +1886,16 @@ object SparkEntry {
            SELECT doc_id,
                   CASE WHEN doc_id % 3 = 0 THEN 'image'
                        WHEN doc_id % 3 = 1 THEN 'audio'
-                       ELSE 'video' END AS kind,
-                  octet_length(encode(text)) AS n_bytes,
-                  md5(text) AS content_md5,
-                  CAST(n_chars % 640 AS INTEGER) AS width
+                       ELSE 'video' END AS kind
            FROM documents)
          SELECT kind, count(*) AS n_items,
-                CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
-                count(DISTINCT content_md5) AS n_distinct_payloads,
-                CAST(count(*) AS BIGINT) AS n_feat_ok,
-                max(width) AS max_width
+                CAST(sum(CASE WHEN kind IN ('image', 'audio') THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+                CAST(max(CASE WHEN kind = 'image' THEN 16 + doc_id % 8 END) AS INTEGER) AS max_width,
+                CAST(max(CASE WHEN kind = 'image' THEN 8 + doc_id % 4 END) AS INTEGER) AS max_height,
+                CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+                CAST(max(CASE WHEN kind = 'audio' THEN 8000 + (doc_id % 5) * 1000 END) AS INTEGER) AS max_sample_rate,
+                CAST(sum(CASE WHEN kind = 'audio' THEN 50 + doc_id % 100 END) AS BIGINT) AS sum_frames,
+                CAST(sum(CASE WHEN kind IN ('image', 'audio') THEN 1 ELSE 0 END) AS BIGINT) AS n_feat_ok
          FROM m GROUP BY kind ORDER BY kind""",
     "st2_idempotent_union" ->
       """WITH u AS (

@@ -1,26 +1,30 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` payloads
-  * with typed metadata, plus a partition-batched feature-extraction stage.
+  * with typed metadata, plus a partition-batched decode/feature stage.
   *
-  * The real decoders (JPEG/PNG, PCM, frame sampling) are NOT available in
-  * this environment — `decodeStub` below is a clearly-marked deterministic
-  * fake. Everything around it is the real Spark plumbing a 100 TB multimodal
-  * pipeline needs:
+  * Decoders are REAL where the JDK ships one:
+  *   - image: PNG encode (synthesis) + decode via `javax.imageio` —
+  *     width/height/format come from actually parsing the payload bytes;
+  *   - audio: WAV (RIFF/PCM16) encode + decode via `javax.sound.sampled` —
+  *     sample rate and frame count come from the parsed header;
+  *   - video: STUB — the JDK has no video codec; decode returns nulls and
+  *     the payload stays an opaque blob (clearly marked below).
   *
-  *   - schema: payload as `BinaryType` + a typed `meta` struct (never decode
-  *     at scan time; Parquet stores the blob column-chunked and the meta
-  *     struct prunes independently);
-  *   - extraction runs via `mapPartitions`-style iteration (here expressed
-  *     as codegen-friendly expressions where possible, a UDF where not), so
-  *     a real decoder would amortize model/codec init once per partition —
-  *     the same batch shape `mapInPandas` gives Python pipelines;
-  *   - features land as ordinary columns (bytes, content hash, a fixed-dim
-  *     fake feature vector) so downstream dedup/KNN compose unchanged.
+  * Scale shape (what a 100 TB multimodal pipeline needs and what this
+  * module keeps real regardless of codec):
+  *   - schema: payload as `BinaryType` + typed metadata structs; never
+  *     decode at scan time — Parquet stores the blob column-chunked and
+  *     the metadata prunes independently;
+  *   - decode runs in `mapPartitions`, so codec/model initialization
+  *     happens once per partition, not per row (the batch shape
+  *     `mapInPandas` gives Python pipelines);
+  *   - decoded fields and features land as ordinary columns, so downstream
+  *     dedup/KNN/aggregation compose unchanged.
   */
 object Multimodal {
 
@@ -36,46 +40,164 @@ object Multimodal {
     )), nullable = true)
   ))
 
-  /** Deterministic media fixture derived from the documents table: the text
-    * bytes stand in for an encoded payload; kind cycles image/audio/video.
+  /** Deterministic image dims/audio params from the id — the synthesis
+    * arithmetic doubles as the DuckDB oracle for the decode stage: if
+    * encode or decode drifts, decoded values stop matching the closed form.
+    */
+  private[graft] def imgWidth(id: Long): Int = 16 + (id % 8).toInt
+  private[graft] def imgHeight(id: Long): Int = 8 + (id % 4).toInt
+  private[graft] def wavRate(id: Long): Int = 8000 + (id % 5).toInt * 1000
+  private[graft] def wavFrames(id: Long): Int = 50 + (id % 100).toInt
+
+  /** Real PNG bytes: BufferedImage filled with id-derived pixels, encoded
+    * by the JDK's PNG writer.
+    */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val w = imgWidth(id); val h = imgHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) % 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV bytes: 44-byte RIFF/PCM header + mono 16-bit samples. */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val rate = wavRate(id); val n = wavFrames(id)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 7 + i * 11) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private val makePayload = udf { (id: Long, kind: String, text: String) =>
+    kind match {
+      case "image" => pngBytes(id)
+      case "audio" => wavBytes(id)
+      // STUB: no JDK video codec — opaque text bytes stand in for an
+      // encoded stream; decode below returns nulls for this kind.
+      case _ => if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+    }
+  }
+
+  /** Deterministic media fixture derived from the documents table: real
+    * encoded PNG/WAV payloads (video: opaque stub bytes); kind cycles
+    * image/audio/video by id.
     */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
-      struct(
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"),
-        lit(16000).as("sample_rate"),
-        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+      col("text"),
+      col("n_chars"))
+      .withColumn("payload", makePayload(col("media_id"), col("kind"), col("text")))
+      .select(
+        col("media_id"), col("kind"), col("payload"),
+        struct(
+          (col("n_chars") % 640).cast("int").as("width"),
+          (col("n_chars") % 480).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
 
-  /** STUB — stands in for the real image/audio decode + featurize step,
-    * which needs codec libraries absent from this container. Deterministic:
-    * an 8-dim "feature vector" folded from the payload bytes. The signature
-    * (binary → fixed-dim float array, batched per partition) is the real
-    * contract a model-based featurizer would implement.
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("decoded", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true)
+    )), nullable = true),
+    StructField("features", ArrayType(FloatType), nullable = true)))
+
+  /** Partition-batched decode: REAL `javax.imageio` / `javax.sound.sampled`
+    * parsing of the payload bytes. Codec setup (`ImageIO.setUseCache`)
+    * happens once per partition — the init-amortizing shape a model-based
+    * featurizer plugs into. Features are fixed-dim folds of the DECODED
+    * content (pixels / PCM samples), not of the encoded bytes.
     */
-  private val decodeStub = udf { (payload: Array[Byte], dim: Int) =>
-    if (payload == null) Array.empty[Float]
-    else {
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) {
-        acc(i % dim) += (payload(i) & 0xff) / 255.0f
-        i += 1
+  def decodeFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
+    val enc = Encoders.row(decodedSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      it.map { r =>
+        val id = r.getLong(0); val kind = r.getString(1)
+        val payload = r.get(2).asInstanceOf[Array[Byte]]
+        val nBytes = if (payload == null) null else java.lang.Long.valueOf(payload.length.toLong)
+        val (decoded, features) = kind match {
+          case "image" if payload != null && payload.nonEmpty =>
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            val fmt = if (readers.hasNext) readers.next().getFormatName.toLowerCase else null
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) (Row(null, null, fmt, null, null), null)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val acc = new Array[Float](featureDim)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  acc((y * w + x) % featureDim) += (img.getRGB(x, y) & 0xff) / 255.0f
+                  x += 1
+                }
+                y += 1
+              }
+              (Row(w, h, fmt, null, null), acc)
+            }
+          case "audio" if payload != null && payload.nonEmpty =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val f = ais.getFormat
+            val nFrames = ais.getFrameLength
+            val acc = new Array[Float](featureDim)
+            val bb = java.nio.ByteBuffer.wrap(payload, 44, payload.length - 44)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (bb.remaining() >= 2) {
+              acc(i % featureDim) += math.abs(bb.getShort.toInt) / 32768.0f
+              i += 1
+            }
+            (Row(null, null, null, f.getSampleRate.toInt, nFrames), acc)
+          case _ =>
+            // video / empty payload: no JDK codec — decode yields nulls
+            (Row(null, null, null, null, null), null)
+        }
+        Row(id, kind, nBytes, decoded, if (features == null) null else features.toSeq)
       }
-      acc
-    }
+    }(enc)
   }
 
-  /** Feature-extraction stage: content length/hash via codegen'd builtins,
-    * fake decoded features via the stub UDF.
+  /** Legacy stub-based feature stage kept for the opaque-payload path
+    * (content hash + byte length are codec-independent).
     */
-  def extractFeatures(media: DataFrame, featureDim: Int = 8): DataFrame =
+  def extractFeatures(media: DataFrame): DataFrame =
     media
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("content_md5", md5(col("payload")))
-      .withColumn("features", decodeStub(col("payload"), lit(featureDim)))
 }

@@ -51,4 +51,42 @@ object Embed {
 
   /** text column → `array<float>` embedding column. */
   def embed(textCol: Column, dim: Int = Dim): Column = embedUdf(textCol, lit(dim))
+
+  /** Stand-in for a real inference model: loaded once, encodes a whole
+    * batch per call (the sentence-transformers contract —
+    * embeddings/embed.py:34-44 one model load, :176-198 batch encode).
+    */
+  private[graft] class BatchEncoder(dim: Int) {
+    def encode(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map {
+        case null => Array.empty[Float]
+        case t    => embedTokens(t.toLowerCase.split("\\s+").toSeq, dim)
+      }
+  }
+
+  /** Batched-inference embed path: `mapPartitions` with ONE encoder
+    * init per partition and encode calls over batches of `batchSize`
+    * rows — the shape a real model plug-in needs (model load is seconds,
+    * per-row calls waste it; batch calls amortize and let the backend
+    * vectorize). Output is bit-identical to the per-row [[embed]] UDF
+    * (spec-gated), so the two paths are interchangeable.
+    */
+  def embedPartitioned(
+      df: org.apache.spark.sql.DataFrame, textCol: String, outCol: String,
+      dim: Int = Dim, batchSize: Int = 50): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType), nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val model = new BatchEncoder(dim) // per-partition init ("model load")
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = model.encode(batch.map(r =>
+          if (r.isNullAt(idx)) null else r.getString(idx)))
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
 }

@@ -60,4 +60,46 @@ class EngineSpec extends AnyFunSuite {
     assert(floats.columns.contains("properties"))
     assert(profiles.columns.toSet.contains("variable_name"))
   }
+
+  test("nearDupHamming's exact-dedup pre-pass bounds the candidate set on a cloned corpus") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(80)
+    // clone every document 5x under fresh ids: identical content, the
+    // degenerate hot-bucket case for signature LSH
+    val cloned = (0 to 4).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 100000))).reduce(_ unionByName _)
+    val withPrePass = engine.nearDupHamming(cloned, "text", "doc_id", maxDist = 8).count()
+    val withoutPrePass = {
+      val tc = cloned
+        .select(col("doc_id"), explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      graft.dedup.Dedup.hammingPairs(
+        graft.dedup.Dedup.simhashWide(tc, "doc_id"), "doc_id", "simhash",
+        bands = 3, maxDist = 8).count()
+    }
+    // every clone pair is within distance 0 → quadratic blow-up without the
+    // pre-pass; with it, pair count reflects only true near-dup diversity
+    assert(withoutPrePass >= withPrePass * 5,
+      s"pre-pass did not shrink the pair set: $withoutPrePass vs $withPrePass")
+  }
+
+  test("embedPartitioned (batch-50, per-partition init) equals the per-row UDF path") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(120)
+    val viaUdf = docs
+      .withColumn("emb", graft.vector.Embed.embed(col("text"), dim = 32))
+      .select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val viaBatch = graft.vector.Embed.embedPartitioned(docs, "text", "emb", dim = 32, batchSize = 50)
+      .select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(viaBatch.keySet == viaUdf.keySet)
+    viaBatch.foreach { case (id, v) => assert(v == viaUdf(id), s"doc $id differs") }
+  }
+
+  test("e8_ivf_recall: one-cell IVF search keeps recall@5 above the pinned floor") {
+    val rows = SparkEntry.queries("e8_ivf_recall")(spark, sf).collect()
+    assert(rows.length == 20)
+    val recall = rows.map(_.getAs[Long]("n_hits5")).sum.toDouble / (rows.length * 5)
+    assert(recall >= 0.55, s"IVF recall@5 dropped to $recall")
+  }
 }

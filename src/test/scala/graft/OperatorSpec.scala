@@ -97,16 +97,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false, false))
   }
 
-  test("multimodal decode stub is deterministic and fixed-dim") {
-    val media = graft.sources.Multimodal.fromDocuments(
+  test("multimodal decode round-trips real PNG and WAV payloads") {
+    import graft.sources.Multimodal
+    val media = Multimodal.fromDocuments(
       Tables.documents(spark, "/root/testdata/sf0.001").limit(30))
-    val f1 = graft.sources.Multimodal.extractFeatures(media)
-      .select("media_id", "features").orderBy("media_id").as[(Long, Array[Float])].collect()
-    val f2 = graft.sources.Multimodal.extractFeatures(media)
-      .select("media_id", "features").orderBy("media_id").as[(Long, Array[Float])].collect()
-    assert(f1.map(_._2.toSeq).toSeq == f2.map(_._2.toSeq).toSeq)
-    assert(f1.forall(_._2.length == 8))
-    assert(f1.exists(_._2.exists(_ != 0.0f)))
+    val rows = Multimodal.decodeFeatures(media)
+      .select("media_id", "kind", "decoded.width", "decoded.height",
+        "decoded.format", "decoded.sample_rate", "decoded.n_frames", "features")
+      .orderBy("media_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "image" =>
+          // decoded by javax.imageio from the actual PNG bytes
+          assert(r.getInt(2) == Multimodal.imgWidth(id))
+          assert(r.getInt(3) == Multimodal.imgHeight(id))
+          assert(r.getString(4) == "png")
+          assert(r.getSeq[Float](7).length == 8)
+        case "audio" =>
+          // decoded by javax.sound.sampled from the actual WAV header
+          assert(r.getInt(5) == Multimodal.wavRate(id))
+          assert(r.getLong(6) == Multimodal.wavFrames(id).toLong)
+          assert(r.getSeq[Float](7).length == 8)
+        case "video" => // honest stub: no JDK codec
+          assert(r.isNullAt(2) && r.isNullAt(5))
+      }
+    }
+    // featurization over DECODED content is deterministic
+    val f1 = Multimodal.decodeFeatures(media)
+      .select("media_id", "features").orderBy("media_id")
+      .as[(Long, Array[Float])].collect()
+    val f2 = Multimodal.decodeFeatures(media)
+      .select("media_id", "features").orderBy("media_id")
+      .as[(Long, Array[Float])].collect()
+    def feats(xs: Array[(Long, Array[Float])]) =
+      xs.map { case (id, f) => id -> Option(f).map(_.toSeq) }.toSeq
+    assert(feats(f1) == feats(f2))
   }
 
   test("S15: formatted text export sink round-trips the template documents") {
