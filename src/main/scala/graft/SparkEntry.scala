@@ -832,7 +832,8 @@ object SparkEntry {
       // metadata from the synthesis arithmetic — if encode OR decode
       // drifts, the hash breaks.
       Multimodal.decodeFeatures(
-        Multimodal.fromDocuments(Tables.documents(s, dir)))
+        Multimodal.fromDocuments(Tables.documents(s, dir)
+          .repartition(32, col("doc_id")))) // single-row-group source: spread encode+decode
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_items"),

@@ -81,10 +81,15 @@ object Knn {
       .withColumn("sim", round(
         when(col("__cn") * col("__qn") > 0,
           dot(col(vecCol), col(queryVecCol)) / (col("__cn") * col("__qn"))), 6))
+      // The vectors' job ends at `sim` — drop them BEFORE the rank window,
+      // not after: the window's exchange would otherwise shuffle both
+      // dim-sized arrays per (candidate × query) pair, which at 158k pairs
+      // of 64-dim doubles is ~100 MB of serialization for columns nobody
+      // reads downstream.
+      .drop(vecCol, queryVecCol, "__cn", "__qn")
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(tiebreak))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .drop(queryVecCol, "__cn", "__qn")
   }
 }
