@@ -275,6 +275,8 @@ object SparkEntry {
     // ---- F13 JSON extraction (db_handler.py:171-177) -----------------------
     "f13_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
+        .select("props")
+        .repartition(32, col("props")) // single-row-group source: spread the JSON parse
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))

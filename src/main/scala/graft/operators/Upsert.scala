@@ -35,10 +35,18 @@ object Upsert {
       precedence: String,
       tiebreak: String): DataFrame = {
     val all = base.unionByName(updates)
-    val w = Window.partitionBy(col(key)).orderBy(col(precedence).desc, col(tiebreak).desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // max_by with a (precedence, tiebreak) struct comparator = the
+    // lexicographic-max row per key, identical to rank-1 of a window
+    // ordered by (precedence DESC, tiebreak DESC) — but as ONE hash
+    // aggregate: the partial combine keeps a single winner per key
+    // map-side, and the reduce side needs no per-partition sort the way a
+    // window does. Same single shuffle, strictly less work at every scale.
+    val others = all.columns.filterNot(_ == key).toSeq
+    all.groupBy(col(key))
+      .agg(max_by(
+        struct(others.map(col): _*),
+        struct(col(precedence), col(tiebreak))).as("__w"))
+      .select(col(key) +: others.map(c => col(s"__w.$c")): _*)
   }
 
   /** J1: rows of `incoming` whose key is absent from `existing`. */

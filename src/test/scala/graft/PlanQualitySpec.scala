@@ -29,11 +29,18 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("ranked-filter queries get WindowGroupLimit (per-partition k-heaps before the shuffle)") {
-    Seq("e3_knn_batch", "d1_upsert_lastwins").foreach { name =>
+    Seq("e3_knn_batch").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
         s"$name window filter did not optimize to WindowGroupLimit:\n$plan")
     }
+  }
+
+  test("upsert last-writer-wins is a single aggregate, not a window sort") {
+    val plan = SparkEntry.queries("d1_upsert_lastwins")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate") && !plan.contains("Window"),
+      s"d1 should plan a max_by hash aggregate with map-side partials:\n$plan")
   }
 
   test("nested struct fields prune to the accessed leaf at the scan") {
