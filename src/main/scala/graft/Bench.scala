@@ -46,7 +46,9 @@ object Bench {
         try {
           val df = fn(spark, sfDir)
           df.queryExecution.executedPlan // plan eagerly, outside the timers
-          (1 to 2).map { _ =>
+          // min-of-3: this box is shared and background load spikes inflate
+          // individual executions; the minimum is the steady-state cost
+          (1 to 3).map { _ =>
             val t0 = System.nanoTime()
             df.count()
             (System.nanoTime() - t0) / 1e9
