@@ -40,7 +40,11 @@ object Tables {
     * casting its TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Guarded write: set once per session, not on every access — repeated
+    // conf mutation is benign single-threaded but racy if a session is ever
+    // shared across concurrently-planning queries.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
     // TIMESTAMP(NANOS) files surface ts as raw nanos (long) under the legacy
     // conf → truncate to micros; files already landed at micros pass through.

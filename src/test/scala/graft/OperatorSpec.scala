@@ -193,4 +193,21 @@ class OperatorSpec extends AnyFunSuite {
     val fps = df.select("fp").as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("F14 jsonPretty matches the reference's json.dumps(indent=2, ensure_ascii=False)") {
+    import graft.text.JsonPretty.pretty
+    // golden outputs written exactly as Python json.dumps renders them
+    assert(pretty("""{"a":1,"b":[1,2],"c":{"d":"x"}}""") ==
+      "{\n  \"a\": 1,\n  \"b\": [\n    1,\n    2\n  ],\n  \"c\": {\n    \"d\": \"x\"\n  }\n}")
+    assert(pretty("""{"s":"caf\u00e9","empty":{},"arr":[]}""") ==
+      "{\n  \"s\": \"caf\u00e9\",\n  \"empty\": {},\n  \"arr\": []\n}")
+    assert(pretty("""[true,null,1.5]""") == "[\n  true,\n  null,\n  1.5\n]")
+    assert(pretty("not json {") == null)
+    assert(pretty(null) == null)
+    // column form over real data: every valid props row pretty-prints
+    val n = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(graft.text.JsonPretty.jsonPretty(col("props")).as("p"))
+      .filter(col("p").isNotNull).count()
+    assert(n > 0)
+  }
 }
