@@ -36,4 +36,65 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("RewriteRankOneToMaxBy: rank-1 window filter plans as an aggregate, same result") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rule-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(ext => new graft.expressions.GraftExtensions()(ext))
+      .getOrCreate()
+    try {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions._
+      val df = Seq(
+        (1L, 10.0, 1L), (1L, 20.0, 2L), (1L, 20.0, 3L),
+        (2L, 5.0, 4L), (3L, 7.0, 5L), (3L, 9.0, 6L))
+        .toDF("k", "score", "seq")
+      val ranked = df
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").desc, col("seq").desc)))
+        .filter(col("rn") === 1)
+      val optimized = ranked.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("max_by") && !optimized.contains("Window"),
+        s"rule did not fire:\n$optimized")
+      val got = ranked.select("k", "score", "seq", "rn").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq
+      assert(got == Seq((1L, 20.0, 3L, 1), (2L, 5.0, 4L, 1), (3L, 9.0, 6L, 1)))
+
+      // ascending order -> min_by
+      val asc = df
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").asc, col("seq").asc)))
+        .filter(col("rn") === 1)
+      assert(asc.queryExecution.optimizedPlan.toString.contains("min_by"))
+      assert(asc.select("score").orderBy("k").as[Double].collect().toSeq == Seq(10.0, 5.0, 7.0))
+
+      // mixed directions: guard keeps the window form
+      val mixed = df
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").desc, col("seq").asc)))
+        .filter(col("rn") === 1)
+      assert(mixed.queryExecution.optimizedPlan.toString.contains("Window"))
+
+      // rank > 1 filters: untouched
+      val top2 = df
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").desc, col("seq").desc)))
+        .filter(col("rn") <= 2)
+      assert(top2.queryExecution.optimizedPlan.toString.contains("Window"))
+      assert(top2.count() == 5)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
