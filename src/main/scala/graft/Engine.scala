@@ -112,6 +112,48 @@ class Engine(spark: SparkSession) {
       Dedup.simhashWide(tc, idCol), idCol, "simhash", bands, maxDist)
   }
 
+  /** Batched-inference embedding over a corpus: one encoder init per
+    * partition, batch-50 encode calls (the real-model contract —
+    * embeddings/embed.py:34-44,176-198). Adds `outCol: array<float>`.
+    */
+  def embedCorpus(df: DataFrame, textCol: String, outCol: String = "embedding",
+      dim: Int = 64, batchSize: Int = 50): DataFrame =
+    Embed.embedPartitioned(df, textCol, outCol, dim, batchSize)
+
+  /** S15 assembled text-export report over any document frame
+    * (export_chromadb_to_text.py:78-245 shape): header block, numbered
+    * per-document sections, count footer. Returns ordered
+    * (section_no, section) rows — write with `.orderBy.write.text(...)`.
+    * Document numbering ranks only the (already one-row-per-doc) input ids,
+    * never raw data, so the global window is scale-safe.
+    */
+  def exportReport(docs: DataFrame, idCol: String, contentCol: String,
+      collectionName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eq = "=" * 100; val d80 = "-" * 80; val d40 = "-" * 40
+    val header = docs.agg(count(lit(1)).as("n"))
+      .select(lit(0L).as("section_no"),
+        concat(
+          lit(eq + s"\nDATA EXPORT - $collectionName\n" + eq + "\nTotal Documents: "),
+          col("n").cast("string"), lit("\n" + eq)).as("section"))
+    val sections = docs
+      .withColumn("__i", row_number().over(Window.orderBy(col(idCol))))
+      .select(
+        col("__i").cast("long").as("section_no"),
+        concat(
+          lit("DOCUMENT #"), col("__i").cast("string"), lit("\n" + d80 + "\n"),
+          lit("Document ID: "), col(idCol).cast("string"), lit("\n" + d40 + "\n"),
+          lit("DOCUMENT CONTENT:\n"),
+          coalesce(graft.text.JsonPretty.jsonPretty(col(contentCol)),
+            col(contentCol).cast("string")),
+          lit("\n\n" + eq)).as("section"))
+    val footer = docs.agg(count(lit(1)).as("n"))
+      .select((col("n") + 1).cast("long").as("section_no"),
+        concat(lit("SUMMARY STATISTICS\n" + d80 + "\ntotal_documents: "),
+          col("n").cast("string")).as("section"))
+    header.unionByName(sections).unionByName(footer).orderBy("section_no")
+  }
+
   /** Language-ID + quality scoring columns for corpus filtering. */
   def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame = {
     val toks = Dedup.tokens(col(textCol))

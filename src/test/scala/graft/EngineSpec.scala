@@ -102,4 +102,32 @@ class EngineSpec extends AnyFunSuite {
     val recall = rows.map(_.getAs[Long]("n_hits5")).sum.toDouble / (rows.length * 5)
     assert(recall >= 0.55, s"IVF recall@5 dropped to $recall")
   }
+
+  test("exportReport assembles header, numbered sections (JSON pretty-printed), footer") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"a":1}"""),
+      (2L, "plain text content")).toDF("id", "content")
+    val out = engine.exportReport(docs, "id", "content", "test_collection")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out(0)._2.contains("DATA EXPORT - test_collection"))
+    assert(out(0)._2.contains("Total Documents: 2"))
+    // JSON content pretty-printed like the reference's json.dumps(indent=2)
+    assert(out(1)._2.contains("{\n  \"a\": 1\n}"))
+    // non-JSON falls back to raw text
+    assert(out(2)._2.contains("plain text content"))
+    assert(out(3)._2.contains("total_documents: 2"))
+  }
+
+  test("embedCorpus equals the per-row embed over real documents") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(60)
+    val a = engine.embedCorpus(docs, "text", "emb", dim = 16)
+      .select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = docs.withColumn("emb", graft.vector.Embed.embed(col("text"), 16))
+      .select("doc_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
 }
