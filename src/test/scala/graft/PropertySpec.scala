@@ -71,4 +71,62 @@ class PropertySpec extends AnyFunSuite {
       assert(self == 1.0)
     }
   }
+
+  test("simhashWide packed counters equal a naive per-bit reference computation") {
+    // The 5x12-bit counter packing is subtle; verify the whole pipeline
+    // against a direct Scala reimplementation (md5 -> hex digits -> signed
+    // votes -> sign bits) on randomized (doc, token, cnt) frames.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naive(rows: Seq[(Long, String, Long)]): Map[Long, Long] =
+      rows.groupBy(_._1).map { case (doc, rs) =>
+        val bits = (0 until Dedup.WideBits).map { b =>
+          val w = rs.map { case (_, tok, cnt) =>
+            val digit = Character.digit(md5hex(tok).charAt(b / 4), 16)
+            cnt * (((digit >> (b % 4)) & 1) * 2 - 1)
+          }.sum
+          if (w > 0) 1L << b else 0L
+        }.sum
+        doc -> bits
+      }
+    val tokGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "theta")
+    val rowGen = for {
+      doc <- Gen.choose(0L, 5L)
+      tok <- tokGen
+      cnt <- Gen.choose(1L, 40L)
+    } yield (doc, tok, cnt)
+    val frames = samples(Gen.listOfN(25, rowGen), 6)
+    frames.foreach { raw =>
+      // per (doc, token) counts must be unique keys, like the real pipeline
+      val rows = raw.groupBy(r => (r._1, r._2))
+        .map { case ((d, t), rs) => (d, t, rs.map(_._3).sum) }.toSeq
+      val got = Dedup.simhashWide(rows.toDF("doc_id", "token", "cnt"), "doc_id")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+      assert(got == naive(rows), s"packing mismatch on $rows")
+    }
+  }
+
+  test("jsonPretty round-trips: parsing the pretty output yields the same tree") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val m = new ObjectMapper()
+    val leafGen: Gen[String] = Gen.oneOf(
+      Gen.choose(-1000, 1000).map(_.toString),
+      Gen.alphaNumStr.map(s => "\"" + s.take(8) + "\""),
+      Gen.oneOf("true", "false", "null"))
+    def objGen(depth: Int): Gen[String] =
+      if (depth == 0) leafGen
+      else Gen.choose(0, 3).flatMap { n =>
+        Gen.listOfN(n, Gen.zip(Gen.alphaStr.map(_.take(5)), objGen(depth - 1)))
+          .map(kvs => kvs.zipWithIndex
+            .map { case ((k, v), i) => "\"k" + i + k + "\": " + v }
+            .mkString("{", ", ", "}"))
+      }
+    samples(objGen(3), 30).foreach { json =>
+      val pretty = graft.text.JsonPretty.pretty(json)
+      assert(pretty != null, s"failed to pretty-print $json")
+      assert(m.readTree(pretty) == m.readTree(json), s"round-trip changed $json")
+    }
+    assert(graft.text.JsonPretty.pretty("{nope") == null)
+  }
 }
