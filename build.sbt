@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to stdout instead of through sbt's
+// logger: the harness parses graft.Bench's single JSON line, and the
+// logger's "[info] " prefix makes it unparseable (BENCH_r01/r02 both
+// recorded parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,5 +32,8 @@ scalacOptions ++= Seq("-deprecation")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the box has 128 GiB; at 8g the 32-thread local runs sit
+  // close enough to heap ceiling that concurrent background load pushes
+  // the heavy dedup queries into GC churn (observed 3-6x inflation).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
