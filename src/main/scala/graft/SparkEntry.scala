@@ -947,6 +947,51 @@ object SparkEntry {
         .orderBy("doc_a")
     },
 
+    // ---- MinHash estimator quality: signature-estimate vs exact Jaccard ----
+    // The e8 recall metric proves the IVF path isn't silently lossy; this is
+    // the same proof for MinHash — per candidate pair, the lane-match
+    // estimate (matching lanes / 6) next to the exact shingle-set Jaccard
+    // and the absolute error. Pairs cover both regimes: (d, d+100000) true
+    // near-dups (one appended word) and (d, d+20) unrelated docs, so the
+    // estimator is checked where it must fire AND where it must not.
+    "dd7_minhash_est" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = base.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" extraword")))
+      val docs = base.unionByName(variants).repartition(32, col("doc_id"))
+      val withSets = docs.withColumn("sh",
+        array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
+      val sh = Dedup.withShingleHash(
+        withSets.select(col("doc_id"), explode(col("sh")).as("shingle")))
+      val mh = Dedup.minhashAggs(6)
+      // signatures and exact shingle sets share one lineage: docs with < 3
+      // tokens have no shingles, hence no signature, and drop from both sides
+      val sigSets = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+        .join(withSets.select("doc_id", "sh"), "doc_id")
+      def side(p: String) = sigSets.select(
+        col("doc_id").as(s"${p}_id") +: col("sh").as(s"${p}_sh") +:
+          (0 until 6).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
+      val (a, b) = (side("a"), side("b"))
+      // two equi-joins (near-dup pairs, dissimilar pairs), not one OR-join —
+      // an OR condition would plan a nested-loop product
+      val pairs = a.join(b, col("b_id") === col("a_id") + 100000)
+        .unionByName(a.join(b, col("b_id") === col("a_id") + 20))
+      val nMatch = (0 until 6)
+        .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val nInter = size(array_intersect(col("a_sh"), col("b_sh")))
+      val exactJ = nInter / (size(col("a_sh")) + size(col("b_sh")) - nInter)
+      pairs
+        .withColumn("n_match", nMatch.cast("long"))
+        .withColumn("est_j", Stats.parityRound(col("n_match") / lit(6.0), 6))
+        .withColumn("exact_j", Stats.parityRound(exactJ, 6))
+        .withColumn("abs_err", Stats.parityRound(abs(col("n_match") / lit(6.0) - exactJ), 6))
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          col("n_match"), col("est_j"), col("exact_j"), col("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- embedding-cosine near-dup, banded sign-bit LSH (scale path) -------
     "dd5_embed_neardup" -> { (s, dir) =>
       // 24 hyperplane sign bits banded into 3×8-bit chunks (the dd6
@@ -1994,6 +2039,43 @@ object SparkEntry {
                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 20
          ORDER BY doc_a""",
+    "dd7_minhash_est" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 20 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         shl AS (SELECT doc_id, list(DISTINCT array_to_string(toks[i:i+2], ' ')) AS sh
+                 FROM sh0 GROUP BY doc_id),
+         shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         sig AS (SELECT doc_id,
+                        min(substr(md5(shingle), 1, 5))  AS mh0, min(substr(md5(shingle), 6, 5))  AS mh1,
+                        min(substr(md5(shingle), 11, 5)) AS mh2, min(substr(md5(shingle), 16, 5)) AS mh3,
+                        min(substr(md5(shingle), 21, 5)) AS mh4, min(substr(md5(shingle), 26, 5)) AS mh5
+                 FROM shd GROUP BY doc_id),
+         ss AS (SELECT * FROM sig JOIN shl USING (doc_id)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) AS nm,
+                  len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+           FROM ss a JOIN ss b ON b.doc_id = a.doc_id + 100000
+           UNION ALL
+           SELECT a.doc_id, b.doc_id,
+                  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END),
+                  len(list_intersect(a.sh, b.sh)), len(a.sh), len(b.sh)
+           FROM ss a JOIN ss b ON b.doc_id = a.doc_id + 20)
+         SELECT doc_a, doc_b, CAST(nm AS BIGINT) AS n_match,
+                floor(nm / 6.0 * 1000000.0 + 0.5) / 1000000.0 AS est_j,
+                floor(ni / (na + nb - ni) * 1000000.0 + 0.5) / 1000000.0 AS exact_j,
+                floor(abs(nm / 6.0 - ni / (na + nb - ni)) * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+         FROM pairs ORDER BY doc_a, doc_b""",
     "dd5_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
          sig AS (

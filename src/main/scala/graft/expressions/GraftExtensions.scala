@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rank-1 window filters → max_by/min_by aggregates (no per-partition
     // sort; map-side partial combine) — see graft.plans.RewriteRankOneToMaxBy
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankOneToMaxBy)
+    // whole-operator extension: TopKPerKey logical node → two-phase
+    // bounded-heap physical plan (see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -87,9 +87,12 @@ object Knn {
       // of 64-dim doubles is ~100 MB of serialization for columns nobody
       // reads downstream.
       .drop(vecCol, queryVecCol, "__cn", "__qn")
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(tiebreak))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // Rank via the custom bounded-heap operator when the session carries
+    // GraftExtensions (k-heaps instead of a per-partition sort on both
+    // sides of the query_id exchange); identical-output window fallback
+    // otherwise. (sim desc, tiebreak asc) is a total order, so the two
+    // plans agree row-for-row.
+    graft.operators.TopK.perKey(
+      scored, Seq(queryIdCol), Seq("sim" -> false, tiebreak -> true), k)
   }
 }

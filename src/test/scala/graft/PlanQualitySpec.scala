@@ -28,11 +28,20 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("ranked-filter queries get WindowGroupLimit (per-partition k-heaps before the shuffle)") {
+  test("ranked-filter queries use per-partition k-heaps before the shuffle, no sort") {
+    // With GraftExtensions (which the shared test session, Verify and Bench
+    // all carry) the KNN rank is the custom TopKPerKey physical operator:
+    // bounded heaps on BOTH sides of the key exchange and no sort at all —
+    // strictly stronger than the WindowGroupLimit plan it replaces (that
+    // one still sorted the per-partition survivors).
     Seq("e3_knn_batch").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
-      assert(plan.contains("WindowGroupLimit"),
-        s"$name window filter did not optimize to WindowGroupLimit:\n$plan")
+      assert(plan.contains("PartialTopKPerKey") && plan.contains("FinalTopKPerKey"),
+        s"$name rank did not plan the bounded-heap TopKPerKey operator:\n$plan")
+      // the final presentation orderBy (15 rows) may sort; the rank itself
+      // must not plan a window limit
+      assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window "),
+        s"$name still plans a sort-based window rank:\n$plan")
     }
   }
 

@@ -14,6 +14,10 @@ object SparkTestSession {
     // past executor heap (SURVEY.md §9); exercised by every streaming spec.
     .config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Same extensions Verify/Bench run with, so query specs exercise the
+    // plans the driver actually grades (custom TopKPerKey physical operator,
+    // rank-1→max_by rewrite, SQL-registered vector functions).
+    .withExtensions(new graft.expressions.GraftExtensions())
     .getOrCreate()
 }
 
