@@ -58,6 +58,43 @@ object Ingest {
       }
       .start()
 
+  /** [[start]] with the cross-batch idempotence moved from the sink
+    * anti-join into the STATE STORE: streaming `dropDuplicates(key)` keeps
+    * the seen-key set in the checkpointed state backend (RocksDB in this
+    * repo's sessions — state scales past executor heap), so each micro-batch
+    * does O(batch) state lookups instead of re-reading the whole sink.
+    *
+    * This is the 100 TB shape: the sink re-read in [[start]] costs a full
+    * sink scan per batch (acceptable only while the sink is small), while
+    * state-store dedup is constant-time per key and survives restarts via
+    * the checkpoint — replayed batches after a crash hit the same state and
+    * stay idempotent (exactly-once sink effect with the file-commit
+    * protocol). State is unbounded by design — the seen-key set IS the
+    * semantic (ON CONFLICT DO NOTHING forever); when keys have event-time
+    * locality, `dropDuplicatesWithinWatermark` bounds it instead.
+    */
+  def startStateful(
+      spark: SparkSession,
+      inbox: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      key: String,
+      transform: DataFrame => DataFrame): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inbox)
+      .transform(transform)
+      .dropDuplicates(key)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .start()
+
   /** ST2 batch-shaped equivalent, for oracle-checkable use in queries():
     * union of per-"upload" frames with FIRST-arrival-wins dedup — the
     * ON CONFLICT DO NOTHING semantic (later uploads of an existing key are

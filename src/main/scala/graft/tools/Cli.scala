@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Reference-CLI-compatible batch entry point (`main.py:502-651`):
+  *
+  * {{{
+  *   runMain graft.tools.Cli --mode file --file <raw.parquet> --out <dir>
+  *   runMain graft.tools.Cli --mode data-folder --data-dir <dir-or-glob> --out <dir>
+  *   runMain graft.tools.Cli --mode sample [--sample sf0.001] --out <dir>
+  *   runMain graft.tools.Cli --setup-db --out <dir>
+  * }}}
+  *
+  * Mode mapping (reference → Spark):
+  *   - `file`        (`process_netcdf_file`, main.py:165)   → read one raw
+  *     parquet profile frame → [[Engine.ingest]] → floats/profiles sinks.
+  *   - `data-folder` (`process_data_folder`, main.py:367)   → same over a
+  *     directory/glob — Spark's S5 glob scan replaces the reference's
+  *     per-file loop; all files become ONE distributed plan.
+  *   - `sample`      (main.py:606) → the bundled fixture tables stand in
+  *     for the reference's downloaded sample set (no network here).
+  *   - `download`    (main.py:609, download.py) → acquisition is out of
+  *     engine scope (SURVEY §2 S6/S7) — exits with a pointer, like
+  *     `--setup-db` without a DB does in the reference.
+  *   - `--no-embeddings` (main.py:560) skips the embedding sink;
+  *     `--setup-db` (main.py:565) only materializes the sink layout.
+  *
+  * Raw input contract (same tidy shape as `Pipeline.tidy`): one row per
+  * profile with `float_id, profile_id, time, latitude, longitude` and
+  * level-array measure columns `temperature, salinity, pressure`.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rc = run(spark, args)
+    spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** Separated from main so tests can drive it on a shared session. */
+  def run(spark: SparkSession, args: Array[String]): Int = {
+    val opts = parse(args)
+    val out = opts.getOrElse("out", "graft_out")
+    val mode = opts.getOrElse("mode", "sample")
+    if (opts.contains("setup-db")) {
+      Seq("floats", "profiles", "embeddings").foreach(t => new java.io.File(s"$out/$t").mkdirs())
+      println(s"[cli] initialized sink layout under $out")
+      return 0
+    }
+    val raw: DataFrame = mode match {
+      case "file" =>
+        val f = opts.getOrElse("file", return err("--file required for file mode"))
+        spark.read.parquet(f)
+      case "data-folder" =>
+        val d = opts.getOrElse("data-dir", return err("--data-dir required for data-folder mode"))
+        spark.read.parquet(d)
+      case "sample" =>
+        val sf = opts.getOrElse("sample", "sf0.001")
+        sampleRaw(spark, s"/root/testdata/$sf")
+      case "download" =>
+        return err("download mode is data acquisition, outside this engine's scope " +
+          "(SURVEY.md S6/S7) — fetch files with any downloader, then run --mode data-folder")
+      case other => return err(s"unknown mode '$other'")
+    }
+    val engine = new Engine(spark)
+    val (floats, profiles) = engine.ingest(raw, opts.getOrElse("end-date", "2100-01-01"))
+    floats.write.mode("overwrite").parquet(s"$out/floats")
+    profiles.write.mode("overwrite").parquet(s"$out/profiles")
+    val nf = spark.read.parquet(s"$out/floats").count()
+    val np = spark.read.parquet(s"$out/profiles").count()
+    if (!opts.contains("no-embeddings")) {
+      // the reference embeds each float's metadata summary (main.py:320,
+      // preprocess_floats_to_chromadb.py) — batch path, one init/partition
+      val summaries = spark.read.parquet(s"$out/floats")
+        .select(col("float_id"),
+          format_string("Float %s: %s records from %s to %s",
+            col("float_id"), col("n_rows"), col("first_ts"), col("last_ts")).as("doc"))
+      engine.embedCorpus(summaries, "doc")
+        .write.mode("overwrite").parquet(s"$out/embeddings")
+      val ne = spark.read.parquet(s"$out/embeddings").count()
+      println(s"[cli] mode=$mode floats=$nf profiles=$np embeddings=$ne -> $out")
+    } else println(s"[cli] mode=$mode floats=$nf profiles=$np (embeddings skipped) -> $out")
+    0
+  }
+
+  /** Fixture-backed stand-in for the reference's sample dataset: the events
+    * table reshaped into the raw profile contract (same mapping as the
+    * `pl1_full_pipeline` query, so `--mode sample` output is oracle-adjacent).
+    */
+  def sampleRaw(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir).select(
+      col("user_id").cast("string").as("float_id"),
+      col("event_id").cast("string").as("profile_id"),
+      col("ts").as("time"),
+      expr("mod(value, 180) - 90").as("latitude"),
+      expr("mod(value * 2, 360) - 180").as("longitude"),
+      array(expr("mod(value, 45)"), lit(null).cast("double"),
+        expr("mod(value, 50) - 5")).as("temperature"),
+      array(expr("mod(value, 50)"), expr("mod(value, 40)"),
+        lit(null).cast("double")).as("salinity"),
+      array(expr("mod(value, 6000)"), lit(null).cast("double"),
+        lit(null).cast("double")).as("pressure"))
+
+  private def err(msg: String): Int = { System.err.println(s"[cli] $msg"); 2 }
+
+  /** `--k v` pairs plus bare `--flag`s (reference flags: --no-embeddings,
+    * --setup-db).
+    */
+  private def parse(args: Array[String]): Map[String, String] = {
+    val flags = Set("no-embeddings", "setup-db")
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case k :: v :: tail if k.startsWith("--") && !flags(k.drop(2)) && !v.startsWith("--") =>
+        loop(tail, acc + (k.drop(2) -> v))
+      case k :: tail if k.startsWith("--") =>
+        loop(tail, acc + (k.drop(2) -> "true"))
+      case _ :: tail => loop(tail, acc)
+      case Nil => acc
+    }
+    loop(args.toList, Map.empty)
+  }
+}

@@ -42,4 +42,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out.count() == expected.count(), "sink row count after overlap")
     assert(out.select("event_id").distinct().count() == out.count(), "no duplicate keys")
   }
+
+  test("state-store ingest dedups across batches and restarts without re-reading the sink") {
+    val base = Files.createTempDirectory("graft-stream-state").toString
+    val inbox = s"$base/inbox"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(inbox).mkdirs()
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    val schema = ev.schema
+
+    // run 1 drains uploads u1 and u2 with an internal overlap [100,200):
+    // cross-batch dedup must come from the state store (seen-key set),
+    // not from scanning the sink.
+    ev.filter(col("event_id") < 200).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inbox/u1")
+    ev.filter(col("event_id") >= 100 && col("event_id") < 300).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inbox/u2")
+    val q1 = Ingest.startStateful(spark, s"$inbox/*", schema, sink, ckpt, "event_id",
+      df => df.filter(col("value").isNotNull))
+    q1.awaitTermination()
+    val expected1 = ev.filter(col("event_id") < 300 && col("value").isNotNull)
+    val out1 = spark.read.parquet(sink)
+    assert(out1.count() == expected1.count(), "run-1 sink count")
+    assert(out1.select("event_id").distinct().count() == out1.count(), "run-1 unique keys")
+
+    // run 2 is a RESTART from the same checkpoint: upload u3 re-sends
+    // [200,300) (already ingested — must be dropped by the RESTORED state)
+    // plus new keys [300,400).
+    ev.filter(col("event_id") >= 200 && col("event_id") < 400).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inbox/u3")
+    val q2 = Ingest.startStateful(spark, s"$inbox/*", schema, sink, ckpt, "event_id",
+      df => df.filter(col("value").isNotNull))
+    q2.awaitTermination()
+    val out2 = spark.read.parquet(sink)
+    val expected2 = ev.filter(col("event_id") < 400 && col("value").isNotNull)
+    assert(out2.count() == expected2.count(), "run-2 sink count after restart")
+    assert(out2.select("event_id").distinct().count() == out2.count(), "run-2 unique keys")
+  }
 }
