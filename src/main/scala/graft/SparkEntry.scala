@@ -960,34 +960,66 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" extraword")))
       val docs = base.unionByName(variants).repartition(32, col("doc_id"))
-      val withSets = docs.withColumn("sh",
-        array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-      val sh = Dedup.withShingleHash(
-        withSets.select(col("doc_id"), explode(col("sh")).as("shingle")))
+      // Everything downstream runs in the ROW domain — one Generate to
+      // (doc_id, shingle) rows (the dd2 shape), then narrow shuffles. Two
+      // array-domain alternatives were measured 10-60× slower here: per-doc
+      // shingle-array self-joins recompute the HOF lineage per join side,
+      // and any filter/explode over the array column makes Catalyst infer a
+      // size(sh)>0 predicate that INLINES the whole tokenize+shingle chain
+      // into scan-side filters (interpreted, split() re-evaluated ~8× per
+      // row, once per consumer branch). Shuffling shingle rows is also the
+      // only shape that survives 100 TB — per-doc arrays never co-locate.
+      val shRows = docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle"))
       val mh = Dedup.minhashAggs(6)
-      // signatures and exact shingle sets share one lineage: docs with < 3
-      // tokens have no shingles, hence no signature, and drop from both sides
-      val sigSets = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-        .join(withSets.select("doc_id", "sh"), "doc_id")
-      def side(p: String) = sigSets.select(
-        col("doc_id").as(s"${p}_id") +: col("sh").as(s"${p}_sh") +:
-          (0 until 6).map(j => col(s"mh$j").as(s"${p}_mh$j")): _*)
-      val (a, b) = (side("a"), side("b"))
-      // two equi-joins (near-dup pairs, dissimilar pairs), not one OR-join —
-      // an OR condition would plan a nested-loop product
-      val pairs = a.join(b, col("b_id") === col("a_id") + 100000)
-        .unionByName(a.join(b, col("b_id") === col("a_id") + 20))
-      val nMatch = (0 until 6)
-        .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      val nInter = size(array_intersect(col("a_sh"), col("b_sh")))
-      val exactJ = nInter / (size(col("a_sh")) + size(col("b_sh")) - nInter)
-      pairs
-        .withColumn("n_match", nMatch.cast("long"))
+      // signatures AND set sizes in ONE groupBy pass; docs with < 3 tokens
+      // have no shingle rows, hence no signature (oracle inner join mirrors)
+      val grouped = Dedup.withShingleHash(shRows).groupBy("doc_id")
+        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+        .select(col("doc_id"), col("nsh"),
+          concat((0 until 6).map(j => col(s"mh$j")): _*).as("sig"))
+      // Pair roles WITHOUT a self-join: each row emits one narrow
+      // (pair_key, offset, side, payload) row per pair role — (d, d+100000)
+      // near-dups and (d, d+20) dissimilar — and one groupBy zips the two
+      // sides back together. The expensive lineage is consumed once; only
+      // 30-char sigs / single shingles travel through the shuffles.
+      def pairRoles(df: DataFrame, payload: String): DataFrame = df.select(
+        explode(array(
+          struct(col("doc_id").as("pk"), lit(100000L).as("off"), lit(0).as("side"), col(payload)),
+          struct((col("doc_id") - 100000).as("pk"), lit(100000L).as("off"), lit(1).as("side"), col(payload)),
+          struct(col("doc_id").as("pk"), lit(20L).as("off"), lit(0).as("side"), col(payload)),
+          struct((col("doc_id") - 20).as("pk"), lit(20L).as("off"), lit(1).as("side"), col(payload))))
+          .as("e"))
+        .select(col("e.pk"), col("e.off"), col("e.side"), col(s"e.$payload"))
+      // a pair exists iff BOTH endpoints have a signature (non-null sides)
+      val est = pairRoles(grouped.withColumn("pay",
+          struct(col("sig"), col("nsh"))), "pay")
+        .groupBy("pk", "off")
+        .agg(
+          max(when(col("side") === 0, col("pay.sig"))).as("sig_a"),
+          max(when(col("side") === 1, col("pay.sig"))).as("sig_b"),
+          max(when(col("side") === 0, col("pay.nsh"))).as("na"),
+          max(when(col("side") === 1, col("pay.nsh"))).as("nb"))
+        .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
+      // exact intersection size per pair: a shingle is shared iff both
+      // sides emitted it — two narrow aggregations, no array_intersect
+      val ni = pairRoles(shRows, "shingle")
+        .groupBy("pk", "off", "shingle")
+        .agg(min("side").as("s0"), max("side").as("s1"))
+        .filter(col("s0") === 0 && col("s1") === 1)
+        .groupBy("pk", "off").agg(count(lit(1)).as("ni"))
+      val exactRaw = col("ni") / (col("na") + col("nb") - col("ni"))
+      est.join(ni, Seq("pk", "off"), "left")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .withColumn("n_match", (0 until 6)
+          .map(j => when(substring(col("sig_a"), j * 5 + 1, 5) ===
+            substring(col("sig_b"), j * 5 + 1, 5), 1).otherwise(0))
+          .reduce(_ + _).cast("long"))
         .withColumn("est_j", Stats.parityRound(col("n_match") / lit(6.0), 6))
-        .withColumn("exact_j", Stats.parityRound(exactJ, 6))
-        .withColumn("abs_err", Stats.parityRound(abs(col("n_match") / lit(6.0) - exactJ), 6))
-        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        .withColumn("exact_j", Stats.parityRound(exactRaw, 6))
+        .withColumn("abs_err",
+          Stats.parityRound(abs(col("n_match") / lit(6.0) - exactRaw), 6))
+        .select(col("pk").as("doc_a"), (col("pk") + col("off")).as("doc_b"),
           col("n_match"), col("est_j"), col("exact_j"), col("abs_err"))
         .orderBy("doc_a", "doc_b")
     },

@@ -2,10 +2,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object SpotBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // GRAFT_NO_EXT=1 → vanilla session (A/B: custom operators vs fallbacks)
+    if (!sys.env.contains("GRAFT_NO_EXT"))
+      builder.withExtensions(new graft.expressions.GraftExtensions())
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args(0)
     val names = args.drop(1)
