@@ -991,6 +991,11 @@ object SparkEntry {
           struct((col("doc_id") - 20).as("pk"), lit(20L).as("off"), lit(1).as("side"), col(payload))))
           .as("e"))
         .select(col("e.pk"), col("e.off"), col("e.side"), col(s"e.$payload"))
+        // provably partnerless roles (near-pair keys not ≡0 mod 20, or keys
+        // before the id range) would be dropped by the groupBy anyway —
+        // filtering the narrow rows BEFORE the shuffle halves its volume
+        .filter(col("pk") >= 0 &&
+          (col("off") === 20 || col("pk") % 20 === 0))
       // a pair exists iff BOTH endpoints have a signature (non-null sides)
       val est = pairRoles(grouped.withColumn("pay",
           struct(col("sig"), col("nsh"))), "pay")
