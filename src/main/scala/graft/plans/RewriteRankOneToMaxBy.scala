@@ -18,8 +18,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Guards (rewrite only when provably equivalent):
   *   - single `row_number()` window expression, filter is `rn = 1`/`rn <= 1`
-  *   - at least one ORDER BY key, all keys non-nullable (`max_by` skips
-  *     null keys, a window ranks them by null ordering — different)
+  *   - at least one ORDER BY key; nullable keys are allowed when they use
+  *     their direction's DEFAULT null ordering (ASC+NULLS FIRST /
+  *     DESC+NULLS LAST): the aggregate compares `struct(keys)` — never
+  *     null itself, null FIELDS sort smallest — so under max_by a null key
+  *     loses to any non-null (= ranks last, like DESC NULLS LAST) and
+  *     under min_by it wins (= ranks first, like ASC NULLS FIRST).
+  *     Explicit non-default null orderings stay un-rewritten.
   *   - ORDER BY directions all descending (→ max_by) or all ascending
   *     (→ min_by); mixed directions have no single-comparator equivalent
   *
@@ -41,7 +46,8 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
           WindowSpecDefinition(_, _, _)), _)), partitionSpec, orderSpec, wChild, _))
         if isRankOne(cond, alias.toAttribute) &&
           orderSpec.nonEmpty &&
-          orderSpec.forall(o => !o.child.nullable) &&
+          orderSpec.forall(o => !o.child.nullable ||
+            o.nullOrdering == o.direction.defaultNullOrdering) &&
           (orderSpec.forall(_.direction == Descending) ||
             orderSpec.forall(_.direction == Ascending)) &&
           partitionSpec.forall(_.isInstanceOf[Attribute]) =>

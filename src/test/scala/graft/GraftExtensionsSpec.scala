@@ -90,6 +90,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .filter(col("rn") <= 2)
       assert(top2.queryExecution.optimizedPlan.toString.contains("Window"))
       assert(top2.count() == 5)
+
+      // NULLABLE order keys with DEFAULT null ordering: rewrite fires and
+      // matches the window — DESC NULLS LAST: null never wins unless the
+      // whole group is null; ASC NULLS FIRST: null wins. Group 3 is
+      // all-null (both forms pick its only row); group 1 mixes null and
+      // non-null.
+      val nd = Seq(
+        (1L, Some(10.0), 1L), (1L, None, 2L), (1L, Some(20.0), 3L),
+        (2L, Some(5.0), 4L), (3L, None, 5L))
+        .toDF("k", "score", "seq")
+      val ndDesc = nd
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").desc, col("seq").desc)))
+        .filter(col("rn") === 1)
+      assert(ndDesc.queryExecution.optimizedPlan.toString.contains("max_by"),
+        "nullable default-ordering DESC must rewrite")
+      assert(ndDesc.select("k", "seq").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 3L), (2L, 4L), (3L, 5L)))
+      val ndAsc = nd
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").asc, col("seq").asc)))
+        .filter(col("rn") === 1)
+      assert(ndAsc.queryExecution.optimizedPlan.toString.contains("min_by"),
+        "nullable default-ordering ASC must rewrite")
+      assert(ndAsc.select("k", "seq").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 2L), (2L, 4L), (3L, 5L)))
+
+      // explicit NON-default null ordering: guard keeps the window
+      val ndExplicit = nd
+        .withColumn("rn", row_number().over(
+          W.partitionBy("k").orderBy(col("score").desc_nulls_first, col("seq").desc)))
+        .filter(col("rn") === 1)
+      assert(ndExplicit.queryExecution.optimizedPlan.toString.contains("Window"),
+        "non-default null ordering must not rewrite")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -129,4 +129,25 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(graft.text.JsonPretty.pretty("{nope") == null)
   }
+
+  test("TopKPerKey equals the window form on random frames (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      key <- Gen.choose(0, 12)
+      score <- Gen.option(Gen.choose(0, 8)) // heavy ties + nulls
+    } yield (s"k$key", score.map(_.toDouble))
+    (0 until 3).foreach { round =>
+      val rows = (0 until 400).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed(round * 1000L + i))
+          .map { case (k, s) => (k, s, (round * 1000 + i).toLong) })
+      val df = rows.toDF("key", "score", "id")
+      val k = round + 1
+      val custom = graft.operators.TopK.perKey(
+        df, Seq("key"), Seq("score" -> false, "id" -> true), k)
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+      val expected = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      assert(custom.orderBy("key", "rank").collect().toSeq ==
+        expected.orderBy("key", "rank").collect().toSeq, s"round=$round k=$k")
+    }
+  }
 }
