@@ -210,6 +210,21 @@ object SparkEntry {
         .limit(100)
     },
 
+    // ---- W3/W4 generalized: top-k per key via the custom bounded-heap
+    // physical operator (plans.TopKPerKey — partial k-heaps below the key
+    // exchange, final heaps + rank above, no sort; window fallback off-
+    // extension). Same semantics as a row_number window, oracled against
+    // DuckDB's window form.
+    "w3_topk_per_customer" -> { (s, dir) =>
+      graft.operators.TopK.perKey(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys = Seq("o_custkey"),
+        order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("o_custkey", "rank")
+    },
+
     // ---- A2 profile grouping + W5 group-id synthesis (preprocess.py:373-385)
     "a2_profile_groups" -> { (s, dir) =>
       val g = Tables.events(s, dir)
@@ -1455,6 +1470,14 @@ object SparkEntry {
          FROM orders
          ORDER BY order_date DESC, o_orderkey DESC
          LIMIT 100""",
+    "w3_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders) t
+         WHERE rank <= 2
+         ORDER BY o_custkey, rank""",
     "a2_profile_groups" ->
       """WITH e AS (
            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
