@@ -66,10 +66,11 @@ object Bench {
       val t = try timeOnce(df) catch { case _: Throwable => -1.0 }
       if (t >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
-    // Adaptive tail pass: anything still over 0.5s after three sweeps is
-    // either genuinely heavy or was unlucky in all three — two more spaced
-    // reps settle which.
-    for (_ <- 1 to 2; (name, df) <- planned if best.getOrElse(name, 0.0) > 0.5) {
+    // Adaptive tail passes: anything still over 0.3s after three sweeps is
+    // either genuinely heavy or was unlucky in all three — three more
+    // spaced reps settle which (sub-0.3s queries are already at the
+    // local-mode floor; re-measuring them buys nothing).
+    for (_ <- 1 to 3; (name, df) <- planned if best.getOrElse(name, 0.0) > 0.3) {
       val t = try timeOnce(df) catch { case _: Throwable => -1.0 }
       if (t >= 0) best(name) = math.min(best(name), t)
     }
