@@ -225,6 +225,27 @@ object SparkEntry {
         .orderBy("o_custkey", "rank")
     },
 
+    // ---- W-suite: lag/lead + bounded moving average over each customer's
+    // order sequence. Frame is ROWS BETWEEN 2 PRECEDING AND CURRENT — the
+    // per-row state is O(frame), so the window scales with rows-per-key
+    // streamed through a sorted partition, never with total rows. The 3-term
+    // frame sum is order-identical on both engines; parityRound guards the
+    // last-ulp divide.
+    "w4_moving_stats" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq0 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val ma = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+      Tables.orders(s, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("prev_price", lag("o_totalprice", 1).over(seq0))
+        .withColumn("next_price", lead("o_totalprice", 1).over(seq0))
+        .withColumn("ma3",
+          Stats.parityRound(sum("o_totalprice").over(ma) / count(lit(1)).over(ma), 2))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price", "ma3")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- A2 profile grouping + W5 group-id synthesis (preprocess.py:373-385)
     "a2_profile_groups" -> { (s, dir) =>
       val g = Tables.events(s, dir)
@@ -356,6 +377,19 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // ---- multi-dimensional cube: all 4 grouping sets in ONE pass — Expand
+    // emits one row per grouping set into a single partial+final hash
+    // aggregate, so the 100 TB scan happens once, not once per rollup level.
+    "a11_grouping_sets" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("yr", year(col("ts")).cast("long"))
+        .cube("event_type", "yr")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .withColumn("event_type", coalesce(col("event_type"), lit("__all__")))
+        .withColumn("yr", coalesce(col("yr"), lit(-1L)))
+        .orderBy("event_type", "yr")
+    },
+
     // ---- skew-safe two-phase (salted) aggregation — same result, bounded
     // ---- per-task key volume (the 100 TB skewed-key recipe) ----------------
     "a9_salted_agg" -> { (s, dir) =>
@@ -390,6 +424,52 @@ object SparkEntry {
           "salinity_count", "salinity_min", "salinity_max", "salinity_mean",
           "pressure_count", "pressure_min", "pressure_max", "pressure_mean")
         .orderBy("float_id")
+    },
+
+    // ---- salted shuffle join: the 100 TB hot-key recipe when the build side
+    // is too big to broadcast. The probe row's salt is derived from a high-
+    // cardinality column (event_id), the build side replicates each row once
+    // per salt, and the join key becomes (key, salt) — a hot user_id now
+    // spreads over 8 shuffle partitions instead of melting one task. The
+    // SHUFFLE_HASH hint pins the shuffled path so the demo exercises the
+    // exchange this technique exists for (Catalyst would broadcast the
+    // fixture-sized dim and bypass it). Result ≡ the unsalted join.
+    "j7_salted_skew_join" -> { (s, dir) =>
+      val salts = 8
+      val fact = Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          pmod(col("event_id"), lit(salts)).as("salt"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(array((0 until salts).map(i => lit(i.toLong)): _*)).as("salt"))
+      fact.join(dim.hint("SHUFFLE_HASH"),
+          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- exact-proportion stratified split: row_number within each stratum
+    // over a content hash → exactly ceil(80%)/next 10%/rest per lang, fully
+    // deterministic (no RNG). Integer threshold arithmetic (rn*10 <= cnt*8)
+    // avoids 0.8*n float boundaries. Scale note: the rank is per-stratum, so
+    // a mega-stratum serializes one partition — at 100 TB prefer sp1's
+    // thresholded hash (no rank) unless exact proportions are contractual.
+    "sp2_stratified_split" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy("lang")
+      val rankW = byLang.orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .withColumn("split",
+          when(col("rn") * 10 <= col("cnt") * 8, "train")
+            .when(col("rn") * 10 <= col("cnt") * 9, "valid")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")
     },
 
     // ---- deterministic hash sampling + train/valid/test split: reproducible
@@ -1478,6 +1558,41 @@ object SparkEntry {
            FROM orders) t
          WHERE rank <= 2
          ORDER BY o_custkey, rank""",
+    "w4_moving_stats" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice) OVER w AS prev_price,
+                lead(o_totalprice) OVER w AS next_price,
+                floor((sum(o_totalprice) OVER ma / count(*) OVER ma) * 100.0 + 0.5) / 100.0 AS ma3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                ma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "a11_grouping_sets" ->
+      """SELECT coalesce(event_type, '__all__') AS event_type,
+                coalesce(yr, -1) AS yr,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (SELECT event_type, year(ts) AS yr, value FROM events)
+         GROUP BY CUBE (event_type, yr)
+         ORDER BY event_type, yr""",
+    "j7_salted_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "sp2_stratified_split" ->
+      """WITH r AS (
+           SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents)
+         SELECT lang,
+                CASE WHEN rn * 10 <= cnt * 8 THEN 'train'
+                     WHEN rn * 10 <= cnt * 9 THEN 'valid'
+                     ELSE 'test' END AS split,
+                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM r GROUP BY lang, split ORDER BY lang, split""",
     "a2_profile_groups" ->
       """WITH e AS (
            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
