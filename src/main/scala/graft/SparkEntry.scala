@@ -960,6 +960,55 @@ object SparkEntry {
         .orderBy("arrival")
     },
 
+    // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
+    // directory-tree scan whose predicate prunes at the PARTITION level —
+    // the filter never reaches row groups of other priorities; at 100 TB
+    // the scan lists 1/5th of the files and reads nothing else (the scan's
+    // PartitionFilters/pruning is gated by PlanQualitySpec). The write is
+    // one-time ingest per sfDir; the measured operator is the pruned scan.
+    "s5_partitioned_scan" -> { (s, dir) =>
+      val sink = s"/tmp/graft_s5_sink_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(s"$sink/_SUCCESS").exists())
+        Tables.orders(s, dir).write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(sink)
+      s.read.parquet(sink)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
+    // readStream over a parquet inbox → watermark + window() groupBy (shared
+    // aggregate exprs with the batch A1/A3 path) → memory sink, drained with
+    // Trigger.AvailableNow. Complete mode is the test-harness shape (memory
+    // sink, all windows emitted for the oracle compare); a live deployment
+    // uses append mode where the same watermark evicts closed-window state —
+    // the property that keeps a 1000-executor job's state finite. The oracle
+    // is the batch equivalent: hour-truncated group-by in DuckDB.
+    "st4_stream_windowed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "value")
+      // one-time micros-normalized inbox per sfDir (the raw fixture is
+      // TIMESTAMP(NANOS), which the streaming parquet source rejects); the
+      // rewrite is ingest, not the measured operator
+      val inbox = s"/tmp/graft_st4_inbox_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(s"$inbox/_SUCCESS").exists())
+        ev.write.mode("overwrite").parquet(inbox)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString
+      s.catalog.dropTempView("st4_mem")
+      val q = graft.stream.WindowedStats.tumbling(
+          s.readStream.schema(ev.schema).parquet(inbox),
+          "ts", "1 hour", "1 hour", Seq("value"))
+        .writeStream.format("memory").queryName("st4_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.table("st4_mem").orderBy("window_start")
+    },
+
     // ---- exact dedup: content-hash groupBy (training-data pipeline) --------
     "dd1_exact_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -1773,6 +1822,20 @@ object SparkEntry {
                 CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
                 count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM h GROUP BY lang, split ORDER BY lang, split""",
+    "s5_partitioned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "st4_stream_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                count(*) AS n_rows,
+                count(value) AS value_count,
+                round(min(value), 4) AS value_min,
+                round(max(value), 4) AS value_max,
+                floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
+         FROM events
+         GROUP BY 1 ORDER BY 1""",
     "a10_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
          true AS approx_ok

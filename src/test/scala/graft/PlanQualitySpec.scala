@@ -52,6 +52,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"d1 should plan a max_by hash aggregate with map-side partials:\n$plan")
   }
 
+  test("partitioned-sink read-back prunes at the partition level") {
+    // s5: the o_orderpriority predicate must land in PartitionFilters (file
+    // listing), not DataFilters (row groups) — at 100 TB the difference is
+    // listing 1/5th of the files vs opening all of them.
+    val plan = SparkEntry.queries("s5_partitioned_scan")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_orderpriority"),
+      s"s5 partition predicate did not reach PartitionFilters:\n$plan")
+  }
+
   test("nested struct fields prune to the accessed leaf at the scan") {
     val base = java.nio.file.Files.createTempDirectory("graft-nested").toString
     import org.apache.spark.sql.functions._
