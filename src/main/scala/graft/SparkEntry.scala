@@ -948,6 +948,18 @@ object SparkEntry {
         .orderBy("kind")
     },
 
+    // ---- multimodal resize / frame-sample: decode (REAL javax codecs) +
+    // average-pool to a 4x2 thumbnail grid (image) / 4 temporal amplitude
+    // windows (audio). Exact integer (n, sum_v) cells make the compare
+    // FP-free; the oracle recomputes every cell from the synthesis closed
+    // form — a drift in encode, decode, OR pooling arithmetic breaks it.
+    "mm2_media_pool" -> { (s, dir) =>
+      Multimodal.poolFeatures(
+        Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id"))))
+        .orderBy("media_id", "cell_y", "cell_x")
+    },
+
     // ---- ST2 idempotent multi-upload union (first-arrival-wins) ------------
     "st2_idempotent_union" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
@@ -1089,6 +1101,38 @@ object SparkEntry {
         .withColumn("jaccard", Stats.parityRound(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
         .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a")
+    },
+
+    // ---- the COMPLETE near-dup pipeline: shingle → minhash → LSH bands →
+    // candidate pairs → exact-Jaccard verification → flagged dup pairs.
+    // dd2 stops at candidate counts; this runs the whole production path.
+    // Candidates come from per-bucket i<j expansion (no self-join, pair
+    // volume bounded by bucket size) and verification runs in the ROW
+    // domain: shingle-hash rows join the candidate list per side and the
+    // intersection is a (pair, shingle) match count — per-doc arrays never
+    // cross a join, and the verify shuffle is |candidates| x doc size,
+    // which LSH already pruned. The shingle frame is localCheckpoint-ed:
+    // three consumers (signatures, side A, side B) read the tokenize+md5
+    // scan ONCE instead of recomputing its lineage per branch.
+    "dd8_lsh_verified" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = base.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tailword")))
+      val docs = base.unionByName(variants).repartition(32, col("doc_id"))
+      val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
+        .select("doc_id", "shingle_h")
+        .localCheckpoint(eager = false)
+      val mh = Dedup.minhashAggs(6)
+      val sigs = shRows.groupBy("doc_id")
+        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+      Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+        .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
+        .withColumn("is_dup", col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_inter", "jaccard", "is_dup")
+        .orderBy("id_a", "id_b")
     },
 
     // ---- MinHash estimator quality: signature-estimate vs exact Jaccard ----
@@ -2223,6 +2267,68 @@ object SparkEntry {
                 CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_buckets,
                 CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_candidate_pairs
          FROM bk GROUP BY band_id ORDER BY band_id""",
+    "mm2_media_pool" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+              FROM documents),
+         img AS (SELECT media_id, 16 + media_id % 8 AS w, 8 + media_id % 4 AS h
+                 FROM m WHERE kind = 'image'),
+         px AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+         pxy AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         icell AS (SELECT media_id, 'image' AS kind,
+                          (x * 4) // w AS cell_x, (y * 2) // h AS cell_y,
+                          count(*) AS n,
+                          sum(((media_id * 31 + x * 7 + y * 13) % 16777215) % 256) AS sum_v
+                   FROM pxy GROUP BY 1, 2, 3, 4),
+         aud AS (SELECT media_id, 50 + media_id % 100 AS nf FROM m WHERE kind = 'audio'),
+         ai AS (SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM aud),
+         acell AS (SELECT media_id, 'audio' AS kind,
+                          (i * 4) // nf AS cell_x, 0 AS cell_y,
+                          count(*) AS n,
+                          sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
+                   FROM ai GROUP BY 1, 2, 3, 4)
+         SELECT media_id, kind, CAST(cell_x AS BIGINT) AS cell_x,
+                CAST(cell_y AS BIGINT) AS cell_y, CAST(n AS BIGINT) AS n,
+                CAST(sum_v AS BIGINT) AS sum_v
+         FROM (SELECT * FROM icell UNION ALL SELECT * FROM acell)
+         ORDER BY media_id, cell_y, cell_x""",
+    "dd8_lsh_verified" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b)
+         SELECT i.id_a, i.id_b, i.n_inter,
+                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS is_dup
+         FROM inter i
+         JOIN sig sa ON sa.doc_id = i.id_a
+         JOIN sig sb ON sb.doc_id = i.id_b
+         ORDER BY i.id_a, i.id_b""",
     "dd3_simhash" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -222,4 +222,50 @@ object Dedup {
     val inter = size(array_intersect(a, b))
     inter / (size(a) + size(b) - inter)
   }
+
+  /** Distinct candidate pairs (id_a < id_b) from minhash band buckets.
+    * Same bucket-gather + per-bucket i<j expansion recipe as
+    * [[hammingPairs]]: signatures flow through ONCE (no self-join), pair
+    * volume is bounded by bucket size (the LSH invariant — compose
+    * [[exactDupGroups]] upstream so clones can't create a hot bucket).
+    * Input: a signature frame with mh0..mh{n-1} columns and `idCol`.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      numSeeds: Int, rowsPerBand: Int): DataFrame = {
+    val members = col("members")
+    sigs.select(col(idCol).as("id"), explode(bandKeys(numSeeds, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_key"))
+      .groupBy("band_id", "band_key")
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .filter(size(members) > 1)
+      .select(explode(flatten(transform(members, (x, i) =>
+        transform(slice(members, i + lit(2), size(members)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs, in the ROW domain: each
+    * side's (doc, shingle-hash) rows are joined to the pair list and the
+    * intersection size is a count over (pair, shingle) matches — per-doc
+    * shingle arrays never travel through a join (the dd7 HOF-inlining
+    * lesson), and the shuffle volume is bounded by |candidates| x doc
+    * shingle count, which LSH already pruned. `shingleRows` must be
+    * distinct (doc_id, shingle_h) rows; `sizes` maps doc_id -> nsh.
+    */
+  def verifyJaccard(cands: DataFrame, shingleRows: DataFrame,
+      sizes: DataFrame): DataFrame = {
+    val shA = cands.join(shingleRows, col("id_a") === col("doc_id"))
+      .select(col("id_a"), col("id_b"), col("shingle_h"))
+    val shB = cands.join(shingleRows, col("id_b") === col("doc_id"))
+      .select(col("id_a"), col("id_b"), col("shingle_h"))
+    val inter = shA.join(shB, Seq("id_a", "id_b", "shingle_h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nsh_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("nsh_a") + col("nsh_b") - col("n_inter")))
+  }
 }

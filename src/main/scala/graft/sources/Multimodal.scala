@@ -193,6 +193,81 @@ object Multimodal {
     }(enc)
   }
 
+  private val pooledSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("cell_x", LongType, nullable = false),
+    StructField("cell_y", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sum_v", LongType, nullable = false)))
+
+  /** Decode + spatial/temporal pooling — the resize / frame-sample stage of
+    * a multimodal training pipeline, over REAL codec output:
+    *   - image: `javax.imageio` decode, then average-pool the blue channel
+    *     onto a `tw`x`th` thumbnail grid (cell of pixel (x,y) is
+    *     ((x*tw)/w, (y*th)/h) — the arithmetic of a box-filter resize);
+    *   - audio: PCM16 parse, then `audioWindows` temporal windows of
+    *     summed |amplitude| (frame-sampling for feature extraction);
+    *   - video: no JDK codec — stub kind contributes no rows (flagged).
+    * Emits exact integer sums (n, sum_v) per cell so the oracle compare is
+    * FP-free; downstream means are one division away. Runs in
+    * `mapPartitions` like [[decodeFeatures]]: codec init per partition,
+    * one decoded frame in flight per row — memory is O(frame), not
+    * O(partition), the property that holds on 100 MB video frames too.
+    */
+  def poolFeatures(media: DataFrame, tw: Int = 4, th: Int = 2,
+      audioWindows: Int = 4): DataFrame = {
+    val enc = Encoders.row(pooledSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0); val kind = r.getString(1)
+        val payload = r.get(2).asInstanceOf[Array[Byte]]
+        kind match {
+          case "image" if payload != null && payload.nonEmpty =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) Iterator.empty
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val n = Array.ofDim[Long](th, tw)
+              val sum = Array.ofDim[Long](th, tw)
+              var y = 0
+              while (y < h) {
+                val cy = y * th / h
+                var x = 0
+                while (x < w) {
+                  val cx = x * tw / w
+                  n(cy)(cx) += 1
+                  sum(cy)(cx) += (img.getRGB(x, y) & 0xff).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              for (cy <- 0 until th; cx <- 0 until tw if n(cy)(cx) > 0)
+                yield Row(id, kind, cx.toLong, cy.toLong, n(cy)(cx), sum(cy)(cx))
+            }
+          case "audio" if payload != null && payload.length > 44 =>
+            val bb = java.nio.ByteBuffer.wrap(payload, 44, payload.length - 44)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val total = bb.remaining() / 2
+            val n = new Array[Long](audioWindows)
+            val sum = new Array[Long](audioWindows)
+            var i = 0
+            while (i < total) {
+              val wi = i * audioWindows / total
+              n(wi) += 1
+              sum(wi) += math.abs(bb.getShort.toInt).toLong
+              i += 1
+            }
+            for (wi <- 0 until audioWindows if n(wi) > 0)
+              yield Row(id, kind, wi.toLong, 0L, n(wi), sum(wi))
+          case _ => Iterator.empty // video: no JDK codec (stub)
+        }
+      }
+    }(enc)
+  }
+
   /** Legacy stub-based feature stage kept for the opaque-payload path
     * (content hash + byte length are codec-independent).
     */

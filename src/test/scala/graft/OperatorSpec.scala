@@ -97,6 +97,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false, false))
   }
 
+  test("poolFeatures cells partition the decoded content exactly") {
+    import graft.sources.Multimodal
+    val media = Multimodal.fromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(30))
+    val cells = Multimodal.poolFeatures(media)
+      .groupBy("media_id", "kind")
+      .agg(sum("n").as("n_total"), sum("sum_v").as("v_total"),
+        count(lit(1)).as("n_cells"))
+      .collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "image" =>
+          // every pixel lands in exactly one thumbnail cell
+          assert(r.getLong(2) ==
+            Multimodal.imgWidth(id).toLong * Multimodal.imgHeight(id))
+          assert(r.getLong(4) == 8L) // 4x2 grid, all non-empty at these dims
+        case "audio" =>
+          assert(r.getLong(2) == Multimodal.wavFrames(id).toLong)
+          assert(r.getLong(4) == 4L)
+        case other => fail(s"unexpected pooled kind $other")
+      }
+    }
+  }
+
+  test("lshCandidatePairs + verifyJaccard agree with the array-domain jaccard") {
+    import graft.dedup.Dedup
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val variants = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tailword")))
+    val docs = base.unionByName(variants)
+    val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
+      .select("doc_id", "shingle_h").localCheckpoint()
+    val mh = Dedup.minhashAggs(6)
+    val sigs = shRows.groupBy("doc_id")
+      .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", 6, 2)
+    val verified = Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(verified.nonEmpty)
+    // every injected near-dup pair must be an LSH candidate with high jaccard
+    val arrays = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)).as("sh"))
+    val exact = arrays.as("a").join(arrays.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 100000)
+      .select(col("a.doc_id"), Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .as[(Long, Double)].collect()
+    exact.filter(_._2 >= 0.7).foreach { case (id, j) =>
+      val v = verified.get((id, id + 100000))
+      assert(v.isDefined, s"near-dup pair ($id, ${id + 100000}) missed by LSH")
+      assert(math.abs(v.get - j) < 1e-9)
+    }
+  }
+
   test("multimodal decode round-trips real PNG and WAV payloads") {
     import graft.sources.Multimodal
     val media = Multimodal.fromDocuments(
