@@ -377,6 +377,55 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // ---- co-located join over bucketed tables: the shuffle is paid ONCE at
+    // write time; every later join on the bucket key plans with zero
+    // Exchange on the bucketed sides (BucketedJoinSpec gates the plan).
+    // Tables are session-scoped (in-memory catalog) and written once per
+    // (session, sfDir); the measured operator is the exchange-free join.
+    "j8_bucketed_join" -> { (s, dir) =>
+      val tag = math.abs(dir.hashCode).toString
+      val (li, ord) = (s"li_b$tag", s"ord_b$tag")
+      if (!s.catalog.tableExists(li)) {
+        // table metadata is session-scoped (in-memory catalog): a data dir
+        // left by a previous session is unreachable — clear and rewrite
+        val stale = java.nio.file.Paths.get(s"/tmp/graft_j8_$tag")
+        if (java.nio.file.Files.exists(stale))
+          java.nio.file.Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"/tmp/graft_j8_$tag/li").saveAsTable(li)
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"/tmp/graft_j8_$tag/ord").saveAsTable(ord)
+      }
+      s.table(li).hint("MERGE")
+        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- approx percentiles (t-digest-style sketch): the 100 TB quantile
+    // path — mergeable, bounded-memory, one pass; the exact interpolated
+    // percentile (a7's operator) is quadratic-ish in sort volume at scale.
+    // Sketch values are engine-specific, so the oracle checks the exact
+    // values plus a Spark-side tolerance flag (the a10 HLL recipe).
+    "a12_approx_percentiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
+          expr("percentile_approx(value, 0.9, 1000)").as("p90_approx"))
+        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) < 1.0 &&
+            abs(col("p90_approx") - col("p90_exact")) < 1.0).as("approx_ok"))
+        .orderBy("event_type")
+    },
+
     // ---- multi-dimensional cube: all 4 grouping sets in ONE pass — Expand
     // emits one row per grouping set into a single partial+final hash
     // aggregate, so the 100 TB scan happens once, not once per rollup level.
@@ -1795,6 +1844,17 @@ object SparkEntry {
          SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                 CAST(max(n_events) AS BIGINT) AS max_session_events
          FROM g GROUP BY user_id ORDER BY user_id""",
+    "j8_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "a12_approx_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         round(quantile_cont(value, 0.9), 6) AS p90_exact,
+         true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "a7_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50,

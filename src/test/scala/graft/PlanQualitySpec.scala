@@ -64,6 +64,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"s5 partition predicate did not reach PartitionFilters:\n$plan")
   }
 
+  test("bucketed join subtree plans zero shuffle exchanges") {
+    // j8: both scan sides are bucketed on the join key — the only exchange
+    // in the whole plan should be the post-join groupBy's.
+    val plan = SparkEntry.queries("j8_bucketed_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"j8 did not plan a sort-merge join:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"j8 scans are not bucketed:\n$plan")
+    // the only hash exchange allowed is the post-join groupBy's; the join
+    // keys must never shuffle
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("o_orderstatus"),
+        s"unexpected shuffle on the bucketed join keys: $l\n$plan")
+    }
+  }
+
   test("nested struct fields prune to the accessed leaf at the scan") {
     val base = java.nio.file.Files.createTempDirectory("graft-nested").toString
     import org.apache.spark.sql.functions._
