@@ -112,6 +112,35 @@ class Engine(spark: SparkSession) {
       Dedup.simhashWide(tc, idCol), idCol, "simhash", bands, maxDist)
   }
 
+  /** Production LSH near-dup path: exact-dedup pre-pass, then minhash-band
+    * candidates verified by exact Jaccard — the same composition rule as
+    * [[nearDupHamming]]. Identical documents collapse to identical minhash
+    * signatures, so a clone-heavy corpus turns every band bucket quadratic
+    * (the sf1 rehearsal measured 314k verified pairs / 16.8s without the
+    * pre-pass vs 32.6k distinct-content candidates with it); keeping one
+    * row per distinct content bounds bucket sizes by true near-dup
+    * diversity. Returns verified (id_a, id_b, n_inter, jaccard) over the
+    * exact-dup representatives.
+    */
+  def nearDupJaccard(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numSeeds: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val unique = dedupExact(df, textCol, idCol)
+    val shRows = Dedup.withShingleHash(unique.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col(textCol)), shingleN)))
+          .as("shingle")))
+      .select(col(idCol), col("shingle_h"))
+      .localCheckpoint(false)
+    val mh = Dedup.minhashAggs(numSeeds)
+    val sigs = shRows.groupBy(idCol)
+      .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+    val cands = Dedup.lshCandidatePairs(sigs, idCol, numSeeds, rowsPerBand)
+    Dedup.verifyJaccard(
+      cands,
+      shRows.withColumnRenamed(idCol, "doc_id"),
+      sigs.select(col(idCol).as("doc_id"), col("nsh")))
+  }
+
   /** Batched-inference embedding over a corpus: one encoder init per
     * partition, batch-50 encode calls (the real-model contract —
     * embeddings/embed.py:34-44,176-198). Adds `outCol: array<float>`.

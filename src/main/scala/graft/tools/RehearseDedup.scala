@@ -31,6 +31,10 @@ object RehearseDedup {
         bands = 3, maxDist = 16).count()
     }
     println(s"[rehearse] pairs with pre-pass: $withPre, without: $without")
+    val jacPre = time("nearDupJaccard (pre-pass)") {
+      engine.nearDupJaccard(docs, "text", "doc_id").count()
+    }
+    println(s"[rehearse] verified jaccard pairs with pre-pass: $jacPre (dd8 raw shape: 314,600)")
     spark.stop()
   }
 }

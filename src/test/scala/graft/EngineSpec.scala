@@ -83,6 +83,25 @@ class EngineSpec extends AnyFunSuite {
       s"pre-pass did not shrink the pair set: $withoutPrePass vs $withPrePass")
   }
 
+  test("nearDupJaccard composes the pre-pass and verifies true near-dups only") {
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(80)
+    val cloned = (0 to 4).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 100000))).reduce(_ unionByName _)
+    // a genuine near-dup under a fresh id, appended to the clone soup
+    val nd = base.limit(1)
+      .withColumn("doc_id", col("doc_id") + 900000)
+      .withColumn("text", concat(col("text"), lit(" tailword")))
+    val pairs = engine.nearDupJaccard(cloned.unionByName(nd), "text", "doc_id")
+      .collect()
+    // clone pairs were removed by the pre-pass: no pair of ids with equal
+    // content survives (equal content => jaccard 1.0 with n_inter == nsh)
+    assert(!pairs.exists(r => r.getAs[Double]("jaccard") >= 0.9999),
+      "exact clones leaked into the verified near-dup pairs")
+    // the injected near-dup is found against the surviving representative
+    assert(pairs.exists(r => r.getAs[Long]("id_b") % 900000 == r.getAs[Long]("id_a")),
+      s"injected near-dup missed: ${pairs.mkString(", ")}")
+  }
+
   test("embedPartitioned (batch-50, per-partition init) equals the per-row UDF path") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(120)
     val viaUdf = docs
