@@ -377,6 +377,19 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // ---- S3 schema inspection as data: column name/type/nullability rows
+    // (db_handler.py get_schema_info shape). Spark's DataType.sql names map
+    // onto DuckDB's DESCRIBE vocabulary (STRING→VARCHAR, INT→INTEGER);
+    // driver-side metadata, no scan at all.
+    "s3_schema_inspect" -> { (s, dir) =>
+      import s.implicits._
+      val typeName = Map("STRING" -> "VARCHAR", "INT" -> "INTEGER")
+      Tables.customer(s, dir).schema.fields.toSeq.map { f =>
+        (f.name, typeName.getOrElse(f.dataType.sql, f.dataType.sql), f.nullable)
+      }.toDF("column_name", "column_type", "is_nullable")
+        .orderBy("column_name")
+    },
+
     // ---- co-located join over bucketed tables: the shuffle is paid ONCE at
     // write time; every later join on the bucket key plans with zero
     // Exchange on the bucketed sides (BucketedJoinSpec gates the plan).
@@ -604,7 +617,10 @@ object SparkEntry {
       import Stats.{parityRound => pr}
       import org.apache.spark.sql.expressions.Window
       val eq = "=" * 100; val d80 = "-" * 80; val d40 = "-" * 40
-      val g = referenceFloatStats(s, dir)
+      // one row per float after the heavy events-cleanup lineage; the three
+      // report blocks (header/sections/footer) read it from a checkpoint
+      // instead of recomputing the 3-stage pipeline per branch
+      val g = referenceFloatStats(s, dir).localCheckpoint(false)
       val header = g.agg(count(lit(1)).as("n"))
         .crossJoin(Tables.events(s, dir).agg(
           date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("export_date")))
@@ -1844,6 +1860,9 @@ object SparkEntry {
          SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                 CAST(max(n_events) AS BIGINT) AS max_session_events
          FROM g GROUP BY user_id ORDER BY user_id""",
+    "s3_schema_inspect" ->
+      """SELECT column_name, column_type, "null" = 'YES' AS is_nullable
+         FROM (DESCRIBE customer) ORDER BY column_name""",
     "j8_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(sum(l_extendedprice), 2) AS sum_price
