@@ -83,6 +83,28 @@ object SparkEntry {
       (col("tc") + col("sc") + col("pc")).cast("string"))
   }
 
+  /** Shared by dd8/dd9: the verified-LSH near-dup pipeline over the
+    * fixture corpus + injected variants (see dd8's query comment).
+    */
+  private def dd8Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val variants = base.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tailword")))
+    val docs = base.unionByName(variants).repartition(32, col("doc_id"))
+    val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
+      .select("doc_id", "shingle_h")
+      .localCheckpoint(false)
+    val mh = Dedup.minhashAggs(6)
+    val sigs = shRows.groupBy("doc_id")
+      .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+    graft.dedup.Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+      .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
+      .withColumn("is_dup", col("jaccard") >= 0.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline agg (reference A1-spine: scan→filter→agg→sort) ----------
     "q1_pricing_summary" -> { (s, dir) =>
@@ -1180,24 +1202,23 @@ object SparkEntry {
     // three consumers (signatures, side A, side B) read the tokenize+md5
     // scan ONCE instead of recomputing its lineage per branch.
     "dd8_lsh_verified" -> { (s, dir) =>
-      val base = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = base.filter(col("doc_id") % 25 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-        .withColumn("text", concat(col("text"), lit(" tailword")))
-      val docs = base.unionByName(variants).repartition(32, col("doc_id"))
-      val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
-        .select("doc_id", "shingle_h")
-        .localCheckpoint(eager = false)
-      val mh = Dedup.minhashAggs(6)
-      val sigs = shRows.groupBy("doc_id")
-        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
-      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
-      Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
-        .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
-        .withColumn("is_dup", col("jaccard") >= 0.5)
+      dd8Pipeline(s, dir)
         .select("id_a", "id_b", "n_inter", "jaccard", "is_dup")
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- dup-GROUP clustering: connected components over the verified
+    // near-dup pairs (min-label propagation, O(diameter) narrow-shuffle
+    // rounds) — the "keep one representative per cluster" step that turns
+    // pairwise dedup output into an actionable training-corpus filter.
+    // Oracled against a DuckDB RECURSIVE CTE transitive closure.
+    "dd9_dup_groups" -> { (s, dir) =>
+      val pairs = dd8Pipeline(s, dir).filter(col("is_dup"))
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs)
+      cc.join(cc.groupBy("group_id").agg(count(lit(1)).as("n_members")), "group_id")
+        .select("member_id", "group_id", "n_members")
+        .orderBy("member_id")
     },
 
     // ---- MinHash estimator quality: signature-estimate vs exact Jaccard ----
@@ -2408,6 +2429,54 @@ object SparkEntry {
          JOIN sig sa ON sa.doc_id = i.id_a
          JOIN sig sb ON sb.doc_id = i.id_b
          ORDER BY i.id_a, i.id_b""",
+    "dd9_dup_groups" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                   UNION ALL SELECT id_b, id_a FROM dup),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
+         SELECT l.member_id, l.group_id, g.n_members
+         FROM lab l
+         JOIN (SELECT group_id, count(*) AS n_members FROM lab GROUP BY group_id) g
+           USING (group_id)
+         ORDER BY l.member_id""",
     "dd3_simhash" ->
       """WITH toks AS (
            SELECT doc_id,

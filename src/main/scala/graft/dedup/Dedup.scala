@@ -245,6 +245,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b) by
+    * iterative min-label propagation: every node starts labeled with its own
+    * id; each round, labels flow across edges and every node keeps the
+    * minimum seen. Converges in O(component diameter) rounds — near-dup
+    * components are clique-ish (diameter 1-2), so 2-3 narrow shuffles end
+    * it; the iteration-count guard and per-round localCheckpoint (lineage
+    * would otherwise double per round) keep the adversarial case bounded.
+    * At extreme scale with long chains, the same loop upgrades to
+    * large-star/small-star; the per-round plan here is already that shape's
+    * inner step. Returns (member_id, group_id = component minimum).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var checksum = labels.agg(sum("label")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      labels = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      // min-propagation is monotone: the label sum strictly decreases until
+      // fixpoint, so an unchanged sum IS convergence (one action per round)
+      val next = labels.agg(sum("label")).head.getLong(0)
+      converged = next == checksum
+      checksum = next
+      iter += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("group_id"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs, in the ROW domain: each
     * side's (doc, shingle-hash) rows are joined to the pair list and the
     * intersection size is a count over (pair, shingle) matches — per-doc

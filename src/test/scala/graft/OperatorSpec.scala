@@ -157,6 +157,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents labels chains, cliques and isolated pairs") {
+    import graft.dedup.Dedup
+    // chain 1-2-3-4-5 (diameter 4 → multiple propagation rounds),
+    // clique {10,11,12}, isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 10)
+  }
+
   test("multimodal decode round-trips real PNG and WAV payloads") {
     import graft.sources.Multimodal
     val media = Multimodal.fromDocuments(
