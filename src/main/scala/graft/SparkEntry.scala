@@ -1190,6 +1190,28 @@ object SparkEntry {
         .orderBy("doc_a")
     },
 
+    // ---- TF-IDF-weighted top terms per document — term frequency × inverse
+    // document frequency as an EXACT integer score (tf·10⁶ div df: monotone
+    // in tf/df, no log ⇒ no cross-engine FP risk, no rank flips), ranked by
+    // the custom bounded-heap TopKPerKey operator (term rows never sort;
+    // memory O(k·docs)). The df join shuffles on token — vocabulary-sized,
+    // the small axis of any corpus.
+    "ta5_tfidf_topk" -> { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .repartition(32, col("doc_id"))
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "token")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .select("doc_id", "token", "tf", "score")
+      graft.operators.TopK.perKey(scored,
+          keys = Seq("doc_id"),
+          order = Seq("score" -> false, "token" -> true), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("doc_id", "rank")
+    },
+
     // ---- the COMPLETE near-dup pipeline: shingle → minhash → LSH bands →
     // candidate pairs → exact-Jaccard verification → flagged dup pairs.
     // dd2 stops at candidate counts; this runs the whole production path.
@@ -2429,6 +2451,22 @@ object SparkEntry {
          JOIN sig sa ON sa.doc_id = i.id_a
          JOIN sig sb ON sb.doc_id = i.id_b
          ORDER BY i.id_a, i.id_b""",
+    "ta5_tfidf_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (SELECT doc_id, token, tf, (tf * 1000000) // df AS score
+                    FROM tf JOIN dft USING (token)),
+         r AS (SELECT doc_id, token, tf, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, token) AS rank
+               FROM scored)
+         SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score, rank
+         FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
     "dd9_dup_groups" ->
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents

@@ -263,7 +263,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false)
-    var checksum = labels.agg(sum("label")).head.getLong(0)
+    // sum over an EMPTY frame is null — coalesce so a pair-free input
+    // converges on round one instead of NPE-ing
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var checksum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -274,7 +278,7 @@ object Dedup {
         .localCheckpoint(false)
       // min-propagation is monotone: the label sum strictly decreases until
       // fixpoint, so an unchanged sum IS convergence (one action per round)
-      val next = labels.agg(sum("label")).head.getLong(0)
+      val next = labelSum(labels)
       converged = next == checksum
       checksum = next
       iter += 1

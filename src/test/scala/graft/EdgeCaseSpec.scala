@@ -61,6 +61,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.last.getLong(0) == 2L && out.last.isNullAt(out.last.fieldIndex("sim")))
   }
 
+  test("connectedComponents and poolFeatures return empty on empty input") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.dedup.Dedup.connectedComponents(noPairs).count() == 0)
+    val noMedia = graft.sources.Multimodal.fromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001").filter(lit(false)))
+    assert(graft.sources.Multimodal.poolFeatures(noMedia).count() == 0)
+  }
+
   test("upsert family behaves on empty frames") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "value").limit(10)
