@@ -399,6 +399,27 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // ---- S2 multi-format scan parity: the same rows through the JSON and
+    // CSV sources (explicit schemas — schema inference is a scan of its own
+    // and never the production path) must aggregate identically to the
+    // parquet scan the oracle reads. Format conversion is one-time ingest
+    // per sfDir; the measured operator is the two text-format scans.
+    "s2_multiformat_scan" -> { (s, dir) =>
+      val base = s"/tmp/graft_s2_${math.abs(dir.hashCode)}"
+      val src = Tables.events(s, dir).select("event_id", "event_type", "value")
+      if (!new java.io.File(s"$base/json/_SUCCESS").exists())
+        src.write.mode("overwrite").json(s"$base/json")
+      if (!new java.io.File(s"$base/csv/_SUCCESS").exists())
+        src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      val js = s.read.schema(src.schema).json(s"$base/json")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_json"), round(sum("value"), 2).as("sum_json"))
+      val cs = s.read.schema(src.schema).option("header", "true").csv(s"$base/csv")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_csv"), round(sum("value"), 2).as("sum_csv"))
+      js.join(cs, "event_type").orderBy("event_type")
+    },
+
     // ---- S3 schema inspection as data: column name/type/nullability rows
     // (db_handler.py get_schema_info shape). Spark's DataType.sql names map
     // onto DuckDB's DESCRIBE vocabulary (STRING→VARCHAR, INT→INTEGER);
@@ -1903,6 +1924,11 @@ object SparkEntry {
          SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                 CAST(max(n_events) AS BIGINT) AS max_session_events
          FROM g GROUP BY user_id ORDER BY user_id""",
+    "s2_multiformat_scan" ->
+      """SELECT event_type,
+                count(*) AS n_json, round(sum(value), 2) AS sum_json,
+                count(*) AS n_csv,  round(sum(value), 2) AS sum_csv
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "s3_schema_inspect" ->
       """SELECT column_name, column_type, "null" = 'YES' AS is_nullable
          FROM (DESCRIBE customer) ORDER BY column_name""",

@@ -130,6 +130,37 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.text.JsonPretty.pretty("{nope") == null)
   }
 
+  test("connectedComponents equals a union-find reference on random graphs") {
+    val genGraph = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(genGraph, 12).filter(_.nonEmpty).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node id per component on both sides
+      val expect = nodes.groupBy(find).flatMap { case (_, members) =>
+        val root = members.min; members.map(_ -> root)
+      }
+      assert(got == expect, s"CC mismatch on edges $edges")
+    }
+  }
+
   test("TopKPerKey equals the window form on random frames (property)") {
     import org.apache.spark.sql.expressions.Window
     val rowGen = for {
