@@ -91,19 +91,16 @@ object Dedup {
     * stage.)
     */
   def simhash16(docTokenCounts: DataFrame, idCol: String): DataFrame = {
-    // bit b = parity (LSB) of hex digit b; decode all 16 digits with two
-    // conv() calls and shift+mask (same integer-decode trick as
-    // [[simhashWide]] — identical values to the per-digit instr form, so
-    // the DuckDB oracle is unchanged)
+    // bit b = parity (LSB) of hex digit b: one native graft_md5_split digest
+    // (ThreadLocal MessageDigest, no hex round-trip), every bit a
+    // shift+mask off the high 64 bits — identical values to the per-digit
+    // instr form, so the DuckDB oracle is unchanged
     val withVotes = docTokenCounts
-      .withColumn("th", md5(col("token")))
-      .withColumn("h1", expr("cast(conv(substr(th, 1, 8), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substr(th, 9, 8), 16, 10) as bigint)"))
+      .withColumn("hi", element_at(graft.expressions.Md5Split(col("token")), 1))
       .select(
         col(idCol) +:
           (0 until 16).map { b =>
-            val (src, shift) = if (b < 8) ("h1", (7 - b) * 4) else ("h2", (15 - b) * 4)
-            (col("cnt") * (expr(s"($src >> $shift) & 1") * 2 - 1)).as(s"v$b")
+            (col("cnt") * (expr(s"(hi >> ${(15 - b) * 4}) & 1") * 2 - 1)).as(s"v$b")
           }: _*)
     withVotes
       .groupBy(col(idCol))
@@ -141,21 +138,17 @@ object Dedup {
     val GroupSize = 5 // S counters per packed long (5 × 12 bits < 63)
     val CtrBits = 12
     val nGroups = (WideBits + GroupSize - 1) / GroupSize
-    // Decode the 16 hex digits with TWO conv() calls (8 chars → one u32
-    // each; two halves keep the cast inside Long range), then derive every
-    // digit by shift+mask — integer ops replace the 16 per-row substring
-    // searches of the naive decode (measured ~35% off the whole dd6 stage).
-    // Digit value == instr('0123456789abcdef', c) - 1, so the DuckDB oracle
-    // (which keeps the per-digit form) is bit-identical.
+    // The 16 hex digits come from ONE native graft_md5_split digest (per-
+    // thread MessageDigest reuse, no 32-char hex string, no parse-back):
+    // digit d == nibble d-1 == (hi >> (16-d)*4) & 15 — identical to
+    // instr('0123456789abcdef', substr(md5(t), d, 1)) - 1, so the DuckDB
+    // oracle (which keeps the hex form) is bit-identical.
     val withDigits = docTokenCounts
-      .withColumn("th", md5(col("token")))
-      .withColumn("h1", expr("cast(conv(substr(th, 1, 8), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substr(th, 9, 8), 16, 10) as bigint)"))
+      .withColumn("hi", element_at(graft.expressions.Md5Split(col("token")), 1))
       .select(
         Seq(col(idCol), col("cnt")) ++
           (1 to 16).map { d =>
-            val (src, shift) = if (d <= 8) ("h1", (8 - d) * 4) else ("h2", (16 - d) * 4)
-            expr(s"($src >> $shift) & 15").as(s"d$d")
+            expr(s"(hi >> ${(16 - d) * 4}) & 15").as(s"d$d")
           }: _*)
     val packed = withDigits.select(
       Seq(col(idCol), col("cnt")) ++

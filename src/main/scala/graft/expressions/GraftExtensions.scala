@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_split"),
+      new ExpressionInfo(classOf[Md5Split].getName, "graft_md5_split"),
+      (children: Seq[Expression]) => Md5Split(children.head)))
     // rank-1 window filters → max_by/min_by aggregates (no per-partition
     // sort; map-side partial combine) — see graft.plans.RewriteRankOneToMaxBy
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankOneToMaxBy)

@@ -130,6 +130,26 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.text.JsonPretty.pretty("{nope") == null)
   }
 
+  test("graft_md5_split nibbles equal the hex-parse reference on random strings") {
+    val strs = samples(Gen.asciiPrintableStr.map(_.take(40)), 60).distinct
+    val df = strs.toDF("s").select(
+      col("s"),
+      md5(col("s")).as("hex"),
+      graft.expressions.Md5Split(col("s")).as("pair"))
+    df.collect().foreach { r =>
+      val hex = r.getString(1)
+      val pair = r.getSeq[Long](2)
+      val (hi, lo) = (pair(0), pair(1))
+      (0 until 32).foreach { i =>
+        val fromHex = "0123456789abcdef".indexOf(hex.charAt(i)).toLong
+        val fromBits =
+          if (i < 16) (hi >>> (60 - 4 * i)) & 15L
+          else (lo >>> (124 - 4 * i)) & 15L
+        assert(fromBits == fromHex, s"nibble $i of md5('${r.getString(0)}')")
+      }
+    }
+  }
+
   test("connectedComponents equals a union-find reference on random graphs") {
     val genGraph = for {
       n <- Gen.choose(2, 30)
