@@ -129,7 +129,7 @@ class Engine(spark: SparkSession) {
     val shRows = Dedup.withShingleHash(unique.select(col(idCol),
         explode(array_distinct(Dedup.shingles(Dedup.tokens(col(textCol)), shingleN)))
           .as("shingle")))
-      .select(col(idCol), col("shingle_h"))
+      .select(col(idCol), col("sh_hi"), col("sh_lo"))
       .localCheckpoint(false)
     val mh = Dedup.minhashAggs(numSeeds)
     val sigs = shRows.groupBy(idCol)

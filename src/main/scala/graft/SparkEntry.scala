@@ -94,7 +94,7 @@ object SparkEntry {
     val docs = base.unionByName(variants).repartition(32, col("doc_id"))
     val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
-      .select("doc_id", "shingle_h")
+      .select("doc_id", "sh_hi", "sh_lo")
       .localCheckpoint(false)
     val mh = Dedup.minhashAggs(6)
     val sigs = shRows.groupBy("doc_id")
@@ -1294,12 +1294,12 @@ object SparkEntry {
       val grouped = Dedup.withShingleHash(shRows).groupBy("doc_id")
         .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
         .select(col("doc_id"), col("nsh"),
-          concat((0 until 6).map(j => col(s"mh$j")): _*).as("sig"))
+          struct((0 until 6).map(j => col(s"mh$j")): _*).as("sig"))
       // Pair roles WITHOUT a self-join: each row emits one narrow
       // (pair_key, offset, side, payload) row per pair role — (d, d+100000)
       // near-dups and (d, d+20) dissimilar — and one groupBy zips the two
       // sides back together. The expensive lineage is consumed once; only
-      // 30-char sigs / single shingles travel through the shuffles.
+      // 6-lane numeric sig structs / single shingles travel the shuffles.
       def pairRoles(df: DataFrame, payload: String): DataFrame = df.select(
         explode(array(
           struct(col("doc_id").as("pk"), lit(100000L).as("off"), lit(0).as("side"), col(payload)),
@@ -1334,8 +1334,7 @@ object SparkEntry {
       est.join(ni, Seq("pk", "off"), "left")
         .withColumn("ni", coalesce(col("ni"), lit(0L)))
         .withColumn("n_match", (0 until 6)
-          .map(j => when(substring(col("sig_a"), j * 5 + 1, 5) ===
-            substring(col("sig_b"), j * 5 + 1, 5), 1).otherwise(0))
+          .map(j => when(col(s"sig_a.mh$j") === col(s"sig_b.mh$j"), 1).otherwise(0))
           .reduce(_ + _).cast("long"))
         .withColumn("est_j", Stats.parityRound(col("n_match") / lit(6.0), 6))
         .withColumn("exact_j", Stats.parityRound(exactRaw, 6))

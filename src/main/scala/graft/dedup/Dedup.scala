@@ -48,33 +48,55 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature columns over an exploded (`doc_id`, `shingle`) frame.
-    * All lanes derive from ONE md5 per shingle: lane j is the 5-hex-char
-    * chunk at offset 5j (20 bits each — independent enough for banding, and
-    * 6× less hashing than one md5 per lane, which is what dominates the
-    * shingle scan at scale). The signature is the per-doc minimum per lane;
-    * all lanes aggregate in ONE groupBy (one shuffle).
+  /** MinHash lane `j` as a NUMERIC 20-bit value: nibbles [5j, 5j+5) of the
+    * split digest (`sh_hi`/`sh_lo` from [[withShingleHash]]). Equals the
+    * integer value of the 5-hex-char chunk at offset 5j of `md5(shingle)`
+    * — and since those chunks are fixed-width lowercase hex, numeric MIN
+    * and string MIN pick the same winner, so signatures (and every oracle
+    * written against the hex form) are unchanged. Arithmetic >> plus mask
+    * is sign-safe: the mask keeps exactly the shifted-down window.
     */
-  def minhashAggs(numSeeds: Int, hashCol: String = "shingle_h"): Seq[Column] = {
-    require(numSeeds * 5 <= 32, "md5 provides 32 hex chars = at most 6 5-char lanes")
-    (0 until numSeeds).map { j =>
-      min(substring(col(hashCol), j * 5 + 1, 5)).as(s"mh$j")
-    }
+  def minhashLane(j: Int): Column = j match {
+    case 0 => expr("(sh_hi >> 44) & 1048575")
+    case 1 => expr("(sh_hi >> 24) & 1048575")
+    case 2 => expr("(sh_hi >> 4) & 1048575")
+    case 3 => expr("((sh_hi & 15) << 16) | ((sh_lo >> 48) & 65535)")
+    case 4 => expr("(sh_lo >> 28) & 1048575")
+    case 5 => expr("(sh_lo >> 8) & 1048575")
+    case _ => throw new IllegalArgumentException("md5 yields at most 6 20-bit lanes")
   }
 
-  /** Precompute the shingle md5 ONCE per row (the aggregate inputs above
-    * slice it; computing md5 inside each of the 6 min()s would hash 6×).
+  /** MinHash signature columns over an exploded (`doc_id`, `shingle`) frame.
+    * All lanes derive from ONE digest per shingle ([[withShingleHash]] —
+    * 6× less hashing than one md5 per lane, which is what dominates the
+    * shingle scan at scale); each lane is a shift+mask, the per-doc minimum
+    * a numeric min, and all lanes aggregate in ONE groupBy (one shuffle).
+    */
+  def minhashAggs(numSeeds: Int): Seq[Column] = {
+    require(numSeeds <= 6, "md5 provides 128 bits = at most 6 20-bit lanes")
+    (0 until numSeeds).map(j => min(minhashLane(j)).as(s"mh$j"))
+  }
+
+  /** Compute the shingle digest ONCE per row, as two longs via the native
+    * `graft_md5_split` expression — no 32-char hex string, no parse-back;
+    * downstream lane extraction and join keys are integer ops.
     */
   def withShingleHash(df: DataFrame): DataFrame =
-    df.withColumn("shingle_h", md5(col("shingle")))
+    df.withColumn("__mh", graft.expressions.Md5Split(col("shingle")))
+      .withColumn("sh_hi", element_at(col("__mh"), 1))
+      .withColumn("sh_lo", element_at(col("__mh"), 2))
+      .drop("__mh")
 
   /** LSH band keys from a signature row: bands of `rowsPerBand` signature
-    * entries hashed together. Returns an array<struct<band_id,band_key>> to
-    * explode.
+    * entries hashed together. Numeric lanes are re-formatted to their
+    * 5-char lowercase-hex form FIRST (per doc, not per shingle), so band
+    * keys are byte-identical to the hex-lane implementation and the DuckDB
+    * oracles keep matching. Returns an array<struct<band_id,band_key>>.
     */
   def bandKeys(numSeeds: Int, rowsPerBand: Int): Column = {
     val bands = (0 until numSeeds / rowsPerBand).map { b =>
-      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j"))
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => format_string("%05x", col(s"mh$j")))
       struct(lit(b).as("band_id"), md5(concat(parts: _*)).as("band_key"))
     }
     array(bands: _*)
@@ -297,15 +319,17 @@ object Dedup {
     * shingle arrays never travel through a join (the dd7 HOF-inlining
     * lesson), and the shuffle volume is bounded by |candidates| x doc
     * shingle count, which LSH already pruned. `shingleRows` must be
-    * distinct (doc_id, shingle_h) rows; `sizes` maps doc_id -> nsh.
+    * distinct (doc_id, sh_hi, sh_lo) rows — the 128-bit digest as two
+    * longs, a 16-byte fixed-width join key instead of a 32-char string;
+    * `sizes` maps doc_id -> nsh.
     */
   def verifyJaccard(cands: DataFrame, shingleRows: DataFrame,
       sizes: DataFrame): DataFrame = {
     val shA = cands.join(shingleRows, col("id_a") === col("doc_id"))
-      .select(col("id_a"), col("id_b"), col("shingle_h"))
+      .select(col("id_a"), col("id_b"), col("sh_hi"), col("sh_lo"))
     val shB = cands.join(shingleRows, col("id_b") === col("doc_id"))
-      .select(col("id_a"), col("id_b"), col("shingle_h"))
-    val inter = shA.join(shB, Seq("id_a", "id_b", "shingle_h"))
+      .select(col("id_a"), col("id_b"), col("sh_hi"), col("sh_lo"))
+    val inter = shA.join(shB, Seq("id_a", "id_b", "sh_hi", "sh_lo"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
     inter

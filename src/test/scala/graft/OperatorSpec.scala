@@ -133,7 +133,7 @@ class OperatorSpec extends AnyFunSuite {
     val docs = base.unionByName(variants)
     val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
-      .select("doc_id", "shingle_h").localCheckpoint()
+      .select("doc_id", "sh_hi", "sh_lo").localCheckpoint()
     val mh = Dedup.minhashAggs(6)
     val sigs = shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
