@@ -29,6 +29,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(0) == 11.0)
       assert(row.getDouble(1) == 1.0)
       assert(row.isNullAt(2))
+      // split digest: hex-format of [hi, lo] must reproduce md5()'s hex
+      val h = s.sql(
+        """SELECT md5('graft') AS hex,
+           concat(format_string('%016x', element_at(graft_md5_split('graft'), 1)),
+                  format_string('%016x', element_at(graft_md5_split('graft'), 2))) AS split_hex
+        """).head()
+      assert(h.getString(0) == h.getString(1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
