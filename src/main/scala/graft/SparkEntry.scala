@@ -83,6 +83,24 @@ object SparkEntry {
       (col("tc") + col("sc") + col("pc")).cast("string"))
   }
 
+  /** Tag for one-time /tmp materializations (format conversions, layout
+    * sinks): derived from the fixture file's path + size + mtime, so a
+    * regenerated fixture under the same path invalidates the cache instead
+    * of being read through a stale conversion while the oracle reads fresh
+    * data.
+    */
+  private def cacheTag(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    math.abs((dir + ":" + f.length + ":" + f.lastModified).hashCode).toString
+  }
+
+  private def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
   /** Shared by dd8/dd9: the verified-LSH near-dup pipeline over the
     * fixture corpus + injected variants (see dd8's query comment).
     */
@@ -405,7 +423,7 @@ object SparkEntry {
     // parquet scan the oracle reads. Format conversion is one-time ingest
     // per sfDir; the measured operator is the two text-format scans.
     "s2_multiformat_scan" -> { (s, dir) =>
-      val base = s"/tmp/graft_s2_${math.abs(dir.hashCode)}"
+      val base = s"/tmp/graft_s2_${cacheTag(dir, "events")}"
       val src = Tables.events(s, dir).select("event_id", "event_type", "value")
       if (!new java.io.File(s"$base/json/_SUCCESS").exists())
         src.write.mode("overwrite").json(s"$base/json")
@@ -439,15 +457,16 @@ object SparkEntry {
     // Tables are session-scoped (in-memory catalog) and written once per
     // (session, sfDir); the measured operator is the exchange-free join.
     "j8_bucketed_join" -> { (s, dir) =>
-      val tag = math.abs(dir.hashCode).toString
+      val tag = cacheTag(dir, "orders")
       val (li, ord) = (s"li_b$tag", s"ord_b$tag")
-      if (!s.catalog.tableExists(li)) {
+      // require BOTH tables: a failure between the two writes must not
+      // wedge the session on a half-built pair — rebuild from scratch
+      if (!(s.catalog.tableExists(li) && s.catalog.tableExists(ord))) {
+        s.sql(s"DROP TABLE IF EXISTS $li")
+        s.sql(s"DROP TABLE IF EXISTS $ord")
         // table metadata is session-scoped (in-memory catalog): a data dir
         // left by a previous session is unreachable — clear and rewrite
-        val stale = java.nio.file.Paths.get(s"/tmp/graft_j8_$tag")
-        if (java.nio.file.Files.exists(stale))
-          java.nio.file.Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.delete(p))
+        rmTree(s"/tmp/graft_j8_$tag")
         Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"/tmp/graft_j8_$tag/li").saveAsTable(li)
@@ -1087,7 +1106,7 @@ object SparkEntry {
     // PartitionFilters/pruning is gated by PlanQualitySpec). The write is
     // one-time ingest per sfDir; the measured operator is the pruned scan.
     "s5_partitioned_scan" -> { (s, dir) =>
-      val sink = s"/tmp/graft_s5_sink_${math.abs(dir.hashCode)}"
+      val sink = s"/tmp/graft_s5_sink_${cacheTag(dir, "orders")}"
       if (!new java.io.File(s"$sink/_SUCCESS").exists())
         Tables.orders(s, dir).write.mode("overwrite")
           .partitionBy("o_orderpriority").parquet(sink)
@@ -1112,7 +1131,7 @@ object SparkEntry {
       // one-time micros-normalized inbox per sfDir (the raw fixture is
       // TIMESTAMP(NANOS), which the streaming parquet source rejects); the
       // rewrite is ingest, not the measured operator
-      val inbox = s"/tmp/graft_st4_inbox_${math.abs(dir.hashCode)}"
+      val inbox = s"/tmp/graft_st4_inbox_${cacheTag(dir, "events")}"
       if (!new java.io.File(s"$inbox/_SUCCESS").exists())
         ev.write.mode("overwrite").parquet(inbox)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString
@@ -1126,6 +1145,7 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
+      rmTree(ckpt) // drained AvailableNow run; RocksDB state is dead weight
       s.table("st4_mem").orderBy("window_start")
     },
 

@@ -283,7 +283,7 @@ object Dedup {
     * large-star/small-star; the per-round plan here is already that shape's
     * inner step. Returns (member_id, group_id = component minimum).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
@@ -310,6 +310,11 @@ object Dedup {
       checksum = next
       iter += 1
     }
+    // partially-propagated labels are silently WRONG groups — refuse them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds the cap; raise maxIter (rounds are O(diameter)) or " +
+        "switch to large-star/small-star for adversarial chain shapes")
     labels.select(col("id").as("member_id"), col("label").as("group_id"))
   }
 

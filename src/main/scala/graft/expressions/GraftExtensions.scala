@@ -28,7 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_md5_split"),
       new ExpressionInfo(classOf[Md5Split].getName, "graft_md5_split"),
-      (children: Seq[Expression]) => Md5Split(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_md5_split takes exactly 1 argument, got ${children.size}")
+        Md5Split(children.head)
+      }))
     // rank-1 window filters → max_by/min_by aggregates (no per-partition
     // sort; map-side partial combine) — see graft.plans.RewriteRankOneToMaxBy
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankOneToMaxBy)

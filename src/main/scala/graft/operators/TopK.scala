@@ -36,10 +36,17 @@ object TopK {
     val spark = df.sparkSession
     if (GraftExpressionBridge.hasStrategy(spark, TopKPerKeyStrategy.getClass)) {
       val child = df.queryExecution.analyzed
-      def attr(name: String) = child.output.find(_.name == name).getOrElse(
-        child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-          throw new IllegalArgumentException(
-            s"column '$name' not found among ${child.output.map(_.name).mkString(", ")}")))
+      def attr(name: String) = {
+        val exact = child.output.filter(_.name == name)
+        val matches = if (exact.nonEmpty) exact
+          else child.output.filter(_.name.equalsIgnoreCase(name))
+        if (matches.size > 1) throw new IllegalArgumentException(
+          s"column '$name' is ambiguous (${matches.size} matches) — disambiguate " +
+            "before TopK.perKey (the window fallback would throw AMBIGUOUS_REFERENCE " +
+            "for the same input; silently picking one side would rank wrong data)")
+        matches.headOption.getOrElse(throw new IllegalArgumentException(
+          s"column '$name' not found among ${child.output.map(_.name).mkString(", ")}"))
+      }
       val sortOrder = order.map { case (name, asc) =>
         SortOrder(attr(name), if (asc) Ascending else Descending)
       }

@@ -31,7 +31,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Memory is O(k · keys-per-partition) rows — independent of rows-per-key,
   * which is the term that explodes at 100 TB (a hot query key with millions
   * of candidates costs the sort-based plan a million-row sort buffer; this
-  * plan a k-row heap). Semantics match the `row_number` form exactly when
+  * plan a k-row heap). CAVEAT (the inverse regime): the heaps live in a
+  * plain hash map OUTSIDE Spark's memory manager with no spill path, so
+  * k·keys must fit executor memory. That holds for rank-over-bounded-key
+  * sets (queries × k, users × k); for NEAR-UNIQUE keys per partition
+  * (k·keys ≈ rows) the spillable sort-based window plan is the safer
+  * choice — pick per workload. Semantics match the `row_number` form exactly when
   * the ordering is total (callers pass a tiebreak column, as `Knn.topK`
   * does); with ties the choice among tied rows is arbitrary in both forms.
   *

@@ -67,9 +67,13 @@ object Ingest {
     * This is the 100 TB shape: the sink re-read in [[start]] costs a full
     * sink scan per batch (acceptable only while the sink is small), while
     * state-store dedup is constant-time per key and survives restarts via
-    * the checkpoint — replayed batches after a crash hit the same state and
-    * stay idempotent (exactly-once sink effect with the file-commit
-    * protocol). State is unbounded by design — the seen-key set IS the
+    * the checkpoint. Crash-replay idempotence comes from the SINK layout:
+    * each micro-batch overwrites its own `batch=<id>` partition dir, so a
+    * batch replayed after a crash (state restored to the pre-batch version
+    * re-emits the same rows) lands the same content in the same dir — an
+    * exactly-once sink EFFECT without a transactional table format (which
+    * is what this slot upgrades to at 100 TB).
+    * State is unbounded by design — the seen-key set IS the
     * semantic (ON CONFLICT DO NOTHING forever); when keys have event-time
     * locality, `dropDuplicatesWithinWatermark` bounds it instead.
     */
@@ -89,8 +93,14 @@ object Ingest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Idempotent-by-batch sink: each micro-batch owns the partition dir
+        // batch=<id> and REPLACES it. A crash between the append and the
+        // checkpoint commit replays the batch on restart — the state store
+        // re-emits the same rows and the overwrite lands the same content
+        // in the same dir, so replays cannot duplicate keys (a bare append
+        // here would be at-least-once). Readers scan sinkDir recursively.
+        batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
         ()
       }
       .start()
