@@ -273,15 +273,18 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) by
-    * iterative min-label propagation: every node starts labeled with its own
-    * id; each round, labels flow across edges and every node keeps the
-    * minimum seen. Converges in O(component diameter) rounds — near-dup
-    * components are clique-ish (diameter 1-2), so 2-3 narrow shuffles end
-    * it; the iteration-count guard and per-round localCheckpoint (lineage
-    * would otherwise double per round) keep the adversarial case bounded.
-    * At extreme scale with long chains, the same loop upgrades to
-    * large-star/small-star; the per-round plan here is already that shape's
-    * inner step. Returns (member_id, group_id = component minimum).
+    * min-label propagation with POINTER JUMPING: every node starts labeled
+    * with its own id; each round labels flow across edges (every node keeps
+    * the minimum seen), then every label is replaced by its label's label
+    * (`label(x) ← label(label(x))`) — the star-contraction step that halves
+    * remaining label-chain depth, so convergence is O(log diameter) rounds,
+    * not O(diameter): a 1M-node chain needs ~20 rounds, not 1M. Near-dup
+    * components are clique-ish (diameter 1-2) and finish in 2-3 narrow
+    * shuffles regardless. Per-round localCheckpoint stops lineage doubling;
+    * the iteration cap is a safety net that now only fires on a genuinely
+    * pathological graph, and non-convergence THROWS rather than returning
+    * silently-wrong partial labels. Returns (member_id, group_id =
+    * component minimum).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -300,8 +303,17 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      labels = labels.unionByName(prop)
+      val merged = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label(x) ← label(label(x)). Labels are always node
+      // ids of the same component with label(y) <= y, so the composition
+      // stays in-component and non-increasing; chains contract by half
+      // per round (left join: the component min labels itself).
+      val parents = merged
+        .select(col("id").as("pid"), col("label").as("plabel"))
+      labels = merged.join(parents, col("label") === col("pid"), "left")
+        .select(col("id"),
+          coalesce(col("plabel"), col("label")).as("label"))
         .localCheckpoint(false)
       // min-propagation is monotone: the label sum strictly decreases until
       // fixpoint, so an unchanged sum IS convergence (one action per round)

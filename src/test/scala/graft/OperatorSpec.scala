@@ -173,6 +173,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("connectedComponents handles a long chain well inside the round cap") {
+    import graft.dedup.Dedup
+    // diameter 60: plain min-propagation would need 60 rounds (over the
+    // cap); pointer jumping contracts it in O(log n)
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61 && got.values.forall(_ == 0L))
+  }
+
   test("multimodal decode round-trips real PNG and WAV payloads") {
     import graft.sources.Multimodal
     val media = Multimodal.fromDocuments(
