@@ -49,29 +49,40 @@ object Bench {
     // the same query inflates its min unrecoverably (observed in round 3:
     // two sub-0.5s queries recorded 2-3s). With sweeps the reps of any one
     // query are minutes apart, so a spike costs one sweep's sample, not all.
+    // Queries that do their real work when the query FUNCTION is invoked —
+    // streaming drains (st4) and iterative label-propagation loops
+    // (dd9/dd10) — would, if pre-planned, have reps that measure only the
+    // post-work read while the DuckDB baseline re-pays the full recursive
+    // closure per execution. These are timed by calling the query function
+    // FRESH inside the timer so every sample includes the computation.
+    // (s5/j8 stay pre-planned: their sink writes are one-time ingest per
+    // sfDir by design — a fresh call measures the pruned/bucketed scan,
+    // which IS the operator.)
+    val eagerAtPlan = Set("st4_stream_windowed", "dd9_dup_groups", "dd10_dedup_apply")
     val planned = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.queryExecution.executedPlan // plan eagerly, outside the timers
-        Some(name -> df)
+        Some((name, fn, df))
       } catch { case _: Throwable => None }
     }
-    def timeOnce(df: org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      df.count()
+      if (eagerAtPlan(name)) fn(spark, sfDir).count() else df.count()
       (System.nanoTime() - t0) / 1e9
     }
     val best = scala.collection.mutable.Map.empty[String, Double] // successful reps only
-    for (_ <- 1 to 3; (name, df) <- planned) {
-      val t = try timeOnce(df) catch { case _: Throwable => -1.0 }
+    for (_ <- 1 to 3; (name, fn, df) <- planned) {
+      val t = try timeOnce(name, fn, df) catch { case _: Throwable => -1.0 }
       if (t >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
     // Adaptive tail passes: anything still over 0.3s after three sweeps is
     // either genuinely heavy or was unlucky in all three — three more
     // spaced reps settle which (sub-0.3s queries are already at the
     // local-mode floor; re-measuring them buys nothing).
-    for (_ <- 1 to 3; (name, df) <- planned if best.getOrElse(name, 0.0) > 0.3) {
-      val t = try timeOnce(df) catch { case _: Throwable => -1.0 }
+    for (_ <- 1 to 3; (name, fn, df) <- planned if best.getOrElse(name, 0.0) > 0.3) {
+      val t = try timeOnce(name, fn, df) catch { case _: Throwable => -1.0 }
       if (t >= 0) best(name) = math.min(best(name), t)
     }
     val results = SparkEntry.queries.keysIterator

@@ -286,6 +286,31 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // ---- W-suite: the full SQL ranking-function family — rank, dense_rank,
+    // percent_rank, ntile, cume_dist over each nation's customers by
+    // balance. One window spec means ONE partition-local sort serves all
+    // five functions; nothing is global, so the window scales with
+    // rows-per-nation, not total rows. percent_rank/cume_dist are exact
+    // ratios of small ints (identical double division on both engines);
+    // parityRound guards the serialization edge. Unique-key tiebreak makes
+    // every rank deterministic.
+    "w5_rank_suite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("pct_rank", Stats.parityRound(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("cume", Stats.parityRound(cume_dist().over(w), 6))
+        .filter(col("rnk") <= 10)
+        .select("c_custkey", "c_nationkey", "rnk", "drnk", "pct_rank",
+          "quartile", "cume")
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    },
+
     // ---- A2 profile grouping + W5 group-id synthesis (preprocess.py:373-385)
     "a2_profile_groups" -> { (s, dir) =>
       val g = Tables.events(s, dir)
@@ -1118,6 +1143,31 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     },
 
+    // ---- S-suite: schema evolution across file generations. Generation 1
+    // was written before the corpus had lang/source columns; generation 2
+    // carries them. One mergeSchema scan unions the footers so both
+    // generations read through a single schema, nulls where v1 predates the
+    // columns — the add-a-column story a 100 TB lake needs: no rewrite of
+    // old files, per-file pruning and pushdown intact. The writes are
+    // one-time ingest per sfDir; the measured operator is the merged scan.
+    "s6_schema_evolution" -> { (s, dir) =>
+      val sink = s"/tmp/graft_s6_sink_${cacheTag(dir, "documents")}"
+      val docs = Tables.documents(s, dir)
+      if (!new java.io.File(s"$sink/gen2/_SUCCESS").exists()) {
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "n_chars")
+          .write.mode("overwrite").parquet(s"$sink/gen1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "n_chars", "lang", "source")
+          .write.mode("overwrite").parquet(s"$sink/gen2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$sink/gen1", s"$sink/gen2")
+        .groupBy(coalesce(col("lang"), lit("__pre_schema__")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
     // readStream over a parquet inbox → watermark + window() groupBy (shared
     // aggregate exprs with the batch A1/A3 path) → memory sink, drained with
@@ -1253,6 +1303,67 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     },
 
+    // ---- PII redaction: regex scrub of emails / phone numbers with per-doc
+    // match counts AND the redacted text itself — the mandatory scrub pass
+    // before a corpus ships to training. Patterns stay inside the
+    // RE2 ∩ Java-regex common dialect so the oracle runs the same automaton;
+    // regexp_count/regexp_replace are codegen'd builtins, one scan, no UDF.
+    // The fixtures carry no PII, so matches are injected deterministically
+    // on every 4th doc — the redactor is checked both where it must fire
+    // and where it must not.
+    "ta6_pii_redact" -> { (s, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+      Tables.documents(s, dir).select("doc_id", "text")
+        .withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or call "),
+              format_string("555-%04d", col("doc_id") % 10000)))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Repetition signals (Gopher-style quality rules): per-doc
+    // duplicate-segment and top-bigram concentration counts — the standard
+    // "is this boilerplate/spam" gate in training-data curation. Segments
+    // and bigrams explode ONCE into the row domain, then narrow per-doc
+    // aggregates; every output is an exact integer so the oracle has no FP
+    // edge, and the repetitive flag is the Gopher top-2gram rule (>18% of
+    // bigrams) in integer math.
+    "ta7_repetition" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(32, col("doc_id"))
+      val segs = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\.")).as("seg0"))
+        .select(col("doc_id"), trim(col("seg0")).as("seg"))
+        .filter(col("seg") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          countDistinct(col("seg")).as("n_distinct_segs"))
+      val bg = docs
+        .select(col("doc_id"),
+          explode(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+      docs.select("doc_id")
+        .join(segs, Seq("doc_id"), "left").join(bg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+          coalesce(col("n_distinct_segs"), lit(0L)).as("n_distinct_segs"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          (coalesce(col("top_bigram_n"), lit(0L)) * 100 >
+            coalesce(col("n_bigrams"), lit(0L)) * 18).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // ---- the COMPLETE near-dup pipeline: shingle → minhash → LSH bands →
     // candidate pairs → exact-Jaccard verification → flagged dup pairs.
     // dd2 stops at candidate counts; this runs the whole production path.
@@ -1282,6 +1393,28 @@ object SparkEntry {
       cc.join(cc.groupBy("group_id").agg(count(lit(1)).as("n_members")), "group_id")
         .select("member_id", "group_id", "n_members")
         .orderBy("member_id")
+    },
+
+    // ---- the dedup DELIVERABLE: the keep/drop decision table for the whole
+    // corpus. Verified near-dup pairs → connected components → the canonical
+    // member of each dup group is the group minimum (which IS the CC label),
+    // every other member is dropped. Labels cover only dup-group members —
+    // a vanishing fraction of a real corpus — so the decision join back to
+    // the corpus is a narrow shuffle (broadcast when the dup set fits).
+    // One row per doc: its group and whether it survives the dedup.
+    "dd10_dedup_apply" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id")
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000).as("doc_id")))
+      val labels = Dedup.connectedComponents(
+          dd8Pipeline(s, dir).filter(col("is_dup")).select("id_a", "id_b"))
+        .withColumnRenamed("member_id", "doc_id")
+      corpus.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"),
+          (col("group_id").isNull || col("group_id") === col("doc_id")).as("kept"))
+        .orderBy("doc_id")
     },
 
     // ---- MinHash estimator quality: signature-estimate vs exact Jaccard ----
@@ -1809,6 +1942,21 @@ object SparkEntry {
                 ma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey, o_orderkey""",
+    "w5_rank_suite" ->
+      """WITH r AS (
+           SELECT c_custkey, c_nationkey,
+                  rank() OVER w AS rnk,
+                  dense_rank() OVER w AS drnk,
+                  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+                  ntile(4) OVER w AS quartile,
+                  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+         SELECT c_custkey, c_nationkey, CAST(rnk AS BIGINT) AS rnk,
+                CAST(drnk AS BIGINT) AS drnk, pct_rank,
+                CAST(quartile AS BIGINT) AS quartile, cume
+         FROM r WHERE rnk <= 10
+         ORDER BY c_nationkey, rnk, c_custkey""",
     "a11_grouping_sets" ->
       """SELECT coalesce(event_type, '__all__') AS event_type,
                 coalesce(yr, -1) AS yr,
@@ -2038,6 +2186,13 @@ object SparkEntry {
                 round(sum(o_totalprice), 2) AS total_price
          FROM orders WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s6_schema_evolution" ->
+      """SELECT coalesce(lang, '__pre_schema__') AS lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+               UNION ALL
+               SELECT n_chars, lang FROM documents WHERE doc_id % 2 = 1)
+         GROUP BY 1 ORDER BY 1""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,
@@ -2512,6 +2667,47 @@ object SparkEntry {
          SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score, rank
          FROM r WHERE rank <= 3
          ORDER BY doc_id, rank""",
+    "ta6_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                            '@example.com or call ' || printf('555-%04d', doc_id % 10000)
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                regexp_replace(
+                  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
+    "ta7_repetition" ->
+      """WITH segs0 AS (
+           SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents),
+         segs AS (SELECT doc_id, trim(s) AS seg FROM segs0 WHERE trim(s) <> ''),
+         segstats AS (SELECT doc_id, count(*) AS n_segs,
+                             count(DISTINCT seg) AS n_distinct_segs
+                      FROM segs GROUP BY doc_id),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM documents),
+         bg0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM tk WHERE len(toks) >= 2),
+         bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram FROM bg0),
+         bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+         bgstats AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+                     FROM bgc GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_segs, 0) AS BIGINT) AS n_segs,
+                CAST(coalesce(s.n_distinct_segs, 0) AS BIGINT) AS n_distinct_segs,
+                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                (coalesce(b.top_bigram_n, 0) * 100 > coalesce(b.n_bigrams, 0) * 18) AS repetitive
+         FROM documents d
+         LEFT JOIN segstats s USING (doc_id)
+         LEFT JOIN bgstats b USING (doc_id)
+         ORDER BY d.doc_id""",
     "dd9_dup_groups" ->
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
@@ -2560,6 +2756,54 @@ object SparkEntry {
          JOIN (SELECT group_id, count(*) AS n_members FROM lab GROUP BY group_id) g
            USING (group_id)
          ORDER BY l.member_id""",
+    "dd10_dedup_apply" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                   UNION ALL SELECT id_b, id_a FROM dup),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
+         SELECT d.doc_id,
+                coalesce(l.group_id, d.doc_id) AS group_id,
+                (l.group_id IS NULL OR l.group_id = d.doc_id) AS kept
+         FROM all_docs d LEFT JOIN lab l ON l.member_id = d.doc_id
+         ORDER BY d.doc_id""",
     "dd3_simhash" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -296,4 +296,40 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("p").isNotNull).count()
     assert(n > 0)
   }
+
+  test("dedup-apply keeps exactly one canonical member per dup group") {
+    val decisions = SparkEntry.queries("dd10_dedup_apply")(spark, "/root/testdata/sf0.001")
+    val perGroup = decisions.groupBy("group_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min("doc_id").as("min_id"))
+      .collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == 1L, s"group ${r.get(0)}: ${r.getAs[Long]("n_kept")} kept")
+      // the survivor is the group minimum, which is also the group label
+      assert(r.getAs[Long]("min_id") == r.getAs[Long]("group_id"))
+    }
+    // the injected clones (doc_id % 25 == 0 -> +100000) must all be dropped
+    val clonesKept = decisions
+      .filter(col("doc_id") >= 100000 && col("kept")).count()
+    assert(clonesKept == 0L)
+  }
+
+  test("PII redactor fires on injected PII and leaves clean text untouched") {
+    val out = SparkEntry.queries("ta6_pii_redact")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_phones"), r.getAs[String]("redacted"))).toSeq
+    val (pii, clean) = out.partition(_._1 % 4 == 0)
+    assert(pii.nonEmpty && clean.nonEmpty)
+    pii.foreach { case (id, ne, np, red) =>
+      assert(ne >= 1 && np >= 1, s"doc $id: expected injected PII counted")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(!red.contains("@example.com") && !red.matches(".*\\b\\d{3}-\\d{4}\\b.*"))
+    }
+    clean.foreach { case (id, ne, np, red) =>
+      assert(ne == 0 && np == 0, s"doc $id: false positive on clean text")
+      assert(!red.contains("<EMAIL>") && !red.contains("<PHONE>"))
+    }
+  }
 }
