@@ -1085,10 +1085,10 @@ object SparkEntry {
 
     // ---- multimodal: binary payload + stubbed decode + features ------------
     "mm1_media_features" -> { (s, dir) =>
-      // REAL decode: PNG via javax.imageio, WAV via javax.sound.sampled
-      // (video: honest stub, nulls). The oracle recomputes the decoded
-      // metadata from the synthesis arithmetic — if encode OR decode
-      // drifts, the hash breaks.
+      // REAL decode: PNG via javax.imageio, WAV via javax.sound.sampled,
+      // MP4 container boxes via the Mp4 byte walker (no codec — container
+      // metadata only). The oracle recomputes the decoded metadata from the
+      // synthesis arithmetic — if encode OR decode drifts, the hash breaks.
       Multimodal.decodeFeatures(
         Multimodal.fromDocuments(Tables.documents(s, dir)
           .repartition(32, col("doc_id")))) // single-row-group source: spread encode+decode
@@ -2557,13 +2557,17 @@ object SparkEntry {
                        ELSE 'video' END AS kind
            FROM documents)
          SELECT kind, count(*) AS n_items,
-                CAST(sum(CASE WHEN kind IN ('image', 'audio') THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
-                CAST(max(CASE WHEN kind = 'image' THEN 16 + doc_id % 8 END) AS INTEGER) AS max_width,
-                CAST(max(CASE WHEN kind = 'image' THEN 8 + doc_id % 4 END) AS INTEGER) AS max_height,
+                CAST(count(*) AS BIGINT) AS n_decoded,
+                CAST(max(CASE WHEN kind = 'image' THEN 16 + doc_id % 8
+                              WHEN kind = 'video' THEN 320 + (doc_id % 8) * 4 END) AS INTEGER) AS max_width,
+                CAST(max(CASE WHEN kind = 'image' THEN 8 + doc_id % 4
+                              WHEN kind = 'video' THEN 180 + (doc_id % 6) * 4 END) AS INTEGER) AS max_height,
                 CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
-                CAST(max(CASE WHEN kind = 'audio' THEN 8000 + (doc_id % 5) * 1000 END) AS INTEGER) AS max_sample_rate,
-                CAST(sum(CASE WHEN kind = 'audio' THEN 50 + doc_id % 100 END) AS BIGINT) AS sum_frames,
-                CAST(sum(CASE WHEN kind IN ('image', 'audio') THEN 1 ELSE 0 END) AS BIGINT) AS n_feat_ok
+                CAST(max(CASE WHEN kind = 'audio' THEN 8000 + (doc_id % 5) * 1000
+                              WHEN kind = 'video' THEN 600 + (doc_id % 5) * 300 END) AS INTEGER) AS max_sample_rate,
+                CAST(sum(CASE WHEN kind = 'audio' THEN 50 + doc_id % 100
+                              WHEN kind = 'video' THEN 3000 + (doc_id % 100) * 60 END) AS BIGINT) AS sum_frames,
+                CAST(count(*) AS BIGINT) AS n_feat_ok
          FROM m GROUP BY kind ORDER BY kind""",
     "st2_idempotent_union" ->
       """WITH u AS (
@@ -2624,11 +2628,18 @@ object SparkEntry {
                           (i * 4) // nf AS cell_x, 0 AS cell_y,
                           count(*) AS n,
                           sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
-                   FROM ai GROUP BY 1, 2, 3, 4)
+                   FROM ai GROUP BY 1, 2, 3, 4),
+         vid AS (SELECT media_id, 64 + media_id % 64 AS nb FROM m WHERE kind = 'video'),
+         vi AS (SELECT media_id, nb, unnest(generate_series(0, nb - 1)) AS i FROM vid),
+         vcell AS (SELECT media_id, 'video' AS kind,
+                          (i * 4) // nb AS cell_x, 0 AS cell_y,
+                          count(*) AS n,
+                          sum((media_id * 13 + i * 17) % 251) AS sum_v
+                   FROM vi GROUP BY 1, 2, 3, 4)
          SELECT media_id, kind, CAST(cell_x AS BIGINT) AS cell_x,
                 CAST(cell_y AS BIGINT) AS cell_y, CAST(n AS BIGINT) AS n,
                 CAST(sum_v AS BIGINT) AS sum_v
-         FROM (SELECT * FROM icell UNION ALL SELECT * FROM acell)
+         FROM (SELECT * FROM icell UNION ALL SELECT * FROM acell UNION ALL SELECT * FROM vcell)
          ORDER BY media_id, cell_y, cell_x""",
     "dd8_lsh_verified" ->
       """WITH all_docs AS (

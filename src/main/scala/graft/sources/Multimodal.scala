@@ -12,8 +12,13 @@ import org.apache.spark.sql.types._
   *     width/height/format come from actually parsing the payload bytes;
   *   - audio: WAV (RIFF/PCM16) encode + decode via `javax.sound.sampled` —
   *     sample rate and frame count come from the parsed header;
-  *   - video: STUB — the JDK has no video codec; decode returns nulls and
-  *     the payload stays an opaque blob (clearly marked below).
+  *   - video: MP4/QuickTime CONTAINER parse ([[Mp4]]) — the JDK has no
+  *     video codec, so frame pixels stay opaque, but the container boxes
+  *     (`ftyp` brand, `moov`/`mvhd` timescale+duration, `trak`/`tkhd`
+  *     16.16-fixed track dims, `mdat` sample bytes) are synthesized and
+  *     re-parsed as real big-endian byte arithmetic — the part of video
+  *     ingest (metadata extraction, sample-range location) a 100 TB
+  *     pipeline runs *before* any codec touches the stream.
   *
   * Scale shape (what a 100 TB multimodal pipeline needs and what this
   * module keeps real regardless of codec):
@@ -48,6 +53,12 @@ object Multimodal {
   private[graft] def imgHeight(id: Long): Int = 8 + (id % 4).toInt
   private[graft] def wavRate(id: Long): Int = 8000 + (id % 5).toInt * 1000
   private[graft] def wavFrames(id: Long): Int = 50 + (id % 100).toInt
+  private[graft] def vidWidth(id: Long): Int = 320 + (id % 8).toInt * 4
+  private[graft] def vidHeight(id: Long): Int = 180 + (id % 6).toInt * 4
+  private[graft] def vidTimescale(id: Long): Int = 600 + (id % 5).toInt * 300
+  private[graft] def vidDurTicks(id: Long): Long = 3000L + (id % 100) * 60
+  private[graft] def mdatLen(id: Long): Int = 64 + (id % 64).toInt
+  private[graft] def mdatByte(id: Long, i: Int): Int = ((id * 13 + i * 17) % 251).toInt
 
   /** Real PNG bytes: BufferedImage filled with id-derived pixels, encoded
     * by the JDK's PNG writer.
@@ -90,28 +101,136 @@ object Multimodal {
     bb.array()
   }
 
-  private val makePayload = udf { (id: Long, kind: String, text: String) =>
+  /** Real MP4/QuickTime container bytes (ISO/IEC 14496-12 box layout):
+    * `ftyp` (major brand), `moov` [ `mvhd` v0 (timescale, duration) +
+    * `trak`/`tkhd` v0 (track dims as 16.16 fixed-point) ], `mdat` with
+    * id-derived sample bytes. No codec involved — the container structure
+    * IS the format; [[Mp4.parse]] re-reads it from the bytes alone.
+    */
+  private[graft] def mp4Bytes(id: Long): Array[Byte] = {
+    val nb = mdatLen(id)
+    val bb = java.nio.ByteBuffer.allocate(16 + 216 + 8 + nb) // big-endian
+    def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(16); tag("ftyp"); tag("isom"); bb.putInt(0x200)
+    bb.putInt(216); tag("moov")
+    bb.putInt(108); tag("mvhd")
+    bb.putInt(0)                   // version 0 + flags
+    bb.putInt(0); bb.putInt(0)     // creation/modification time
+    bb.putInt(vidTimescale(id))
+    bb.putInt(vidDurTicks(id).toInt)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    bb.position(bb.position() + 10 + 36 + 24)          // reserved+matrix+predefined
+    bb.putInt(2)                   // next track id
+    bb.putInt(100); tag("trak")
+    bb.putInt(92); tag("tkhd")
+    bb.putInt(0)                   // version 0 + flags
+    bb.putInt(0); bb.putInt(0)     // creation/modification time
+    bb.putInt(1)                   // track id
+    bb.putInt(0)                   // reserved
+    bb.putInt(vidDurTicks(id).toInt)
+    bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved..matrix
+    bb.putInt(vidWidth(id) << 16)  // 16.16 fixed-point
+    bb.putInt(vidHeight(id) << 16)
+    bb.putInt(8 + nb); tag("mdat")
+    var i = 0
+    while (i < nb) { bb.put(mdatByte(id, i).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Parsed MP4 container metadata + the mdat sample range. */
+  private[graft] final case class Mp4Info(
+      brand: String, timescale: Int, durationTicks: Long,
+      width: Int, height: Int, mdatOff: Int, mdatLen: Int)
+
+  /** Minimal ISO-BMFF box walker: big-endian size+fourcc headers, 64-bit
+    * `largesize` (size==1) and to-end-of-file (size==0) forms — the two
+    * shapes real >4 GB media hits — and recursive descent into `moov`/
+    * `trak` for `mvhd`/`tkhd` (version 0 and 1 field offsets). Pure byte
+    * arithmetic, no library; returns None on any malformed/truncated box,
+    * never throws on garbage input.
+    */
+  private[graft] object Mp4 {
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def parse(b: Array[Byte]): Option[Mp4Info] = {
+      if (b == null || b.length < 8) return None
+      var brand: String = null
+      var timescale = -1; var duration = -1L
+      var width = -1; var height = -1
+      var mdatOff = -1; var mdatB = -1
+      // (start, end) box ranges still to walk; children are pushed so the
+      // walk is iterative — no recursion depth to blow on adversarial input
+      var stack = List((0, b.length))
+      var guard = 0
+      while (stack.nonEmpty && guard < 10000) {
+        guard += 1
+        val (start, end) = stack.head
+        stack = stack.tail
+        var off = start
+        while (off + 8 <= end) {
+          val rawSize = u32(b, off)
+          val typ = fourcc(b, off + 4)
+          val (hdr, size) =
+            if (rawSize == 1L) {
+              if (off + 16 > end) return None
+              (16, u64(b, off + 8))
+            } else if (rawSize == 0L) (8, (end - off).toLong)
+            else (8, rawSize)
+          if (size < hdr || off + size > end) return None
+          val p = off + hdr // payload start
+          typ match {
+            case "ftyp" if size >= hdr + 4 => brand = fourcc(b, p)
+            case "moov" | "trak" => stack = (p, (off + size).toInt) :: stack
+            case "mvhd" if size >= hdr + 8 =>
+              val v = b(p) & 0xff
+              if (v == 1 && size >= hdr + 32) {
+                timescale = u32(b, p + 20).toInt; duration = u64(b, p + 24)
+              } else if (v == 0 && size >= hdr + 20) {
+                timescale = u32(b, p + 12).toInt; duration = u32(b, p + 16)
+              }
+            case "tkhd" =>
+              val v = b(p) & 0xff
+              val wOff = if (v == 1) p + 88 else p + 76
+              if (off + hdr + (wOff - p) + 8 <= off + size) {
+                width = (u32(b, wOff) >> 16).toInt
+                height = (u32(b, wOff + 4) >> 16).toInt
+              }
+            case "mdat" => mdatOff = p; mdatB = (size - hdr).toInt
+            case _ => ()
+          }
+          off += size.toInt
+        }
+      }
+      if (brand == null || timescale < 0) None
+      else Some(Mp4Info(brand, timescale, duration, width, height, mdatOff, mdatB))
+    }
+  }
+
+  private val makePayload = udf { (id: Long, kind: String) =>
     kind match {
       case "image" => pngBytes(id)
       case "audio" => wavBytes(id)
-      // STUB: no JDK video codec — opaque text bytes stand in for an
-      // encoded stream; decode below returns nulls for this kind.
-      case _ => if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+      case _ => mp4Bytes(id) // real ISO-BMFF container (no codec payload)
     }
   }
 
   /** Deterministic media fixture derived from the documents table: real
-    * encoded PNG/WAV payloads (video: opaque stub bytes); kind cycles
-    * image/audio/video by id.
+    * encoded PNG/WAV/MP4-container payloads; kind cycles image/audio/video
+    * by id.
     */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text"),
       col("n_chars"))
-      .withColumn("payload", makePayload(col("media_id"), col("kind"), col("text")))
+      .withColumn("payload", makePayload(col("media_id"), col("kind")))
       .select(
         col("media_id"), col("kind"), col("payload"),
         struct(
@@ -184,8 +303,25 @@ object Multimodal {
               i += 1
             }
             (Row(null, null, null, f.getSampleRate.toInt, nFrames), acc)
+          case "video" if payload != null && payload.nonEmpty =>
+            // Container parse (no codec): brand → format, mvhd timescale →
+            // sample_rate (time units/sec), mvhd duration ticks → n_frames,
+            // tkhd 16.16 dims → width/height. Features fold the mdat
+            // sample bytes — the codec-independent part of the stream.
+            Mp4.parse(payload) match {
+              case Some(info) =>
+                val acc = new Array[Float](featureDim)
+                var i = 0
+                while (i < info.mdatLen) {
+                  acc(i % featureDim) += (payload(info.mdatOff + i) & 0xff) / 255.0f
+                  i += 1
+                }
+                (Row(info.width, info.height, info.brand, info.timescale,
+                  info.durationTicks), acc)
+              case None => (Row(null, null, null, null, null), null)
+            }
           case _ =>
-            // video / empty payload: no JDK codec — decode yields nulls
+            // empty/unknown payload: decode yields nulls
             (Row(null, null, null, null, null), null)
         }
         Row(id, kind, nBytes, decoded, if (features == null) null else features.toSeq)
@@ -208,7 +344,9 @@ object Multimodal {
     *     ((x*tw)/w, (y*th)/h) — the arithmetic of a box-filter resize);
     *   - audio: PCM16 parse, then `audioWindows` temporal windows of
     *     summed |amplitude| (frame-sampling for feature extraction);
-    *   - video: no JDK codec — stub kind contributes no rows (flagged).
+    *   - video: ISO-BMFF container parse locates the `mdat` sample range,
+    *     then the same temporal windowing over the sample bytes (the
+    *     codec-free analogue of frame sampling).
     * Emits exact integer sums (n, sum_v) per cell so the oracle compare is
     * FP-free; downstream means are one division away. Runs in
     * `mapPartitions` like [[decodeFeatures]]: codec init per partition,
@@ -262,7 +400,26 @@ object Multimodal {
             }
             for (wi <- 0 until audioWindows if n(wi) > 0)
               yield Row(id, kind, wi.toLong, 0L, n(wi), sum(wi))
-          case _ => Iterator.empty // video: no JDK codec (stub)
+          case "video" if payload != null && payload.nonEmpty =>
+            // Frame-sample analogue without a codec: locate the mdat sample
+            // range from the container boxes and window the sample bytes
+            // temporally, like the audio path windows PCM frames.
+            Mp4.parse(payload) match {
+              case Some(info) if info.mdatLen > 0 =>
+                val n = new Array[Long](audioWindows)
+                val sum = new Array[Long](audioWindows)
+                var i = 0
+                while (i < info.mdatLen) {
+                  val wi = i * audioWindows / info.mdatLen
+                  n(wi) += 1
+                  sum(wi) += (payload(info.mdatOff + i) & 0xff).toLong
+                  i += 1
+                }
+                for (wi <- 0 until audioWindows if n(wi) > 0)
+                  yield Row(id, kind, wi.toLong, 0L, n(wi), sum(wi))
+              case _ => Iterator.empty
+            }
+          case _ => Iterator.empty // empty/unknown payload
         }
       }
     }(enc)

@@ -118,6 +118,12 @@ class OperatorSpec extends AnyFunSuite {
         case "audio" =>
           assert(r.getLong(2) == Multimodal.wavFrames(id).toLong)
           assert(r.getLong(4) == 4L)
+        case "video" =>
+          // every mdat sample byte lands in exactly one temporal window
+          assert(r.getLong(2) == Multimodal.mdatLen(id).toLong)
+          assert(r.getLong(3) ==
+            (0 until Multimodal.mdatLen(id)).map(Multimodal.mdatByte(id, _).toLong).sum)
+          assert(r.getLong(4) == 4L)
         case other => fail(s"unexpected pooled kind $other")
       }
     }
@@ -183,6 +189,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 61 && got.values.forall(_ == 0L))
   }
 
+  test("Mp4 box walker: round-trip, largesize form, malformed input") {
+    import graft.sources.Multimodal
+    // round-trip: parse recovers exactly what the synthesizer wrote
+    for (id <- Seq(0L, 7L, 123L, 9999L)) {
+      val info = Multimodal.Mp4.parse(Multimodal.mp4Bytes(id)).get
+      assert(info.brand == "isom")
+      assert(info.timescale == Multimodal.vidTimescale(id))
+      assert(info.durationTicks == Multimodal.vidDurTicks(id))
+      assert(info.width == Multimodal.vidWidth(id))
+      assert(info.height == Multimodal.vidHeight(id))
+      assert(info.mdatLen == Multimodal.mdatLen(id))
+    }
+    // 64-bit largesize mdat header (rawSize == 1): the >4 GB form
+    val base = Multimodal.mp4Bytes(5L)
+    val mdatStart = 16 + 216
+    val nb = Multimodal.mdatLen(5L)
+    val big = java.nio.ByteBuffer.allocate(base.length + 8)
+    big.put(base, 0, mdatStart)
+    big.putInt(1); big.put("mdat".getBytes("US-ASCII")); big.putLong(16L + nb)
+    big.put(base, mdatStart + 8, nb)
+    val parsed = Multimodal.Mp4.parse(big.array()).get
+    assert(parsed.mdatLen == nb && parsed.timescale == Multimodal.vidTimescale(5L))
+    // malformed input never throws: truncated container, garbage, empty
+    assert(Multimodal.Mp4.parse(base.take(40)).isEmpty)
+    assert(Multimodal.Mp4.parse(Array.tabulate[Byte](64)(i => (i * 37).toByte)).isEmpty)
+    assert(Multimodal.Mp4.parse(Array.empty[Byte]).isEmpty)
+    // box claiming to run past the buffer end is rejected, not read OOB
+    val lying = base.clone(); lying(0) = 0x7f.toByte
+    assert(Multimodal.Mp4.parse(lying).isEmpty)
+  }
+
   test("multimodal decode round-trips real PNG and WAV payloads") {
     import graft.sources.Multimodal
     val media = Multimodal.fromDocuments(
@@ -206,8 +243,15 @@ class OperatorSpec extends AnyFunSuite {
           assert(r.getInt(5) == Multimodal.wavRate(id))
           assert(r.getLong(6) == Multimodal.wavFrames(id).toLong)
           assert(r.getSeq[Float](7).length == 8)
-        case "video" => // honest stub: no JDK codec
-          assert(r.isNullAt(2) && r.isNullAt(5))
+        case "video" =>
+          // parsed from the actual ISO-BMFF container boxes (no codec):
+          // tkhd 16.16 dims, mvhd timescale/duration, ftyp brand
+          assert(r.getInt(2) == Multimodal.vidWidth(id))
+          assert(r.getInt(3) == Multimodal.vidHeight(id))
+          assert(r.getString(4) == "isom")
+          assert(r.getInt(5) == Multimodal.vidTimescale(id))
+          assert(r.getLong(6) == Multimodal.vidDurTicks(id))
+          assert(r.getSeq[Float](7).length == 8)
       }
     }
     // featurization over DECODED content is deterministic
