@@ -896,14 +896,23 @@ object SparkEntry {
       val cands = emb.filter(col("vec_id") >= 20).select("vec_id", "label", "vec")
       val exact = Knn.topK(cands, "vec", queries, "query_id", "qvec",
         k = 5, tiebreak = "vec_id").select("query_id", "vec_id")
-      val cents = Knn.ivfCentroids(cands, "vec", "label")
+      // TRAINED quantizer: two Lloyd rounds over the initial label cells,
+      // then the corpus is RE-ASSIGNED to the trained centroids — searching
+      // the pre-training label column against trained centroids would probe
+      // the wrong rows. (Oracle unrolls the same two assignment+mean rounds
+      // plus the final assignment in SQL.) On these isotropic fixtures
+      // recall still tracks the probed fraction — KnnSpec plants clustered
+      // vectors and asserts training lifts recall ABOVE the probed
+      // fraction, which one-pass cells cannot.
+      val cents = Knn.ivfTrain(cands, "vec_id", "vec", "label", iters = 2)
+      val index = Knn.ivfAssign(cands, cents, "vec_id", "vec", "label")
       val best = queries.crossJoin(broadcast(cents))
         .withColumn("csim", round(Knn.cosine(col("qvec"), col("centroid")), 6))
         .withColumn("r", row_number().over(
           Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))))
         .filter(col("r") <= nprobe)
         .select("query_id", "qvec", "label")
-      val ivf = cands.join(broadcast(best), "label")
+      val ivf = index.join(broadcast(best), "label")
         .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
         .withColumn("r", row_number().over(
           Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
@@ -2394,10 +2403,34 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
          q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
          c AS (SELECT vec_id, label, vec FROM e WHERE vec_id >= 20),
-         px AS (SELECT label, pos, avg(vec[pos]) AS cx
-                FROM c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
-                GROUP BY label, pos),
-         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px GROUP BY label),
+         poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM c CROSS JOIN poss GROUP BY label, pos),
+         cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
+         a1 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents0 ct) WHERE r = 1),
+         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a1 CROSS JOIN poss GROUP BY label, pos),
+         cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
+         a2 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents1 ct) WHERE r = 1),
+         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a2 CROSS JOIN poss GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
+         idx AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents ct) WHERE r = 1),
          best AS (SELECT query_id, qvec, label FROM (
              SELECT q.query_id, q.qvec, ct.label,
                     row_number() OVER (PARTITION BY q.query_id
@@ -2405,11 +2438,11 @@ object SparkEntry {
                                ct.label) AS r
              FROM q CROSS JOIN cents ct) WHERE r <= 6),
          ivf AS (SELECT query_id, vec_id FROM (
-             SELECT b.query_id, c.vec_id,
+             SELECT b.query_id, i.vec_id,
                     row_number() OVER (PARTITION BY b.query_id
-                      ORDER BY round(list_cosine_similarity(c.vec, b.qvec), 6) DESC,
-                               c.vec_id) AS r
-             FROM c JOIN best b ON c.label = b.label) WHERE r <= 5),
+                      ORDER BY round(list_cosine_similarity(i.vec, b.qvec), 6) DESC,
+                               i.vec_id) AS r
+             FROM idx i JOIN best b ON i.label = b.label) WHERE r <= 5),
          exact AS (SELECT query_id, vec_id FROM (
              SELECT q.query_id, c.vec_id,
                     row_number() OVER (PARTITION BY q.query_id

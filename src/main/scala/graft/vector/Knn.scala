@@ -56,6 +56,54 @@ object Knn {
         array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("centroid"))
 
+  /** TRAINED IVF centroids: `iters` Lloyd rounds on top of [[ivfCentroids]].
+    * Each round is the same two-phase DataFrame computation at cluster
+    * scale: (1) assign every vector to its nearest current centroid —
+    * centroids are broadcast, the argmax is a map-side `max_by` over a
+    * `(csim, -cell)` struct so ties break on the LOWEST cell id
+    * deterministically (exactly `row_number ... ORDER BY csim DESC, cell`
+    * in the DuckDB oracle), with similarity rounded to 6 decimals before
+    * the argmax so both engines rank identical values; (2) recompute each
+    * cell's mean vector. Cells that lose all members simply vanish.
+    *
+    * Per round: one broadcast join + two shuffles on the tiny cell key —
+    * no vector ever crosses an exchange except inside the partial-agg
+    * combine. At 100 TB one trains on a sample (standard IVF practice) and
+    * assigns the full corpus once with the final centroid table; this
+    * method is that training loop.
+    */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      iters: Int): DataFrame = {
+    var cents = ivfCentroids(emb, vecCol, cellCol)
+    for (_ <- 1 to iters)
+      cents = ivfCentroids(ivfAssign(emb, cents, idCol, vecCol, cellCol),
+        vecCol, cellCol)
+    cents
+  }
+
+  /** Assign every vector to its nearest centroid — the index-build step that
+    * must follow [[ivfTrain]] (searching the PRE-training cell column against
+    * trained centroids probes the wrong rows). Returns `(idCol, vecCol,
+    * cellCol)` with cellCol replaced by the nearest-centroid cell. Centroids
+    * are broadcast; the argmax is a map-side `max_by` over a `(csim, -cell)`
+    * struct, so ties break on the LOWEST cell id — exactly `row_number ...
+    * ORDER BY csim DESC, cell` in the DuckDB oracle — with similarity rounded
+    * to 6 decimals first so both engines rank identical values. One broadcast
+    * join + one shuffle on idCol; scales to the full corpus.
+    */
+  def ivfAssign(emb: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, cellCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents.select(col(cellCol).as("__cell"), col("centroid"))))
+      .withColumn("__csim", round(cosine(col(vecCol), col("centroid")), 6))
+      .groupBy(col(idCol))
+      .agg(
+        // all rows of an id carry the identical vector, so first() is a
+        // deterministic pick; max_by over the struct is a total order
+        first(col(vecCol)).as(vecCol),
+        max_by(col("__cell"), struct(col("__csim"), lit(0L) - col("__cell")))
+          .as(cellCol))
+
   /** E2: exact top-k nearest candidates to each query vector, with the
     * metadata filter applied BEFORE the distance computation (Catalyst pushes
     * it into the scan). `queries` must be small (it is broadcast); candidates
