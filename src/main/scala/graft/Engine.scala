@@ -153,8 +153,14 @@ class Engine(spark: SparkSession) {
     * (export_chromadb_to_text.py:78-245 shape): header block, numbered
     * per-document sections, count footer. Returns ordered
     * (section_no, section) rows — write with `.orderBy.write.text(...)`.
-    * Document numbering ranks only the (already one-row-per-doc) input ids,
-    * never raw data, so the global window is scale-safe.
+    *
+    * Scale shape (the a2 / [[graft.agg.Unpivot.withGroupId]] recipe):
+    * global section numbering needs one total order, but only the NARROW
+    * distinct-id projection flows through the single-partition rank window
+    * — the document contents never collapse onto one task. The ranked
+    * id→number map is broadcast-joined back, so the wide frame keeps its
+    * partitioning. (EngineSpec gates this: the content column must not
+    * appear below the window's exchange.)
     */
   def exportReport(docs: DataFrame, idCol: String, contentCol: String,
       collectionName: String): DataFrame = {
@@ -165,8 +171,10 @@ class Engine(spark: SparkSession) {
         concat(
           lit(eq + s"\nDATA EXPORT - $collectionName\n" + eq + "\nTotal Documents: "),
           col("n").cast("string"), lit("\n" + eq)).as("section"))
-    val sections = docs
+    val numbered = docs.select(col(idCol)).distinct()
       .withColumn("__i", row_number().over(Window.orderBy(col(idCol))))
+    val sections = docs
+      .join(broadcast(numbered), Seq(idCol))
       .select(
         col("__i").cast("long").as("section_no"),
         concat(

@@ -139,6 +139,30 @@ class EngineSpec extends AnyFunSuite {
     assert(out(3)._2.contains("total_documents: 2"))
   }
 
+  test("exportReport never windows the document contents onto one partition") {
+    val docs = Tables.documents(spark, sf).select(
+      col("doc_id").as("id"), col("text").as("content"))
+    val plan = engine.exportReport(docs, "id", "content", "c")
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan // unwrap: collect() does not descend into AQE
+        case p => p
+      }
+    // the rank window exists, but everything below it is the narrow
+    // distinct-id frame — the wide content column must only ever join
+    // back ABOVE it
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, plan.toString.take(2000))
+    val belowWindow = windows.head.collect {
+      case n => n.output.map(_.name)
+    }.flatten.toSet
+    assert(!belowWindow.contains("content"),
+      s"content column found below the numbering window: $belowWindow")
+    assert(belowWindow.contains("id"))
+  }
+
   test("embedCorpus equals the per-row embed over real documents") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(60)
     val a = engine.embedCorpus(docs, "text", "emb", dim = 16)
