@@ -84,14 +84,20 @@ object SparkEntry {
   }
 
   /** Tag for one-time /tmp materializations (format conversions, layout
-    * sinks): derived from the fixture file's path + size + mtime, so a
-    * regenerated fixture under the same path invalidates the cache instead
-    * of being read through a stale conversion while the oracle reads fresh
-    * data.
+    * sinks): MD5 over the sfDir plus EVERY consumed table's name + size +
+    * mtime, so regenerating any source fixture invalidates the cache
+    * instead of being read through a stale conversion while the oracle
+    * reads fresh data. (Callers must list every table the materialization
+    * consumes; MD5 rules out the cross-sfDir aliasing String.hashCode
+    * allowed.)
     */
-  private def cacheTag(dir: String, table: String): String = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    math.abs((dir + ":" + f.length + ":" + f.lastModified).hashCode).toString
+  private def cacheTag(dir: String, tables: String*): String = {
+    val sig = tables.sorted.map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }.mkString(dir + "|", "|", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 
   private def rmTree(path: String): Unit = {
@@ -99,6 +105,33 @@ object SparkEntry {
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  /** One-time /tmp materialization with ATOMIC publish: the writer builds
+    * into a process-unique scratch dir and renames it into place in one
+    * filesystem operation, so a concurrent session (bench + verify on the
+    * same sfDir) either sees no dir or a complete one — never a
+    * half-overwritten sink. Losing the publish race is fine: the loser
+    * discards its build and reads the winner's (same tag ⇒ same bytes).
+    * A target left WITHOUT its `_SUCCESS` marker (a crashed pre-atomic
+    * writer) is cleared and rebuilt rather than read through.
+    */
+  private def materializeOnce(target: String)(write: String => Unit): Unit = {
+    if (new java.io.File(s"$target/_SUCCESS").exists()) return
+    rmTree(target)
+    val tmp = s"$target.build-${ProcessHandle.current().pid()}"
+    rmTree(tmp)
+    write(tmp)
+    try
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.AccessDeniedException =>
+        rmTree(tmp) // lost the race — a complete publish is already there
+    }
   }
 
   /** Shared by dd8/dd9: the verified-LSH near-dup pipeline over the
@@ -457,10 +490,9 @@ object SparkEntry {
     "s2_multiformat_scan" -> { (s, dir) =>
       val base = s"/tmp/graft_s2_${cacheTag(dir, "events")}"
       val src = Tables.events(s, dir).select("event_id", "event_type", "value")
-      if (!new java.io.File(s"$base/json/_SUCCESS").exists())
-        src.write.mode("overwrite").json(s"$base/json")
-      if (!new java.io.File(s"$base/csv/_SUCCESS").exists())
-        src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      materializeOnce(s"$base/json")(src.write.mode("overwrite").json(_))
+      materializeOnce(s"$base/csv")(
+        src.write.mode("overwrite").option("header", "true").csv(_))
       val js = s.read.schema(src.schema).json(s"$base/json")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_json"), round(sum("value"), 2).as("sum_json"))
@@ -489,15 +521,19 @@ object SparkEntry {
     // Tables are session-scoped (in-memory catalog) and written once per
     // (session, sfDir); the measured operator is the exchange-free join.
     "j8_bucketed_join" -> { (s, dir) =>
-      val tag = cacheTag(dir, "orders")
+      // tag covers BOTH consumed tables (regenerating either invalidates);
+      // the data dir is per-process because table metadata is session-scoped
+      // (in-memory catalog) — concurrent bench+verify processes must not
+      // rewrite each other's bucket files under a shared path
+      val tag = s"${cacheTag(dir, "orders", "lineitem")}_p${ProcessHandle.current().pid()}"
       val (li, ord) = (s"li_b$tag", s"ord_b$tag")
       // require BOTH tables: a failure between the two writes must not
       // wedge the session on a half-built pair — rebuild from scratch
       if (!(s.catalog.tableExists(li) && s.catalog.tableExists(ord))) {
         s.sql(s"DROP TABLE IF EXISTS $li")
         s.sql(s"DROP TABLE IF EXISTS $ord")
-        // table metadata is session-scoped (in-memory catalog): a data dir
-        // left by a previous session is unreachable — clear and rewrite
+        // a data dir left by a crashed same-pid predecessor is unreachable
+        // through the fresh catalog — clear and rewrite
         rmTree(s"/tmp/graft_j8_$tag")
         Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -1150,9 +1186,8 @@ object SparkEntry {
     // one-time ingest per sfDir; the measured operator is the pruned scan.
     "s5_partitioned_scan" -> { (s, dir) =>
       val sink = s"/tmp/graft_s5_sink_${cacheTag(dir, "orders")}"
-      if (!new java.io.File(s"$sink/_SUCCESS").exists())
-        Tables.orders(s, dir).write.mode("overwrite")
-          .partitionBy("o_orderpriority").parquet(sink)
+      materializeOnce(sink)(Tables.orders(s, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(_))
       s.read.parquet(sink)
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy("o_orderstatus")
@@ -1171,14 +1206,14 @@ object SparkEntry {
     "s6_schema_evolution" -> { (s, dir) =>
       val sink = s"/tmp/graft_s6_sink_${cacheTag(dir, "documents")}"
       val docs = Tables.documents(s, dir)
-      if (!new java.io.File(s"$sink/gen2/_SUCCESS").exists()) {
+      materializeOnce(s"$sink/gen1")(
         docs.filter(col("doc_id") % 2 === 0)
           .select("doc_id", "text", "n_chars")
-          .write.mode("overwrite").parquet(s"$sink/gen1")
+          .write.mode("overwrite").parquet(_))
+      materializeOnce(s"$sink/gen2")(
         docs.filter(col("doc_id") % 2 === 1)
           .select("doc_id", "text", "n_chars", "lang", "source")
-          .write.mode("overwrite").parquet(s"$sink/gen2")
-      }
+          .write.mode("overwrite").parquet(_))
       s.read.option("mergeSchema", "true")
         .parquet(s"$sink/gen1", s"$sink/gen2")
         .groupBy(coalesce(col("lang"), lit("__pre_schema__")).as("lang"))
@@ -1200,8 +1235,7 @@ object SparkEntry {
       // TIMESTAMP(NANOS), which the streaming parquet source rejects); the
       // rewrite is ingest, not the measured operator
       val inbox = s"/tmp/graft_st4_inbox_${cacheTag(dir, "events")}"
-      if (!new java.io.File(s"$inbox/_SUCCESS").exists())
-        ev.write.mode("overwrite").parquet(inbox)
+      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
       val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString
       s.catalog.dropTempView("st4_mem")
       val q = graft.stream.WindowedStats.tumbling(

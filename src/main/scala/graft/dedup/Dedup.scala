@@ -300,9 +300,13 @@ object Dedup {
       .withColumn("label", col("id"))
       .localCheckpoint(false)
     // sum over an EMPTY frame is null — coalesce so a pair-free input
-    // converges on round one instead of NPE-ing
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    // converges on round one instead of NPE-ing. The sum is EXACT decimal:
+    // a Long sum could wrap on overflow and alias a changed labeling to
+    // "converged" (decimal(38,0) fits any |label|<2^63 summed over ~1e19
+    // nodes, so the monotone-decrease argument below has no wrap caveat)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var checksum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -324,7 +328,7 @@ object Dedup {
       // min-propagation is monotone: the label sum strictly decreases until
       // fixpoint, so an unchanged sum IS convergence (one action per round)
       val next = labelSum(labels)
-      converged = next == checksum
+      converged = next.compareTo(checksum) == 0
       checksum = next
       iter += 1
     }

@@ -24,17 +24,30 @@ object TopK {
     * @param order (column name, ascending?) pairs; the combined order should
     *              be total (add a tiebreak column) for fully deterministic
     *              output — same contract as a `row_number` window.
+    * @param useHeap opt out of the bounded-heap physical operator. The heaps
+    *              live outside Spark's memory manager with no spill path
+    *              (O(k·keys) rows must fit executor memory) — right for
+    *              rank-over-bounded-key sets, wrong for NEAR-UNIQUE keys per
+    *              partition. Pass `useHeap = false` there to get the
+    *              spillable sort-based window plan; results are identical.
     */
   def perKey(
       df: DataFrame,
       keys: Seq[String],
       order: Seq[(String, Boolean)],
       k: Int,
-      rankName: String = "rank"): DataFrame = {
+      rankName: String = "rank",
+      useHeap: Boolean = true): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty && k >= 1,
       s"need keys, order and k >= 1 (got keys=$keys order=$order k=$k)")
+    // the extension path APPENDS rankAttr while the window path REPLACES an
+    // existing column — a pre-existing name would give the two paths
+    // different schemas (and ambiguous downstream select(rankName))
+    require(!df.columns.contains(rankName),
+      s"input already has a column named '$rankName' — pass a different rankName")
     val spark = df.sparkSession
-    if (GraftExpressionBridge.hasStrategy(spark, TopKPerKeyStrategy.getClass)) {
+    if (useHeap &&
+        GraftExpressionBridge.hasStrategy(spark, TopKPerKeyStrategy.getClass)) {
       val child = df.queryExecution.analyzed
       def attr(name: String) = {
         val exact = child.output.filter(_.name == name)

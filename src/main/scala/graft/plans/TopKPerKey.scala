@@ -36,7 +36,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * k·keys must fit executor memory. That holds for rank-over-bounded-key
   * sets (queries × k, users × k); for NEAR-UNIQUE keys per partition
   * (k·keys ≈ rows) the spillable sort-based window plan is the safer
-  * choice — pick per workload. Semantics match the `row_number` form exactly when
+  * choice — `TopK.perKey(useHeap = false)` selects it per call.
+  * Semantics match the `row_number` form exactly when
   * the ordering is total (callers pass a tiebreak column, as `Knn.topK`
   * does); with ties the choice among tied rows is arbitrary in both forms.
   *
