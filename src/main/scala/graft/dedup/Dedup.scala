@@ -356,7 +356,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sh_hi"), col("sh_lo"))
     val shB = cands.join(shingleRows, col("id_b") === col("doc_id"))
       .select(col("id_a"), col("id_b"), col("sh_hi"), col("sh_lo"))
-    val inter = shA.join(shB, Seq("id_a", "id_b", "sh_hi", "sh_lo"))
+    // intersection size WITHOUT a 4-column sort-merge join of the two
+    // pair-shingle frames: shingleRows is distinct per doc, so a
+    // (pair, shingle) key appears exactly twice iff both docs carry the
+    // shingle. Union + count==2 is the same answer as the equi-join but
+    // plans as two hash aggregates with map-side partial combine — no
+    // per-partition sorts of the biggest frame in the pipeline.
+    val inter = shA.unionByName(shB)
+      .groupBy("id_a", "id_b", "sh_hi", "sh_lo")
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") === 2)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
