@@ -1605,6 +1605,51 @@ object SparkEntry {
         .limit(20)
     },
 
+    // ---- SemDeDup-style semantic dedup (Abbas et al. 2023 shape): coarse-
+    // cluster the embedding space with the TRAINED IVF quantizer (k-means
+    // cells), then within each cell flag items whose cosine to a LOWER-id
+    // cell-mate reaches tau — greedy keep-first, the exactDupGroups rule
+    // lifted to embedding space. Pair expansion is O(cell²) BOUNDED BY THE
+    // QUANTIZER, never O(N²): at corpus scale the cell count grows with N
+    // (SemDeDup's own operating point) so cell size stays a constant, and
+    // the per-cell join is an equi-join on the cell id — the same bounded-
+    // bucket discipline as dd2/dd5/dd6. Exact vector copies are injected
+    // (every 20th, re-embedded content ⇒ identical vector) so the operator
+    // provably fires; norms are computed once per row, not per pair. ------
+    "dd11_semantic_dedup" -> { (s, dir) =>
+      val tau = 0.98
+      val base = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+        .select("vec_id", "label", "vec")
+      val copies = base.filter(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val all = base.unionByName(copies)
+      // the trained index is the corpus-wide one-time artifact (three
+      // consumers here: both pair sides and the final decision join) —
+      // materialize it once, the tf/sigs recipe
+      val cents = Knn.ivfTrain(all, "vec_id", "vec", "label", iters = 2)
+      val index = Knn.ivfAssign(all, cents, "vec_id", "vec", "label")
+        .withColumn("nrm", Knn.l2norm(col("vec")))
+        .localCheckpoint(false)
+      val a = index.select(col("label"), col("vec_id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+      val b = index.select(col("label"), col("vec_id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+      val dropped = a.join(b, "label").filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(
+          when(col("na") * col("nb") > 0,
+            Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+        .filter(col("sim") >= tau)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(min("id_a").as("kept_for"), count(lit(1)).as("n_close"))
+      index.select("vec_id", "label")
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label").as("cell"),
+          col("kept_for").isNotNull.as("is_dup"),
+          coalesce(col("kept_for"), col("vec_id")).as("keep_id"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"))
+    },
+
     // ---- language-ID heuristic (marker-word argmax) ------------------------
     "ta1_lang_id" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -3020,6 +3065,51 @@ object SparkEntry {
          SELECT id_a, id_b, sim FROM pairs
          ORDER BY sim DESC, id_a, id_b
          LIMIT 20""",
+    "dd11_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         c AS (SELECT vec_id, label, vec FROM e
+               UNION ALL
+               SELECT vec_id + 10000, label, vec FROM e WHERE vec_id % 20 = 0),
+         poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM c CROSS JOIN poss GROUP BY label, pos),
+         cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
+         a1 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents0 ct) WHERE r = 1),
+         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a1 CROSS JOIN poss GROUP BY label, pos),
+         cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
+         a2 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents1 ct) WHERE r = 1),
+         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a2 CROSS JOIN poss GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
+         idx AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents ct) WHERE r = 1),
+         pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                          round(list_cosine_similarity(x.vec, y.vec), 6) AS sim
+                   FROM idx x JOIN idx y
+                     ON x.label = y.label AND x.vec_id < y.vec_id),
+         dropped AS (SELECT id_b AS vec_id, min(id_a) AS kept_for,
+                            count(*) AS n_close
+                     FROM pairs WHERE sim >= 0.98 GROUP BY id_b)
+         SELECT i.vec_id, i.label AS cell,
+                d.kept_for IS NOT NULL AS is_dup,
+                coalesce(d.kept_for, i.vec_id) AS keep_id,
+                CAST(coalesce(d.n_close, 0) AS BIGINT) AS n_close
+         FROM idx i LEFT JOIN dropped d ON i.vec_id = d.vec_id""",
     "ta1_lang_id" ->
       """WITH t AS (SELECT lang,
                            list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks

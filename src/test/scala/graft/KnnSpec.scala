@@ -72,11 +72,11 @@ class KnnSpec extends AnyFunSuite {
   }
 
   test("ivfTrain recall@5 on planted clusters beats the probed fraction") {
-    val trained = Knn.ivfTrain(data, "vec_id", "vec", "cell", iters = 3)
+    val trained = Knn.ivfTrain(data, "vec_id", "vec", "cell", iters = 3, dim = Dim)
     val (recallT, probedT) = recallAndProbed(trained,
       Knn.ivfAssign(data, trained, "vec_id", "vec", "cell"))
     val (recallU, probedU) =
-      recallAndProbed(Knn.ivfCentroids(data, "vec", "cell"), data)
+      recallAndProbed(Knn.ivfCentroids(data, "vec", "cell", dim = Dim), data)
     // untrained cells (vec_id % 8) are cluster-blind: recall can only track
     // how much of the corpus the probe covers
     assert(recallU <= probedU + 0.2,
@@ -92,9 +92,9 @@ class KnnSpec extends AnyFunSuite {
   }
 
   test("ivfTrain is deterministic and drops empty cells") {
-    val c1 = Knn.ivfTrain(data, "vec_id", "vec", "cell", iters = 2)
+    val c1 = Knn.ivfTrain(data, "vec_id", "vec", "cell", iters = 2, dim = Dim)
       .orderBy("cell").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val c2 = Knn.ivfTrain(data, "vec_id", "vec", "cell", iters = 2)
+    val c2 = Knn.ivfTrain(data, "vec_id", "vec", "cell", iters = 2, dim = Dim)
       .orderBy("cell").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     assert(c1.toSeq == c2.toSeq)
     assert(c1.nonEmpty && c1.length <= 8)

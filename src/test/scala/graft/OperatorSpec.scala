@@ -189,6 +189,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 61 && got.values.forall(_ == 0L))
   }
 
+  test("dd11 semantic dedup flags every injected copy against its original") {
+    val rows = SparkEntry.queries("dd11_semantic_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .select("vec_id", "is_dup", "keep_id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val copies = rows.keys.filter(_ >= 10000)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      val (isDup, keepId) = rows(id)
+      // a copy is an exact vector duplicate of id-10000: same trained cell,
+      // cosine 1.0 >= tau, and the original is the lowest close neighbor
+      assert(isDup, s"copy $id not flagged")
+      assert(keepId == id - 10000, s"copy $id kept for $keepId")
+    }
+    // originals keep themselves (their copy has the HIGHER id)
+    copies.foreach { id =>
+      val (isDup, keepId) = rows(id - 10000)
+      assert(!isDup && keepId == id - 10000, s"original ${id - 10000} dropped")
+    }
+  }
+
   test("Mp4 box walker: round-trip, largesize form, malformed input") {
     import graft.sources.Multimodal
     // round-trip: parse recovers exactly what the synthesizer wrote
