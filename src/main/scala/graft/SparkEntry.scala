@@ -496,13 +496,19 @@ object SparkEntry {
       materializeOnce(s"$base/json")(src.write.mode("overwrite").json(_))
       materializeOnce(s"$base/csv")(
         src.write.mode("overwrite").option("header", "true").csv(_))
+      // ORC: Spark's second native columnar format (stripe statistics +
+      // predicate pushdown like parquet) — the lake-migration scan path
+      materializeOnce(s"$base/orc")(src.write.mode("overwrite").orc(_))
       val js = s.read.schema(src.schema).json(s"$base/json")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_json"), round(sum("value"), 2).as("sum_json"))
       val cs = s.read.schema(src.schema).option("header", "true").csv(s"$base/csv")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_csv"), round(sum("value"), 2).as("sum_csv"))
-      js.join(cs, "event_type").orderBy("event_type")
+      val orc = s.read.schema(src.schema).orc(s"$base/orc")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_orc"), round(sum("value"), 2).as("sum_orc"))
+      js.join(cs, "event_type").join(orc, "event_type").orderBy("event_type")
     },
 
     // ---- S3 schema inspection as data: column name/type/nullability rows
@@ -570,6 +576,32 @@ object SparkEntry {
           (abs(col("p50_approx") - col("p50_exact")) < 1.0 &&
             abs(col("p90_approx") - col("p90_exact")) < 1.0).as("approx_ok"))
         .orderBy("event_type")
+    },
+
+    // ---- heavy hitters: Misra-Gries sketch (native graft_heavy_hitters
+    // aggregate, O(k) state per partition over an unbounded key domain) as
+    // a candidate PRUNER, then an exact count of only the <= k survivors
+    // via a broadcast semi-join + the real threshold. The MG guarantee
+    // (every item with freq > N/(k+1) survives, preserved across merges)
+    // makes the final answer provably EXACT — the oracle is a plain
+    // GROUP BY ... HAVING, no approximation tolerance needed. The stream
+    // is deterministically skewed (two hot keys over a 500-key tail) so
+    // the operator provably fires. k=19, threshold strictly > N/20. ------
+    "a13_heavy_hitters" -> { (s, dir) =>
+      val stream = Tables.events(s, dir).select(
+        when(col("event_id") % 4 < 3,
+          concat(lit("hot_"), (col("event_id") % 2).cast("string")))
+          .otherwise(concat(lit("u"), (col("user_id") % 500).cast("string")))
+          .as("item"))
+      val cands = stream
+        .agg(graft.expressions.MisraGries.sketch(col("item"), 19).as("c"))
+        .select(explode(col("c")).as("item"))
+      stream.join(broadcast(cands), "item")
+        .groupBy("item").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(stream.agg(count(lit(1)).as("__total"))))
+        .filter(col("n") * 20 > col("__total"))
+        .select(col("item"), col("n"))
+        .orderBy("item")
     },
 
     // ---- multi-dimensional cube: all 4 grouping sets in ONE pass — Expand
@@ -2210,7 +2242,8 @@ object SparkEntry {
     "s2_multiformat_scan" ->
       """SELECT event_type,
                 count(*) AS n_json, round(sum(value), 2) AS sum_json,
-                count(*) AS n_csv,  round(sum(value), 2) AS sum_csv
+                count(*) AS n_csv,  round(sum(value), 2) AS sum_csv,
+                count(*) AS n_orc,  round(sum(value), 2) AS sum_orc
          FROM events GROUP BY event_type ORDER BY event_type""",
     "s3_schema_inspect" ->
       """SELECT column_name, column_type, "null" = 'YES' AS is_nullable
@@ -2226,6 +2259,17 @@ object SparkEntry {
          round(quantile_cont(value, 0.9), 6) AS p90_exact,
          true AS approx_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a13_heavy_hitters" ->
+      """WITH s AS (SELECT CASE WHEN event_id % 4 < 3
+                                THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                                ELSE 'u' || CAST(user_id % 500 AS VARCHAR)
+                           END AS item FROM events),
+         t AS (SELECT count(*) AS total FROM s)
+         SELECT item, count(*) AS n
+         FROM s CROSS JOIN t
+         GROUP BY item, total
+         HAVING count(*) * 20 > total
+         ORDER BY item""",
     "a7_percentiles" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS p50,

@@ -201,4 +201,29 @@ class PropertySpec extends AnyFunSuite {
         expected.orderBy("key", "rank").collect().toSeq, s"round=$round k=$k")
     }
   }
+
+  test("MisraGries sketch retains every item with freq > N/(k+1), any split") {
+    // Zipf-ish random streams; the distributed agg must uphold the classic
+    // MG guarantee regardless of how rows land in partitions
+    val itemGen = Gen.frequency(
+      (50, Gen.const("whale")), (20, Gen.const("shark")),
+      (30, Gen.choose(0, 400).map(i => s"minnow$i")))
+    (0 until 3).foreach { round =>
+      val items = (0 until 4000).flatMap(i =>
+        itemGen.apply(Gen.Parameters.default, Seed(round * 7000L + i)))
+      val k = Seq(9, 19, 39)(round)
+      val n = items.size
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mustSurvive = exact.filter(_._2 * (k + 1) > n).keySet
+      for (parts <- Seq(1, 7, 32)) {
+        val got = items.toDF("item").repartition(parts)
+          .agg(graft.expressions.MisraGries.sketch(col("item"), k).as("c"))
+          .select(explode(col("c")).as("item"))
+          .as[String].collect().toSet
+        assert(got.size <= k, s"round=$round parts=$parts size=${got.size}")
+        assert(mustSurvive.subsetOf(got),
+          s"round=$round parts=$parts lost=${mustSurvive -- got}")
+      }
+    }
+  }
 }
