@@ -1286,6 +1286,38 @@ object SparkEntry {
       s.table("st4_mem").orderBy("window_start")
     },
 
+    // ---- ST: stream-stream event-time interval join (click→purchase
+    // attribution). Both sides watermarked + the interval term in the join
+    // condition is what lets Spark EVICT join state (left row once the
+    // watermark passes click_ts + window, right row once it passes
+    // purchase_ts) — without it state grows forever. Inner matches emit as
+    // they arrive, so the drained AvailableNow run equals the batch join
+    // the oracle computes; StreamJoinSpec drives the multi-batch path and
+    // asserts the eviction actually happens. -------------------------------
+    "st5_stream_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val inbox = s"/tmp/graft_st5_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st5-ckpt").toString
+      s.catalog.dropTempView("st5_mem")
+      val src = s.readStream.schema(ev.schema).parquet(inbox)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", watermark = "1 hour", windowSec = 3600L)
+        .select("user_id", "click_id", "purchase_id")
+        .writeStream.format("memory").queryName("st5_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st5_mem").orderBy("click_id", "purchase_id")
+    },
+
     // ---- exact dedup: content-hash groupBy (training-data pipeline) --------
     "dd1_exact_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -2362,6 +2394,13 @@ object SparkEntry {
                 floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
          FROM events
          GROUP BY 1 ORDER BY 1""",
+    "st5_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY click_id, purchase_id""",
     "a10_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
          true AS approx_ok
