@@ -1687,7 +1687,15 @@ object SparkEntry {
         .select("vec_id", "label", "vec")
       val copies = base.filter(col("vec_id") % 20 === 0)
         .withColumn("vec_id", col("vec_id") + 10000)
-      val all = base.unionByName(copies)
+      // cells ∝ N (the SemDeDup/IVF operating point): target ~256 vectors
+      // per cell so the in-cell pair term stays LINEAR in corpus size —
+      // with a fixed cell count it grows quadratically (the ~sf1 rehearsal
+      // measured exactly that on the 10 fixture labels). One count() to
+      // size the quantizer is the standard stats-driven build step; the
+      // oracle derives the same number in SQL.
+      val all0 = base.unionByName(copies)
+      val nCells = math.max(10L, all0.count() / 256)
+      val all = all0.withColumn("label", col("vec_id") % nCells)
       // the trained index is the corpus-wide one-time artifact (three
       // consumers here: both pair sides and the final decision join) —
       // materialize it once, the tf/sigs recipe
@@ -3149,10 +3157,12 @@ object SparkEntry {
          ORDER BY sim DESC, id_a, id_b
          LIMIT 20""",
     "dd11_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-         c AS (SELECT vec_id, label, vec FROM e
-               UNION ALL
-               SELECT vec_id + 10000, label, vec FROM e WHERE vec_id % 20 = 0),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         c0 AS (SELECT vec_id, vec FROM e
+                UNION ALL
+                SELECT vec_id + 10000, vec FROM e WHERE vec_id % 20 = 0),
+         k AS (SELECT greatest(10, count(*) // 256) AS ncells FROM c0),
+         c AS (SELECT vec_id, vec_id % ncells AS label, vec FROM c0 CROSS JOIN k),
          poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
          px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
                  FROM c CROSS JOIN poss GROUP BY label, pos),

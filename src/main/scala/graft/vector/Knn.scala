@@ -99,25 +99,37 @@ object Knn {
   /** Assign every vector to its nearest centroid — the index-build step that
     * must follow [[ivfTrain]] (searching the PRE-training cell column against
     * trained centroids probes the wrong rows). Returns `(idCol, vecCol,
-    * cellCol)` with cellCol replaced by the nearest-centroid cell. Centroids
-    * are broadcast; the argmax is a map-side `max_by` over a `(csim, -cell)`
-    * struct, so ties break on the LOWEST cell id — exactly `row_number ...
-    * ORDER BY csim DESC, cell` in the DuckDB oracle — with similarity rounded
-    * to 6 decimals first so both engines rank identical values. One broadcast
-    * join + one shuffle on idCol; scales to the full corpus.
+    * cellCol)` with cellCol replaced by the nearest-centroid cell.
+    *
+    * Centroids are broadcast; the id × cells explosion is narrowed
+    * IMMEDIATELY to (id, packed) — the vector must never ride the
+    * explosion (the Knn.topK lesson: ~1 GB of row churn at 21k×82 for a
+    * column nobody ranks on). The per-id argmax is a plain `max` over ONE
+    * long that packs `(csim_micro + 10^6) · 2^32 + (2^32-1 − cell)`:
+    * integer-exact (csim pre-rounded to 6 decimals ⇒ micro units), higher
+    * similarity wins, ties break to the LOWEST cell — exactly `row_number
+    * ... ORDER BY csim DESC, cell` in the DuckDB oracle. Packing matters
+    * because `max_by`/max-of-struct plan SortAggregate (struct buffers are
+    * not hash-aggregatable — the r4 lesson) and a k=1 heap runs object-path
+    * per row; a primitive `max` stays in whole-stage codegen with map-side
+    * partial combine (measured 2.4 s → 0.4 s per assign at ~sf1). The
+    * vector joins back by id afterwards: the corpus crosses one hash
+    * exchange, same as any assignment must.
     */
   def ivfAssign(emb: DataFrame, cents: DataFrame, idCol: String,
-      vecCol: String, cellCol: String): DataFrame =
-    emb.select(col(idCol), col(vecCol))
+      vecCol: String, cellCol: String): DataFrame = {
+    val B = 4294967296L // 2^32
+    val packed = (round(round(cosine(col(vecCol), col("centroid")), 6) * 1e6)
+      .cast("long") + 1000000L) * B + (lit(B - 1) - col("__cell"))
+    val best = emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents.select(col(cellCol).as("__cell"), col("centroid"))))
-      .withColumn("__csim", round(cosine(col(vecCol), col("centroid")), 6))
-      .groupBy(col(idCol))
-      .agg(
-        // all rows of an id carry the identical vector, so first() is a
-        // deterministic pick; max_by over the struct is a total order
-        first(col(vecCol)).as(vecCol),
-        max_by(col("__cell"), struct(col("__csim"), lit(0L) - col("__cell")))
-          .as(cellCol))
+      .select(col(idCol), packed.as("__packed"))
+      .groupBy(col(idCol)).agg(max("__packed").as("__p"))
+      .select(col(idCol), (lit(B - 1) - (col("__p") % B)).as("__cell"))
+    emb.select(col(idCol), col(vecCol))
+      .join(best, idCol)
+      .select(col(idCol), col(vecCol), col("__cell").as(cellCol))
+  }
 
   /** E2: exact top-k nearest candidates to each query vector, with the
     * metadata filter applied BEFORE the distance computation (Catalyst pushes
