@@ -45,6 +45,44 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("a13 heavy hitters: O(k) sketch prune + broadcast exact pass") {
+    val plan = SparkEntry.queries("a13_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the unbounded-key stream must meet ONLY the MG sketch (object agg,
+    // O(k) state); the exact count must touch only the <= k candidates via
+    // a broadcast join — a shuffled exact count of every key is the thing
+    // this operator exists to avoid at 100 TB
+    assert(plan.contains("graft_heavy_hitters"),
+      s"a13 lost the native sketch aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a13's exact pass must broadcast the <=k candidates:\n$plan")
+  }
+
+  test("dd11 semantic dedup: hash-aggregated assignment, no sort-agg or window") {
+    val plan = SparkEntry.queries("dd11_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // nearest-centroid argmax is a packed-long primitive max — it must plan
+    // as a hash aggregate, never SortAggregate (max_by/struct) or a window
+    assert(!plan.contains("SortAggregate"),
+      s"dd11 assignment fell back to SortAggregate:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"dd11 assignment planned a window:\n$plan")
+    // the index checkpoint severs the training subtree from the final
+    // plan, so gate the assignment's own plan shape directly
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .select("vec_id", "label", "vec")
+    val aplan = graft.vector.Knn.ivfAssign(
+        emb, graft.vector.Knn.ivfCentroids(emb, "vec", "label"),
+        "vec_id", "vec", "label")
+      .queryExecution.executedPlan.toString
+    assert(aplan.contains("BroadcastNestedLoopJoin") || aplan.contains("BroadcastExchange"),
+      s"ivfAssign centroids are not broadcast:\n$aplan")
+    assert(aplan.contains("HashAggregate") && !aplan.contains("SortAggregate"),
+      s"ivfAssign argmax is not a hash aggregate:\n$aplan")
+  }
+
   test("upsert last-writer-wins is a single aggregate, not a window sort") {
     val plan = SparkEntry.queries("d1_upsert_lastwins")(spark, sf)
       .queryExecution.executedPlan.toString
