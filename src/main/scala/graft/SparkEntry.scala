@@ -957,6 +957,41 @@ object SparkEntry {
     // ---- On clustered real-world embeddings the same pipeline probes far
     // ---- fewer cells for the same recall — exactly the trade-off this
     // ---- query exists to measure. ------------------------------------------
+    // ---- int8 scalar quantization: the storage-compression path of a
+    // 100 TB embedding store (4x smaller vectors, 4x less scan/shuffle
+    // byte volume). Per-vector symmetric quantization — scale = max|x|/127,
+    // q = round(x/scale) — is pure deterministic arithmetic, so BOTH the
+    // quantized values and the recall metric are oracle-exact (no
+    // tolerance): the oracle recomputes the same quantize → dequantize →
+    // re-rank pipeline in SQL. Output is exact top-5 overlap per query
+    // between full-precision and dequantized rankings. --------------------
+    "e9_quantized_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val cands = emb.filter(col("vec_id") >= 20)
+        .withColumn("scale",
+          aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+        .withColumn("dvec",
+          when(col("scale") > 0,
+            transform(col("vec"), x => round(x / col("scale")) * col("scale")))
+            .otherwise(col("vec")))
+        .select("vec_id", "vec", "dvec")
+      val exact = Knn.topK(cands.select("vec_id", "vec"), "vec",
+        queries, "query_id", "qvec", k = 5, tiebreak = "vec_id")
+        .select("query_id", "vec_id")
+      val quant = Knn.topK(cands.select("vec_id", "dvec"), "dvec",
+        queries, "query_id", "qvec", k = 5, tiebreak = "vec_id")
+        .select("query_id", "vec_id")
+      val hits = exact.join(quant, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      queries.select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_overlap5"))
+        .orderBy("query_id")
+    },
+
     "e8_ivf_recall" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val nprobe = 6
@@ -2581,6 +2616,35 @@ object SparkEntry {
            UNION ALL SELECT 'region', count(*) FROM region)
          ORDER BY table_name""",
     "e7_semantic_workload" -> SemanticWorkload.oracleSql,
+    "e9_quantized_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
+         c0 AS (SELECT vec_id, vec,
+                       list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+                FROM e WHERE vec_id >= 20),
+         c AS (SELECT vec_id, vec,
+                      CASE WHEN scale > 0
+                           THEN list_transform(vec, x -> round(x / scale) * scale)
+                           ELSE vec END AS dvec
+               FROM c0),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c CROSS JOIN q) WHERE r <= 5),
+         quant AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(c.dvec, q.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c CROSS JOIN q) WHERE r <= 5),
+         hits AS (SELECT x.query_id, count(*) AS n
+                  FROM exact x JOIN quant USING (query_id, vec_id)
+                  GROUP BY x.query_id)
+         SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap5
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     "e8_ivf_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
          q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),

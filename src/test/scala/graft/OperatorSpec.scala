@@ -189,6 +189,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 61 && got.values.forall(_ == 0L))
   }
 
+  test("e9 int8 quantization: per-element error <= scale/2 and high top-5 overlap") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .select("vec_id", "vec").limit(40)
+    val checked = emb
+      .withColumn("scale",
+        aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .withColumn("err", aggregate(
+        zip_with(col("vec"),
+          transform(col("vec"), x => round(x / col("scale")) * col("scale")),
+          (a, b) => abs(a - b)),
+        lit(0.0), (acc, e) => greatest(acc, e)))
+      .select("scale", "err").collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      // round-to-nearest: dequantized value within half a quantization step
+      assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-12,
+        s"error ${r.getDouble(1)} exceeds scale/2 ${r.getDouble(0) / 2}")
+    }
+    val overlaps = SparkEntry.queries("e9_quantized_recall")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("n_overlap5"))
+    assert(overlaps.nonEmpty && overlaps.forall(_ >= 3),
+      s"int8 ranking collapsed: ${overlaps.mkString(",")}")
+    assert(overlaps.sum.toDouble / overlaps.length >= 4.0,
+      s"mean overlap too low: ${overlaps.mkString(",")}")
+  }
+
   test("dd11 semantic dedup flags every injected copy against its original") {
     val rows = SparkEntry.queries("dd11_semantic_dedup")(
         spark, "/root/testdata/sf0.001")
