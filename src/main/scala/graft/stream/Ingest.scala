@@ -77,6 +77,20 @@ object Ingest {
     * semantic (ON CONFLICT DO NOTHING forever); when keys have event-time
     * locality, `dropDuplicatesWithinWatermark` bounds it instead.
     */
+  /** Bounded-state streaming dedup: keys are only remembered within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`), so the seen-key
+    * state is O(rate × horizon) instead of O(all keys ever) — the variant
+    * to run forever when duplicates have event-time locality (retries,
+    * replays, at-least-once upstreams). The documented trade-off, proven
+    * by `StreamIngestSpec`: a duplicate arriving AFTER its key's state was
+    * evicted is re-admitted — on a horizon shorter than the true
+    * duplication window, correctness degrades to at-least-once and the
+    * unbounded [[startStateful]] (or a sink-side MERGE) is required.
+    */
+  def dedupBounded(stream: DataFrame, key: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(key)
+
   def startStateful(
       spark: SparkSession,
       inbox: String,

@@ -82,4 +82,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out2.count() == expected2.count(), "run-2 sink count after restart")
     assert(out2.select("event_id").distinct().count() == out2.count(), "run-2 unique keys")
   }
+
+  test("dedupBounded: in-horizon dups dropped, state evicted, late dup re-admitted") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ddw").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "ts_s")
+        .select(col("id"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+
+    write(Seq((1L, "2024-03-01 10:00:00"), (1L, "2024-03-01 10:10:00"),
+      (2L, "2024-03-01 10:20:00")))
+    val schema = spark.read.parquet(s"$base/in").schema
+    spark.catalog.dropTempView("ddw_mem")
+    val q = Ingest.dedupBounded(
+        spark.readStream.schema(schema).parquet(s"$base/in"),
+        "id", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ddw_mem")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 1: the in-horizon duplicate of key 1 is dropped
+      assert(spark.table("ddw_mem").count() == 2, "in-horizon dup not dropped")
+      val state1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // batch 2: far-future row advances the watermark (20:00 - 1h = 19:00)
+      // past both keys' expiry → their state is evicted
+      write(Seq((50L, "2024-03-01 20:00:00")))
+      q.processAllAvailable()
+      val state2 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state2 < state1 + 1, s"state not evicted: $state1 -> $state2")
+      // batch 3: key 1 again, INSIDE the new watermark horizon — its old
+      // state is gone, so it is re-admitted (the documented bounded-state
+      // trade-off; rows below the watermark would just be dropped)
+      write(Seq((1L, "2024-03-01 20:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("ddw_mem").select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 1L, 2L, 50L), s"got $ids")
+    } finally q.stop()
+  }
 }
