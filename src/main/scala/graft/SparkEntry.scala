@@ -1353,6 +1353,42 @@ object SparkEntry {
       s.table("st5_mem").orderBy("click_id", "purchase_id")
     },
 
+    // ---- ST: stateful gap sessionization via flatMapGroupsWithState.
+    // State per key is ONE open-session record (start, last, n) — O(active
+    // keys), not O(events) — and the event-time timeout closes sessions for
+    // keys that fall silent, so state drains even on an unbounded stream.
+    // The drained AvailableNow run emits every session EXCEPT each key's
+    // final one when the corpus watermark never passes its gap; the oracle
+    // encodes exactly that closure rule (sid < max sid, or end+gap <
+    // global max ts — Spark fires EventTimeTimeout on timeout < watermark,
+    // strictly) over the batch lag+running-sum sessionization. ------------
+    "st6_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // micros-normalized single-file inbox: one file ⇒ one data batch ⇒
+      // per-key fold sees every event together (ingest, not the operator)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("userId"), col("ts").cast("long").as("tsSec"))
+      val inbox = s"/tmp/graft_st6_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st6-ckpt").toString
+      s.catalog.dropTempView("st6_mem")
+      val stream = s.readStream.schema(ev.schema).parquet(inbox)
+        .as[graft.stream.SessionTracker.Event]
+      val q = graft.stream.SessionTracker.sessions(stream, gapSeconds = 1800L)
+        .writeStream.format("memory").queryName("st6_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st6_mem")
+        .select(col("userId").as("user_id"), col("startSec").as("start_sec"),
+          col("endSec").as("end_sec"), col("nEvents").as("n_events"))
+        .orderBy("user_id", "start_sec")
+    },
+
     // ---- exact dedup: content-hash groupBy (training-data pipeline) --------
     "dd1_exact_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -1961,6 +1997,32 @@ object SparkEntry {
         .groupBy("token")
         .agg(count(lit(1)).as("n"), min(col("pos").cast("long")).as("first_pos"))
         .orderBy("token")
+    },
+
+    // ---- Z-order data layout: Morton-code clustering for 2-D scan pruning.
+    // The native codegen `graft_zorder` interleaves the quantized lat/lon
+    // cells; bucketing on the z-value prefix yields tiles whose lat AND lon
+    // envelopes are simultaneously tight — the property that makes a
+    // z-sorted 100 TB write prunable by parquet min/max on either axis
+    // (ZOrderSpec measures the bbox shrink vs a time-sorted layout). The
+    // oracle reproduces the dilation as four shift-or-mask SQL stages. ----
+    "o2_zorder_layout" -> { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .withColumn("lat", col("value") % 180 - 90)
+        .withColumn("lon", (col("value") * 2) % 360 - 180)
+        .withColumn("xi", greatest(lit(0L), least(lit(1023L),
+          floor((col("lat") + 90) / 180 * 1024).cast("long"))))
+        .withColumn("yi", greatest(lit(0L), least(lit(1023L),
+          floor((col("lon") + 180) / 360 * 1024).cast("long"))))
+        .withColumn("zval", graft.expressions.ZOrder2(col("xi"), col("yi")))
+      cells
+        .groupBy(shiftright(col("zval"), 8).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min("lat"), 4).as("lat_min"), round(max("lat"), 4).as("lat_max"),
+          round(min("lon"), 4).as("lon_min"), round(max("lon"), 4).as("lon_max"),
+          min("zval").as("z_min"), max("zval").as("z_max"))
+        .orderBy("bucket")
     }
   )
 
@@ -2444,6 +2506,32 @@ object SparkEntry {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY click_id, purchase_id""",
+    "st6_stream_sessions" ->
+      """WITH s AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         o AS (
+           SELECT user_id, tsec,
+                  lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) AS prev
+           FROM s),
+         t AS (
+           SELECT user_id, tsec,
+                  CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
+           FROM o),
+         u AS (
+           SELECT user_id, tsec,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY tsec
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM t),
+         g AS (
+           SELECT user_id, sid, min(tsec) AS start_sec, max(tsec) AS end_sec,
+                  count(*) AS n_events
+           FROM u GROUP BY 1, 2),
+         m AS (SELECT max(tsec) AS maxts FROM s)
+         SELECT g.user_id, g.start_sec, g.end_sec, g.n_events
+         FROM g, m
+         WHERE g.sid < (SELECT max(g2.sid) FROM g g2 WHERE g2.user_id = g.user_id)
+            OR g.end_sec + 1800 < m.maxts
+         ORDER BY g.user_id, g.start_sec""",
     "a10_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
          true AS approx_ok
@@ -3392,6 +3480,29 @@ object SparkEntry {
          )
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
-         ORDER BY token"""
+         ORDER BY token""",
+    "o2_zorder_layout" ->
+      """WITH geo AS (
+           SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
+           FROM events),
+         q AS (
+           SELECT lat, lon,
+                  greatest(0, least(1023, CAST(floor((lat + 90) / 180 * 1024) AS BIGINT))) AS xi,
+                  greatest(0, least(1023, CAST(floor((lon + 180) / 360 * 1024) AS BIGINT))) AS yi
+           FROM geo),
+         s1 AS (SELECT lat, lon, (xi | (xi << 8)) & 16711935 AS xs,
+                       (yi | (yi << 8)) & 16711935 AS ys FROM q),
+         s2 AS (SELECT lat, lon, (xs | (xs << 4)) & 252645135 AS xs,
+                       (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+         s3 AS (SELECT lat, lon, (xs | (xs << 2)) & 858993459 AS xs,
+                       (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+         s4 AS (SELECT lat, lon, (xs | (xs << 1)) & 1431655765 AS xs,
+                       (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+         z AS (SELECT lat, lon, xs | (ys << 1) AS zval FROM s4)
+         SELECT zval >> 8 AS bucket, count(*) AS n,
+                round(min(lat), 4) AS lat_min, round(max(lat), 4) AS lat_max,
+                round(min(lon), 4) AS lon_min, round(max(lon), 4) AS lon_max,
+                min(zval) AS z_min, max(zval) AS z_max
+         FROM z GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_md5_split takes exactly 1 argument, got ${children.size}")
         Md5Split(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_zorder takes exactly 2 arguments, got ${children.size}")
+        ZOrder2(children(0), children(1))
+      }))
     // rank-1 window filters → max_by/min_by aggregates (no per-partition
     // sort; map-side partial combine) — see graft.plans.RewriteRankOneToMaxBy
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankOneToMaxBy)

@@ -64,4 +64,35 @@ class SessionTrackerSpec extends AnyFunSuite {
     assert(afterTimeout.contains(ClosedSession(7, 9000, 9000, 1)),
       s"expected key 7 timeout close, got: ${afterTimeout.mkString(", ")}")
   }
+
+  test("timeout boundary is strict: end+gap == watermark stays open") {
+    // The st6 oracle encodes Spark's EventTimeTimeout firing rule as
+    // `end_sec + gap < max ts` (STRICT). Pin that: a drained AvailableNow
+    // run whose final watermark lands exactly ON a session's timeout
+    // timestamp must NOT emit it, while one second past it must.
+    val base = Files.createTempDirectory("graft-sessions-bnd").toString
+    // key 1 session ends at 1000 → timeout ts (1000+1800)·1000 ms.
+    // key 2's lone event at exactly 2800 pins the watermark AT the timeout.
+    Seq(Event(1, 1000), Event(2, 2800)).toDS()
+      .write.parquet(s"$base/at/in")
+    def drained(dir: String): Seq[ClosedSession] = {
+      val in = spark.readStream.schema(Seq.empty[Event].toDS().schema)
+        .parquet(s"$dir/in").as[Event]
+      spark.catalog.dropTempView("session_bnd")
+      val q = SessionTracker.sessions(in, gapSeconds = 1800)
+        .writeStream.format("memory").queryName("session_bnd")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("session_bnd").as[ClosedSession].collect().toSeq
+    }
+    assert(drained(s"$base/at").isEmpty,
+      "watermark == timeout must not fire (strict <)")
+    Seq(Event(1, 1000), Event(2, 2801)).toDS()
+      .write.parquet(s"$base/past/in")
+    assert(drained(s"$base/past").contains(ClosedSession(1, 1000, 1000, 1)),
+      "watermark one past the timeout must fire")
+  }
 }
