@@ -1999,6 +1999,35 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- small-file compaction: the lakehouse OPTIMIZE maintenance job.
+    // A fragmented ingest (48 tiny files here; millions at 100 TB) is
+    // rewritten to a 128 MB byte target via shuffle-free coalesce — whole
+    // input splits concatenate into each output task, nothing crosses the
+    // network. The achieved file counts ride INSIDE the oracled result
+    // (before from the forced fragmentation, after from the byte target),
+    // so the compaction itself is correctness-checked, not just the reread
+    // content. LayoutSpec covers sizing/content; BENCH_NOTES records that
+    // the oracle reads the original parquet instead of write+compact+reread.
+    "o1_compaction" -> { (s, dir) =>
+      val frag = s"/tmp/graft_o1_frag_${cacheTag(dir, "events")}"
+      materializeOnce(frag)(
+        Tables.events(s, dir).select("event_id", "user_id", "value")
+          .repartition(48).write.mode("overwrite").parquet(_))
+      // per-process output: concurrent bench+verify must not compact over
+      // each other (same reasoning as j8's bucket dirs)
+      val out = s"/tmp/graft_o1_out_${cacheTag(dir, "events")}" +
+        s"_p${ProcessHandle.current().pid()}"
+      val (before, after) =
+        graft.sources.Layout.compact(s, frag, out, targetBytes = 128L << 20)
+      s.read.parquet(out)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .withColumn("files_before", lit(before.toLong))
+        .withColumn("files_after", lit(after.toLong))
+    },
+
     // ---- Z-order data layout: Morton-code clustering for 2-D scan pruning.
     // The native codegen `graft_zorder` interleaves the quantized lat/lon
     // cells; bucketing on the z-value prefix yields tiles whose lat AND lon
@@ -3481,6 +3510,11 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "o1_compaction" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+                round(sum(value), 2) AS sum_value,
+                CAST(48 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+         FROM events""",
     "o2_zorder_layout" ->
       """WITH geo AS (
            SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
