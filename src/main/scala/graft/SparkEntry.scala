@@ -1999,6 +1999,51 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- benchmark decontamination: flag training documents sharing any
+    // 3-gram with a held-out eval set (the GPT-3/PaLM n-gram-overlap
+    // recipe, shortened to 3-grams for the fixture corpus). The eval
+    // shingle set is the SMALL axis — thousands of benchmark docs against
+    // a 100 TB corpus — so it broadcasts and the corpus-side explosion
+    // joins map-side with no shuffle of the big frame on shingle;
+    // PlanQualitySpec gates the BroadcastHashJoin. ------------------------
+    "dc1_decontaminate" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // single row-group source (dd2 reason)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
+            .as("shingle"))
+      val evalSet = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), "shingle")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_hit_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sequence packing (concat-and-chunk): documents concatenated in
+    // doc_id order, the token stream cut into 2048-token training windows.
+    // The global running offset uses Pack.globalCumsum — deterministic
+    // key-range buckets + tiny totals aggregate + driver prefix scan +
+    // per-bucket window — NOT the single-partition `sum() OVER (ORDER BY)`
+    // the oracle is allowed to use at 60k rows. Every interior chunk must
+    // hold exactly 2048 tokens; the oracle checks that invariant row by
+    // row along with the doc spans. --------------------------------------
+    "tp1_token_packing" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("ntok"))
+      val withOff = graft.operators.Pack.globalCumsum(
+        docs, "doc_id", "ntok", "start_off", buckets = 32)
+      graft.operators.Pack.chunk(withOff, "start_off", "ntok", 2048)
+        .groupBy("chunk_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("chunk_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("chunk_id")
+    },
+
     // ---- small-file compaction: the lakehouse OPTIMIZE maintenance job.
     // A fragmented ingest (48 tiny files here; millions at 100 TB) is
     // rewritten to a 128 MB byte target via shuffle-free coalesce — whole
@@ -3510,6 +3555,47 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "dc1_decontaminate" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+           FROM tk WHERE len(toks) >= 3),
+         shd AS (
+           SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
+           FROM sh0),
+         ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
+         tr AS (SELECT * FROM shd WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, tr.source, count(*) AS n_hit_shingles
+         FROM tr JOIN ev USING (shingle)
+         GROUP BY 1, 2 ORDER BY 1""",
+    "tp1_token_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS ntok
+           FROM documents),
+         s AS (
+           SELECT doc_id, ntok,
+                  CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+           FROM t),
+         e AS (
+           SELECT doc_id, ntok, start_off, start_off + ntok AS end_off
+           FROM s WHERE ntok > 0),
+         x AS (
+           SELECT doc_id, start_off, end_off,
+                  unnest(range(start_off // 2048, ((end_off - 1) // 2048) + 1))
+                    AS chunk_id
+           FROM e)
+         SELECT chunk_id, count(*) AS n_docs,
+                CAST(sum(least(end_off, (chunk_id + 1) * 2048) -
+                         greatest(start_off, chunk_id * 2048)) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM x GROUP BY 1 ORDER BY 1""",
     "o1_compaction" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
                 round(sum(value), 2) AS sum_value,

@@ -21,7 +21,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("explicitly-broadcast joins keep their broadcast in the physical plan") {
     val broadcastQueries = Seq("j4_orders_by_region", "j3_enrich_docs",
-      "e2_knn_topk", "e3_knn_batch", "e6_ivf_knn")
+      "e2_knn_topk", "e3_knn_batch", "e6_ivf_knn", "dc1_decontaminate")
     broadcastQueries.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("Broadcast"), s"$name lost its broadcast:\n$plan")
