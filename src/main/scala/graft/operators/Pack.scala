@@ -22,9 +22,11 @@ object Pack {
 
   /** Exclusive global running sum of `valueCol` in `orderCol` order, written
     * to `outCol`. `orderCol` must be unique, non-null, non-negative
-    * integral. Scans the input twice (bucket totals, then the bucketed
-    * window) — both passes shuffle at most the data once and keep every
-    * partition at ~N/`buckets` rows.
+    * integral, and `df`'s lineage must be DETERMINISTIC across jobs (no
+    * unseeded sample/rand upstream): the input is scanned three times (max
+    * key, bucket totals, bucketed window), and the passes must agree. Each
+    * pass shuffles the data at most once and keeps every partition at
+    * ~N/`buckets` rows.
     */
   def globalCumsum(
       df: DataFrame,
