@@ -1999,6 +1999,30 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- weighted mixture sampling: per-source Bernoulli rates from the
+    // id hash — the training-mixture construction step (sample web at 25%,
+    // books at 100%, …). Hash-threshold sampling, not rand(): the decision
+    // is a pure function of the row, so task retries and stragglers at
+    // 1000-executor scale can't change the sample (rand() resample under
+    // retry is a classic silent-skew bug), reruns are reproducible, and
+    // the whole thing is map-side — no shuffle before the audit agg. -----
+    "sp3_mixture_sample" -> { (s, dir) =>
+      val hexVal = (1 to 2).map(i =>
+        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
+          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _)
+      Tables.documents(s, dir)
+        .withColumn("h", hexVal % 100)
+        .withColumn("rate_pct",
+          (expr("CAST(substr(source, 4) AS INT) % 4") * 25 + 25))
+        .groupBy("source", "rate_pct")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("h") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("h") < col("rate_pct"), col("n_chars")).otherwise(lit(0L)))
+            .as("sampled_chars"))
+        .orderBy("source")
+    },
+
     // ---- benchmark decontamination: flag training documents sharing any
     // 3-gram with a held-out eval set (the GPT-3/PaLM n-gram-overlap
     // recipe, shortened to 3-grams for the fixture corpus). The eval
@@ -3555,6 +3579,17 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "sp3_mixture_sample" ->
+      """WITH h AS (
+           SELECT source, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv,
+                  ((CAST(substr(source, 4) AS INT) % 4) * 25 + 25) AS rate_pct
+           FROM documents)
+         SELECT source, rate_pct, count(*) AS n_total,
+                CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+         FROM h GROUP BY 1, 2 ORDER BY source""",
     "dc1_decontaminate" ->
       """WITH tk AS (
            SELECT doc_id, source,
