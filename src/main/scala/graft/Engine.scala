@@ -198,4 +198,71 @@ class Engine(spark: SparkSession) {
       .withColumn("quality", Analysis.qualityScore(toks))
       .filter(col("quality") >= minQuality)
   }
+
+  /** Concat-and-chunk sequence packing: one row per (doc × training window
+    * it overlaps) with `chunk_id`/`chunk_tokens`, offsets computed by the
+    * scale-safe bucketed cumsum (never a single-partition window). See
+    * `tp1_token_packing`.
+    */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 2048): DataFrame = {
+    val withTok = df.withColumn("__ntok",
+      size(Dedup.tokens(col(textCol))).cast("long"))
+    val withOff = graft.operators.Pack.globalCumsum(
+      withTok, idCol, "__ntok", "start_off")
+    graft.operators.Pack.chunk(withOff, "start_off", "__ntok", chunkTokens)
+      .drop("__ntok")
+  }
+
+  /** n-gram-overlap decontamination: rows of `corpus` sharing at least one
+    * `n`-gram with `evalSet` (both keyed by `idCol`/`textCol`), with the
+    * per-doc hit count. The eval shingle set broadcasts — the corpus side
+    * never shuffles on shingle. See `dc1_decontaminate`.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(Dedup.tokens(col(textCol)), n)))
+        .as("__shingle"))
+    corpus.transform(shingled)
+      .join(broadcast(evalSet.transform(shingled).select("__shingle").distinct()),
+        "__shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
+  /** Per-source hash-threshold Bernoulli sampling for training-mixture
+    * construction: keep a row iff its id-hash lane falls under the
+    * source's rate. Pure row function — task retries can't resample.
+    * `rates` maps source value → keep probability in [0,1]; unlisted
+    * sources keep everything. See `sp3_mixture_sample`.
+    */
+  def sampleMixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val hv = (1 to 2).map(i =>
+      (expr(s"instr('0123456789abcdef', substr(md5(cast($idCol AS string)), $i, 1)) - 1") *
+        lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
+    val rate = rates.foldLeft(lit(100.0)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p * 100)).otherwise(acc)
+    }
+    df.filter(hv < rate)
+  }
+
+  /** Small-file compaction to a byte target (shuffle-free). See
+    * [[graft.sources.Layout.compact]] and `o1_compaction`. */
+  def compact(inDir: String, outDir: String, targetBytes: Long): (Int, Int) =
+    graft.sources.Layout.compact(spark, inDir, outDir, targetBytes)
+
+  /** Z-order clustered write: sort by the Morton interleave of the two
+    * quantized dimension columns so parquet min/max stays tight on both
+    * axes (2-D scan pruning). `bits` ≤ 16 per axis. See `o2_zorder_layout`.
+    */
+  def zorderWrite(df: DataFrame, xCol: Column, yCol: Column, outDir: String,
+      files: Int = 32): Unit =
+    df.withColumn("__z", graft.expressions.ZOrder2(
+        xCol.cast("long"), yCol.cast("long")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 }

@@ -27,6 +27,63 @@ class EngineSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("pack chunks a corpus losslessly; decontaminate flags n-gram overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four"),
+      (3L, "unrelated words entirely here now")).toDF("doc_id", "text")
+    // pack: token conservation at a tiny chunk size
+    val packed = engine.pack(docs, "doc_id", "text", chunkTokens = 4)
+    val total = packed.agg(sum("chunk_tokens")).head().getLong(0)
+    assert(total == 6 + 4 + 5)
+    assert(packed.filter(col("doc_id") === 1L).count() == 2) // 6 tokens span 2 windows
+    // decontaminate: eval doc shares the trigram "two three four" with doc 2 only
+    val eval = Seq((100L, "zero two three four five")).toDF("doc_id", "text")
+    val hits = engine.decontaminate(docs, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((2L, 1L))) // exactly one shared trigram: "two three four"
+  }
+
+  test("sampleMixture keeps rates 0 and 1 exactly and never resamples") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "keep_all" else "drop_all")).toDF("id", "src")
+    val out = engine.sampleMixture(df, "id", "src",
+      Map("keep_all" -> 1.0, "drop_all" -> 0.0))
+    val kept = out.groupBy("src").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept == Map("keep_all" -> 100L))
+    // determinism: a second evaluation selects the identical id set
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = engine.sampleMixture(df, "id", "src", Map("drop_all" -> 0.0))
+      .filter(col("src") === "keep_all").select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("zorderWrite lays files out with 2-D-tight bounding boxes") {
+    import spark.implicits._
+    val n = 32
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zw").toString
+    engine.zorderWrite(grid, col("x"), col("y"), s"$dir/out", files = 16)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == n.toLong * n)
+    assert(back.columns.toSeq.sorted == Seq("x", "y")) // helper column dropped
+    // every file's bbox must span at most half of each axis — the 1-D sort
+    // layout would span the FULL off-axis range in every file
+    val boxes = back
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .select("dx", "dy").as[(Long, Long)].collect()
+    assert(boxes.nonEmpty)
+    boxes.foreach { case (dx, dy) =>
+      assert(dx <= n / 2 && dy <= n / 2, s"loose bbox: dx=$dx dy=$dy")
+    }
+  }
+
   test("nearDupCandidates surfaces injected duplicates") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val dups = docs.filter(col("doc_id") % 100 === 0)
