@@ -43,9 +43,11 @@ object Pack {
     // exact integer division (a double floor would wobble past 2^53)
     val bucket = expr(s"CAST(`$orderCol` AS BIGINT) div ${span}L")
     val withBucket = df.withColumn("__pack_bucket", bucket)
-    // P rows to the driver: the per-bucket totals that seed the prefix scan
+    // P rows to the driver: the per-bucket totals that seed the prefix scan.
+    // NULL values count as 0 (a bucket of only-null values must still
+    // produce a total, and sum() alone would return NULL for it).
     val totals = withBucket.groupBy("__pack_bucket")
-      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
       .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap

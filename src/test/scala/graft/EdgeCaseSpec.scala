@@ -70,6 +70,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.sources.Multimodal.poolFeatures(noMedia).count() == 0)
   }
 
+  test("pack and decontaminate tolerate null/empty/whitespace documents") {
+    val docs = Seq(
+      (1L, null: String), (2L, ""), (3L, "   "),
+      (4L, "alpha beta gamma delta"), (5L, "alpha beta gamma echo"))
+      .toDF("doc_id", "text")
+    val engine = new Engine(spark)
+    // null/empty docs occupy no chunk; real tokens are all conserved
+    val packed = engine.pack(docs, "doc_id", "text", chunkTokens = 4)
+    assert(packed.select("doc_id").distinct().as[Long].collect().toSet == Set(4L, 5L))
+    assert(packed.agg(sum("chunk_tokens")).head().getLong(0) == 8L)
+    // a null-text eval set contaminates nothing; a real trigram match fires
+    val emptyEval = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(engine.decontaminate(docs, emptyEval, "doc_id", "text").count() == 0)
+    val eval = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val hits = engine.decontaminate(docs, eval, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(4L, 5L))
+  }
+
   test("upsert family behaves on empty frames") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "value").limit(10)
