@@ -163,4 +163,30 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name does not use TakeOrderedAndProject:\n$plan")
     }
   }
+
+  test("heavy queries stay inside their shuffle budget") {
+    // Every ShuffleExchange moves the full frame across the cluster at
+    // 100 TB — an extra one is a silent order-of-magnitude regression
+    // that fixture-speed tests never notice. Budgets are the audited
+    // plan shapes (graft.tools.ExchangeAudit); tightening is welcome,
+    // exceeding means a deliberate redesign, not a drive-by edit.
+    val budgets = Map(
+      "q1_pricing_summary" -> 2, "ta5_tfidf_topk" -> 2, "w2_sessionize" -> 2,
+      "dd1_exact_dedup" -> 3, "dd2_minhash_lsh" -> 4, "dd3_simhash" -> 3,
+      "dd4_ngram_jaccard" -> 1, "dd5_embed_neardup" -> 1,
+      "dd6_simhash_hamming" -> 3, "dd7_minhash_est" -> 6,
+      "dd8_lsh_verified" -> 7, "dd9_dup_groups" -> 3, "dd10_dedup_apply" -> 3,
+      "dd11_semantic_dedup" -> 4, "a2_profile_groups" -> 4,
+      "a9_salted_agg" -> 3, "a13_heavy_hitters" -> 4, "j7_salted_skew_join" -> 4,
+      "e6_ivf_knn" -> 1, "e9_quantized_recall" -> 7,
+      "tp1_token_packing" -> 3, "dc1_decontaminate" -> 4,
+      "sp3_mixture_sample" -> 2, "o2_zorder_layout" -> 2)
+    budgets.foreach { case (name, budget) =>
+      val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      assert(shuffles <= budget,
+        s"$name plans $shuffles shuffle exchanges, budget is $budget — " +
+          "a new shuffle at 100 TB needs a deliberate redesign")
+    }
+  }
 }
