@@ -254,8 +254,8 @@ class Engine(spark: SparkSession) {
     graft.sources.Layout.compact(spark, inDir, outDir, targetBytes)
 
   /** Z-order clustered write: sort by the Morton interleave of the two
-    * quantized dimension columns so parquet min/max stays tight on both
-    * axes (2-D scan pruning). `bits` ≤ 16 per axis. See `o2_zorder_layout`.
+    * quantized dimension columns (low 16 bits each) so parquet min/max
+    * stays tight on both axes — 2-D scan pruning. See `o2_zorder_layout`.
     */
   def zorderWrite(df: DataFrame, xCol: Column, yCol: Column, outDir: String,
       files: Int = 32): Unit =
