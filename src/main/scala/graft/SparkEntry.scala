@@ -1999,6 +1999,33 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- bloom-pruned star join: the runtime-filter pattern made
+    // explicit. A 32 KB bloom over the FILTERED dim's hashed keys rides a
+    // scalar subquery into a map-side probe on the fact scan, so fact rows
+    // that cannot join are dropped BEFORE any exchange — at 100 TB that is
+    // the difference between shuffling the full fact table and shuffling
+    // the ~matching slice. False positives only (no false negatives), and
+    // the exact join behind the probe removes them ⇒ the result is
+    // bit-identical to the plain join the oracle runs. Catalyst's own
+    // BloomFilterAggregate/BloomFilterMightContain (what AQE's
+    // InjectRuntimeFilter instantiates), registered as SQL functions via
+    // GraftExtensions. --------------------------------------------------
+    "j9_bloom_prune_join" -> { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus").createOrReplaceTempView("j9_dim")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+        .createOrReplaceTempView("j9_fact")
+      s.sql(
+        """WITH bf AS (
+             SELECT graft_bloom_agg(xxhash64(o_orderkey), 20000L, 262144L) AS b
+             FROM j9_dim)
+           SELECT /*+ BROADCAST(d) */ d.o_orderstatus, count(*) AS n,
+                  round(sum(f.l_extendedprice), 2) AS sum_price
+           FROM j9_fact f JOIN j9_dim d ON f.l_orderkey = d.o_orderkey
+           WHERE graft_might_contain((SELECT b FROM bf), xxhash64(f.l_orderkey))
+           GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus""")
+    },
+
     // ---- weighted mixture sampling: per-source Bernoulli rates from the
     // id hash — the training-mixture construction step (sample web at 25%,
     // books at 100%, …). Hash-threshold sampling, not rand(): the decision
@@ -3579,6 +3606,12 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "j9_bloom_prune_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sp3_mixture_sample" ->
       """WITH h AS (
            SELECT source, n_chars,

@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions entry point registering graft's native
   * expressions as SQL functions, so pure-SQL users get the codegen vector
@@ -32,6 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"graft_md5_split takes exactly 1 argument, got ${children.size}")
         Md5Split(children.head)
+      }))
+    // Catalyst's runtime-filter bloom machinery, exposed for EXPLICIT
+    // semi-join reduction: build a compact bloom over a filtered dim's
+    // hashed keys, probe it map-side on the fact scan before the join
+    // shuffle. Same classes AQE's InjectRuntimeFilter instantiates — only
+    // the registration is ours.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_might_contain takes exactly 2 arguments, got ${children.size}")
+        BloomFilterMightContain(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),

@@ -44,6 +44,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom functions: no false negatives, real pruning, SQL-callable") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-bloom-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(ext => new graft.expressions.GraftExtensions()(ext))
+      .getOrCreate()
+    try {
+      s.sql("SELECT graft_bloom_agg(xxhash64(id), 100L, 1024L) AS bf FROM range(100)")
+        .createOrReplaceTempView("bloom_t")
+      // every inserted key probes true — the property that makes the
+      // j9 prune-then-exact-join compose to a bit-identical result
+      val trueKept = s.sql(
+        """SELECT count(*) FROM range(100)
+           WHERE graft_might_contain((SELECT bf FROM bloom_t), xxhash64(id))""")
+        .head().getLong(0)
+      assert(trueKept == 100L, "bloom produced a false negative")
+      // and it actually prunes: of 900 non-members, nearly all drop
+      val allKept = s.sql(
+        """SELECT count(*) FROM range(1000)
+           WHERE graft_might_contain((SELECT bf FROM bloom_t), xxhash64(id))""")
+        .head().getLong(0)
+      assert(allKept < 200L, s"bloom pruned almost nothing: kept $allKept of 1000")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("RewriteRankOneToMaxBy: rank-1 window filter plans as an aggregate, same result") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession

@@ -164,6 +164,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("j9 probes the bloom on the fact side and broadcasts the dim") {
+    val plan = SparkEntry.queries("j9_bloom_prune_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"j9 lost its bloom probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"j9 lost its broadcast join:\n$plan")
+  }
+
   test("heavy queries stay inside their shuffle budget") {
     // Every ShuffleExchange moves the full frame across the cluster at
     // 100 TB — an extra one is a silent order-of-magnitude regression
