@@ -189,7 +189,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "a9_salted_agg" -> 3, "a13_heavy_hitters" -> 4, "j7_salted_skew_join" -> 4,
       "e6_ivf_knn" -> 1, "e9_quantized_recall" -> 7,
       "tp1_token_packing" -> 3, "dc1_decontaminate" -> 4,
-      "sp3_mixture_sample" -> 2, "o2_zorder_layout" -> 2)
+      "sp3_mixture_sample" -> 2, "o2_zorder_layout" -> 2,
+      "j9_bloom_prune_join" -> 4, "o1_compaction" -> 2,
+      "st6_stream_sessions" -> 1)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
