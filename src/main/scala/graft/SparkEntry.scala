@@ -1353,6 +1353,41 @@ object SparkEntry {
       s.table("st5_mem").orderBy("click_id", "purchase_id")
     },
 
+    // ---- ST: stream-stream LEFT OUTER interval join. Matches emit as
+    // they arrive (inner path); an unmatched click emits null-extended
+    // only when the watermark passes click_ts + window — state eviction
+    // proving no future purchase can match. The global watermark is the
+    // MIN across both sides' watermark nodes (multipleWatermarkPolicy
+    // default), i.e. least(max click_ts, max purchase_ts) after the
+    // drain, and the oracle encodes exactly that boundary (strict <;
+    // StreamJoinSpec pins the eviction behavior). Single-file inbox ⇒
+    // one data batch ⇒ no cross-batch late-arrival ambiguity (ingest,
+    // not the operator). --------------------------------------------------
+    "st7_stream_outer_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val inbox = s"/tmp/graft_st7_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st7-ckpt").toString
+      s.catalog.dropTempView("st7_mem")
+      val src = s.readStream.schema(ev.schema).parquet(inbox)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", watermark = "0 seconds", windowSec = 3600L,
+          joinType = "leftOuter")
+        .select("user_id", "click_id", "purchase_id")
+        .writeStream.format("memory").queryName("st7_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st7_mem").orderBy("click_id", "purchase_id")
+    },
+
     // ---- ST: stateful gap sessionization via flatMapGroupsWithState.
     // State per key is ONE open-session record (start, last, n) — O(active
     // keys), not O(events) — and the event-time timeout closes sessions for
@@ -2630,6 +2665,22 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY click_id, purchase_id""",
+    "st7_stream_outer_join" ->
+      """WITH m AS (SELECT least(max(ts) FILTER (event_type = 'click'),
+                           max(ts) FILTER (event_type = 'purchase')) AS wm
+                    FROM events),
+         c AS (SELECT user_id, event_id AS click_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id, c.click_id, p.purchase_id, c.cts
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id
+                AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+         SELECT j.user_id, j.click_id, j.purchase_id
+         FROM j, m
+         WHERE j.purchase_id IS NOT NULL OR j.cts + INTERVAL 1 HOUR < m.wm
          ORDER BY click_id, purchase_id""",
     "st6_stream_sessions" ->
       """WITH s AS (

@@ -21,10 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** `joinType` "inner" (default) or "leftOuter". Outer semantics on a
+    * stream: matches still emit as they arrive; an unmatched left row
+    * emits null-extended only when the watermark proves no future right
+    * row can match it (state eviction) — so a drained run emits every
+    * unmatched left row except those whose match window still reaches
+    * past the final watermark. That boundary is exactly what the st7
+    * oracle encodes.
+    */
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      watermark: String, windowSec: Long): DataFrame = {
+      watermark: String, windowSec: Long,
+      joinType: String = "inner"): DataFrame = {
     val l0 = left.withColumnRenamed(key, "__lkey")
     val r0 = right.withColumnRenamed(key, "__rkey")
     val l = if (l0.isStreaming) l0.withWatermark(leftTs, watermark) else l0
@@ -32,7 +41,8 @@ object StreamJoin {
     l.join(r,
         col("__lkey") === col("__rkey") &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSec SECONDS"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSec SECONDS"),
+        joinType)
       .withColumnRenamed("__lkey", key)
       .drop("__rkey")
   }

@@ -70,4 +70,44 @@ class StreamJoinSpec extends AnyFunSuite {
         s"join state not evicted: $stateFinal vs $stateAfterMatch")
     } finally q.stop()
   }
+
+  test("left-outer: unmatched left emits null-extended only after eviction") {
+    val base = Files.createTempDirectory("graft-sjoin-outer").toString
+    def write(dir: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("id", "user_id", "ts_s")
+        .select(col("id"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$base/$dir")
+
+    write("clicks", Seq((1L, 100L, "2024-03-01 10:00:00")))
+    write("purchases", Seq((90L, 999L, "2024-03-01 10:00:00"))) // seed wm
+
+    val cSchema = spark.read.parquet(s"$base/clicks").schema
+    val clicks = spark.readStream.schema(cSchema).parquet(s"$base/clicks")
+      .select(col("user_id"), col("id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = spark.readStream.schema(cSchema).parquet(s"$base/purchases")
+      .select(col("user_id"), col("id").as("purchase_id"), col("ts").as("purchase_ts"))
+    spark.catalog.dropTempView("sjoin_outer_mem")
+    val q = StreamJoin.intervalJoin(clicks, purchases, "user_id",
+        "click_ts", "purchase_ts", watermark = "0 seconds", windowSec = 3600L,
+        joinType = "leftOuter")
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("sjoin_outer_mem")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark (10:00) has not passed click+window (11:00): nothing out
+      assert(spark.table("sjoin_outer_mem").isEmpty,
+        "null-extended row emitted before the watermark proved no match")
+      // advance BOTH sides well past 11:00 → eviction emits (1, null)
+      write("clicks", Seq((2L, 300L, "2024-03-01 20:00:00")))
+      write("purchases", Seq((91L, 999L, "2024-03-01 20:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sjoin_outer_mem").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == Set((1L, None)),
+        s"expected the evicted unmatched click null-extended, got: $got")
+    } finally q.stop()
+  }
 }
