@@ -2034,6 +2034,40 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- malformed-record tolerance: a 100 TB crawl ALWAYS contains
+    // broken lines, and a scan that aborts on them (FAILFAST) or silently
+    // swallows them (DROPMALFORMED) is operationally wrong at scale. The
+    // PERMISSIVE scan keeps every good row, routes each broken line into
+    // the corrupt-record column for quarantine accounting, and the counts
+    // ride inside the oracled result (5 garbage lines injected into the
+    // one-time JSON sink alongside the real rows). -----------------------
+    "s7_corrupt_tolerant" -> { (s, dir) =>
+      val base = s"/tmp/graft_s7_${cacheTag(dir, "events")}"
+      val src = Tables.events(s, dir).select("event_id", "event_type", "value")
+      materializeOnce(base) { tmp =>
+        src.write.mode("overwrite").json(tmp)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/part-99999-garbage.json"),
+          ("{\"event_id\": 1, \"event_type\": \"click\", \"value\": \n" + // truncated
+            "not json at all\n" +
+            "{\"event_id\": \"seven\"}garbage-tail\n" +                   // trailing junk
+            "[1, 2, 3\n" +                                                // unclosed array
+            "{broken\n").getBytes("UTF-8"))
+      }
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(base)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          count(col("event_id")).as("n_good"),
+          round(sum("value"), 2).as("sum_value"))
+    },
+
     // ---- the full training-data preparation funnel, composed end to end:
     // structural quality filter → exact dedup (keep-min-id per content) →
     // eval-overlap decontamination (broadcast eval shingles) → per-source
@@ -3713,6 +3747,10 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "s7_corrupt_tolerant" ->
+      """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
+                count(*) AS n_good, round(sum(value), 2) AS sum_value
+         FROM events""",
     "pl2_training_pipeline" ->
       """WITH q AS (
            SELECT doc_id, source, text, n_chars,

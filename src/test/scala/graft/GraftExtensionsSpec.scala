@@ -72,6 +72,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
            WHERE graft_might_contain((SELECT bf FROM bloom_t), xxhash64(id))""")
         .head().getLong(0)
       assert(allKept < 200L, s"bloom pruned almost nothing: kept $allKept of 1000")
+      // empty build side → NULL bloom → NULL probe → all rows filtered:
+      // degenerates to the (empty) join result, never a crash
+      s.sql("SELECT graft_bloom_agg(xxhash64(id), 10L, 64L) AS bf FROM range(0)")
+        .createOrReplaceTempView("bloom_empty")
+      val emptyKept = s.sql(
+        """SELECT count(*) FROM range(100)
+           WHERE graft_might_contain((SELECT bf FROM bloom_empty), xxhash64(id))""")
+        .head().getLong(0)
+      assert(emptyKept == 0L, "an empty-build bloom must filter everything")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
