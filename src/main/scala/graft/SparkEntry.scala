@@ -2041,8 +2041,8 @@ object SparkEntry {
     // the corrupt-record column for quarantine accounting, and the counts
     // ride inside the oracled result (5 garbage lines injected into the
     // one-time JSON sink alongside the real rows). -----------------------
-    "s7_corrupt_tolerant" -> { (s, dir) =>
-      val base = s"/tmp/graft_s7_${cacheTag(dir, "events")}"
+    "o3_corrupt_tolerant" -> { (s, dir) =>
+      val base = s"/tmp/graft_o3_${cacheTag(dir, "events")}"
       val src = Tables.events(s, dir).select("event_id", "event_type", "value")
       materializeOnce(base) { tmp =>
         src.write.mode("overwrite").json(tmp)
@@ -3747,7 +3747,7 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
-    "s7_corrupt_tolerant" ->
+    "o3_corrupt_tolerant" ->
       """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
                 count(*) AS n_good, round(sum(value), 2) AS sum_value
          FROM events""",
