@@ -2034,6 +2034,35 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- perceptual image dedup: average-hash over REAL decoded PNGs.
+    // Each image decodes (javax.imageio) and pools to the 4×2 grid; bit i
+    // is "cell mean above global mean", compared by integer
+    // cross-multiplication (sum_cell·n_total > sum_total·n_cell — no FP),
+    // packed into an 8-bit aHash. Identical payloads land in the same
+    // bucket by construction (injected clones prove it); the hash is the
+    // O(1)-per-image bucketing key that makes image near-dup LINEAR at
+    // 100 TB, exactly like dd5's sign-bit buckets for text embeddings.
+    // The oracle reproduces pixels from the synthesis closed form
+    // (payload rides the clone, so pixels derive from media_id % 10^6). --
+    "mm3_image_ahash" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id")))
+        .filter(col("kind") === "image")
+      // clones carry the ORIGINAL payload under a shifted id — exact dups
+      val dup = media.withColumn("media_id", col("media_id") + 1000000L)
+      val cells = Multimodal.poolFeatures(media.unionByName(dup))
+      val totals = cells.groupBy("media_id")
+        .agg(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
+      cells.join(totals, "media_id")
+        .withColumn("w", expr(
+          """shiftleft(CASE WHEN sum_v * tot_n > tot_v * n THEN 1L ELSE 0L END,
+                       CAST(cell_y * 4 + cell_x AS INT))"""))
+        .groupBy("media_id").agg(sum("w").as("ahash"))
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_images"), min("media_id").as("min_media_id"))
+        .orderBy("ahash")
+    },
+
     // ---- malformed-record tolerance: a 100 TB crawl ALWAYS contains
     // broken lines, and a scan that aborts on them (FAILFAST) or silently
     // swallows them (DROPMALFORMED) is operationally wrong at scale. The
@@ -3747,6 +3776,30 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "mm3_image_ahash" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+         all_m AS (SELECT media_id, media_id AS base_id FROM m
+                   UNION ALL SELECT media_id + 1000000, media_id FROM m),
+         img AS (SELECT media_id, base_id,
+                        16 + base_id % 8 AS w, 8 + base_id % 4 AS h
+                 FROM all_m),
+         px AS (SELECT media_id, base_id, w, h,
+                       unnest(generate_series(0, w - 1)) AS x FROM img),
+         pxy AS (SELECT media_id, base_id, w, h, x,
+                        unnest(generate_series(0, h - 1)) AS y FROM px),
+         icell AS (SELECT media_id, (x * 4) // w AS cell_x, (y * 2) // h AS cell_y,
+                          count(*) AS n,
+                          sum(((base_id * 31 + x * 7 + y * 13) % 16777215) % 256) AS sum_v
+                   FROM pxy GROUP BY 1, 2, 3),
+         tot AS (SELECT media_id, sum(sum_v) AS tot_v, sum(n) AS tot_n
+                 FROM icell GROUP BY 1),
+         bits AS (SELECT i.media_id,
+                         (CASE WHEN i.sum_v * t.tot_n > t.tot_v * i.n THEN 1 ELSE 0 END)
+                           * (1 << (i.cell_y * 4 + i.cell_x)) AS w
+                  FROM icell i JOIN tot t USING (media_id)),
+         h AS (SELECT media_id, CAST(sum(w) AS BIGINT) AS ahash FROM bits GROUP BY 1)
+         SELECT ahash, count(*) AS n_images, min(media_id) AS min_media_id
+         FROM h GROUP BY 1 ORDER BY 1""",
     "o3_corrupt_tolerant" ->
       """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
                 count(*) AS n_good, round(sum(value), 2) AS sum_value
