@@ -2051,13 +2051,18 @@ object SparkEntry {
       // clones carry the ORIGINAL payload under a shifted id — exact dups
       val dup = media.withColumn("media_id", col("media_id") + 1000000L)
       val cells = Multimodal.poolFeatures(media.unionByName(dup))
-      val totals = cells.groupBy("media_id")
-        .agg(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
-      cells.join(totals, "media_id")
-        .withColumn("w", expr(
-          """shiftleft(CASE WHEN sum_v * tot_n > tot_v * n THEN 1L ELSE 0L END,
-                       CAST(cell_y * 4 + cell_x AS INT))"""))
-        .groupBy("media_id").agg(sum("w").as("ahash"))
+      // one aggregation pivots the 8 cells wide — a totals+join form would
+      // run the decode mapPartitions twice and shuffle three extra times
+      val cellIdx = col("cell_y") * 4 + col("cell_x")
+      val aggs = (0 until 8).flatMap { k =>
+        Seq(
+          sum(when(cellIdx === k, col("sum_v")).otherwise(0L)).as(s"sv_$k"),
+          sum(when(cellIdx === k, col("n")).otherwise(0L)).as(s"n_$k"))
+      } ++ Seq(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
+      cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("ahash", (0 until 8).map(k =>
+          when(col(s"sv_$k") * col("tot_n") > col("tot_v") * col(s"n_$k"),
+            lit(1L << k)).otherwise(lit(0L))).reduce(_ + _))
         .groupBy("ahash")
         .agg(count(lit(1)).as("n_images"), min("media_id").as("min_media_id"))
         .orderBy("ahash")
