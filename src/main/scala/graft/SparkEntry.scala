@@ -1388,6 +1388,51 @@ object SparkEntry {
       s.table("st7_mem").orderBy("click_id", "purchase_id")
     },
 
+    // ---- ST: incremental materialized view — the production streaming-ETL
+    // pattern. An UPDATE-mode aggregation emits each key's new cumulative
+    // total per micro-batch (maxFilesPerTrigger=1 forces four real
+    // batches), and foreachBatch MERGES those deltas into a keyed parquet
+    // table via the last-writer-wins upsert (version = batchId). However
+    // the files split into batches, the last update per key carries its
+    // final total, so the merged table equals the batch GROUP BY the
+    // oracle runs — while state per key stays O(1) and the sink table is
+    // queryable between batches, which is the whole point at 100 TB:
+    // never recompute the view from scratch. -----------------------------
+    "st8_incremental_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "value")
+      val inbox = s"/tmp/graft_st8_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.repartition(4).write.mode("overwrite").parquet(_))
+      val state = java.nio.file.Files.createTempDirectory("graft-st8-state")
+        .toString + "/tbl"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st8-ckpt").toString
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inbox)
+      val agg = src.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val incoming = batch.withColumn("__ver", lit(batchId))
+          val merged =
+            if (new java.io.File(s"$state/_SUCCESS").exists())
+              graft.operators.Upsert.lastWriterWins(
+                s.read.parquet(state), incoming, "user_id", "__ver", "__ver")
+            else incoming
+          // eager checkpoint severs the lineage from the files being
+          // overwritten — read-modify-write on one dir is safe
+          merged.localCheckpoint(true).write.mode("overwrite").parquet(state)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(state)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    },
+
     // ---- ST: stateful gap sessionization via flatMapGroupsWithState.
     // State per key is ONE open-session record (start, last, n) — O(active
     // keys), not O(events) — and the event-time timeout closes sessions for
@@ -2790,6 +2835,9 @@ object SparkEntry {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY click_id, purchase_id""",
+    "st8_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "st7_stream_outer_join" ->
       """WITH m AS (SELECT least(max(ts) FILTER (event_type = 'click'),
                            max(ts) FILTER (event_type = 'purchase')) AS wm
