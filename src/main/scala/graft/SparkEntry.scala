@@ -2113,6 +2113,36 @@ object SparkEntry {
         .orderBy("ahash")
     },
 
+    // ---- acoustic content fingerprint: the audio twin of mm3, over REAL
+    // WAV decode → 16 temporal energy windows → bit w = parity of window
+    // w's summed |amplitude| → 16-bit fingerprint. Fingerprinting the
+    // DECODED samples (not the file bytes) is the point: two clips with
+    // identical audio but different container bytes collide, while any
+    // sample-level change flips parities. (A mean-threshold bit rule is
+    // degenerate on this fixture's monotone synthetic ramp — every clip
+    // would land in one bucket; parity discriminates and stays exact
+    // integer arithmetic the oracle replays.) Clones collide by
+    // construction; other clips spread across enough buckets to bound
+    // any in-bucket exact-confirm pass (the dd5/dd8 recall-then-verify
+    // shape). -------------------------------------------------------------
+    "mm4_audio_fingerprint" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id")))
+        .filter(col("kind") === "audio")
+      val dup = media.withColumn("media_id", col("media_id") + 1000000L)
+      val cells = Multimodal.poolFeatures(media.unionByName(dup),
+        audioWindows = 16)
+      val aggs = (0 until 16).map { k =>
+        sum(when(col("cell_x") === k, col("sum_v")).otherwise(0L)).as(s"sv_$k")
+      }
+      cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("fp", (0 until 16).map(k =>
+          (col(s"sv_$k") % 2) * lit(1L << k)).reduce(_ + _))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_clips"), min("media_id").as("min_media_id"))
+        .orderBy("fp")
+    },
+
     // ---- malformed-record tolerance: a 100 TB crawl ALWAYS contains
     // broken lines, and a scan that aborts on them (FAILFAST) or silently
     // swallows them (DROPMALFORMED) is operationally wrong at scale. The
@@ -3829,6 +3859,20 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "mm4_audio_fingerprint" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+         all_m AS (SELECT media_id, media_id AS base_id FROM m
+                   UNION ALL SELECT media_id + 1000000, media_id FROM m),
+         aud AS (SELECT media_id, base_id, 50 + base_id % 100 AS nf FROM all_m),
+         ai AS (SELECT media_id, base_id, nf,
+                       unnest(generate_series(0, nf - 1)) AS i FROM aud),
+         acell AS (SELECT media_id, (i * 16) // nf AS w,
+                          sum(abs((base_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
+                   FROM ai GROUP BY 1, 2),
+         bits AS (SELECT media_id, (sum_v % 2) * (1 << w) AS b FROM acell),
+         h AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS fp FROM bits GROUP BY 1)
+         SELECT fp, count(*) AS n_clips, min(media_id) AS min_media_id
+         FROM h GROUP BY 1 ORDER BY 1""",
     "mm3_image_ahash" ->
       """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
          all_m AS (SELECT media_id, media_id AS base_id FROM m
