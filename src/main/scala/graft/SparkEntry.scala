@@ -2079,6 +2079,38 @@ object SparkEntry {
         .orderBy("token")
     },
 
+    // ---- iterative PageRank over the order→part graph, in EXACT scaled
+    // integers (p₀ = 10⁶; p' = 0.15·10⁶ + 850·Σ(p div outdeg) div 1000 —
+    // the ta5 integer-scaling recipe, so three nested join+aggregate
+    // rounds stay bit-identical across engines with no FP drift to
+    // round away). Each round is one narrow shuffle on dst (contrib agg)
+    // plus a broadcast-sized outdeg join — the dd9 connected-components
+    // shuffle shape, extending the iterative-graph family beyond label
+    // propagation. Simplified dangling-mass semantics (no redistribution)
+    // — identical on both engines by construction. -----------------------
+    "gr1_pagerank" -> { (s, dir) =>
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 4096).as("src"),
+          (col("l_partkey") % 4096).as("dst"))
+        .distinct().localCheckpoint(false) // reused by 3 rounds + outdeg + nodes
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct().localCheckpoint(false)
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      var p = nodes.withColumn("p", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = p.withColumnRenamed("node", "src")
+          .join(edges, "src").join(outdeg, "src")
+          .select(col("dst"), expr("p div outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("contrib"))
+        p = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("850 * coalesce(contrib, 0L) div 1000")).as("p"))
+      }
+      p.orderBy(col("p").desc, col("node")).limit(20)
+    },
+
     // ---- perceptual image dedup: average-hash over REAL decoded PNGs.
     // Each image decodes (javax.imageio) and pools to the 4×2 grid; bit i
     // is "cell mean above global mean", compared by integer
@@ -3859,6 +3891,32 @@ object SparkEntry {
          WHERE token IS NOT NULL AND token <> ''
          GROUP BY token
          ORDER BY token""",
+    "gr1_pagerank" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey % 4096 AS src, l_partkey % 4096 AS dst
+                    FROM lineitem),
+         n AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM n),
+         c1 AS (SELECT e.dst, sum(p0.p // od.outdeg) AS contrib
+                FROM p0 JOIN e ON p0.node = e.src JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         p1 AS (SELECT n.node,
+                       CAST(150000 + (850 * COALESCE(c1.contrib, 0)) // 1000 AS BIGINT) AS p
+                FROM n LEFT JOIN c1 ON n.node = c1.dst),
+         c2 AS (SELECT e.dst, sum(p1.p // od.outdeg) AS contrib
+                FROM p1 JOIN e ON p1.node = e.src JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         p2 AS (SELECT n.node,
+                       CAST(150000 + (850 * COALESCE(c2.contrib, 0)) // 1000 AS BIGINT) AS p
+                FROM n LEFT JOIN c2 ON n.node = c2.dst),
+         c3 AS (SELECT e.dst, sum(p2.p // od.outdeg) AS contrib
+                FROM p2 JOIN e ON p2.node = e.src JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         p3 AS (SELECT n.node,
+                       CAST(150000 + (850 * COALESCE(c3.contrib, 0)) // 1000 AS BIGINT) AS p
+                FROM n LEFT JOIN c3 ON n.node = c3.dst)
+         SELECT node, p FROM p3 ORDER BY p DESC, node LIMIT 20""",
     "mm4_audio_fingerprint" ->
       """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
          all_m AS (SELECT media_id, media_id AS base_id FROM m

@@ -193,7 +193,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "j9_bloom_prune_join" -> 4, "o1_compaction" -> 2,
       "st6_stream_sessions" -> 1, "st7_stream_outer_join" -> 1,
       "pl2_training_pipeline" -> 8, "mm3_image_ahash" -> 5,
-      "st8_incremental_agg" -> 1, "mm4_audio_fingerprint" -> 5)
+      "st8_incremental_agg" -> 1, "mm4_audio_fingerprint" -> 5,
+      "gr1_pagerank" -> 9)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
