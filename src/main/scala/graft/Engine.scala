@@ -239,9 +239,11 @@ class Engine(spark: SparkSession) {
     */
   def sampleMixture(df: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double]): DataFrame = {
-    val hv = (1 to 2).map(i =>
-      (expr(s"instr('0123456789abcdef', substr(md5(cast($idCol AS string)), $i, 1)) - 1") *
-        lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
+    // Lane from all 64 hash bits: modulo bias is 2^64 mod 100 / 2^64
+    // (~2e-18), vs a single hash byte mod 100 which keeps ~29.3% of rows
+    // at a documented 25% rate. Column API also keeps exotic column names
+    // (spaces, dots, keywords) working without manual escaping.
+    val hv = pmod(xxhash64(col(idCol).cast("string")), lit(100L))
     val rate = rates.foldLeft(lit(100.0)) { case (acc, (src, p)) =>
       when(col(sourceCol) === src, lit(p * 100)).otherwise(acc)
     }

@@ -2379,15 +2379,20 @@ object SparkEntry {
       // each other (same reasoning as j8's bucket dirs)
       val out = s"/tmp/graft_o1_out_${cacheTag(dir, "events")}" +
         s"_p${ProcessHandle.current().pid()}"
-      val (before, after) =
-        graft.sources.Layout.compact(s, frag, out, targetBytes = 128L << 20)
+      val target = 128L << 20
+      val (fragBytes, _) = graft.sources.Layout.dataFileStats(s, frag)
+      val (before, after) = graft.sources.Layout.compact(s, frag, out, target)
+      // Parity is against the target-DERIVED count, not a literal: at a
+      // larger scale factor the fixture exceeds one 128 MB file and the
+      // expectation moves with it, so the oracle row stays TRUE anywhere.
+      val expected = math.max(1L, (fragBytes + target - 1) / target)
       s.read.parquet(out)
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct("user_id").as("n_users"),
           round(sum("value"), 2).as("sum_value"))
         .withColumn("files_before", lit(before.toLong))
-        .withColumn("files_after", lit(after.toLong))
+        .withColumn("files_after_on_target", lit(after.toLong == expected))
     },
 
     // ---- Z-order data layout: Morton-code clustering for 2-D scan pruning.
@@ -4065,7 +4070,7 @@ object SparkEntry {
     "o1_compaction" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
                 round(sum(value), 2) AS sum_value,
-                CAST(48 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after
+                CAST(48 AS BIGINT) AS files_before, TRUE AS files_after_on_target
          FROM events""",
     "o2_zorder_layout" ->
       """WITH geo AS (

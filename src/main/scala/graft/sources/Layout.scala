@@ -43,6 +43,15 @@ object Layout {
     * chunking; pass `shuffle = true` for a `repartition` that round-robins
     * rows into evenly sized files at full-shuffle cost (worth it only when
     * the input is badly skewed AND downstream cares about uniformity).
+    *
+    * The byte target is BEST-EFFORT on the coalesce path: `coalesce` can
+    * only merge partitions, never split them, so if the scan yields fewer
+    * partitions than `ceil(bytes/targetBytes)` (one giant file, or a
+    * re-encode that compresses differently) the output lands in fewer,
+    * larger files than requested — the returned measured counts say so
+    * rather than failing silently. When the target must be honored, use
+    * `shuffle = true`, or bound rows per file via
+    * `spark.sql.files.maxRecordsPerFile` on the writer.
     */
   def compact(
       spark: SparkSession,
@@ -54,6 +63,11 @@ object Layout {
     val (bytes, before) = dataFileStats(spark, inDir)
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inDir)
+    if (!shuffle && df.rdd.getNumPartitions < nOut)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"Layout.compact: scan yields ${df.rdd.getNumPartitions} " +
+        s"partitions < target $nOut files; coalesce cannot split, so files " +
+        s"will be larger than $targetBytes bytes (pass shuffle=true to honor it)")
     val out: DataFrame = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
     out.write.mode("overwrite").parquet(outDir)
     val (_, after) = dataFileStats(spark, outDir)

@@ -61,6 +61,17 @@ class EngineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sampleMixture is calibrated (64-bit lane, no modulo bias) and escapes names") {
+    import spark.implicits._
+    // A 2-hex-digit lane mod 100 keeps ~29.3% at a documented 25% rate;
+    // the 64-bit lane must land within binomial noise of the target.
+    val n = 40000
+    val df = (0L until n.toLong).map((_, "web")).toDF("doc id", "src") // space in name
+    val kept = engine.sampleMixture(df, "doc id", "src", Map("web" -> 0.25)).count()
+    val frac = kept.toDouble / n
+    assert(math.abs(frac - 0.25) < 0.01, s"keep fraction $frac drifted from 0.25")
+  }
+
   test("zorderWrite lays files out with 2-D-tight bounding boxes") {
     import spark.implicits._
     val n = 32

@@ -110,4 +110,55 @@ class StreamJoinSpec extends AnyFunSuite {
         s"expected the evicted unmatched click null-extended, got: $got")
     } finally q.stop()
   }
+
+  /** Pins the exact eviction boundary the st7 oracle encodes
+    * (`click_ts + window < wm`, STRICT): a watermark landing exactly on
+    * click_ts + window must NOT emit the null-extended row; one second
+    * past it must. Mirrors the st6 EventTimeTimeout boundary spec — a
+    * `<=` vs `<` disagreement here would flip st7 parity on any fixture
+    * with a tie between the final min-watermark and a click's bound.
+    */
+  test("left-outer eviction boundary is strict: wm == click_ts + window holds state") {
+    val base = Files.createTempDirectory("graft-sjoin-bound").toString
+    def write(dir: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("id", "user_id", "ts_s")
+        .select(col("id"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(s"$base/$dir")
+
+    write("clicks", Seq((1L, 100L, "2024-03-01 10:00:00")))
+    write("purchases", Seq((90L, 999L, "2024-03-01 10:00:00"))) // seed wm
+
+    val cSchema = spark.read.parquet(s"$base/clicks").schema
+    val clicks = spark.readStream.schema(cSchema).parquet(s"$base/clicks")
+      .select(col("user_id"), col("id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = spark.readStream.schema(cSchema).parquet(s"$base/purchases")
+      .select(col("user_id"), col("id").as("purchase_id"), col("ts").as("purchase_ts"))
+    spark.catalog.dropTempView("sjoin_bound_mem")
+    val q = StreamJoin.intervalJoin(clicks, purchases, "user_id",
+        "click_ts", "purchase_ts", watermark = "0 seconds", windowSec = 3600L,
+        joinType = "leftOuter")
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("sjoin_bound_mem")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH sides to exactly click_ts + window (11:00:00): the
+      // min-watermark equals the bound — strict eviction keeps the state
+      write("clicks", Seq((2L, 300L, "2024-03-01 11:00:00")))
+      write("purchases", Seq((91L, 999L, "2024-03-01 11:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("sjoin_bound_mem").isEmpty,
+        "null-extended row emitted at wm == click_ts + window (eviction not strict)")
+      // one second past the bound: now it must evict and emit
+      write("clicks", Seq((3L, 300L, "2024-03-01 11:00:01")))
+      write("purchases", Seq((92L, 999L, "2024-03-01 11:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("sjoin_bound_mem").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == Set((1L, None)),
+        s"expected eviction one second past the bound, got: $got")
+    } finally q.stop()
+  }
 }
