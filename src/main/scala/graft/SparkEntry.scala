@@ -2419,6 +2419,117 @@ object SparkEntry {
           round(min("lon"), 4).as("lon_min"), round(max("lon"), 4).as("lon_max"),
           min("zval").as("z_min"), max("zval").as("z_max"))
         .orderBy("bucket")
+    },
+
+    // ---- SCD Type-2 history build: collapse a mutation log into versioned
+    // dimension rows with [valid_from, valid_to) ranges and an is_current
+    // flag — the standard warehouse dimension-history operator. One shuffle
+    // on the business key; both window passes (change detection, then
+    // range stitching over the collapsed rows) reuse the same hash
+    // partitioning, so the user_id exchange happens once. Ties at equal ts
+    // break on event_id so the fold is deterministic under retries. -------
+    "d4_scd2_history" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(byUser))
+        .withColumn("valid_to_ts", lead("ts", 1).over(byUser))
+        .select(
+          col("user_id"), col("version"),
+          col("event_type").as("status"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+
+    // ---- CDC apply: fold an insert/update/delete change stream into final
+    // table state in ONE aggregation — max_by over the (ts, event_id)
+    // ordering key picks each key's last change without a window sort
+    // (the d1 upsert recipe), then delete-ops drop the key. The op code is
+    // derived deterministically from the row so the oracle sees the same
+    // log. At 100 TB this is the nightly CDC-compaction shape: shuffle
+    // once on the primary key, no per-key state on the driver. ------------
+    "d5_cdc_apply" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("op",
+          when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+        .groupBy("user_id")
+        .agg(max_by(struct(col("op"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.op").as("op"),
+          col("last.value").as("value"))
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          round(sum(when(col("op") =!= "D", col("value"))), 2)
+            .as("sum_final_value"))
+        .orderBy("bucket")
+    },
+
+    // ---- leak-proof GROUP split: the split is a pure function of the
+    // GROUP key (source), not the row id, so every document of a group
+    // lands in the same split — the contamination-safe way to split
+    // corpora where near-identical rows cluster inside groups (same crawl
+    // domain, same repo). Same oracle-paired md5-lane recipe as sp1;
+    // map-side decision, one shuffle for the audit agg. -------------------
+    "sp4_group_split" -> { (s, dir) =>
+      val hv = (1 to 2).map(i =>
+        (expr(s"instr('0123456789abcdef', substr(md5(source), $i, 1)) - 1") *
+          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(hv < 80, "train").when(hv < 90, "valid").otherwise(lit("test")))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_groups"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("split")
+    },
+
+    // ---- BPE-style pair statistics: the first merge step of byte-pair
+    // encoding — global frequency of adjacent character pairs inside
+    // words, top 20. The explode is map-side; the groupBy key domain is
+    // bounded by alphabet² (not corpus size), so the shuffle carries a
+    // few KB of partial counts per task no matter how many TB of text
+    // went in; top-k is TakeOrdered, never a global sort. -----------------
+    "ta8_bpe_pairs" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // ---- mergeable distinct-count sketches: per-shard HLL sketches union
+    // into a global estimate WITHOUT re-touching rows — the pattern that
+    // replaces count(DISTINCT) when the data lives on 1000 executors and
+    // re-shuffling raw keys per rollup is unaffordable. Parity pins the
+    // exact side; the sketch side is asserted within 5% (Datasketches HLL
+    // at lgK=12 is ~1.6% RSE, so the bound is loose but honest). ----------
+    "a14_sketch_union" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val merged = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          count(lit(1)).as("n_types"))
+      ev.agg(countDistinct("user_id").as("exact_users"))
+        .crossJoin(merged)
+        .select(
+          col("exact_users"), col("n_types"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("est_within_5pct"))
     }
   )
 
@@ -4094,6 +4205,67 @@ object SparkEntry {
                 round(min(lat), 4) AS lat_min, round(max(lat), 4) AS lat_max,
                 round(min(lon), 4) AS lon_min, round(max(lon), 4) AS lon_max,
                 min(zval) AS z_min, max(zval) AS z_max
-         FROM z GROUP BY 1 ORDER BY 1"""
+         FROM z GROUP BY 1 ORDER BY 1""",
+    "d4_scd2_history" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_type
+           FROM events),
+         c AS (
+           SELECT user_id, ts, event_id, event_type
+           FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+         v AS (
+           SELECT user_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS version,
+                  event_type AS status, ts AS vf,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+           FROM c)
+         SELECT user_id, version, status,
+                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                vt IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+    "d5_cdc_apply" ->
+      """WITH l AS (
+           SELECT user_id, value,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id % 10 AS bucket,
+                CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+                CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                round(sum(CASE WHEN op <> 'D' THEN value END), 2) AS sum_final_value
+         FROM l WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
+    "sp4_group_split" ->
+      """WITH h AS (
+           SELECT source, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1)) % 100 AS hv
+           FROM documents)
+         SELECT CASE WHEN hv < 80 THEN 'train'
+                     WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
+                count(*) AS n_docs, count(DISTINCT source) AS n_groups,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "ta8_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '')) AS w
+           FROM documents),
+         p AS (
+           SELECT substr(w, CAST(i AS INT), 2) AS pair
+           FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM w WHERE len(w) >= 2))
+         SELECT pair, count(*) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    "a14_sketch_union" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+                count(DISTINCT event_type) AS n_types,
+                TRUE AS est_within_5pct
+         FROM events"""
   )
 }

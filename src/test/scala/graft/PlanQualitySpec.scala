@@ -194,7 +194,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "st6_stream_sessions" -> 1, "st7_stream_outer_join" -> 1,
       "pl2_training_pipeline" -> 8, "mm3_image_ahash" -> 5,
       "st8_incremental_agg" -> 1, "mm4_audio_fingerprint" -> 5,
-      "gr1_pagerank" -> 9)
+      "gr1_pagerank" -> 9,
+      "d4_scd2_history" -> 2, "d5_cdc_apply" -> 3, "sp4_group_split" -> 3,
+      "ta8_bpe_pairs" -> 1, "a14_sketch_union" -> 4)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)

@@ -54,4 +54,58 @@ class SparkEntrySpec extends AnyFunSuite {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(df.count() == users)
   }
+
+  test("d4 SCD2 history rows are contiguous, alternating, single-current") {
+    import org.apache.spark.sql.functions._
+    val hist = SparkEntry.queries("d4_scd2_history")(spark, sf).cache()
+    try {
+      // exactly one open (is_current) version per user
+      val open = hist.groupBy("user_id")
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+      assert(open.filter(col("n_open") =!= 1).isEmpty, "users with != 1 open version")
+      // ranges stitch: version k's valid_to == version k+1's valid_from,
+      // and consecutive statuses actually changed (no no-op versions)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("version")
+      val bad = hist
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .withColumn("next_status", lead("status", 1).over(w))
+        .filter(col("next_from").isNotNull &&
+          (col("valid_to") =!= col("next_from") || col("status") === col("next_status")))
+      assert(bad.isEmpty, "non-contiguous or non-changing SCD2 versions")
+    } finally hist.unpersist()
+  }
+
+  test("d5 CDC apply partitions every user into live xor deleted") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d5_cdc_apply")(spark, sf)
+    val perBucket = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(countDistinct("user_id").as("n_users"))
+    val joined = out.join(perBucket, "bucket")
+      .filter(col("n_live") + col("n_deleted") =!= col("n_users"))
+    assert(joined.isEmpty, "n_live + n_deleted != distinct users in bucket")
+  }
+
+  test("sp4 group split is leak-proof: no group is counted in two splits") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("sp4_group_split")(spark, sf).cache()
+    try {
+      val totalGroups = Tables.documents(spark, sf)
+        .select("source").distinct().count()
+      // if any source landed in two splits, per-split distinct counts
+      // would double-count it and this sum would exceed the total
+      val summed = out.agg(sum("n_groups")).head().getLong(0)
+      assert(summed == totalGroups, s"group leak across splits: $summed vs $totalGroups")
+      val docs = out.agg(sum("n_docs")).head().getLong(0)
+      assert(docs == Tables.documents(spark, sf).count())
+    } finally out.unpersist()
+  }
+
+  test("ta8 BPE pairs are 2-char and ranked by descending count") {
+    val rows = SparkEntry.queries("ta8_bpe_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0).length == 2))
+    val counts = rows.map(_.getAs[Long]("n"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "not descending")
+  }
 }
