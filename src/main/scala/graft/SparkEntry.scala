@@ -2530,6 +2530,102 @@ object SparkEntry {
           col("exact_users"), col("n_types"),
           (abs(col("est") - col("exact_users")) <=
             col("exact_users") * 0.05).as("est_within_5pct"))
+    },
+
+    // ---- token-budget curriculum selection: bin documents by a quality
+    // proxy (integer-exact avg word length), then take bins best-first
+    // until half the corpus token budget is spent — the data-selection
+    // step that turns scored corpora into a training mixture. The heavy
+    // pass is one groupBy with a FIXED-width bin key (no global sort, no
+    // ntile over raw rows); the cumulative window runs over the binned
+    // frame whose cardinality is the bin count, not the corpus. ----------
+    "tp2_curriculum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bins = Tables.documents(s, dir)
+        .withColumn("ntok", size(Dedup.tokens(col("text"))))
+        .filter(col("ntok") > 0)
+        .withColumn("score_bin",
+          least(greatest(expr("n_chars div ntok"), lit(3L)), lit(9L)))
+        .groupBy("score_bin")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      val best = Window.orderBy(col("score_bin").desc)
+      bins
+        .withColumn("cum_tokens", sum("n_tokens")
+          .over(best.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("n_tokens")
+          .over(best.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("score_bin"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
+          ((col("cum_tokens") - col("n_tokens")) * 2 < col("total")).as("selected"))
+        .orderBy("score_bin")
+    },
+
+    // ---- NEAR-DUP decontamination: exact n-gram overlap (dc1) misses
+    // lightly-edited eval leaks; this flags training docs whose verified
+    // 3-gram Jaccard against any held-out doc clears 0.5, using the same
+    // banded-LSH machinery as dd8 — candidates are bucket-bounded, the
+    // verify runs in the row domain, and the held-out side is the small
+    // axis. The oracle replays the identical signature/band arithmetic,
+    // so parity checks the LSH itself, not just the verify. --------------
+    "dc2_neardup_decontam" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val heldOut = base.filter(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" held out")))
+      val docs = base.unionByName(heldOut).repartition(32, col("doc_id"))
+      val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
+            .as("shingle")))
+        .select("doc_id", "sh_hi", "sh_lo")
+        .localCheckpoint(false)
+      val mh = Dedup.minhashAggs(6)
+      val sigs = shRows.groupBy("doc_id")
+        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+        .filter(col("id_a") < 200000 && col("id_b") >= 200000)
+      Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+        .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_dups"), max("jaccard").as("max_jaccard"))
+        .orderBy("doc_id")
+    },
+
+    // ---- streaming exactly-once dedup: the same event file lands in the
+    // inbox TWICE (at-least-once delivery) and
+    // dropDuplicatesWithinWatermark must emit each event exactly once.
+    // Watermarked dedup state evicts once event-time passes, so the state
+    // store holds a bounded window of keys — the property that lets this
+    // run forever at ingest scale (plain dropDuplicates would pin every
+    // key ever seen). Drained sink re-aggregated for the oracle. ---------
+    "st9_stream_dedup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox) { p =>
+        ev.coalesce(1).write.mode("overwrite").parquet(p)
+        ev.coalesce(1).write.mode("append").parquet(p)
+      }
+      // fresh per invocation: a reused path would accumulate re-appended
+      // files when the query runs again with a new checkpoint
+      val out = java.nio.file.Files.createTempDirectory("graft-st9-out").toString + "/data"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st9-ckpt").toString
+      val q = s.readStream.schema(ev.schema).parquet(inbox)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("event_id").as("n_distinct"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
     }
   )
 
@@ -4266,6 +4362,72 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS exact_users,
                 count(DISTINCT event_type) AS n_types,
                 TRUE AS est_within_5pct
-         FROM events"""
+         FROM events""",
+    "tp2_curriculum" ->
+      """WITH d AS (
+           SELECT n_chars,
+                  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS ntok
+           FROM documents),
+         b AS (
+           SELECT least(greatest(n_chars // ntok, 3), 9) AS score_bin,
+                  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+           FROM d WHERE ntok > 0 GROUP BY 1),
+         c AS (
+           SELECT score_bin, n_docs, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY score_bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_tokens,
+                  CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+           FROM b)
+         SELECT score_bin, n_docs, n_tokens, cum_tokens,
+                (cum_tokens - n_tokens) * 2 < total AS selected
+         FROM c ORDER BY score_bin""",
+    "dc2_neardup_decontam" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 200000, text || ' held out'
+           FROM documents WHERE doc_id % 40 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id
+                  WHERE b1.doc_id < 200000 AND b2.doc_id >= 200000),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         ver AS (SELECT i.id_a,
+                        floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5)
+                          / 1000000.0 AS jaccard
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b)
+         SELECT id_a AS doc_id, count(*) AS n_eval_dups, max(jaccard) AS max_jaccard
+         FROM ver WHERE jaccard >= 0.5
+         GROUP BY 1 ORDER BY 1""",
+    "st9_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+                count(DISTINCT event_id) AS n_distinct,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

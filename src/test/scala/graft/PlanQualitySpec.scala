@@ -196,7 +196,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "st8_incremental_agg" -> 1, "mm4_audio_fingerprint" -> 5,
       "gr1_pagerank" -> 9,
       "d4_scd2_history" -> 2, "d5_cdc_apply" -> 3, "sp4_group_split" -> 3,
-      "ta8_bpe_pairs" -> 1, "a14_sketch_union" -> 4)
+      "ta8_bpe_pairs" -> 1, "a14_sketch_union" -> 4,
+      "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
+      "st9_stream_dedup" -> 3)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)

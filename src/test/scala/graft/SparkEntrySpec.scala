@@ -102,6 +102,25 @@ class SparkEntrySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("st9 streaming dedup emits each duplicated event exactly once") {
+    val rows = SparkEntry.queries("st9_stream_dedup")(spark, sf).collect()
+    // the inbox holds every event TWICE; a leak would double n vs n_distinct
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getAs[Long]("n") == r.getAs[Long]("n_distinct")))
+  }
+
+  test("tp2 curriculum selects a best-first prefix crossing half the budget") {
+    val rows = SparkEntry.queries("tp2_curriculum")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("score_bin").desc).collect()
+    val sel = rows.map(_.getAs[Boolean]("selected"))
+    // selected bins are a contiguous best-first prefix…
+    assert(sel.zip(sel.tail).forall { case (a, b) => a || !b }, "non-prefix selection")
+    // …whose token mass reaches at least half the corpus budget
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val selTok = rows.filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("n_tokens")).sum
+    assert(selTok * 2 >= total, s"selected $selTok of $total tokens misses the budget")
+  }
+
   test("ta8 BPE pairs are 2-char and ranked by descending count") {
     val rows = SparkEntry.queries("ta8_bpe_pairs")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getString(0).length == 2))
