@@ -296,8 +296,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed with round one's result directly: min-propagation from identity
+    // labels yields label(x) = min(x, min neighbor id), which one grouped
+    // aggregate over the edge list computes without the join — one fewer
+    // propagation round (join + agg + checkpoint + convergence scan) on
+    // every call, and the distinct() init job is folded into the same agg.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("label"))
       .localCheckpoint(false)
     // sum over an EMPTY frame is null — coalesce so a pair-free input
     // converges on round one instead of NPE-ing. The sum is EXACT decimal:
