@@ -2626,6 +2626,110 @@ object SparkEntry {
           countDistinct("event_id").as("n_distinct"),
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
+    },
+
+    // ---- stream-static enrichment join: the streaming fact joins a
+    // BROADCAST dimension (no dimension state in the store, re-read per
+    // micro-batch, so dim updates flow in without restarting the query) —
+    // the standard shape for decorating an event stream with reference
+    // data. Stateless, so append emits every enriched row on arrival. ----
+    "st10_stream_static" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "value")
+      val inbox = s"/tmp/graft_st10_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
+      val out = java.nio.file.Files.createTempDirectory("graft-st10-out").toString + "/data"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-ckpt").toString
+      val dim = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val q = s.readStream.schema(ev.schema).parquet(inbox)
+        .withColumn("nkey", col("user_id") % 25)
+        .join(broadcast(dim), col("nkey") === col("n_nationkey"))
+        .select("event_id", "n_name", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("n_name")
+    },
+
+    // ---- dynamic partition overwrite: rewrite ONLY the partitions the
+    // incoming frame touches (one event_type here), leaving every other
+    // partition's files untouched — the selective-backfill op that at
+    // 100 TB replaces a petabyte rewrite with one partition's worth of
+    // IO. Parity rides the read-back: clicks carry the corrected values,
+    // every other partition is byte-identical original data. -------------
+    "o4_partition_overwrite" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val tbl = s"/tmp/graft_o4_tbl_${cacheTag(dir, "events")}" +
+        s"_p${ProcessHandle.current().pid()}"
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+      // backfill: the click partition's values were mis-scaled — rewrite
+      // just that partition with corrected rows
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(tbl)
+      s.read.parquet(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- incremental dedup against an existing corpus index: the crawl
+    // op — an incoming batch is admitted only if it is neither an EXACT
+    // copy (128-bit content digest anti-join) nor a NEAR copy (banded LSH
+    // + row-domain Jaccard verify ≥ 0.5) of anything already kept. Both
+    // tiers are bounded: the digest join is a narrow key join, candidates
+    // are bucket-bounded, and only batch×index pairs verify. -------------
+    "dd12_incremental_dedup" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      // re-crawled pages: exact copies of index docs landing in the batch
+      // (+300002 keeps them on the batch side of the %3 split), so the
+      // exact tier provably fires — not just the near tier
+      val recrawled = base.filter(col("doc_id") % 30 === 1)
+        .withColumn("doc_id", col("doc_id") + 300002)
+      val all = base.unionByName(recrawled).repartition(32, col("doc_id"))
+      val batch = all.filter(col("doc_id") % 3 === 0)
+      val index = all.filter(col("doc_id") % 3 =!= 0)
+      // tier 1: exact content match
+      val exactHit = batch.alias("b")
+        .join(index.select(md5(col("text")).as("h")).distinct().alias("i"),
+          md5(col("b.text")) === col("i.h"), "left_semi")
+        .select(col("doc_id"), lit("exact_dup").as("status"))
+      // tier 2: near-dup LSH between batch and index (same arithmetic as
+      // dd8/dc2 so the oracle replays it)
+      val shRows = Dedup.withShingleHash(all.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
+            .as("shingle")))
+        .select("doc_id", "sh_hi", "sh_lo")
+        .localCheckpoint(false)
+      val mh = Dedup.minhashAggs(6)
+      val sigs = shRows.groupBy("doc_id")
+        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+        .filter((col("id_a") % 3 === 0) =!= (col("id_b") % 3 === 0)) // cross-set only
+      // jaccard >= 0.5 in INTEGER form (2·|∩| >= |∪|): no FP division at
+      // the decision boundary, so the oracle can't disagree on a tie
+      val nearIds = Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+        .filter(col("n_inter") * 2 >= col("nsh_a") + col("nsh_b") - col("n_inter"))
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .filter(col("doc_id") % 3 === 0)
+        .distinct()
+        .select(col("doc_id"), lit("near_dup").as("status"))
+      val flagged = exactHit.unionByName(nearIds)
+        .groupBy("doc_id")
+        .agg(min("status").as("status")) // 'exact_dup' < 'near_dup': exact wins
+      batch.select("doc_id").join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("status"), lit("new")).as("status"))
+        .orderBy("doc_id")
     }
   )
 
@@ -4428,6 +4532,64 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
                 count(DISTINCT event_id) AS n_distinct,
                 round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "st10_stream_static" ->
+      """SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "o4_partition_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                               ELSE value END), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "dd12_incremental_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 300002, text FROM documents WHERE doc_id % 30 = 1),
+         batch AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 3 = 0),
+         idx AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 3 <> 0),
+         ex AS (SELECT DISTINCT b.doc_id
+                FROM batch b JOIN idx i ON md5(b.text) = md5(i.text)),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id
+                  WHERE (b1.doc_id % 3 = 0) <> (b2.doc_id % 3 = 0)),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         near AS (SELECT DISTINCT
+                    CASE WHEN i.id_a % 3 = 0 THEN i.id_a ELSE i.id_b END AS doc_id
+                  FROM inter i
+                  JOIN sig sa ON sa.doc_id = i.id_a
+                  JOIN sig sb ON sb.doc_id = i.id_b
+                  WHERE 2 * i.n_inter >= sa.nsh + sb.nsh - i.n_inter)
+         SELECT b.doc_id,
+                CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                     WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS status
+         FROM batch b
+         LEFT JOIN ex ON b.doc_id = ex.doc_id
+         LEFT JOIN near nr ON b.doc_id = nr.doc_id
+         ORDER BY b.doc_id"""
   )
 }

@@ -198,7 +198,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "d4_scd2_history" -> 2, "d5_cdc_apply" -> 3, "sp4_group_split" -> 3,
       "ta8_bpe_pairs" -> 1, "a14_sketch_union" -> 4,
       "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
-      "st9_stream_dedup" -> 3)
+      "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
+      "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)

@@ -121,6 +121,18 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(selTok * 2 >= total, s"selected $selTok of $total tokens misses the budget")
   }
 
+  test("dd12 incremental dedup discriminates all three admission statuses") {
+    val rows = SparkEntry.queries("dd12_incremental_dedup")(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // the injected re-crawls must hit the exact tier, the fixture's
+    // near-dups the LSH tier, and the rest must pass through untouched
+    assert(byStatus.getOrElse("exact_dup", 0) > 0, s"exact tier never fired: $byStatus")
+    assert(byStatus.getOrElse("new", 0) > 0, s"everything was flagged: $byStatus")
+    // every injected re-crawl id is an exact dup (its source is indexed)
+    val injected = rows.filter(_.getLong(0) >= 300000)
+    assert(injected.nonEmpty && injected.forall(_.getString(1) == "exact_dup"))
+  }
+
   test("ta8 BPE pairs are 2-char and ranked by descending count") {
     val rows = SparkEntry.queries("ta8_bpe_pairs")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getString(0).length == 2))
