@@ -250,6 +250,120 @@ class Engine(spark: SparkSession) {
     df.filter(hv < rate)
   }
 
+  /** SCD Type-2 dimension history: collapse a mutation log into versioned
+    * rows with `[valid_from, valid_to)` ranges and an `is_current` flag.
+    * One shuffle on the business key, reused by both window passes; ties
+    * at equal `tsCol` break on `seqCol` so the fold is deterministic under
+    * task retries. See `d4_scd2_history`.
+    */
+  def scd2History(log: DataFrame, keyCol: String, tsCol: String,
+      attrCol: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol).orderBy(tsCol, seqCol)
+    log.select(col(keyCol), col(tsCol), col(seqCol), col(attrCol))
+      .withColumn("__prev", lag(attrCol, 1).over(byKey))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("version", row_number().over(byKey))
+      .withColumn("valid_to", lead(tsCol, 1).over(byKey))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** CDC apply: fold an insert/update/delete change stream (`opCol` holds
+    * 'D' for deletes) into final table state with ONE `max_by` aggregation
+    * over the (tsCol, seqCol) ordering key — no window sort — then drop
+    * deleted keys. The nightly CDC-compaction shape: shuffle once on the
+    * primary key, no per-key driver state. See `d5_cdc_apply`.
+    */
+  def cdcApply(changes: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val others = changes.columns.filterNot(_ == keyCol)
+    changes.groupBy(keyCol)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(tsCol), col(seqCol))).as("__last"))
+      .select(col(keyCol) +: others.map(c => col(s"__last.`$c`").as(c)): _*)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+  }
+
+  /** Leak-proof corpus split: the split is a pure function of the GROUP
+    * key (crawl domain, repo, …), so near-identical rows clustered inside
+    * a group can never straddle train/valid/test. Unbiased 64-bit lane
+    * (same reasoning as [[sampleMixture]]). See `sp4_group_split`.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct + validPct <= 100, "split percentages exceed 100")
+    val hv = pmod(xxhash64(col(groupCol).cast("string")), lit(100L))
+    df.withColumn("split",
+      when(hv < trainPct, "train")
+        .when(hv < trainPct + validPct, "valid").otherwise(lit("test")))
+  }
+
+  /** Token-budget curriculum selection: aggregate per quality bin, then
+    * mark the best-first bins whose cumulative tokens stay inside
+    * `budgetFrac` of the corpus (the bin that crosses the budget is
+    * included). The only window runs over the binned frame — cardinality
+    * is the bin count, never the corpus. See `tp2_curriculum`.
+    */
+  def curriculumSelect(df: DataFrame, binCol: Column, tokensCol: Column,
+      budgetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = Window.orderBy(col("score_bin").desc)
+    df.groupBy(binCol.as("score_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens")
+        .over(best.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__total", sum("n_tokens")
+        .over(best.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("selected",
+        (col("cum_tokens") - col("n_tokens")) < col("__total") * budgetFrac)
+      .drop("__total")
+  }
+
+  /** Incremental dedup admission: classify each `batch` row as
+    * `exact_dup` (content digest already in `index`), `near_dup`
+    * (verified shingle Jaccard ≥ 0.5 against an index doc, integer-exact
+    * threshold), or `new`. Ids must be unique across batch ∪ index.
+    * Candidates are LSH-bucket-bounded and only cross-set pairs verify —
+    * the crawl-admission op. See `dd12_incremental_dedup`.
+    */
+  def dedupIncremental(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val i = index.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val exact = b.join(i.select(md5(col("__text")).as("__h")).distinct(),
+        md5(b("__text")) === col("__h"), "left_semi")
+      .select(col("doc_id"), lit("exact_dup").as("status"))
+    val all = b.withColumn("__side", lit("b"))
+      .unionByName(i.withColumn("__side", lit("i")))
+    val shRows = Dedup.withShingleHash(all.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("__text")), shingleN)))
+          .as("shingle")))
+      .select("doc_id", "sh_hi", "sh_lo").localCheckpoint(false)
+    val mh = Dedup.minhashAggs(6)
+    val sigs = shRows.groupBy("doc_id")
+      .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*).localCheckpoint(false)
+    val sides = all.select(col("doc_id"), col("__side"))
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+      .join(sides.select(col("doc_id").as("id_a"), col("__side").as("__sa")), "id_a")
+      .join(sides.select(col("doc_id").as("id_b"), col("__side").as("__sb")), "id_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select("id_a", "id_b")
+    val near = Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+      .filter(col("n_inter") * 2 >= col("nsh_a") + col("nsh_b") - col("n_inter"))
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .join(sides.filter(col("__side") === "b").select("doc_id"), "doc_id")
+      .distinct()
+      .select(col("doc_id"), lit("near_dup").as("status"))
+    val flagged = exact.unionByName(near)
+      .groupBy("doc_id").agg(min("status").as("status")) // exact_dup < near_dup
+    b.select(col("doc_id").as(idCol))
+      .join(flagged.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("status"), lit("new")).as("status"))
+  }
+
   /** Small-file compaction to a byte target (shuffle-free). See
     * [[graft.sources.Layout.compact]] and `o1_compaction`. */
   def compact(inDir: String, outDir: String, targetBytes: Long): (Int, Int) =

@@ -61,6 +61,71 @@ class EngineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("scd2History builds contiguous versioned ranges with one open row") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 10L, "bronze"), (1L, 2L, 20L, "bronze"), // no-op change collapses
+      (1L, 3L, 30L, "silver"), (1L, 4L, 40L, "gold"),
+      (2L, 5L, 10L, "bronze")).toDF("k", "seq", "ts", "tier")
+    val hist = engine.scd2History(log, "k", "ts", "tier", "seq")
+      .orderBy("k", "version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1L, 1, "bronze"), (1L, 2, "silver"), (1L, 3, "gold"), (2L, 1, "bronze")))
+    // ranges stitch and exactly the last version per key is open
+    assert(hist.filter(_.getAs[Boolean]("is_current"))
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 3), (2L, 1)))
+    assert(hist(0).getAs[Long]("valid_to") == hist(1).getAs[Long]("valid_from"))
+  }
+
+  test("cdcApply keeps each key's last change and drops deleted keys") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 1L, "U", 5.0), (1L, 20L, 2L, "U", 7.0),   // final: 7.0
+      (2L, 10L, 3L, "U", 1.0), (2L, 30L, 4L, "D", 0.0),   // deleted
+      (3L, 10L, 5L, "D", 0.0), (3L, 10L, 6L, "U", 9.0))   // seq tie-break: alive
+      .toDF("k", "ts", "seq", "op", "v")
+    val fin = engine.cdcApply(changes, "k", "ts", "seq", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(fin.toSeq == Seq((1L, 7.0), (3L, 9.0)))
+  }
+
+  test("groupSplit never lets a group straddle splits") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"grp${i % 37}")).toDF("id", "g")
+    val out = engine.groupSplit(df, "g")
+    val spanning = out.groupBy("g")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1)
+    assert(spanning.isEmpty)
+    assert(out.select("split").distinct().count() > 1) // 37 groups spread out
+  }
+
+  test("curriculumSelect marks a best-first prefix that crosses the budget") {
+    import spark.implicits._
+    val docs = Seq((9L, 100L), (9L, 50L), (7L, 200L), (5L, 700L), (3L, 50L))
+      .toDF("bin", "ntok")
+    val out = engine.curriculumSelect(docs, col("bin"), col("ntok"), 0.5)
+      .orderBy(col("score_bin").desc).collect()
+    // total 1100, half 550: bin 9 (150) + bin 7 (200) selected, bin 5
+    // crosses at cum_before 350 < 550 so it is included, bin 3 is not
+    assert(out.map(r => (r.getLong(0), r.getAs[Boolean]("selected"))).toSeq ==
+      Seq((9L, true), (7L, true), (5L, true), (3L, false)))
+  }
+
+  test("dedupIncremental classifies exact, near and new batch docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val index = Seq((1L, base), (2L, "completely different words here entirely"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, base),                    // exact copy of 1
+      (11L, base + " lambda"),        // near copy of 1 (jaccard 8/9? >= 0.5)
+      (12L, "nothing shares any shingle with those docs at all"))
+      .toDF("id", "text")
+    val got = engine.dedupIncremental(batch, index, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((10L, "exact_dup"), (11L, "near_dup"), (12L, "new")))
+  }
+
   test("sampleMixture is calibrated (64-bit lane, no modulo bias) and escapes names") {
     import spark.implicits._
     // A 2-hex-digit lane mod 100 keeps ~29.3% at a documented 25% rate;
