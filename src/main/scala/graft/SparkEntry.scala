@@ -2730,6 +2730,71 @@ object SparkEntry {
       batch.select("doc_id").join(flagged, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("status"), lit("new")).as("status"))
         .orderBy("doc_id")
+    },
+
+    // ---- covariance / correlation with ORDER-INDEPENDENT moments: the
+    // five sums are exact decimals (no FP summation-order dependence
+    // across 32 vs 1000 partitions — the property builtin covar/corr
+    // lacks), and only the final closed-form formula runs in doubles,
+    // written identically on both engines so the result is bit-exact.
+    // One shuffle, partial-aggregated map-side. ---------------------------
+    "a15_cov_corr" -> { (s, dir) =>
+      val d = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val m = d.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      m.select(col("l_returnflag"), col("n"),
+          Stats.parityRound(
+            (nd * dbl("sxy") - dbl("sx") * dbl("sy")) / (nd * (nd - 1)), 6)
+            .as("cov_xy"),
+          Stats.parityRound(
+            (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
+              sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
+                   (nd * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+            .as("corr_xy"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- temperature-weighted mixture: per-source sampling rates derived
+    // from the α=0.5 tempered distribution (w_i = √n_i, the multilingual
+    // rebalancing recipe), budget = half the corpus. The tempered weights
+    // are per-value rounded to 6 dp and summed as EXACT decimals, so the
+    // normalization is independent of partition order; the 20-row rate
+    // table broadcasts back and the sample decision is the sp3
+    // hash-threshold lane — pure row function, retry-safe, map-side. ------
+    "sp5_temperature_mixture" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .withColumn("w", round(sqrt(col("n_total")), 6).cast("decimal(27,6)"))
+      val tot = counts.agg(
+        sum("w").as("sw"), sum("n_total").as("n_corpus"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("target", floor(
+          col("w").cast("double") / col("sw").cast("double") *
+            col("n_corpus").cast("double") * 0.5))
+        .withColumn("rate_pct", least(lit(1.0),
+          col("target").cast("double") / col("n_total").cast("double")) * 100)
+        .select("source", "rate_pct")
+      val hv = (1 to 2).map(i =>
+        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
+          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
+      docs.join(broadcast(rates), "source")
+        .withColumn("h", hv)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          Stats.parityRound(first(col("rate_pct")), 6).as("rate_pct"),
+          sum(when(col("h") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("h") < col("rate_pct"), col("n_chars")).otherwise(lit(0L)))
+            .as("sampled_chars"))
+        .orderBy("source")
     }
   )
 
@@ -4590,6 +4655,51 @@ object SparkEntry {
          FROM batch b
          LEFT JOIN ex ON b.doc_id = ex.doc_id
          LEFT JOIN near nr ON b.doc_id = nr.doc_id
-         ORDER BY b.doc_id"""
+         ORDER BY b.doc_id""",
+    "a15_cov_corr" ->
+      """WITH d AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                      * 1000000.0 + 0.5) / 1000000.0 AS cov_xy,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1000000.0 + 0.5) / 1000000.0 AS corr_xy
+         FROM m ORDER BY 1""",
+    "sp5_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+         w AS (SELECT source, n_total,
+                      CAST(round(sqrt(n_total), 6) AS DECIMAL(27,6)) AS w
+               FROM c),
+         t AS (SELECT sum(w) AS sw, sum(n_total) AS n_corpus FROM w),
+         r AS (SELECT source, n_total,
+                      least(1.0, floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) *
+                                       CAST(n_corpus AS DOUBLE) * 0.5)
+                                 / CAST(n_total AS DOUBLE)) * 100 AS rate_pct
+               FROM w, t),
+         h AS (SELECT d.source, d.n_chars, r.rate_pct,
+                      ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv
+               FROM documents d JOIN r USING (source))
+         SELECT source, count(*) AS n_total,
+                floor(max(rate_pct) * 1000000.0 + 0.5) / 1000000.0 AS rate_pct,
+                CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
+                  AS sampled_chars
+         FROM h GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -199,7 +199,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "ta8_bpe_pairs" -> 1, "a14_sketch_union" -> 4,
       "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
-      "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15)
+      "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15,
+      "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)

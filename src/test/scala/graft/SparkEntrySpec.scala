@@ -121,6 +121,24 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(selTok * 2 >= total, s"selected $selTok of $total tokens misses the budget")
   }
 
+  test("sp5 tempered rates upweight rare sources vs proportional sampling") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sp5_temperature_mixture")(spark, sf).collect()
+    // α=0.5 tempering: smaller sources get HIGHER keep rates than larger
+    // ones (monotone non-increasing rate in source size, ties aside)
+    val byN = rows.sortBy(_.getAs[Long]("n_total"))
+    val rates = byN.map(_.getAs[Double]("rate_pct"))
+    val ns = byN.map(_.getAs[Long]("n_total"))
+    ns.indices.tail.foreach { i =>
+      if (ns(i) > ns(i - 1))
+        assert(rates(i) <= rates(i - 1) + 1e-9,
+          s"larger source ${ns(i)} got higher rate ${rates(i)} than ${rates(i - 1)}")
+    }
+    // corr sanity: a15's correlation is a valid coefficient
+    val corr = SparkEntry.queries("a15_cov_corr")(spark, sf).collect()
+    assert(corr.forall(r => math.abs(r.getAs[Double]("corr_xy")) <= 1.0 + 1e-9))
+  }
+
   test("dd12 incremental dedup discriminates all three admission statuses") {
     val rows = SparkEntry.queries("dd12_incremental_dedup")(spark, sf).collect()
     val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
