@@ -2795,6 +2795,67 @@ object SparkEntry {
           sum(when(col("h") < col("rate_pct"), col("n_chars")).otherwise(lit(0L)))
             .as("sampled_chars"))
         .orderBy("source")
+    },
+
+    // ---- co-occurrence graph + triangle census: support-thresholded
+    // part-pair edges (frequent-itemset pruning keeps the graph sparse —
+    // the step that makes triangle counting tractable at scale), then the
+    // a<b<c wedge join closed against the edge list. Pair generation is
+    // the in-bucket gather (one groupBy, no self-join of lineitem);
+    // baskets are order-sized so the expansion is bounded per row. -------
+    "gr2_triangle_census" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) > 1)
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+        .select(col("p.pa"), col("p.pb"))
+      val e = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2).select("pa", "pb")
+        .localCheckpoint(false) // three consumers: e1, e2, closure probe
+      val wedges = e.alias("e1").join(e.alias("e2"), col("e1.pb") === col("e2.pa"))
+        .select(col("e1.pa").as("x"), col("e1.pb").as("y"), col("e2.pb").as("z"))
+        .localCheckpoint(false) // two consumers: count + closure join
+      val tri = wedges.join(e,
+        col("x") === col("pa") && col("z") === col("pb"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(
+          wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .withColumn("closure_ppm",
+          expr("n_triangles * 1000000 div n_wedges"))
+    },
+
+    // ---- corpus bigram LM scoring: the KenLM-style quality signal — a
+    // bigram model estimated FROM the corpus (c(w1,w2)/c(w1·)), every doc
+    // scored by its mean scaled conditional probability, all in integer
+    // arithmetic (ppm, div) so ranks can't flip on FP. The model join is
+    // keyed on (w1,w2), the same key the model agg just produced, so the
+    // partitioning is reused; model size is vocabulary², sublinear in
+    // corpus bytes. ------------------------------------------------------
+    "ta9_bigram_lm" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val big = toks.select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(1, size(ts) - 1), i -> " +
+            "struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+        .localCheckpoint(false) // feeds both model counts and the scoring join
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("p_ppm"))
+      big.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nb"), sum("p_ppm").as("sump"))
+        .withColumn("doc_score", expr("sump div nb"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_score").as("sum_score"),
+          min("doc_score").as("min_score"), max("doc_score").as("max_score"))
+        .orderBy("source")
     }
   )
 
@@ -4700,6 +4761,41 @@ object SparkEntry {
                 CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
                 CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
                   AS sampled_chars
-         FROM h GROUP BY 1 ORDER BY 1"""
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "gr2_triangle_census" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ef AS (SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         wg AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+                FROM ef e1 JOIN ef e2 ON e1.pb = e2.pa),
+         tr AS (SELECT count(*) AS n_triangles
+                FROM wg JOIN ef e3 ON wg.x = e3.pa AND wg.z = e3.pb)
+         SELECT (SELECT count(*) FROM ef) AS n_edges,
+                (SELECT count(*) FROM wg) AS n_wedges,
+                n_triangles,
+                (n_triangles * 1000000) // (SELECT count(*) FROM wg) AS closure_ppm
+         FROM tr""",
+    "ta9_bigram_lm" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         b AS (
+           SELECT doc_id, source, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+           FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                 FROM tk WHERE len(ts) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         model AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+                   FROM c2 JOIN c1 USING (w1)),
+         sc AS (SELECT doc_id, source, count(*) AS nb, sum(p_ppm) AS sump
+                FROM b JOIN model USING (w1, w2) GROUP BY 1, 2),
+         d AS (SELECT source, CAST(sump AS BIGINT) // nb AS doc_score FROM sc)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(doc_score) AS BIGINT) AS sum_score,
+                min(doc_score) AS min_score, max(doc_score) AS max_score
+         FROM d GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -200,7 +200,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15,
-      "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5)
+      "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5,
+      "gr2_triangle_census" -> 3, "ta9_bigram_lm" -> 5)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
