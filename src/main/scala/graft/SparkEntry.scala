@@ -2856,6 +2856,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_score").as("sum_score"),
           min("doc_score").as("min_score"), max("doc_score").as("max_score"))
         .orderBy("source")
+    },
+
+    // ---- equi-width histogram: width_bucket bins computed map-side, so
+    // the shuffle carries (type, bin) partial counts — bounded by
+    // #types × #bins regardless of row count; under/overflow ride in
+    // buckets 0 and nbins+1 rather than silently clipping. ---------------
+    "a16_histogram" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("lo"), round(max("value"), 4).as("hi"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // ---- time-RANGE window frame: trailing 1-hour per-user activity at
+    // EVERY event (count + exact decimal sum) — the range-frame cousin of
+    // w4's rows-frame: the frame is defined by event-time distance, not
+    // row count, so bursts widen it and gaps empty it. Frame arithmetic
+    // runs on integer epoch seconds; one user_id shuffle. ----------------
+    "w6_trailing_range" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val trailing = Window.partitionBy("user_id")
+        .orderBy(col("tsec")).rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .withColumn("tsec", floor(col("ts").cast("double")).cast("long"))
+        .withColumn("n_1h", count(lit(1)).over(trailing))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,6)")).over(trailing))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("n_1h").as("max_burst"),
+          round(max("sum_1h").cast("double"), 4).as("max_burst_value"))
+        .orderBy("user_id")
     }
   )
 
@@ -4796,6 +4830,29 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs,
                 CAST(sum(doc_score) AS BIGINT) AS sum_score,
                 min(doc_score) AS min_score, max(doc_score) AS max_score
-         FROM d GROUP BY 1 ORDER BY 1"""
+         FROM d GROUP BY 1 ORDER BY 1""",
+    "a16_histogram" ->
+      """SELECT event_type,
+                CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 11
+                     ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+                count(*) AS n,
+                round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "w6_trailing_range" ->
+      """WITH s AS (
+           SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         w AS (
+           SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id ORDER BY tsec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+                  sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+                    ORDER BY tsec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS sum_1h
+           FROM s)
+         SELECT user_id, count(*) AS n_events, max(n_1h) AS max_burst,
+                round(CAST(max(sum_1h) AS DOUBLE), 4) AS max_burst_value
+         FROM w GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -201,7 +201,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15,
       "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5,
-      "gr2_triangle_census" -> 3, "ta9_bigram_lm" -> 5)
+      "gr2_triangle_census" -> 3, "ta9_bigram_lm" -> 5,
+      "a16_histogram" -> 2, "w6_trailing_range" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
