@@ -2890,6 +2890,57 @@ object SparkEntry {
           max("n_1h").as("max_burst"),
           round(max("sum_1h").cast("double"), 4).as("max_burst_value"))
         .orderBy("user_id")
+    },
+
+    // ---- edit-distance dedup with exact-collapse first: raw part names
+    // repeat thousands of times, so pairing ROWS would blow the buckets up
+    // quadratically (the dd-family hot-bucket killer). Collapse to
+    // DISTINCT names with multiplicities, bucket by (prefix, length band),
+    // pair the distinct names in-bucket, verify with levenshtein, then
+    // weigh each name pair by cnt_a·cnt_b — row-pair counts without ever
+    // materializing row pairs. ------------------------------------------
+    "dd13_editdistance_dedup" -> { (s, dir) =>
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+        .withColumn("pfx", substring(col("name"), 1, 3))
+        .withColumn("lb", expr("length(name) div 4"))
+        .localCheckpoint(false) // feeds the exact tier and the pair gather
+      val exact = names.agg(
+        (sum(col("cnt") * (col("cnt") - 1)) / 2).cast("long").as("n_part_pairs"),
+        lit(0L).as("n_name_pairs"))
+        .withColumn("d", lit(0L))
+      val nm = col("members")
+      val near = names
+        .groupBy("pfx", "lb")
+        .agg(sort_array(collect_list(struct(col("name"), col("cnt")))).as("members"))
+        .filter(size(nm) > 1)
+        .select(explode(flatten(transform(nm, (x, i) =>
+          transform(slice(nm, i + lit(2), size(nm)),
+            y => struct(x.getField("name").as("na"), y.getField("name").as("nb"),
+              (x.getField("cnt") * y.getField("cnt")).as("w")))))).as("p"))
+        .withColumn("d", levenshtein(col("p.na"), col("p.nb")).cast("long"))
+        .filter(col("d") >= 1 && col("d") <= 3)
+        .groupBy("d")
+        .agg(sum(col("p.w")).as("n_part_pairs"), count(lit(1)).as("n_name_pairs"))
+      exact.select("d", "n_name_pairs", "n_part_pairs")
+        .unionByName(near.select("d", "n_name_pairs", "n_part_pairs"))
+        .orderBy("d")
+    },
+
+    // ---- per-key mode (most frequent value): two hash aggregations —
+    // (key, value) counts, then max_by picks each key's winner with a
+    // deterministic (n, value) tie-break. No window sort, no per-key
+    // value lists; the second shuffle carries one row per (key, value). --
+    "a17_mode_per_user" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), struct(col("n"), col("event_type")))
+            .as("top_type"),
+          max(struct(col("n"), col("event_type"))).getField("n").as("top_n"))
+        .orderBy("user_id")
     }
   )
 
@@ -4853,6 +4904,31 @@ object SparkEntry {
            FROM s)
          SELECT user_id, count(*) AS n_events, max(n_1h) AS max_burst,
                 round(CAST(max(sum_1h) AS DOUBLE), 4) AS max_burst_value
-         FROM w GROUP BY 1 ORDER BY 1"""
+         FROM w GROUP BY 1 ORDER BY 1""",
+    "dd13_editdistance_dedup" ->
+      """WITH names AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1),
+         b AS (SELECT name, cnt, substr(name, 1, 3) AS pfx, len(name) // 4 AS lb
+               FROM names),
+         ex AS (SELECT CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS n_name_pairs,
+                       CAST(sum(cnt * (cnt - 1)) // 2 AS BIGINT) AS n_part_pairs
+                FROM b),
+         pr AS (SELECT levenshtein(a.name, b2.name) AS d, a.cnt * b2.cnt AS w
+                FROM b a JOIN b b2
+                  ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.name < b2.name),
+         nr AS (SELECT CAST(d AS BIGINT) AS d, count(*) AS n_name_pairs,
+                       CAST(sum(w) AS BIGINT) AS n_part_pairs
+                FROM pr WHERE d BETWEEN 1 AND 3 GROUP BY 1)
+         SELECT d, n_name_pairs, n_part_pairs FROM ex
+         UNION ALL SELECT d, n_name_pairs, n_part_pairs FROM nr
+         ORDER BY d""",
+    "a17_mode_per_user" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, n,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY n DESC, event_type DESC) AS rn
+               FROM c)
+         SELECT user_id, event_type AS top_type, n AS top_n
+         FROM r WHERE rn = 1 ORDER BY user_id"""
   )
 }
