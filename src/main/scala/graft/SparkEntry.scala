@@ -2927,6 +2927,43 @@ object SparkEntry {
         .orderBy("d")
     },
 
+    // ---- CHAINED stateful streaming: watermarked dedup FEEDING a
+    // windowed aggregation in ONE query (multiple stateful operators per
+    // stream, Spark 3.4+) — the shape that used to force two queries with
+    // an intermediate sink. The inbox holds every event twice; the hourly
+    // stats must equal single-copy batch stats for every window the
+    // watermark finalized (append emits a window once wm ≥ its end, so
+    // the trailing partial window correctly stays open — the oracle
+    // encodes that boundary). --------------------------------------------
+    "st11_dedup_window_chain" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}" // st9's doubled inbox
+      materializeOnce(inbox) { p =>
+        ev.coalesce(1).write.mode("overwrite").parquet(p)
+        ev.coalesce(1).write.mode("append").parquet(p)
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft-st11-out").toString + "/data"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st11-ckpt").toString
+      val q = s.readStream.schema(ev.schema).parquet(inbox)
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("value"), 4).as("value_min"),
+          round(max("value"), 4).as("value_max"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_rows"), col("value_min"), col("value_max"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out).orderBy("window_start")
+    },
+
     // ---- per-key mode (most frequent value): two hash aggregations —
     // (key, value) counts, then max_by picks each key's winner with a
     // deterministic (n, value) tie-break. No window sort, no per-key
@@ -4921,6 +4958,18 @@ object SparkEntry {
          SELECT d, n_name_pairs, n_part_pairs FROM ex
          UNION ALL SELECT d, n_name_pairs, n_part_pairs FROM nr
          ORDER BY d""",
+    "st11_dedup_window_chain" ->
+      """WITH wm AS (SELECT max(ts) AS w FROM events),
+         h AS (
+           SELECT date_trunc('hour', ts) AS ws, value
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                count(*) AS n_rows,
+                round(min(value), 4) AS value_min,
+                round(max(value), 4) AS value_max
+         FROM h, wm
+         WHERE ws + INTERVAL 1 HOUR <= wm.w
+         GROUP BY ws ORDER BY 1""",
     "a17_mode_per_user" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
                     FROM events GROUP BY 1, 2),
