@@ -2858,6 +2858,58 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // ---- BM25 top-k retrieval: the lexical-search scoring loop over the
+    // corpus, run for a broadcast batch of queries at once. All arithmetic
+    // is EXACT rational integer (the ta5/ta9 recipe): k1=6/5, b=3/4 and
+    // avgdl=A/N are cleared to one bigint numerator/denominator pair
+    //   tf_norm_ppm = 22*tf*A*1e6 div (10*A*tf + 3*A + 9*dl*N)
+    // and idf is the LINEARIZED (N-df+0.5)/(df+0.5) ratio in ppm — the ln
+    // is deliberately omitted so both engines agree bit-for-bit (a
+    // per-term monotone transform; documented, not hidden). Plan shape:
+    // doc length rides in the tf GROUPING KEYS (functionally dependent on
+    // doc_id — same cardinality, and it deletes the per-doc-length join a
+    // textbook BM25 plan would shuffle); tf — the query-batch posting
+    // list, the SMALL product of the corpus pass — is materialized once
+    // (lazy localCheckpoint) because it feeds both df counts and scoring,
+    // and its subtree ends in an aggregate that plan-DAG reuse cannot
+    // dedupe (the ta5 lesson: without this the corpus is tokenized
+    // twice); corpus token stats come from a second map-only scan branch
+    // (columnar, no explode, no repartition — partial aggs do the work);
+    // df/query/globals broadcast; top-k is the bounded-heap TopK plan. ---
+    "ta10_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val qterms = Seq((0L, "spark"), (0L, "dup"), (1L, "hash"), (1L, "join"),
+        (1L, "merge"), (2L, "window"), (2L, "sort"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      val glob = toks.agg(count(lit(1)).as("nn"),
+        sum(size(col("ts")).cast("long")).as("aa"))
+      // single-row-group fixture source: hash-spread BEFORE exploding so
+      // the token work parallelizes (dd2 reason)
+      val tf = toks
+        .repartition(32, col("doc_id"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          explode(col("ts")).as("token"))
+        .filter(col("token").isin(qterms.map(_._2).distinct: _*))
+        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val perq = tf
+        .join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(glob))
+        .join(broadcast(qterms.toDF("query_id", "token")), "token")
+        .withColumn("tscore",
+          expr("(((2*(nn - df) + 1) * 1000000) div (2*df + 1)) * " +
+            "((22 * tf * aa * 1000000) div (10*aa*tf + 3*aa + 9*dl*nn)) " +
+            "div 1000000"))
+        .groupBy("query_id", "doc_id").agg(sum("tscore").as("score"))
+      graft.operators.TopK.perKey(perq,
+          keys = Seq("query_id"),
+          order = Seq("score" -> false, "doc_id" -> true), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- equi-width histogram: width_bucket bins computed map-side, so
     // the shuffle carries (type, bin) partial counts — bounded by
     // #types × #bins regardless of row count; under/overflow ride in
@@ -4919,6 +4971,34 @@ object SparkEntry {
                 CAST(sum(doc_score) AS BIGINT) AS sum_score,
                 min(doc_score) AS min_score, max(doc_score) AS max_score
          FROM d GROUP BY 1 ORDER BY 1""",
+    "ta10_bm25_topk" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
+         tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ('spark','dup','hash','join','merge','window','sort')
+                GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS aa FROM dl),
+         qt (query_id, token) AS (VALUES (0,'spark'),(0,'dup'),(1,'hash'),(1,'join'),
+                                         (1,'merge'),(2,'window'),(2,'sort')),
+         sc AS (SELECT query_id, tf.doc_id,
+                       ((((2*(nn - df) + 1) * 1000000) // (2*df + 1)) *
+                        ((22 * tf * aa * 1000000) // (10*aa*tf + 3*aa + 9*dl*nn)))
+                       // 1000000 AS tscore
+                FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+                        JOIN qt USING (token), g),
+         ps AS (SELECT query_id, doc_id, CAST(sum(tscore) AS BIGINT) AS score
+                FROM sc GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rank
+               FROM ps)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     "a16_histogram" ->
       """SELECT event_type,
                 CASE WHEN value < 0 THEN 0
