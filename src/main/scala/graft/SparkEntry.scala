@@ -2858,6 +2858,62 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // ---- line-level boilerplate removal (the CommonCrawl/CCNet recipe):
+    // drop every LINE that appears in >5% of documents, keep the rest,
+    // reassemble each document in original line order. The fixture text is
+    // single-line, so boilerplate lines are injected deterministically
+    // (the ta6 pattern): a footer on EVERY doc (must drop), a newsletter
+    // line on every 3rd (must drop), and two low-frequency promo variants
+    // (must KEEP — shared-but-rare is the no-fire case). Two corpus scans
+    // by design: pass 1 reduces to the tiny high-frequency line set, which
+    // broadcasts into pass 2's re-scan — at 100 TB a re-scan is cheap and
+    // materializing the exploded corpus (the one-pass alternative) is not.
+    // The threshold is RELATIVE (nd*20 > N), so the op is scale-stable.
+    // Per-doc reassembly: collect_list skips the null-ed boilerplate
+    // rows, array_sort restores line order (pos is the struct's leading
+    // field), and the groupBy rides the pass-2 repartition clustering —
+    // no extra shuffle. A doc can lose every line (clone-heavy corpora);
+    // both sides pin that to the empty string, not NULL. ------------------
+    "dd14_line_dedup" -> { (s, dir) =>
+      def withLines(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          concat(
+            col("text"),
+            lit("\ncookie policy applies"),
+            when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 50 === 0,
+              concat(lit("\npromo code "),
+                expr("cast((doc_id div 50) % 2 AS string)")))
+              .otherwise(lit(""))).as("text2"))
+        .repartition(32, col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(split(col("text2"), "\n")).as(Seq("pos", "line")))
+      val docs = Tables.documents(s, dir)
+      // each doc contributes a line at most once (single content line +
+      // distinct injected lines), so count(*) IS the containing-doc count
+      // — no count(distinct) double-aggregation
+      val freq = withLines(docs).groupBy("line").agg(count(lit(1)).as("nd"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val boiler = freq.crossJoin(broadcast(total))
+        .filter(col("nd") * 20 > col("n_total"))
+        .select(col("line"), lit(1).as("is_b"))
+      withLines(docs)
+        .join(broadcast(boiler), Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("is_b").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("is_b").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          array_join(
+            expr("transform(array_sort(collect_list(CASE WHEN is_b IS NULL " +
+              "THEN named_struct('pos', pos, 'line', line) END)), x -> x.line)"),
+            "\n").as("clean_text"))
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- BM25 top-k retrieval: the lexical-search scoring loop over the
     // corpus, run for a broadcast batch of queries at once. All arithmetic
     // is EXACT rational integer (the ta5/ta9 recipe): k1=6/5, b=3/4 and
@@ -4971,6 +5027,35 @@ object SparkEntry {
                 CAST(sum(doc_score) AS BIGINT) AS sum_score,
                 min(doc_score) AS min_score, max(doc_score) AS max_score
          FROM d GROUP BY 1 ORDER BY 1""",
+    "dd14_line_dedup" ->
+      """WITH t2 AS (
+           SELECT doc_id,
+                  text || chr(10) || 'cookie policy applies' ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+                  CASE WHEN doc_id % 50 = 0
+                       THEN chr(10) || 'promo code ' || CAST((doc_id // 50) % 2 AS VARCHAR)
+                       ELSE '' END AS text2
+           FROM documents),
+         l0 AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS i
+                FROM (SELECT doc_id, string_split(text2, chr(10)) AS lines FROM t2)),
+         l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                      lines[CAST(i AS INT)] AS line
+               FROM l0),
+         f AS (SELECT line, count(*) AS nd FROM l GROUP BY 1),
+         n AS (SELECT count(*) AS n_total FROM documents),
+         b AS (SELECT f.line FROM f, n WHERE f.nd * 20 > n.n_total),
+         k AS (SELECT l.doc_id,
+                      CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                      CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                      coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                                          chr(10) ORDER BY l.pos), '') AS clean_text
+               FROM l LEFT JOIN b ON l.line = b.line
+               GROUP BY 1)
+         SELECT doc_id, n_kept, n_dropped,
+                CAST(length(clean_text) AS BIGINT) AS clean_len,
+                md5(clean_text) AS clean_md5
+         FROM k ORDER BY doc_id""",
     "ta10_bm25_topk" ->
       """WITH tk AS (
            SELECT doc_id,
