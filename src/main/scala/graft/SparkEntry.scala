@@ -2769,6 +2769,34 @@ object SparkEntry {
     // normalization is independent of partition order; the 20-row rate
     // table broadcasts back and the sample decision is the sp3
     // hash-threshold lane — pure row function, retry-safe, map-side. ------
+    // ---- PPS sampling without replacement (sequential Poisson, Ohlsson
+    // 1998): per language stratum, the k docs with the SMALLEST u/w where
+    // u is a 16-bit uniform from md5(doc_id) (the sp3 hash-lane recipe ×4
+    // digits) and w = n_chars — inclusion probability ≈ k·w/Σw, so long
+    // documents are proportionally favored, and the hash keying makes the
+    // draw reproducible under retries/reruns (the property `rand()` loses
+    // on task replay). Cross-engine exactness: the ONLY float op is one
+    // IEEE division of two integers, which is correctly rounded and hence
+    // bit-identical in Spark and DuckDB — no ln/pow (libm-dependent), the
+    // reason this key shape was chosen over the e^-classic Efraimidis–
+    // Spirakis transform (same πps family). Map-side arithmetic, then the
+    // bounded-heap TopK plan: one shuffle of k·strata candidate rows. ----
+    "sp6_pps_sample" -> { (s, dir) =>
+      val h = (1 to 4).map(i =>
+        expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
+          lit(math.pow(16, 4 - i).toLong)).reduce(_ + _)
+      val keyed = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"), h.as("h"))
+        .withColumn("skey", (col("h") + 1).cast("double") / col("n_chars"))
+      graft.operators.TopK.perKey(
+          keyed.select("lang", "doc_id", "n_chars", "h", "skey"),
+          keys = Seq("lang"),
+          order = Seq("skey" -> true, "doc_id" -> true), k = 20)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("n_chars"), col("h").cast("long").as("h"))
+        .orderBy("lang", "rank")
+    },
+
     "sp5_temperature_mixture" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
@@ -4971,6 +4999,20 @@ object SparkEntry {
                             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                       * 1000000.0 + 0.5) / 1000000.0 AS corr_xy
          FROM m ORDER BY 1""",
+    "sp6_pps_sample" ->
+      """WITH h AS (
+           SELECT lang, doc_id, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS h
+           FROM documents),
+         r AS (SELECT lang, doc_id, n_chars, h,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY CAST(h + 1 AS DOUBLE) / n_chars, doc_id) AS rank
+               FROM h)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, CAST(h AS BIGINT) AS h
+         FROM r WHERE rank <= 20 ORDER BY lang, rank""",
     "sp5_temperature_mixture" ->
       """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
          w AS (SELECT source, n_total,

@@ -139,6 +139,21 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(corr.forall(r => math.abs(r.getAs[Double]("corr_xy")) <= 1.0 + 1e-9))
   }
 
+  test("sp6 PPS sample favors heavy docs and is retry-reproducible") {
+    import org.apache.spark.sql.functions._
+    val sample = SparkEntry.queries("sp6_pps_sample")(spark, sf)
+    val sMean = sample.agg(avg("n_chars")).head.getDouble(0)
+    val cMean = Tables.documents(spark, sf).agg(avg("n_chars")).head.getDouble(0)
+    // inclusion probability ∝ n_chars ⇒ the sample must be heavier than
+    // the corpus (the property uniform sampling would NOT show)
+    assert(sMean > cMean,
+      s"PPS sample mean n_chars $sMean not above corpus mean $cMean")
+    // hash-keyed draw: a rerun (task retry / job restart) is bit-identical
+    val a = sample.collect().map(_.toSeq)
+    val b = SparkEntry.queries("sp6_pps_sample")(spark, sf).collect().map(_.toSeq)
+    assert(a.sameElements(b), "PPS sample changed across reruns")
+  }
+
   test("dd12 incremental dedup discriminates all three admission statuses") {
     val rows = SparkEntry.queries("dd12_incremental_dedup")(spark, sf).collect()
     val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
