@@ -2337,6 +2337,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- sliding-window chunking with overlap (the RAG / long-context
+    // prep step tp1 does NOT cover: tp1 concatenates docs into fixed
+    // windows; this SPLITS each long doc into 32-token chunks with a
+    // 24-token stride so every token keeps ≥8 tokens of context at a
+    // chunk boundary). Pure per-row arithmetic — sequence+explode+slice
+    // are codegen'd builtins, chunk identity is (doc_id, chunk_id), and
+    // NOTHING crosses rows: no shuffle at all until the presentation
+    // sort. Short docs degrade to one whole-doc chunk; the md5 pins the
+    // exact chunk text, so stride/window off-by-ones cannot hide. --------
+    "tp3_chunk_overlap" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // single-row-group source (dd2 reason)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(expr(
+            "sequence(0, CAST(greatest(ceil((size(ts) - 32) / 24.0), 0) AS INT))"))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          expr("slice(ts, chunk_id * 24 + 1, 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- sequence packing (concat-and-chunk): documents concatenated in
     // doc_id order, the token stream cut into 2048-token training windows.
     // The global running offset uses Pack.globalCumsum — deterministic
@@ -4851,6 +4876,22 @@ object SparkEntry {
                 count(DISTINCT event_type) AS n_types,
                 TRUE AS est_within_5pct
          FROM events""",
+    "tp3_chunk_overlap" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         c AS (SELECT doc_id, ts,
+                      unnest(generate_series(0,
+                        greatest(CAST(ceil((len(ts) - 32) / 24.0) AS INT), 0))) AS chunk_id
+               FROM tk),
+         ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                       ts[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)] AS chunk
+                FROM c)
+         SELECT doc_id, chunk_id,
+                CAST(len(chunk) AS BIGINT) AS n_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_id""",
     "tp2_curriculum" ->
       """WITH d AS (
            SELECT n_chars,
