@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.{Stats, Unpivot}
@@ -3125,6 +3125,65 @@ object SparkEntry {
       s.read.parquet(out).orderBy("window_start")
     },
 
+    // ---- foreachBatch streaming MERGE: the sink-side upsert pattern for
+    // stores with no native streaming writer (JDBC, plain parquet tables,
+    // vendor warehouses). Two inbox files + maxFilesPerTrigger=1 force two
+    // real micro-batches; each batch folds into the previous table
+    // GENERATION with an argmax-per-user merge. The merge op is
+    // associative AND commutative (global argmax on (ts, event_id)), so
+    // the result is independent of batch arrival order — the property
+    // that makes the pattern restart-safe: replaying a batch after a
+    // checkpoint recovery converges to the same table. Generations make
+    // each batch's write atomic-by-rename-free overwrite-to-new-dir (a
+    // read-modify-overwrite of ONE dir would corrupt on mid-write crash).
+    "st12_foreachbatch_merge" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val inbox = s"/tmp/graft_st12_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox) { p =>
+        ev.filter(col("event_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(p)
+        ev.filter(col("event_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(p)
+      }
+      val gens = java.nio.file.Files.createTempDirectory("graft-st12-gen").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st12-ckpt").toString
+      @volatile var current: Option[String] = None
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inbox)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val merged = current match {
+            case Some(prev) => s.read.parquet(prev).unionByName(batch.toDF())
+            case None => batch.toDF()
+          }
+          val next = s"$gens/gen_$batchId"
+          // the generation keeps the EVENT schema (incl. event_id) so the
+          // next batch's merge can still tie-break on (ts, event_id)
+          merged.groupBy("user_id")
+            .agg(max_by(
+              struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+              struct(col("ts"), col("event_id"))).as("last"))
+            .select(col("last.event_id").as("event_id"), col("last.ts").as("ts"),
+              col("user_id"), col("last.event_type").as("event_type"),
+              col("last.value").as("value"))
+            .write.mode("overwrite").parquet(next)
+          current = Some(next)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(current.get)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")
+    },
+
     // ---- per-key mode (most frequent value): two hash aggregations —
     // (key, value) counts, then max_by picks each key's winner with a
     // deterministic (n, value) tie-break. No window sort, no per-key
@@ -5218,6 +5277,17 @@ object SparkEntry {
          FROM h, wm
          WHERE ws + INTERVAL 1 HOUR <= wm.w
          GROUP BY ws ORDER BY 1""",
+    "st12_foreachbatch_merge" ->
+      """WITH r AS (
+           SELECT user_id, ts, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                event_type AS last_type,
+                round(value, 4) AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     "a17_mode_per_user" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
                     FROM events GROUP BY 1, 2),
