@@ -2967,6 +2967,54 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- exact substring-span dedup (the Lee et al. "Deduplicating
+    // Training Data" recipe at fixture scale): every 8-token span (stride
+    // 1) that occurs MORE THAN ONCE corpus-wide is duplicated text; each
+    // doc reports its duplicated-span count and the EXACT token coverage
+    // of the union of its duplicated spans (overlaps counted once —
+    // positions exploded and distinct-counted, not n_spans*8). The dup
+    // span set is unbounded (clone-heavy corpora), so the marking join
+    // carries NO broadcast hint: the planner broadcasts at fixture scale
+    // and flips to a shuffle join past the threshold — the design never
+    // assumes the dup set fits in memory; at real scale the span string
+    // would be xxhash64'd to shrink the exchange (the oracle pairing
+    // keeps the string key). Two corpus scans by design
+    // (the dd14 argument: a re-scan beats materializing the span frame).
+    // countDistinct(start)+countDistinct(pos) ride ONE aggregation (the
+    // Expand doubles only dup-coverage rows, not the corpus). ------------
+    "dd15_span_dedup" -> { (s, dir) =>
+      def spans(df: DataFrame): DataFrame = df
+        .repartition(32, col("doc_id")) // single-row-group source (dd2 reason)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 8), i -> named_struct(" +
+            "'start', CAST(i AS BIGINT), " +
+            "'span', array_join(slice(ts, i + 1, 8), ' ')))")).as("sp"))
+        .select(col("doc_id"), col("sp.start").as("start"), col("sp.span").as("span"))
+      val docs = Tables.documents(s, dir)
+      val dup = spans(docs).groupBy("span")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("span")
+      val cov = spans(docs).join(dup, "span")
+        .select(col("doc_id"), col("start"),
+          explode(expr("sequence(start, start + 7)")).as("pos"))
+        .groupBy("doc_id")
+        .agg(countDistinct("start").as("n_dup_spans"),
+          countDistinct("pos").as("covered"))
+      docs
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("n_spans", greatest(col("n_tokens") - 7, lit(0L)))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+        .withColumn("dup_ppm",
+          expr("CASE WHEN n_tokens > 0 THEN covered_tokens * 1000000 div n_tokens " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .orderBy("doc_id")
+    },
+
     // ---- BM25 top-k retrieval: the lexical-search scoring loop over the
     // corpus, run for a broadcast batch of queries at once. All arithmetic
     // is EXACT rational integer (the ta5/ta9 recipe): k1=6/5, b=3/4 and
@@ -5169,6 +5217,33 @@ object SparkEntry {
                 CAST(sum(doc_score) AS BIGINT) AS sum_score,
                 min(doc_score) AS min_score, max(doc_score) AS max_score
          FROM d GROUP BY 1 ORDER BY 1""",
+    "dd15_span_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                        greatest(CAST(len(ts) AS BIGINT) - 7, 0) AS n_spans
+                 FROM tk),
+         s0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+                FROM tk WHERE len(ts) >= 8),
+         sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+                       array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS span
+                FROM s0),
+         d AS (SELECT span FROM sp GROUP BY 1 HAVING count(*) > 1),
+         cv0 AS (SELECT sp.doc_id, sp.start,
+                        unnest(generate_series(sp.start, sp.start + 7)) AS pos
+                 FROM sp JOIN d USING (span)),
+         cv AS (SELECT doc_id, count(DISTINCT start) AS n_dup_spans,
+                       count(DISTINCT pos) AS covered
+                FROM cv0 GROUP BY 1)
+         SELECT t.doc_id, t.n_tokens, t.n_spans,
+                CAST(coalesce(cv.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered_tokens,
+                CAST(CASE WHEN t.n_tokens > 0
+                          THEN (coalesce(cv.covered, 0) * 1000000) // t.n_tokens
+                          ELSE 0 END AS BIGINT) AS dup_ppm
+         FROM tot t LEFT JOIN cv USING (doc_id) ORDER BY t.doc_id""",
     "dd14_line_dedup" ->
       """WITH t2 AS (
            SELECT doc_id,

@@ -206,7 +206,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "dd13_editdistance_dedup" -> 4, "a17_mode_per_user" -> 3,
       "st11_dedup_window_chain" -> 1, "ta10_bm25_topk" -> 5,
       "dd14_line_dedup" -> 5, "sp6_pps_sample" -> 2,
-      "tp3_chunk_overlap" -> 2, "st12_foreachbatch_merge" -> 1)
+      "tp3_chunk_overlap" -> 2, "st12_foreachbatch_merge" -> 1,
+      "dd15_span_dedup" -> 6)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
