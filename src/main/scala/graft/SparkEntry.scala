@@ -3037,14 +3037,21 @@ object SparkEntry {
       import s.implicits._
       val qterms = Seq((0L, "spark"), (0L, "dup"), (1L, "hash"), (1L, "join"),
         (1L, "merge"), (2L, "window"), (2L, "sort"))
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
-      val glob = toks.agg(count(lit(1)).as("nn"),
-        sum(size(col("ts")).cast("long")).as("aa"))
-      // single-row-group fixture source: hash-spread BEFORE exploding so
-      // the token work parallelizes (dd2 reason)
-      val tf = toks
+      // corpus stats: token COUNTS need no token array — regexp_count of
+      // non-space runs equals the split-and-filter token count without
+      // allocating 50k arrays per pass; the repartition spreads the regex
+      // work off the single-row-group scan partition (serial otherwise)
+      val glob = Tables.documents(s, dir)
+        .select("doc_id", "text")
         .repartition(32, col("doc_id"))
+        .agg(count(lit(1)).as("nn"),
+          sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("aa"))
+      // single-row-group fixture source: hash-spread BEFORE tokenizing so
+      // the split+explode work parallelizes (dd2 reason)
+      val tf = Tables.documents(s, dir)
+        .select("doc_id", "text")
+        .repartition(32, col("doc_id"))
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
         .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
           explode(col("ts")).as("token"))
         .filter(col("token").isin(qterms.map(_._2).distinct: _*))
@@ -3064,7 +3071,8 @@ object SparkEntry {
           keys = Seq("query_id"),
           order = Seq("score" -> false, "doc_id" -> true), k = 10)
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      // no final orderBy: the driver compare is row-sorted (ta5 reason);
+      // rank already encodes the per-query ordering
     },
 
     // ---- equi-width histogram: width_bucket bins computed map-side, so
