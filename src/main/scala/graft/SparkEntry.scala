@@ -182,6 +182,58 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ---- TPC-H Q3 shape (shipping priority): the classic selective
+    // 3-way star — both fact filters (o_orderdate, l_shipdate) reach
+    // their parquet scans as PushedFilters, the per-order revenue groups
+    // are tiny (≤7 lineitems ⇒ round(2) absorbs summation-order ulp, the
+    // q1 precedent), and the top-10 is TakeOrderedAndProject on the
+    // ROUNDED revenue with an orderkey tie-break — no global sort, no
+    // ambiguity at equal revenues. Catalyst picks the join order; no
+    // hand-hints needed for a shape this standard. -----------------------
+    "q3_shipping_priority" -> { (s, dir) =>
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q5 shape (local supplier volume): the 6-way join with
+    // the customer-nation = supplier-nation SAME-NATION condition riding
+    // the supplier join, region/nation as broadcast dims, and a
+    // nation-grain aggregate. This is the query Catalyst's join
+    // reordering + broadcast thresholds exist for — declared, not
+    // hand-scheduled. -----------------------------------------------------
+    "q5_local_supplier_volume" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
     // ---- A1 per-key summary agg (ingest/preprocess.py:295-357) ------------
     "a1_user_summary" -> { (s, dir) =>
       Stats.perKeySummary(
@@ -3333,6 +3385,34 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY n_name""",
     "a1_user_summary" ->
       """SELECT user_id,
          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
