@@ -468,6 +468,37 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // ---- URL parsing + per-domain rollup: web-corpus provenance — every
+    // crawl pipeline groups quality/dedup decisions by registered domain.
+    // URLs are injected deterministically (the ta6 fire-everywhere
+    // pattern) and parsed with the parse_url BUILTIN (host / path /
+    // single query param), which the oracle mirrors with anchored
+    // regexes — the injected URLs stay inside the dialect where both
+    // agree. min/max(path) pin the per-row path extraction corpus-wide
+    // even though the output is host-grain; countDistinct(ref) pins the
+    // query-param extraction. One aggregation shuffle over a 4-row key
+    // domain (map-side partials carry the weight). -----------------------
+    "f16_url_parse" -> { (s, dir) =>
+      val host = element_at(
+        array(lit("docs.example.com"), lit("blog.example.org"),
+          lit("www.data.net"), lit("cdn.media.io")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      Tables.documents(s, dir)
+        .withColumn("url",
+          concat(lit("https://"), host, lit("/p/"), col("doc_id").cast("string"),
+            lit("/"), col("lang"), lit("?ref="), col("source")))
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+        .withColumn("tld", regexp_extract(col("host"), "([^.]+)$", 1))
+        .groupBy("host", "tld")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("ref").as("n_sources"),
+          min("path").as("first_path"), max("path").as("last_path"))
+        .orderBy("host")
+    },
+
     // ---- F13 JSON extraction (db_handler.py:171-177) -----------------------
     "f13_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -3385,6 +3416,25 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "f16_url_parse" ->
+      """WITH u AS (
+           SELECT doc_id, lang, source,
+                  'https://' ||
+                  (['docs.example.com', 'blog.example.org',
+                    'www.data.net', 'cdn.media.io'])[CAST(doc_id % 4 + 1 AS INT)] ||
+                  '/p/' || CAST(doc_id AS VARCHAR) || '/' || lang ||
+                  '?ref=' || source AS url
+           FROM documents),
+         p AS (
+           SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+                  regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+                  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+           FROM u)
+         SELECT host, regexp_extract(host, '([^.]+)$', 1) AS tld,
+                count(*) AS n_docs,
+                count(DISTINCT ref) AS n_sources,
+                min(path) AS first_path, max(path) AS last_path
+         FROM p GROUP BY 1, 2 ORDER BY host""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
