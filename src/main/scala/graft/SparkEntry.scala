@@ -3171,6 +3171,35 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     },
 
+    // ---- equi-DEPTH histogram (a16's cousin): deciles assigned by PURE
+    // INTEGER rank arithmetic — bin = 1 + (rn-1)*10 div n — not by
+    // interpolated float boundaries: Spark's percentile and DuckDB's
+    // quantile_cont disagree by one ulp on interpolated cut points (found
+    // at sf0.1: the 0.7 boundary straddled 59.24 and flipped ~4 rows), so
+    // any boundary-comparison formulation is a knife-edge. The rank form
+    // is exact, and TIE-STABLE: tied values may get arbitrary rn order,
+    // but per-bin n is fixed by the arithmetic and lo/hi/min/max see only
+    // the value — every output cell is deterministic. Ties can split a
+    // value across adjacent bins (ntile semantics; documented). One
+    // event_type shuffle serves both window functions. At corpus scale a
+    // per-type rank window is a skew hazard — swap in a12's sketch
+    // boundaries (fixed-size, mergeable) and accept approximate depths;
+    // this exact form is the oracle-parity variant. ----------------------
+    "a18_equidepth_bins" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rankW = Window.partitionBy("event_type").orderBy("value")
+      val typeW = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull).select("event_type", "value")
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("nt", count(lit(1)).over(typeW))
+        .withColumn("bin", expr("1 + ((rn - 1) * 10) div nt").cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("lo"), round(max("value"), 4).as("hi"))
+        .orderBy("event_type", "bin")
+    },
+
     // ---- time-RANGE window frame: trailing 1-hour per-user activity at
     // EVERY event (count + exact decimal sum) — the range-frame cousin of
     // w4's rows-frame: the frame is defined by event-time distance, not
@@ -5439,6 +5468,18 @@ object SparkEntry {
                FROM ps)
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "a18_equidepth_bins" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS nt
+               FROM e),
+         x AS (SELECT event_type, value,
+                      1 + ((rn - 1) * 10) // nt AS bin
+               FROM r)
+         SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+                round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "a16_histogram" ->
       """SELECT event_type,
                 CASE WHEN value < 0 THEN 0
