@@ -548,6 +548,32 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // ---- gaps-and-islands on a VALUE threshold (w2's cousin: w2 breaks
+    // on time gaps, this breaks on the measure crossing 50): per user,
+    // maximal runs of consecutive high-value events via the classic
+    // two-row_number difference — the island id is (global rn - rn among
+    // flagged rows), constant exactly within a run. Both windows share
+    // the one user_id shuffle; ties on ts are pinned by event_id in the
+    // ORDER BY (both engines), so island membership is deterministic. ----
+    "w7_value_episodes" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val byUserHigh = Window.partitionBy("user_id", "high").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("high", (col("value") > 50).cast("int"))
+        .withColumn("grp",
+          row_number().over(byUser) - row_number().over(byUserHigh))
+        .filter(col("high") === 1)
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), round(sum("value"), 2).as("ep_sum"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_episodes"),
+          max("len").as("max_len"),
+          round(sum("ep_sum"), 2).as("total_high"))
+        .orderBy("user_id")
+    },
+
     // ---- exact interpolated percentiles (builtin, no sort-the-world) -------
     "a7_percentiles" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -2772,6 +2798,40 @@ object SparkEntry {
     // 100 TB replaces a petabyte rewrite with one partition's worth of
     // IO. Parity rides the read-back: clicks carry the corrected values,
     // every other partition is byte-identical original data. -------------
+    // ---- snapshot diff (the table-format time-travel primitive): two
+    // versions of the orders table — derived deterministically so the
+    // oracle can re-derive them — full-outer joined on the key, each key
+    // classified added / removed / changed / unchanged, with integer
+    // CENTS for the change test (no float equality). Output is the
+    // status-grain audit row a lakehouse diff job emits: key counts, a
+    // key checksum (sum of keys — cheap drift detector), and the net
+    // money delta. The join is the 100 TB shape: both sides shuffle on
+    // the key once, the classification is a map-side CASE. ---------------
+    "o5_snapshot_diff" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val snapA = base.filter(col("o_orderkey") % 10 =!= 3)
+      val snapB = base.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("cents",
+          when(col("o_orderkey") % 5 === 0, col("cents") + 500)
+            .otherwise(col("cents")))
+      snapA.withColumnRenamed("cents", "cents_a")
+        .join(snapB.withColumnRenamed("cents", "cents_b"),
+          Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("cents_a").isNull, lit("added"))
+            .when(col("cents_b").isNull, lit("removed"))
+            .when(col("cents_a") =!= col("cents_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("key_sum"),
+          sum(coalesce(col("cents_b"), lit(0L)) -
+            coalesce(col("cents_a"), lit(0L))).as("net_cents_delta"))
+        .orderBy("status")
+    },
+
     "o4_partition_overwrite" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
       val tbl = s"/tmp/graft_o4_tbl_${cacheTag(dir, "events")}" +
@@ -3445,6 +3505,22 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "w7_value_episodes" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN value > 50 THEN 1 ELSE 0 END AS high
+           FROM events WHERE value IS NOT NULL),
+         g AS (
+           SELECT user_id, value, high,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
+                  row_number() OVER (PARTITION BY user_id, high ORDER BY ts, event_id) AS grp
+           FROM e),
+         ep AS (
+           SELECT user_id, grp, count(*) AS len, round(sum(value), 2) AS ep_sum
+           FROM g WHERE high = 1 GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_episodes, max(len) AS max_len,
+                round(sum(ep_sum), 2) AS total_high
+         FROM ep GROUP BY 1 ORDER BY user_id""",
     "f16_url_parse" ->
       """WITH u AS (
            SELECT doc_id, lang, source,
@@ -5236,6 +5312,26 @@ object SparkEntry {
       """SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY 1 ORDER BY 1""",
+    "o5_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         a AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+         b AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0 THEN cents + 500 ELSE cents END AS cents
+               FROM base WHERE o_orderkey % 10 <> 7),
+         d AS (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                  a.cents AS cents_a, b.cents AS cents_b,
+                  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                       WHEN b.o_orderkey IS NULL THEN 'removed'
+                       WHEN a.cents <> b.cents THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         SELECT status, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(coalesce(cents_b, 0) - coalesce(cents_a, 0)) AS BIGINT) AS net_cents_delta
+         FROM d GROUP BY 1 ORDER BY status""",
     "o4_partition_overwrite" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(CASE WHEN event_type = 'click' THEN value * 2
