@@ -3054,6 +3054,35 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // ---- text normalization (the first scrub every crawl pipeline runs):
+    // control chars / NBSP / zero-width spaces → space, whitespace runs
+    // collapsed, ends trimmed. Dirt is injected deterministically (tab
+    // prefix on evens, CRLF+NBSP suffix on %3, BEL on %5 — the ta6
+    // fire/no-fire pattern: clean docs must pass through BYTE-identical,
+    // pinned by the md5). Patterns live in the RE2 ∩ Java dialect
+    // (hex classes, \s) so the oracle runs the same automaton; chained
+    // regexp_replace is a codegen'd one-scan map — no shuffle before the
+    // presentation sort. -------------------------------------------------
+    "ta11_normalize" -> { (s, dir) =>
+      val junkClass = "[\\x00-\\x1f\\x{00A0}\\x{200B}]"
+      Tables.documents(s, dir)
+        .withColumn("raw",
+          concat(
+            when(col("doc_id") % 2 === 0, lit("\t ")).otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\r\nend\u00a0more")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("\u0007\u200bx")).otherwise(lit(""))))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("len_raw"),
+          trim(regexp_replace(regexp_replace(col("raw"), junkClass, " "),
+            "\\s+", " ")).as("clean"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("clean")).cast("long").as("len_clean"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- line-level boilerplate removal (the CommonCrawl/CCNet recipe):
     // drop every LINE that appears in >5% of documents, keep the rest,
     // reassemble each document in original line order. The fixture text is
@@ -5480,6 +5509,27 @@ object SparkEntry {
                 CAST(sum(doc_score) AS BIGINT) AS sum_score,
                 min(doc_score) AS min_score, max(doc_score) AS max_score
          FROM d GROUP BY 1 ORDER BY 1""",
+    "ta11_normalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN chr(9) || ' ' ELSE '' END) ||
+                  text ||
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN chr(13) || chr(10) || 'end' || chr(160) || 'more'
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 5 = 0
+                        THEN chr(7) || chr(8203) || 'x' ELSE '' END) AS raw
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+                  trim(regexp_replace(
+                    regexp_replace(raw, '[\x00-\x1f\x{00A0}\x{200B}]', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS clean
+           FROM raw)
+         SELECT doc_id, len_raw,
+                CAST(length(clean) AS BIGINT) AS len_clean,
+                md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
     "dd15_span_dedup" ->
       """WITH tk AS (
            SELECT doc_id,
