@@ -381,4 +381,129 @@ class Engine(spark: SparkSession) {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+
+  /** Line-level boilerplate removal (CommonCrawl/CCNet): drop every line
+    * appearing in more than `1/maxDocFraction` of documents, reassemble
+    * the rest in original order. Two corpus passes by design — the tiny
+    * high-frequency line set broadcasts into a re-scan instead of
+    * materializing the exploded corpus. See `dd14_line_dedup`. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDocFraction: Double = 0.05): DataFrame = {
+    def lines(d: DataFrame) = d
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val denom = math.max(1L, math.round(1.0 / maxDocFraction))
+    val boiler = lines(df).groupBy("line").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+      .filter(col("nd") * denom > col("n_total"))
+      .select(col("line"), lit(1).as("__b"))
+    lines(df).join(broadcast(boiler), Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(CASE WHEN __b IS NULL " +
+          "THEN named_struct('pos', pos, 'line', line) END)), x -> x.line)"),
+        "\n").as(textCol))
+  }
+
+  /** Exact substring-span duplication report (Lee et al.): per document,
+    * the count of `n`-token spans occurring more than once corpus-wide and
+    * the exact token coverage of their union. See `dd15_span_dedup`. */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    def spans(d: DataFrame) = d
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__ts) - $n), i -> named_struct(" +
+          s"'start', CAST(i AS BIGINT), " +
+          s"'span', array_join(slice(__ts, i + 1, $n), ' ')))")).as("sp"))
+      .select(col(idCol), col("sp.start").as("start"), col("sp.span").as("span"))
+    val dup = spans(df).groupBy("span").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("span")
+    spans(df).join(dup, "span")
+      .select(col(idCol), col("start"),
+        explode(expr(s"sequence(start, start + ${n - 1})")).as("pos"))
+      .groupBy(idCol)
+      .agg(countDistinct("start").as("n_dup_spans"),
+        countDistinct("pos").as("covered_tokens"))
+  }
+
+  /** Probability-proportional-to-size sample without replacement
+    * (sequential Poisson, Ohlsson 1998): the `k` rows with the smallest
+    * hash-uniform/weight key per stratum. Reproducible under task retry
+    * (hash-keyed, no rand()). See `sp6_pps_sample`. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      strataCols: Seq[String], k: Int): DataFrame = {
+    val h = (1 to 4).map(i =>
+      expr(s"instr('0123456789abcdef', substr(md5(cast(`$idCol` AS string)), $i, 1)) - 1") *
+        lit(math.pow(16, 4 - i).toLong)).reduce(_ + _)
+    graft.operators.TopK.perKey(
+      df.withColumn("__skey", (h + lit(1)).cast("double") / col(weightCol)),
+      keys = strataCols,
+      order = Seq("__skey" -> true, idCol -> true), k = k,
+      rankName = "__rank").drop("__skey", "__rank")
+  }
+
+  /** Sliding-window chunking with overlap for RAG / long-context prep:
+    * one row per (doc, chunk), `window` tokens at `stride` spacing.
+    * See `tp3_chunk_overlap`. */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 512, stride: Int = 384): DataFrame =
+    df.select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"), explode(expr(
+        s"sequence(0, CAST(greatest(ceil((size(__ts) - $window) / $stride.0), 0) AS INT))"))
+        .as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(__ts, chunk_id * $stride + 1, $window), ' ')")
+          .as("chunk_text"))
+
+  /** BM25 top-k lexical retrieval for a batch of (query_id, term) pairs.
+    * Exact rational-integer scoring (k1=6/5, b=3/4, linearized idf) — see
+    * `ta10_bm25_topk` for the arithmetic and plan rationale. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val glob = df.agg(count(lit(1)).as("nn"),
+      sum(regexp_count(col(textCol), lit("\\S+")).cast("long")).as("aa"))
+    val tf = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), size(col("__ts")).cast("long").as("__dl"),
+        explode(col("__ts")).as("__token"))
+      .filter(col("__token").isin(queries.map(_._2).distinct: _*))
+      .groupBy(idCol, "__dl", "__token").agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("__token").agg(count(lit(1)).as("__df"))
+    val perq = tf.join(broadcast(dfreq), "__token")
+      .crossJoin(broadcast(glob))
+      .join(broadcast(queries.toDF("query_id", "__token")), "__token")
+      .withColumn("__tscore",
+        expr("(((2*(nn - __df) + 1) * 1000000) div (2*__df + 1)) * " +
+          "((22 * __tf * aa * 1000000) div (10*aa*__tf + 3*aa + 9*__dl*nn)) " +
+          "div 1000000"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("__tscore").as("score"))
+    graft.operators.TopK.perKey(perq, keys = Seq("query_id"),
+      order = Seq("score" -> false, idCol -> true), k = k)
+  }
+
+  /** Snapshot diff: classify every key across two table versions as
+    * added / removed / changed / unchanged. `valCols` take part in the
+    * change test with null-safe equality. See `o5_snapshot_diff`. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      valCols: Seq[String]): DataFrame = {
+    // presence markers, not value-null tests: an all-null value tuple is a
+    // legitimate row and must not masquerade as absence
+    val av = a.select(col(keyCol) +:
+      (valCols.map(c => col(c).as(s"__a_$c")) :+ lit(1).as("__in_a")): _*)
+    val bv = b.select(col(keyCol) +:
+      (valCols.map(c => col(c).as(s"__b_$c")) :+ lit(1).as("__in_b")): _*)
+    val changed = valCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .reduce(_ || _)
+    av.join(bv, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__in_a", "__in_b")
+  }
 }

@@ -306,4 +306,77 @@ class EngineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(a == b)
   }
+
+  test("lineDedup strips shared lines, keeps rare ones, preserves order") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"unique body $i\nshared footer\n" +
+        (if (i <= 2) "rare line\n" else "") + s"tail $i"))
+      .toDF("id", "text")
+    val out = engine.lineDedup(docs, "id", "text", maxDocFraction = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(5L) == "unique body 5\ntail 5") // footer (40/40 docs) dropped
+    assert(out(1L) == "unique body 1\nrare line\ntail 1") // 2/40 kept, in order
+  }
+
+  test("spanDupStats counts union coverage once across overlapping spans") {
+    import spark.implicits._
+    val rep = (1 to 12).map(i => s"w$i").mkString(" ") // 12-token shared block
+    val docs = Seq((1L, rep + " onlyone"), (2L, rep + " othertail"),
+      (3L, "a b c d e f g h i j")).toDF("id", "text")
+    val out = engine.spanDupStats(docs, "id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("covered_tokens"))).toMap
+    // docs 1 and 2 share exactly the 5 spans inside the 12-token block;
+    // their union covers the 12 block tokens ONCE, not 5*8
+    assert(out(1L) == (5L, 12L) && out(2L) == (5L, 12L))
+    assert(!out.contains(3L)) // clean doc: no dup spans
+  }
+
+  test("ppsSample draws k per stratum and favors heavy rows") {
+    val docs = Tables.documents(spark, sf)
+    val out = engine.ppsSample(docs, "doc_id", "n_chars", Seq("lang"), k = 10)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10L), s"per-stratum k violated: $counts")
+    val sMean = out.agg(avg("n_chars")).head.getDouble(0)
+    val cMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(sMean > cMean)
+  }
+
+  test("chunkWithOverlap covers every token and respects the stride") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val out = engine.chunkWithOverlap(
+      Seq((7L, text)).toDF("id", "text"), "id", "text",
+      window = 32, stride = 24).orderBy("chunk_id").collect()
+    assert(out.length == 4) // ceil((100-32)/24)+1
+    val chunks = out.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    assert(chunks.head.head == "t1" && chunks(1).head == "t25")
+    assert(chunks.last.last == "t100") // final token reached
+    assert(chunks.dropRight(1).forall(_.length == 32))
+  }
+
+  test("bm25TopK ranks the rare-term doc first and bounds k") {
+    import spark.implicits._
+    val docs = ((1L to 30L).map(i => (i, "common words filler text here")) :+
+      (31L, "common rareterm filler text here")).toDF("id", "text")
+    val out = engine.bm25TopK(docs, "id", "text",
+      queries = Seq((0L, "rareterm"), (0L, "common")), k = 5).collect()
+    assert(out.length == 5)
+    val top = out.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("id") == 31L, "rare-term doc must outrank common-only docs")
+  }
+
+  test("snapshotDiff classifies with presence markers, not value nulls") {
+    import spark.implicits._
+    val a = Seq((1L, Some(10)), (2L, None: Option[Int]), (3L, Some(30)),
+      (4L, Some(40))).toDF("k", "v")
+    val b = Seq((1L, Some(10)), (2L, None: Option[Int]), (3L, Some(31)),
+      (5L, Some(50))).toDF("k", "v")
+    val st = engine.snapshotDiff(a, b, "k", Seq("v")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added")) // 2: all-null tuple is STILL unchanged
+  }
 }
