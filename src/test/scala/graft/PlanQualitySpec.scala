@@ -173,6 +173,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"j9 lost its broadcast join:\n$plan")
   }
 
+  test("q3's three scan filters all reach their parquet scans as PushedFilters") {
+    val plan = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one pushed predicate per table: segment (customer), orderdate
+    // (orders), shipdate (lineitem) — a filter evaluated post-scan reads
+    // the whole fact at 100 TB
+    Seq("c_mktsegment", "o_orderdate", "l_shipdate").foreach { c =>
+      val pushed = plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains(c))
+      assert(pushed, s"q3 filter on $c not pushed to its scan:\n$plan")
+    }
+  }
+
   test("heavy queries stay inside their shuffle budget") {
     // Every ShuffleExchange moves the full frame across the cluster at
     // 100 TB — an extra one is a silent order-of-magnitude regression
