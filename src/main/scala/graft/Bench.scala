@@ -62,7 +62,8 @@ object Bench {
     // (s5/j8 stay pre-planned: their sink writes are one-time ingest per
     // sfDir by design — a fresh call measures the pruned/bucketed scan,
     // which IS the operator.)
-    val eagerAtPlan = Set("st4_stream_windowed", "dd9_dup_groups", "dd10_dedup_apply")
+    val eagerAtPlan = Set("st4_stream_windowed", "dd9_dup_groups",
+      "dd10_dedup_apply", "dd16_canonical_pick")
     // Optional subset for local iteration: SPARK_GRAFT_ONLY="dd8,ta5".
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val planned = SparkEntry.queries.toSeq.sortBy(_._1)

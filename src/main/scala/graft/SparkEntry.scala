@@ -1812,6 +1812,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- canonical pick per dup cluster (dd10's policy upgrade): real
+    // pipelines keep the BEST member of each duplicate group, not the
+    // lowest id — here quality = content length, so the ' tailword'
+    // clones (strictly longer) must beat their originals, which makes the
+    // policy difference from dd10 visible in the output: every clone
+    // cluster keeps the 100000+d member. Selection is one max_by
+    // aggregate on (q, -doc_id) — argmax with a deterministic min-id tie
+    // — then a group_id join-back; no window over members, no sort. ------
+    "dd16_canonical_pick" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = base.unionByName(
+          base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" tailword")).as("text")))
+        .withColumn("q", length(col("text")).cast("long"))
+        .select("doc_id", "q")
+      val labels = Dedup.connectedComponents(
+          dd8Pipeline(s, dir).filter(col("is_dup")).select("id_a", "id_b"))
+        .withColumnRenamed("member_id", "doc_id")
+      val labeled = corpus.join(labels, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+      val canon = labeled.groupBy("group_id")
+        .agg(max_by(col("doc_id"), struct(col("q"), (-col("doc_id")).as("neg")))
+          .as("canon_id"))
+      labeled.join(canon, "group_id")
+        .select(col("doc_id"), col("group_id"),
+          (col("doc_id") === col("canon_id")).as("kept"), col("q"))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash estimator quality: signature-estimate vs exact Jaccard ----
     // The e8 recall metric proves the IVF path isn't silently lossy; this is
     // the same proof for MinHash — per candidate pair, the lane-match
@@ -4712,6 +4742,60 @@ object SparkEntry {
                 (l.group_id IS NULL OR l.group_id = d.doc_id) AS kept
          FROM all_docs d LEFT JOIN lab l ON l.member_id = d.doc_id
          ORDER BY d.doc_id""",
+    "dd16_canonical_pick" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                   UNION ALL SELECT id_b, id_a FROM dup),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id),
+         corpus AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q FROM all_docs),
+         labeled AS (SELECT c.doc_id, coalesce(l.group_id, c.doc_id) AS group_id, c.q
+                     FROM corpus c LEFT JOIN lab l ON l.member_id = c.doc_id),
+         canon AS (SELECT group_id, doc_id AS canon_id,
+                          row_number() OVER (PARTITION BY group_id
+                                             ORDER BY q DESC, doc_id) AS rn
+                   FROM labeled)
+         SELECT l.doc_id, l.group_id, (l.doc_id = c.canon_id) AS kept, l.q
+         FROM labeled l
+         JOIN (SELECT group_id, canon_id FROM canon WHERE rn = 1) c USING (group_id)
+         ORDER BY l.doc_id""",
     "dd3_simhash" ->
       """WITH toks AS (
            SELECT doc_id,

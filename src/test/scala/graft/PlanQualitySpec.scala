@@ -223,7 +223,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "dd15_span_dedup" -> 6, "q3_shipping_priority" -> 1,
       "q5_local_supplier_volume" -> 2, "f16_url_parse" -> 3,
       "a18_equidepth_bins" -> 2, "w7_value_episodes" -> 2,
-      "o5_snapshot_diff" -> 4, "ta11_normalize" -> 1)
+      "o5_snapshot_diff" -> 4, "ta11_normalize" -> 1,
+      "dd16_canonical_pick" -> 7)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
