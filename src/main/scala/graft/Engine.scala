@@ -506,4 +506,57 @@ class Engine(spark: SparkSession) {
           .otherwise(lit("unchanged")))
       .drop("__in_a", "__in_b")
   }
+
+  /** Data-quality constraint suite: null-count, duplicate-key, and
+    * predicate-violation checks in ONE aggregation pass, plus an optional
+    * referential-integrity check as a broadcast anti-join against a
+    * dimension's key column. Returns one row per check:
+    * (check_name, violations, passed) with integer violation counts —
+    * the gate a pipeline consults before a training run reads the table.
+    * See `dq1_constraint_suite`. */
+  def constraintSuite(df: DataFrame, notNullCols: Seq[String],
+      uniqueCols: Seq[String], predicates: Seq[(String, Column)] = Nil,
+      refIntegrity: Option[(String, DataFrame, String)] = None): DataFrame = {
+    val aggs =
+      notNullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"completeness_$c")) ++
+      uniqueCols.map(c => (count(lit(1)) - countDistinct(col(c)))
+        .as(s"uniqueness_$c")) ++
+      predicates.map { case (name, holds) =>
+        sum(when(!holds, 1L).otherwise(0L)).as(name) }
+    require(aggs.nonEmpty, "constraintSuite needs at least one check")
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val withRef = refIntegrity match {
+      case Some((fk, dim, pk)) =>
+        val orphan = df.select(fk).filter(col(fk).isNotNull)
+          .join(broadcast(dim.select(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as(s"ref_integrity_$fk"))
+        base.crossJoin(orphan) // both single aggregate rows
+      case None => base
+    }
+    withRef.select(explode(array(withRef.columns.map(n =>
+        struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+      .select(col("c.check_name"), col("c.violations"),
+        (col("c.violations") === 0L).as("passed"))
+  }
+
+  /** k-anonymity suppression: generalize the quasi-identifier columns of
+    * every row whose QI group has fewer than `k` members (strings → "*",
+    * numerics → -1), so no released row is identifiable among fewer than
+    * k peers. One QI-histogram aggregation (bounded by QI-domain
+    * cardinality, not corpus size) + a broadcast join back — no window
+    * over raw rows. Adds a `suppressed` flag. See `pv1_k_anonymity`. */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    val groups = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("__qi_n"))
+    val joined = df.join(broadcast(groups), quasiIds)
+    val generalized = quasiIds.foldLeft(joined) { (d, c) =>
+      val fallback = d.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => lit("*")
+        case dt => lit(-1).cast(dt)
+      }
+      d.withColumn(c, when(col("__qi_n") >= k, col(c)).otherwise(fallback))
+    }
+    generalized.withColumn("suppressed", col("__qi_n") < k).drop("__qi_n")
+  }
 }

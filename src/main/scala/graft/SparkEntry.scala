@@ -3485,6 +3485,121 @@ object SparkEntry {
             .as("top_type"),
           max(struct(col("n"), col("event_type"))).getField("n").as("top_n"))
         .orderBy("user_id")
+    },
+
+    // ---- data-quality constraint suite (Deequ-shaped): ONE pass over
+    // orders computes completeness / uniqueness / range / domain checks
+    // as plain aggregates; referential integrity is a broadcast
+    // anti-join against the customer key column. Metrics are integer
+    // violation counts (hash-exact), one row per check — the gate a
+    // pipeline consults before a training run may read the table. The
+    // 100k price-ceiling check fails on the fixture by design, so the
+    // oracle discriminates pass from fail. ------------------------------
+    "dq1_constraint_suite" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val base = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("big_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      val orphans = o.select("o_custkey").filter(col("o_custkey").isNotNull)
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_fk"))
+      base.crossJoin(orphans) // both sides are single aggregate rows
+        .select(explode(array(
+          struct(lit("completeness_custkey").as("check_name"),
+            col("null_cust").as("violations")),
+          struct(lit("domain_orderstatus").as("check_name"),
+            col("bad_status").as("violations")),
+          struct(lit("range_totalprice_le_100k").as("check_name"),
+            col("big_price").as("violations")),
+          struct(lit("range_totalprice_pos").as("check_name"),
+            col("nonpos_price").as("violations")),
+          struct(lit("ref_integrity_custkey").as("check_name"),
+            col("orphan_fk").as("violations")),
+          struct(lit("uniqueness_orderkey").as("check_name"),
+            col("dup_keys").as("violations")))).as("c"))
+        .select(col("c.check_name"), col("c.violations"),
+          (col("c.violations") === 0L).as("passed"))
+        .orderBy("check_name")
+    },
+
+    // ---- k-anonymity suppression (k = 8): quasi-identifier groups
+    // (nation × market segment) smaller than k are generalized to
+    // (-1, '*') so no released row is identifiable among fewer than k
+    // peers. One hash aggregation builds the QI histogram — bounded by
+    // QI-domain cardinality, not corpus size — and a broadcast join
+    // stamps each row with its group size; no window over raw rows. -----
+    "pv1_k_anonymity" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val groups = c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_n"))
+      c.join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
+        .select(
+          col("c_custkey"),
+          when(col("group_n") >= 8, col("c_nationkey").cast("bigint"))
+            .otherwise(lit(-1L)).as("nation_qi"),
+          when(col("group_n") >= 8, col("c_mktsegment"))
+            .otherwise(lit("*")).as("segment_qi"),
+          col("group_n"),
+          (col("group_n") < 8).as("suppressed"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- DSIR-style importance selection, integer-exact: a token is
+    // "target-leaning" when its target-slice (lang = 'en') frequency
+    // beats its pool frequency, compared by int64 cross-multiplication
+    // (tc·R > rc·T) — no float log-ratios, so the oracle hash-matches.
+    // Docs where a majority of distinct tokens lean target are selected.
+    // Token stats are vocabulary-sized (≪ corpus); the per-doc pass
+    // joins distinct (doc, token) against that frame on token. Cross-
+    // multiplication overflows int64 past ~3×10⁹ pool tokens — widen
+    // both sides to DECIMAL when running beyond that. -------------------
+    "tp4_importance_select" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(Dedup.tokens(col("text"))).as("token"))
+      val stats = toks.groupBy("token").agg(
+        count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      val totals = stats.agg(sum("rc").cast("long").as("pool_total"),
+        sum("tc").cast("long").as("tgt_total"))
+      val lean = stats.crossJoin(broadcast(totals))
+        .select(col("token"),
+          (col("tc") * col("pool_total") > col("rc") * col("tgt_total"))
+            .as("lean"))
+      toks.select("doc_id", "token").distinct()
+        .join(lean, "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("lean"), 1L).otherwise(0L)).as("n_lean"))
+        .withColumn("selected", col("n_lean") * 2 >= col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- TPC-H Q18 (large-volume customer): the quantity aggregate is
+    // computed ONCE (groupBy l_orderkey), HAVING-filtered to the rare
+    // big orders, and that small frame is broadcast into orders — no
+    // second lineitem scan, no IN-subquery re-evaluation. The join
+    // output stays big-order-sized, so the customer join's probe side
+    // is tiny at any scale; TakeOrderedAndProject caps the result. ------
+    "q18_large_volume" -> { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      Tables.orders(s, dir)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     }
   )
 
@@ -5780,6 +5895,75 @@ object SparkEntry {
                         ORDER BY n DESC, event_type DESC) AS rn
                FROM c)
          SELECT user_id, event_type AS top_type, n AS top_n
-         FROM r WHERE rn = 1 ORDER BY user_id"""
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "dq1_constraint_suite" ->
+      """WITH b AS (
+           SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+                  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+                  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_price,
+                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+           FROM orders),
+         o AS (
+           SELECT CAST(count(*) AS BIGINT) AS orphan_fk FROM orders
+           WHERE o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                   WHERE c_custkey IS NOT NULL)),
+         u AS (
+           SELECT 'completeness_custkey' AS check_name, null_cust AS violations FROM b
+           UNION ALL SELECT 'domain_orderstatus', bad_status FROM b
+           UNION ALL SELECT 'range_totalprice_le_100k', big_price FROM b
+           UNION ALL SELECT 'range_totalprice_pos', nonpos_price FROM b
+           UNION ALL SELECT 'ref_integrity_custkey', orphan_fk FROM o
+           UNION ALL SELECT 'uniqueness_orderkey', dup_keys FROM b)
+         SELECT check_name, violations, violations = 0 AS passed
+         FROM u ORDER BY check_name""",
+    "pv1_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+           FROM customer GROUP BY 1, 2)
+         SELECT c_custkey,
+                CASE WHEN group_n >= 8 THEN CAST(c_nationkey AS BIGINT)
+                     ELSE -1 END AS nation_qi,
+                CASE WHEN group_n >= 8 THEN c_mktsegment ELSE '*' END AS segment_qi,
+                group_n, group_n < 8 AS suppressed
+         FROM customer JOIN g USING (c_nationkey, c_mktsegment)
+         ORDER BY c_custkey""",
+    "tp4_importance_select" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     t -> t <> '')) AS token
+           FROM documents),
+         st AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS rc,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+           FROM tk GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(rc) AS BIGINT) AS pool_total,
+                  CAST(sum(tc) AS BIGINT) AS tgt_total
+           FROM st),
+         lean AS (
+           SELECT token, tc * (SELECT pool_total FROM tot)
+                         > rc * (SELECT tgt_total FROM tot) AS lean
+           FROM st),
+         dt AS (SELECT DISTINCT doc_id, token FROM tk)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT) AS n_lean,
+                CAST(sum(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT) * 2
+                  >= count(*) AS selected
+         FROM dt JOIN lean USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q18_large_volume" ->
+      """WITH big AS (
+           SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+         SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(o_totalprice, 2) AS o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
   )
 }

@@ -379,4 +379,46 @@ class EngineSpec extends AnyFunSuite {
     assert(st == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed",
       4L -> "removed", 5L -> "added")) // 2: all-null tuple is STILL unchanged
   }
+
+  test("constraintSuite counts null, dup, predicate and orphan violations") {
+    import spark.implicits._
+    val fact = Seq((1L, Some(10L), 5.0), (2L, Some(10L), -1.0),
+      (2L, Some(99L), 3.0), (4L, None: Option[Long], 2.0))
+      .toDF("id", "fk", "v")
+    val dim = Seq(10L, 20L).toDF("pk")
+    val checks = engine.constraintSuite(fact,
+      notNullCols = Seq("fk"), uniqueCols = Seq("id"),
+      predicates = Seq("range_v_pos" -> (col("v") > 0)),
+      refIntegrity = Some(("fk", dim, "pk"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(checks == Map(
+      "completeness_fk" -> (1L, false),   // one null fk
+      "uniqueness_id" -> (1L, false),     // id=2 twice
+      "range_v_pos" -> (1L, false),       // v=-1
+      "ref_integrity_fk" -> (1L, false))) // fk=99 has no dim row
+  }
+
+  test("constraintSuite passes a clean table") {
+    import spark.implicits._
+    val fact = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val out = engine.constraintSuite(fact, Seq("v"), Seq("id"),
+      Seq("range_v_pos" -> (col("v") > 0))).collect()
+    assert(out.length == 3 && out.forall(_.getBoolean(2)))
+  }
+
+  test("kAnonymize generalizes small QI groups per column type and flags them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 30, 1.0), (2L, "a", 30, 2.0), (3L, "a", 30, 3.0),
+      (4L, "b", 40, 4.0)).toDF("id", "city", "age", "score")
+    val out = engine.kAnonymize(df, Seq("city", "age"), k = 2)
+      .orderBy("id").collect()
+    // group (a,30) has 3 >= k: released as-is; (b,40) has 1 < k: masked
+    assert(out.take(3).forall(r => r.getAs[String]("city") == "a" &&
+      r.getAs[Int]("age") == 30 && !r.getAs[Boolean]("suppressed")))
+    val last = out(3)
+    assert(last.getAs[String]("city") == "*" && last.getAs[Int]("age") == -1 &&
+      last.getAs[Boolean]("suppressed"))
+    assert(last.getAs[Double]("score") == 4.0) // non-QI columns untouched
+  }
 }

@@ -224,7 +224,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q5_local_supplier_volume" -> 2, "f16_url_parse" -> 3,
       "a18_equidepth_bins" -> 2, "w7_value_episodes" -> 2,
       "o5_snapshot_diff" -> 4, "ta11_normalize" -> 1,
-      "dd16_canonical_pick" -> 7)
+      "dd16_canonical_pick" -> 7,
+      "dq1_constraint_suite" -> 3, "pv1_k_anonymity" -> 2,
+      "tp4_importance_select" -> 6, "q18_large_volume" -> 1)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
