@@ -559,4 +559,53 @@ class Engine(spark: SparkSession) {
     }
     generalized.withColumn("suppressed", col("__qi_n") < k).drop("__qi_n")
   }
+
+  /** Reciprocal-rank fusion of N ranked retrieval lanes. Each lane is a
+    * DataFrame with `keyCols` (query grain), `idCol` (the ranked item)
+    * and `rankCol` (1-based rank). Fused score is the exact integer
+    * Σ 10⁹ div (c + rank) — no float reciprocals, so ordering is
+    * deterministic across engines and runs. Lanes are unioned (one
+    * shuffle at the (key, id) grain, input bounded by Σ lane sizes — cap
+    * each lane with a top-k upstream) and the final top-k rides the
+    * bounded-heap TopKPerKey. A lane missing an item simply contributes
+    * nothing. Returns keyCols, idCol, n_lanes, rrf_score, rank.
+    * See `rr1_hybrid_rrf` for the two-lane BM25+KNN instance. */
+  def rrfFuse(lanes: Seq[DataFrame], keyCols: Seq[String], idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(lanes.nonEmpty, "rrfFuse needs at least one lane")
+    // `/` on longs is double division, but 10⁹ over a small positive
+    // divisor sits far inside double's 53-bit exactness window, so the
+    // truncating cast equals exact integer `div` for every rank.
+    val contrib = lanes.map(_.select(
+      (keyCols.map(col) :+ col(idCol) :+
+        (lit(1000000000L) / (lit(c.toLong) + col(rankCol).cast("long")))
+          .cast("long").as("__contrib")): _*))
+    val fused = contrib.reduce(_ unionByName _)
+      .groupBy((keyCols :+ idCol).map(col): _*)
+      .agg(count(lit(1)).as("n_lanes"), sum("__contrib").as("rrf_score"))
+    graft.operators.TopK.perKey(fused, keys = keyCols,
+      order = Seq("rrf_score" -> false, idCol -> true), k = k)
+  }
+
+  /** Cohort retention: bucket each user by first-seen epoch-week (exact
+    * integer `unix_micros div week` — no date_trunc ISO-week surprises),
+    * count distinct users per (cohort_week, offset_weeks) cell, and rate
+    * each cell in exact basis points against the cohort size. Two
+    * co-partitioned shuffles on the user column plus one at the cohort
+    * grain; the cohort-size frame is weeks-sized, so it broadcasts at
+    * any corpus scale. See `ret1_cohort_retention`. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weeks = df.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("__user"),
+        (unix_micros(col(tsCol)) / lit(604800000000L)).cast("long").as("__week"))
+    val first = weeks.groupBy("__user").agg(min("__week").as("cohort_week"))
+    val cells = weeks.join(first, "__user")
+      .groupBy(col("cohort_week"),
+        (col("__week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct("__user").as("n_users"))
+    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .withColumn("retention_bp",
+        (col("n_users") * 10000L / col("cohort_size")).cast("long"))
+  }
 }

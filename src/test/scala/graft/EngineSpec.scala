@@ -421,4 +421,34 @@ class EngineSpec extends AnyFunSuite {
       last.getAs[Boolean]("suppressed"))
     assert(last.getAs[Double]("score") == 4.0) // non-QI columns untouched
   }
+
+  test("rrfFuse sums exact reciprocal-rank contributions across lanes") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("q", "id", "rank")
+    val sem = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("q", "id", "rank")
+    val out = engine.rrfFuse(Seq(lex, sem), Seq("q"), "id", "rank", k = 10)
+      .orderBy("rank").collect()
+    // id 11 appears in both lanes (ranks 2 and 1): 10^9/62 + 10^9/61
+    val s11 = 1000000000L / 62 + 1000000000L / 61
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_score"),
+      r.getAs[Long]("n_lanes"))).toSeq == Seq(
+      (11L, s11, 2L), (10L, 1000000000L / 61, 1L), (12L, 1000000000L / 62, 1L)))
+  }
+
+  test("cohortRetention buckets by first-seen week and rates in basis points") {
+    import spark.implicits._
+    val ts = (w: Int, d: Int) => // week w, day d within it (epoch-week grid)
+      new java.sql.Timestamp((w * 604800L + d * 86400L) * 1000L)
+    val ev = Seq(
+      ("u1", ts(2800, 0)), ("u2", ts(2800, 1)), // cohort 2800, 2 users
+      ("u1", ts(2801, 2)),                      // u1 returns in week +1
+      ("u3", ts(2801, 0))                       // cohort 2801, 1 user
+    ).toDF("user", "ts")
+    val got = engine.cohortRetention(ev, "user", "ts")
+      .orderBy("cohort_week", "offset_weeks").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("offset_weeks"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("retention_bp"))).toSeq
+    assert(got == Seq((2800L, 0L, 2L, 10000L), (2800L, 1L, 1L, 5000L),
+      (2801L, 0L, 1L, 10000L)))
+  }
 }

@@ -226,7 +226,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "o5_snapshot_diff" -> 4, "ta11_normalize" -> 1,
       "dd16_canonical_pick" -> 7,
       "dq1_constraint_suite" -> 3, "pv1_k_anonymity" -> 2,
-      "tp4_importance_select" -> 6, "q18_large_volume" -> 1)
+      "tp4_importance_select" -> 3, "q18_large_volume" -> 1,
+      "rr1_hybrid_rrf" -> 9, "ret1_cohort_retention" -> 6,
+      "e10_matryoshka_recall" -> 7)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
