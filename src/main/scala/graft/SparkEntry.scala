@@ -3707,6 +3707,91 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits5"))
         .orderBy("query_id")
+    },
+
+    // ---- interval×interval overlap join, cell-bucketed: per-customer
+    // order-activity windows (even vs odd orderkeys) matched on overlap.
+    // Both sides explode to 32-day cells, equi-join on (custkey, cell),
+    // and each pair is kept only in the cell containing the overlap's
+    // START — a per-row predicate replacing the distinct() a naive
+    // bucketed interval join needs. Candidates are bounded per key-cell,
+    // never |A|×|B|; the oracle pays the quadratic per-customer form. ----
+    "j10_interval_overlap" -> { (s, dir) =>
+      val iv = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("unix_date(cast(o_orderdate AS date))").cast("long").as("lo"))
+        .withColumn("hi", col("lo") + col("o_orderkey") % 20 + 3)
+      val a = iv.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"), col("o_orderkey").as("a_key"),
+          col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val b = iv.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("b_key"),
+          col("lo").as("b_lo"), col("hi").as("b_hi"))
+      graft.operators.TemporalJoins.intervalOverlapJoin(
+          a, b, "o_custkey", "a_lo", "a_hi", "b_lo", "b_hi", cellWidth = 32L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("total_overlap_days"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- distribution drift between the first and second half of the
+    // time range: per (event_type, value-bucket) counts for both halves
+    // and an exact cross-multiplied share test — 20·|n_a·T_b − n_b·T_a|
+    // > T_a·T_b flags cells whose share moved more than 5 points, with
+    // no float rates anywhere. The time split is the integer midpoint of
+    // the observed day range (broadcast single-row bounds); bucket
+    // partials are computed map-side, so the shuffle carries
+    // #types × #buckets × 2 rows regardless of corpus size. Products
+    // overflow int64 past ~3×10⁹ rows per half — widen to DECIMAL then. --
+    "dq2_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          expr("unix_micros(ts) div 86400000000L").as("day"))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          (col("day") * 2 <= col("d0") + col("d1")).as("first_half"),
+          width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)).as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_b"))
+      // per-type totals via a window over the CELLS frame (types×buckets
+      // rows) — a separate agg+join branch would rescan events end-to-end
+      val tw = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      cells
+        .withColumn("t_a", sum("n_a").over(tw))
+        .withColumn("t_b", sum("n_b").over(tw))
+        .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"),
+          (abs(col("n_a") * col("t_b") - col("n_b") * col("t_a")) * 20 >
+            col("t_a") * col("t_b")).as("drifted"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // ---- daily growth curve: new users (first-seen day), active users,
+    // and the running cumulative-distinct total. "Cumulative distinct
+    // users" never scans history: it is the prefix-sum of first-seen
+    // counts — one groupBy(user) + one day-grain agg; the unpartitioned
+    // running-sum window is over the DAY-grain frame (bounded by the
+    // calendar, not the corpus), so the single window partition holds
+    // #days rows at any scale. ------------------------------------------
+    "w8_cumulative_users" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+      val newPerDay = days.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val activePerDay = days.groupBy("day")
+        .agg(countDistinct("user_id").as("active_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      newPerDay.join(activePerDay, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"),
+          coalesce(col("active_users"), lit(0L)).as("active_users"))
+        .withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("day")
     }
   )
 
@@ -6156,6 +6241,60 @@ object SparkEntry {
                   FROM ex JOIN tr USING (query_id, vec_id) GROUP BY 1)
          SELECT q.query_id, COALESCE(hits.n, 0) AS n_hits5
          FROM q LEFT JOIN hits USING (query_id)
-         ORDER BY query_id"""
+         ORDER BY query_id""",
+    "j10_interval_overlap" ->
+      """WITH iv AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                    + o_orderkey % 20 + 3 AS hi
+           FROM orders),
+         a AS (SELECT o_custkey, o_orderkey AS a_key, lo AS a_lo, hi AS a_hi
+               FROM iv WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_custkey, o_orderkey AS b_key, lo AS b_lo, hi AS b_hi
+               FROM iv WHERE o_orderkey % 2 = 1),
+         p AS (SELECT a.o_custkey,
+                      least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1 AS overlap
+               FROM a JOIN b ON a.o_custkey = b.o_custkey
+                            AND a_lo <= b_hi AND b_lo <= a_hi)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(overlap) AS BIGINT) AS total_overlap_days
+         FROM p GROUP BY o_custkey ORDER BY o_custkey""",
+    "dq2_drift" ->
+      """WITH ev AS (
+           SELECT event_type, value, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         cells AS (
+           SELECT event_type,
+                  CASE WHEN value < 0 THEN 0
+                       WHEN value >= 100 THEN 11
+                       ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+                  CAST(sum(CASE WHEN day * 2 <= d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN day * 2 <= d0 + d1 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM ev, bounds GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS t_a,
+                        CAST(sum(n_b) AS BIGINT) AS t_b
+                 FROM cells GROUP BY 1)
+         SELECT event_type, bucket, n_a, n_b,
+                abs(n_a * t_b - n_b * t_a) * 20 > t_a * t_b AS drifted
+         FROM cells JOIN tot USING (event_type)
+         ORDER BY event_type, bucket""",
+    "w8_cumulative_users" ->
+      """WITH d AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+         n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1),
+         a AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+               FROM d GROUP BY 1),
+         j AS (SELECT day, COALESCE(new_users, 0) AS new_users,
+                      COALESCE(active_users, 0) AS active_users
+               FROM n FULL JOIN a USING (day))
+         SELECT day, new_users, active_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_users
+         FROM j ORDER BY day"""
   )
 }

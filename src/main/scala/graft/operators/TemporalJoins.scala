@@ -61,4 +61,37 @@ object TemporalJoins {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join on closed integer intervals, bucketed.
+    *
+    * Both sides explode to the fixed-width cells their interval spans and
+    * equi-join on (key, cell); a pair overlapping several cells would be
+    * emitted once per shared cell, so each pair is kept ONLY in the cell
+    * containing the overlap's start — `greatest(lo_a, lo_b) div width` — a
+    * pure per-row predicate that replaces the `.distinct()` exchange the
+    * naive bucketed join needs. Candidate volume is bounded by
+    * (span/width)² per key-cell, never |A|×|B|; pick `cellWidth` ≳ the
+    * typical interval span so most intervals land in 1-2 cells.
+    *
+    * `left`/`right` must share `keyCol`; their other columns must not
+    * collide (prefix them before calling). Output: key + both sides'
+    * columns + `overlap` (closed-interval day count, min(hi)-max(lo)+1).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      loA: String, hiA: String, loB: String, hiB: String,
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__cell",
+        explode(sequence(expr(s"`$lo` div ${cellWidth}L"),
+          expr(s"`$hi` div ${cellWidth}L"))))
+    cells(left, loA, hiA)
+      .join(cells(right, loB, hiB), Seq(keyCol, "__cell"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("__cell") === expr(s"greatest(`$loA`, `$loB`) div ${cellWidth}L"))
+      .withColumn("overlap",
+        least(col(hiA), col(hiB)) - greatest(col(loA), col(loB)) + 1)
+      .drop("__cell")
+  }
 }

@@ -425,4 +425,22 @@ class OperatorSpec extends AnyFunSuite {
       assert(!red.contains("<EMAIL>") && !red.contains("<PHONE>"))
     }
   }
+
+  test("intervalOverlapJoin emits each overlapping pair exactly once") {
+    import spark.implicits._
+    // key 1: a=[0,10] overlaps b1=[5,40] (crosses a cell boundary at 32 —
+    // the multi-cell case the start-cell predicate must dedup) and
+    // b2=[10,12] (single-point touch); b3=[11,20] does NOT overlap a.
+    // key 2: same intervals, different key — must not cross-match.
+    val a = Seq((1L, 100L, 0L, 10L), (2L, 200L, 50L, 60L))
+      .toDF("k", "a_key", "a_lo", "a_hi")
+    val b = Seq((1L, 101L, 5L, 40L), (1L, 102L, 10L, 12L), (1L, 103L, 11L, 20L),
+      (2L, 201L, 55L, 100L)).toDF("k", "b_key", "b_lo", "b_hi")
+    val out = graft.operators.TemporalJoins.intervalOverlapJoin(
+        a, b, "k", "a_lo", "a_hi", "b_lo", "b_hi", cellWidth = 32L)
+      .select("k", "a_key", "b_key", "overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 100L, 101L, 6L), (1L, 100L, 102L, 1L),
+      (2L, 200L, 201L, 6L)))
+  }
 }

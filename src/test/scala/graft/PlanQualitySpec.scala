@@ -228,7 +228,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "dq1_constraint_suite" -> 3, "pv1_k_anonymity" -> 2,
       "tp4_importance_select" -> 3, "q18_large_volume" -> 1,
       "rr1_hybrid_rrf" -> 9, "ret1_cohort_retention" -> 6,
-      "e10_matryoshka_recall" -> 7)
+      "e10_matryoshka_recall" -> 7, "j10_interval_overlap" -> 2,
+      "dq2_drift" -> 4, "w8_cumulative_users" -> 5)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
