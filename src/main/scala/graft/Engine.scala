@@ -608,4 +608,33 @@ class Engine(spark: SparkSession) {
       .withColumn("retention_bp",
         (col("n_users") * 10000L / col("cohort_size")).cast("long"))
   }
+
+  /** Ordered-funnel stage timestamps: per user, the first time each step
+    * fired STRICTLY after the previous step's first completion. Output is
+    * one row per user who completed step 1, with nullable `ts_1..ts_k`.
+    *
+    * Shape: every per-stage aggregate and join keys on the user column, so
+    * Catalyst plans k hash aggregates + (k-1) joins that all share the one
+    * user-hash partitioning — the big event table itself is scanned once
+    * per stage but only its (user, ts) pairs for that stage's type move,
+    * pre-filtered before the shuffle. Stage frames shrink monotonically
+    * (funnel property), so the joins get cheaper as k grows.
+    */
+  def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val ev = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val first = ev.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(tsCol).as("ts_1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"ts_$i"; val cur = s"ts_${i + 1}"
+      val next = ev.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol).as("__t"))
+      acc.join(next, Seq(userCol), "left")
+        .groupBy((userCol +: (1 to i).map(j => s"ts_$j")).map(col): _*)
+        // null-safe by construction: __t > null is null, so a user who
+        // never reached step i gets a null ts_{i+1}, not dropped rows
+        .agg(min(when(col("__t") > col(prev), col("__t"))).as(cur))
+    }
+  }
 }

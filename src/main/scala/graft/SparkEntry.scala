@@ -3792,6 +3792,63 @@ object SparkEntry {
           coalesce(col("active_users"), lit(0L)).as("active_users"))
         .withColumn("cum_users", sum("new_users").over(w))
         .orderBy("day")
+    },
+
+    // ---- per-float track geometry (the reference's per-float lat/lon
+    // aggregation, preprocess_floats_to_chromadb.py:193-235, extended to
+    // ordered track stats). Integer centidegree coordinates derived
+    // arithmetically from event_id keep every displacement sum exact under
+    // any aggregation order; the lone float op is sqrt(max), IEEE-exact.
+    // One shuffle on the track key — see Trajectory.trackStats. ----------
+    "geo1_track_stats" -> { (s, dir) =>
+      val pts = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") * 7919L % 18000L).as("lat_cd"),
+          (col("event_id") * 104729L % 36000L).as("lon_cd"))
+      graft.operators.Trajectory.trackStats(pts, "user_id", "ts", "event_id",
+          "lat_cd", "lon_cd", cellDiv = 1000L)
+        .orderBy("user_id")
+    },
+
+    // ---- ordered conversion funnel: first view → first later click →
+    // first later purchase, per user; one summary row. Every stage aggs
+    // and joins on user_id, so all k stages ride one hash partitioning;
+    // stage frames shrink monotonically. See Engine.funnelSteps. ---------
+    "fn1_funnel" -> { (s, dir) =>
+      new Engine(s).funnelSteps(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .agg(
+          count(lit(1)).as("n_step1"),
+          count(col("ts_2")).as("n_step2"),
+          count(col("ts_3")).as("n_step3"),
+          round(avg(unix_micros(col("ts_3")) - unix_micros(col("ts_1")))
+            / 1e6, 3).as("avg_sec_to_convert"))
+    },
+
+    // ---- z-score anomaly screen per event_type: the 5-row stats frame
+    // broadcasts back onto the event scan, so the 100 TB side is scanned
+    // twice but NEVER shuffled — at scale two columnar scans beat one
+    // full-table exchange. Thresholds use unrounded μ/σ (ulp-level engine
+    // divergence only matters if a value sits within ~1e-12 of the 3σ
+    // boundary — vanishing for continuous data); reported stats round. ---
+    "dq3_anomaly" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type").agg(
+        avg("value").as("mu"), stddev_samp("value").as("sigma"),
+        count(lit(1)).as("n"))
+      val isOut = abs(col("value") - col("mu")) > col("sigma") * 3
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          max(col("n")).as("n"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(when(isOut, col("value"))), 4).as("max_outlier"),
+          round(max(col("mu")), 4).as("mu"),
+          round(max(col("sigma")), 4).as("sigma"))
+        .orderBy("event_type")
     }
   )
 
@@ -6295,6 +6352,63 @@ object SparkEntry {
                 CAST(sum(new_users) OVER (ORDER BY day
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                   AS cum_users
-         FROM j ORDER BY day"""
+         FROM j ORDER BY day""",
+    "geo1_track_stats" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+                  event_id * 7919 % 18000 AS lat_cd,
+                  event_id * 104729 % 36000 AS lon_cd
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         s AS (
+           SELECT user_id, lat_cd, lon_cd,
+                  lat_cd - lag(lat_cd) OVER w AS dlat,
+                  lon_cd - lag(lon_cd) OVER w AS dlon
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         d AS (SELECT user_id, lat_cd, lon_cd,
+                      dlat * dlat + dlon * dlon AS d2 FROM s)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_pings,
+                CAST(count(d2) AS BIGINT) AS n_steps,
+                CAST(COALESCE(sum(d2), 0) AS BIGINT) AS total_d2,
+                round(sqrt(COALESCE(max(d2), 0)), 6) AS max_step,
+                CAST(count(DISTINCT lat_cd // 1000 * 1000000 + lon_cd // 1000)
+                  AS BIGINT) AS n_cells
+         FROM d GROUP BY user_id ORDER BY user_id""",
+    "fn1_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events
+                     WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS ts_1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, ts_1,
+                       min(CASE WHEN ev.ts > ts_1 THEN ev.ts END) AS ts_2
+                FROM s1 LEFT JOIN ev
+                  ON ev.user_id = s1.user_id AND ev.event_type = 'click'
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, ts_1, ts_2,
+                       min(CASE WHEN ev.ts > ts_2 THEN ev.ts END) AS ts_3
+                FROM s2 LEFT JOIN ev
+                  ON ev.user_id = s2.user_id AND ev.event_type = 'purchase'
+                GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_step1,
+                CAST(count(ts_2) AS BIGINT) AS n_step2,
+                CAST(count(ts_3) AS BIGINT) AS n_step3,
+                round(avg(epoch_us(ts_3) - epoch_us(ts_1)) / 1e6, 3)
+                  AS avg_sec_to_convert
+         FROM s3""",
+    "dq3_anomaly" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+                     WHERE value IS NOT NULL),
+         st AS (SELECT event_type, avg(value) AS mu,
+                       stddev_samp(value) AS sigma,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM ev GROUP BY 1)
+         SELECT ev.event_type, max(n) AS n,
+                CAST(sum(CASE WHEN abs(value - mu) > sigma * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                round(max(CASE WHEN abs(value - mu) > sigma * 3
+                          THEN value END), 4) AS max_outlier,
+                round(max(mu), 4) AS mu, round(max(sigma), 4) AS sigma
+         FROM ev JOIN st USING (event_type)
+         GROUP BY 1 ORDER BY 1"""
   )
 }

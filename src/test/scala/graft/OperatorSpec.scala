@@ -443,4 +443,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((1L, 100L, 101L, 6L), (1L, 100L, 102L, 1L),
       (2L, 200L, 201L, 6L)))
   }
+
+  test("trackStats orders by (ts, tie) and sums squared steps exactly") {
+    import spark.implicits._
+    // key 1 arrives OUT of ts order: track is (0,0)→(3,4)→(3,4)? no —
+    // pings (ts,tie,lat,lon): (1,1,0,0) (2,2,3,4) (2,3,3,1) (5,4,0,1):
+    // steps 3²+4²=25, 0+3²=9, 3²+0=9 → total 43, max √25=5.
+    val pts = Seq((1L, 5L, 4L, 0L, 1L), (1L, 1L, 1L, 0L, 0L),
+      (1L, 2L, 3L, 3L, 1L), (1L, 2L, 2L, 3L, 4L),
+      (2L, 9L, 9L, 1500L, 2500L)) // single ping: 0 steps, d2 null → 0
+      .toDF("k", "ts", "tie", "lat", "lon")
+    val out = graft.operators.Trajectory
+      .trackStats(pts, "k", "ts", "tie", "lat", "lon", cellDiv = 1000L)
+      .orderBy("k").collect()
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 3) // n_pings, n_steps
+    assert(out(0).getLong(3) == 43 && out(0).getDouble(4) == 5.0)
+    assert(out(0).getLong(5) == 1) // all of key 1 in cell (0,0)
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 0)
+    assert(out(1).getLong(3) == 0 && out(1).getDouble(4) == 0.0)
+    assert(out(1).getLong(5) == 1) // cell (1,2)
+  }
+
+  test("funnelSteps requires strictly-later events and keeps partial users") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),   // click BEFORE view only
+      (3L, "view", 10L), (3L, "click", 10L),  // tie: click at ts_1 exactly
+      (4L, "click", 1L), (4L, "purchase", 2L) // never viewed → absent
+    ).map { case (u, t, sec) => (u, t, ts(sec)) }.toDF("u", "typ", "ts")
+    val out = new Engine(spark)
+      .funnelSteps(ev, "u", "ts", "typ", Seq("view", "click", "purchase"))
+      .orderBy("u").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getTimestamp(2) == ts(20) && out(0).getTimestamp(3) == ts(30))
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3)) // no click after view
+    assert(out(2).isNullAt(2)) // equal ts is not strictly later
+  }
 }

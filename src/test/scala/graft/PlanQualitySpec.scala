@@ -229,7 +229,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "tp4_importance_select" -> 3, "q18_large_volume" -> 1,
       "rr1_hybrid_rrf" -> 9, "ret1_cohort_retention" -> 6,
       "e10_matryoshka_recall" -> 7, "j10_interval_overlap" -> 2,
-      "dq2_drift" -> 4, "w8_cumulative_users" -> 5)
+      "dq2_drift" -> 4, "w8_cumulative_users" -> 5,
+      "geo1_track_stats" -> 2, "fn1_funnel" -> 2, "dq3_anomaly" -> 3)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
