@@ -3849,6 +3849,88 @@ object SparkEntry {
           round(max(col("mu")), 4).as("mu"),
           round(max(col("sigma")), 4).as("sigma"))
         .orderBy("event_type")
+    },
+
+    // ---- video frame-sample schedule from REAL container metadata: the
+    // mvhd timescale/duration decoded by the Mp4 walker (not the synthesis
+    // arithmetic) drives a one-sample-per-media-second tick schedule via
+    // sequence+explode — the fan-out stage a frame extractor map-joins
+    // against. The oracle recomputes ticks from the synthesis formulas, so
+    // encode→parse drift anywhere in the container path breaks the hash. -
+    "mm5_frame_sample" -> { (s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.fromDocuments(Tables.documents(s, dir)
+            .repartition(32, col("doc_id"))))
+        .filter(col("kind") === "video" && col("decoded.sample_rate").isNotNull)
+        .select(col("media_id"),
+          col("decoded.sample_rate").cast("long").as("timescale"),
+          col("decoded.n_frames").as("dur_ticks"))
+        .withColumn("tick", explode(sequence(
+          lit(0L), col("dur_ticks") - 1, col("timescale"))))
+        .withColumn("sample_idx", expr("tick div timescale"))
+        .withColumn("ts_ms", col("sample_idx") * 1000L)
+        .orderBy("media_id", "sample_idx")
+    },
+
+    // ---- markup strip: wrap each doc in deterministic HTML, then strip
+    // tags + collapse whitespace with codegen'd regexp_replace — the
+    // boilerplate-removal stage of a crawl pipeline. Pure per-row work:
+    // the only shuffle is the per-language rollup. ----------------------
+    "ta12_html_strip" -> { (s, dir) =>
+      val html = concat(lit("<!DOCTYPE html><body><p id=\""), col("doc_id"),
+        lit("\">"), regexp_replace(col("text"), "\n", "</p><p>"),
+        lit("</p></body>"))
+      val stripped = trim(regexp_replace(
+        regexp_replace(html, "<[^>]*>", " "), " +", " "))
+      Tables.documents(s, dir)
+        .select(col("lang"), length(html).as("n_html"),
+          length(stripped).as("n_text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_html").as("html_chars"), sum("n_text").as("text_chars"))
+        .withColumn("reduction_pct", round(
+          lit(100.0) * (col("html_chars") - col("text_chars"))
+            / col("html_chars"), 2))
+        .orderBy("lang")
+    },
+
+    // ---- per-source token-budget allocation: cap each source's token
+    // contribution at its budget and report the implied keep rate — the
+    // planning half of training-mixture construction (sampleMixture is
+    // the apply half). One aggregate over the corpus; the budget table is
+    // a literal CASE, so nothing joins or broadcasts. -------------------
+    "sp8_token_budget" -> { (s, dir) =>
+      val budget = when(col("source") === "src0", 40000L)
+        .when(col("source") === "src5", 5000L)
+        .when(col("source") === "src12", 100000L)
+        .otherwise(20000L)
+      Tables.documents(s, dir)
+        .select(col("source"), expr("n_chars div 4").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+        .withColumn("budget_tokens", budget)
+        .withColumn("kept_tokens", least(col("budget_tokens"), col("total_tokens")))
+        .withColumn("keep_rate",
+          round(col("kept_tokens") / col("total_tokens"), 6))
+        .orderBy("source")
+    },
+
+    // ---- event-type co-occurrence: which behaviors share users. Single
+    // shuffle on user_id builds the bounded per-user type set
+    // (|distinct types|, not |events|); ordered pairs explode from the
+    // sorted set per user — candidate volume is users × C(types,2), never
+    // a self-join of the event table. ----------------------------------
+    "a20_cooccurrence" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set("event_type")).as("ts"))
+        .select(posexplode(col("ts")).as(Seq("i", "type_a")), col("ts"))
+        .select(col("type_a"),
+          explode(expr("slice(ts, i + 2, size(ts))")).as("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("type_a"), col("type_b"))
     }
   )
 
@@ -6409,6 +6491,64 @@ object SparkEntry {
                           THEN value END), 4) AS max_outlier,
                 round(max(mu), 4) AS mu, round(max(sigma), 4) AS sigma
          FROM ev JOIN st USING (event_type)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "mm5_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id,
+                  CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+                  CAST(3000 + (doc_id % 100) * 60 AS BIGINT) AS dur_ticks
+           FROM documents WHERE doc_id % 3 = 2),
+         t AS (SELECT media_id, timescale, dur_ticks,
+                      unnest(generate_series(0, dur_ticks - 1, timescale))
+                        AS tick
+               FROM v)
+         SELECT media_id, timescale, dur_ticks, tick,
+                tick // timescale AS sample_idx,
+                tick // timescale * 1000 AS ts_ms
+         FROM t ORDER BY media_id, sample_idx""",
+    "ta12_html_strip" ->
+      """WITH h AS (
+           SELECT lang,
+                  '<!DOCTYPE html><body><p id="' || doc_id || '">' ||
+                    regexp_replace(text, '\n', '</p><p>', 'g') ||
+                    '</p></body>' AS html
+           FROM documents),
+         m AS (SELECT lang, length(html) AS n_html,
+                      length(trim(regexp_replace(regexp_replace(
+                        html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')))
+                        AS n_text
+               FROM h),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_html) AS BIGINT) AS html_chars,
+                      CAST(sum(n_text) AS BIGINT) AS text_chars
+               FROM m GROUP BY 1)
+         SELECT lang, n_docs, html_chars, text_chars,
+                round(100.0 * (html_chars - text_chars) / html_chars, 2)
+                  AS reduction_pct
+         FROM g ORDER BY lang""",
+    "sp8_token_budget" ->
+      """WITH g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars // 4) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1),
+         b AS (SELECT *, CAST(CASE source WHEN 'src0' THEN 40000
+                              WHEN 'src5' THEN 5000
+                              WHEN 'src12' THEN 100000
+                              ELSE 20000 END AS BIGINT) AS budget_tokens
+               FROM g)
+         SELECT source, n_docs, total_tokens, budget_tokens,
+                least(budget_tokens, total_tokens) AS kept_tokens,
+                round(least(budget_tokens, total_tokens)
+                  / CAST(total_tokens AS DOUBLE), 6) AS keep_rate
+         FROM b ORDER BY source""",
+    "a20_cooccurrence" ->
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+               FROM ut a JOIN ut b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type)
+         SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY 1, 2 ORDER BY n_users DESC, type_a, type_b"""
   )
 }

@@ -230,7 +230,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "rr1_hybrid_rrf" -> 9, "ret1_cohort_retention" -> 6,
       "e10_matryoshka_recall" -> 7, "j10_interval_overlap" -> 2,
       "dq2_drift" -> 4, "w8_cumulative_users" -> 5,
-      "geo1_track_stats" -> 2, "fn1_funnel" -> 2, "dq3_anomaly" -> 3)
+      "geo1_track_stats" -> 2, "fn1_funnel" -> 2, "dq3_anomaly" -> 3,
+      "mm5_frame_sample" -> 2, "ta12_html_strip" -> 2,
+      "sp8_token_budget" -> 2, "a20_cooccurrence" -> 3)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
