@@ -3931,6 +3931,70 @@ object SparkEntry {
         .groupBy("type_a", "type_b")
         .agg(count(lit(1)).as("n_users"))
         .orderBy(desc("n_users"), col("type_a"), col("type_b"))
+    },
+
+    // ---- FORWARD as-of with freshness tolerance: each view matched to
+    // the user's NEXT purchase, but only if it lands within the hour —
+    // the feature-store "nearest reading, only if fresh" lookup. Same
+    // one-shuffle merge-union plan as j6; DuckDB's native ASOF (>=)
+    // oracles the direction, an interval CASE oracles the tolerance. ----
+    "j11_asof_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(expr("max_by(value, event_id)").as("price"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      graft.operators.TemporalJoins.asofJoinTolerance(
+          views, purchases, key = "user_id", time = "ts",
+          valueCol = "price", asofCol = "next_price",
+          toleranceMicros = 3600L * 1000000L, forward = true)
+        .select(col("event_id"), col("user_id"),
+          round(col("next_price"), 2).as("next_price"))
+        .orderBy("event_id")
+    },
+
+    // ---- group-wise least squares, closed form: price-per-quantity slope
+    // and intercept per return flag. The five moments accumulate as EXACT
+    // decimals (a15's recipe — FP summation order can't move them); the
+    // one double formula evaluates identically on both engines, so the
+    // fit is bit-deterministic at any partition count. -------------------
+    "lr1_price_regression" -> { (s, dir) =>
+      import Stats.parityRound
+      val d = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val m = d.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nd = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val slope = (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
+        (nd * dbl("sxx") - dbl("sx") * dbl("sx"))
+      m.select(col("l_returnflag"), col("n"),
+          parityRound(slope, 6).as("slope"),
+          parityRound((dbl("sy") - slope * dbl("sx")) / nd, 6).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- feature hashing (the hashing trick): tokens → 64 stable buckets
+    // via md5 nibbles (cross-engine, unlike xxhash64 vs DuckDB hash());
+    // corpus-level bucket load histogram shows the collision spread a
+    // downstream linear model sees. Map-side explode + one 64-key agg —
+    // the shuffle carries 64 partial rows per task at any corpus size. ---
+    "f17_feature_hash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(lower(col("tok")).as("tok"))
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % 64)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("tok").as("n_distinct_tokens"))
+        .orderBy("bucket")
     }
   )
 
@@ -6549,6 +6613,56 @@ object SparkEntry {
                FROM ut a JOIN ut b
                  ON a.user_id = b.user_id AND a.event_type < b.event_type)
          SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_users
-         FROM p GROUP BY 1, 2 ORDER BY n_users DESC, type_a, type_b"""
+         FROM p GROUP BY 1, 2 ORDER BY n_users DESC, type_a, type_b""",
+    "j11_asof_tolerance" ->
+      """SELECT q.event_id, q.user_id,
+                CASE WHEN u.ts <= q.ts + INTERVAL 1 HOUR
+                     THEN round(u.price, 2) END AS next_price
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view') q
+         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) u
+           ON q.user_id = u.user_id AND u.ts >= q.ts
+         ORDER BY q.event_id""",
+    "lr1_price_regression" ->
+      """WITH d AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(x*y) AS sxy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS slope,
+                floor((CAST(sy AS DOUBLE) -
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS intercept
+         FROM m ORDER BY 1""",
+    "f17_feature_hash" ->
+      """WITH raw AS (
+           SELECT unnest(string_split_regex(text, '\s+')) AS rawtok
+           FROM documents),
+         t AS (SELECT lower(rawtok) AS tok FROM raw WHERE rawtok <> ''),
+         b AS (
+           SELECT tok,
+                  ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64
+                    AS bucket
+           FROM t)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+         FROM b GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -62,6 +62,46 @@ object TemporalJoins {
       .drop("__bucket")
   }
 
+  /** As-of join with direction and a match tolerance — the feature-store
+    * lookup shape ("nearest reading, but only if fresh enough"). Same
+    * merge-sorted-union plan as [[asofJoin]] (ONE shuffle on the key, one
+    * sort, linear scan; no θ-join), but the forward-fill carries the
+    * update's TIMESTAMP alongside its value so matches farther than
+    * `toleranceMicros` null out afterwards — a per-row predicate, free.
+    *
+    * `forward = false`: latest update with `u.time <= q.time` (backward,
+    * the [[asofJoin]] convention). `forward = true`: earliest update with
+    * `u.time >= q.time` (next-reading lookup) via the same window over the
+    * DESCENDING time order. Ties at equal time match in both directions.
+    * `time` must be a timestamp column; `updates` unique per (key, time).
+    * Output: all query columns + `asofCol` (null when no update within
+    * tolerance).
+    */
+  def asofJoinTolerance(
+      queries: DataFrame, updates: DataFrame,
+      key: String, time: String, valueCol: String, asofCol: String,
+      toleranceMicros: Long, forward: Boolean = false): DataFrame = {
+    require(toleranceMicros >= 0, s"tolerance must be >= 0, got $toleranceMicros")
+    val qCols = queries.columns
+    val u = updates.select(col(key), col(time),
+        struct(col(time).as("t"), col(valueCol).as("v")).as("__upd"))
+      .withColumn("__side", lit(0))
+    val q = queries
+      .withColumn("__upd", lit(null).cast(u.schema("__upd").dataType))
+      .withColumn("__side", lit(1))
+    val ord = if (forward) col(time).desc else col(time).asc
+    val w = Window.partitionBy(col(key)).orderBy(ord, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap =
+      if (forward) unix_micros(col("__m.t")) - unix_micros(col(time))
+      else unix_micros(col(time)) - unix_micros(col("__m.t"))
+    q.unionByName(u, allowMissingColumns = true)
+      .withColumn("__m", last(col("__upd"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn(asofCol, when(gap <= toleranceMicros, col("__m.v")))
+      .select(qCols.map(col).toIndexedSeq :+ col(asofCol): _*)
+  }
+
   /** Interval×interval OVERLAP join on closed integer intervals, bucketed.
     *
     * Both sides explode to the fixed-width cells their interval spans and

@@ -464,6 +464,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1).getLong(5) == 1) // cell (1,2)
   }
 
+  test("asofJoinTolerance: forward picks earliest ≥, tolerance boundary inclusive") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    // queries at t=100; updates at 100 (tie), 150, 5000 — with tol=60s the
+    // tie matches (gap 0), q at t=120 matches t=150 (gap 30), q at t=200
+    // has next update 5000s away → gap 4800 > 60 → null, not dropped.
+    val q = Seq((1L, 10L, 100L), (1L, 11L, 120L), (1L, 12L, 200L), (2L, 20L, 100L))
+      .map { case (k, id, t) => (k, id, ts(t)) }.toDF("k", "qid", "ts")
+    val u = Seq((1L, 100L, 1.0), (1L, 150L, 2.0), (1L, 5000L, 3.0))
+      .map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "ts", "v")
+    val out = graft.operators.TemporalJoins.asofJoinTolerance(
+        q, u, "k", "ts", "v", "m", toleranceMicros = 60L * 1000000L,
+        forward = true)
+      .orderBy("qid").collect()
+    assert(out.length == 4)
+    assert(out(0).getDouble(3) == 1.0)       // tie at equal ts matches
+    assert(out(1).getDouble(3) == 2.0)       // earliest following, not latest
+    assert(out(2).isNullAt(3))               // beyond tolerance → null kept
+    assert(out(3).isNullAt(3))               // key with no updates at all
+    // exact-boundary inclusivity: gap == tolerance still matches
+    val b = graft.operators.TemporalJoins.asofJoinTolerance(
+        Seq((1L, ts(90L))).toDF("k", "ts"), u, "k", "ts", "v", "m",
+        toleranceMicros = 10L * 1000000L, forward = true).collect()
+    assert(b.head.getDouble(2) == 1.0)
+  }
+
   test("funnelSteps requires strictly-later events and keeps partial users") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)

@@ -232,7 +232,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "dq2_drift" -> 4, "w8_cumulative_users" -> 5,
       "geo1_track_stats" -> 2, "fn1_funnel" -> 2, "dq3_anomaly" -> 3,
       "mm5_frame_sample" -> 2, "ta12_html_strip" -> 2,
-      "sp8_token_budget" -> 2, "a20_cooccurrence" -> 3)
+      "sp8_token_budget" -> 2, "a20_cooccurrence" -> 3,
+      "j11_asof_tolerance" -> 3, "lr1_price_regression" -> 2,
+      "f17_feature_hash" -> 3)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
