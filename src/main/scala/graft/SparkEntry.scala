@@ -3995,6 +3995,96 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct("tok").as("n_distinct_tokens"))
         .orderBy("bucket")
+    },
+
+    // ---- TPC-H Q7 shape: bilateral trade volume between two nations by
+    // ship year. The symmetric nation-pair predicate rides the joined row
+    // (after both nation dims broadcast), so Catalyst keeps the fact
+    // tables in one shuffle-join spine; the year split is a map-side
+    // projection. ------------------------------------------------------
+    "q7_nation_trade" -> { (s, dir) =>
+      val n1 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nkey"))
+        .join(n2, col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- TPC-H Q10 shape: top customers by returned-item revenue in a
+    // two-quarter window. Selective order-date filter pushes to the scan;
+    // the customer/nation dims broadcast; the ranked cut is a
+    // TakeOrderedAndProject on rounded revenue (deterministic custkey
+    // tie-break), never a global sort. ---------------------------------
+    "q10_returned_items" -> { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- length-bucket batching plan: docs binned to power-of-two token
+    // caps, per-bucket padding waste — the dynamic-batching table a
+    // trainer uses to size batches. Literal CASE boundaries (no float
+    // log2 knife-edge); one aggregate, map-side partials. ---------------
+    "tp5_length_buckets" -> { (s, dir) =>
+      val toks = expr("n_chars div 4")
+      val cap = when(toks <= 16, 16L).when(toks <= 32, 32L)
+        .when(toks <= 64, 64L).when(toks <= 128, 128L)
+        .when(toks <= 256, 256L).when(toks <= 512, 512L)
+        .when(toks <= 1024, 1024L).otherwise(2048L)
+      Tables.documents(s, dir)
+        .select(toks.as("toks"), cap.as("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
+          sum(col("bucket_cap") - col("toks")).as("padding_waste"))
+        .withColumn("waste_pct", round(
+          lit(100.0) * col("padding_waste")
+            / (col("padding_waste") + col("sum_tokens")), 2))
+        .orderBy("bucket_cap")
+    },
+
+    // ---- key-skew diagnostics: the pre-flight a 100 TB join needs —
+    // per-key frequency profile (max/avg skew factor, heavy-key count)
+    // per grouping column. Two narrow aggregates: per-key counts, then
+    // count-grain stats; integer except the one rounded ratio. ----------
+    "dq4_skew_stats" -> { (s, dir) =>
+      val perKey = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+      val totals = perKey.agg(count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"), max("c").as("max_key_rows"))
+      // heavy key test by exact cross-multiplication: c > 2·avg ⇔
+      // c·n_keys > 2·n_rows — no float rates in the predicate
+      perKey.crossJoin(broadcast(totals))
+        .agg(max("n_keys").as("n_keys"), max("n_rows").as("n_rows"),
+          max("max_key_rows").as("max_key_rows"),
+          sum(when(col("c") * col("n_keys") > col("n_rows") * 2, 1L)
+            .otherwise(0L)).as("n_heavy_keys"))
+        .withColumn("skew_factor", round(
+          col("max_key_rows") * col("n_keys") / col("n_rows").cast("double"), 4))
     }
   )
 
@@ -6663,6 +6753,70 @@ object SparkEntry {
            FROM t)
          SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
                 CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
-         FROM b GROUP BY 1 ORDER BY bucket"""
+         FROM b GROUP BY 1 ORDER BY bucket""",
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+                (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tp5_length_buckets" ->
+      """WITH d AS (
+           SELECT n_chars // 4 AS toks,
+                  CAST(CASE WHEN n_chars // 4 <= 16 THEN 16
+                       WHEN n_chars // 4 <= 32 THEN 32
+                       WHEN n_chars // 4 <= 64 THEN 64
+                       WHEN n_chars // 4 <= 128 THEN 128
+                       WHEN n_chars // 4 <= 256 THEN 256
+                       WHEN n_chars // 4 <= 512 THEN 512
+                       WHEN n_chars // 4 <= 1024 THEN 1024
+                       ELSE 2048 END AS BIGINT) AS bucket_cap
+           FROM documents),
+         g AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(toks) AS BIGINT) AS sum_tokens,
+                      CAST(sum(bucket_cap - toks) AS BIGINT) AS padding_waste
+               FROM d GROUP BY 1)
+         SELECT bucket_cap, n_docs, sum_tokens, padding_waste,
+                round(100.0 * padding_waste / (padding_waste + sum_tokens), 2)
+                  AS waste_pct
+         FROM g ORDER BY bucket_cap""",
+    "dq4_skew_stats" ->
+      """WITH pk AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(max(c) AS BIGINT) AS max_key_rows
+               FROM pk)
+         SELECT max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+                max(max_key_rows) AS max_key_rows,
+                CAST(sum(CASE WHEN c * n_keys > n_rows * 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_heavy_keys,
+                round(max(max_key_rows) * max(n_keys)
+                  / CAST(max(n_rows) AS DOUBLE), 4) AS skew_factor
+         FROM pk, t"""
   )
 }

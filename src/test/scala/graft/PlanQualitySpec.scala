@@ -157,7 +157,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
-    Seq("w1_top_orders", "e2_knn_topk", "dd5_embed_neardup").foreach { name =>
+    Seq("w1_top_orders", "e2_knn_topk", "dd5_embed_neardup",
+        "q10_returned_items").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
         s"$name does not use TakeOrderedAndProject:\n$plan")
@@ -234,7 +235,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "mm5_frame_sample" -> 2, "ta12_html_strip" -> 2,
       "sp8_token_budget" -> 2, "a20_cooccurrence" -> 3,
       "j11_asof_tolerance" -> 3, "lr1_price_regression" -> 2,
-      "f17_feature_hash" -> 3)
+      "f17_feature_hash" -> 3, "q7_nation_trade" -> 2,
+      "q10_returned_items" -> 1, "tp5_length_buckets" -> 2,
+      "dq4_skew_stats" -> 4)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
