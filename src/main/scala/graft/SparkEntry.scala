@@ -4085,6 +4085,72 @@ object SparkEntry {
             .otherwise(0L)).as("n_heavy_keys"))
         .withColumn("skew_factor", round(
           col("max_key_rows") * col("n_keys") / col("n_rows").cast("double"), 4))
+    },
+
+    // ---- long→wide pivot with an EXPLICIT value list (no collect-distinct
+    // driver pass — the list is part of the query contract, so the plan is
+    // a single groupBy with conditional aggregates, one shuffle). The
+    // dynamic-pivot variant would scan once to discover values; at 100 TB
+    // you pin the columns instead. u3 is the wide→long inverse. ----------
+    "u4_pivot_wide" -> { (s, dir) =>
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // ---- rolling 7-day active users: presence pairs (user, day) distinct
+    // once, then each pair feeds the ≤7 trailing day-windows it belongs to
+    // via a broadcast day-calendar range join — shuffle volume is
+    // presence×7, never events×7, and the calendar frame is bounded by
+    // time, not corpus size. --------------------------------------------
+    "a21_trailing_dau" -> { (s, dir) =>
+      val pres = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000L").as("day"))
+        .distinct()
+      val days = pres.select(col("day").as("d")).distinct()
+      val dau = pres.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = pres.join(broadcast(days),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct("user_id").as("wau7"))
+      dau.join(wau, Seq("day")).orderBy("day")
+    },
+
+    // ---- ANALYZE-style column profile: null count / NDV / min / max for
+    // every profiled column in ONE scan (multi-countDistinct plans a
+    // single expand + hash agg, no per-column passes), then stack() to the
+    // column-grain table a catalog stores. Numeric extrema stay typed
+    // (double) — cross-engine double→string rendering is a knife-edge. ---
+    "dq5_profile" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("id_null"),
+          countDistinct("event_id").as("id_nd"),
+          min("event_id").cast("double").as("id_min"),
+          max("event_id").cast("double").as("id_max"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("u_null"),
+          countDistinct("user_id").as("u_nd"),
+          min("user_id").cast("double").as("u_min"),
+          max("user_id").cast("double").as("u_max"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_null"),
+          countDistinct("value").as("v_nd"),
+          round(min("value"), 4).as("v_min"), round(max("value"), 4).as("v_max"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("t_null"),
+          countDistinct("event_type").as("t_nd"))
+        .select(col("n"), expr(
+          """stack(4,
+               'event_id',   id_null, id_nd, id_min, id_max,
+               'user_id',    u_null,  u_nd,  u_min,  u_max,
+               'value',      v_null,  v_nd,  v_min,  v_max,
+               'event_type', t_null,  t_nd,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+             AS (column_name, n_null, n_distinct, min_val, max_val)"""))
+        .orderBy("column_name")
     }
   )
 
@@ -6817,6 +6883,52 @@ object SparkEntry {
                   AS BIGINT) AS n_heavy_keys,
                 round(max(max_key_rows) * max(n_keys)
                   / CAST(max(n_rows) AS DOUBLE), 4) AS skew_factor
-         FROM pk, t"""
+         FROM pk, t""",
+    "u4_pivot_wide" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "a21_trailing_dau" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         cal AS (SELECT DISTINCT day AS d FROM p),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY 1),
+         w AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+               FROM cal JOIN p ON p.day BETWEEN cal.d - 6 AND cal.d
+               GROUP BY 1)
+         SELECT day, dau, wau7 FROM dau JOIN w USING (day) ORDER BY day""",
+    "dq5_profile" ->
+      """WITH s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_null,
+                  CAST(count(DISTINCT event_id) AS BIGINT) AS id_nd,
+                  CAST(min(event_id) AS DOUBLE) AS id_min,
+                  CAST(max(event_id) AS DOUBLE) AS id_max,
+                  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_null,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS u_nd,
+                  CAST(min(user_id) AS DOUBLE) AS u_min,
+                  CAST(max(user_id) AS DOUBLE) AS u_max,
+                  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                  CAST(count(DISTINCT value) AS BIGINT) AS v_nd,
+                  round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+                  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_null,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS t_nd
+           FROM events)
+         SELECT n, column_name, n_null, n_distinct, min_val, max_val
+         FROM (
+           SELECT n, 'event_id' AS column_name, id_null AS n_null,
+                  id_nd AS n_distinct, id_min AS min_val, id_max AS max_val FROM s
+           UNION ALL
+           SELECT n, 'user_id', u_null, u_nd, u_min, u_max FROM s
+           UNION ALL
+           SELECT n, 'value', v_null, v_nd, v_min, v_max FROM s
+           UNION ALL
+           SELECT n, 'event_type', t_null, t_nd, NULL, NULL FROM s)
+         ORDER BY column_name"""
   )
 }

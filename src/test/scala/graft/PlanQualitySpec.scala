@@ -237,7 +237,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "j11_asof_tolerance" -> 3, "lr1_price_regression" -> 2,
       "f17_feature_hash" -> 3, "q7_nation_trade" -> 2,
       "q10_returned_items" -> 1, "tp5_length_buckets" -> 2,
-      "dq4_skew_stats" -> 4)
+      "dq4_skew_stats" -> 4, "u4_pivot_wide" -> 3,
+      "a21_trailing_dau" -> 7, "dq5_profile" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
