@@ -4151,6 +4151,53 @@ object SparkEntry {
                'event_type', t_null,  t_nd,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
              AS (column_name, n_null, n_distinct, min_val, max_val)"""))
         .orderBy("column_name")
+    },
+
+    // ---- point-in-time dimension join: purchases attributed to the SCD2
+    // status version valid AT the fact's timestamp — the feature-store
+    // correctness op (training must see the feature value as-of the label
+    // time, not today's). Composed from scd2History + the one-shuffle
+    // as-of merge join (latest valid_from <= ts ≡ interval containment,
+    // versions tile time); no range θ-join anywhere. ---------------------
+    "j12_point_in_time" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      // dimension log: signup/error transitions, one change per (user, ts)
+      val log = ev.filter(col("event_type").isin("signup", "error"))
+        .groupBy("user_id", "ts")
+        .agg(expr("max_by(event_type, event_id)").as("status"),
+          max("event_id").as("event_id"))
+      val dim = new Engine(s)
+        .scd2History(log, "user_id", "ts", "status", "event_id")
+        .withColumn("sv", struct(col("version"), col("status")))
+        .withColumnRenamed("valid_from", "ts")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.TemporalJoins.asofJoin(
+          facts, dim, key = "user_id", time = "ts",
+          valueCol = "sv", asofCol = "asof")
+        .groupBy(coalesce(col("asof.status"), lit("none")).as("status"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("status")
+    },
+
+    // ---- week-over-week change per event type: calendar-grain aggregate
+    // (shuffle carries types × weeks rows, map-side partials) + a lag
+    // window over that bounded frame; the change ratio is one rounded
+    // IEEE division. -----------------------------------------------------
+    "w9_wow_change" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wk = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 604800000000L").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      wk.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("change_pct",
+          round(lit(100.0) * (col("n") - col("prev_n")) / col("prev_n"), 2))
+        .orderBy("event_type", "week")
     }
   )
 
@@ -6929,6 +6976,45 @@ object SparkEntry {
            SELECT n, 'value', v_null, v_nd, v_min, v_max FROM s
            UNION ALL
            SELECT n, 'event_type', t_null, t_nd, NULL, NULL FROM s)
-         ORDER BY column_name"""
+         ORDER BY column_name""",
+    "j12_point_in_time" ->
+      """WITH log AS (
+           SELECT user_id, ts, arg_max(event_type, event_id) AS status,
+                  max(event_id) AS event_id
+           FROM events WHERE event_type IN ('signup', 'error')
+           GROUP BY 1, 2),
+         chg AS (
+           SELECT user_id, ts, event_id, status,
+                  lag(status) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+           FROM log),
+         vers AS (
+           SELECT user_id, ts AS valid_from, status,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS valid_to
+           FROM chg WHERE prev IS NULL OR prev <> status),
+         f AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         j AS (
+           SELECT f.user_id, f.value, v.status
+           FROM f LEFT JOIN vers v
+             ON f.user_id = v.user_id AND v.valid_from <= f.ts
+            AND (v.valid_to IS NULL OR f.ts < v.valid_to))
+         SELECT COALESCE(status, 'none') AS status,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                round(sum(value), 2) AS sum_value
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "w9_wow_change" ->
+      """WITH wk AS (
+           SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         l AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                           AS prev_n
+               FROM wk)
+         SELECT event_type, week, n, prev_n,
+                round(100.0 * (n - prev_n) / prev_n, 2) AS change_pct
+         FROM l ORDER BY event_type, week"""
   )
 }
