@@ -4101,24 +4101,27 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
-    // ---- rolling 7-day active users: presence pairs (user, day) distinct
-    // once, then each pair feeds the ≤7 trailing day-windows it belongs to
-    // via a broadcast day-calendar range join — shuffle volume is
-    // presence×7, never events×7, and the calendar frame is bounded by
-    // time, not corpus size. --------------------------------------------
+    // ---- rolling 7-day active users, one pipeline: each distinct
+    // (user, day) presence pair explodes MAP-SIDE to the ≤7 trailing
+    // windows it feeds (shuffle volume presence×7, never events×7); the
+    // (user, window-day) aggregate both dedups and remembers whether the
+    // pair anchors the window (off=0), so the day-grain agg reads DAU and
+    // WAU from the same frame — 3 shuffles, zero joins. A window-day is
+    // real iff someone was active ON it (dau > 0), which prunes the
+    // phantom days past each activity gap. -------------------------------
     "a21_trailing_dau" -> { (s, dir) =>
-      val pres = Tables.events(s, dir)
+      Tables.events(s, dir)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000L").as("day"))
         .distinct()
-      val days = pres.select(col("day").as("d")).distinct()
-      val dau = pres.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      val wau = pres.join(broadcast(days),
-          col("day").between(col("d") - 6, col("d")))
-        .groupBy(col("d").as("day"))
-        .agg(countDistinct("user_id").as("wau7"))
-      dau.join(wau, Seq("day")).orderBy("day")
+        .withColumn("off", explode(sequence(lit(0L), lit(6L))))
+        .groupBy(col("user_id"), (col("day") + col("off")).as("day"))
+        .agg(max(when(col("off") === 0L, 1L).otherwise(0L)).as("h0"))
+        .groupBy("day")
+        .agg(sum("h0").as("dau"), count(lit(1)).as("wau7"))
+        .filter(col("dau") > 0)
+        .orderBy("day")
     },
 
     // ---- ANALYZE-style column profile: null count / NDV / min / max for

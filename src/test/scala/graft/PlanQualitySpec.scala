@@ -238,7 +238,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "f17_feature_hash" -> 3, "q7_nation_trade" -> 2,
       "q10_returned_items" -> 1, "tp5_length_buckets" -> 2,
       "dq4_skew_stats" -> 4, "u4_pivot_wide" -> 3,
-      "a21_trailing_dau" -> 7, "dq5_profile" -> 2,
+      "a21_trailing_dau" -> 4, "dq5_profile" -> 2,
       "j12_point_in_time" -> 5, "w9_wow_change" -> 3)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
