@@ -4077,7 +4077,9 @@ object SparkEntry {
       val totals = perKey.agg(count(lit(1)).as("n_keys"),
         sum("c").as("n_rows"), max("c").as("max_key_rows"))
       // heavy key test by exact cross-multiplication: c > 2·avg ⇔
-      // c·n_keys > 2·n_rows — no float rates in the predicate
+      // c·n_keys > 2·n_rows — no float rates in the predicate. The
+      // products stay in int64 while max_key_rows·n_keys < 9.2e18
+      // (e.g. 1e9 keys × 1e9-row hottest key); widen to DECIMAL past that.
       perKey.crossJoin(broadcast(totals))
         .agg(max("n_keys").as("n_keys"), max("n_rows").as("n_rows"),
           max("max_key_rows").as("max_key_rows"),
