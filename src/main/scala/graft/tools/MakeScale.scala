@@ -32,7 +32,16 @@ object MakeScale {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     keyed.foreach { case (t, keys) =>
-      val base = spark.read.parquet(s"$src/$t.parquet")
+      val raw = spark.read.parquet(s"$src/$t.parquet")
+      // events.ts arrives as raw nanos under the legacy conf (the source
+      // fixture is TIMESTAMP(NANOS)); land it as a micros TIMESTAMP so the
+      // rehearsal fixture binds timestamp-typed oracles (epoch_us, strftime,
+      // INTERVAL arithmetic) instead of excluding the st6/st7/d4/fn1 family.
+      val base =
+        if (t == "events" && raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
       (0 until copies).map { i =>
         keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * Shift)))
       }.reduce(_ unionByName _)
