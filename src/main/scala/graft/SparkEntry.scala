@@ -4203,6 +4203,84 @@ object SparkEntry {
         .withColumn("change_pct",
           round(lit(100.0) * (col("n") - col("prev_n")) / col("prev_n"), 2))
         .orderBy("event_type", "week")
+    },
+
+    // ---- distributed n-gram language model as a quality filter: a corpus
+    // bigram table (token-domain, min-count-trimmed at c >= 3) scores every
+    // document by the fraction of its bigram OCCURRENCES the model knows —
+    // the rational-arithmetic stand-in for perplexity (no libm ln, so
+    // DuckDB and the JVM agree bit-for-bit). Scale shape: the trimmed model
+    // is vocabulary²-bounded — far smaller than the corpus — so the
+    // doc→model probe broadcasts (AQE flips it to shuffle past the
+    // threshold); the per-doc count is the only data-sized shuffle, and it
+    // carries (doc_id, hit-flag) pairs with map-side partials. -----------
+    "lm1_bigram_novelty" -> { (s, dir) =>
+      val bg = Tables.documents(s, dir)
+        .withColumn("toks", Dedup.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(Dedup.shingles(col("toks"), 2)).as("bg"))
+      val model = bg.groupBy("bg").agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      bg.join(broadcast(model), Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), count(col("c")).as("n_known"))
+        .withColumn("novelty",
+          Stats.parityRound(lit(1.0) - col("n_known") / col("n_bigrams"), 6))
+        .orderBy("doc_id")
+    },
+
+    // ---- referential-integrity audit: orphan-FK and null-FK counts for
+    // every edge of the star schema — the pre-flight data-quality gate a
+    // pipeline runs before training joins. Each relationship is one left
+    // join against the BROADCAST distinct-PK frame (the 100 TB fact side
+    // never shuffles; counts fold map-side to a single row), unioned into
+    // one audit table. ----------------------------------------------------
+    "dq6_ref_integrity" -> { (s, dir) =>
+      def audit(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): DataFrame =
+        fact.select(col(fk).as("__fk"))
+          .join(broadcast(dim.select(col(pk).as("__pk")).distinct()),
+            col("__fk") === col("__pk"), "left")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+            sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relationship"),
+            col("n_rows"), col("n_null_fk"), col("n_orphans"))
+      Seq(
+        audit("customer.nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        audit("lineitem.orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        audit("lineitem.partkey->part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        audit("lineitem.suppkey->supplier", Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"),
+        audit("nation.regionkey->region", Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey"),
+        audit("orders.custkey->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        audit("supplier.nationkey->nation", Tables.supplier(s, dir), "s_nationkey",
+          Tables.nation(s, dir), "n_nationkey"))
+        .reduce(_.unionByName(_))
+        .orderBy("relationship")
+    },
+
+    // ---- deterministic per-stratum subsample: k docs per source chosen by
+    // id-hash rank — the balanced-downsample op for training mixtures,
+    // reproducible across runs and task retries because the "random" order
+    // is md5 of the id (no seed state, no resampling drift). Rides the
+    // bounded-heap TopKPerKey physical operator: O(k·strata) memory on
+    // both sides of the exchange, so a 100 TB stratum never sorts. -------
+    "sp9_stratified_take" -> { (s, dir) =>
+      val hashed = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          md5(concat(lit("sp9:"), col("doc_id").cast("string"))).as("h"))
+      graft.operators.TopK.perKey(hashed,
+          keys = Seq("source"), order = Seq("h" -> true, "doc_id" -> true),
+          k = 20, rankName = "rk")
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("source", "rk")
     }
   )
 
@@ -7020,6 +7098,67 @@ object SparkEntry {
                FROM wk)
          SELECT event_type, week, n, prev_n,
                 round(100.0 * (n - prev_n) / prev_n, 2) AS change_pct
-         FROM l ORDER BY event_type, week"""
+         FROM l ORDER BY event_type, week""",
+    "lm1_bigram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+               FROM t WHERE len(toks) >= 2),
+         m AS (SELECT bg, count(*) AS c FROM b GROUP BY bg HAVING count(*) >= 3)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                CAST(count(m.c) AS BIGINT) AS n_known,
+                floor((CAST(1.0 AS DOUBLE) - count(m.c) / count(*)) * 1000000.0 + 0.5)
+                  / 1000000.0 AS novelty
+         FROM b LEFT JOIN m USING (bg)
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "dq6_ref_integrity" ->
+      """SELECT * FROM (
+           SELECT 'customer.nationkey->nation' AS relationship, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+                  CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT 'lineitem.orderkey->orders', count(*),
+                  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'lineitem.partkey->part', count(*),
+                  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+           UNION ALL
+           SELECT 'lineitem.suppkey->supplier', count(*),
+                  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+           UNION ALL
+           SELECT 'nation.regionkey->region', count(*),
+                  CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'orders.custkey->customer', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+           UNION ALL
+           SELECT 'supplier.nationkey->nation', count(*),
+                  CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
+         ORDER BY relationship""",
+    "sp9_stratified_take" ->
+      """SELECT source, doc_id, h, rk FROM (
+           SELECT source, doc_id,
+                  md5('sp9:' || CAST(doc_id AS VARCHAR)) AS h,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('sp9:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 20
+         ORDER BY source, rk"""
   )
 }
