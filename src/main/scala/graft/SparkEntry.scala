@@ -4281,6 +4281,101 @@ object SparkEntry {
           k = 20, rankName = "rk")
         .withColumn("rk", col("rk").cast("long"))
         .orderBy("source", "rk")
+    },
+
+    // ---- triangle counting with DEGREE-ORDERED orientation: each edge
+    // points from its lower-(degree, id) endpoint, so per-node out-degree
+    // is O(sqrt(m)) and the wedge self-join fans out far below the naive
+    // sum-of-deg² — the standard trick that keeps triangle enumeration
+    // feasible on power-law graphs (one hub of degree 10^6 would otherwise
+    // emit 10^12 wedges). Wedges close via one left-semi probe against the
+    // id-canonical edge set; every triangle has exactly one apex under the
+    // orientation, so no /3 correction and no double counting. -----------
+    "gr2_triangle_count" -> { (s, dir) =>
+      val k = 4096
+      val und = Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") === 1 &&
+          col("l_orderkey") % k =!= col("l_partkey") % k)
+        .select(least(col("l_orderkey") % k, col("l_partkey") % k).as("u"),
+          greatest(col("l_orderkey") % k, col("l_partkey") % k).as("v"))
+        .distinct()
+        .localCheckpoint(false) // reused: degrees, orientation, wedge close
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented = und
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+        .select(col("x.t").as("u"), col("y.t").as("v"))
+      val tri = wedges.join(und, Seq("u", "v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val edges = und.agg(count(lit(1)).as("n_edges"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      nodes.crossJoin(edges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          Stats.parityRound(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering"))
+    },
+
+    // ---- corpus-level source-overlap matrix: pairwise Jaccard of each
+    // source's distinct 3-shingle set — the contamination/diversity
+    // diagnostic run before mixing corpora into a training blend. The
+    // shingle-domain frame aggregates to a per-shingle source SET (bounded
+    // by the source count, not the corpus), pairs expand map-side inside
+    // the row, and only (pair → count) rows shuffle — no shingle self-join
+    // at any scale. -------------------------------------------------------
+    "cs1_source_overlap" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(array_distinct(
+            Dedup.shingles(Dedup.tokens(col("text")), 3))).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val srcSets = sh.groupBy("sh").agg(array_sort(collect_set("source")).as("ss"))
+      val pairs = srcSets.select(explode(flatten(transform(col("ss"),
+          (x, i) => transform(
+            slice(col("ss"), i + lit(2),
+              greatest(size(col("ss")) - i - 1, lit(0))),
+            y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n_s1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n_s2"))), "s2")
+        .select(col("s1"), col("s2"), col("n_inter"), col("n_s1"), col("n_s2"),
+          Stats.parityRound(
+            col("n_inter") / (col("n_s1") + col("n_s2") - col("n_inter")), 6)
+            .as("jaccard"))
+        .orderBy("s1", "s2")
+    },
+
+    // ---- JSONL-export shard plan: assign docs to byte-budgeted shards by
+    // a global running total in doc_id order — Pack.globalCumsum's bucketed
+    // form (per-bucket totals + broadcast prefix offsets), so planning a
+    // 100 TB export never funnels through a single-partition window. A doc
+    // is planned into the shard where its payload begins; boundary docs may
+    // straddle, which the writer absorbs (byte budget is a target, exactly
+    // like Layout.compact's). --------------------------------------------
+    "o5_shard_plan" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (octet_length(col("text")) + 1).cast("long").as("bytes"))
+      graft.operators.Pack.globalCumsum(docs, "doc_id", "bytes", "start")
+        .withColumn("shard_id", expr("start div 16384L"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("sum_bytes"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard_id")
     }
   )
 
@@ -7159,6 +7254,52 @@ object SparkEntry {
                     ORDER BY md5('sp9:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) t
          WHERE rk <= 20
-         ORDER BY source, rk"""
+         ORDER BY source, rk""",
+    "gr2_triangle_count" ->
+      """WITH e AS (SELECT DISTINCT
+             least(l_orderkey % 4096, l_partkey % 4096) AS u,
+             greatest(l_orderkey % 4096, l_partkey % 4096) AS v
+           FROM lineitem
+           WHERE l_linenumber = 1 AND l_orderkey % 4096 <> l_partkey % 4096),
+         d AS (SELECT x, count(*) AS deg
+               FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+               GROUP BY x),
+         t AS (SELECT count(*) AS n_triangles
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT count(*) FROM d) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
+                (SELECT n_triangles FROM t) AS n_triangles,
+                floor(3.0 * (SELECT n_triangles FROM t)
+                      / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                      * 1000000.0 + 0.5) / 1000000.0 AS clustering""",
+    "cs1_source_overlap" ->
+      """WITH sh AS (SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM (SELECT source,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         c AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+               FROM sh a JOIN sh b USING (sh) WHERE a.source < b.source
+               GROUP BY 1, 2)
+         SELECT s1, s2, n_inter, c1.n AS n_s1, c2.n AS n_s2,
+                floor(n_inter / (c1.n + c2.n - n_inter) * 1000000.0 + 0.5)
+                  / 1000000.0 AS jaccard
+         FROM p JOIN c c1 ON p.s1 = c1.source JOIN c c2 ON p.s2 = c2.source
+         ORDER BY s1, s2""",
+    "o5_shard_plan" ->
+      """WITH d AS (SELECT doc_id, strlen(text) + 1 AS bytes FROM documents),
+         o AS (SELECT doc_id, bytes,
+                 COALESCE(sum(bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+               FROM d)
+         SELECT start // 16384 AS shard_id, count(*) AS n_docs,
+                CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM o GROUP BY 1 ORDER BY 1"""
   )
 }
