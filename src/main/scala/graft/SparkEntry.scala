@@ -4376,6 +4376,98 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("bytes").as("sum_bytes"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard_id")
+    },
+
+    // ---- VAD-style audio segmentation: decode WAV → 16 window energies
+    // per clip (mapPartitions, O(windows) memory) → flag windows whose
+    // mean energy beats the clip mean by INTEGER cross-multiplication
+    // (sum_w·n_clip > tot·n_w, no FP) → gap-and-island run grouping. The
+    // window function runs over ≤16 rows per clip — bounded per key, so
+    // a 100 TB audio corpus sessionizes without a wide sort anywhere.
+    // Oracle reproduces PCM from the synthesis closed form (mm4's recipe).
+    "mm6_audio_segments" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id")))
+        .filter(col("kind") === "audio")
+      val cells = Multimodal.poolFeatures(media, audioWindows = 16)
+      val tot = cells.groupBy("media_id")
+        .agg(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
+      val runs = cells.join(tot, "media_id")
+        .filter(col("sum_v") * col("tot_n") > col("tot_v") * col("n"))
+        .withColumn("grp", col("cell_x") -
+          row_number().over(Window.partitionBy("media_id").orderBy("cell_x")))
+        .groupBy("media_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("media_id")
+        .agg(count(lit(1)).as("n_segments"), max("len").as("longest"),
+          sum("len").as("n_active"))
+        .orderBy("media_id")
+    },
+
+    // ---- temperature-flattened mixture (the multilingual alpha-sampling
+    // recipe, alpha = 0.5): per-source keep-rate sqrt(c_min/c_s) keeps the
+    // smallest source whole and downsamples every other source toward
+    // c_s^0.5 — kept sizes ∝ sqrt(c_min·c_s). The keep decision is a pure
+    // row predicate (md5 lane vs a broadcast ppm rate), so task retries
+    // can't resample and the 100 TB side never shuffles for the sampling
+    // itself; sqrt/floor are IEEE-correctly-rounded in both engines, so
+    // the ppm rates agree bit-for-bit. -----------------------------------
+    "sp10_temperature_mixture" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      val rates = counts.crossJoin(broadcast(counts.agg(min("c").as("c_ref"))))
+        .withColumn("rate_ppm",
+          floor(sqrt(col("c_ref").cast("double") / col("c")) * 1000000.0)
+            .cast("long"))
+        .select("source", "rate_ppm")
+      docs.join(broadcast(rates), "source")
+        .withColumn("hv",
+          conv(substring(md5(concat(lit("sp10:"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 1000000L)
+        .groupBy("source", "rate_ppm")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("hv") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("hv") < col("rate_ppm"), col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .select(col("source"), col("n_total"), col("rate_ppm"),
+          col("n_kept"), col("kept_chars"))
+        .orderBy("source")
+    },
+
+    // ---- URL canonicalization dedup (the web-corpus pre-pass): five
+    // syntactic variants of each page — scheme/host case, explicit :443,
+    // trailing slash, fragment, utm_*/fbclid tracking params — collapse to
+    // one canonical form (lower host, https, port/fragment stripped,
+    // tracking params dropped with surviving params kept IN ORDER), then
+    // exact-dedup on the canonical string. Pure per-row regex work plus a
+    // single canonical-key aggregation: linear at any corpus size. -------
+    "dc3_url_canonical_dedup" -> { (s, dir) =>
+      val pid = expr("doc_id div 5").cast("string")
+      val raw = Tables.documents(s, dir).select(col("doc_id"),
+        element_at(array(
+          concat(lit("https://Docs.Example.com/page/"), pid, lit("?id="), pid),
+          concat(lit("HTTPS://docs.example.com:443/page/"), pid,
+            lit("?id="), pid, lit("&utm_source=feed")),
+          concat(lit("https://docs.example.com/page/"), pid,
+            lit("/?id="), pid, lit("#section-2")),
+          concat(lit("https://docs.example.com/page/"), pid,
+            lit("?id="), pid, lit("&fbclid=x"), col("doc_id").cast("string")),
+          concat(lit("https://docs.example.com/page/"), pid,
+            lit("?utm_campaign=mail&id="), pid)),
+          (col("doc_id") % 5 + 1).cast("int")).as("url"))
+      val host = lower(regexp_extract(col("url"),
+        "^[a-zA-Z]+://([^/?#:]+)", 1))
+      val path = regexp_replace(regexp_extract(col("url"),
+        "^[a-zA-Z]+://[^/?#]*(/[^?#]*)", 1), "/$", "")
+      val params = filter(
+        expr("regexp_extract_all(url, '[?&]([^?#&=]+=[^&#]*)', 1)"),
+        p => !p.rlike("^(utm_[a-z]+|fbclid)="))
+      raw.withColumn("canon", concat(lit("https://"), host, path,
+          when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+            .otherwise(lit(""))))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keep_doc"))
+        .orderBy("canon")
     }
   )
 
@@ -7300,6 +7392,64 @@ object SparkEntry {
          SELECT start // 16384 AS shard_id, count(*) AS n_docs,
                 CAST(sum(bytes) AS BIGINT) AS sum_bytes,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM o GROUP BY 1 ORDER BY 1"""
+         FROM o GROUP BY 1 ORDER BY 1""",
+    "mm6_audio_segments" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+         aud AS (SELECT media_id, 50 + media_id % 100 AS nf FROM m),
+         ai AS (SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM aud),
+         acell AS (SELECT media_id, (i * 16) // nf AS w, count(*) AS n,
+                          sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
+                   FROM ai GROUP BY 1, 2),
+         tot AS (SELECT media_id, sum(sum_v) AS tot_v, sum(n) AS tot_n
+                 FROM acell GROUP BY 1),
+         fl AS (SELECT a.media_id, a.w FROM acell a JOIN tot t USING (media_id)
+                WHERE a.sum_v * t.tot_n > t.tot_v * a.n),
+         isl AS (SELECT media_id, w,
+                        w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
+                 FROM fl),
+         runs AS (SELECT media_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+         SELECT media_id, count(*) AS n_segments,
+                CAST(max(len) AS BIGINT) AS longest,
+                CAST(sum(len) AS BIGINT) AS n_active
+         FROM runs GROUP BY 1 ORDER BY 1""",
+    "sp10_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         r AS (SELECT source,
+                 CAST(floor(sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt)
+                   * 1000000.0) AS BIGINT) AS rate_ppm
+               FROM c),
+         h AS (SELECT d.source, d.n_chars, r.rate_ppm,
+                 CAST(concat('0x', substr(md5('sp10:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 AS hv
+               FROM documents d JOIN r USING (source))
+         SELECT source, count(*) AS n_total, rate_ppm,
+                CAST(sum(CASE WHEN hv < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN hv < rate_ppm THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         FROM h GROUP BY source, rate_ppm ORDER BY source""",
+    "dc3_url_canonical_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (['https://Docs.Example.com/page/' || pid || '?id=' || pid,
+                    'HTTPS://docs.example.com:443/page/' || pid || '?id=' || pid || '&utm_source=feed',
+                    'https://docs.example.com/page/' || pid || '/?id=' || pid || '#section-2',
+                    'https://docs.example.com/page/' || pid || '?id=' || pid || '&fbclid=x' || CAST(doc_id AS VARCHAR),
+                    'https://docs.example.com/page/' || pid || '?utm_campaign=mail&id=' || pid]
+                  )[CAST(doc_id % 5 + 1 AS INT)] AS url
+           FROM (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS pid FROM documents)),
+         p AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host,
+                  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1),
+                                 '/$', '') AS path,
+                  list_filter(regexp_extract_all(url, '[?&]([^?#&=]+=[^&#]*)', 1),
+                              q -> NOT regexp_matches(q, '^(utm_[a-z]+|fbclid)=')) AS params
+           FROM u),
+         canon AS (
+           SELECT doc_id, 'https://' || host || path ||
+                  CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+           FROM p)
+         SELECT canon, count(*) AS n_variants, min(doc_id) AS keep_doc
+         FROM canon GROUP BY canon ORDER BY canon"""
   )
 }
