@@ -4216,6 +4216,7 @@ object SparkEntry {
     // carries (doc_id, hit-flag) pairs with map-side partials. -----------
     "lm1_bigram_novelty" -> { (s, dir) =>
       val bg = Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // single-row-group source: spread the tokenize+explode
         .withColumn("toks", Dedup.tokens(col("text")))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(Dedup.shingles(col("toks"), 2)).as("bg"))
@@ -4336,12 +4337,19 @@ object SparkEntry {
     // at any scale. -------------------------------------------------------
     "cs1_source_overlap" -> { (s, dir) =>
       val sh = Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // single-row-group source: spread the shingle explode
         .select(col("source"),
           explode(array_distinct(
             Dedup.shingles(Dedup.tokens(col("text")), 3))).as("sh"))
         .distinct()
-      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val srcSets = sh.groupBy("sh").agg(array_sort(collect_set("source")).as("ss"))
+      // one shingle scan: the checkpointed source-set frame feeds sizes,
+      // pairs, AND both broadcast join-backs (4 consumers otherwise re-run
+      // the explode+distinct subtree end-to-end)
+      val srcSets = sh.groupBy("sh")
+        .agg(array_sort(collect_set("source")).as("ss"))
+        .localCheckpoint(false)
+      val sizes = srcSets.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
       val pairs = srcSets.select(explode(flatten(transform(col("ss"),
           (x, i) => transform(
             slice(col("ss"), i + lit(2),
