@@ -20,6 +20,9 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", if (interactive) "4" else cpus)
+      // Pin UTC: Tables.events rebinds TIMESTAMP_NTZ fixtures via a session-TZ
+      // cast; UTC makes that cast value-identical on any machine.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", (!interactive).toString)
       .config("spark.shuffle.compress", (!interactive).toString)
       .config("spark.shuffle.spill.compress", (!interactive).toString)
@@ -97,6 +100,32 @@ object Bench {
     val results = SparkEntry.queries.keysIterator
       .filter(name => only.forall(_.exists(name.startsWith)))
       .map(name => name -> best.getOrElse(name, -1.0)).toSeq.sortBy(_._1)
+    // Honest one-shot pass: queries that do real work at query-FUNCTION
+    // invocation time — streaming drains (fresh checkpoint per call),
+    // iterative closures, lazy-checkpoint subtrees — under-report in the
+    // rep sweeps above (reps re-count a drained sink / materialized RDD).
+    // Time ONE fresh end-to-end invocation of each so the capture records
+    // both the steady-state rep floor and the real cold cost. The /tmp
+    // inbox/sink materializations stay cached (they are one-time ingest,
+    // not the operator — same adjudication as s5/j8 in the rep pass).
+    val oneShotFamily = Seq(
+      "st4_stream_windowed", "st5_stream_join", "st6_stream_sessions",
+      "st7_stream_outer_join", "st9_stream_dedup", "st10_stream_static",
+      "st11_dedup_window_chain", "st12_foreachbatch_merge",
+      "st2_idempotent_union", "st8_incremental_agg",
+      "dd9_dup_groups", "dd10_dedup_apply", "dd16_canonical_pick",
+      "dd11_semantic_dedup", "dc2_neardup_decontam", "cs1_source_overlap")
+    val oneShot = oneShotFamily
+      .filter(n => SparkEntry.queries.contains(n) && only.forall(_.exists(n.startsWith)))
+      .map { name =>
+        val fn = SparkEntry.queries(name)
+        val t = try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        name -> t
+      }
     // Per-query seconds rounded to 3 decimals: keeps the single JSON line
     // well under typical log-tail capture limits (full nanosecond precision
     // pushed it past ~2.8k chars and the harness's tail truncated its head,
@@ -105,17 +134,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val oneShotTotal = oneShot.map(_._2).filter(_ >= 0).sum
+    val osQs = oneShot.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val oneShotLine = s"""{"metric":"one_shot_total","value":${fmt(oneShotTotal)},"unit":"sec","queries":$osQs,"sf":"$sfDir"}"""
     // Compact totals-only line: with 89 queries the full per-query map is
     // ~2.5k chars and round 4's driver tail-capture truncated it mid-JSON,
     // leaving the artifact unparseable. The per-query map goes on its own
     // earlier line (for humans and paired-run analysis); the LAST line is a
     // short, always-capturable summary the driver can parse on its own.
-    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"one_shot_total":${fmt(oneShotTotal)},"sf":"$sfDir"}"""
+    // Dedicated artifact file: the driver's bounded log-tail capture has
+    // truncated the per-query map mid-JSON twice (rounds 4 and 6); a file in
+    // the repo makes the full map durable and committable regardless of how
+    // much stdout the harness keeps.
+    try {
+      val detail = s"$fullLine\n$oneShotLine\n$totalLine\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
     // Print after spark.stop() so no executor/log output can follow or
     // interleave with the machine-readable lines; compact totals line LAST.
     println(fullLine)
+    println(oneShotLine)
     println(totalLine)
     Console.out.flush()
   }

@@ -7392,12 +7392,12 @@ object SparkEntry {
          FROM p JOIN c c1 ON p.s1 = c1.source JOIN c c2 ON p.s2 = c2.source
          ORDER BY s1, s2""",
     "o5_shard_plan" ->
-      """WITH d AS (SELECT doc_id, strlen(text) + 1 AS bytes FROM documents),
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) + 1 AS bytes FROM documents),
          o AS (SELECT doc_id, bytes,
-                 COALESCE(sum(bytes) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                 CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
                FROM d)
-         SELECT start // 16384 AS shard_id, count(*) AS n_docs,
+         SELECT CAST(start // 16384 AS BIGINT) AS shard_id, count(*) AS n_docs,
                 CAST(sum(bytes) AS BIGINT) AS sum_bytes,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM o GROUP BY 1 ORDER BY 1""",

@@ -46,11 +46,18 @@ object Tables {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
-    // TIMESTAMP(NANOS) files surface ts as raw nanos (long) under the legacy
-    // conf → truncate to micros; files already landed at micros pass through.
+    // Normalize ts to TimestampType across all fixture encodings seen so far:
+    //   TIMESTAMP(NANOS)   → raw nanos long under the legacy conf → truncate;
+    //   timestamp[us] (no tz) → TIMESTAMP_NTZ → rebind as session-TZ instant
+    //     (session TZ is UTC everywhere in this repo, so the rebinding is
+    //     value-identical to the wall-clock micros DuckDB's oracle reads);
+    //   timestamp[us, UTC] → already TimestampType → pass through.
+    // Downstream unix_micros / CAST / withWatermark all require TimestampType.
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
