@@ -7,7 +7,7 @@ import graft.agg.{Stats, Unpivot}
 import graft.functions.Scalars
 import graft.ingest.{Clean, Extract}
 import graft.operators.{FuzzyJoin, Upsert}
-import graft.sources.Multimodal
+import graft.sources.{Multimodal, NetCdf, NetCdfFixture}
 import graft.stream.Ingest
 import graft.vector.{Embed, Knn, SemanticWorkload}
 import graft.dedup.Dedup
@@ -1398,6 +1398,26 @@ object SparkEntry {
         .groupBy(coalesce(col("lang"), lit("__pre_schema__")).as("lang"))
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")
+    },
+
+    // ---- S7: NetCDF container decode — the reference's real ingest format
+    // (xarray over per-float Argo .nc files, ingest/load_data.py:201-375),
+    // here a pure-Scala CDF-1 parser fanned out file-per-task through the
+    // binaryFile source. Exercises the loader's full semantic surface from
+    // actual container bytes, not pre-tabularized parquet: variable alias
+    // resolution (JULD vs time, case-insensitive), _FillValue AND
+    // missing_value → null, "days since"/"hours since" epoch decode,
+    // NC_CHAR fixed-width float ids, and (profile × level) dim-explode.
+    // The fixture fleet is synthesized from an integer-exact closed form so
+    // the oracle rebuilds the decoded table from generate_series. --------
+    "s7_netcdf_decode" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s7_netcdf_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeFleet(_))
+      NetCdf.read(s, ncDir)
+        .select(col("float_id"), col("profile_id"), col("level"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
+        .orderBy("float_id", "profile_id", "level")
     },
 
     // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
@@ -5006,6 +5026,30 @@ object SparkEntry {
                UNION ALL
                SELECT n_chars, lang FROM documents WHERE doc_id % 2 = 1)
          GROUP BY 1 ORDER BY 1""",
+    // s7: the decoded table rebuilt from the fixture's closed form
+    // (graft.sources.NetCdfFixture) — 7305 = days from 1950-01-01 (the Argo
+    // JULD epoch) to the Unix epoch; all values are binary fractions so the
+    // float compare is exact.
+    "s7_netcdf_decode" ->
+      """WITH g AS (
+           SELECT f.f, p.p, l.l
+           FROM (SELECT unnest(generate_series(0,3)) AS f) f,
+                (SELECT unnest(generate_series(0,5)) AS p) p,
+                (SELECT unnest(generate_series(0,4)) AS l) l)
+         SELECT CAST(100 + f AS VARCHAR) AS float_id,
+                CAST(1000 + p AS BIGINT) AS profile_id,
+                CAST(l AS BIGINT) AS level,
+                strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
+                  * 86400000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts,
+                CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
+                CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
+                CASE WHEN (f+p+l) % 7 = 0 THEN NULL
+                     ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
+                CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
+                     ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
+                CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
+                     ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
+         FROM g ORDER BY float_id, profile_id, level""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,

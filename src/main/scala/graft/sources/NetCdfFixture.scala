@@ -1,0 +1,100 @@
+package graft.sources
+
+import NetCdf._
+
+/** Deterministic Argo-shaped NetCDF fleet fixture. Four per-float .nc files
+  * in classic CDF-1 format with the naming/attr diversity the reference's
+  * loader tolerates (ingest/load_data.py:239-264,318-326,357-368):
+  *
+  *   - even floats use uppercase Argo variable names (PLATFORM_NUMBER, JULD,
+  *     PRES, ...) with `_FillValue` and "days since" time units;
+  *   - odd floats use lowercase alternates (platform_number, time, pres, ...)
+  *     with `missing_value` and "hours since" units;
+  *   - float 2 stores PLATFORM_NUMBER as a fixed-width NC_CHAR array (the
+  *     real Argo encoding), the others as numeric.
+  *
+  * All values come from an integer-exact closed form in (f, p, l) — binary
+  * fractions only — so a DuckDB oracle can reproduce the decoded table from
+  * `generate_series` with exact float equality (the same synthesis-recipe
+  * oracle pattern the multimodal fixtures use).
+  */
+object NetCdfFixture {
+
+  val N_FLOATS = 4
+  val N_PROF = 6
+  val N_LEVELS = 5
+  val FILL = 99999.0f
+
+  // closed form — mirrored verbatim in the s7_netcdf_decode oracle SQL
+  def juldDays(f: Int, p: Int): Double = 26000.0 + f * 10 + p + 0.25
+  def lat(f: Int, p: Int): Double = -60.0 + ((f * 7 + p * 3) % 120) + 0.5
+  def lon(f: Int, p: Int): Double = -180.0 + ((f * 11 + p * 17) % 360) + 0.5
+  def pres(f: Int, p: Int, l: Int): Float =
+    if ((f + p + l) % 7 == 0) FILL else (l * 100 + p).toFloat
+  def temp(f: Int, p: Int, l: Int): Float =
+    if ((f * 3 + p + l * 2) % 11 == 0) FILL
+    else (25.0 - 2 * l - ((f + p) % 5) * 0.5).toFloat
+  def psal(f: Int, p: Int, l: Int): Float =
+    if ((f + 2 * p + l) % 13 == 0) FILL
+    else (34.0 + (l % 4) * 0.25 + ((f + p) % 3) * 0.125).toFloat
+
+  /** Serialize float `f`'s profile file. */
+  def fileBytes(f: Int): Array[Byte] = {
+    val upper = f % 2 == 0
+    def nm(u: String, l: String) = if (upper) u else l
+    val dims = Seq(NcDim("N_PROF", N_PROF), NcDim("N_LEVELS", N_LEVELS),
+      NcDim("STRING8", 8))
+    val fillAttr: Seq[(String, NcVal)] =
+      if (upper) Seq("_FillValue" -> NcFloats(Array(FILL)))
+      else Seq("missing_value" -> NcFloats(Array(FILL)))
+    val timeUnits =
+      if (upper) "days since 1950-01-01 00:00:00"
+      else "hours since 1950-01-01 00:00:00"
+    def timeVal(p: Int): Double =
+      if (upper) juldDays(f, p) else juldDays(f, p) * 24.0
+
+    val platform: NcVar =
+      if (f == 2) {
+        val chars = (0 until N_PROF).flatMap { _ =>
+          (100 + f).toString.padTo(8, ' ').getBytes("UTF-8").toSeq
+        }.toArray
+        NcVar("PLATFORM_NUMBER", Seq(0, 2), NC_CHAR, Nil, NcChars(chars))
+      } else NcVar(nm("PLATFORM_NUMBER", "platform_number"), Seq(0), NC_DOUBLE,
+        Nil, NcDoubles(Array.fill(N_PROF)((100 + f).toDouble)))
+
+    val vars = Seq(
+      platform,
+      NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
+        NcInts((0 until N_PROF).map(1000 + _).toArray)),
+      NcVar(nm("JULD", "time"), Seq(0), NC_DOUBLE,
+        Seq("units" -> NcStr(timeUnits)),
+        NcDoubles((0 until N_PROF).map(timeVal).toArray)),
+      NcVar(nm("LATITUDE", "latitude"), Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until N_PROF).map(lat(f, _)).toArray)),
+      NcVar(nm("LONGITUDE", "longitude"), Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until N_PROF).map(lon(f, _)).toArray)),
+      NcVar(nm("PRES", "pres"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield pres(f, p, l)).toArray)),
+      NcVar(nm("TEMP", "temp"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield temp(f, p, l)).toArray)),
+      NcVar(nm("PSAL", "psal"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield psal(f, p, l)).toArray)))
+
+    writeBytes(dims,
+      Seq("title" -> NcStr(s"graft synthetic Argo float ${100 + f}")), vars)
+  }
+
+  /** Write the whole fleet (plus a `_SUCCESS` marker so the repo's
+    * materialize-once cache treats the dir as complete).
+    */
+  def writeFleet(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    for (f <- 0 until N_FLOATS)
+      java.nio.file.Files.write(p.resolve(s"float_${100 + f}.nc"), fileBytes(f))
+    java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.NetCdf
+import graft.sources.NetCdf._
+import graft.sources.NetCdfFixture
+
+/** Unit coverage for the pure-Scala NetCDF classic (CDF-1) container layer:
+  * byte-exact writer/parser round-trips, the reference loader's semantic
+  * surface (alias table, fill-value nulling, time-unit decode,
+  * ingest/load_data.py:226-375), and the distributed binaryFile read path.
+  */
+class NetCdfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("writer/parser round-trip preserves dims, attrs, and typed data") {
+    val dims = Seq(NcDim("x", 3), NcDim("y", 2))
+    val vars = Seq(
+      NcVar("d", Seq(0), NC_DOUBLE, Seq("units" -> NcStr("m")),
+        NcDoubles(Array(1.5, -2.25, 3.0))),
+      NcVar("fl", Seq(0, 1), NC_FLOAT, Seq("_FillValue" -> NcFloats(Array(9f))),
+        NcFloats(Array(1f, 2f, 3f, 4f, 5f, 6f))),
+      NcVar("i", Seq(1), NC_INT, Nil, NcInts(Array(7, -8))))
+    val parsed = NetCdf.parse(NetCdf.writeBytes(dims,
+      Seq("title" -> NcStr("t")), vars))
+    assert(parsed.dims === dims)
+    assert(parsed.globalAttrs("title") === "t")
+    val d = parsed.vars.find(_.name == "d").get
+    assert(d.numeric.toSeq === Seq(1.5, -2.25, 3.0))
+    assert(d.attrs("units") === "m")
+    val fl = parsed.vars.find(_.name == "fl").get
+    assert(fl.dims.map(_.size) === Seq(3, 2))
+    assert(fl.numeric.toSeq === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    assert(fl.attrs("_FillValue").asInstanceOf[Array[Double]].toSeq === Seq(9.0))
+    assert(parsed.vars.find(_.name == "i").get.numeric.toSeq === Seq(7.0, -8.0))
+  }
+
+  test("odd-length names and char data pad to 4-byte boundaries correctly") {
+    val dims = Seq(NcDim("prof", 2), NcDim("str5", 5))
+    val chars = "ab   cd   ".getBytes("UTF-8") // 2 strings of width 5
+    val vars = Seq(
+      NcVar("abc", Seq(0), NC_DOUBLE, Nil, NcDoubles(Array(1.0, 2.0))),
+      NcVar("nm", Seq(0, 1), NC_CHAR, Nil, NcChars(chars)))
+    val parsed = NetCdf.parse(NetCdf.writeBytes(dims, Nil, vars))
+    assert(parsed.vars.map(_.name) === Seq("abc", "nm"))
+    assert(parsed.vars(1).chars.length === 10)
+    assert(new String(parsed.vars(1).chars.take(5), "UTF-8").trim === "ab")
+  }
+
+  test("decodeTimeMicros handles days/hours/seconds since with date or datetime epochs") {
+    // 1950-01-01 is 7305 days before the Unix epoch
+    val dayUs = 86400000000L
+    assert(NetCdf.decodeTimeMicros("days since 1950-01-01 00:00:00", 7305.0) === 0L)
+    assert(NetCdf.decodeTimeMicros("days since 1950-01-01", 7305.25) === dayUs / 4)
+    assert(NetCdf.decodeTimeMicros("hours since 1970-01-01 00:00:00", 1.5) === 5400000000L)
+    assert(NetCdf.decodeTimeMicros("seconds since 1970-01-02", -86400.0) === 0L)
+    assertThrows[IllegalArgumentException](
+      NetCdf.decodeTimeMicros("fortnights since 1970-01-01", 1.0))
+  }
+
+  test("tabularize: aliases, _FillValue and missing_value nulls, char float ids") {
+    val rows = NetCdf.tabularize(NetCdf.parse(NetCdfFixture.fileBytes(2)))
+    assert(rows.size === NetCdfFixture.N_PROF * NetCdfFixture.N_LEVELS)
+    // float 2 stores PLATFORM_NUMBER as NC_CHAR — decoded to a trimmed string
+    assert(rows.forall(_.float_id == "102"))
+    // profile ids come from CYCLE_NUMBER, not positional index
+    assert(rows.map(_.profile_id).distinct.sorted === (1000L to 1005L))
+    // fill positions null out exactly per the closed form
+    rows.foreach { r =>
+      val (f, p, l) = (2, (r.profile_id - 1000).toInt, r.level.toInt)
+      assert(r.pres.isEmpty === ((f + p + l) % 7 == 0), s"pres at $p/$l")
+      assert(r.pres.forall(_ == l * 100 + p))
+    }
+    // odd file uses missing_value + "hours since" + lowercase names and must
+    // decode to the same instants pattern as the closed form
+    val odd = NetCdf.tabularize(NetCdf.parse(NetCdfFixture.fileBytes(1)))
+    assert(odd.forall(_.float_id == "101"))
+    val ts0 = odd.find(r => r.profile_id == 1000L && r.level == 0L).get.ts.get
+    val expectMicros = NetCdf.decodeTimeMicros(
+      "days since 1950-01-01 00:00:00", NetCdfFixture.juldDays(1, 0))
+    assert(ts0.toInstant.toEpochMilli === expectMicros / 1000)
+  }
+
+  test("binaryFile read path fans files out and yields the full fleet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-read").toString
+    NetCdfFixture.writeFleet(dir)
+    val df = NetCdf.read(spark, dir)
+    assert(df.count() ===
+      NetCdfFixture.N_FLOATS * NetCdfFixture.N_PROF * NetCdfFixture.N_LEVELS)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // one input file per task partition-able: at minimum all four floats land
+    assert(df.select("float_id").distinct().count() === 4)
+  }
+}
