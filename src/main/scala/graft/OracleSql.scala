@@ -1,0 +1,2952 @@
+package graft
+
+/** DuckDB twins of `SparkEntry.queries` (same columns, same order).
+  * Split from SparkEntry (round 7) for file-size hygiene; strings unchanged.
+  */
+private[graft] object OracleSql {
+  import graft.QueryContext.{referenceFloatCte, referenceDocPrintf}
+  import graft.vector.SemanticWorkload
+
+  val map: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+         floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "w7_value_episodes" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN value > 50 THEN 1 ELSE 0 END AS high
+           FROM events WHERE value IS NOT NULL),
+         g AS (
+           SELECT user_id, value, high,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
+                  row_number() OVER (PARTITION BY user_id, high ORDER BY ts, event_id) AS grp
+           FROM e),
+         ep AS (
+           SELECT user_id, grp, count(*) AS len, round(sum(value), 2) AS ep_sum
+           FROM g WHERE high = 1 GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_episodes, max(len) AS max_len,
+                round(sum(ep_sum), 2) AS total_high
+         FROM ep GROUP BY 1 ORDER BY user_id""",
+    "f16_url_parse" ->
+      """WITH u AS (
+           SELECT doc_id, lang, source,
+                  'https://' ||
+                  (['docs.example.com', 'blog.example.org',
+                    'www.data.net', 'cdn.media.io'])[CAST(doc_id % 4 + 1 AS INT)] ||
+                  '/p/' || CAST(doc_id AS VARCHAR) || '/' || lang ||
+                  '?ref=' || source AS url
+           FROM documents),
+         p AS (
+           SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+                  regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+                  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+           FROM u)
+         SELECT host, regexp_extract(host, '([^.]+)$', 1) AS tld,
+                count(*) AS n_docs,
+                count(DISTINCT ref) AS n_sources,
+                min(path) AS first_path, max(path) AS last_path
+         FROM p GROUP BY 1, 2 ORDER BY host""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY n_name""",
+    "a1_user_summary" ->
+      """SELECT user_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+         count(DISTINCT event_id) AS n_distinct,
+         count(*) AS n_rows,
+         count(value) AS value_count,
+         round(min(value), 4) AS value_min,
+         round(max(value), 4) AS value_max,
+         floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
+    "a3_global_stats" ->
+      """SELECT
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+         count(*) AS n_rows,
+         count(value) AS value_count,
+         round(min(value), 4) AS value_min,
+         round(max(value), 4) AS value_max,
+         floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
+         FROM events""",
+    "p5_clean_events" ->
+      """SELECT event_type,
+         count(*) AS n_rows,
+         count(v) AS n_valid,
+         floor(CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / count(v) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
+         FROM (
+           SELECT event_type,
+                  CASE WHEN value BETWEEN 0 AND 200 THEN value END AS v
+           FROM events
+           WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+         )
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "j4_orders_by_region" ->
+      """SELECT r_name,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name
+         ORDER BY r_name""",
+    "d1_upsert_lastwins" ->
+      """SELECT event_id, round(value, 2) AS value, src FROM (
+           SELECT event_id, value, src,
+                  row_number() OVER (PARTITION BY event_id ORDER BY precedence DESC) AS rn
+           FROM (
+             SELECT event_id, value, 1 AS precedence, 'base' AS src FROM events
+             UNION ALL
+             SELECT event_id, value + 1000, 2 AS precedence, 'update' AS src
+             FROM events WHERE event_id % 5 = 0
+           )
+         ) WHERE rn = 1
+         ORDER BY event_id""",
+    "d2_insert_ignore" ->
+      """WITH existing AS (
+           SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+         ), incoming AS (
+           SELECT event_id, event_type, value + 5 AS value FROM events
+         )
+         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (
+           SELECT * FROM existing
+           UNION ALL
+           SELECT * FROM incoming i
+           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = i.event_id)
+         )
+         GROUP BY event_type
+         ORDER BY event_type""",
+    "j1_skip_existing" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_custkey % 7 <> 0)
+         ORDER BY c_custkey""",
+    "j2_fuzzy_match" ->
+      """WITH dirty AS (
+           SELECT c_custkey,
+                  trim(regexp_replace('b''' || c_custkey || ' ''', '^b''(.*)''$', '\1')) AS clean_id
+           FROM customer
+         ), reg AS (
+           SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS reg_id
+           FROM customer WHERE c_custkey % 2 = 0
+         )
+         SELECT d.c_custkey, d.clean_id, min(r.reg_id) AS matched_id
+         FROM dirty d LEFT JOIN reg r
+           ON d.clean_id = r.reg_id
+           OR contains(r.reg_id, d.clean_id)
+           OR contains(d.clean_id, r.reg_id)
+         GROUP BY d.c_custkey, d.clean_id
+         ORDER BY d.c_custkey""",
+    "j3_enrich_docs" ->
+      """SELECT doc_id, d.source, n_chars, n_docs, source_avg_chars
+         FROM documents d
+         JOIN (
+           SELECT source, count(*) AS n_docs, floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS source_avg_chars
+           FROM documents GROUP BY source
+         ) s ON d.source = s.source
+         ORDER BY doc_id""",
+    "w1_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+         FROM orders
+         ORDER BY order_date DESC, o_orderkey DESC
+         LIMIT 100""",
+    "w3_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders) t
+         WHERE rank <= 2
+         ORDER BY o_custkey, rank""",
+    "w4_moving_stats" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice) OVER w AS prev_price,
+                lead(o_totalprice) OVER w AS next_price,
+                floor((sum(o_totalprice) OVER ma / count(*) OVER ma) * 100.0 + 0.5) / 100.0 AS ma3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                ma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "w5_rank_suite" ->
+      """WITH r AS (
+           SELECT c_custkey, c_nationkey,
+                  rank() OVER w AS rnk,
+                  dense_rank() OVER w AS drnk,
+                  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+                  ntile(4) OVER w AS quartile,
+                  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+         SELECT c_custkey, c_nationkey, CAST(rnk AS BIGINT) AS rnk,
+                CAST(drnk AS BIGINT) AS drnk, pct_rank,
+                CAST(quartile AS BIGINT) AS quartile, cume
+         FROM r WHERE rnk <= 10
+         ORDER BY c_nationkey, rnk, c_custkey""",
+    "a11_grouping_sets" ->
+      """SELECT coalesce(event_type, '__all__') AS event_type,
+                coalesce(yr, -1) AS yr,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM (SELECT event_type, year(ts) AS yr, value FROM events)
+         GROUP BY CUBE (event_type, yr)
+         ORDER BY event_type, yr""",
+    "j7_salted_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "sp2_stratified_split" ->
+      """WITH r AS (
+           SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS cnt
+           FROM documents)
+         SELECT lang,
+                CASE WHEN rn * 10 <= cnt * 8 THEN 'train'
+                     WHEN rn * 10 <= cnt * 9 THEN 'valid'
+                     ELSE 'test' END AS split,
+                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM r GROUP BY lang, split ORDER BY lang, split""",
+    "a2_profile_groups" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
+                  row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+         ), g AS (
+           SELECT user_id, day, count(*) AS n_events,
+                  round(max(CASE WHEN rn = 1 THEN value END), 2) AS first_value
+           FROM e GROUP BY user_id, day
+         )
+         SELECT user_id, day, n_events, first_value,
+                dense_rank() OVER (ORDER BY user_id, day) AS group_id
+         FROM g
+         ORDER BY user_id, day""",
+    "f1_f2_id_clean" ->
+      """SELECT c_custkey,
+         trim(regexp_replace(messy_id, '^b''(.*)''$', '\1')) AS clean_id,
+         CASE WHEN messy_id IS NULL THEN 'unknown'
+              ELSE CAST(CAST(trim(regexp_replace(messy_id, '^b''(.*)''$', '\1')) AS BIGINT) AS VARCHAR)
+         END AS safe_id
+         FROM (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 10 = 7 THEN NULL
+                       ELSE 'b''' || c_custkey || ' ''' END AS messy_id
+           FROM customer
+         )
+         ORDER BY c_custkey""",
+    "f5_f6_date_features" ->
+      """SELECT CAST(day(o_orderdate) AS VARCHAR) || 'th ' || strftime(o_orderdate, '%b %Y') AS date_label,
+         CASE WHEN month(o_orderdate) BETWEEN 3 AND 5 THEN 'spring'
+              WHEN month(o_orderdate) BETWEEN 6 AND 8 THEN 'summer'
+              WHEN month(o_orderdate) BETWEEN 9 AND 11 THEN 'autumn'
+              ELSE 'winter' END AS order_season,
+         count(*) AS n
+         FROM orders
+         GROUP BY date_label, order_season
+         ORDER BY date_label, order_season""",
+    "f7_f9_geo_classify" ->
+      """WITH geo AS (
+           SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
+           FROM events
+         ), cls AS (
+           SELECT lat, lon,
+             CASE WHEN lon BETWEEN 20 AND 120 AND lat BETWEEN -60 AND 30 THEN 'Indian Ocean'
+                  WHEN lon <= -60 THEN 'Pacific Ocean'
+                  WHEN lon BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
+                  WHEN lon >= 120 AND lat >= 0 THEN 'North Pacific Ocean'
+                  WHEN lon >= 120 AND lat < 0 THEN 'South Pacific Ocean'
+                  ELSE 'Global Ocean' END AS region,
+             CASE WHEN lat < -30 THEN 'Southern Ocean region'
+                  WHEN lat > 30 THEN 'Northern hemisphere waters'
+                  ELSE 'tropical and subtropical waters' END AS band,
+             printf('%.3f°%s', abs(lat), CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END) AS lat_fmt
+           FROM geo
+         )
+         SELECT region, band, count(*) AS n, min(lat_fmt) AS sample_lat_fmt
+         FROM cls
+         GROUP BY region, band
+         ORDER BY region, band""",
+    "f10_bbox_center" ->
+      """SELECT user_id,
+         round((min(fmod(value, 180) - 90) + max(fmod(value, 180) - 90)) / 2.0, 6) AS lat_center,
+         round((min(fmod(value * 2, 360) - 180) + max(fmod(value * 2, 360) - 180)) / 2.0, 6) AS lon_center
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
+    "f13_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events
+         GROUP BY k_bucket
+         ORDER BY k_bucket""",
+    "u1_measure_unpivot" ->
+      """SELECT variable_name,
+         count(variable_value) AS n,
+         round(sum(variable_value), 2) AS sum_value,
+         floor(CAST(sum(CAST(variable_value AS DECIMAL(27,6))) AS DOUBLE) / count(variable_value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
+         round(min(variable_value), 4) AS min_value,
+         round(max(variable_value), 4) AS max_value
+         FROM (
+           SELECT 'l_quantity' AS variable_name, l_quantity AS variable_value FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+         )
+         GROUP BY variable_name
+         ORDER BY variable_name""",
+    "w2_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         t AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN prev_ts IS NULL OR
+                            CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM s),
+         u AS (
+           SELECT user_id,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM t),
+         g AS (SELECT user_id, session_id, count(*) AS n_events FROM u GROUP BY 1, 2)
+         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                CAST(max(n_events) AS BIGINT) AS max_session_events
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    "s2_multiformat_scan" ->
+      """SELECT event_type,
+                count(*) AS n_json, round(sum(value), 2) AS sum_json,
+                count(*) AS n_csv,  round(sum(value), 2) AS sum_csv,
+                count(*) AS n_orc,  round(sum(value), 2) AS sum_orc
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s3_schema_inspect" ->
+      """SELECT column_name, column_type, "null" = 'YES' AS is_nullable
+         FROM (DESCRIBE customer) ORDER BY column_name""",
+    "j8_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "a12_approx_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         round(quantile_cont(value, 0.9), 6) AS p90_exact,
+         true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a13_heavy_hitters" ->
+      """WITH s AS (SELECT CASE WHEN event_id % 4 < 3
+                                THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                                ELSE 'u' || CAST(user_id % 500 AS VARCHAR)
+                           END AS item FROM events),
+         t AS (SELECT count(*) AS total FROM s)
+         SELECT item, count(*) AS n
+         FROM s CROSS JOIN t
+         GROUP BY item, total
+         HAVING count(*) * 20 > total
+         ORDER BY item""",
+    "a7_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a8_rollup" ->
+      """SELECT coalesce(event_type, '__total__') AS event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY ROLLUP(event_type)
+         ORDER BY event_type""",
+    "a9_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "pl1_full_pipeline" ->
+      """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL))
+         SELECT float_id,
+                strftime(min(time), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                strftime(max(time), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                count(DISTINCT profile_id) AS n_distinct,
+                count(*) AS n_rows,
+                count(temperature) AS temperature_count,
+                round(min(temperature), 4) AS temperature_min,
+                round(max(temperature), 4) AS temperature_max,
+                floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS temperature_mean,
+                count(salinity) AS salinity_count,
+                round(min(salinity), 4) AS salinity_min,
+                round(max(salinity), 4) AS salinity_max,
+                floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS salinity_mean,
+                count(pressure) AS pressure_count,
+                round(min(pressure), 4) AS pressure_min,
+                round(max(pressure), 4) AS pressure_max,
+                floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
+         FROM cleaned
+         GROUP BY float_id ORDER BY float_id""",
+    "sp1_hash_split" ->
+      """WITH h AS (
+           SELECT lang, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv
+           FROM documents)
+         SELECT lang,
+                CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
+                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY lang, split ORDER BY lang, split""",
+    "s5_partitioned_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s6_schema_evolution" ->
+      """SELECT coalesce(lang, '__pre_schema__') AS lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
+               UNION ALL
+               SELECT n_chars, lang FROM documents WHERE doc_id % 2 = 1)
+         GROUP BY 1 ORDER BY 1""",
+    // s7: the decoded table rebuilt from the fixture's closed form
+    // (graft.sources.NetCdfFixture) — 7305 = days from 1950-01-01 (the Argo
+    // JULD epoch) to the Unix epoch; all values are binary fractions so the
+    // float compare is exact.
+    "s7_netcdf_decode" ->
+      """WITH g AS (
+           SELECT f.f, p.p, l.l
+           FROM (SELECT unnest(generate_series(0,3)) AS f) f,
+                (SELECT unnest(generate_series(0,5)) AS p) p,
+                (SELECT unnest(generate_series(0,4)) AS l) l)
+         SELECT CAST(100 + f AS VARCHAR) AS float_id,
+                CAST(1000 + p AS BIGINT) AS profile_id,
+                CAST(l AS BIGINT) AS level,
+                strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
+                  * 86400000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts,
+                CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
+                CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
+                CASE WHEN (f+p+l) % 7 = 0 THEN NULL
+                     ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
+                CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
+                     ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
+                CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
+                     ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
+         FROM g ORDER BY float_id, profile_id, level""",
+    "st4_stream_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                count(*) AS n_rows,
+                count(value) AS value_count,
+                round(min(value), 4) AS value_min,
+                round(max(value), 4) AS value_max,
+                floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
+         FROM events
+         GROUP BY 1 ORDER BY 1""",
+    "st5_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY click_id, purchase_id""",
+    "st8_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "st7_stream_outer_join" ->
+      """WITH m AS (SELECT least(max(ts) FILTER (event_type = 'click'),
+                           max(ts) FILTER (event_type = 'purchase')) AS wm
+                    FROM events),
+         c AS (SELECT user_id, event_id AS click_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id, c.click_id, p.purchase_id, c.cts
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id
+                AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+         SELECT j.user_id, j.click_id, j.purchase_id
+         FROM j, m
+         WHERE j.purchase_id IS NOT NULL OR j.cts + INTERVAL 1 HOUR < m.wm
+         ORDER BY click_id, purchase_id""",
+    "st6_stream_sessions" ->
+      """WITH s AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         o AS (
+           SELECT user_id, tsec,
+                  lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) AS prev
+           FROM s),
+         t AS (
+           SELECT user_id, tsec,
+                  CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
+           FROM o),
+         u AS (
+           SELECT user_id, tsec,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY tsec
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM t),
+         g AS (
+           SELECT user_id, sid, min(tsec) AS start_sec, max(tsec) AS end_sec,
+                  count(*) AS n_events
+           FROM u GROUP BY 1, 2),
+         m AS (SELECT max(tsec) AS maxts FROM s)
+         SELECT g.user_id, g.start_sec, g.end_sec, g.n_events
+         FROM g, m
+         WHERE g.sid < (SELECT max(g2.sid) FROM g g2 WHERE g2.user_id = g.user_id)
+            OR g.end_sec + 1800 < m.maxts
+         ORDER BY g.user_id, g.start_sec""",
+    "a10_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+         true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "j6_asof_join" ->
+      """SELECT q.event_id, q.user_id, round(u.price, 2) AS asof_price
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') q
+         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) u
+           ON q.user_id = u.user_id AND u.ts <= q.ts
+         ORDER BY q.event_id""",
+    "j5_range_join" ->
+      """WITH intervals AS (
+           SELECT p_partkey AS range_id,
+                  (p_partkey % 40) * 5.0 AS lo,
+                  (p_partkey % 40) * 5.0 + 12.5 AS hi
+           FROM part WHERE p_partkey <= 100)
+         SELECT range_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
+         FROM events e JOIN intervals i
+           ON e.value >= i.lo AND e.value < i.hi
+         GROUP BY range_id ORDER BY range_id""",
+    "t7_reference_t1" ->
+      """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time, latitude, longitude,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
+         g AS (
+           SELECT float_id,
+                  strftime(min(time), '%Y-%m-%d') AS d1, strftime(max(time), '%Y-%m-%d') AS d2,
+                  month(min(time)) AS m1,
+                  count(DISTINCT profile_id) AS n_prof,
+                  min(latitude) AS lat_min, max(latitude) AS lat_max,
+                  min(longitude) AS lon_min, max(longitude) AS lon_max,
+                  min(temperature) AS tmin, max(temperature) AS tmax,
+                  min(salinity) AS smin, max(salinity) AS smax,
+                  max(pressure) AS pmax
+           FROM cleaned GROUP BY float_id),
+         c AS (SELECT *, (lat_min + lat_max) / 2.0 AS latc, (lon_min + lon_max) / 2.0 AS lonc FROM g)
+         SELECT float_id,
+           printf('Argo float %s operated from %s to %s in the %s (latitude %.1f to %.1f, longitude %.1f to %.1f) with %s profiles measuring temperature ranging from %.1f°C to %.1f°C, salinity from %.1f to %.1f PSU, pressures up to %.0f dbar. This float operated in %s, %s deployment.',
+             float_id, d1, d2,
+             CASE WHEN lonc BETWEEN 20 AND 120 AND latc BETWEEN -60 AND 30 THEN 'Indian Ocean'
+                  WHEN lonc <= -60 THEN 'Pacific Ocean'
+                  WHEN lonc BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
+                  WHEN lonc >= 120 AND latc >= 0 THEN 'North Pacific Ocean'
+                  WHEN lonc >= 120 AND latc < 0 THEN 'South Pacific Ocean'
+                  ELSE 'Global Ocean' END,
+             floor(lat_min * 10.0 + 0.5) / 10.0, floor(lat_max * 10.0 + 0.5) / 10.0,
+             floor(lon_min * 10.0 + 0.5) / 10.0, floor(lon_max * 10.0 + 0.5) / 10.0,
+             CAST(n_prof AS VARCHAR),
+             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
+             floor(smin * 10.0 + 0.5) / 10.0, floor(smax * 10.0 + 0.5) / 10.0,
+             floor(pmax + 0.5),
+             CASE WHEN latc < -30 THEN 'Southern Ocean region'
+                  WHEN latc > 30 THEN 'Northern hemisphere waters'
+                  ELSE 'tropical and subtropical waters' END,
+             CASE WHEN m1 BETWEEN 3 AND 5 THEN 'spring'
+                  WHEN m1 BETWEEN 6 AND 8 THEN 'summer'
+                  WHEN m1 BETWEEN 9 AND 11 THEN 'autumn'
+                  ELSE 'winter' END) AS summary
+         FROM c ORDER BY float_id""",
+    "t6_reference_doc" ->
+      s"""$referenceFloatCte
+         SELECT float_id,
+           $referenceDocPrintf AS document
+         FROM g ORDER BY float_id""",
+    "t8_report_export" ->
+      s"""$referenceFloatCte,
+         numbered AS (
+           SELECT float_id, $referenceDocPrintf AS document,
+                  row_number() OVER (ORDER BY float_id) AS i
+           FROM g),
+         header AS (
+           SELECT CAST(0 AS BIGINT) AS section_no,
+                  repeat('=', 100) || chr(10) ||
+                  'CHROMADB DATA EXPORT - FLOAT EMBEDDINGS COLLECTION' || chr(10) ||
+                  repeat('=', 100) || chr(10) ||
+                  'Export Date: ' || strftime((SELECT max(ts) FROM events), '%Y-%m-%d %H:%M:%S') || chr(10) ||
+                  'Collection: float_embeddings' || chr(10) ||
+                  'Total Documents: ' || CAST((SELECT count(*) FROM g) AS VARCHAR) || chr(10) ||
+                  repeat('=', 100) AS section),
+         sections AS (
+           SELECT CAST(i AS BIGINT) AS section_no,
+                  'DOCUMENT #' || CAST(i AS VARCHAR) || chr(10) || repeat('-', 80) || chr(10) ||
+                  'Document ID: doc_' || float_id || chr(10) || repeat('-', 40) || chr(10) ||
+                  'METADATA:' || chr(10) || '  float_id: ' || float_id || chr(10) ||
+                  '  collection: float_embeddings' || chr(10) || repeat('-', 40) || chr(10) ||
+                  'DOCUMENT CONTENT:' || chr(10) || document || chr(10) || chr(10) ||
+                  repeat('=', 100) AS section
+           FROM numbered),
+         footer AS (
+           SELECT CAST((SELECT count(*) FROM g) + 1 AS BIGINT) AS section_no,
+                  'SUMMARY STATISTICS' || chr(10) || repeat('-', 80) || chr(10) ||
+                  'total_documents: ' || CAST(count(*) AS VARCHAR) || chr(10) ||
+                  'measurement_availability: temperature=' ||
+                    CAST(sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) AS VARCHAR) ||
+                  ' salinity=' || CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS VARCHAR) ||
+                  ' pressure=' || CAST(sum(CASE WHEN pc > 0 THEN 1 ELSE 0 END) AS VARCHAR) || chr(10) ||
+                  'location_bounds: lat[' ||
+                    printf('%.3f', floor(min(latc) * 1000.0 + 0.5) / 1000.0) || ', ' ||
+                    printf('%.3f', floor(max(latc) * 1000.0 + 0.5) / 1000.0) || '] lon[' ||
+                    printf('%.3f', floor(min(lonc) * 1000.0 + 0.5) / 1000.0) || ', ' ||
+                    printf('%.3f', floor(max(lonc) * 1000.0 + 0.5) / 1000.0) || ']' AS section
+           FROM g)
+         SELECT section_no, section FROM (
+           SELECT * FROM header
+           UNION ALL SELECT * FROM sections
+           UNION ALL SELECT * FROM footer)
+         ORDER BY section_no""",
+    "p2_p4_clean_chain" ->
+      """WITH ev AS (
+           SELECT ts,
+                  (fmod(value, 180) - 90) *
+                    (CASE WHEN event_id % 11 = 0 THEN 2 ELSE 1 END) AS lat,
+                  fmod(value * 2, 360) - 180 AS lon,
+                  CASE WHEN user_id % 13 = 0 THEN 'nan'
+                       ELSE CAST(user_id AS VARCHAR) END AS uid
+           FROM events),
+         cleaned AS (
+           SELECT * FROM ev
+           WHERE lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+             AND ts >= TIMESTAMP '1999-01-01' AND ts <= TIMESTAMP '2026-01-01'
+             AND uid IS NOT NULL AND uid <> 'nan')
+         SELECT count(*) AS n_clean,
+                CAST(sum(CASE WHEN lat BETWEEN -60 AND 30 AND lon BETWEEN 20 AND 120
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_indian_box,
+                round(sum(lat), 2) AS sum_lat
+         FROM cleaned""",
+    "s13_vector_update" ->
+      """WITH after AS (
+           SELECT vec_id, CASE WHEN vec_id % 10 = 3 THEN label + 100 ELSE label END AS label
+           FROM embeddings)
+         SELECT count(*) AS n_vecs,
+                count(DISTINCT label) AS n_labels,
+                CAST(sum(CASE WHEN label >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+         FROM after""",
+    "a5_table_counts" ->
+      """SELECT table_name, n_rows FROM (
+           SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+           UNION ALL SELECT 'documents', count(*) FROM documents
+           UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+           UNION ALL SELECT 'events', count(*) FROM events
+           UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+           UNION ALL SELECT 'nation', count(*) FROM nation
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'region', count(*) FROM region)
+         ORDER BY table_name""",
+    "e7_semantic_workload" -> SemanticWorkload.oracleSql,
+    "e9_quantized_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
+         c0 AS (SELECT vec_id, vec,
+                       list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+                FROM e WHERE vec_id >= 20),
+         c AS (SELECT vec_id, vec,
+                      CASE WHEN scale > 0
+                           THEN list_transform(vec, x -> round(x / scale) * scale)
+                           ELSE vec END AS dvec
+               FROM c0),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c CROSS JOIN q) WHERE r <= 5),
+         quant AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(c.dvec, q.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c CROSS JOIN q) WHERE r <= 5),
+         hits AS (SELECT x.query_id, count(*) AS n
+                  FROM exact x JOIN quant USING (query_id, vec_id)
+                  GROUP BY x.query_id)
+         SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap5
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
+    "e8_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
+         c AS (SELECT vec_id, label, vec FROM e WHERE vec_id >= 20),
+         poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM c CROSS JOIN poss GROUP BY label, pos),
+         cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
+         a1 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents0 ct) WHERE r = 1),
+         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a1 CROSS JOIN poss GROUP BY label, pos),
+         cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
+         a2 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents1 ct) WHERE r = 1),
+         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a2 CROSS JOIN poss GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
+         idx AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents ct) WHERE r = 1),
+         best AS (SELECT query_id, qvec, label FROM (
+             SELECT q.query_id, q.qvec, ct.label,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(ct.centroid, q.qvec), 6) DESC,
+                               ct.label) AS r
+             FROM q CROSS JOIN cents ct) WHERE r <= 6),
+         ivf AS (SELECT query_id, vec_id FROM (
+             SELECT b.query_id, i.vec_id,
+                    row_number() OVER (PARTITION BY b.query_id
+                      ORDER BY round(list_cosine_similarity(i.vec, b.qvec), 6) DESC,
+                               i.vec_id) AS r
+             FROM idx i JOIN best b ON i.label = b.label) WHERE r <= 5),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                               c.vec_id) AS r
+             FROM c CROSS JOIN q) WHERE r <= 5),
+         hits AS (SELECT x.query_id, count(*) AS n
+                  FROM exact x JOIN ivf USING (query_id, vec_id)
+                  GROUP BY x.query_id)
+         SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits5
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
+    "e6_ivf_knn" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         px AS (SELECT label, pos, avg(vec[pos]) AS cx
+                FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
+                GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px GROUP BY label),
+         q AS (SELECT vec AS qvec FROM e WHERE vec_id = 5),
+         best AS (SELECT c.label, q.qvec,
+                         round(list_cosine_similarity(c.centroid, q.qvec), 6) AS csim
+                  FROM cents c, q ORDER BY csim DESC, label LIMIT 1)
+         SELECT e.label, e.vec_id, round(list_cosine_similarity(e.vec, b.qvec), 6) AS sim
+         FROM e JOIN best b ON e.label = b.label
+         WHERE e.vec_id <> 5
+         ORDER BY sim DESC, vec_id
+         LIMIT 5""",
+    "s4_alias_resolve" ->
+      """WITH v AS (
+           SELECT CASE WHEN l_linenumber % 3 = 0 THEN l_quantity END AS c1,
+                  CASE WHEN l_linenumber % 3 = 1 THEN l_quantity END AS c2,
+                  CASE WHEN l_linenumber % 3 = 2 THEN CAST(-999.0 AS DOUBLE) END AS c3
+           FROM lineitem),
+         r AS (SELECT nullif(coalesce(c1, c2, c3), CAST(-999.0 AS DOUBLE)) AS qty FROM v)
+         SELECT count(*) AS n_rows, count(qty) AS n_resolved,
+                round(sum(qty), 2) AS sum_qty
+         FROM r""",
+    "p12_doc_shape" ->
+      """WITH c AS (
+           SELECT lang,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN CAST(to_json(struct_pack(id := doc_id, n := n_chars, lang := lang)) AS VARCHAR)
+                       ELSE text END AS content
+           FROM documents)
+         SELECT CASE WHEN json_valid(content)
+                      AND json_extract(CASE WHEN json_valid(content) THEN content
+                                            ELSE 'null' END, '$.id') IS NOT NULL
+                     THEN 'json' ELSE 'semantic' END AS shape,
+                lang, count(*) AS n
+         FROM c GROUP BY shape, lang ORDER BY shape, lang""",
+    "a1_properties_json" ->
+      """SELECT user_id,
+         to_json(struct_pack(
+           total_rows := count(*),
+           date_range := struct_pack(
+             start_ts := strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+             end_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S')),
+           value_stats := struct_pack(
+             vmin := printf('%.4f', round(min(value), 4)),
+             vmax := printf('%.4f', round(max(value), 4)),
+             vmean := printf('%.6f', floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0),
+             vcount := count(value)))) AS properties
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a4_measure_total" ->
+      """SELECT user_id,
+         CAST(count(value) + count(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+           AS total_measurements
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a6_collection_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         CAST(sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+         min(n_chars) AS chars_min, max(n_chars) AS chars_max
+         FROM documents GROUP BY source ORDER BY source""",
+    "t1_metadata_summary" ->
+      """WITH g AS (SELECT user_id, min(ts) AS d1, max(ts) AS d2, count(*) AS n,
+                           min(value) AS vmin, max(value) AS vmax
+                    FROM events GROUP BY user_id),
+         geo AS (SELECT *, fmod(vmin, 90) AS lat, fmod(vmax, 180) AS lon FROM g)
+         SELECT user_id,
+           printf('Unit %s operated from %s to %s in the %s with %s records. This unit operated in %s, %s deployment.',
+             CAST(user_id AS VARCHAR),
+             strftime(d1, '%Y-%m-%d'), strftime(d2, '%Y-%m-%d'),
+             CASE WHEN lon BETWEEN 20 AND 120 AND lat BETWEEN -60 AND 30 THEN 'Indian Ocean'
+                  WHEN lon <= -60 THEN 'Pacific Ocean'
+                  WHEN lon BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
+                  WHEN lon >= 120 AND lat >= 0 THEN 'North Pacific Ocean'
+                  WHEN lon >= 120 AND lat < 0 THEN 'South Pacific Ocean'
+                  ELSE 'Global Ocean' END,
+             CAST(n AS VARCHAR),
+             CASE WHEN lat < -30 THEN 'Southern Ocean region'
+                  WHEN lat > 30 THEN 'Northern hemisphere waters'
+                  ELSE 'tropical and subtropical waters' END,
+             CASE WHEN month(d1) BETWEEN 3 AND 5 THEN 'spring'
+                  WHEN month(d1) BETWEEN 6 AND 8 THEN 'summer'
+                  WHEN month(d1) BETWEEN 9 AND 11 THEN 'autumn'
+                  ELSE 'winter' END) AS summary
+         FROM geo ORDER BY user_id""",
+    "t3_upload_description" ->
+      """SELECT printf('Data collected from %s to %s. Values: %.2f to %.2f (mean: %.2f, %s measurements).',
+           strftime(min(ts), '%Y-%m-%d'), strftime(max(ts), '%Y-%m-%d'),
+           round(min(value), 2), round(max(value), 2), floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 100.0 + 0.5) / 100.0,
+           CAST(count(value) AS VARCHAR)) AS description
+         FROM events""",
+    "t4_profile_summary" ->
+      """WITH eav AS (
+           SELECT l_orderkey, 'l_quantity' AS variable_name, l_quantity AS variable_value FROM lineitem
+           UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem),
+         g AS (SELECT l_orderkey,
+                 min(CASE WHEN variable_name = 'l_quantity' THEN variable_value END) AS qmin,
+                 max(CASE WHEN variable_name = 'l_quantity' THEN variable_value END) AS qmax,
+                 min(CASE WHEN variable_name = 'l_extendedprice' THEN variable_value END) AS pmin,
+                 max(CASE WHEN variable_name = 'l_extendedprice' THEN variable_value END) AS pmax
+               FROM eav GROUP BY l_orderkey)
+         SELECT l_orderkey,
+           printf('Order %s with quantity from %.2f to %.2f and price from %.2f to %.2f',
+             CAST(l_orderkey AS VARCHAR),
+             round(qmin, 2), round(qmax, 2), round(pmin, 2), round(pmax, 2)) AS summary
+         FROM g ORDER BY l_orderkey""",
+    "f3_filename_parse" ->
+      """WITH f AS (
+           SELECT CASE WHEN p_partkey % 3 = 0 THEN 'nodc_D' || p_partkey || '_1.nc'
+                       WHEN p_partkey % 3 = 1 THEN 'argo_R' || p_partkey || '_2.nc'
+                       ELSE 'file_' || p_partkey || '.nc' END AS filename
+           FROM part),
+         e AS (SELECT regexp_extract(filename, '_[DR](\d+)', 1) AS float_id FROM f)
+         SELECT float_id <> '' AS parsed, count(*) AS n,
+                count(DISTINCT CASE WHEN float_id <> '' THEN float_id END) AS n_ids
+         FROM e GROUP BY parsed ORDER BY parsed""",
+    "f4_time_coerce" ->
+      """WITH r AS (
+           SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
+           FROM orders),
+         p AS (SELECT try_strptime(raw, '%Y-%m-%d') AS t FROM r)
+         SELECT count(*) AS n_rows, count(t) AS n_parsed,
+                strftime(min(t), '%Y-%m-%d') AS first_day,
+                strftime(max(t), '%Y-%m-%d') AS last_day
+         FROM p""",
+    "mm1_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS kind
+           FROM documents)
+         SELECT kind, count(*) AS n_items,
+                CAST(count(*) AS BIGINT) AS n_decoded,
+                CAST(max(CASE WHEN kind = 'image' THEN 16 + doc_id % 8
+                              WHEN kind = 'video' THEN 320 + (doc_id % 8) * 4 END) AS INTEGER) AS max_width,
+                CAST(max(CASE WHEN kind = 'image' THEN 8 + doc_id % 4
+                              WHEN kind = 'video' THEN 180 + (doc_id % 6) * 4 END) AS INTEGER) AS max_height,
+                CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+                CAST(max(CASE WHEN kind = 'audio' THEN 8000 + (doc_id % 5) * 1000
+                              WHEN kind = 'video' THEN 600 + (doc_id % 5) * 300 END) AS INTEGER) AS max_sample_rate,
+                CAST(sum(CASE WHEN kind = 'audio' THEN 50 + doc_id % 100
+                              WHEN kind = 'video' THEN 3000 + (doc_id % 100) * 60 END) AS BIGINT) AS sum_frames,
+                CAST(count(*) AS BIGINT) AS n_feat_ok
+         FROM m GROUP BY kind ORDER BY kind""",
+    "st2_idempotent_union" ->
+      """WITH u AS (
+           SELECT event_id, user_id, value, 1 AS arrival FROM events WHERE event_id % 3 = 0
+           UNION ALL SELECT event_id, user_id, value, 2 FROM events WHERE event_id % 3 = 1
+           UNION ALL SELECT event_id, user_id, value, 3 FROM events WHERE event_id % 2 = 0),
+         d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY arrival) AS rn FROM u)
+         SELECT arrival, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM d WHERE rn = 1 GROUP BY arrival ORDER BY arrival""",
+    "dd1_exact_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+               FROM all_docs GROUP BY 1)
+         SELECT n_copies, count(*) AS n_groups, min(keep_id) AS min_keep_id
+         FROM g GROUP BY n_copies ORDER BY n_copies""",
+    "dd2_minhash_lsh" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         sig AS (SELECT doc_id,
+                        min(substr(md5(shingle), 1, 5))  AS mh0, min(substr(md5(shingle), 6, 5))  AS mh1,
+                        min(substr(md5(shingle), 11, 5)) AS mh2, min(substr(md5(shingle), 16, 5)) AS mh3,
+                        min(substr(md5(shingle), 21, 5)) AS mh4, min(substr(md5(shingle), 26, 5)) AS mh5
+                 FROM sh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         bk AS (SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY 1, 2)
+         SELECT band_id, count(*) AS n_buckets,
+                CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_buckets,
+                CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+         FROM bk GROUP BY band_id ORDER BY band_id""",
+    "mm2_media_pool" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+              FROM documents),
+         img AS (SELECT media_id, 16 + media_id % 8 AS w, 8 + media_id % 4 AS h
+                 FROM m WHERE kind = 'image'),
+         px AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
+         pxy AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+         icell AS (SELECT media_id, 'image' AS kind,
+                          (x * 4) // w AS cell_x, (y * 2) // h AS cell_y,
+                          count(*) AS n,
+                          sum(((media_id * 31 + x * 7 + y * 13) % 16777215) % 256) AS sum_v
+                   FROM pxy GROUP BY 1, 2, 3, 4),
+         aud AS (SELECT media_id, 50 + media_id % 100 AS nf FROM m WHERE kind = 'audio'),
+         ai AS (SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM aud),
+         acell AS (SELECT media_id, 'audio' AS kind,
+                          (i * 4) // nf AS cell_x, 0 AS cell_y,
+                          count(*) AS n,
+                          sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
+                   FROM ai GROUP BY 1, 2, 3, 4),
+         vid AS (SELECT media_id, 64 + media_id % 64 AS nb FROM m WHERE kind = 'video'),
+         vi AS (SELECT media_id, nb, unnest(generate_series(0, nb - 1)) AS i FROM vid),
+         vcell AS (SELECT media_id, 'video' AS kind,
+                          (i * 4) // nb AS cell_x, 0 AS cell_y,
+                          count(*) AS n,
+                          sum((media_id * 13 + i * 17) % 251) AS sum_v
+                   FROM vi GROUP BY 1, 2, 3, 4)
+         SELECT media_id, kind, CAST(cell_x AS BIGINT) AS cell_x,
+                CAST(cell_y AS BIGINT) AS cell_y, CAST(n AS BIGINT) AS n,
+                CAST(sum_v AS BIGINT) AS sum_v
+         FROM (SELECT * FROM icell UNION ALL SELECT * FROM acell UNION ALL SELECT * FROM vcell)
+         ORDER BY media_id, cell_y, cell_x""",
+    "dd8_lsh_verified" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b)
+         SELECT i.id_a, i.id_b, i.n_inter,
+                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS is_dup
+         FROM inter i
+         JOIN sig sa ON sa.doc_id = i.id_a
+         JOIN sig sb ON sb.doc_id = i.id_b
+         ORDER BY i.id_a, i.id_b""",
+    "ta5_tfidf_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (SELECT doc_id, token, tf, (tf * 1000000) // df AS score
+                    FROM tf JOIN dft USING (token)),
+         r AS (SELECT doc_id, token, tf, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, token) AS rank
+               FROM scored)
+         SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score, rank
+         FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
+    "ta6_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                            '@example.com or call ' || printf('555-%04d', doc_id % 10000)
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                regexp_replace(
+                  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
+    "ta7_repetition" ->
+      """WITH segs0 AS (
+           SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents),
+         segs AS (SELECT doc_id, trim(s) AS seg FROM segs0 WHERE trim(s) <> ''),
+         segstats AS (SELECT doc_id, count(*) AS n_segs,
+                             count(DISTINCT seg) AS n_distinct_segs
+                      FROM segs GROUP BY doc_id),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM documents),
+         bg0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM tk WHERE len(toks) >= 2),
+         bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram FROM bg0),
+         bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+         bgstats AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
+                     FROM bgc GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_segs, 0) AS BIGINT) AS n_segs,
+                CAST(coalesce(s.n_distinct_segs, 0) AS BIGINT) AS n_distinct_segs,
+                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                (coalesce(b.top_bigram_n, 0) * 100 > coalesce(b.n_bigrams, 0) * 18) AS repetitive
+         FROM documents d
+         LEFT JOIN segstats s USING (doc_id)
+         LEFT JOIN bgstats b USING (doc_id)
+         ORDER BY d.doc_id""",
+    "dd9_dup_groups" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                   UNION ALL SELECT id_b, id_a FROM dup),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
+         SELECT l.member_id, l.group_id, g.n_members
+         FROM lab l
+         JOIN (SELECT group_id, count(*) AS n_members FROM lab GROUP BY group_id) g
+           USING (group_id)
+         ORDER BY l.member_id""",
+    "dd10_dedup_apply" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                   UNION ALL SELECT id_b, id_a FROM dup),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
+         SELECT d.doc_id,
+                coalesce(l.group_id, d.doc_id) AS group_id,
+                (l.group_id IS NULL OR l.group_id = d.doc_id) AS kept
+         FROM all_docs d LEFT JOIN lab l ON l.member_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "dd16_canonical_pick" ->
+      """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+                   UNION ALL SELECT id_b, id_a FROM dup),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id),
+         corpus AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q FROM all_docs),
+         labeled AS (SELECT c.doc_id, coalesce(l.group_id, c.doc_id) AS group_id, c.q
+                     FROM corpus c LEFT JOIN lab l ON l.member_id = c.doc_id),
+         canon AS (SELECT group_id, doc_id AS canon_id,
+                          row_number() OVER (PARTITION BY group_id
+                                             ORDER BY q DESC, doc_id) AS rn
+                   FROM labeled)
+         SELECT l.doc_id, l.group_id, (l.doc_id = c.canon_id) AS kept, l.q
+         FROM labeled l
+         JOIN (SELECT group_id, canon_id FROM canon WHERE rn = 1) c USING (group_id)
+         ORDER BY l.doc_id""",
+    "dd3_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(cnt * (((strpos('0123456789abcdef', substr(md5(token), b + 1, 1)) - 1) % 2) * 2 - 1)) AS w
+           FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+           GROUP BY doc_id, b)
+         SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash16
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "dd6_simhash_hamming" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 100 = 0),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM all_docs),
+         tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(cnt * ((((strpos('0123456789abcdef', substr(md5(token), b // 4 + 1, 1)) - 1) >> (b % 4)) & 1) * 2 - 1)) AS w
+           FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
+           GROUP BY doc_id, b),
+         sigs AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS h
+                  FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, h, band_id, (h >> (band_id * 21)) & 2097151 AS chunk
+           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band_id)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
+         ORDER BY id_a, id_b""",
+    "dd4_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id,
+                            list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                     FROM documents),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM tk WHERE len(toks) >= 2),
+         shl AS (SELECT doc_id, list(DISTINCT array_to_string(toks[i:i+1], ' ')) AS sh
+                 FROM sh0 GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+                floor(len(list_intersect(a.sh, b.sh)) /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 20
+         ORDER BY doc_a""",
+    "dd7_minhash_est" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 20 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         shl AS (SELECT doc_id, list(DISTINCT array_to_string(toks[i:i+2], ' ')) AS sh
+                 FROM sh0 GROUP BY doc_id),
+         shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         sig AS (SELECT doc_id,
+                        min(substr(md5(shingle), 1, 5))  AS mh0, min(substr(md5(shingle), 6, 5))  AS mh1,
+                        min(substr(md5(shingle), 11, 5)) AS mh2, min(substr(md5(shingle), 16, 5)) AS mh3,
+                        min(substr(md5(shingle), 21, 5)) AS mh4, min(substr(md5(shingle), 26, 5)) AS mh5
+                 FROM shd GROUP BY doc_id),
+         ss AS (SELECT * FROM sig JOIN shl USING (doc_id)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) AS nm,
+                  len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
+           FROM ss a JOIN ss b ON b.doc_id = a.doc_id + 100000
+           UNION ALL
+           SELECT a.doc_id, b.doc_id,
+                  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+                   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END),
+                  len(list_intersect(a.sh, b.sh)), len(a.sh), len(b.sh)
+           FROM ss a JOIN ss b ON b.doc_id = a.doc_id + 20)
+         SELECT doc_a, doc_b, CAST(nm AS BIGINT) AS n_match,
+                floor(nm / 6.0 * 1000000.0 + 0.5) / 1000000.0 AS est_j,
+                floor(ni / (na + nb - ni) * 1000000.0 + 0.5) / 1000000.0 AS exact_j,
+                floor(abs(nm / 6.0 - ni / (na + nb - ni)) * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+         FROM pairs ORDER BY doc_a, doc_b""",
+    "dd5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         sig AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN vec[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+           FROM e CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i)
+           GROUP BY vec_id),
+         banded AS (
+           SELECT e.vec_id, e.vec, band_id, (sig >> (band_id * 8)) & 255 AS chunk
+           FROM sig JOIN e USING (vec_id)
+                CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band_id)),
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, sim FROM pairs
+         ORDER BY sim DESC, id_a, id_b
+         LIMIT 20""",
+    "dd11_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+         c0 AS (SELECT vec_id, vec FROM e
+                UNION ALL
+                SELECT vec_id + 10000, vec FROM e WHERE vec_id % 20 = 0),
+         k AS (SELECT greatest(10, count(*) // 256) AS ncells FROM c0),
+         c AS (SELECT vec_id, vec_id % ncells AS label, vec FROM c0 CROSS JOIN k),
+         poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM c CROSS JOIN poss GROUP BY label, pos),
+         cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
+         a1 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents0 ct) WHERE r = 1),
+         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a1 CROSS JOIN poss GROUP BY label, pos),
+         cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
+         a2 AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents1 ct) WHERE r = 1),
+         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
+                 FROM a2 CROSS JOIN poss GROUP BY label, pos),
+         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
+         idx AS (SELECT vec_id, vec, label FROM (
+             SELECT c.vec_id, c.vec, ct.label,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                               ct.label) AS r
+             FROM c CROSS JOIN cents ct) WHERE r = 1),
+         pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                          round(list_cosine_similarity(x.vec, y.vec), 6) AS sim
+                   FROM idx x JOIN idx y
+                     ON x.label = y.label AND x.vec_id < y.vec_id),
+         dropped AS (SELECT id_b AS vec_id, min(id_a) AS kept_for,
+                            count(*) AS n_close
+                     FROM pairs WHERE sim >= 0.98 GROUP BY id_b)
+         SELECT i.vec_id, i.label AS cell,
+                d.kept_for IS NOT NULL AS is_dup,
+                coalesce(d.kept_for, i.vec_id) AS keep_id,
+                CAST(coalesce(d.n_close, 0) AS BIGINT) AS n_close
+         FROM idx i LEFT JOIN dropped d ON i.vec_id = d.vec_id""",
+    "ta1_lang_id" ->
+      """WITH t AS (SELECT lang,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                    FROM documents),
+         s AS (SELECT lang,
+                 len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+                 len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                 len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                 len(list_filter(toks, t -> t IN ('el','los','las','y','es','un'))) AS s_es,
+                 len(list_filter(toks, t -> t IN ('的','是','在','了'))) AS s_zh
+               FROM t),
+         p AS (SELECT lang,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'unknown'
+                      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                      ELSE 'zh' END AS predicted
+               FROM s)
+         SELECT lang, predicted, count(*) AS n FROM p
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "ta2_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n_tokens,
+                 list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS sum_len,
+                 len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+               FROM t)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                floor(sum_len / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+                floor(n_stop / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                floor(least(CAST(1.0 AS DOUBLE), n_tokens / 100.0) *
+                      (CAST(1.0 AS DOUBLE) - n_stop / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS quality
+         FROM m ORDER BY doc_id""",
+    "ta3_token_count" ->
+      """SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS sum_ws_tokens,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_re_tokens,
+         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS sum_bpe_est
+         FROM documents GROUP BY source ORDER BY source""",
+    "ta4_fingerprint" ->
+      """WITH f AS (SELECT source,
+           md5(array_to_string(
+             (list_sort(list_transform(
+                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')),
+                t -> md5(t))))[1:5], ',')) AS fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp
+         FROM f GROUP BY source ORDER BY source""",
+    "t2_deploy_summary" ->
+      """WITH g AS (SELECT user_id, min(ts) AS t0, count(*) AS n,
+                           min(value) AS vmin, max(value) AS vmax
+                    FROM events GROUP BY user_id)
+         SELECT user_id,
+           printf('On %s, unit %s recorded %s event(s) near latitude %.3f°%s. Values ranged from %.2f to %.2f.',
+             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
+             CAST(user_id AS VARCHAR), CAST(n AS VARCHAR),
+             abs(round(fmod(vmin, 90), 3)),
+             CASE WHEN fmod(vmin, 90) >= 0 THEN 'N' ELSE 'S' END,
+             round(vmin, 2), round(vmax, 2)) AS summary
+         FROM g ORDER BY user_id""",
+    "t5_doc_json" ->
+      """SELECT user_id,
+         to_json(struct_pack(user_id := user_id, n_events := count(*),
+           first_ts := strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+           last_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S'))) AS doc
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "e1_embed_stats" ->
+      """SELECT source, count(*) AS n_docs, 384 AS dim,
+         CAST(1.0 AS DOUBLE) AS norm_min, CAST(1.0 AS DOUBLE) AS norm_max
+         FROM documents GROUP BY source ORDER BY source""",
+    "e2_knn_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, label,
+                round(list_cosine_similarity(embedding::DOUBLE[], qvec), 6) AS sim
+         FROM embeddings, q
+         WHERE vec_id <> 0 AND label % 2 = 0
+         ORDER BY sim DESC, vec_id
+         LIMIT 10""",
+    "e3_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS sim
+           FROM embeddings e, q WHERE e.vec_id >= 3)
+         SELECT query_id, vec_id, label, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "e4_missing_repair" ->
+      """SELECT count(*) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_valid_after,
+         CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
+         FROM embeddings""",
+    "e5_embed_verify" ->
+      """SELECT count(*) AS n_vecs,
+         CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok,
+         CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         count(DISTINCT label) AS n_labels
+         FROM embeddings""",
+    "u3_pivot_back" ->
+      """SELECT l_returnflag,
+         floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS qty_mean,
+         floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS disc_mean
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "d3_set_ops" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT
+           (SELECT count(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)) AS n_both,
+           (SELECT count(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM buyers)) AS n_click_only,
+           (SELECT count(*) FROM (SELECT * FROM clickers UNION SELECT * FROM buyers)) AS n_union""",
+    "u2_token_explode" ->
+      """SELECT token, count(*) AS n, min(pos) AS first_pos
+         FROM (
+           SELECT unnest(string_split(text, ' ')) AS token,
+                  unnest(range(0, len(string_split(text, ' ')))) AS pos
+           FROM documents
+         )
+         WHERE token IS NOT NULL AND token <> ''
+         GROUP BY token
+         ORDER BY token""",
+    "gr1_pagerank" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey % 4096 AS src, l_partkey % 4096 AS dst
+                    FROM lineitem),
+         n AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM n),
+         c1 AS (SELECT e.dst, sum(p0.p // od.outdeg) AS contrib
+                FROM p0 JOIN e ON p0.node = e.src JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         p1 AS (SELECT n.node,
+                       CAST(150000 + (850 * COALESCE(c1.contrib, 0)) // 1000 AS BIGINT) AS p
+                FROM n LEFT JOIN c1 ON n.node = c1.dst),
+         c2 AS (SELECT e.dst, sum(p1.p // od.outdeg) AS contrib
+                FROM p1 JOIN e ON p1.node = e.src JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         p2 AS (SELECT n.node,
+                       CAST(150000 + (850 * COALESCE(c2.contrib, 0)) // 1000 AS BIGINT) AS p
+                FROM n LEFT JOIN c2 ON n.node = c2.dst),
+         c3 AS (SELECT e.dst, sum(p2.p // od.outdeg) AS contrib
+                FROM p2 JOIN e ON p2.node = e.src JOIN od ON e.src = od.src
+                GROUP BY e.dst),
+         p3 AS (SELECT n.node,
+                       CAST(150000 + (850 * COALESCE(c3.contrib, 0)) // 1000 AS BIGINT) AS p
+                FROM n LEFT JOIN c3 ON n.node = c3.dst)
+         SELECT node, p FROM p3 ORDER BY p DESC, node LIMIT 20""",
+    "mm4_audio_fingerprint" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+         all_m AS (SELECT media_id, media_id AS base_id FROM m
+                   UNION ALL SELECT media_id + 1000000, media_id FROM m),
+         aud AS (SELECT media_id, base_id, 50 + base_id % 100 AS nf FROM all_m),
+         ai AS (SELECT media_id, base_id, nf,
+                       unnest(generate_series(0, nf - 1)) AS i FROM aud),
+         acell AS (SELECT media_id, (i * 16) // nf AS w,
+                          sum(abs((base_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
+                   FROM ai GROUP BY 1, 2),
+         bits AS (SELECT media_id, (sum_v % 2) * (1 << w) AS b FROM acell),
+         h AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS fp FROM bits GROUP BY 1)
+         SELECT fp, count(*) AS n_clips, min(media_id) AS min_media_id
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "mm3_image_ahash" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+         all_m AS (SELECT media_id, media_id AS base_id FROM m
+                   UNION ALL SELECT media_id + 1000000, media_id FROM m),
+         img AS (SELECT media_id, base_id,
+                        16 + base_id % 8 AS w, 8 + base_id % 4 AS h
+                 FROM all_m),
+         px AS (SELECT media_id, base_id, w, h,
+                       unnest(generate_series(0, w - 1)) AS x FROM img),
+         pxy AS (SELECT media_id, base_id, w, h, x,
+                        unnest(generate_series(0, h - 1)) AS y FROM px),
+         icell AS (SELECT media_id, (x * 4) // w AS cell_x, (y * 2) // h AS cell_y,
+                          count(*) AS n,
+                          sum(((base_id * 31 + x * 7 + y * 13) % 16777215) % 256) AS sum_v
+                   FROM pxy GROUP BY 1, 2, 3),
+         tot AS (SELECT media_id, sum(sum_v) AS tot_v, sum(n) AS tot_n
+                 FROM icell GROUP BY 1),
+         bits AS (SELECT i.media_id,
+                         (CASE WHEN i.sum_v * t.tot_n > t.tot_v * i.n THEN 1 ELSE 0 END)
+                           * (1 << (i.cell_y * 4 + i.cell_x)) AS w
+                  FROM icell i JOIN tot t USING (media_id)),
+         h AS (SELECT media_id, CAST(sum(w) AS BIGINT) AS ahash FROM bits GROUP BY 1)
+         SELECT ahash, count(*) AS n_images, min(media_id) AS min_media_id
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "o3_corrupt_tolerant" ->
+      """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
+                count(*) AS n_good, round(sum(value), 2) AS sum_value
+         FROM events""",
+    "pl2_training_pipeline" ->
+      """WITH q AS (
+           SELECT doc_id, source, text, n_chars,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       t -> t <> '')) AS BIGINT) AS ntok
+           FROM documents
+           WHERE n_chars >= 100
+             AND len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) >= 10),
+         d AS (SELECT * FROM q WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM documents),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
+         contam AS (SELECT DISTINCT s.doc_id FROM shd s JOIN ev USING (shingle)
+                    WHERE s.doc_id % 97 <> 0),
+         clean AS (SELECT * FROM d
+                   WHERE doc_id % 97 <> 0
+                     AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         samp AS (SELECT * FROM clean
+                  WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100
+                        < ((CAST(substr(source, 4) AS INT) % 4) * 25 + 25)),
+         offs AS (SELECT doc_id, ntok,
+                         CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_off
+                  FROM samp),
+         e2 AS (SELECT doc_id, ntok, start_off, start_off + ntok AS end_off
+                FROM offs WHERE ntok > 0),
+         x AS (SELECT doc_id, start_off, end_off,
+                      unnest(range(start_off // 2048, ((end_off - 1) // 2048) + 1)) AS chunk_id
+               FROM e2)
+         SELECT (SELECT count(*) FROM documents) AS n_docs_in,
+                (SELECT count(*) FROM q) AS n_quality,
+                (SELECT count(*) FROM d) AS n_deduped,
+                (SELECT count(*) FROM clean) AS n_decontaminated,
+                (SELECT count(*) FROM samp) AS n_sampled,
+                (SELECT CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM samp) AS n_tokens,
+                (SELECT count(DISTINCT chunk_id) FROM x) AS n_chunks,
+                (SELECT CAST(COALESCE(sum(least(end_off, (chunk_id + 1) * 2048) -
+                                          greatest(start_off, chunk_id * 2048)), 0) AS BIGINT)
+                 FROM x) AS packed_tokens""",
+    "j9_bloom_prune_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sp3_mixture_sample" ->
+      """WITH h AS (
+           SELECT source, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv,
+                  ((CAST(substr(source, 4) AS INT) % 4) * 25 + 25) AS rate_pct
+           FROM documents)
+         SELECT source, rate_pct, count(*) AS n_total,
+                CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+         FROM h GROUP BY 1, 2 ORDER BY source""",
+    "dc1_decontaminate" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+           FROM tk WHERE len(toks) >= 3),
+         shd AS (
+           SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
+           FROM sh0),
+         ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
+         tr AS (SELECT * FROM shd WHERE doc_id % 97 <> 0)
+         SELECT tr.doc_id, tr.source, count(*) AS n_hit_shingles
+         FROM tr JOIN ev USING (shingle)
+         GROUP BY 1, 2 ORDER BY 1""",
+    "tp1_token_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS ntok
+           FROM documents),
+         s AS (
+           SELECT doc_id, ntok,
+                  CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+           FROM t),
+         e AS (
+           SELECT doc_id, ntok, start_off, start_off + ntok AS end_off
+           FROM s WHERE ntok > 0),
+         x AS (
+           SELECT doc_id, start_off, end_off,
+                  unnest(range(start_off // 2048, ((end_off - 1) // 2048) + 1))
+                    AS chunk_id
+           FROM e)
+         SELECT chunk_id, count(*) AS n_docs,
+                CAST(sum(least(end_off, (chunk_id + 1) * 2048) -
+                         greatest(start_off, chunk_id * 2048)) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM x GROUP BY 1 ORDER BY 1""",
+    "o1_compaction" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+                round(sum(value), 2) AS sum_value,
+                CAST(48 AS BIGINT) AS files_before, TRUE AS files_after_on_target
+         FROM events""",
+    "o2_zorder_layout" ->
+      """WITH geo AS (
+           SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
+           FROM events),
+         q AS (
+           SELECT lat, lon,
+                  greatest(0, least(1023, CAST(floor((lat + 90) / 180 * 1024) AS BIGINT))) AS xi,
+                  greatest(0, least(1023, CAST(floor((lon + 180) / 360 * 1024) AS BIGINT))) AS yi
+           FROM geo),
+         s1 AS (SELECT lat, lon, (xi | (xi << 8)) & 16711935 AS xs,
+                       (yi | (yi << 8)) & 16711935 AS ys FROM q),
+         s2 AS (SELECT lat, lon, (xs | (xs << 4)) & 252645135 AS xs,
+                       (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+         s3 AS (SELECT lat, lon, (xs | (xs << 2)) & 858993459 AS xs,
+                       (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+         s4 AS (SELECT lat, lon, (xs | (xs << 1)) & 1431655765 AS xs,
+                       (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+         z AS (SELECT lat, lon, xs | (ys << 1) AS zval FROM s4)
+         SELECT zval >> 8 AS bucket, count(*) AS n,
+                round(min(lat), 4) AS lat_min, round(max(lat), 4) AS lat_max,
+                round(min(lon), 4) AS lon_min, round(max(lon), 4) AS lon_max,
+                min(zval) AS z_min, max(zval) AS z_max
+         FROM z GROUP BY 1 ORDER BY 1""",
+    "d4_scd2_history" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS prev_type
+           FROM events),
+         c AS (
+           SELECT user_id, ts, event_id, event_type
+           FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+         v AS (
+           SELECT user_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS version,
+                  event_type AS status, ts AS vf,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+           FROM c)
+         SELECT user_id, version, status,
+                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                vt IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+    "d5_cdc_apply" ->
+      """WITH l AS (
+           SELECT user_id, value,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id % 10 AS bucket,
+                CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+                CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                round(sum(CASE WHEN op <> 'D' THEN value END), 2) AS sum_final_value
+         FROM l WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
+    "sp4_group_split" ->
+      """WITH h AS (
+           SELECT source, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1)) % 100 AS hv
+           FROM documents)
+         SELECT CASE WHEN hv < 80 THEN 'train'
+                     WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
+                count(*) AS n_docs, count(DISTINCT source) AS n_groups,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "ta8_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     x -> x <> '')) AS w
+           FROM documents),
+         p AS (
+           SELECT substr(w, CAST(i AS INT), 2) AS pair
+           FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM w WHERE len(w) >= 2))
+         SELECT pair, count(*) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    "a14_sketch_union" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+                count(DISTINCT event_type) AS n_types,
+                TRUE AS est_within_5pct
+         FROM events""",
+    "tp3_chunk_overlap" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         c AS (SELECT doc_id, ts,
+                      unnest(generate_series(0,
+                        greatest(CAST(ceil((len(ts) - 32) / 24.0) AS INT), 0))) AS chunk_id
+               FROM tk),
+         ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                       ts[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)] AS chunk
+                FROM c)
+         SELECT doc_id, chunk_id,
+                CAST(len(chunk) AS BIGINT) AS n_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM ch ORDER BY doc_id, chunk_id""",
+    "tp2_curriculum" ->
+      """WITH d AS (
+           SELECT n_chars,
+                  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS ntok
+           FROM documents),
+         b AS (
+           SELECT least(greatest(n_chars // ntok, 3), 9) AS score_bin,
+                  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+           FROM d WHERE ntok > 0 GROUP BY 1),
+         c AS (
+           SELECT score_bin, n_docs, n_tokens,
+                  CAST(sum(n_tokens) OVER (ORDER BY score_bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_tokens,
+                  CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+           FROM b)
+         SELECT score_bin, n_docs, n_tokens, cum_tokens,
+                (cum_tokens - n_tokens) * 2 < total AS selected
+         FROM c ORDER BY score_bin""",
+    "dc2_neardup_decontam" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 200000, text || ' held out'
+           FROM documents WHERE doc_id % 40 = 0),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id
+                  WHERE b1.doc_id < 200000 AND b2.doc_id >= 200000),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         ver AS (SELECT i.id_a,
+                        floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5)
+                          / 1000000.0 AS jaccard
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b)
+         SELECT id_a AS doc_id, count(*) AS n_eval_dups, max(jaccard) AS max_jaccard
+         FROM ver WHERE jaccard >= 0.5
+         GROUP BY 1 ORDER BY 1""",
+    "st9_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+                count(DISTINCT event_id) AS n_distinct,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "st10_stream_static" ->
+      """SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "o5_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         a AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+         b AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0 THEN cents + 500 ELSE cents END AS cents
+               FROM base WHERE o_orderkey % 10 <> 7),
+         d AS (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                  a.cents AS cents_a, b.cents AS cents_b,
+                  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                       WHEN b.o_orderkey IS NULL THEN 'removed'
+                       WHEN a.cents <> b.cents THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         SELECT status, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(coalesce(cents_b, 0) - coalesce(cents_a, 0)) AS BIGINT) AS net_cents_delta
+         FROM d GROUP BY 1 ORDER BY status""",
+    "o4_partition_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                               ELSE value END), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "dd12_incremental_dedup" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 300002, text FROM documents WHERE doc_id % 30 = 1),
+         batch AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 3 = 0),
+         idx AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 3 <> 0),
+         ex AS (SELECT DISTINCT b.doc_id
+                FROM batch b JOIN idx i ON md5(b.text) = md5(i.text)),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM all_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id
+                  WHERE (b1.doc_id % 3 = 0) <> (b2.doc_id % 3 = 0)),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         near AS (SELECT DISTINCT
+                    CASE WHEN i.id_a % 3 = 0 THEN i.id_a ELSE i.id_b END AS doc_id
+                  FROM inter i
+                  JOIN sig sa ON sa.doc_id = i.id_a
+                  JOIN sig sb ON sb.doc_id = i.id_b
+                  WHERE 2 * i.n_inter >= sa.nsh + sb.nsh - i.n_inter)
+         SELECT b.doc_id,
+                CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                     WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                     ELSE 'new' END AS status
+         FROM batch b
+         LEFT JOIN ex ON b.doc_id = ex.doc_id
+         LEFT JOIN near nr ON b.doc_id = nr.doc_id
+         ORDER BY b.doc_id""",
+    "a15_cov_corr" ->
+      """WITH d AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                      * 1000000.0 + 0.5) / 1000000.0 AS cov_xy,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1000000.0 + 0.5) / 1000000.0 AS corr_xy
+         FROM m ORDER BY 1""",
+    "sp6_pps_sample" ->
+      """WITH h AS (
+           SELECT lang, doc_id, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS h
+           FROM documents),
+         r AS (SELECT lang, doc_id, n_chars, h,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY CAST(h + 1 AS DOUBLE) / n_chars, doc_id) AS rank
+               FROM h)
+         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, CAST(h AS BIGINT) AS h
+         FROM r WHERE rank <= 20 ORDER BY lang, rank""",
+    "sp5_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+         w AS (SELECT source, n_total,
+                      CAST(round(sqrt(n_total), 6) AS DECIMAL(27,6)) AS w
+               FROM c),
+         t AS (SELECT sum(w) AS sw, sum(n_total) AS n_corpus FROM w),
+         r AS (SELECT source, n_total,
+                      least(1.0, floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) *
+                                       CAST(n_corpus AS DOUBLE) * 0.5)
+                                 / CAST(n_total AS DOUBLE)) * 100 AS rate_pct
+               FROM w, t),
+         h AS (SELECT d.source, d.n_chars, r.rate_pct,
+                      ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv
+               FROM documents d JOIN r USING (source))
+         SELECT source, count(*) AS n_total,
+                floor(max(rate_pct) * 1000000.0 + 0.5) / 1000000.0 AS rate_pct,
+                CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
+                  AS sampled_chars
+         FROM h GROUP BY 1 ORDER BY 1""",
+    "gr2_triangle_census" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ef AS (SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         wg AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+                FROM ef e1 JOIN ef e2 ON e1.pb = e2.pa),
+         tr AS (SELECT count(*) AS n_triangles
+                FROM wg JOIN ef e3 ON wg.x = e3.pa AND wg.z = e3.pb)
+         SELECT (SELECT count(*) FROM ef) AS n_edges,
+                (SELECT count(*) FROM wg) AS n_wedges,
+                n_triangles,
+                (n_triangles * 1000000) // (SELECT count(*) FROM wg) AS closure_ppm
+         FROM tr""",
+    "ta9_bigram_lm" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         b AS (
+           SELECT doc_id, source, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+           FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                 FROM tk WHERE len(ts) >= 2)),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         model AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+                   FROM c2 JOIN c1 USING (w1)),
+         sc AS (SELECT doc_id, source, count(*) AS nb, sum(p_ppm) AS sump
+                FROM b JOIN model USING (w1, w2) GROUP BY 1, 2),
+         d AS (SELECT source, CAST(sump AS BIGINT) // nb AS doc_score FROM sc)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(doc_score) AS BIGINT) AS sum_score,
+                min(doc_score) AS min_score, max(doc_score) AS max_score
+         FROM d GROUP BY 1 ORDER BY 1""",
+    "ta11_normalize" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN chr(9) || ' ' ELSE '' END) ||
+                  text ||
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN chr(13) || chr(10) || 'end' || chr(160) || 'more'
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 5 = 0
+                        THEN chr(7) || chr(8203) || 'x' ELSE '' END) AS raw
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+                  trim(regexp_replace(
+                    regexp_replace(raw, '[\x00-\x1f\x{00A0}\x{200B}]', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS clean
+           FROM raw)
+         SELECT doc_id, len_raw,
+                CAST(length(clean) AS BIGINT) AS len_clean,
+                md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
+    "dd15_span_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                        greatest(CAST(len(ts) AS BIGINT) - 7, 0) AS n_spans
+                 FROM tk),
+         s0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+                FROM tk WHERE len(ts) >= 8),
+         sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+                       array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS span
+                FROM s0),
+         d AS (SELECT span FROM sp GROUP BY 1 HAVING count(*) > 1),
+         cv0 AS (SELECT sp.doc_id, sp.start,
+                        unnest(generate_series(sp.start, sp.start + 7)) AS pos
+                 FROM sp JOIN d USING (span)),
+         cv AS (SELECT doc_id, count(DISTINCT start) AS n_dup_spans,
+                       count(DISTINCT pos) AS covered
+                FROM cv0 GROUP BY 1)
+         SELECT t.doc_id, t.n_tokens, t.n_spans,
+                CAST(coalesce(cv.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered_tokens,
+                CAST(CASE WHEN t.n_tokens > 0
+                          THEN (coalesce(cv.covered, 0) * 1000000) // t.n_tokens
+                          ELSE 0 END AS BIGINT) AS dup_ppm
+         FROM tot t LEFT JOIN cv USING (doc_id) ORDER BY t.doc_id""",
+    "dd14_line_dedup" ->
+      """WITH t2 AS (
+           SELECT doc_id,
+                  text || chr(10) || 'cookie policy applies' ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+                  CASE WHEN doc_id % 50 = 0
+                       THEN chr(10) || 'promo code ' || CAST((doc_id // 50) % 2 AS VARCHAR)
+                       ELSE '' END AS text2
+           FROM documents),
+         l0 AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS i
+                FROM (SELECT doc_id, string_split(text2, chr(10)) AS lines FROM t2)),
+         l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                      lines[CAST(i AS INT)] AS line
+               FROM l0),
+         f AS (SELECT line, count(*) AS nd FROM l GROUP BY 1),
+         n AS (SELECT count(*) AS n_total FROM documents),
+         b AS (SELECT f.line FROM f, n WHERE f.nd * 20 > n.n_total),
+         k AS (SELECT l.doc_id,
+                      CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                      CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                      coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                                          chr(10) ORDER BY l.pos), '') AS clean_text
+               FROM l LEFT JOIN b ON l.line = b.line
+               GROUP BY 1)
+         SELECT doc_id, n_kept, n_dropped,
+                CAST(length(clean_text) AS BIGINT) AS clean_len,
+                md5(clean_text) AS clean_md5
+         FROM k ORDER BY doc_id""",
+    "ta10_bm25_topk" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
+         tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ('spark','dup','hash','join','merge','window','sort')
+                GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS aa FROM dl),
+         qt (query_id, token) AS (VALUES (0,'spark'),(0,'dup'),(1,'hash'),(1,'join'),
+                                         (1,'merge'),(2,'window'),(2,'sort')),
+         sc AS (SELECT query_id, tf.doc_id,
+                       ((((2*(nn - df) + 1) * 1000000) // (2*df + 1)) *
+                        ((22 * tf * aa * 1000000) // (10*aa*tf + 3*aa + 9*dl*nn)))
+                       // 1000000 AS tscore
+                FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+                        JOIN qt USING (token), g),
+         ps AS (SELECT query_id, doc_id, CAST(sum(tscore) AS BIGINT) AS score
+                FROM sc GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rank
+               FROM ps)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "a18_equidepth_bins" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS nt
+               FROM e),
+         x AS (SELECT event_type, value,
+                      1 + ((rn - 1) * 10) // nt AS bin
+               FROM r)
+         SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+                round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a16_histogram" ->
+      """SELECT event_type,
+                CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 11
+                     ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+                count(*) AS n,
+                round(min(value), 4) AS lo, round(max(value), 4) AS hi
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "w6_trailing_range" ->
+      """WITH s AS (
+           SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+           FROM events),
+         w AS (
+           SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id ORDER BY tsec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
+                  sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+                    ORDER BY tsec
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS sum_1h
+           FROM s)
+         SELECT user_id, count(*) AS n_events, max(n_1h) AS max_burst,
+                round(CAST(max(sum_1h) AS DOUBLE), 4) AS max_burst_value
+         FROM w GROUP BY 1 ORDER BY 1""",
+    "dd13_editdistance_dedup" ->
+      """WITH names AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1),
+         b AS (SELECT name, cnt, substr(name, 1, 3) AS pfx, len(name) // 4 AS lb
+               FROM names),
+         ex AS (SELECT CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS n_name_pairs,
+                       CAST(sum(cnt * (cnt - 1)) // 2 AS BIGINT) AS n_part_pairs
+                FROM b),
+         pr AS (SELECT levenshtein(a.name, b2.name) AS d, a.cnt * b2.cnt AS w
+                FROM b a JOIN b b2
+                  ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.name < b2.name),
+         nr AS (SELECT CAST(d AS BIGINT) AS d, count(*) AS n_name_pairs,
+                       CAST(sum(w) AS BIGINT) AS n_part_pairs
+                FROM pr WHERE d BETWEEN 1 AND 3 GROUP BY 1)
+         SELECT d, n_name_pairs, n_part_pairs FROM ex
+         UNION ALL SELECT d, n_name_pairs, n_part_pairs FROM nr
+         ORDER BY d""",
+    "st11_dedup_window_chain" ->
+      """WITH wm AS (SELECT max(ts) AS w FROM events),
+         h AS (
+           SELECT date_trunc('hour', ts) AS ws, value
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                count(*) AS n_rows,
+                round(min(value), 4) AS value_min,
+                round(max(value), 4) AS value_max
+         FROM h, wm
+         WHERE ws + INTERVAL 1 HOUR <= wm.w
+         GROUP BY ws ORDER BY 1""",
+    "st12_foreachbatch_merge" ->
+      """WITH r AS (
+           SELECT user_id, ts, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+                event_type AS last_type,
+                round(value, 4) AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "a17_mode_per_user" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, n,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY n DESC, event_type DESC) AS rn
+               FROM c)
+         SELECT user_id, event_type AS top_type, n AS top_n
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    "dq1_constraint_suite" ->
+      """WITH b AS (
+           SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+                  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+                  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_price,
+                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+           FROM orders),
+         o AS (
+           SELECT CAST(count(*) AS BIGINT) AS orphan_fk FROM orders
+           WHERE o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                   WHERE c_custkey IS NOT NULL)),
+         u AS (
+           SELECT 'completeness_custkey' AS check_name, null_cust AS violations FROM b
+           UNION ALL SELECT 'domain_orderstatus', bad_status FROM b
+           UNION ALL SELECT 'range_totalprice_le_100k', big_price FROM b
+           UNION ALL SELECT 'range_totalprice_pos', nonpos_price FROM b
+           UNION ALL SELECT 'ref_integrity_custkey', orphan_fk FROM o
+           UNION ALL SELECT 'uniqueness_orderkey', dup_keys FROM b)
+         SELECT check_name, violations, violations = 0 AS passed
+         FROM u ORDER BY check_name""",
+    "pv1_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
+           FROM customer GROUP BY 1, 2)
+         SELECT c_custkey,
+                CASE WHEN group_n >= 8 THEN CAST(c_nationkey AS BIGINT)
+                     ELSE -1 END AS nation_qi,
+                CASE WHEN group_n >= 8 THEN c_mktsegment ELSE '*' END AS segment_qi,
+                group_n, group_n < 8 AS suppressed
+         FROM customer JOIN g USING (c_nationkey, c_mktsegment)
+         ORDER BY c_custkey""",
+    "tp4_importance_select" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                     t -> t <> '')) AS token
+           FROM documents),
+         st AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS rc,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+           FROM tk GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(rc) AS BIGINT) AS pool_total,
+                  CAST(sum(tc) AS BIGINT) AS tgt_total
+           FROM st),
+         lean AS (
+           SELECT token, tc * (SELECT pool_total FROM tot)
+                         > rc * (SELECT tgt_total FROM tot) AS lean
+           FROM st),
+         dt AS (SELECT DISTINCT doc_id, token FROM tk)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT) AS n_lean,
+                CAST(sum(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT) * 2
+                  >= count(*) AS selected
+         FROM dt JOIN lean USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q18_large_volume" ->
+      """WITH big AS (
+           SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+         SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(o_totalprice, 2) AS o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "rr1_hybrid_rrf" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
+         tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token IN ('spark','dup','hash','join','merge','window','sort')
+                GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS aa FROM dl),
+         qt (query_id, token) AS (VALUES (0,'spark'),(0,'dup'),(1,'hash'),(1,'join'),
+                                         (1,'merge'),(2,'window'),(2,'sort')),
+         sc AS (SELECT query_id, tf.doc_id,
+                       ((((2*(nn - df) + 1) * 1000000) // (2*df + 1)) *
+                        ((22 * tf * aa * 1000000) // (10*aa*tf + 3*aa + 9*dl*nn)))
+                       // 1000000 AS tscore
+                FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+                        JOIN qt USING (token), g),
+         ps AS (SELECT query_id, doc_id, CAST(sum(tscore) AS BIGINT) AS score
+                FROM sc GROUP BY 1, 2),
+         lexr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                         CAST(rank AS BIGINT) AS lex_rank FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, doc_id) AS rank
+                    FROM ps) WHERE rank <= 20),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 3),
+         semsc AS (SELECT q.query_id, e.vec_id AS doc_id,
+                          round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS sim
+                   FROM embeddings e, q WHERE e.vec_id >= 3),
+         semr AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS sem_rank FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY sim DESC, doc_id) AS rank
+                    FROM semsc) WHERE rank <= 20),
+         fused AS (SELECT query_id, doc_id, lex_rank, sem_rank,
+                          COALESCE(1000000000 // (60 + lex_rank), 0) +
+                          COALESCE(1000000000 // (60 + sem_rank), 0) AS rrf_score
+                   FROM lexr FULL JOIN semr USING (query_id, doc_id))
+         SELECT query_id, doc_id, lex_rank, sem_rank,
+                CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rank AS BIGINT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rrf_score DESC, doc_id) AS rank
+               FROM fused)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ret1_cohort_retention" ->
+      """WITH w AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS week
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+         cells AS (
+           SELECT f.cohort_week, w.week - f.cohort_week AS offset_weeks,
+                  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+           FROM w JOIN f USING (user_id) GROUP BY 1, 2),
+         s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+               FROM f GROUP BY 1)
+         SELECT cohort_week, offset_weeks, n_users, cohort_size,
+                n_users * 10000 // cohort_size AS retention_bp
+         FROM cells JOIN s USING (cohort_week)
+         ORDER BY cohort_week, offset_weeks""",
+    "e10_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+               FROM embeddings WHERE vec_id >= 20),
+         ex AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, c.vec_id,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
+                                    c.vec_id) AS r
+                  FROM c, q) WHERE r <= 5),
+         tr AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, c.vec_id,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY round(list_cosine_similarity(c.vec[1:16], q.qvec[1:16]), 6) DESC,
+                                    c.vec_id) AS r
+                  FROM c, q) WHERE r <= 5),
+         hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n
+                  FROM ex JOIN tr USING (query_id, vec_id) GROUP BY 1)
+         SELECT q.query_id, COALESCE(hits.n, 0) AS n_hits5
+         FROM q LEFT JOIN hits USING (query_id)
+         ORDER BY query_id""",
+    "j10_interval_overlap" ->
+      """WITH iv AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                    + o_orderkey % 20 + 3 AS hi
+           FROM orders),
+         a AS (SELECT o_custkey, o_orderkey AS a_key, lo AS a_lo, hi AS a_hi
+               FROM iv WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_custkey, o_orderkey AS b_key, lo AS b_lo, hi AS b_hi
+               FROM iv WHERE o_orderkey % 2 = 1),
+         p AS (SELECT a.o_custkey,
+                      least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1 AS overlap
+               FROM a JOIN b ON a.o_custkey = b.o_custkey
+                            AND a_lo <= b_hi AND b_lo <= a_hi)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(overlap) AS BIGINT) AS total_overlap_days
+         FROM p GROUP BY o_custkey ORDER BY o_custkey""",
+    "dq2_drift" ->
+      """WITH ev AS (
+           SELECT event_type, value, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+         cells AS (
+           SELECT event_type,
+                  CASE WHEN value < 0 THEN 0
+                       WHEN value >= 100 THEN 11
+                       ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+                  CAST(sum(CASE WHEN day * 2 <= d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN day * 2 <= d0 + d1 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM ev, bounds GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS t_a,
+                        CAST(sum(n_b) AS BIGINT) AS t_b
+                 FROM cells GROUP BY 1)
+         SELECT event_type, bucket, n_a, n_b,
+                abs(n_a * t_b - n_b * t_a) * 20 > t_a * t_b AS drifted
+         FROM cells JOIN tot USING (event_type)
+         ORDER BY event_type, bucket""",
+    "w8_cumulative_users" ->
+      """WITH d AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+         n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1),
+         a AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+               FROM d GROUP BY 1),
+         j AS (SELECT day, COALESCE(new_users, 0) AS new_users,
+                      COALESCE(active_users, 0) AS active_users
+               FROM n FULL JOIN a USING (day))
+         SELECT day, new_users, active_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_users
+         FROM j ORDER BY day""",
+    "geo1_track_stats" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+                  event_id * 7919 % 18000 AS lat_cd,
+                  event_id * 104729 % 36000 AS lon_cd
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         s AS (
+           SELECT user_id, lat_cd, lon_cd,
+                  lat_cd - lag(lat_cd) OVER w AS dlat,
+                  lon_cd - lag(lon_cd) OVER w AS dlon
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         d AS (SELECT user_id, lat_cd, lon_cd,
+                      dlat * dlat + dlon * dlon AS d2 FROM s)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_pings,
+                CAST(count(d2) AS BIGINT) AS n_steps,
+                CAST(COALESCE(sum(d2), 0) AS BIGINT) AS total_d2,
+                round(sqrt(COALESCE(max(d2), 0)), 6) AS max_step,
+                CAST(count(DISTINCT lat_cd // 1000 * 1000000 + lon_cd // 1000)
+                  AS BIGINT) AS n_cells
+         FROM d GROUP BY user_id ORDER BY user_id""",
+    "fn1_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events
+                     WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS ts_1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, ts_1,
+                       min(CASE WHEN ev.ts > ts_1 THEN ev.ts END) AS ts_2
+                FROM s1 LEFT JOIN ev
+                  ON ev.user_id = s1.user_id AND ev.event_type = 'click'
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, ts_1, ts_2,
+                       min(CASE WHEN ev.ts > ts_2 THEN ev.ts END) AS ts_3
+                FROM s2 LEFT JOIN ev
+                  ON ev.user_id = s2.user_id AND ev.event_type = 'purchase'
+                GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_step1,
+                CAST(count(ts_2) AS BIGINT) AS n_step2,
+                CAST(count(ts_3) AS BIGINT) AS n_step3,
+                round(avg(epoch_us(ts_3) - epoch_us(ts_1)) / 1e6, 3)
+                  AS avg_sec_to_convert
+         FROM s3""",
+    "dq3_anomaly" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+                     WHERE value IS NOT NULL),
+         st AS (SELECT event_type, avg(value) AS mu,
+                       stddev_samp(value) AS sigma,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM ev GROUP BY 1)
+         SELECT ev.event_type, max(n) AS n,
+                CAST(sum(CASE WHEN abs(value - mu) > sigma * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                round(max(CASE WHEN abs(value - mu) > sigma * 3
+                          THEN value END), 4) AS max_outlier,
+                round(max(mu), 4) AS mu, round(max(sigma), 4) AS sigma
+         FROM ev JOIN st USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+    "mm5_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id,
+                  CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+                  CAST(3000 + (doc_id % 100) * 60 AS BIGINT) AS dur_ticks
+           FROM documents WHERE doc_id % 3 = 2),
+         t AS (SELECT media_id, timescale, dur_ticks,
+                      unnest(generate_series(0, dur_ticks - 1, timescale))
+                        AS tick
+               FROM v)
+         SELECT media_id, timescale, dur_ticks, tick,
+                tick // timescale AS sample_idx,
+                tick // timescale * 1000 AS ts_ms
+         FROM t ORDER BY media_id, sample_idx""",
+    "ta12_html_strip" ->
+      """WITH h AS (
+           SELECT lang,
+                  '<!DOCTYPE html><body><p id="' || doc_id || '">' ||
+                    regexp_replace(text, '\n', '</p><p>', 'g') ||
+                    '</p></body>' AS html
+           FROM documents),
+         m AS (SELECT lang, length(html) AS n_html,
+                      length(trim(regexp_replace(regexp_replace(
+                        html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')))
+                        AS n_text
+               FROM h),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_html) AS BIGINT) AS html_chars,
+                      CAST(sum(n_text) AS BIGINT) AS text_chars
+               FROM m GROUP BY 1)
+         SELECT lang, n_docs, html_chars, text_chars,
+                round(100.0 * (html_chars - text_chars) / html_chars, 2)
+                  AS reduction_pct
+         FROM g ORDER BY lang""",
+    "sp8_token_budget" ->
+      """WITH g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars // 4) AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1),
+         b AS (SELECT *, CAST(CASE source WHEN 'src0' THEN 40000
+                              WHEN 'src5' THEN 5000
+                              WHEN 'src12' THEN 100000
+                              ELSE 20000 END AS BIGINT) AS budget_tokens
+               FROM g)
+         SELECT source, n_docs, total_tokens, budget_tokens,
+                least(budget_tokens, total_tokens) AS kept_tokens,
+                round(least(budget_tokens, total_tokens)
+                  / CAST(total_tokens AS DOUBLE), 6) AS keep_rate
+         FROM b ORDER BY source""",
+    "a20_cooccurrence" ->
+      """WITH ut AS (
+           SELECT DISTINCT user_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+               FROM ut a JOIN ut b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type)
+         SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY 1, 2 ORDER BY n_users DESC, type_a, type_b""",
+    "j11_asof_tolerance" ->
+      """SELECT q.event_id, q.user_id,
+                CASE WHEN u.ts <= q.ts + INTERVAL 1 HOUR
+                     THEN round(u.price, 2) END AS next_price
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view') q
+         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) u
+           ON q.user_id = u.user_id AND u.ts >= q.ts
+         ORDER BY q.event_id""",
+    "lr1_price_regression" ->
+      """WITH d AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x*x) AS sxx, sum(x*y) AS sxy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, n,
+                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1000000.0 + 0.5) / 1000000.0 AS slope,
+                floor((CAST(sy AS DOUBLE) -
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS intercept
+         FROM m ORDER BY 1""",
+    "f17_feature_hash" ->
+      """WITH raw AS (
+           SELECT unnest(string_split_regex(text, '\s+')) AS rawtok
+           FROM documents),
+         t AS (SELECT lower(rawtok) AS tok FROM raw WHERE rawtok <> ''),
+         b AS (
+           SELECT tok,
+                  ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64
+                    AS bucket
+           FROM t)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+         FROM b GROUP BY 1 ORDER BY bucket""",
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+                (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tp5_length_buckets" ->
+      """WITH d AS (
+           SELECT n_chars // 4 AS toks,
+                  CAST(CASE WHEN n_chars // 4 <= 16 THEN 16
+                       WHEN n_chars // 4 <= 32 THEN 32
+                       WHEN n_chars // 4 <= 64 THEN 64
+                       WHEN n_chars // 4 <= 128 THEN 128
+                       WHEN n_chars // 4 <= 256 THEN 256
+                       WHEN n_chars // 4 <= 512 THEN 512
+                       WHEN n_chars // 4 <= 1024 THEN 1024
+                       ELSE 2048 END AS BIGINT) AS bucket_cap
+           FROM documents),
+         g AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(toks) AS BIGINT) AS sum_tokens,
+                      CAST(sum(bucket_cap - toks) AS BIGINT) AS padding_waste
+               FROM d GROUP BY 1)
+         SELECT bucket_cap, n_docs, sum_tokens, padding_waste,
+                round(100.0 * padding_waste / (padding_waste + sum_tokens), 2)
+                  AS waste_pct
+         FROM g ORDER BY bucket_cap""",
+    "dq4_skew_stats" ->
+      """WITH pk AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(max(c) AS BIGINT) AS max_key_rows
+               FROM pk)
+         SELECT max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+                max(max_key_rows) AS max_key_rows,
+                CAST(sum(CASE WHEN c * n_keys > n_rows * 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_heavy_keys,
+                round(max(max_key_rows) * max(n_keys)
+                  / CAST(max(n_rows) AS DOUBLE), 4) AS skew_factor
+         FROM pk, t""",
+    "u4_pivot_wide" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "a21_trailing_dau" ->
+      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         cal AS (SELECT DISTINCT day AS d FROM p),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY 1),
+         w AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+               FROM cal JOIN p ON p.day BETWEEN cal.d - 6 AND cal.d
+               GROUP BY 1)
+         SELECT day, dau, wau7 FROM dau JOIN w USING (day) ORDER BY day""",
+    "dq5_profile" ->
+      """WITH s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_null,
+                  CAST(count(DISTINCT event_id) AS BIGINT) AS id_nd,
+                  CAST(min(event_id) AS DOUBLE) AS id_min,
+                  CAST(max(event_id) AS DOUBLE) AS id_max,
+                  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_null,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS u_nd,
+                  CAST(min(user_id) AS DOUBLE) AS u_min,
+                  CAST(max(user_id) AS DOUBLE) AS u_max,
+                  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                  CAST(count(DISTINCT value) AS BIGINT) AS v_nd,
+                  round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+                  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_null,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS t_nd
+           FROM events)
+         SELECT n, column_name, n_null, n_distinct, min_val, max_val
+         FROM (
+           SELECT n, 'event_id' AS column_name, id_null AS n_null,
+                  id_nd AS n_distinct, id_min AS min_val, id_max AS max_val FROM s
+           UNION ALL
+           SELECT n, 'user_id', u_null, u_nd, u_min, u_max FROM s
+           UNION ALL
+           SELECT n, 'value', v_null, v_nd, v_min, v_max FROM s
+           UNION ALL
+           SELECT n, 'event_type', t_null, t_nd, NULL, NULL FROM s)
+         ORDER BY column_name""",
+    "j12_point_in_time" ->
+      """WITH log AS (
+           SELECT user_id, ts, arg_max(event_type, event_id) AS status,
+                  max(event_id) AS event_id
+           FROM events WHERE event_type IN ('signup', 'error')
+           GROUP BY 1, 2),
+         chg AS (
+           SELECT user_id, ts, event_id, status,
+                  lag(status) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+           FROM log),
+         vers AS (
+           SELECT user_id, ts AS valid_from, status,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS valid_to
+           FROM chg WHERE prev IS NULL OR prev <> status),
+         f AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         j AS (
+           SELECT f.user_id, f.value, v.status
+           FROM f LEFT JOIN vers v
+             ON f.user_id = v.user_id AND v.valid_from <= f.ts
+            AND (v.valid_to IS NULL OR f.ts < v.valid_to))
+         SELECT COALESCE(status, 'none') AS status,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                round(sum(value), 2) AS sum_value
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "w9_wow_change" ->
+      """WITH wk AS (
+           SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         l AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                           AS prev_n
+               FROM wk)
+         SELECT event_type, week, n, prev_n,
+                round(100.0 * (n - prev_n) / prev_n, 2) AS change_pct
+         FROM l ORDER BY event_type, week""",
+    "lm1_bigram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+               FROM t WHERE len(toks) >= 2),
+         m AS (SELECT bg, count(*) AS c FROM b GROUP BY bg HAVING count(*) >= 3)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                CAST(count(m.c) AS BIGINT) AS n_known,
+                floor((CAST(1.0 AS DOUBLE) - count(m.c) / count(*)) * 1000000.0 + 0.5)
+                  / 1000000.0 AS novelty
+         FROM b LEFT JOIN m USING (bg)
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "dq6_ref_integrity" ->
+      """SELECT * FROM (
+           SELECT 'customer.nationkey->nation' AS relationship, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+                  CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT 'lineitem.orderkey->orders', count(*),
+                  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'lineitem.partkey->part', count(*),
+                  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+           UNION ALL
+           SELECT 'lineitem.suppkey->supplier', count(*),
+                  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+           UNION ALL
+           SELECT 'nation.regionkey->region', count(*),
+                  CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'orders.custkey->customer', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+           UNION ALL
+           SELECT 'supplier.nationkey->nation', count(*),
+                  CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
+         ORDER BY relationship""",
+    "sp9_stratified_take" ->
+      """SELECT source, doc_id, h, rk FROM (
+           SELECT source, doc_id,
+                  md5('sp9:' || CAST(doc_id AS VARCHAR)) AS h,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('sp9:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 20
+         ORDER BY source, rk""",
+    "gr2_triangle_count" ->
+      """WITH e AS (SELECT DISTINCT
+             least(l_orderkey % 4096, l_partkey % 4096) AS u,
+             greatest(l_orderkey % 4096, l_partkey % 4096) AS v
+           FROM lineitem
+           WHERE l_linenumber = 1 AND l_orderkey % 4096 <> l_partkey % 4096),
+         d AS (SELECT x, count(*) AS deg
+               FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+               GROUP BY x),
+         t AS (SELECT count(*) AS n_triangles
+               FROM e e1 JOIN e e2 ON e1.v = e2.u
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT count(*) FROM d) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
+                (SELECT n_triangles FROM t) AS n_triangles,
+                floor(3.0 * (SELECT n_triangles FROM t)
+                      / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                      * 1000000.0 + 0.5) / 1000000.0 AS clustering""",
+    "cs1_source_overlap" ->
+      """WITH sh AS (SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM (SELECT source,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                 FROM documents)
+           WHERE len(toks) >= 3),
+         c AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+               FROM sh a JOIN sh b USING (sh) WHERE a.source < b.source
+               GROUP BY 1, 2)
+         SELECT s1, s2, n_inter, c1.n AS n_s1, c2.n AS n_s2,
+                floor(n_inter / (c1.n + c2.n - n_inter) * 1000000.0 + 0.5)
+                  / 1000000.0 AS jaccard
+         FROM p JOIN c c1 ON p.s1 = c1.source JOIN c c2 ON p.s2 = c2.source
+         ORDER BY s1, s2""",
+    "o5_shard_plan" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) + 1 AS bytes FROM documents),
+         o AS (SELECT doc_id, bytes,
+                 CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+               FROM d)
+         SELECT CAST(start // 16384 AS BIGINT) AS shard_id, count(*) AS n_docs,
+                CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM o GROUP BY 1 ORDER BY 1""",
+    "mm6_audio_segments" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+         aud AS (SELECT media_id, 50 + media_id % 100 AS nf FROM m),
+         ai AS (SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM aud),
+         acell AS (SELECT media_id, (i * 16) // nf AS w, count(*) AS n,
+                          sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
+                   FROM ai GROUP BY 1, 2),
+         tot AS (SELECT media_id, sum(sum_v) AS tot_v, sum(n) AS tot_n
+                 FROM acell GROUP BY 1),
+         fl AS (SELECT a.media_id, a.w FROM acell a JOIN tot t USING (media_id)
+                WHERE a.sum_v * t.tot_n > t.tot_v * a.n),
+         isl AS (SELECT media_id, w,
+                        w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
+                 FROM fl),
+         runs AS (SELECT media_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+         SELECT media_id, count(*) AS n_segments,
+                CAST(max(len) AS BIGINT) AS longest,
+                CAST(sum(len) AS BIGINT) AS n_active
+         FROM runs GROUP BY 1 ORDER BY 1""",
+    "sp10_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         r AS (SELECT source,
+                 CAST(floor(sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt)
+                   * 1000000.0) AS BIGINT) AS rate_ppm
+               FROM c),
+         h AS (SELECT d.source, d.n_chars, r.rate_ppm,
+                 CAST(concat('0x', substr(md5('sp10:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 AS hv
+               FROM documents d JOIN r USING (source))
+         SELECT source, count(*) AS n_total, rate_ppm,
+                CAST(sum(CASE WHEN hv < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN hv < rate_ppm THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         FROM h GROUP BY source, rate_ppm ORDER BY source""",
+    "dc3_url_canonical_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  (['https://Docs.Example.com/page/' || pid || '?id=' || pid,
+                    'HTTPS://docs.example.com:443/page/' || pid || '?id=' || pid || '&utm_source=feed',
+                    'https://docs.example.com/page/' || pid || '/?id=' || pid || '#section-2',
+                    'https://docs.example.com/page/' || pid || '?id=' || pid || '&fbclid=x' || CAST(doc_id AS VARCHAR),
+                    'https://docs.example.com/page/' || pid || '?utm_campaign=mail&id=' || pid]
+                  )[CAST(doc_id % 5 + 1 AS INT)] AS url
+           FROM (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS pid FROM documents)),
+         p AS (
+           SELECT doc_id,
+                  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host,
+                  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1),
+                                 '/$', '') AS path,
+                  list_filter(regexp_extract_all(url, '[?&]([^?#&=]+=[^&#]*)', 1),
+                              q -> NOT regexp_matches(q, '^(utm_[a-z]+|fbclid)=')) AS params
+           FROM u),
+         canon AS (
+           SELECT doc_id, 'https://' || host || path ||
+                  CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+           FROM p)
+         SELECT canon, count(*) AS n_variants, min(doc_id) AS keep_doc
+         FROM canon GROUP BY canon ORDER BY canon""",
+  )
+}

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.{Stats, Unpivot}
+import graft.functions.Scalars
+import graft.ingest.{Clean, Extract}
+import graft.operators.{FuzzyJoin, Upsert}
+import graft.sources.{Multimodal, NetCdf, NetCdfFixture}
+import graft.stream.Ingest
+import graft.vector.{Embed, Knn, SemanticWorkload}
+import graft.dedup.Dedup
+import graft.text.{Analysis, Summaries}
+
+/** Shared plumbing for the query families split out of SparkEntry (round 7):
+  * fixture-derived /tmp materialization cache, the reference deployment
+  * pipeline subtrees shared by several queries, and the DuckDB CTE strings
+  * the oracle twins interpolate. Moved verbatim; visibility widened from
+  * SparkEntry-private to package-private.
+  */
+private[graft] object QueryContext {
+  /** Shared by t6/t8: the reference deployment pipeline (events → tidy EAV →
+    * bounds-clean → per-float aggregates), preprocess_floats_to_chromadb.py
+    * :145-271. One row per float with timing/location/measurement stats.
+    */
+  def referenceFloatStats(s: SparkSession, dir: String): DataFrame = {
+    import Stats.exactMean
+    val raw = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("float_id"),
+      col("event_id").cast("string").as("profile_id"),
+      col("ts").as("time"),
+      expr("mod(value, 180) - 90").as("latitude"),
+      expr("mod(value * 2, 360) - 180").as("longitude"),
+      array(expr("mod(value, 45)"), lit(null).cast("double"),
+        expr("mod(value, 50) - 5")).as("temperature"),
+      array(expr("mod(value, 50)"), expr("mod(value, 40)"),
+        lit(null).cast("double")).as("salinity"),
+      array(expr("mod(value, 6000)"), lit(null).cast("double"),
+        lit(null).cast("double")).as("pressure"))
+    val cleaned = graft.ingest.Pipeline.clean(
+      graft.ingest.Pipeline.tidy(raw), "2026-01-01")
+    cleaned.groupBy("float_id").agg(
+      min("time").as("t0"),
+      countDistinct(col("profile_id")).as("n_prof"),
+      ((min("latitude") + max("latitude")) / 2).as("latc"),
+      ((min("longitude") + max("longitude")) / 2).as("lonc"),
+      min("pressure").as("pmin"), max("pressure").as("pmax"),
+      exactMean(col("pressure")).as("pmean"),
+      min("temperature").as("tmin"), max("temperature").as("tmax"),
+      exactMean(col("temperature")).as("tmean"),
+      min("salinity").as("smin"), max("salinity").as("smax"),
+      exactMean(col("salinity")).as("smean"),
+      count(col("temperature")).as("tc"),
+      count(col("salinity")).as("sc"),
+      count(col("pressure")).as("pc"))
+  }
+
+  /** The T2 deployment-summary document text over [[referenceFloatStats]]
+    * output (template: preprocess_floats_to_chromadb.py:145-271).
+    */
+  def referenceDocText: Column = {
+    import Stats.{parityRound => pr}
+    format_string(
+      "On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.",
+      Scalars.dateTh(col("t0")),
+      concat(lit("b'"), col("float_id"), lit(" '")),
+      concat(lit("b'"), col("float_id"), lit(" '")),
+      col("n_prof").cast("string"),
+      when(col("n_prof") === 1, "").otherwise("s"),
+      abs(pr(col("latc"), 3)), when(col("latc") >= 0, "N").otherwise("S"),
+      abs(pr(col("lonc"), 3)), when(col("lonc") >= 0, "E").otherwise("W"),
+      pr(col("pmin"), 1), pr(col("pmax"), 1), pr(col("pmean"), 0),
+      pr(col("tmin"), 1), pr(col("tmax"), 1), pr(col("tmean"), 1),
+      pr(col("smin"), 2), pr(col("smax"), 2), pr(col("smean"), 2),
+      (col("tc") + col("sc") + col("pc")).cast("string"))
+  }
+
+  /** Tag for one-time /tmp materializations (format conversions, layout
+    * sinks): MD5 over the sfDir plus EVERY consumed table's name + size +
+    * mtime, so regenerating any source fixture invalidates the cache
+    * instead of being read through a stale conversion while the oracle
+    * reads fresh data. (Callers must list every table the materialization
+    * consumes; MD5 rules out the cross-sfDir aliasing String.hashCode
+    * allowed.)
+    */
+  def cacheTag(dir: String, tables: String*): String = {
+    val sig = tables.sorted.map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }.mkString(dir + "|", "|", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  /** One-time /tmp materialization with ATOMIC publish: the writer builds
+    * into a process-unique scratch dir and renames it into place in one
+    * filesystem operation, so a concurrent session (bench + verify on the
+    * same sfDir) either sees no dir or a complete one — never a
+    * half-overwritten sink. Losing the publish race is fine: the loser
+    * discards its build and reads the winner's (same tag ⇒ same bytes).
+    * A target left WITHOUT its `_SUCCESS` marker (a crashed pre-atomic
+    * writer) is cleared and rebuilt rather than read through.
+    */
+  def materializeOnce(target: String)(write: String => Unit): Unit = {
+    if (new java.io.File(s"$target/_SUCCESS").exists()) return
+    rmTree(target)
+    val tmp = s"$target.build-${ProcessHandle.current().pid()}"
+    rmTree(tmp)
+    write(tmp)
+    try
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(target),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.AccessDeniedException =>
+        rmTree(tmp) // lost the race — a complete publish is already there
+    }
+  }
+
+  /** Shared by dd8/dd9: the verified-LSH near-dup pipeline over the
+    * fixture corpus + injected variants (see dd8's query comment).
+    */
+  def dd8Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val variants = base.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tailword")))
+    val docs = base.unionByName(variants).repartition(32, col("doc_id"))
+    val shRowsPlan = Dedup.withShingleHash(docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
+      .select("doc_id", "sh_hi", "sh_lo")
+    // shRows feeds both the signature agg and the row-domain verify:
+    // materialize it once (localCheckpoint) so the tokenize+shingle+md5
+    // lineage isn't computed per consumer. Measured UNCONDITIONAL on
+    // purpose — a size-gated variant (skip below 64 MB) was paired-timed in
+    // round 5 at sf0.1: dd8/dd9/dd10 totaled 11.1 s without the checkpoint
+    // vs 7.9 s with it, i.e. the recompute costs ~10× the checkpoint write
+    // even on a 584 KB corpus. At cluster scale the gap only widens.
+    val shRows = shRowsPlan.localCheckpoint(false)
+    val mh = Dedup.minhashAggs(6)
+    // sigs has two consumers too (band keys + the per-doc sizes in the
+    // verify) — same reasoning as shRows, one narrow row per doc
+    val sigs = shRows.groupBy("doc_id")
+      .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+      .localCheckpoint(false)
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+    graft.dedup.Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+      .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
+      .withColumn("is_dup", col("jaccard") >= 0.5)
+  }
+
+  /** Shared DuckDB CTEs for t6/t8: the reference deployment pipeline down to
+    * the per-float aggregate `g` (mirror of [[referenceFloatStats]]).
+    */
+  val referenceFloatCte =
+    """WITH tidy AS (
+           SELECT CAST(user_id AS VARCHAR) AS float_id,
+                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
+                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
+                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
+                  fmod(value, 6000) AS pressure
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  NULL, fmod(value, 40), NULL
+           FROM events
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
+                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
+                  fmod(value, 50) - 5, NULL, NULL
+           FROM events),
+         cleaned AS (
+           SELECT float_id, profile_id, time, latitude, longitude,
+                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
+                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
+                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
+           FROM tidy
+           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
+             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
+             AND float_id IS NOT NULL AND float_id <> 'nan'
+             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
+         g AS (
+           SELECT float_id, min(time) AS t0, count(DISTINCT profile_id) AS n_prof,
+                  (min(latitude) + max(latitude)) / 2 AS latc,
+                  (min(longitude) + max(longitude)) / 2 AS lonc,
+                  min(pressure) AS pmin, max(pressure) AS pmax,
+                  floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pmean,
+                  min(temperature) AS tmin, max(temperature) AS tmax,
+                  floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS tmean,
+                  min(salinity) AS smin, max(salinity) AS smax,
+                  floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS smean,
+                  count(temperature) AS tc, count(salinity) AS sc, count(pressure) AS pc
+           FROM cleaned GROUP BY float_id)"""
+
+  /** Mirror of [[referenceDocText]] in DuckDB printf. */
+  val referenceDocPrintf =
+    """printf('On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.',
+             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
+             'b''' || float_id || ' ''', 'b''' || float_id || ' ''',
+             CAST(n_prof AS VARCHAR), CASE WHEN n_prof = 1 THEN '' ELSE 's' END,
+             abs(floor(latc * 1000.0 + 0.5) / 1000.0),
+             CASE WHEN latc >= 0 THEN 'N' ELSE 'S' END,
+             abs(floor(lonc * 1000.0 + 0.5) / 1000.0),
+             CASE WHEN lonc >= 0 THEN 'E' ELSE 'W' END,
+             floor(pmin * 10.0 + 0.5) / 10.0, floor(pmax * 10.0 + 0.5) / 10.0,
+             floor(pmean + 0.5),
+             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
+             floor(tmean * 10.0 + 0.5) / 10.0,
+             floor(smin * 100.0 + 0.5) / 100.0, floor(smax * 100.0 + 0.5) / 100.0,
+             floor(smean * 100.0 + 0.5) / 100.0,
+             CAST(tc + sc + pc AS VARCHAR))"""
+
+}

@@ -27,7481 +27,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** Shared by t6/t8: the reference deployment pipeline (events → tidy EAV →
-    * bounds-clean → per-float aggregates), preprocess_floats_to_chromadb.py
-    * :145-271. One row per float with timing/location/measurement stats.
-    */
-  private def referenceFloatStats(s: SparkSession, dir: String): DataFrame = {
-    import Stats.exactMean
-    val raw = Tables.events(s, dir).select(
-      col("user_id").cast("string").as("float_id"),
-      col("event_id").cast("string").as("profile_id"),
-      col("ts").as("time"),
-      expr("mod(value, 180) - 90").as("latitude"),
-      expr("mod(value * 2, 360) - 180").as("longitude"),
-      array(expr("mod(value, 45)"), lit(null).cast("double"),
-        expr("mod(value, 50) - 5")).as("temperature"),
-      array(expr("mod(value, 50)"), expr("mod(value, 40)"),
-        lit(null).cast("double")).as("salinity"),
-      array(expr("mod(value, 6000)"), lit(null).cast("double"),
-        lit(null).cast("double")).as("pressure"))
-    val cleaned = graft.ingest.Pipeline.clean(
-      graft.ingest.Pipeline.tidy(raw), "2026-01-01")
-    cleaned.groupBy("float_id").agg(
-      min("time").as("t0"),
-      countDistinct(col("profile_id")).as("n_prof"),
-      ((min("latitude") + max("latitude")) / 2).as("latc"),
-      ((min("longitude") + max("longitude")) / 2).as("lonc"),
-      min("pressure").as("pmin"), max("pressure").as("pmax"),
-      exactMean(col("pressure")).as("pmean"),
-      min("temperature").as("tmin"), max("temperature").as("tmax"),
-      exactMean(col("temperature")).as("tmean"),
-      min("salinity").as("smin"), max("salinity").as("smax"),
-      exactMean(col("salinity")).as("smean"),
-      count(col("temperature")).as("tc"),
-      count(col("salinity")).as("sc"),
-      count(col("pressure")).as("pc"))
-  }
-
-  /** The T2 deployment-summary document text over [[referenceFloatStats]]
-    * output (template: preprocess_floats_to_chromadb.py:145-271).
-    */
-  private def referenceDocText: Column = {
-    import Stats.{parityRound => pr}
-    format_string(
-      "On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.",
-      Scalars.dateTh(col("t0")),
-      concat(lit("b'"), col("float_id"), lit(" '")),
-      concat(lit("b'"), col("float_id"), lit(" '")),
-      col("n_prof").cast("string"),
-      when(col("n_prof") === 1, "").otherwise("s"),
-      abs(pr(col("latc"), 3)), when(col("latc") >= 0, "N").otherwise("S"),
-      abs(pr(col("lonc"), 3)), when(col("lonc") >= 0, "E").otherwise("W"),
-      pr(col("pmin"), 1), pr(col("pmax"), 1), pr(col("pmean"), 0),
-      pr(col("tmin"), 1), pr(col("tmax"), 1), pr(col("tmean"), 1),
-      pr(col("smin"), 2), pr(col("smax"), 2), pr(col("smean"), 2),
-      (col("tc") + col("sc") + col("pc")).cast("string"))
-  }
-
-  /** Tag for one-time /tmp materializations (format conversions, layout
-    * sinks): MD5 over the sfDir plus EVERY consumed table's name + size +
-    * mtime, so regenerating any source fixture invalidates the cache
-    * instead of being read through a stale conversion while the oracle
-    * reads fresh data. (Callers must list every table the materialization
-    * consumes; MD5 rules out the cross-sfDir aliasing String.hashCode
-    * allowed.)
-    */
-  private def cacheTag(dir: String, tables: String*): String = {
-    val sig = tables.sorted.map { t =>
-      val f = new java.io.File(s"$dir/$t.parquet")
-      s"$t:${f.length}:${f.lastModified}"
-    }.mkString(dir + "|", "|", "")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-  }
-
-  private def rmTree(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-  }
-
-  /** One-time /tmp materialization with ATOMIC publish: the writer builds
-    * into a process-unique scratch dir and renames it into place in one
-    * filesystem operation, so a concurrent session (bench + verify on the
-    * same sfDir) either sees no dir or a complete one — never a
-    * half-overwritten sink. Losing the publish race is fine: the loser
-    * discards its build and reads the winner's (same tag ⇒ same bytes).
-    * A target left WITHOUT its `_SUCCESS` marker (a crashed pre-atomic
-    * writer) is cleared and rebuilt rather than read through.
-    */
-  private def materializeOnce(target: String)(write: String => Unit): Unit = {
-    if (new java.io.File(s"$target/_SUCCESS").exists()) return
-    rmTree(target)
-    val tmp = s"$target.build-${ProcessHandle.current().pid()}"
-    rmTree(tmp)
-    write(tmp)
-    try
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(target),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.AccessDeniedException =>
-        rmTree(tmp) // lost the race — a complete publish is already there
-    }
-  }
-
-  /** Shared by dd8/dd9: the verified-LSH near-dup pipeline over the
-    * fixture corpus + injected variants (see dd8's query comment).
-    */
-  private def dd8Pipeline(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select("doc_id", "text")
-    val variants = base.filter(col("doc_id") % 25 === 0)
-      .withColumn("doc_id", col("doc_id") + 100000)
-      .withColumn("text", concat(col("text"), lit(" tailword")))
-    val docs = base.unionByName(variants).repartition(32, col("doc_id"))
-    val shRowsPlan = Dedup.withShingleHash(docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
-      .select("doc_id", "sh_hi", "sh_lo")
-    // shRows feeds both the signature agg and the row-domain verify:
-    // materialize it once (localCheckpoint) so the tokenize+shingle+md5
-    // lineage isn't computed per consumer. Measured UNCONDITIONAL on
-    // purpose — a size-gated variant (skip below 64 MB) was paired-timed in
-    // round 5 at sf0.1: dd8/dd9/dd10 totaled 11.1 s without the checkpoint
-    // vs 7.9 s with it, i.e. the recompute costs ~10× the checkpoint write
-    // even on a 584 KB corpus. At cluster scale the gap only widens.
-    val shRows = shRowsPlan.localCheckpoint(false)
-    val mh = Dedup.minhashAggs(6)
-    // sigs has two consumers too (band keys + the per-doc sizes in the
-    // verify) — same reasoning as shRows, one narrow row per doc
-    val sigs = shRows.groupBy("doc_id")
-      .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
-      .localCheckpoint(false)
-    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
-    graft.dedup.Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
-      .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
-      .withColumn("is_dup", col("jaccard") >= 0.5)
-  }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- headline agg (reference A1-spine: scan→filter→agg→sort) ----------
-    "q1_pricing_summary" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          Stats.exactMean(col("l_quantity")).as("avg_qty"),
-          Stats.exactMean(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    },
-
-    // ---- TPC-H Q3 shape (shipping priority): the classic selective
-    // 3-way star — both fact filters (o_orderdate, l_shipdate) reach
-    // their parquet scans as PushedFilters, the per-order revenue groups
-    // are tiny (≤7 lineitems ⇒ round(2) absorbs summation-order ulp, the
-    // q1 precedent), and the top-10 is TakeOrderedAndProject on the
-    // ROUNDED revenue with an orderkey tie-break — no global sort, no
-    // ambiguity at equal revenues. Catalyst picks the join order; no
-    // hand-hints needed for a shape this standard. -----------------------
-    "q3_shipping_priority" -> { (s, dir) =>
-      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-        .join(Tables.orders(s, dir)
-            .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
-          col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, dir)
-            .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-        .select(col("l_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    },
-
-    // ---- TPC-H Q5 shape (local supplier volume): the 6-way join with
-    // the customer-nation = supplier-nation SAME-NATION condition riding
-    // the supplier join, region/nation as broadcast dims, and a
-    // nation-grain aggregate. This is the query Catalyst's join
-    // reordering + broadcast thresholds exist for — declared, not
-    // hand-scheduled. -----------------------------------------------------
-    "q5_local_supplier_volume" -> { (s, dir) =>
-      Tables.customer(s, dir)
-        .join(Tables.orders(s, dir)
-            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-          col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, dir),
-          col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, dir)),
-          col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy("n_name")
-    },
-
-    // ---- A1 per-key summary agg (ingest/preprocess.py:295-357) ------------
-    "a1_user_summary" -> { (s, dir) =>
-      Stats.perKeySummary(
-        Tables.events(s, dir),
-        key = Seq("user_id"), tsCol = "ts", distinctCol = "event_id",
-        measures = Seq("value"))
-        .orderBy("user_id")
-    },
-
-    // ---- A3 whole-table stats (fastapi_app.py:279-372) --------------------
-    "a3_global_stats" -> { (s, dir) =>
-      Stats.globalSummary(Tables.events(s, dir), tsCol = "ts", measures = Seq("value"))
-    },
-
-    // ---- P5+P6 cleaning chain (ingest/preprocess.py:177-293) --------------
-    "p5_clean_events" -> { (s, dir) =>
-      val cleaned = Tables.events(s, dir)
-        .withColumn("value", Clean.boundsToNull(col("value"), 0.0, 200.0))
-        .na.drop(Seq("event_id", "ts", "user_id"))
-      cleaned
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(col("value")).as("n_valid"),
-          Stats.exactMean(col("value")).as("value_mean"))
-        .orderBy("event_type")
-    },
-
-    // ---- J4 star join (schema.sql FK chain; Catalyst broadcasts dims) -----
-    "j4_orders_by_region" -> { (s, dir) =>
-      Tables.orders(s, dir)
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(
-          count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price"))
-        .orderBy("r_name")
-    },
-
-    // ---- D1 last-writer-wins upsert (ingest/db_handler.py:180-187) --------
-    "d1_upsert_lastwins" -> { (s, dir) =>
-      val base = Tables.events(s, dir)
-        .select(col("event_id"), col("value"), lit(1).as("precedence"), lit("base").as("src"))
-      val updates = Tables.events(s, dir)
-        .filter(col("event_id") % 5 === 0)
-        .select(col("event_id"), (col("value") + 1000).as("value"),
-          lit(2).as("precedence"), lit("update").as("src"))
-      Upsert.lastWriterWins(base, updates, "event_id", "precedence", "event_id")
-        .select(col("event_id"), round(col("value"), 2).as("value"), col("src"))
-        .orderBy("event_id")
-    },
-
-    // ---- D2 insert-if-absent sink (ingest/db_handler.py:237-245) ----------
-    "d2_insert_ignore" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val existing = ev.filter(col("event_id") % 3 === 0)
-        .select("event_id", "event_type", "value")
-      val incoming = ev.select(col("event_id"), col("event_type"), (col("value") + 5).as("value"))
-      Upsert.insertIfAbsent(incoming, existing, "event_id")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("event_type")
-    },
-
-    // ---- J1 skip-existing anti-join (ingest/db_handler.py:326-344) --------
-    "j1_skip_existing" -> { (s, dir) =>
-      Upsert.skipExisting(
-        Tables.customer(s, dir),
-        Tables.orders(s, dir).filter(col("o_custkey") % 7 =!= 0)
-          .select(col("o_custkey").as("c_custkey")),
-        "c_custkey")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    },
-
-    // ---- J2 fuzzy id-match join (update_chromadb_measurements.py:181-237) -
-    "j2_fuzzy_match" -> { (s, dir) =>
-      val dirty = Tables.customer(s, dir)
-        .select(col("c_custkey"), concat(lit("b'"), col("c_custkey"), lit(" '")).as("messy_id"))
-      val registry = Tables.customer(s, dir)
-        .filter(col("c_custkey") % 2 === 0)
-        .select(lpad(col("c_custkey").cast("string"), 9, "0").as("reg_id"))
-        .distinct()
-      FuzzyJoin.fuzzyMatch(dirty, "messy_id", registry, "reg_id")
-        .select("c_custkey", "clean_id", "matched_id")
-        .orderBy("c_custkey")
-    },
-
-    // ---- J3 enrichment join (update_chromadb_measurements.py:239-311) -----
-    "j3_enrich_docs" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val stats = docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), Stats.parityRound(sum(col("n_chars")).cast("double") / count(col("n_chars")), 6).as("source_avg_chars"))
-      docs.join(broadcast(stats), Seq("source"), "left")
-        .select("doc_id", "source", "n_chars", "n_docs", "source_avg_chars")
-        .orderBy("doc_id")
-    },
-
-    // ---- W1 sort + limit → TakeOrderedAndProject (W1/W3) ------------------
-    "w1_top_orders" -> { (s, dir) =>
-      Tables.orders(s, dir)
-        .select(
-          col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-          col("o_totalprice"))
-        .orderBy(col("order_date").desc, col("o_orderkey").desc)
-        .limit(100)
-    },
-
-    // ---- W3/W4 generalized: top-k per key via the custom bounded-heap
-    // physical operator (plans.TopKPerKey — partial k-heaps below the key
-    // exchange, final heaps + rank above, no sort; window fallback off-
-    // extension). Same semantics as a row_number window, oracled against
-    // DuckDB's window form.
-    "w3_topk_per_customer" -> { (s, dir) =>
-      graft.operators.TopK.perKey(
-        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
-        keys = Seq("o_custkey"),
-        order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
-        k = 2)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("o_custkey", "rank")
-    },
-
-    // ---- W-suite: lag/lead + bounded moving average over each customer's
-    // order sequence. Frame is ROWS BETWEEN 2 PRECEDING AND CURRENT — the
-    // per-row state is O(frame), so the window scales with rows-per-key
-    // streamed through a sorted partition, never with total rows. The 3-term
-    // frame sum is order-identical on both engines; parityRound guards the
-    // last-ulp divide.
-    "w4_moving_stats" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val seq0 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val ma = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-2, 0)
-      Tables.orders(s, dir)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .withColumn("prev_price", lag("o_totalprice", 1).over(seq0))
-        .withColumn("next_price", lead("o_totalprice", 1).over(seq0))
-        .withColumn("ma3",
-          Stats.parityRound(sum("o_totalprice").over(ma) / count(lit(1)).over(ma), 2))
-        .select("o_custkey", "o_orderkey", "prev_price", "next_price", "ma3")
-        .orderBy("o_custkey", "o_orderkey")
-    },
-
-    // ---- W-suite: the full SQL ranking-function family — rank, dense_rank,
-    // percent_rank, ntile, cume_dist over each nation's customers by
-    // balance. One window spec means ONE partition-local sort serves all
-    // five functions; nothing is global, so the window scales with
-    // rows-per-nation, not total rows. percent_rank/cume_dist are exact
-    // ratios of small ints (identical double division on both engines);
-    // parityRound guards the serialization edge. Unique-key tiebreak makes
-    // every rank deterministic.
-    "w5_rank_suite" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_nationkey")
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, dir)
-        .select("c_custkey", "c_nationkey", "c_acctbal")
-        .withColumn("rnk", rank().over(w).cast("long"))
-        .withColumn("drnk", dense_rank().over(w).cast("long"))
-        .withColumn("pct_rank", Stats.parityRound(percent_rank().over(w), 6))
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("cume", Stats.parityRound(cume_dist().over(w), 6))
-        .filter(col("rnk") <= 10)
-        .select("c_custkey", "c_nationkey", "rnk", "drnk", "pct_rank",
-          "quartile", "cume")
-        .orderBy("c_nationkey", "rnk", "c_custkey")
-    },
-
-    // ---- A2 profile grouping + W5 group-id synthesis (preprocess.py:373-385)
-    "a2_profile_groups" -> { (s, dir) =>
-      val g = Tables.events(s, dir)
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-        .groupBy("user_id", "day")
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(struct(col("ts"), col("event_id"), col("value"))).as("f"))
-        .withColumn("first_value", round(col("f.value"), 2))
-        .drop("f")
-      Unpivot.withGroupId(g, Seq("user_id", "day"))
-        .withColumn("group_id", col("group_id").cast("long"))
-        .orderBy("user_id", "day")
-    },
-
-    // ---- F1/F2 id cleanup (load_data.py:270-292, update_chromadb:167-179) -
-    "f1_f2_id_clean" -> { (s, dir) =>
-      Tables.customer(s, dir)
-        .withColumn("messy_id",
-          when(col("c_custkey") % 10 === 7, lit(null: String))
-            .otherwise(concat(lit("b'"), col("c_custkey"), lit(" '"))))
-        .withColumn("clean_id", FuzzyJoin.cleanId(col("messy_id")))
-        .withColumn("safe_id", Scalars.safeIdString(col("clean_id").cast("double")))
-        .select("c_custkey", "clean_id", "safe_id")
-        .orderBy("c_custkey")
-    },
-
-    // ---- F5/F6 date label + season (embed.py:127-139, preprocess_floats:163-171)
-    "f5_f6_date_features" -> { (s, dir) =>
-      Tables.orders(s, dir)
-        .withColumn("date_label", Scalars.dateTh(col("o_orderdate")))
-        .withColumn("order_season", Scalars.season(month(col("o_orderdate"))))
-        .groupBy("date_label", "order_season")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("date_label", "order_season")
-    },
-
-    // ---- F7/F8/F9 geo classifiers (embed.py:117-174) -----------------------
-    "f7_f9_geo_classify" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("lat", col("value") % 180 - 90)
-        .withColumn("lon", (col("value") * 2) % 360 - 180)
-        .withColumn("region", Scalars.oceanRegion(col("lat"), col("lon")))
-        .withColumn("band", Scalars.latBand(col("lat")))
-        .withColumn("lat_fmt", Scalars.hemisphereLat(col("lat")))
-        .groupBy("region", "band")
-        .agg(count(lit(1)).as("n"), min(col("lat_fmt")).as("sample_lat_fmt"))
-        .orderBy("region", "band")
-    },
-
-    // ---- F10 bbox center (embed.py:80-81) ---------------------------------
-    "f10_bbox_center" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("lat", col("value") % 180 - 90)
-        .withColumn("lon", (col("value") * 2) % 360 - 180)
-        .groupBy("user_id")
-        .agg(
-          round(Scalars.center(min(col("lat")), max(col("lat"))), 6).as("lat_center"),
-          round(Scalars.center(min(col("lon")), max(col("lon"))), 6).as("lon_center"))
-        .orderBy("user_id")
-    },
-
-    // ---- URL parsing + per-domain rollup: web-corpus provenance — every
-    // crawl pipeline groups quality/dedup decisions by registered domain.
-    // URLs are injected deterministically (the ta6 fire-everywhere
-    // pattern) and parsed with the parse_url BUILTIN (host / path /
-    // single query param), which the oracle mirrors with anchored
-    // regexes — the injected URLs stay inside the dialect where both
-    // agree. min/max(path) pin the per-row path extraction corpus-wide
-    // even though the output is host-grain; countDistinct(ref) pins the
-    // query-param extraction. One aggregation shuffle over a 4-row key
-    // domain (map-side partials carry the weight). -----------------------
-    "f16_url_parse" -> { (s, dir) =>
-      val host = element_at(
-        array(lit("docs.example.com"), lit("blog.example.org"),
-          lit("www.data.net"), lit("cdn.media.io")),
-        (col("doc_id") % 4 + 1).cast("int"))
-      Tables.documents(s, dir)
-        .withColumn("url",
-          concat(lit("https://"), host, lit("/p/"), col("doc_id").cast("string"),
-            lit("/"), col("lang"), lit("?ref="), col("source")))
-        .select(
-          expr("parse_url(url, 'HOST')").as("host"),
-          expr("parse_url(url, 'PATH')").as("path"),
-          expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
-        .withColumn("tld", regexp_extract(col("host"), "([^.]+)$", 1))
-        .groupBy("host", "tld")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("ref").as("n_sources"),
-          min("path").as("first_path"), max("path").as("last_path"))
-        .orderBy("host")
-    },
-
-    // ---- F13 JSON extraction (db_handler.py:171-177) -----------------------
-    "f13_json_extract" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .select("props")
-        .repartition(32, col("props")) // single-row-group source: spread the JSON parse
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy((col("k") % 10).as("k_bucket"))
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
-        .orderBy("k_bucket")
-    },
-
-    // ---- EAV unpivot (ingest/preprocess.py:359-431) ------------------------
-    "u1_measure_unpivot" -> { (s, dir) =>
-      Unpivot.toEav(
-        Tables.lineitem(s, dir),
-        keys = Seq("l_orderkey", "l_linenumber"),
-        measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .groupBy("variable_name")
-        .agg(
-          count(col("variable_value")).as("n"),
-          round(sum("variable_value"), 2).as("sum_value"),
-          Stats.exactMean(col("variable_value")).as("avg_value"),
-          round(min("variable_value"), 4).as("min_value"),
-          round(max("variable_value"), 4).as("max_value"))
-        .orderBy("variable_name")
-    },
-
-    // ---- sessionization: gap-based session ids via lag + running sum -------
-    "w2_sessionize" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val sessions = Tables.events(s, dir)
-        .withColumn("prev_ts", lag("ts", 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            col("ts").cast("timestamp").cast("long") -
-              col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
-        .withColumn("session_id", sum("new_session").over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      sessions
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"))
-        .groupBy("user_id")
-        .agg(
-          max(col("session_id")).as("n_sessions"),
-          max(col("n_events")).as("max_session_events"))
-        .orderBy("user_id")
-    },
-
-    // ---- gaps-and-islands on a VALUE threshold (w2's cousin: w2 breaks
-    // on time gaps, this breaks on the measure crossing 50): per user,
-    // maximal runs of consecutive high-value events via the classic
-    // two-row_number difference — the island id is (global rn - rn among
-    // flagged rows), constant exactly within a run. Both windows share
-    // the one user_id shuffle; ties on ts are pinned by event_id in the
-    // ORDER BY (both engines), so island membership is deterministic. ----
-    "w7_value_episodes" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val byUserHigh = Window.partitionBy("user_id", "high").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .filter(col("value").isNotNull)
-        .withColumn("high", (col("value") > 50).cast("int"))
-        .withColumn("grp",
-          row_number().over(byUser) - row_number().over(byUserHigh))
-        .filter(col("high") === 1)
-        .groupBy("user_id", "grp")
-        .agg(count(lit(1)).as("len"), round(sum("value"), 2).as("ep_sum"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_episodes"),
-          max("len").as("max_len"),
-          round(sum("ep_sum"), 2).as("total_high"))
-        .orderBy("user_id")
-    },
-
-    // ---- exact interpolated percentiles (builtin, no sort-the-world) -------
-    "a7_percentiles" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90"),
-          round(expr("percentile(value, 0.99)"), 6).as("p99"))
-        .orderBy("event_type")
-    },
-
-    // ---- rollup: hierarchical partial aggregates in one pass ---------------
-    "a8_rollup" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .rollup("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .withColumn("event_type", coalesce(col("event_type"), lit("__total__")))
-        .orderBy("event_type")
-    },
-
-    // ---- S2 multi-format scan parity: the same rows through the JSON and
-    // CSV sources (explicit schemas — schema inference is a scan of its own
-    // and never the production path) must aggregate identically to the
-    // parquet scan the oracle reads. Format conversion is one-time ingest
-    // per sfDir; the measured operator is the two text-format scans.
-    "s2_multiformat_scan" -> { (s, dir) =>
-      val base = s"/tmp/graft_s2_${cacheTag(dir, "events")}"
-      val src = Tables.events(s, dir).select("event_id", "event_type", "value")
-      materializeOnce(s"$base/json")(src.write.mode("overwrite").json(_))
-      materializeOnce(s"$base/csv")(
-        src.write.mode("overwrite").option("header", "true").csv(_))
-      // ORC: Spark's second native columnar format (stripe statistics +
-      // predicate pushdown like parquet) — the lake-migration scan path
-      materializeOnce(s"$base/orc")(src.write.mode("overwrite").orc(_))
-      val js = s.read.schema(src.schema).json(s"$base/json")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_json"), round(sum("value"), 2).as("sum_json"))
-      val cs = s.read.schema(src.schema).option("header", "true").csv(s"$base/csv")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_csv"), round(sum("value"), 2).as("sum_csv"))
-      val orc = s.read.schema(src.schema).orc(s"$base/orc")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_orc"), round(sum("value"), 2).as("sum_orc"))
-      js.join(cs, "event_type").join(orc, "event_type").orderBy("event_type")
-    },
-
-    // ---- S3 schema inspection as data: column name/type/nullability rows
-    // (db_handler.py get_schema_info shape). Spark's DataType.sql names map
-    // onto DuckDB's DESCRIBE vocabulary (STRING→VARCHAR, INT→INTEGER);
-    // driver-side metadata, no scan at all.
-    "s3_schema_inspect" -> { (s, dir) =>
-      import s.implicits._
-      val typeName = Map("STRING" -> "VARCHAR", "INT" -> "INTEGER")
-      Tables.customer(s, dir).schema.fields.toSeq.map { f =>
-        (f.name, typeName.getOrElse(f.dataType.sql, f.dataType.sql), f.nullable)
-      }.toDF("column_name", "column_type", "is_nullable")
-        .orderBy("column_name")
-    },
-
-    // ---- co-located join over bucketed tables: the shuffle is paid ONCE at
-    // write time; every later join on the bucket key plans with zero
-    // Exchange on the bucketed sides (BucketedJoinSpec gates the plan).
-    // Tables are session-scoped (in-memory catalog) and written once per
-    // (session, sfDir); the measured operator is the exchange-free join.
-    "j8_bucketed_join" -> { (s, dir) =>
-      // tag covers BOTH consumed tables (regenerating either invalidates);
-      // the data dir is per-process because table metadata is session-scoped
-      // (in-memory catalog) — concurrent bench+verify processes must not
-      // rewrite each other's bucket files under a shared path
-      val tag = s"${cacheTag(dir, "orders", "lineitem")}_p${ProcessHandle.current().pid()}"
-      val (li, ord) = (s"li_b$tag", s"ord_b$tag")
-      // require BOTH tables: a failure between the two writes must not
-      // wedge the session on a half-built pair — rebuild from scratch
-      if (!(s.catalog.tableExists(li) && s.catalog.tableExists(ord))) {
-        s.sql(s"DROP TABLE IF EXISTS $li")
-        s.sql(s"DROP TABLE IF EXISTS $ord")
-        // a data dir left by a crashed same-pid predecessor is unreachable
-        // through the fresh catalog — clear and rewrite
-        rmTree(s"/tmp/graft_j8_$tag")
-        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"/tmp/graft_j8_$tag/li").saveAsTable(li)
-        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"/tmp/graft_j8_$tag/ord").saveAsTable(ord)
-      }
-      s.table(li).hint("MERGE")
-        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          round(sum("l_extendedprice"), 2).as("sum_price"))
-        .orderBy("o_orderstatus")
-    },
-
-    // ---- approx percentiles (t-digest-style sketch): the 100 TB quantile
-    // path — mergeable, bounded-memory, one pass; the exact interpolated
-    // percentile (a7's operator) is quadratic-ish in sort volume at scale.
-    // Sketch values are engine-specific, so the oracle checks the exact
-    // values plus a Spark-side tolerance flag (the a10 HLL recipe).
-    "a12_approx_percentiles" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
-          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
-          expr("percentile_approx(value, 0.9, 1000)").as("p90_approx"))
-        .select(col("event_type"), col("p50_exact"), col("p90_exact"),
-          (abs(col("p50_approx") - col("p50_exact")) < 1.0 &&
-            abs(col("p90_approx") - col("p90_exact")) < 1.0).as("approx_ok"))
-        .orderBy("event_type")
-    },
-
-    // ---- heavy hitters: Misra-Gries sketch (native graft_heavy_hitters
-    // aggregate, O(k) state per partition over an unbounded key domain) as
-    // a candidate PRUNER, then an exact count of only the <= k survivors
-    // via a broadcast semi-join + the real threshold. The MG guarantee
-    // (every item with freq > N/(k+1) survives, preserved across merges)
-    // makes the final answer provably EXACT — the oracle is a plain
-    // GROUP BY ... HAVING, no approximation tolerance needed. The stream
-    // is deterministically skewed (two hot keys over a 500-key tail) so
-    // the operator provably fires. k=19, threshold strictly > N/20. ------
-    "a13_heavy_hitters" -> { (s, dir) =>
-      val stream = Tables.events(s, dir).select(
-        when(col("event_id") % 4 < 3,
-          concat(lit("hot_"), (col("event_id") % 2).cast("string")))
-          .otherwise(concat(lit("u"), (col("user_id") % 500).cast("string")))
-          .as("item"))
-      val cands = stream
-        .agg(graft.expressions.MisraGries.sketch(col("item"), 19).as("c"))
-        .select(explode(col("c")).as("item"))
-      stream.join(broadcast(cands), "item")
-        .groupBy("item").agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(stream.agg(count(lit(1)).as("__total"))))
-        .filter(col("n") * 20 > col("__total"))
-        .select(col("item"), col("n"))
-        .orderBy("item")
-    },
-
-    // ---- multi-dimensional cube: all 4 grouping sets in ONE pass — Expand
-    // emits one row per grouping set into a single partial+final hash
-    // aggregate, so the 100 TB scan happens once, not once per rollup level.
-    "a11_grouping_sets" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("yr", year(col("ts")).cast("long"))
-        .cube("event_type", "yr")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .withColumn("event_type", coalesce(col("event_type"), lit("__all__")))
-        .withColumn("yr", coalesce(col("yr"), lit(-1L)))
-        .orderBy("event_type", "yr")
-    },
-
-    // ---- skew-safe two-phase (salted) aggregation — same result, bounded
-    // ---- per-task key volume (the 100 TB skewed-key recipe) ----------------
-    "a9_salted_agg" -> { (s, dir) =>
-      val salted = Tables.events(s, dir)
-        .withColumn("salt", col("event_id") % 8)
-        .groupBy("event_type", "salt")
-        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
-      salted
-        .groupBy("event_type")
-        .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"))
-        .orderBy("event_type")
-    },
-
-    // ---- full §3.1 lifecycle: raw arrays → tidy → clean → floats summary ---
-    "pl1_full_pipeline" -> { (s, dir) =>
-      val raw = Tables.events(s, dir).select(
-        col("user_id").cast("string").as("float_id"),
-        col("event_id").cast("string").as("profile_id"),
-        col("ts").as("time"),
-        expr("mod(value, 180) - 90").as("latitude"),
-        expr("mod(value * 2, 360) - 180").as("longitude"),
-        array(expr("mod(value, 45)"), lit(null).cast("double"),
-          expr("mod(value, 50) - 5")).as("temperature"),
-        array(expr("mod(value, 50)"), expr("mod(value, 40)"),
-          lit(null).cast("double")).as("salinity"),
-        array(expr("mod(value, 6000)"), lit(null).cast("double"),
-          lit(null).cast("double")).as("pressure"))
-      graft.ingest.Pipeline.floats(
-        graft.ingest.Pipeline.clean(graft.ingest.Pipeline.tidy(raw), "2026-01-01"))
-        .select("float_id", "first_ts", "last_ts", "n_distinct", "n_rows",
-          "temperature_count", "temperature_min", "temperature_max", "temperature_mean",
-          "salinity_count", "salinity_min", "salinity_max", "salinity_mean",
-          "pressure_count", "pressure_min", "pressure_max", "pressure_mean")
-        .orderBy("float_id")
-    },
-
-    // ---- salted shuffle join: the 100 TB hot-key recipe when the build side
-    // is too big to broadcast. The probe row's salt is derived from a high-
-    // cardinality column (event_id), the build side replicates each row once
-    // per salt, and the join key becomes (key, salt) — a hot user_id now
-    // spreads over 8 shuffle partitions instead of melting one task. The
-    // SHUFFLE_HASH hint pins the shuffled path so the demo exercises the
-    // exchange this technique exists for (Catalyst would broadcast the
-    // fixture-sized dim and bypass it). Result ≡ the unsalted join.
-    "j7_salted_skew_join" -> { (s, dir) =>
-      val salts = 8
-      val fact = Tables.events(s, dir)
-        .select(col("user_id"), col("value"),
-          pmod(col("event_id"), lit(salts)).as("salt"))
-      val dim = Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"),
-          explode(array((0 until salts).map(i => lit(i.toLong)): _*)).as("salt"))
-      fact.join(dim.hint("SHUFFLE_HASH"),
-          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("c_mktsegment")
-    },
-
-    // ---- exact-proportion stratified split: row_number within each stratum
-    // over a content hash → exactly ceil(80%)/next 10%/rest per lang, fully
-    // deterministic (no RNG). Integer threshold arithmetic (rn*10 <= cnt*8)
-    // avoids 0.8*n float boundaries. Scale note: the rank is per-stratum, so
-    // a mega-stratum serializes one partition — at 100 TB prefer sp1's
-    // thresholded hash (no rank) unless exact proportions are contractual.
-    "sp2_stratified_split" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val byLang = Window.partitionBy("lang")
-      val rankW = byLang.orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))
-      Tables.documents(s, dir)
-        .select("doc_id", "lang", "n_chars")
-        .withColumn("rn", row_number().over(rankW))
-        .withColumn("cnt", count(lit(1)).over(byLang))
-        .withColumn("split",
-          when(col("rn") * 10 <= col("cnt") * 8, "train")
-            .when(col("rn") * 10 <= col("cnt") * 9, "valid")
-            .otherwise("test"))
-        .groupBy("lang", "split")
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
-        .orderBy("lang", "split")
-    },
-
-    // ---- deterministic hash sampling + train/valid/test split: reproducible
-    // ---- on any engine/cluster (no RNG), the training-corpus staple --------
-    "sp1_hash_split" -> { (s, dir) =>
-      // first 2 md5 hex digits of the id → uniform 0..255, engine-neutral
-      val hexVal = (1 to 2).map(i =>
-        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
-          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _)
-      Tables.documents(s, dir)
-        .withColumn("h", hexVal % 100)
-        .withColumn("split",
-          when(col("h") < 80, "train").when(col("h") < 90, "valid").otherwise("test"))
-        .groupBy("lang", "split")
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
-        .orderBy("lang", "split")
-    },
-
-    // ---- approx distinct (HLL): the 100 TB replacement for countDistinct.
-    // ---- HLL values differ per engine, so the oracle checks the exact
-    // ---- count plus a Spark-side tolerance assertion (flag must be true).
-    "a10_approx_distinct" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          countDistinct(col("user_id")).as("exact_distinct"),
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
-        .select(col("event_type"), col("exact_distinct"),
-          (abs(col("approx") - col("exact_distinct")) <=
-            greatest(col("exact_distinct") * 0.05, lit(5.0))).as("approx_ok"))
-        .orderBy("event_type")
-    },
-
-    // ---- as-of join (merge-sorted window form; oracled by DuckDB's native
-    // ---- ASOF JOIN): latest purchase price per user at or before each view.
-    "j6_asof_join" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts")
-        .agg(expr("max_by(value, event_id)").as("price")) // unique (key, ts)
-      val views = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts")
-      graft.operators.TemporalJoins.asofJoin(
-        views, purchases, key = "user_id", time = "ts",
-        valueCol = "price", asofCol = "asof_price")
-        .select(col("event_id"), col("user_id"), round(col("asof_price"), 2).as("asof_price"))
-        .orderBy("event_id")
-    },
-
-    // ---- range join (bucket-explode equi-join; oracled by DuckDB's native
-    // ---- inequality join): events matched to overlapping value intervals.
-    "j5_range_join" -> { (s, dir) =>
-      val intervals = Tables.part(s, dir)
-        .filter(col("p_partkey") <= 100)
-        .select(col("p_partkey").as("range_id"),
-          ((col("p_partkey") % 40) * lit(5.0)).as("lo"))
-        .withColumn("hi", col("lo") + 12.5)
-      graft.operators.TemporalJoins.bucketedRangeJoin(
-        Tables.events(s, dir).select("event_id", "value"), "value",
-        intervals, "lo", "hi", bucketWidth = 10.0)
-        .groupBy("range_id")
-        .agg(count(lit(1)).as("n_points"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("range_id")
-    },
-
-    // ---- T2 exact reference-template parity: the deployment document whose
-    // ---- golden text ships in the reference's export (preprocess_floats_
-    // ---- to_chromadb.py:145-271; chromadb_export_20250917_124841.txt:35-37).
-    // ---- Every %.Nf argument is parity-rounded at its print scale first so
-    // ---- Java/C printf cannot disagree on halfway cases.
-    "t6_reference_doc" -> { (s, dir) =>
-      referenceFloatStats(s, dir)
-        .select(col("float_id"), referenceDocText.as("document"))
-        .orderBy("float_id")
-    },
-
-    // ---- S15 assembled text-export report (export_chromadb_to_text.py:78-245):
-    // ---- header block + numbered per-document sections (metadata + content,
-    // ---- reusing the T2/T6 deployment documents) + the summary-statistics
-    // ---- footer (export_summary_statistics, :196-245) — the reference's
-    // ---- actual deliverable, as one ordered-section sink query. -------------
-    "t8_report_export" -> { (s, dir) =>
-      import Stats.{parityRound => pr}
-      import org.apache.spark.sql.expressions.Window
-      val eq = "=" * 100; val d80 = "-" * 80; val d40 = "-" * 40
-      // one row per float after the heavy events-cleanup lineage; the three
-      // report blocks (header/sections/footer) read it from a checkpoint
-      // instead of recomputing the 3-stage pipeline per branch
-      val g = referenceFloatStats(s, dir).localCheckpoint(false)
-      val header = g.agg(count(lit(1)).as("n"))
-        .crossJoin(Tables.events(s, dir).agg(
-          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("export_date")))
-        .select(lit(0L).as("section_no"),
-          concat(
-            lit(eq + "\nCHROMADB DATA EXPORT - FLOAT EMBEDDINGS COLLECTION\n" +
-              eq + "\nExport Date: "),
-            col("export_date"),
-            lit("\nCollection: float_embeddings\nTotal Documents: "),
-            col("n").cast("string"),
-            lit("\n" + eq)).as("section"))
-      // global numbering window is fine here: input is the per-float
-      // aggregate (one row per float), never raw data
-      val sections = g
-        .select(col("float_id"), referenceDocText.as("document"))
-        .withColumn("i", row_number().over(Window.orderBy("float_id")))
-        .select(
-          col("i").cast("long").as("section_no"),
-          concat(
-            lit("DOCUMENT #"), col("i").cast("string"), lit("\n" + d80 + "\n"),
-            lit("Document ID: doc_"), col("float_id"), lit("\n" + d40 + "\n"),
-            lit("METADATA:\n  float_id: "), col("float_id"),
-            lit("\n  collection: float_embeddings\n" + d40 + "\n"),
-            lit("DOCUMENT CONTENT:\n"), col("document"),
-            lit("\n\n" + eq)).as("section"))
-      val footer = g.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("tc") > 0, 1).otherwise(0)).as("ta"),
-        sum(when(col("sc") > 0, 1).otherwise(0)).as("sa"),
-        sum(when(col("pc") > 0, 1).otherwise(0)).as("pa"),
-        min("latc").as("latmin"), max("latc").as("latmax"),
-        min("lonc").as("lonmin"), max("lonc").as("lonmax"))
-        .select((col("n") + 1).cast("long").as("section_no"),
-          concat(
-            lit("SUMMARY STATISTICS\n" + d80 + "\ntotal_documents: "),
-            col("n").cast("string"),
-            lit("\nmeasurement_availability: temperature="), col("ta").cast("string"),
-            lit(" salinity="), col("sa").cast("string"),
-            lit(" pressure="), col("pa").cast("string"),
-            lit("\nlocation_bounds: lat["),
-            format_string("%.3f", pr(col("latmin"), 3)), lit(", "),
-            format_string("%.3f", pr(col("latmax"), 3)),
-            lit("] lon["),
-            format_string("%.3f", pr(col("lonmin"), 3)), lit(", "),
-            format_string("%.3f", pr(col("lonmax"), 3)), lit("]")).as("section"))
-      header.unionByName(sections).unionByName(footer).orderBy("section_no")
-    },
-
-    // ---- T1 exact reference-template parity (embeddings/embed.py:46-148):
-    // ---- "Argo float X operated from ... in the <region> (latitude a to b,
-    // ---- longitude c to d) with N profiles measuring ..., This float
-    // ---- operated in <band>, <season> deployment." --------------------------
-    "t7_reference_t1" -> { (s, dir) =>
-      import Stats.{parityRound => pr}
-      val raw = Tables.events(s, dir).select(
-        col("user_id").cast("string").as("float_id"),
-        col("event_id").cast("string").as("profile_id"),
-        col("ts").as("time"),
-        expr("mod(value, 180) - 90").as("latitude"),
-        expr("mod(value * 2, 360) - 180").as("longitude"),
-        array(expr("mod(value, 45)"), lit(null).cast("double"),
-          expr("mod(value, 50) - 5")).as("temperature"),
-        array(expr("mod(value, 50)"), expr("mod(value, 40)"),
-          lit(null).cast("double")).as("salinity"),
-        array(expr("mod(value, 6000)"), lit(null).cast("double"),
-          lit(null).cast("double")).as("pressure"))
-      val g = graft.ingest.Pipeline.clean(graft.ingest.Pipeline.tidy(raw), "2026-01-01")
-        .groupBy("float_id")
-        .agg(
-          date_format(min("time"), "yyyy-MM-dd").as("d1"),
-          date_format(max("time"), "yyyy-MM-dd").as("d2"),
-          month(min("time")).as("m1"),
-          countDistinct(col("profile_id")).as("n_prof"),
-          min("latitude").as("lat_min"), max("latitude").as("lat_max"),
-          min("longitude").as("lon_min"), max("longitude").as("lon_max"),
-          min("temperature").as("tmin"), max("temperature").as("tmax"),
-          min("salinity").as("smin"), max("salinity").as("smax"),
-          max("pressure").as("pmax"))
-        .withColumn("latc", Scalars.center(col("lat_min"), col("lat_max")))
-        .withColumn("lonc", Scalars.center(col("lon_min"), col("lon_max")))
-      g.select(col("float_id"),
-        format_string(
-          "Argo float %s operated from %s to %s in the %s (latitude %.1f to %.1f, longitude %.1f to %.1f) with %s profiles measuring temperature ranging from %.1f°C to %.1f°C, salinity from %.1f to %.1f PSU, pressures up to %.0f dbar. This float operated in %s, %s deployment.",
-          col("float_id"), col("d1"), col("d2"),
-          Scalars.oceanRegion(col("latc"), col("lonc")),
-          pr(col("lat_min"), 1), pr(col("lat_max"), 1),
-          pr(col("lon_min"), 1), pr(col("lon_max"), 1),
-          col("n_prof").cast("string"),
-          pr(col("tmin"), 1), pr(col("tmax"), 1),
-          pr(col("smin"), 1), pr(col("smax"), 1),
-          pr(col("pmax"), 0),
-          Scalars.latBand(col("latc")),
-          Scalars.season(col("m1"))).as("summary"))
-        .orderBy("float_id")
-    },
-
-    // ---- P2/P3/P4/P7 cleaning chain (preprocess.py:177-260, load_data:42) --
-    "p2_p4_clean_chain" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .withColumn("lat",
-          (expr("mod(value, 180) - 90") *
-            when(col("event_id") % 11 === 0, 2).otherwise(1)))
-        .withColumn("lon", expr("mod(value * 2, 360) - 180"))
-        .withColumn("uid",
-          when(col("user_id") % 13 === 0, lit("nan"))
-            .otherwise(col("user_id").cast("string")))
-      val cleaned = Clean.validIdFilter(
-        Clean.timeFilter(
-          Clean.geoFilter(ev, "lat", "lon"),
-          "ts", "1999-01-01", "2026-01-01"),
-        "uid")
-      cleaned.agg(
-        count(lit(1)).as("n_clean"),
-        sum(when(col("lat").between(-60, 30) && col("lon").between(20, 120), 1)
-          .otherwise(0)).as("n_indian_box"),
-        round(sum("lat"), 2).as("sum_lat"))
-    },
-
-    // ---- S13 vector-collection delete + re-add update (cleanup_chromadb) ---
-    "s13_vector_update" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val toUpdate = emb.filter(col("vec_id") % 10 === 3)
-      val afterDelete = emb.join(toUpdate.select("vec_id"), Seq("vec_id"), "left_anti")
-      val updated = toUpdate.withColumn("label", col("label") + 100)
-      afterDelete.unionByName(updated)
-        .agg(
-          count(lit(1)).as("n_vecs"),
-          countDistinct(col("label")).as("n_labels"),
-          sum(when(col("label") >= 100, 1).otherwise(0)).as("n_updated"))
-    },
-
-    // ---- A5 per-table row counts (db_handler.py:346-381) -------------------
-    "a5_table_counts" -> { (s, dir) =>
-      Seq("customer", "documents", "embeddings", "events", "lineitem",
-        "nation", "orders", "region")
-        .map(t => Tables.table(s, dir, t)
-          .agg(count(lit(1)).as("n_rows"))
-          .withColumn("table_name", lit(t)))
-        .reduce(_ unionByName _)
-        .select("table_name", "n_rows")
-        .orderBy("table_name")
-    },
-
-    // ---- E6 IVF-style ANN: coarse-cell prefilter then exact in-cell --------
-    "e6_ivf_knn" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val cents = Knn.ivfCentroids(emb, "vec", "label")
-      val q = emb.filter(col("vec_id") === 5).select(col("vec").as("qvec"))
-      val best = cents.crossJoin(broadcast(q))
-        .withColumn("csim", round(Knn.cosine(col("centroid"), col("qvec")), 6))
-        .orderBy(col("csim").desc, col("label"))
-        .limit(1)
-        .select("label", "qvec")
-      emb.join(broadcast(best), "label")
-        .filter(col("vec_id") =!= 5)
-        .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
-        .select("label", "vec_id", "sim")
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(5)
-    },
-
-    // ---- IVF quality metric: recall@5 of the multi-probe ANN search (e6's
-    // ---- cell shape, nprobe=6 of 10 cells) vs the exact scan (e2/e3's
-    // ---- shape) over 20 queries — the metric that catches a silently
-    // ---- lossy approximate path. NOTE the fixture vectors are isotropic
-    // ---- random, the worst case for ANY coarse quantizer: recall tracks
-    // ---- the probed fraction (~nprobe/cells; measured ~0.14 per cell).
-    // ---- On clustered real-world embeddings the same pipeline probes far
-    // ---- fewer cells for the same recall — exactly the trade-off this
-    // ---- query exists to measure. ------------------------------------------
-    // ---- int8 scalar quantization: the storage-compression path of a
-    // 100 TB embedding store (4x smaller vectors, 4x less scan/shuffle
-    // byte volume). Per-vector symmetric quantization — scale = max|x|/127,
-    // q = round(x/scale) — is pure deterministic arithmetic, so BOTH the
-    // quantized values and the recall metric are oracle-exact (no
-    // tolerance): the oracle recomputes the same quantize → dequantize →
-    // re-rank pipeline in SQL. Output is exact top-5 overlap per query
-    // between full-precision and dequantized rankings. --------------------
-    "e9_quantized_recall" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val cands = emb.filter(col("vec_id") >= 20)
-        .withColumn("scale",
-          aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
-        .withColumn("dvec",
-          when(col("scale") > 0,
-            transform(col("vec"), x => round(x / col("scale")) * col("scale")))
-            .otherwise(col("vec")))
-        .select("vec_id", "vec", "dvec")
-      val exact = Knn.topK(cands.select("vec_id", "vec"), "vec",
-        queries, "query_id", "qvec", k = 5, tiebreak = "vec_id")
-        .select("query_id", "vec_id")
-      val quant = Knn.topK(cands.select("vec_id", "dvec"), "dvec",
-        queries, "query_id", "qvec", k = 5, tiebreak = "vec_id")
-        .select("query_id", "vec_id")
-      val hits = exact.join(quant, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-      queries.select("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_overlap5"))
-        .orderBy("query_id")
-    },
-
-    "e8_ivf_recall" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val nprobe = 6
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val cands = emb.filter(col("vec_id") >= 20).select("vec_id", "label", "vec")
-      val exact = Knn.topK(cands, "vec", queries, "query_id", "qvec",
-        k = 5, tiebreak = "vec_id").select("query_id", "vec_id")
-      // TRAINED quantizer: two Lloyd rounds over the initial label cells,
-      // then the corpus is RE-ASSIGNED to the trained centroids — searching
-      // the pre-training label column against trained centroids would probe
-      // the wrong rows. (Oracle unrolls the same two assignment+mean rounds
-      // plus the final assignment in SQL.) On these isotropic fixtures
-      // recall still tracks the probed fraction — KnnSpec plants clustered
-      // vectors and asserts training lifts recall ABOVE the probed
-      // fraction, which one-pass cells cannot.
-      val cents = Knn.ivfTrain(cands, "vec_id", "vec", "label", iters = 2)
-      val index = Knn.ivfAssign(cands, cents, "vec_id", "vec", "label")
-      val best = queries.crossJoin(broadcast(cents))
-        .withColumn("csim", round(Knn.cosine(col("qvec"), col("centroid")), 6))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))))
-        .filter(col("r") <= nprobe)
-        .select("query_id", "qvec", "label")
-      val ivf = index.join(broadcast(best), "label")
-        .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("r") <= 5)
-        .select("query_id", "vec_id")
-      val hits = exact.join(ivf, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-      queries.select("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits5"))
-        .orderBy("query_id")
-    },
-
-    // ---- S4 alias resolution + fill-value nulling (load_data.py:226-331) ---
-    "s4_alias_resolve" -> { (s, dir) =>
-      val variants = Tables.lineitem(s, dir).select(
-        col("l_orderkey"), col("l_linenumber"),
-        when(col("l_linenumber") % 3 === 0, col("l_quantity")).as("QUANTITY"),
-        when(col("l_linenumber") % 3 === 1, col("l_quantity")).as("quantity_v2"),
-        when(col("l_linenumber") % 3 === 2, lit(-999.0)).as("qty_legacy"))
-      Extract.resolveAliases(variants, "qty",
-        Seq("QUANTITY", "quantity_v2", "qty_legacy"), fill = Some(-999.0))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(col("qty")).as("n_resolved"),
-          round(sum("qty"), 2).as("sum_qty"))
-    },
-
-    // ---- P12 document-shape classifier (cleanup_chromadb.py:73-116) --------
-    "p12_doc_shape" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("content",
-          when(col("doc_id") % 2 === 0,
-            to_json(struct(col("doc_id").as("id"), col("n_chars").as("n"), col("lang"))))
-            .otherwise(col("text")))
-        .withColumn("parsed",
-          from_json(col("content"),
-            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
-        .withColumn("shape",
-          when(col("parsed").isNotNull && array_contains(map_keys(col("parsed")), "id"), "json")
-            .otherwise("semantic"))
-        .groupBy("shape", "lang")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("shape", "lang")
-    },
-
-    // ---- A1 nested properties struct → JSON (preprocess.py:315-339 + F13) --
-    "a1_properties_json" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("user_id")
-        .agg(
-          count(lit(1)).as("total_rows"),
-          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
-          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
-          round(min("value"), 4).as("vmin"),
-          round(max("value"), 4).as("vmax"),
-          Stats.exactMean(col("value")).as("vmean"),
-          count(col("value")).as("vcount"))
-        .select(col("user_id"),
-          to_json(struct(
-            col("total_rows"),
-            struct(col("start_ts"), col("end_ts")).as("date_range"),
-            struct(
-              format_string("%.4f", col("vmin")).as("vmin"),
-              format_string("%.4f", col("vmax")).as("vmax"),
-              format_string("%.6f", col("vmean")).as("vmean"),
-              col("vcount")).as("value_stats"))).as("properties"))
-        .orderBy("user_id")
-    },
-
-    // ---- A4 total-measurement sum over the measurements map (A4) -----------
-    "a4_measure_total" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
-      val packed = Stats.packProperties(
-        Stats.perKeySummary(ev, Seq("user_id"), "ts", "event_id", Seq("value", "k")),
-        Seq("value", "k"))
-      packed.select(col("user_id"),
-        aggregate(map_values(col("properties.measurements")), lit(0L),
-          (acc, x) => acc + x.getField("count")).as("total_measurements"))
-        .orderBy("user_id")
-    },
-
-    // ---- A6 collection summary: conditional counts + bbox-style extremes ---
-    "a6_collection_stats" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("lang") === "en", 1).otherwise(0)).as("n_en"),
-          sum(when(col("n_chars") > 200, 1).otherwise(0)).as("n_long"),
-          min("n_chars").as("chars_min"),
-          max("n_chars").as("chars_max"))
-        .orderBy("source")
-    },
-
-    // ---- T1 metadata summary template (embed.py:46-148) --------------------
-    "t1_metadata_summary" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("user_id")
-        .agg(
-          min("ts").as("d1"), max("ts").as("d2"), count(lit(1)).as("n"),
-          min("value").as("vmin"), max("value").as("vmax"))
-        .withColumn("lat", expr("mod(vmin, 90)"))
-        .withColumn("lon", expr("mod(vmax, 180)"))
-        .select(col("user_id"),
-          graft.text.Summaries.metadataSummary(
-            col("user_id").cast("string"),
-            date_format(col("d1"), "yyyy-MM-dd"),
-            date_format(col("d2"), "yyyy-MM-dd"),
-            col("lat"), col("lon"), col("n").cast("string")).as("summary"))
-        .orderBy("user_id")
-    },
-
-    // ---- T3 upload description template (fastapi_app.py:524-555) -----------
-    "t3_upload_description" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .agg(
-          date_format(min("ts"), "yyyy-MM-dd").as("d1"),
-          date_format(max("ts"), "yyyy-MM-dd").as("d2"),
-          min("value").as("vmin"), max("value").as("vmax"),
-          Stats.exactMean(col("value"), 2).as("vmean"), count(col("value")).as("n"))
-        .select(graft.text.Summaries.uploadDescription(
-          col("d1"), col("d2"), col("vmin"), col("vmax"), col("vmean"),
-          col("n").cast("string")).as("description"))
-    },
-
-    // ---- T4 EAV pivot-back profile summary (embed.py:305-361) --------------
-    // min/max commute with the unpivot: aggregating each measure column
-    // directly is algebraically identical to unpivoting to EAV rows first
-    // (the oracle keeps the literal EAV CTE and hash-matches), but halves
-    // the shuffle volume — toEav doubles rows per measure BEFORE the
-    // groupBy, which at corpus scale is pure amplification of the exchange.
-    "t4_profile_summary" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_orderkey")
-        .agg(
-          min(col("l_quantity")).as("qmin"),
-          max(col("l_quantity")).as("qmax"),
-          min(col("l_extendedprice")).as("pmin"),
-          max(col("l_extendedprice")).as("pmax"))
-        .select(col("l_orderkey"),
-          format_string(
-            "Order %s with quantity from %.2f to %.2f and price from %.2f to %.2f",
-            col("l_orderkey").cast("string"),
-            round(col("qmin"), 2), round(col("qmax"), 2),
-            round(col("pmin"), 2), round(col("pmax"), 2)).as("summary"))
-        .orderBy("l_orderkey")
-    },
-
-    // ---- F3 filename → id parse (fastapi_app.py:660-675) -------------------
-    "f3_filename_parse" -> { (s, dir) =>
-      Tables.part(s, dir)
-        .withColumn("filename",
-          when(col("p_partkey") % 3 === 0, concat(lit("nodc_D"), col("p_partkey"), lit("_1.nc")))
-            .when(col("p_partkey") % 3 === 1, concat(lit("argo_R"), col("p_partkey"), lit("_2.nc")))
-            .otherwise(concat(lit("file_"), col("p_partkey"), lit(".nc"))))
-        .withColumn("float_id", regexp_extract(col("filename"), "_[DR](\\d+)", 1))
-        .withColumn("parsed", col("float_id") =!= "")
-        .groupBy("parsed")
-        .agg(count(lit(1)).as("n"),
-          countDistinct(when(col("float_id") =!= "", col("float_id"))).as("n_ids"))
-        .orderBy("parsed")
-    },
-
-    // ---- F4 time coercion: null-on-failure parse (preprocess.py:226) -------
-    "f4_time_coerce" -> { (s, dir) =>
-      Tables.orders(s, dir)
-        .withColumn("raw",
-          when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
-            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
-        .withColumn("t", try_to_timestamp(col("raw"), lit("yyyy-MM-dd")))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(col("t")).as("n_parsed"),
-          date_format(min("t"), "yyyy-MM-dd").as("first_day"),
-          date_format(max("t"), "yyyy-MM-dd").as("last_day"))
-    },
-
-    // ---- multimodal: binary payload + stubbed decode + features ------------
-    "mm1_media_features" -> { (s, dir) =>
-      // REAL decode: PNG via javax.imageio, WAV via javax.sound.sampled,
-      // MP4 container boxes via the Mp4 byte walker (no codec — container
-      // metadata only). The oracle recomputes the decoded metadata from the
-      // synthesis arithmetic — if encode OR decode drifts, the hash breaks.
-      Multimodal.decodeFeatures(
-        Multimodal.fromDocuments(Tables.documents(s, dir)
-          .repartition(32, col("doc_id")))) // single-row-group source: spread encode+decode
-        .groupBy("kind")
-        .agg(
-          count(lit(1)).as("n_items"),
-          sum(when(col("decoded.format").isNotNull ||
-            col("decoded.sample_rate").isNotNull, 1).otherwise(0))
-            .cast("long").as("n_decoded"),
-          max("decoded.width").as("max_width"),
-          max("decoded.height").as("max_height"),
-          sum(when(col("decoded.format") === "png", 1).otherwise(0))
-            .cast("long").as("n_png"),
-          max("decoded.sample_rate").as("max_sample_rate"),
-          sum("decoded.n_frames").as("sum_frames"),
-          sum(when(size(col("features")) === 8, 1).otherwise(0))
-            .cast("long").as("n_feat_ok"))
-        .orderBy("kind")
-    },
-
-    // ---- multimodal resize / frame-sample: decode (REAL javax codecs) +
-    // average-pool to a 4x2 thumbnail grid (image) / 4 temporal amplitude
-    // windows (audio). Exact integer (n, sum_v) cells make the compare
-    // FP-free; the oracle recomputes every cell from the synthesis closed
-    // form — a drift in encode, decode, OR pooling arithmetic breaks it.
-    "mm2_media_pool" -> { (s, dir) =>
-      Multimodal.poolFeatures(
-        Multimodal.fromDocuments(
-          Tables.documents(s, dir).repartition(32, col("doc_id"))))
-        .orderBy("media_id", "cell_y", "cell_x")
-    },
-
-    // ---- ST2 idempotent multi-upload union (first-arrival-wins) ------------
-    "st2_idempotent_union" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
-      val u1 = ev.filter(col("event_id") % 3 === 0).withColumn("arrival", lit(1))
-      val u2 = ev.filter(col("event_id") % 3 === 1).withColumn("arrival", lit(2))
-      val u3 = ev.filter(col("event_id") % 2 === 0).withColumn("arrival", lit(3))
-      Ingest.idempotentUnion(Seq(u1, u2, u3), "event_id", "arrival")
-        .groupBy("arrival")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("arrival")
-    },
-
-    // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
-    // directory-tree scan whose predicate prunes at the PARTITION level —
-    // the filter never reaches row groups of other priorities; at 100 TB
-    // the scan lists 1/5th of the files and reads nothing else (the scan's
-    // PartitionFilters/pruning is gated by PlanQualitySpec). The write is
-    // one-time ingest per sfDir; the measured operator is the pruned scan.
-    "s5_partitioned_scan" -> { (s, dir) =>
-      val sink = s"/tmp/graft_s5_sink_${cacheTag(dir, "orders")}"
-      materializeOnce(sink)(Tables.orders(s, dir).write.mode("overwrite")
-        .partitionBy("o_orderpriority").parquet(_))
-      s.read.parquet(sink)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total_price"))
-        .orderBy("o_orderstatus")
-    },
-
-    // ---- S-suite: schema evolution across file generations. Generation 1
-    // was written before the corpus had lang/source columns; generation 2
-    // carries them. One mergeSchema scan unions the footers so both
-    // generations read through a single schema, nulls where v1 predates the
-    // columns — the add-a-column story a 100 TB lake needs: no rewrite of
-    // old files, per-file pruning and pushdown intact. The writes are
-    // one-time ingest per sfDir; the measured operator is the merged scan.
-    "s6_schema_evolution" -> { (s, dir) =>
-      val sink = s"/tmp/graft_s6_sink_${cacheTag(dir, "documents")}"
-      val docs = Tables.documents(s, dir)
-      materializeOnce(s"$sink/gen1")(
-        docs.filter(col("doc_id") % 2 === 0)
-          .select("doc_id", "text", "n_chars")
-          .write.mode("overwrite").parquet(_))
-      materializeOnce(s"$sink/gen2")(
-        docs.filter(col("doc_id") % 2 === 1)
-          .select("doc_id", "text", "n_chars", "lang", "source")
-          .write.mode("overwrite").parquet(_))
-      s.read.option("mergeSchema", "true")
-        .parquet(s"$sink/gen1", s"$sink/gen2")
-        .groupBy(coalesce(col("lang"), lit("__pre_schema__")).as("lang"))
-        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
-        .orderBy("lang")
-    },
-
-    // ---- S7: NetCDF container decode — the reference's real ingest format
-    // (xarray over per-float Argo .nc files, ingest/load_data.py:201-375),
-    // here a pure-Scala CDF-1 parser fanned out file-per-task through the
-    // binaryFile source. Exercises the loader's full semantic surface from
-    // actual container bytes, not pre-tabularized parquet: variable alias
-    // resolution (JULD vs time, case-insensitive), _FillValue AND
-    // missing_value → null, "days since"/"hours since" epoch decode,
-    // NC_CHAR fixed-width float ids, and (profile × level) dim-explode.
-    // The fixture fleet is synthesized from an integer-exact closed form so
-    // the oracle rebuilds the decoded table from generate_series. --------
-    "s7_netcdf_decode" -> { (s, dir) =>
-      val ncDir = "/tmp/graft_s7_netcdf_v1"
-      materializeOnce(ncDir)(NetCdfFixture.writeFleet(_))
-      NetCdf.read(s, ncDir)
-        .select(col("float_id"), col("profile_id"), col("level"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
-          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
-        .orderBy("float_id", "profile_id", "level")
-    },
-
-    // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
-    // readStream over a parquet inbox → watermark + window() groupBy (shared
-    // aggregate exprs with the batch A1/A3 path) → memory sink, drained with
-    // Trigger.AvailableNow. Complete mode is the test-harness shape (memory
-    // sink, all windows emitted for the oracle compare); a live deployment
-    // uses append mode where the same watermark evicts closed-window state —
-    // the property that keeps a 1000-executor job's state finite. The oracle
-    // is the batch equivalent: hour-truncated group-by in DuckDB.
-    "st4_stream_windowed" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "value")
-      // one-time micros-normalized inbox per sfDir (the raw fixture is
-      // TIMESTAMP(NANOS), which the streaming parquet source rejects); the
-      // rewrite is ingest, not the measured operator
-      val inbox = s"/tmp/graft_st4_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString
-      s.catalog.dropTempView("st4_mem")
-      val q = graft.stream.WindowedStats.tumbling(
-          s.readStream.schema(ev.schema).parquet(inbox),
-          "ts", "1 hour", "1 hour", Seq("value"))
-        .writeStream.format("memory").queryName("st4_mem")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt) // drained AvailableNow run; RocksDB state is dead weight
-      s.table("st4_mem").orderBy("window_start")
-    },
-
-    // ---- ST: stream-stream event-time interval join (click→purchase
-    // attribution). Both sides watermarked + the interval term in the join
-    // condition is what lets Spark EVICT join state (left row once the
-    // watermark passes click_ts + window, right row once it passes
-    // purchase_ts) — without it state grows forever. Inner matches emit as
-    // they arrive, so the drained AvailableNow run equals the batch join
-    // the oracle computes; StreamJoinSpec drives the multi-batch path and
-    // asserts the eviction actually happens. -------------------------------
-    "st5_stream_join" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
-      val inbox = s"/tmp/graft_st5_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st5-ckpt").toString
-      s.catalog.dropTempView("st5_mem")
-      val src = s.readStream.schema(ev.schema).parquet(inbox)
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
-          "click_ts", "purchase_ts", watermark = "1 hour", windowSec = 3600L)
-        .select("user_id", "click_id", "purchase_id")
-        .writeStream.format("memory").queryName("st5_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.table("st5_mem").orderBy("click_id", "purchase_id")
-    },
-
-    // ---- ST: stream-stream LEFT OUTER interval join. Matches emit as
-    // they arrive (inner path); an unmatched click emits null-extended
-    // only when the watermark passes click_ts + window — state eviction
-    // proving no future purchase can match. The global watermark is the
-    // MIN across both sides' watermark nodes (multipleWatermarkPolicy
-    // default), i.e. least(max click_ts, max purchase_ts) after the
-    // drain, and the oracle encodes exactly that boundary (strict <;
-    // StreamJoinSpec pins the eviction behavior). Single-file inbox ⇒
-    // one data batch ⇒ no cross-batch late-arrival ambiguity (ingest,
-    // not the operator). --------------------------------------------------
-    "st7_stream_outer_join" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
-      val inbox = s"/tmp/graft_st7_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st7-ckpt").toString
-      s.catalog.dropTempView("st7_mem")
-      val src = s.readStream.schema(ev.schema).parquet(inbox)
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
-          "click_ts", "purchase_ts", watermark = "0 seconds", windowSec = 3600L,
-          joinType = "leftOuter")
-        .select("user_id", "click_id", "purchase_id")
-        .writeStream.format("memory").queryName("st7_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.table("st7_mem").orderBy("click_id", "purchase_id")
-    },
-
-    // ---- ST: incremental materialized view — the production streaming-ETL
-    // pattern. An UPDATE-mode aggregation emits each key's new cumulative
-    // total per micro-batch (maxFilesPerTrigger=1 forces four real
-    // batches), and foreachBatch MERGES those deltas into a keyed parquet
-    // table via the last-writer-wins upsert (version = batchId). However
-    // the files split into batches, the last update per key carries its
-    // final total, so the merged table equals the batch GROUP BY the
-    // oracle runs — while state per key stays O(1) and the sink table is
-    // queryable between batches, which is the whole point at 100 TB:
-    // never recompute the view from scratch. -----------------------------
-    "st8_incremental_agg" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("user_id", "value")
-      val inbox = s"/tmp/graft_st8_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.repartition(4).write.mode("overwrite").parquet(_))
-      val state = java.nio.file.Files.createTempDirectory("graft-st8-state")
-        .toString + "/tbl"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st8-ckpt").toString
-      val src = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inbox)
-      val agg = src.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
-      val q = agg.writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val incoming = batch.withColumn("__ver", lit(batchId))
-          val merged =
-            if (new java.io.File(s"$state/_SUCCESS").exists())
-              graft.operators.Upsert.lastWriterWins(
-                s.read.parquet(state), incoming, "user_id", "__ver", "__ver")
-            else incoming
-          // eager checkpoint severs the lineage from the files being
-          // overwritten — read-modify-write on one dir is safe
-          merged.localCheckpoint(true).write.mode("overwrite").parquet(state)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(state)
-        .select(col("user_id"), col("n_events"),
-          round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("user_id")
-    },
-
-    // ---- ST: stateful gap sessionization via flatMapGroupsWithState.
-    // State per key is ONE open-session record (start, last, n) — O(active
-    // keys), not O(events) — and the event-time timeout closes sessions for
-    // keys that fall silent, so state drains even on an unbounded stream.
-    // The drained AvailableNow run emits every session EXCEPT each key's
-    // final one when the corpus watermark never passes its gap; the oracle
-    // encodes exactly that closure rule (sid < max sid, or end+gap <
-    // global max ts — Spark fires EventTimeTimeout on timeout < watermark,
-    // strictly) over the batch lag+running-sum sessionization. ------------
-    "st6_stream_sessions" -> { (s, dir) =>
-      import s.implicits._
-      implicit val sp: SparkSession = s
-      // micros-normalized single-file inbox: one file ⇒ one data batch ⇒
-      // per-key fold sees every event together (ingest, not the operator)
-      val ev = Tables.events(s, dir)
-        .select(col("user_id").as("userId"), col("ts").cast("long").as("tsSec"))
-      val inbox = s"/tmp/graft_st6_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st6-ckpt").toString
-      s.catalog.dropTempView("st6_mem")
-      val stream = s.readStream.schema(ev.schema).parquet(inbox)
-        .as[graft.stream.SessionTracker.Event]
-      val q = graft.stream.SessionTracker.sessions(stream, gapSeconds = 1800L)
-        .writeStream.format("memory").queryName("st6_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.table("st6_mem")
-        .select(col("userId").as("user_id"), col("startSec").as("start_sec"),
-          col("endSec").as("end_sec"), col("nEvents").as("n_events"))
-        .orderBy("user_id", "start_sec")
-    },
-
-    // ---- exact dedup: content-hash groupBy (training-data pipeline) --------
-    "dd1_exact_dedup" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 50 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-      Dedup.exactDupGroups(docs.unionByName(dups), "text", "doc_id")
-        .groupBy("n_copies")
-        .agg(count(lit(1)).as("n_groups"), min("keep_id").as("min_keep_id"))
-        .orderBy("n_copies")
-    },
-
-    // ---- MinHash+LSH near-dup candidates (shingle→minhash→band→bucket) -----
-    "dd2_minhash_lsh" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val dups = docs.filter(col("doc_id") % 50 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-      // 32-way pinned: the shingle+md5 scan is compute-bound and the source
-      // parquet is a single row-group (one split), so without an explicit
-      // repartition the whole hash workload runs in ONE task.
-      val sh = Dedup.withShingleHash(
-        docs.unionByName(dups)
-          .repartition(32, col("doc_id"))
-          .withColumn("toks", Dedup.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(array_distinct(Dedup.shingles(col("toks"), 3))).as("shingle")))
-      val mh = Dedup.minhashAggs(6)
-      val sigs = sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      sigs.select(col("doc_id"), explode(Dedup.bandKeys(6, 2)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-        .groupBy("band_id", "band_key").agg(count(lit(1)).as("n"))
-        .groupBy("band_id")
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_buckets"),
-          sum(expr("(n * (n - 1)) div 2")).as("n_candidate_pairs"))
-        .orderBy("band_id")
-    },
-
-    // ---- SimHash fingerprints (16-bit, oracle-expressible) -----------------
-    "dd3_simhash" -> { (s, dir) =>
-      val tc = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      Dedup.simhash16(tc, "doc_id").orderBy("doc_id")
-    },
-
-    // ---- wide SimHash + hamming-ball LSH candidate pairs (scale path) ------
-    "dd6_simhash_hamming" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.filter(col("doc_id") % 100 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-        .withColumn("text", concat(col("text"), lit(" extraword")))
-      // One shuffle for the whole signature computation: repartitioning the
-      // (tiny) doc frame by doc_id up front parallelizes the tokenize+md5
-      // scan across cores AND satisfies the clustering requirement of BOTH
-      // downstream groupBys (doc_id+token, then doc_id — hash partitioning
-      // on a key subset co-locates them), so neither inserts an exchange.
-      // 32-way pinned explicitly: the md5-vote scan is compute-bound, so its
-      // parallelism should track cores, not the session's shuffle width
-      // (which a latency-tuned session keeps small for the tiny shuffles).
-      val tc = docs.unionByName(variants)
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      val sigs = Dedup.simhashWide(tc, "doc_id")
-      Dedup.hammingPairs(sigs, "doc_id", "simhash", bands = 3, maxDist = 16)
-        .orderBy("id_a", "id_b")
-    },
-
-    // ---- n-gram Jaccard similarity over candidate pairs --------------------
-    "dd4_ngram_jaccard" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .withColumn("sh", array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 2)))
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, col("doc_b") === col("doc_a") + 20)
-        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("jaccard", Stats.parityRound(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
-        .orderBy("doc_a")
-    },
-
-    // ---- TF-IDF-weighted top terms per document — term frequency × inverse
-    // document frequency as an EXACT integer score (tf·10⁶ div df: monotone
-    // in tf/df, no log ⇒ no cross-engine FP risk, no rank flips), ranked by
-    // the custom bounded-heap TopKPerKey operator (term rows never sort;
-    // memory O(k·docs)). The df join shuffles on token — vocabulary-sized,
-    // the small axis of any corpus.
-    "ta5_tfidf_topk" -> { (s, dir) =>
-      // tf feeds BOTH the df aggregation and the scored join — materialize
-      // it once (lazy localCheckpoint, the dd8 recipe) instead of running
-      // the tokenize+explode+agg lineage twice. ReuseExchange can't help
-      // here: the shared subtree ends in an aggregate, not an exchange, and
-      // column pruning specializes each branch's copy (verified on the
-      // executed plan — only the scan shuffle was reused).
-      val tf = Tables.documents(s, dir)
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      // Broadcast the df side: it is one row per distinct token (the
-      // vocabulary — the small axis of any corpus), while a sort-merge join
-      // would re-shuffle the full (doc,token) frame on token AND force a
-      // second shuffle back to doc_id for the top-k. Broadcasting keeps tf
-      // partitioned by doc_id end-to-end, so TopK.perKey inserts no
-      // exchange. (Past the broadcast threshold Spark falls back to a
-      // shuffled join on its own — the flip is automatic at real scale.)
-      val scored = tf.join(broadcast(dfreq), "token")
-        .withColumn("score", expr("tf * 1000000 div df"))
-        .select("doc_id", "token", "tf", "score")
-      graft.operators.TopK.perKey(scored,
-          keys = Seq("doc_id"),
-          order = Seq("score" -> false, "token" -> true), k = 3)
-        .withColumn("rank", col("rank").cast("long"))
-      // no final orderBy: the oracle compare is row-sorted (order
-      // insensitive), and a global rangepartition+sort of every (doc,term)
-      // row is a whole extra exchange wave for presentation only
-    },
-
-    // ---- PII redaction: regex scrub of emails / phone numbers with per-doc
-    // match counts AND the redacted text itself — the mandatory scrub pass
-    // before a corpus ships to training. Patterns stay inside the
-    // RE2 ∩ Java-regex common dialect so the oracle runs the same automaton;
-    // regexp_count/regexp_replace are codegen'd builtins, one scan, no UDF.
-    // The fixtures carry no PII, so matches are injected deterministically
-    // on every 4th doc — the redactor is checked both where it must fire
-    // and where it must not.
-    "ta6_pii_redact" -> { (s, dir) =>
-      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phoneRe = "\\b\\d{3}-\\d{4}\\b"
-      Tables.documents(s, dir).select("doc_id", "text")
-        .withColumn("text",
-          when(col("doc_id") % 4 === 0,
-            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-              lit("@example.com or call "),
-              format_string("555-%04d", col("doc_id") % 10000)))
-            .otherwise(col("text")))
-        .select(col("doc_id"),
-          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
-          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
-          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>").as("redacted"))
-        .orderBy("doc_id")
-    },
-
-    // ---- Repetition signals (Gopher-style quality rules): per-doc
-    // duplicate-segment and top-bigram concentration counts — the standard
-    // "is this boilerplate/spam" gate in training-data curation. Segments
-    // and bigrams explode ONCE into the row domain, then narrow per-doc
-    // aggregates; every output is an exact integer so the oracle has no FP
-    // edge, and the repetitive flag is the Gopher top-2gram rule (>18% of
-    // bigrams) in integer math.
-    "ta7_repetition" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-        .repartition(32, col("doc_id"))
-      val segs = docs
-        .select(col("doc_id"), explode(split(col("text"), "\\.")).as("seg0"))
-        .select(col("doc_id"), trim(col("seg0")).as("seg"))
-        .filter(col("seg") =!= "")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_segs"),
-          countDistinct(col("seg")).as("n_distinct_segs"))
-      val bg = docs
-        .select(col("doc_id"),
-          explode(Dedup.shingles(Dedup.tokens(col("text")), 2)).as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
-      docs.select("doc_id")
-        .join(segs, Seq("doc_id"), "left").join(bg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_segs"), lit(0L)).as("n_segs"),
-          coalesce(col("n_distinct_segs"), lit(0L)).as("n_distinct_segs"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-          (coalesce(col("top_bigram_n"), lit(0L)) * 100 >
-            coalesce(col("n_bigrams"), lit(0L)) * 18).as("repetitive"))
-        .orderBy("doc_id")
-    },
-
-    // ---- the COMPLETE near-dup pipeline: shingle → minhash → LSH bands →
-    // candidate pairs → exact-Jaccard verification → flagged dup pairs.
-    // dd2 stops at candidate counts; this runs the whole production path.
-    // Candidates come from per-bucket i<j expansion (no self-join, pair
-    // volume bounded by bucket size) and verification runs in the ROW
-    // domain: shingle-hash rows join the candidate list per side and the
-    // intersection is a (pair, shingle) match count — per-doc arrays never
-    // cross a join, and the verify shuffle is |candidates| x doc size,
-    // which LSH already pruned. The shingle frame is localCheckpoint-ed:
-    // three consumers (signatures, side A, side B) read the tokenize+md5
-    // scan ONCE instead of recomputing its lineage per branch.
-    "dd8_lsh_verified" -> { (s, dir) =>
-      dd8Pipeline(s, dir)
-        .select("id_a", "id_b", "n_inter", "jaccard", "is_dup")
-        .orderBy("id_a", "id_b")
-    },
-
-    // ---- dup-GROUP clustering: connected components over the verified
-    // near-dup pairs (min-label propagation, O(diameter) narrow-shuffle
-    // rounds) — the "keep one representative per cluster" step that turns
-    // pairwise dedup output into an actionable training-corpus filter.
-    // Oracled against a DuckDB RECURSIVE CTE transitive closure.
-    "dd9_dup_groups" -> { (s, dir) =>
-      val pairs = dd8Pipeline(s, dir).filter(col("is_dup"))
-        .select("id_a", "id_b")
-      val cc = Dedup.connectedComponents(pairs)
-      cc.join(cc.groupBy("group_id").agg(count(lit(1)).as("n_members")), "group_id")
-        .select("member_id", "group_id", "n_members")
-        .orderBy("member_id")
-    },
-
-    // ---- the dedup DELIVERABLE: the keep/drop decision table for the whole
-    // corpus. Verified near-dup pairs → connected components → the canonical
-    // member of each dup group is the group minimum (which IS the CC label),
-    // every other member is dropped. Labels cover only dup-group members —
-    // a vanishing fraction of a real corpus — so the decision join back to
-    // the corpus is a narrow shuffle (broadcast when the dup set fits).
-    // One row per doc: its group and whether it survives the dedup.
-    "dd10_dedup_apply" -> { (s, dir) =>
-      val base = Tables.documents(s, dir).select("doc_id")
-      val corpus = base.unionByName(
-        base.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 100000).as("doc_id")))
-      val labels = Dedup.connectedComponents(
-          dd8Pipeline(s, dir).filter(col("is_dup")).select("id_a", "id_b"))
-        .withColumnRenamed("member_id", "doc_id")
-      corpus.join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("group_id"), col("doc_id")).as("group_id"),
-          (col("group_id").isNull || col("group_id") === col("doc_id")).as("kept"))
-        .orderBy("doc_id")
-    },
-
-    // ---- canonical pick per dup cluster (dd10's policy upgrade): real
-    // pipelines keep the BEST member of each duplicate group, not the
-    // lowest id — here quality = content length, so the ' tailword'
-    // clones (strictly longer) must beat their originals, which makes the
-    // policy difference from dd10 visible in the output: every clone
-    // cluster keeps the 100000+d member. Selection is one max_by
-    // aggregate on (q, -doc_id) — argmax with a deterministic min-id tie
-    // — then a group_id join-back; no window over members, no sort. ------
-    "dd16_canonical_pick" -> { (s, dir) =>
-      val base = Tables.documents(s, dir).select("doc_id", "text")
-      val corpus = base.unionByName(
-          base.filter(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 100000).as("doc_id"),
-              concat(col("text"), lit(" tailword")).as("text")))
-        .withColumn("q", length(col("text")).cast("long"))
-        .select("doc_id", "q")
-      val labels = Dedup.connectedComponents(
-          dd8Pipeline(s, dir).filter(col("is_dup")).select("id_a", "id_b"))
-        .withColumnRenamed("member_id", "doc_id")
-      val labeled = corpus.join(labels, Seq("doc_id"), "left")
-        .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
-      val canon = labeled.groupBy("group_id")
-        .agg(max_by(col("doc_id"), struct(col("q"), (-col("doc_id")).as("neg")))
-          .as("canon_id"))
-      labeled.join(canon, "group_id")
-        .select(col("doc_id"), col("group_id"),
-          (col("doc_id") === col("canon_id")).as("kept"), col("q"))
-        .orderBy("doc_id")
-    },
-
-    // ---- MinHash estimator quality: signature-estimate vs exact Jaccard ----
-    // The e8 recall metric proves the IVF path isn't silently lossy; this is
-    // the same proof for MinHash — per candidate pair, the lane-match
-    // estimate (matching lanes / 6) next to the exact shingle-set Jaccard
-    // and the absolute error. Pairs cover both regimes: (d, d+100000) true
-    // near-dups (one appended word) and (d, d+20) unrelated docs, so the
-    // estimator is checked where it must fire AND where it must not.
-    "dd7_minhash_est" -> { (s, dir) =>
-      val base = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = base.filter(col("doc_id") % 20 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000)
-        .withColumn("text", concat(col("text"), lit(" extraword")))
-      val docs = base.unionByName(variants).repartition(32, col("doc_id"))
-      // Everything downstream runs in the ROW domain — one Generate to
-      // (doc_id, shingle) rows (the dd2 shape), then narrow shuffles. Two
-      // array-domain alternatives were measured 10-60× slower here: per-doc
-      // shingle-array self-joins recompute the HOF lineage per join side,
-      // and any filter/explode over the array column makes Catalyst infer a
-      // size(sh)>0 predicate that INLINES the whole tokenize+shingle chain
-      // into scan-side filters (interpreted, split() re-evaluated ~8× per
-      // row, once per consumer branch). Shuffling shingle rows is also the
-      // only shape that survives 100 TB — per-doc arrays never co-locate.
-      val shRows = docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle"))
-      val mh = Dedup.minhashAggs(6)
-      // signatures AND set sizes in ONE groupBy pass; docs with < 3 tokens
-      // have no shingle rows, hence no signature (oracle inner join mirrors)
-      val grouped = Dedup.withShingleHash(shRows).groupBy("doc_id")
-        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
-        .select(col("doc_id"), col("nsh"),
-          struct((0 until 6).map(j => col(s"mh$j")): _*).as("sig"))
-      // Pair roles WITHOUT a self-join: each row emits one narrow
-      // (pair_key, offset, side, payload) row per pair role — (d, d+100000)
-      // near-dups and (d, d+20) dissimilar — and one groupBy zips the two
-      // sides back together. The expensive lineage is consumed once; only
-      // 6-lane numeric sig structs / single shingles travel the shuffles.
-      def pairRoles(df: DataFrame, payload: String): DataFrame = df.select(
-        explode(array(
-          struct(col("doc_id").as("pk"), lit(100000L).as("off"), lit(0).as("side"), col(payload)),
-          struct((col("doc_id") - 100000).as("pk"), lit(100000L).as("off"), lit(1).as("side"), col(payload)),
-          struct(col("doc_id").as("pk"), lit(20L).as("off"), lit(0).as("side"), col(payload)),
-          struct((col("doc_id") - 20).as("pk"), lit(20L).as("off"), lit(1).as("side"), col(payload))))
-          .as("e"))
-        .select(col("e.pk"), col("e.off"), col("e.side"), col(s"e.$payload"))
-        // provably partnerless roles (near-pair keys not ≡0 mod 20, or keys
-        // before the id range) would be dropped by the groupBy anyway —
-        // filtering the narrow rows BEFORE the shuffle halves its volume
-        .filter(col("pk") >= 0 &&
-          (col("off") === 20 || col("pk") % 20 === 0))
-      // a pair exists iff BOTH endpoints have a signature (non-null sides)
-      val est = pairRoles(grouped.withColumn("pay",
-          struct(col("sig"), col("nsh"))), "pay")
-        .groupBy("pk", "off")
-        .agg(
-          max(when(col("side") === 0, col("pay.sig"))).as("sig_a"),
-          max(when(col("side") === 1, col("pay.sig"))).as("sig_b"),
-          max(when(col("side") === 0, col("pay.nsh"))).as("na"),
-          max(when(col("side") === 1, col("pay.nsh"))).as("nb"))
-        .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
-      // exact intersection size per pair: a shingle is shared iff both
-      // sides emitted it — two narrow aggregations, no array_intersect
-      val ni = pairRoles(shRows, "shingle")
-        .groupBy("pk", "off", "shingle")
-        .agg(min("side").as("s0"), max("side").as("s1"))
-        .filter(col("s0") === 0 && col("s1") === 1)
-        .groupBy("pk", "off").agg(count(lit(1)).as("ni"))
-      val exactRaw = col("ni") / (col("na") + col("nb") - col("ni"))
-      est.join(ni, Seq("pk", "off"), "left")
-        .withColumn("ni", coalesce(col("ni"), lit(0L)))
-        .withColumn("n_match", (0 until 6)
-          .map(j => when(col(s"sig_a.mh$j") === col(s"sig_b.mh$j"), 1).otherwise(0))
-          .reduce(_ + _).cast("long"))
-        .withColumn("est_j", Stats.parityRound(col("n_match") / lit(6.0), 6))
-        .withColumn("exact_j", Stats.parityRound(exactRaw, 6))
-        .withColumn("abs_err",
-          Stats.parityRound(abs(col("n_match") / lit(6.0) - exactRaw), 6))
-        .select(col("pk").as("doc_a"), (col("pk") + col("off")).as("doc_b"),
-          col("n_match"), col("est_j"), col("exact_j"), col("abs_err"))
-        .orderBy("doc_a", "doc_b")
-    },
-
-    // ---- embedding-cosine near-dup, banded sign-bit LSH (scale path) -------
-    "dd5_embed_neardup" -> { (s, dir) =>
-      // 24 hyperplane sign bits banded into 3×8-bit chunks (the dd6
-      // pigeonhole pattern): a candidate pair must match one FULL 8-bit
-      // chunk, so in-band bucket counts are 256 (vs 16 for a flat 4-bit
-      // bucket) and in-bucket pair cost drops from O(N²/16) to O(N²/256)
-      // per band — the difference between a bounded equi-join and a
-      // quadratic blow-up at 100 TB. Pigeonhole: any pair within signature
-      // hamming distance < 3 bands is guaranteed to share a chunk.
-      // Norms are computed ONCE per row before the pair join, not per pair.
-      val bits = 24; val bands = 3; val width = bits / bands
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-        .withColumn("nrm", Knn.l2norm(col("vec")))
-        .withColumn("sig", (0 until bits).map(i =>
-          when(element_at(col("vec"), i + 1) > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _))
-      val banded = emb.select(col("vec_id"), col("vec"), col("nrm"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band_id"),
-            expr(s"(sig >> ${b * width}) & ${(1L << width) - 1}").as("chunk"))): _*)).as("bc"))
-        .select(col("vec_id"), col("vec"), col("nrm"), col("bc.band_id"), col("bc.chunk"))
-      val a = banded.select(col("band_id"), col("chunk"), col("vec_id").as("id_a"),
-        col("vec").as("va"), col("nrm").as("na"))
-      val b = banded.select(col("band_id"), col("chunk"), col("vec_id").as("id_b"),
-        col("vec").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("band_id", "chunk")).filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(
-          when(col("na") * col("nb") > 0,
-            Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
-        .select("id_a", "id_b", "sim")
-        .distinct()
-        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
-        .limit(20)
-    },
-
-    // ---- SemDeDup-style semantic dedup (Abbas et al. 2023 shape): coarse-
-    // cluster the embedding space with the TRAINED IVF quantizer (k-means
-    // cells), then within each cell flag items whose cosine to a LOWER-id
-    // cell-mate reaches tau — greedy keep-first, the exactDupGroups rule
-    // lifted to embedding space. Pair expansion is O(cell²) BOUNDED BY THE
-    // QUANTIZER, never O(N²): at corpus scale the cell count grows with N
-    // (SemDeDup's own operating point) so cell size stays a constant, and
-    // the per-cell join is an equi-join on the cell id — the same bounded-
-    // bucket discipline as dd2/dd5/dd6. Exact vector copies are injected
-    // (every 20th, re-embedded content ⇒ identical vector) so the operator
-    // provably fires; norms are computed once per row, not per pair. ------
-    "dd11_semantic_dedup" -> { (s, dir) =>
-      val tau = 0.98
-      val base = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-        .select("vec_id", "label", "vec")
-      val copies = base.filter(col("vec_id") % 20 === 0)
-        .withColumn("vec_id", col("vec_id") + 10000)
-      // cells ∝ N (the SemDeDup/IVF operating point): target ~256 vectors
-      // per cell so the in-cell pair term stays LINEAR in corpus size —
-      // with a fixed cell count it grows quadratically (the ~sf1 rehearsal
-      // measured exactly that on the 10 fixture labels). One count() to
-      // size the quantizer is the standard stats-driven build step; the
-      // oracle derives the same number in SQL.
-      val all0 = base.unionByName(copies)
-      val nCells = math.max(10L, all0.count() / 256)
-      val all = all0.withColumn("label", col("vec_id") % nCells)
-      // the trained index is the corpus-wide one-time artifact (three
-      // consumers here: both pair sides and the final decision join) —
-      // materialize it once, the tf/sigs recipe
-      val cents = Knn.ivfTrain(all, "vec_id", "vec", "label", iters = 2)
-      val index = Knn.ivfAssign(all, cents, "vec_id", "vec", "label")
-        .withColumn("nrm", Knn.l2norm(col("vec")))
-        .localCheckpoint(false)
-      val a = index.select(col("label"), col("vec_id").as("id_a"),
-        col("vec").as("va"), col("nrm").as("na"))
-      val b = index.select(col("label"), col("vec_id").as("id_b"),
-        col("vec").as("vb"), col("nrm").as("nb"))
-      val dropped = a.join(b, "label").filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(
-          when(col("na") * col("nb") > 0,
-            Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
-        .filter(col("sim") >= tau)
-        .groupBy(col("id_b").as("vec_id"))
-        .agg(min("id_a").as("kept_for"), count(lit(1)).as("n_close"))
-      index.select("vec_id", "label")
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label").as("cell"),
-          col("kept_for").isNotNull.as("is_dup"),
-          coalesce(col("kept_for"), col("vec_id")).as("keep_id"),
-          coalesce(col("n_close"), lit(0L)).as("n_close"))
-    },
-
-    // ---- language-ID heuristic (marker-word argmax) ------------------------
-    "ta1_lang_id" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .repartition(32, col("doc_id")) // single-row-group source: spread the tokenize+score scan
-        .withColumn("predicted", Analysis.langId(Dedup.tokens(col("text"))))
-        .groupBy("lang", "predicted")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    },
-
-    // ---- quality scoring (length/stopword recipe) --------------------------
-    "ta2_quality_score" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("toks", Dedup.tokens(col("text")))
-        .select(
-          col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          Stats.parityRound(Analysis.avgTokenLen(col("toks")), 6).as("avg_token_len"),
-          Stats.parityRound(Analysis.stopwordRatio(col("toks")), 6).as("stopword_ratio"),
-          Stats.parityRound(Analysis.qualityScore(col("toks")), 6).as("quality"))
-        .orderBy("doc_id")
-    },
-
-    // ---- token counting: whitespace + BPE-ish regex ------------------------
-    "ta3_token_count" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("toks", Dedup.tokens(col("text")))
-        .withColumn("rtoks", Analysis.regexTokens(col("text")))
-        .groupBy("source")
-        .agg(
-          sum(size(col("toks"))).as("sum_ws_tokens"),
-          sum(size(col("rtoks"))).as("sum_re_tokens"),
-          sum(ceil(col("n_chars") / 4.0).cast("long")).as("sum_bpe_est"))
-        .orderBy("source")
-    },
-
-    // ---- document fingerprinting (k-min token-hash sketch) -----------------
-    "ta4_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("fp", Analysis.fingerprint(Dedup.tokens(col("text"))))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct(col("fp")).as("n_distinct_fp"),
-          min("fp").as("min_fp"))
-        .orderBy("source")
-    },
-
-    // ---- T2 deployment-summary template (preprocess_floats:145-271) --------
-    "t2_deploy_summary" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("user_id")
-        .agg(
-          min("ts").as("t0"), count(lit(1)).as("n"),
-          min("value").as("vmin"), max("value").as("vmax"))
-        .withColumn("lat", expr("mod(vmin, 90)"))
-        .select(col("user_id"),
-          Summaries.deploymentSummary(
-            Scalars.dateTh(col("t0")), col("user_id").cast("string"),
-            col("n").cast("string"), col("lat"), col("vmin"), col("vmax"))
-            .as("summary"))
-        .orderBy("user_id")
-    },
-
-    // ---- T5 structured JSON doc (sync_supabase_to_chromadb.py:121-177) -----
-    "t5_doc_json" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("user_id")
-        .agg(
-          count(lit(1)).as("n_events"),
-          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
-          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
-        .withColumn("doc",
-          to_json(struct(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))))
-        .select("user_id", "doc")
-        .orderBy("user_id")
-    },
-
-    // ---- E1 deterministic embedder (embeddings/embed.py:176-198) -----------
-    // Oracle checks the invariants (dim, unit L2 norm, coverage); exact
-    // bucket values are additionally pinned by the ScalaTest spec.
-    "e1_embed_stats" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("emb", Embed.embed(col("text")).cast("array<double>"))
-        .withColumn("norm", Knn.l2norm(col("emb")))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          min(size(col("emb"))).as("dim"),
-          round(min("norm"), 4).as("norm_min"),
-          round(max("norm"), 4).as("norm_max"))
-        .orderBy("source")
-    },
-
-    // ---- E2/W4 KNN top-k with metadata filter (db_handler.py:465-491) ------
-    "e2_knn_topk" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val q = emb.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
-      emb.filter(col("vec_id") =!= 0 && col("label") % 2 === 0)
-        .crossJoin(broadcast(q))
-        .withColumn("sim", round(Knn.cosine(col("vec"), col("qvec")), 6))
-        .select("vec_id", "label", "sim")
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
-    },
-
-    // ---- E3 batch KNN: per-query top-k via window (embed.py:363-404) -------
-    "e3_knn_batch" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val queries = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      Knn.topK(
-        emb.filter(col("vec_id") >= 3).select("vec_id", "label", "vec"),
-        "vec", queries, "query_id", "qvec", k = 5, tiebreak = "vec_id")
-        .withColumn("rank", col("rank").cast("long"))
-        .select("query_id", "vec_id", "label", "sim", "rank")
-        .orderBy("query_id", "rank")
-    },
-
-    // ---- E4 missing-embedding repair (test_chromadb_embeddings.py:222-297) -
-    "e4_missing_repair" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("embedding",
-          when(col("vec_id") % 10 === 0, lit(null)).otherwise(col("embedding")))
-      val missing = emb.filter(col("embedding").isNull || size(col("embedding")) === 0)
-      val repaired = missing.withColumn(
-        "embedding", Embed.embed(concat(lit("vec "), col("vec_id")), dim = 64))
-      val healthy = emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
-      healthy.unionByName(repaired)
-        .agg(
-          count(lit(1)).as("n_total"),
-          sum(when(size(col("embedding")) === 64, 1).otherwise(0)).as("n_valid_after"),
-          sum(when(col("vec_id") % 10 === 0, 1).otherwise(0)).as("n_repaired"))
-    },
-
-    // ---- E5 embedding verification agg (test_chromadb_embeddings.py:81-159)
-    "e5_embed_verify" -> { (s, dir) =>
-      Tables.embeddings(s, dir)
-        .agg(
-          count(lit(1)).as("n_vecs"),
-          sum(when(size(col("embedding")) === 64, 1).otherwise(0)).as("n_dim_ok"),
-          sum(when(col("embedding").isNull || size(col("embedding")) === 0, 1)
-            .otherwise(0)).as("n_missing"),
-          countDistinct(col("label")).as("n_labels"))
-    },
-
-    // ---- E2 full semantic-search workload: ALL 79 reference query texts
-    // ---- (test_advanced_chromadb_queries.py:57-279, 8 categories) embedded
-    // ---- with E1 and batch-KNN-ranked with the reference's per-category
-    // ---- n_results (3; edge cases 2). The embed stage is deterministic —
-    // ---- its output is inlined into the DuckDB oracle as literals and
-    // ---- additionally pinned by SemanticWorkloadSpec — so the ranking
-    // ---- stage is fully hash-checked cross-engine.
-    "e7_semantic_workload" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      Knn.topK(
-        emb.select("vec_id", "label", "vec"), "vec",
-        SemanticWorkload.queryFrame(s), "query_id", "qvec",
-        k = 3, tiebreak = "vec_id")
-        .filter(col("rank") <= col("k"))
-        .withColumn("rank", col("rank").cast("long"))
-        .select("query_id", "category", "vec_id", "label", "sim", "rank")
-        .orderBy("query_id", "rank")
-    },
-
-    // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real
-    // ---- pivot operator; embed.py:305-361) ---------------------------------
-    "u3_pivot_back" -> { (s, dir) =>
-      Unpivot.toEav(
-        Tables.lineitem(s, dir),
-        keys = Seq("l_returnflag"),
-        measures = Seq("l_quantity", "l_discount"))
-        .groupBy("l_returnflag")
-        .pivot("variable_name", Seq("l_quantity", "l_discount"))
-        .agg(Stats.exactMean(col("variable_value")))
-        .withColumnRenamed("l_quantity", "qty_mean")
-        .withColumnRenamed("l_discount", "disc_mean")
-        .orderBy("l_returnflag")
-    },
-
-    // ---- relational set ops: intersect / except over key sets --------------
-    "d3_set_ops" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
-      val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-      val both = clickers.intersect(buyers)
-      val clickOnly = clickers.except(buyers)
-      val all = clickers.union(buyers).distinct()
-      both.agg(count(lit(1)).as("n_both"))
-        .crossJoin(clickOnly.agg(count(lit(1)).as("n_click_only")))
-        .crossJoin(all.agg(count(lit(1)).as("n_union")))
-    },
-
-    // ---- positional explode (ingest/preprocess.py:113-175) -----------------
-    "u2_token_explode" -> { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .withColumn("tokens", split(col("text"), " "))
-      Unpivot.explodeTokens(toks, "tokens")
-        .groupBy("token")
-        .agg(count(lit(1)).as("n"), min(col("pos").cast("long")).as("first_pos"))
-        .orderBy("token")
-    },
-
-    // ---- iterative PageRank over the order→part graph, in EXACT scaled
-    // integers (p₀ = 10⁶; p' = 0.15·10⁶ + 850·Σ(p div outdeg) div 1000 —
-    // the ta5 integer-scaling recipe, so three nested join+aggregate
-    // rounds stay bit-identical across engines with no FP drift to
-    // round away). Each round is one narrow shuffle on dst (contrib agg)
-    // plus a broadcast-sized outdeg join — the dd9 connected-components
-    // shuffle shape, extending the iterative-graph family beyond label
-    // propagation. Simplified dangling-mass semantics (no redistribution)
-    // — identical on both engines by construction. -----------------------
-    "gr1_pagerank" -> { (s, dir) =>
-      val edges = Tables.lineitem(s, dir)
-        .select((col("l_orderkey") % 4096).as("src"),
-          (col("l_partkey") % 4096).as("dst"))
-        .distinct().localCheckpoint(false) // reused by 3 rounds + outdeg + nodes
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
-        .distinct().localCheckpoint(false)
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      var p = nodes.withColumn("p", lit(1000000L))
-      for (_ <- 1 to 3) {
-        val contrib = p.withColumnRenamed("node", "src")
-          .join(edges, "src").join(outdeg, "src")
-          .select(col("dst"), expr("p div outdeg").as("c"))
-          .groupBy("dst").agg(sum("c").as("contrib"))
-        p = nodes
-          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"),
-            (lit(150000L) + expr("850 * coalesce(contrib, 0L) div 1000")).as("p"))
-      }
-      p.orderBy(col("p").desc, col("node")).limit(20)
-    },
-
-    // ---- perceptual image dedup: average-hash over REAL decoded PNGs.
-    // Each image decodes (javax.imageio) and pools to the 4×2 grid; bit i
-    // is "cell mean above global mean", compared by integer
-    // cross-multiplication (sum_cell·n_total > sum_total·n_cell — no FP),
-    // packed into an 8-bit aHash. Identical payloads land in the same
-    // bucket by construction (injected clones prove it); the hash is the
-    // O(1)-per-image bucketing key that makes image near-dup LINEAR at
-    // 100 TB, exactly like dd5's sign-bit buckets for text embeddings.
-    // The oracle reproduces pixels from the synthesis closed form
-    // (payload rides the clone, so pixels derive from media_id % 10^6). --
-    "mm3_image_ahash" -> { (s, dir) =>
-      val media = Multimodal.fromDocuments(
-          Tables.documents(s, dir).repartition(32, col("doc_id")))
-        .filter(col("kind") === "image")
-      // clones carry the ORIGINAL payload under a shifted id — exact dups
-      val dup = media.withColumn("media_id", col("media_id") + 1000000L)
-      val cells = Multimodal.poolFeatures(media.unionByName(dup))
-      // one aggregation pivots the 8 cells wide — a totals+join form would
-      // run the decode mapPartitions twice and shuffle three extra times
-      val cellIdx = col("cell_y") * 4 + col("cell_x")
-      val aggs = (0 until 8).flatMap { k =>
-        Seq(
-          sum(when(cellIdx === k, col("sum_v")).otherwise(0L)).as(s"sv_$k"),
-          sum(when(cellIdx === k, col("n")).otherwise(0L)).as(s"n_$k"))
-      } ++ Seq(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
-      cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
-        .withColumn("ahash", (0 until 8).map(k =>
-          when(col(s"sv_$k") * col("tot_n") > col("tot_v") * col(s"n_$k"),
-            lit(1L << k)).otherwise(lit(0L))).reduce(_ + _))
-        .groupBy("ahash")
-        .agg(count(lit(1)).as("n_images"), min("media_id").as("min_media_id"))
-        .orderBy("ahash")
-    },
-
-    // ---- acoustic content fingerprint: the audio twin of mm3, over REAL
-    // WAV decode → 16 temporal energy windows → bit w = parity of window
-    // w's summed |amplitude| → 16-bit fingerprint. Fingerprinting the
-    // DECODED samples (not the file bytes) is the point: two clips with
-    // identical audio but different container bytes collide, while any
-    // sample-level change flips parities. (A mean-threshold bit rule is
-    // degenerate on this fixture's monotone synthetic ramp — every clip
-    // would land in one bucket; parity discriminates and stays exact
-    // integer arithmetic the oracle replays.) Clones collide by
-    // construction; other clips spread across enough buckets to bound
-    // any in-bucket exact-confirm pass (the dd5/dd8 recall-then-verify
-    // shape). -------------------------------------------------------------
-    "mm4_audio_fingerprint" -> { (s, dir) =>
-      val media = Multimodal.fromDocuments(
-          Tables.documents(s, dir).repartition(32, col("doc_id")))
-        .filter(col("kind") === "audio")
-      val dup = media.withColumn("media_id", col("media_id") + 1000000L)
-      val cells = Multimodal.poolFeatures(media.unionByName(dup),
-        audioWindows = 16)
-      val aggs = (0 until 16).map { k =>
-        sum(when(col("cell_x") === k, col("sum_v")).otherwise(0L)).as(s"sv_$k")
-      }
-      cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
-        .withColumn("fp", (0 until 16).map(k =>
-          (col(s"sv_$k") % 2) * lit(1L << k)).reduce(_ + _))
-        .groupBy("fp")
-        .agg(count(lit(1)).as("n_clips"), min("media_id").as("min_media_id"))
-        .orderBy("fp")
-    },
-
-    // ---- malformed-record tolerance: a 100 TB crawl ALWAYS contains
-    // broken lines, and a scan that aborts on them (FAILFAST) or silently
-    // swallows them (DROPMALFORMED) is operationally wrong at scale. The
-    // PERMISSIVE scan keeps every good row, routes each broken line into
-    // the corrupt-record column for quarantine accounting, and the counts
-    // ride inside the oracled result (5 garbage lines injected into the
-    // one-time JSON sink alongside the real rows). -----------------------
-    "o3_corrupt_tolerant" -> { (s, dir) =>
-      val base = s"/tmp/graft_o3_${cacheTag(dir, "events")}"
-      val src = Tables.events(s, dir).select("event_id", "event_type", "value")
-      materializeOnce(base) { tmp =>
-        src.write.mode("overwrite").json(tmp)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$tmp/part-99999-garbage.json"),
-          ("{\"event_id\": 1, \"event_type\": \"click\", \"value\": \n" + // truncated
-            "not json at all\n" +
-            "{\"event_id\": \"seven\"}garbage-tail\n" +                   // trailing junk
-            "[1, 2, 3\n" +                                                // unclosed array
-            "{broken\n").getBytes("UTF-8"))
-      }
-      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
-        org.apache.spark.sql.types.StructField("_bad",
-          org.apache.spark.sql.types.StringType))
-      s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_bad")
-        .json(base)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
-          count(col("event_id")).as("n_good"),
-          round(sum("value"), 2).as("sum_value"))
-    },
-
-    // ---- the full training-data preparation funnel, composed end to end:
-    // structural quality filter → exact dedup (keep-min-id per content) →
-    // eval-overlap decontamination (broadcast eval shingles) → per-source
-    // mixture sampling (hash threshold) → 2048-token sequence packing
-    // (bucketed cumsum). One row out: the count at every funnel stage plus
-    // token totals, with pack conservation visible (n_tokens must equal
-    // packed_tokens). This is the pipeline a user actually runs over a
-    // crawl; every stage reuses the individually-oracled operator. -------
-    "pl2_training_pipeline" -> { (s, dir) =>
-      // Every stage frame below has multiple consumers (its own funnel
-      // count + the next stage — and sampled feeds Pack.globalCumsum's
-      // three passes), so each is materialized ONCE via lazy
-      // localCheckpoint (the ta5/dd8 recipe); without it the count
-      // branches re-execute the whole upstream funnel per consumer
-      // (measured 4.8s → 1.3s warm at sf0.1).
-      val docs = Tables.documents(s, dir).select("doc_id", "source", "text", "n_chars")
-      val quality = docs
-        .withColumn("ntok", size(Dedup.tokens(col("text"))).cast("long"))
-        .filter(col("n_chars") >= 100 && col("ntok") >= 10)
-        .localCheckpoint(false)
-      val minIds = quality.groupBy("text").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val deduped = quality.join(minIds, "doc_id").localCheckpoint(false)
-      // contamination from the RAW corpus (same rule as dc1): any 3-gram
-      // shared with the doc_id % 97 == 0 eval slice
-      val sh = docs
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-            .as("shingle"))
-        .localCheckpoint(false)
-      val evalSh = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
-      val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalSh), "shingle").select("doc_id").distinct()
-      val clean = deduped.filter(col("doc_id") % 97 =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint(false)
-      val hv = (1 to 2).map(i =>
-        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
-          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
-      val sampled = clean
-        .filter(hv < (expr("CAST(substr(source, 4) AS INT) % 4") * 25 + 25))
-        .localCheckpoint(false)
-      val withOff = graft.operators.Pack.globalCumsum(
-        sampled.select("doc_id", "ntok"), "doc_id", "ntok", "start_off")
-      val chunks = graft.operators.Pack.chunk(withOff, "start_off", "ntok", 2048)
-      docs.agg(count(lit(1)).as("n_docs_in"))
-        .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(deduped.agg(count(lit(1)).as("n_deduped")))
-        .crossJoin(clean.agg(count(lit(1)).as("n_decontaminated")))
-        .crossJoin(sampled.agg(count(lit(1)).as("n_sampled"),
-          coalesce(sum("ntok"), lit(0L)).as("n_tokens")))
-        .crossJoin(chunks.agg(countDistinct("chunk_id").as("n_chunks"),
-          coalesce(sum("chunk_tokens"), lit(0L)).as("packed_tokens")))
-    },
-
-    // ---- bloom-pruned star join: the runtime-filter pattern made
-    // explicit. A 32 KB bloom over the FILTERED dim's hashed keys rides a
-    // scalar subquery into a map-side probe on the fact scan, so fact rows
-    // that cannot join are dropped BEFORE any exchange — at 100 TB that is
-    // the difference between shuffling the full fact table and shuffling
-    // the ~matching slice. False positives only (no false negatives), and
-    // the exact join behind the probe removes them ⇒ the result is
-    // bit-identical to the plain join the oracle runs. Catalyst's own
-    // BloomFilterAggregate/BloomFilterMightContain (what AQE's
-    // InjectRuntimeFilter instantiates), registered as SQL functions via
-    // GraftExtensions. --------------------------------------------------
-    "j9_bloom_prune_join" -> { (s, dir) =>
-      Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey", "o_orderstatus").createOrReplaceTempView("j9_dim")
-      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
-        .createOrReplaceTempView("j9_fact")
-      s.sql(
-        """WITH bf AS (
-             SELECT graft_bloom_agg(xxhash64(o_orderkey), 20000L, 262144L) AS b
-             FROM j9_dim)
-           SELECT /*+ BROADCAST(d) */ d.o_orderstatus, count(*) AS n,
-                  round(sum(f.l_extendedprice), 2) AS sum_price
-           FROM j9_fact f JOIN j9_dim d ON f.l_orderkey = d.o_orderkey
-           WHERE graft_might_contain((SELECT b FROM bf), xxhash64(f.l_orderkey))
-           GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus""")
-    },
-
-    // ---- weighted mixture sampling: per-source Bernoulli rates from the
-    // id hash — the training-mixture construction step (sample web at 25%,
-    // books at 100%, …). Hash-threshold sampling, not rand(): the decision
-    // is a pure function of the row, so task retries and stragglers at
-    // 1000-executor scale can't change the sample (rand() resample under
-    // retry is a classic silent-skew bug), reruns are reproducible, and
-    // the whole thing is map-side — no shuffle before the audit agg. -----
-    "sp3_mixture_sample" -> { (s, dir) =>
-      val hexVal = (1 to 2).map(i =>
-        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
-          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _)
-      Tables.documents(s, dir)
-        .withColumn("h", hexVal % 100)
-        .withColumn("rate_pct",
-          (expr("CAST(substr(source, 4) AS INT) % 4") * 25 + 25))
-        .groupBy("source", "rate_pct")
-        .agg(
-          count(lit(1)).as("n_total"),
-          sum(when(col("h") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"),
-          sum(when(col("h") < col("rate_pct"), col("n_chars")).otherwise(lit(0L)))
-            .as("sampled_chars"))
-        .orderBy("source")
-    },
-
-    // ---- benchmark decontamination: flag training documents sharing any
-    // 3-gram with a held-out eval set (the GPT-3/PaLM n-gram-overlap
-    // recipe, shortened to 3-grams for the fixture corpus). The eval
-    // shingle set is the SMALL axis — thousands of benchmark docs against
-    // a 100 TB corpus — so it broadcasts and the corpus-side explosion
-    // joins map-side with no shuffle of the big frame on shingle;
-    // PlanQualitySpec gates the BroadcastHashJoin. ------------------------
-    "dc1_decontaminate" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .repartition(32, col("doc_id")) // single row-group source (dd2 reason)
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-            .as("shingle"))
-        // both branches (eval-set distinct + corpus probe) read this frame:
-        // materialize the shingle explode once instead of tokenizing twice
-        .localCheckpoint(false)
-      val evalSet = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
-      sh.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalSet), "shingle")
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_hit_shingles"))
-        .orderBy("doc_id")
-    },
-
-    // ---- sliding-window chunking with overlap (the RAG / long-context
-    // prep step tp1 does NOT cover: tp1 concatenates docs into fixed
-    // windows; this SPLITS each long doc into 32-token chunks with a
-    // 24-token stride so every token keeps ≥8 tokens of context at a
-    // chunk boundary). Pure per-row arithmetic — sequence+explode+slice
-    // are codegen'd builtins, chunk identity is (doc_id, chunk_id), and
-    // NOTHING crosses rows: no shuffle at all until the presentation
-    // sort. Short docs degrade to one whole-doc chunk; the md5 pins the
-    // exact chunk text, so stride/window off-by-ones cannot hide. --------
-    "tp3_chunk_overlap" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .repartition(32, col("doc_id")) // single-row-group source (dd2 reason)
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
-        .select(col("doc_id"), col("ts"),
-          explode(expr(
-            "sequence(0, CAST(greatest(ceil((size(ts) - 32) / 24.0), 0) AS INT))"))
-            .as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-          expr("slice(ts, chunk_id * 24 + 1, 32)").as("chunk"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("chunk")).cast("long").as("n_tokens"),
-          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id")
-    },
-
-    // ---- sequence packing (concat-and-chunk): documents concatenated in
-    // doc_id order, the token stream cut into 2048-token training windows.
-    // The global running offset uses Pack.globalCumsum — deterministic
-    // key-range buckets + tiny totals aggregate + driver prefix scan +
-    // per-bucket window — NOT the single-partition `sum() OVER (ORDER BY)`
-    // the oracle is allowed to use at 60k rows. Every interior chunk must
-    // hold exactly 2048 tokens; the oracle checks that invariant row by
-    // row along with the doc spans. --------------------------------------
-    "tp1_token_packing" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          size(Dedup.tokens(col("text"))).cast("long").as("ntok"))
-      val withOff = graft.operators.Pack.globalCumsum(
-        docs, "doc_id", "ntok", "start_off", buckets = 32)
-      graft.operators.Pack.chunk(withOff, "start_off", "ntok", 2048)
-        .groupBy("chunk_id")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("chunk_tokens").as("n_tokens"),
-          min("doc_id").as("first_doc"),
-          max("doc_id").as("last_doc"))
-        .orderBy("chunk_id")
-    },
-
-    // ---- small-file compaction: the lakehouse OPTIMIZE maintenance job.
-    // A fragmented ingest (48 tiny files here; millions at 100 TB) is
-    // rewritten to a 128 MB byte target via shuffle-free coalesce — whole
-    // input splits concatenate into each output task, nothing crosses the
-    // network. The achieved file counts ride INSIDE the oracled result
-    // (before from the forced fragmentation, after from the byte target),
-    // so the compaction itself is correctness-checked, not just the reread
-    // content. LayoutSpec covers sizing/content; BENCH_NOTES records that
-    // the oracle reads the original parquet instead of write+compact+reread.
-    "o1_compaction" -> { (s, dir) =>
-      val frag = s"/tmp/graft_o1_frag_${cacheTag(dir, "events")}"
-      materializeOnce(frag)(
-        Tables.events(s, dir).select("event_id", "user_id", "value")
-          .repartition(48).write.mode("overwrite").parquet(_))
-      // per-process output: concurrent bench+verify must not compact over
-      // each other (same reasoning as j8's bucket dirs)
-      val out = s"/tmp/graft_o1_out_${cacheTag(dir, "events")}" +
-        s"_p${ProcessHandle.current().pid()}"
-      val target = 128L << 20
-      val (fragBytes, _) = graft.sources.Layout.dataFileStats(s, frag)
-      val (before, after) = graft.sources.Layout.compact(s, frag, out, target)
-      // Parity is against the target-DERIVED count, not a literal: at a
-      // larger scale factor the fixture exceeds one 128 MB file and the
-      // expectation moves with it, so the oracle row stays TRUE anywhere.
-      val expected = math.max(1L, (fragBytes + target - 1) / target)
-      s.read.parquet(out)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct("user_id").as("n_users"),
-          round(sum("value"), 2).as("sum_value"))
-        .withColumn("files_before", lit(before.toLong))
-        .withColumn("files_after_on_target", lit(after.toLong == expected))
-    },
-
-    // ---- Z-order data layout: Morton-code clustering for 2-D scan pruning.
-    // The native codegen `graft_zorder` interleaves the quantized lat/lon
-    // cells; bucketing on the z-value prefix yields tiles whose lat AND lon
-    // envelopes are simultaneously tight — the property that makes a
-    // z-sorted 100 TB write prunable by parquet min/max on either axis
-    // (ZOrderSpec measures the bbox shrink vs a time-sorted layout). The
-    // oracle reproduces the dilation as four shift-or-mask SQL stages. ----
-    "o2_zorder_layout" -> { (s, dir) =>
-      val cells = Tables.events(s, dir)
-        .withColumn("lat", col("value") % 180 - 90)
-        .withColumn("lon", (col("value") * 2) % 360 - 180)
-        .withColumn("xi", greatest(lit(0L), least(lit(1023L),
-          floor((col("lat") + 90) / 180 * 1024).cast("long"))))
-        .withColumn("yi", greatest(lit(0L), least(lit(1023L),
-          floor((col("lon") + 180) / 360 * 1024).cast("long"))))
-        .withColumn("zval", graft.expressions.ZOrder2(col("xi"), col("yi")))
-      cells
-        .groupBy(shiftright(col("zval"), 8).as("bucket"))
-        .agg(
-          count(lit(1)).as("n"),
-          round(min("lat"), 4).as("lat_min"), round(max("lat"), 4).as("lat_max"),
-          round(min("lon"), 4).as("lon_min"), round(max("lon"), 4).as("lon_max"),
-          min("zval").as("z_min"), max("zval").as("z_max"))
-        .orderBy("bucket")
-    },
-
-    // ---- SCD Type-2 history build: collapse a mutation log into versioned
-    // dimension rows with [valid_from, valid_to) ranges and an is_current
-    // flag — the standard warehouse dimension-history operator. One shuffle
-    // on the business key; both window passes (change detection, then
-    // range stitching over the collapsed rows) reuse the same hash
-    // partitioning, so the user_id exchange happens once. Ties at equal ts
-    // break on event_id so the fold is deterministic under retries. -------
-    "d4_scd2_history" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, dir)
-        .select("user_id", "ts", "event_id", "event_type")
-        .withColumn("prev_type", lag("event_type", 1).over(byUser))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-        .withColumn("version", row_number().over(byUser))
-        .withColumn("valid_to_ts", lead("ts", 1).over(byUser))
-        .select(
-          col("user_id"), col("version"),
-          col("event_type").as("status"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
-          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
-          col("valid_to_ts").isNull.as("is_current"))
-        .orderBy("user_id", "version")
-    },
-
-    // ---- CDC apply: fold an insert/update/delete change stream into final
-    // table state in ONE aggregation — max_by over the (ts, event_id)
-    // ordering key picks each key's last change without a window sort
-    // (the d1 upsert recipe), then delete-ops drop the key. The op code is
-    // derived deterministically from the row so the oracle sees the same
-    // log. At 100 TB this is the nightly CDC-compaction shape: shuffle
-    // once on the primary key, no per-key state on the driver. ------------
-    "d5_cdc_apply" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("op",
-          when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
-        .groupBy("user_id")
-        .agg(max_by(struct(col("op"), col("value")),
-          struct(col("ts"), col("event_id"))).as("last"))
-        .select(col("user_id"), col("last.op").as("op"),
-          col("last.value").as("value"))
-        .groupBy((col("user_id") % 10).as("bucket"))
-        .agg(
-          sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
-          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
-          round(sum(when(col("op") =!= "D", col("value"))), 2)
-            .as("sum_final_value"))
-        .orderBy("bucket")
-    },
-
-    // ---- leak-proof GROUP split: the split is a pure function of the
-    // GROUP key (source), not the row id, so every document of a group
-    // lands in the same split — the contamination-safe way to split
-    // corpora where near-identical rows cluster inside groups (same crawl
-    // domain, same repo). Same oracle-paired md5-lane recipe as sp1;
-    // map-side decision, one shuffle for the audit agg. -------------------
-    "sp4_group_split" -> { (s, dir) =>
-      val hv = (1 to 2).map(i =>
-        (expr(s"instr('0123456789abcdef', substr(md5(source), $i, 1)) - 1") *
-          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
-      Tables.documents(s, dir)
-        .withColumn("split",
-          when(hv < 80, "train").when(hv < 90, "valid").otherwise(lit("test")))
-        .groupBy("split")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct("source").as("n_groups"),
-          sum("n_chars").as("sum_chars"))
-        .orderBy("split")
-    },
-
-    // ---- BPE-style pair statistics: the first merge step of byte-pair
-    // encoding — global frequency of adjacent character pairs inside
-    // words, top 20. The explode is map-side; the groupBy key domain is
-    // bounded by alphabet² (not corpus size), so the shuffle carries a
-    // few KB of partial counts per task no matter how many TB of text
-    // went in; top-k is TakeOrdered, never a global sort. -----------------
-    "ta8_bpe_pairs" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(Dedup.tokens(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
-          .as("pair"))
-        .groupBy("pair")
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair"))
-        .limit(20)
-    },
-
-    // ---- mergeable distinct-count sketches: per-shard HLL sketches union
-    // into a global estimate WITHOUT re-touching rows — the pattern that
-    // replaces count(DISTINCT) when the data lives on 1000 executors and
-    // re-shuffling raw keys per rollup is unaffordable. Parity pins the
-    // exact side; the sketch side is asserted within 5% (Datasketches HLL
-    // at lgK=12 is ~1.6% RSE, so the bound is loose but honest). ----------
-    "a14_sketch_union" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val merged = ev.groupBy("event_type")
-        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-        .agg(
-          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
-          count(lit(1)).as("n_types"))
-      ev.agg(countDistinct("user_id").as("exact_users"))
-        .crossJoin(merged)
-        .select(
-          col("exact_users"), col("n_types"),
-          (abs(col("est") - col("exact_users")) <=
-            col("exact_users") * 0.05).as("est_within_5pct"))
-    },
-
-    // ---- token-budget curriculum selection: bin documents by a quality
-    // proxy (integer-exact avg word length), then take bins best-first
-    // until half the corpus token budget is spent — the data-selection
-    // step that turns scored corpora into a training mixture. The heavy
-    // pass is one groupBy with a FIXED-width bin key (no global sort, no
-    // ntile over raw rows); the cumulative window runs over the binned
-    // frame whose cardinality is the bin count, not the corpus. ----------
-    "tp2_curriculum" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val bins = Tables.documents(s, dir)
-        .withColumn("ntok", size(Dedup.tokens(col("text"))))
-        .filter(col("ntok") > 0)
-        .withColumn("score_bin",
-          least(greatest(expr("n_chars div ntok"), lit(3L)), lit(9L)))
-        .groupBy("score_bin")
-        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
-      val best = Window.orderBy(col("score_bin").desc)
-      bins
-        .withColumn("cum_tokens", sum("n_tokens")
-          .over(best.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("n_tokens")
-          .over(best.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("score_bin"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
-          ((col("cum_tokens") - col("n_tokens")) * 2 < col("total")).as("selected"))
-        .orderBy("score_bin")
-    },
-
-    // ---- NEAR-DUP decontamination: exact n-gram overlap (dc1) misses
-    // lightly-edited eval leaks; this flags training docs whose verified
-    // 3-gram Jaccard against any held-out doc clears 0.5, using the same
-    // banded-LSH machinery as dd8 — candidates are bucket-bounded, the
-    // verify runs in the row domain, and the held-out side is the small
-    // axis. The oracle replays the identical signature/band arithmetic,
-    // so parity checks the LSH itself, not just the verify. --------------
-    "dc2_neardup_decontam" -> { (s, dir) =>
-      val base = Tables.documents(s, dir).select("doc_id", "text")
-      val heldOut = base.filter(col("doc_id") % 40 === 0)
-        .withColumn("doc_id", col("doc_id") + 200000)
-        .withColumn("text", concat(col("text"), lit(" held out")))
-      val docs = base.unionByName(heldOut).repartition(32, col("doc_id"))
-      val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-            .as("shingle")))
-        .select("doc_id", "sh_hi", "sh_lo")
-        .localCheckpoint(false)
-      val mh = Dedup.minhashAggs(6)
-      val sigs = shRows.groupBy("doc_id")
-        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
-        .localCheckpoint(false)
-      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
-        .filter(col("id_a") < 200000 && col("id_b") >= 200000)
-      Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
-        .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
-        .filter(col("jaccard") >= 0.5)
-        .groupBy(col("id_a").as("doc_id"))
-        .agg(count(lit(1)).as("n_eval_dups"), max("jaccard").as("max_jaccard"))
-        .orderBy("doc_id")
-    },
-
-    // ---- streaming exactly-once dedup: the same event file lands in the
-    // inbox TWICE (at-least-once delivery) and
-    // dropDuplicatesWithinWatermark must emit each event exactly once.
-    // Watermarked dedup state evicts once event-time passes, so the state
-    // store holds a bounded window of keys — the property that lets this
-    // run forever at ingest scale (plain dropDuplicates would pin every
-    // key ever seen). Drained sink re-aggregated for the oracle. ---------
-    "st9_stream_dedup" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
-      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox) { p =>
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
-        ev.coalesce(1).write.mode("append").parquet(p)
-      }
-      // fresh per invocation: a reused path would accumulate re-appended
-      // files when the query runs again with a new checkpoint
-      val out = java.nio.file.Files.createTempDirectory("graft-st9-out").toString + "/data"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st9-ckpt").toString
-      val q = s.readStream.schema(ev.schema).parquet(inbox)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(out)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          countDistinct("event_id").as("n_distinct"),
-          round(sum("value"), 2).as("sum_value"))
-        .orderBy("event_type")
-    },
-
-    // ---- stream-static enrichment join: the streaming fact joins a
-    // BROADCAST dimension (no dimension state in the store, re-read per
-    // micro-batch, so dim updates flow in without restarting the query) —
-    // the standard shape for decorating an event stream with reference
-    // data. Stateless, so append emits every enriched row on arrival. ----
-    "st10_stream_static" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "value")
-      val inbox = s"/tmp/graft_st10_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val out = java.nio.file.Files.createTempDirectory("graft-st10-out").toString + "/data"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-ckpt").toString
-      val dim = Tables.nation(s, dir).select("n_nationkey", "n_name")
-      val q = s.readStream.schema(ev.schema).parquet(inbox)
-        .withColumn("nkey", col("user_id") % 25)
-        .join(broadcast(dim), col("nkey") === col("n_nationkey"))
-        .select("event_id", "n_name", "value")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(out)
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("n_name")
-    },
-
-    // ---- dynamic partition overwrite: rewrite ONLY the partitions the
-    // incoming frame touches (one event_type here), leaving every other
-    // partition's files untouched — the selective-backfill op that at
-    // 100 TB replaces a petabyte rewrite with one partition's worth of
-    // IO. Parity rides the read-back: clicks carry the corrected values,
-    // every other partition is byte-identical original data. -------------
-    // ---- snapshot diff (the table-format time-travel primitive): two
-    // versions of the orders table — derived deterministically so the
-    // oracle can re-derive them — full-outer joined on the key, each key
-    // classified added / removed / changed / unchanged, with integer
-    // CENTS for the change test (no float equality). Output is the
-    // status-grain audit row a lakehouse diff job emits: key counts, a
-    // key checksum (sum of keys — cheap drift detector), and the net
-    // money delta. The join is the 100 TB shape: both sides shuffle on
-    // the key once, the classification is a map-side CASE. ---------------
-    "o5_snapshot_diff" -> { (s, dir) =>
-      val base = Tables.orders(s, dir)
-        .select(col("o_orderkey"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val snapA = base.filter(col("o_orderkey") % 10 =!= 3)
-      val snapB = base.filter(col("o_orderkey") % 10 =!= 7)
-        .withColumn("cents",
-          when(col("o_orderkey") % 5 === 0, col("cents") + 500)
-            .otherwise(col("cents")))
-      snapA.withColumnRenamed("cents", "cents_a")
-        .join(snapB.withColumnRenamed("cents", "cents_b"),
-          Seq("o_orderkey"), "full_outer")
-        .withColumn("status",
-          when(col("cents_a").isNull, lit("added"))
-            .when(col("cents_b").isNull, lit("removed"))
-            .when(col("cents_a") =!= col("cents_b"), lit("changed"))
-            .otherwise(lit("unchanged")))
-        .groupBy("status")
-        .agg(count(lit(1)).as("n"),
-          sum("o_orderkey").as("key_sum"),
-          sum(coalesce(col("cents_b"), lit(0L)) -
-            coalesce(col("cents_a"), lit(0L))).as("net_cents_delta"))
-        .orderBy("status")
-    },
-
-    "o4_partition_overwrite" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
-      val tbl = s"/tmp/graft_o4_tbl_${cacheTag(dir, "events")}" +
-        s"_p${ProcessHandle.current().pid()}"
-      ev.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
-      // backfill: the click partition's values were mis-scaled — rewrite
-      // just that partition with corrected rows
-      ev.filter(col("event_type") === "click")
-        .withColumn("value", col("value") * 2)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("event_type").parquet(tbl)
-      s.read.parquet(tbl)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("event_type")
-    },
-
-    // ---- incremental dedup against an existing corpus index: the crawl
-    // op — an incoming batch is admitted only if it is neither an EXACT
-    // copy (128-bit content digest anti-join) nor a NEAR copy (banded LSH
-    // + row-domain Jaccard verify ≥ 0.5) of anything already kept. Both
-    // tiers are bounded: the digest join is a narrow key join, candidates
-    // are bucket-bounded, and only batch×index pairs verify. -------------
-    "dd12_incremental_dedup" -> { (s, dir) =>
-      val base = Tables.documents(s, dir).select("doc_id", "text")
-      // re-crawled pages: exact copies of index docs landing in the batch
-      // (+300002 keeps them on the batch side of the %3 split), so the
-      // exact tier provably fires — not just the near tier
-      val recrawled = base.filter(col("doc_id") % 30 === 1)
-        .withColumn("doc_id", col("doc_id") + 300002)
-      val all = base.unionByName(recrawled).repartition(32, col("doc_id"))
-      val batch = all.filter(col("doc_id") % 3 === 0)
-      val index = all.filter(col("doc_id") % 3 =!= 0)
-      // tier 1: exact content match
-      val exactHit = batch.alias("b")
-        .join(index.select(md5(col("text")).as("h")).distinct().alias("i"),
-          md5(col("b.text")) === col("i.h"), "left_semi")
-        .select(col("doc_id"), lit("exact_dup").as("status"))
-      // tier 2: near-dup LSH between batch and index (same arithmetic as
-      // dd8/dc2 so the oracle replays it)
-      val shRows = Dedup.withShingleHash(all.select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-            .as("shingle")))
-        .select("doc_id", "sh_hi", "sh_lo")
-        .localCheckpoint(false)
-      val mh = Dedup.minhashAggs(6)
-      val sigs = shRows.groupBy("doc_id")
-        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
-        .localCheckpoint(false)
-      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
-        .filter((col("id_a") % 3 === 0) =!= (col("id_b") % 3 === 0)) // cross-set only
-      // jaccard >= 0.5 in INTEGER form (2·|∩| >= |∪|): no FP division at
-      // the decision boundary, so the oracle can't disagree on a tie
-      val nearIds = Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
-        .filter(col("n_inter") * 2 >= col("nsh_a") + col("nsh_b") - col("n_inter"))
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .filter(col("doc_id") % 3 === 0)
-        .distinct()
-        .select(col("doc_id"), lit("near_dup").as("status"))
-      val flagged = exactHit.unionByName(nearIds)
-        .groupBy("doc_id")
-        .agg(min("status").as("status")) // 'exact_dup' < 'near_dup': exact wins
-      batch.select("doc_id").join(flagged, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("status"), lit("new")).as("status"))
-        .orderBy("doc_id")
-    },
-
-    // ---- covariance / correlation with ORDER-INDEPENDENT moments: the
-    // five sums are exact decimals (no FP summation-order dependence
-    // across 32 vs 1000 partitions — the property builtin covar/corr
-    // lacks), and only the final closed-form formula runs in doubles,
-    // written identically on both engines so the result is bit-exact.
-    // One shuffle, partial-aggregated map-side. ---------------------------
-    "a15_cov_corr" -> { (s, dir) =>
-      val d = Tables.lineitem(s, dir).select(col("l_returnflag"),
-        col("l_quantity").cast("decimal(18,2)").as("x"),
-        col("l_extendedprice").cast("decimal(18,2)").as("y"))
-      val m = d.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
-      val nd = col("n").cast("double")
-      def dbl(c: String) = col(c).cast("double")
-      m.select(col("l_returnflag"), col("n"),
-          Stats.parityRound(
-            (nd * dbl("sxy") - dbl("sx") * dbl("sy")) / (nd * (nd - 1)), 6)
-            .as("cov_xy"),
-          Stats.parityRound(
-            (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
-              sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
-                   (nd * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
-            .as("corr_xy"))
-        .orderBy("l_returnflag")
-    },
-
-    // ---- temperature-weighted mixture: per-source sampling rates derived
-    // from the α=0.5 tempered distribution (w_i = √n_i, the multilingual
-    // rebalancing recipe), budget = half the corpus. The tempered weights
-    // are per-value rounded to 6 dp and summed as EXACT decimals, so the
-    // normalization is independent of partition order; the 20-row rate
-    // table broadcasts back and the sample decision is the sp3
-    // hash-threshold lane — pure row function, retry-safe, map-side. ------
-    // ---- PPS sampling without replacement (sequential Poisson, Ohlsson
-    // 1998): per language stratum, the k docs with the SMALLEST u/w where
-    // u is a 16-bit uniform from md5(doc_id) (the sp3 hash-lane recipe ×4
-    // digits) and w = n_chars — inclusion probability ≈ k·w/Σw, so long
-    // documents are proportionally favored, and the hash keying makes the
-    // draw reproducible under retries/reruns (the property `rand()` loses
-    // on task replay). Cross-engine exactness: the ONLY float op is one
-    // IEEE division of two integers, which is correctly rounded and hence
-    // bit-identical in Spark and DuckDB — no ln/pow (libm-dependent), the
-    // reason this key shape was chosen over the e^-classic Efraimidis–
-    // Spirakis transform (same πps family). Map-side arithmetic, then the
-    // bounded-heap TopK plan: one shuffle of k·strata candidate rows. ----
-    "sp6_pps_sample" -> { (s, dir) =>
-      val h = (1 to 4).map(i =>
-        expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
-          lit(math.pow(16, 4 - i).toLong)).reduce(_ + _)
-      val keyed = Tables.documents(s, dir)
-        .select(col("lang"), col("doc_id"), col("n_chars"), h.as("h"))
-        .withColumn("skey", (col("h") + 1).cast("double") / col("n_chars"))
-      graft.operators.TopK.perKey(
-          keyed.select("lang", "doc_id", "n_chars", "h", "skey"),
-          keys = Seq("lang"),
-          order = Seq("skey" -> true, "doc_id" -> true), k = 20)
-        .select(col("lang"), col("rank").cast("long").as("rank"),
-          col("doc_id"), col("n_chars"), col("h").cast("long").as("h"))
-        .orderBy("lang", "rank")
-    },
-
-    "sp5_temperature_mixture" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
-        .withColumn("w", round(sqrt(col("n_total")), 6).cast("decimal(27,6)"))
-      val tot = counts.agg(
-        sum("w").as("sw"), sum("n_total").as("n_corpus"))
-      val rates = counts.crossJoin(broadcast(tot))
-        .withColumn("target", floor(
-          col("w").cast("double") / col("sw").cast("double") *
-            col("n_corpus").cast("double") * 0.5))
-        .withColumn("rate_pct", least(lit(1.0),
-          col("target").cast("double") / col("n_total").cast("double")) * 100)
-        .select("source", "rate_pct")
-      val hv = (1 to 2).map(i =>
-        (expr(s"instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), $i, 1)) - 1") *
-          lit(math.pow(16, 2 - i).toInt))).reduce(_ + _) % 100
-      docs.join(broadcast(rates), "source")
-        .withColumn("h", hv)
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_total"),
-          Stats.parityRound(first(col("rate_pct")), 6).as("rate_pct"),
-          sum(when(col("h") < col("rate_pct"), 1L).otherwise(0L)).as("n_sampled"),
-          sum(when(col("h") < col("rate_pct"), col("n_chars")).otherwise(lit(0L)))
-            .as("sampled_chars"))
-        .orderBy("source")
-    },
-
-    // ---- co-occurrence graph + triangle census: support-thresholded
-    // part-pair edges (frequent-itemset pruning keeps the graph sparse —
-    // the step that makes triangle counting tractable at scale), then the
-    // a<b<c wedge join closed against the edge list. Pair generation is
-    // the in-bucket gather (one groupBy, no self-join of lineitem);
-    // baskets are order-sized so the expansion is bounded per row. -------
-    "gr2_triangle_census" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_partkey").distinct()
-      val pairs = li.groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .filter(size(col("ps")) > 1)
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-            y => struct(x.as("pa"), y.as("pb")))))).as("p"))
-        .select(col("p.pa"), col("p.pb"))
-      val e = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2).select("pa", "pb")
-        .localCheckpoint(false) // three consumers: e1, e2, closure probe
-      val wedges = e.alias("e1").join(e.alias("e2"), col("e1.pb") === col("e2.pa"))
-        .select(col("e1.pa").as("x"), col("e1.pb").as("y"), col("e2.pb").as("z"))
-        .localCheckpoint(false) // two consumers: count + closure join
-      val tri = wedges.join(e,
-        col("x") === col("pa") && col("z") === col("pb"), "left_semi")
-      e.agg(count(lit(1)).as("n_edges")).crossJoin(
-          wedges.agg(count(lit(1)).as("n_wedges")))
-        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
-        .withColumn("closure_ppm",
-          expr("n_triangles * 1000000 div n_wedges"))
-    },
-
-    // ---- corpus bigram LM scoring: the KenLM-style quality signal — a
-    // bigram model estimated FROM the corpus (c(w1,w2)/c(w1·)), every doc
-    // scored by its mean scaled conditional probability, all in integer
-    // arithmetic (ppm, div) so ranks can't flip on FP. The model join is
-    // keyed on (w1,w2), the same key the model agg just produced, so the
-    // partitioning is reused; model size is vocabulary², sublinear in
-    // corpus bytes. ------------------------------------------------------
-    "ta9_bigram_lm" -> { (s, dir) =>
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val big = toks.select(col("doc_id"), col("source"),
-          explode(expr("transform(sequence(1, size(ts) - 1), i -> " +
-            "struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))")).as("b"))
-        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
-        .localCheckpoint(false) // feeds both model counts and the scoring join
-      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val model = c2.join(c1, "w1")
-        .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("p_ppm"))
-      big.join(model, Seq("w1", "w2"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("nb"), sum("p_ppm").as("sump"))
-        .withColumn("doc_score", expr("sump div nb"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("doc_score").as("sum_score"),
-          min("doc_score").as("min_score"), max("doc_score").as("max_score"))
-        .orderBy("source")
-    },
-
-    // ---- text normalization (the first scrub every crawl pipeline runs):
-    // control chars / NBSP / zero-width spaces → space, whitespace runs
-    // collapsed, ends trimmed. Dirt is injected deterministically (tab
-    // prefix on evens, CRLF+NBSP suffix on %3, BEL on %5 — the ta6
-    // fire/no-fire pattern: clean docs must pass through BYTE-identical,
-    // pinned by the md5). Patterns live in the RE2 ∩ Java dialect
-    // (hex classes, \s) so the oracle runs the same automaton; chained
-    // regexp_replace is a codegen'd one-scan map — no shuffle before the
-    // presentation sort. -------------------------------------------------
-    "ta11_normalize" -> { (s, dir) =>
-      val junkClass = "[\\x00-\\x1f\\x{00A0}\\x{200B}]"
-      Tables.documents(s, dir)
-        .withColumn("raw",
-          concat(
-            when(col("doc_id") % 2 === 0, lit("\t ")).otherwise(lit("")),
-            col("text"),
-            when(col("doc_id") % 3 === 0,
-              lit("\r\nend\u00a0more")).otherwise(lit("")),
-            when(col("doc_id") % 5 === 0, lit("\u0007\u200bx")).otherwise(lit(""))))
-        .select(col("doc_id"),
-          length(col("raw")).cast("long").as("len_raw"),
-          trim(regexp_replace(regexp_replace(col("raw"), junkClass, " "),
-            "\\s+", " ")).as("clean"))
-        .select(col("doc_id"), col("len_raw"),
-          length(col("clean")).cast("long").as("len_clean"),
-          md5(col("clean")).as("clean_md5"))
-        .orderBy("doc_id")
-    },
-
-    // ---- line-level boilerplate removal (the CommonCrawl/CCNet recipe):
-    // drop every LINE that appears in >5% of documents, keep the rest,
-    // reassemble each document in original line order. The fixture text is
-    // single-line, so boilerplate lines are injected deterministically
-    // (the ta6 pattern): a footer on EVERY doc (must drop), a newsletter
-    // line on every 3rd (must drop), and two low-frequency promo variants
-    // (must KEEP — shared-but-rare is the no-fire case). Two corpus scans
-    // by design: pass 1 reduces to the tiny high-frequency line set, which
-    // broadcasts into pass 2's re-scan — at 100 TB a re-scan is cheap and
-    // materializing the exploded corpus (the one-pass alternative) is not.
-    // The threshold is RELATIVE (nd*20 > N), so the op is scale-stable.
-    // Per-doc reassembly: collect_list skips the null-ed boilerplate
-    // rows, array_sort restores line order (pos is the struct's leading
-    // field), and the groupBy rides the pass-2 repartition clustering —
-    // no extra shuffle. A doc can lose every line (clone-heavy corpora);
-    // both sides pin that to the empty string, not NULL. ------------------
-    "dd14_line_dedup" -> { (s, dir) =>
-      def withLines(df: DataFrame): DataFrame = df
-        .select(col("doc_id"),
-          concat(
-            col("text"),
-            lit("\ncookie policy applies"),
-            when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 50 === 0,
-              concat(lit("\npromo code "),
-                expr("cast((doc_id div 50) % 2 AS string)")))
-              .otherwise(lit(""))).as("text2"))
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"),
-          posexplode(split(col("text2"), "\n")).as(Seq("pos", "line")))
-      val docs = Tables.documents(s, dir)
-      // each doc contributes a line at most once (single content line +
-      // distinct injected lines), so count(*) IS the containing-doc count
-      // — no count(distinct) double-aggregation
-      val freq = withLines(docs).groupBy("line").agg(count(lit(1)).as("nd"))
-      val total = docs.agg(count(lit(1)).as("n_total"))
-      val boiler = freq.crossJoin(broadcast(total))
-        .filter(col("nd") * 20 > col("n_total"))
-        .select(col("line"), lit(1).as("is_b"))
-      withLines(docs)
-        .join(broadcast(boiler), Seq("line"), "left")
-        .groupBy("doc_id")
-        .agg(
-          sum(when(col("is_b").isNull, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("is_b").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
-          array_join(
-            expr("transform(array_sort(collect_list(CASE WHEN is_b IS NULL " +
-              "THEN named_struct('pos', pos, 'line', line) END)), x -> x.line)"),
-            "\n").as("clean_text"))
-        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
-          length(col("clean_text")).cast("long").as("clean_len"),
-          md5(col("clean_text")).as("clean_md5"))
-        .orderBy("doc_id")
-    },
-
-    // ---- exact substring-span dedup (the Lee et al. "Deduplicating
-    // Training Data" recipe at fixture scale): every 8-token span (stride
-    // 1) that occurs MORE THAN ONCE corpus-wide is duplicated text; each
-    // doc reports its duplicated-span count and the EXACT token coverage
-    // of the union of its duplicated spans (overlaps counted once —
-    // positions exploded and distinct-counted, not n_spans*8). The dup
-    // span set is unbounded (clone-heavy corpora), so the marking join
-    // carries NO broadcast hint: the planner broadcasts at fixture scale
-    // and flips to a shuffle join past the threshold — the design never
-    // assumes the dup set fits in memory; at real scale the span string
-    // would be xxhash64'd to shrink the exchange (the oracle pairing
-    // keeps the string key). Two corpus scans by design
-    // (the dd14 argument: a re-scan beats materializing the span frame).
-    // countDistinct(start)+countDistinct(pos) ride ONE aggregation (the
-    // Expand doubles only dup-coverage rows, not the corpus). ------------
-    "dd15_span_dedup" -> { (s, dir) =>
-      def spans(df: DataFrame): DataFrame = df
-        .repartition(32, col("doc_id")) // single-row-group source (dd2 reason)
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ts) - 8), i -> named_struct(" +
-            "'start', CAST(i AS BIGINT), " +
-            "'span', array_join(slice(ts, i + 1, 8), ' ')))")).as("sp"))
-        .select(col("doc_id"), col("sp.start").as("start"), col("sp.span").as("span"))
-      val docs = Tables.documents(s, dir)
-      val dup = spans(docs).groupBy("span")
-        .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("span")
-      val cov = spans(docs).join(dup, "span")
-        .select(col("doc_id"), col("start"),
-          explode(expr("sequence(start, start + 7)")).as("pos"))
-        .groupBy("doc_id")
-        .agg(countDistinct("start").as("n_dup_spans"),
-          countDistinct("pos").as("covered"))
-      docs
-        .select(col("doc_id"),
-          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("n_spans", greatest(col("n_tokens") - 7, lit(0L)))
-        .join(cov, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          coalesce(col("covered"), lit(0L)).as("covered_tokens"))
-        .withColumn("dup_ppm",
-          expr("CASE WHEN n_tokens > 0 THEN covered_tokens * 1000000 div n_tokens " +
-            "ELSE CAST(0 AS BIGINT) END"))
-        .orderBy("doc_id")
-    },
-
-    // ---- BM25 top-k retrieval: the lexical-search scoring loop over the
-    // corpus, run for a broadcast batch of queries at once. All arithmetic
-    // is EXACT rational integer (the ta5/ta9 recipe): k1=6/5, b=3/4 and
-    // avgdl=A/N are cleared to one bigint numerator/denominator pair
-    //   tf_norm_ppm = 22*tf*A*1e6 div (10*A*tf + 3*A + 9*dl*N)
-    // and idf is the LINEARIZED (N-df+0.5)/(df+0.5) ratio in ppm — the ln
-    // is deliberately omitted so both engines agree bit-for-bit (a
-    // per-term monotone transform; documented, not hidden). Plan shape:
-    // doc length rides in the tf GROUPING KEYS (functionally dependent on
-    // doc_id — same cardinality, and it deletes the per-doc-length join a
-    // textbook BM25 plan would shuffle); tf — the query-batch posting
-    // list, the SMALL product of the corpus pass — is materialized once
-    // (lazy localCheckpoint) because it feeds both df counts and scoring,
-    // and its subtree ends in an aggregate that plan-DAG reuse cannot
-    // dedupe (the ta5 lesson: without this the corpus is tokenized
-    // twice); corpus token stats come from a second map-only scan branch
-    // (columnar, no explode, no repartition — partial aggs do the work);
-    // df/query/globals broadcast; top-k is the bounded-heap TopK plan. ---
-    "ta10_bm25_topk" -> { (s, dir) =>
-      import s.implicits._
-      val qterms = Seq((0L, "spark"), (0L, "dup"), (1L, "hash"), (1L, "join"),
-        (1L, "merge"), (2L, "window"), (2L, "sort"))
-      // corpus stats: token COUNTS need no token array — regexp_count of
-      // non-space runs equals the split-and-filter token count without
-      // allocating 50k arrays per pass; the repartition spreads the regex
-      // work off the single-row-group scan partition (serial otherwise)
-      val glob = Tables.documents(s, dir)
-        .select("doc_id", "text")
-        .repartition(32, col("doc_id"))
-        .agg(count(lit(1)).as("nn"),
-          sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("aa"))
-      // single-row-group fixture source: hash-spread BEFORE tokenizing so
-      // the split+explode work parallelizes (dd2 reason)
-      val tf = Tables.documents(s, dir)
-        .select("doc_id", "text")
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
-        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-          explode(col("ts")).as("token"))
-        .filter(col("token").isin(qterms.map(_._2).distinct: _*))
-        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false)
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val perq = tf
-        .join(broadcast(dfreq), "token")
-        .crossJoin(broadcast(glob))
-        .join(broadcast(qterms.toDF("query_id", "token")), "token")
-        .withColumn("tscore",
-          expr("(((2*(nn - df) + 1) * 1000000) div (2*df + 1)) * " +
-            "((22 * tf * aa * 1000000) div (10*aa*tf + 3*aa + 9*dl*nn)) " +
-            "div 1000000"))
-        .groupBy("query_id", "doc_id").agg(sum("tscore").as("score"))
-      graft.operators.TopK.perKey(perq,
-          keys = Seq("query_id"),
-          order = Seq("score" -> false, "doc_id" -> true), k = 10)
-        .withColumn("rank", col("rank").cast("long"))
-      // no final orderBy: the driver compare is row-sorted (ta5 reason);
-      // rank already encodes the per-query ordering
-    },
-
-    // ---- equi-width histogram: width_bucket bins computed map-side, so
-    // the shuffle carries (type, bin) partial counts — bounded by
-    // #types × #bins regardless of row count; under/overflow ride in
-    // buckets 0 and nbins+1 rather than silently clipping. ---------------
-    "a16_histogram" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          round(min("value"), 4).as("lo"), round(max("value"), 4).as("hi"))
-        .orderBy("event_type", "bucket")
-    },
-
-    // ---- equi-DEPTH histogram (a16's cousin): deciles assigned by PURE
-    // INTEGER rank arithmetic — bin = 1 + (rn-1)*10 div n — not by
-    // interpolated float boundaries: Spark's percentile and DuckDB's
-    // quantile_cont disagree by one ulp on interpolated cut points (found
-    // at sf0.1: the 0.7 boundary straddled 59.24 and flipped ~4 rows), so
-    // any boundary-comparison formulation is a knife-edge. The rank form
-    // is exact, and TIE-STABLE: tied values may get arbitrary rn order,
-    // but per-bin n is fixed by the arithmetic and lo/hi/min/max see only
-    // the value — every output cell is deterministic. Ties can split a
-    // value across adjacent bins (ntile semantics; documented). One
-    // event_type shuffle serves both window functions. At corpus scale a
-    // per-type rank window is a skew hazard — swap in a12's sketch
-    // boundaries (fixed-size, mergeable) and accept approximate depths;
-    // this exact form is the oracle-parity variant. ----------------------
-    "a18_equidepth_bins" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val rankW = Window.partitionBy("event_type").orderBy("value")
-      val typeW = Window.partitionBy("event_type")
-      Tables.events(s, dir)
-        .filter(col("value").isNotNull).select("event_type", "value")
-        .withColumn("rn", row_number().over(rankW))
-        .withColumn("nt", count(lit(1)).over(typeW))
-        .withColumn("bin", expr("1 + ((rn - 1) * 10) div nt").cast("long"))
-        .groupBy("event_type", "bin")
-        .agg(count(lit(1)).as("n"),
-          round(min("value"), 4).as("lo"), round(max("value"), 4).as("hi"))
-        .orderBy("event_type", "bin")
-    },
-
-    // ---- time-RANGE window frame: trailing 1-hour per-user activity at
-    // EVERY event (count + exact decimal sum) — the range-frame cousin of
-    // w4's rows-frame: the frame is defined by event-time distance, not
-    // row count, so bursts widen it and gaps empty it. Frame arithmetic
-    // runs on integer epoch seconds; one user_id shuffle. ----------------
-    "w6_trailing_range" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val trailing = Window.partitionBy("user_id")
-        .orderBy(col("tsec")).rangeBetween(-3600L, 0L)
-      Tables.events(s, dir)
-        .withColumn("tsec", floor(col("ts").cast("double")).cast("long"))
-        .withColumn("n_1h", count(lit(1)).over(trailing))
-        .withColumn("sum_1h",
-          sum(col("value").cast("decimal(18,6)")).over(trailing))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          max("n_1h").as("max_burst"),
-          round(max("sum_1h").cast("double"), 4).as("max_burst_value"))
-        .orderBy("user_id")
-    },
-
-    // ---- edit-distance dedup with exact-collapse first: raw part names
-    // repeat thousands of times, so pairing ROWS would blow the buckets up
-    // quadratically (the dd-family hot-bucket killer). Collapse to
-    // DISTINCT names with multiplicities, bucket by (prefix, length band),
-    // pair the distinct names in-bucket, verify with levenshtein, then
-    // weigh each name pair by cnt_a·cnt_b — row-pair counts without ever
-    // materializing row pairs. ------------------------------------------
-    "dd13_editdistance_dedup" -> { (s, dir) =>
-      val names = Tables.part(s, dir)
-        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
-        .withColumn("pfx", substring(col("name"), 1, 3))
-        .withColumn("lb", expr("length(name) div 4"))
-        .localCheckpoint(false) // feeds the exact tier and the pair gather
-      val exact = names.agg(
-        (sum(col("cnt") * (col("cnt") - 1)) / 2).cast("long").as("n_part_pairs"),
-        lit(0L).as("n_name_pairs"))
-        .withColumn("d", lit(0L))
-      val nm = col("members")
-      val near = names
-        .groupBy("pfx", "lb")
-        .agg(sort_array(collect_list(struct(col("name"), col("cnt")))).as("members"))
-        .filter(size(nm) > 1)
-        .select(explode(flatten(transform(nm, (x, i) =>
-          transform(slice(nm, i + lit(2), size(nm)),
-            y => struct(x.getField("name").as("na"), y.getField("name").as("nb"),
-              (x.getField("cnt") * y.getField("cnt")).as("w")))))).as("p"))
-        .withColumn("d", levenshtein(col("p.na"), col("p.nb")).cast("long"))
-        .filter(col("d") >= 1 && col("d") <= 3)
-        .groupBy("d")
-        .agg(sum(col("p.w")).as("n_part_pairs"), count(lit(1)).as("n_name_pairs"))
-      exact.select("d", "n_name_pairs", "n_part_pairs")
-        .unionByName(near.select("d", "n_name_pairs", "n_part_pairs"))
-        .orderBy("d")
-    },
-
-    // ---- CHAINED stateful streaming: watermarked dedup FEEDING a
-    // windowed aggregation in ONE query (multiple stateful operators per
-    // stream, Spark 3.4+) — the shape that used to force two queries with
-    // an intermediate sink. The inbox holds every event twice; the hourly
-    // stats must equal single-copy batch stats for every window the
-    // watermark finalized (append emits a window once wm ≥ its end, so
-    // the trailing partial window correctly stays open — the oracle
-    // encodes that boundary). --------------------------------------------
-    "st11_dedup_window_chain" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
-      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}" // st9's doubled inbox
-      materializeOnce(inbox) { p =>
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
-        ev.coalesce(1).write.mode("append").parquet(p)
-      }
-      val out = java.nio.file.Files.createTempDirectory("graft-st11-out").toString + "/data"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st11-ckpt").toString
-      val q = s.readStream.schema(ev.schema).parquet(inbox)
-        .withWatermark("ts", "0 seconds")
-        .dropDuplicatesWithinWatermark("event_id")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n_rows"),
-          round(min("value"), 4).as("value_min"),
-          round(max("value"), 4).as("value_max"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("n_rows"), col("value_min"), col("value_max"))
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(out).orderBy("window_start")
-    },
-
-    // ---- foreachBatch streaming MERGE: the sink-side upsert pattern for
-    // stores with no native streaming writer (JDBC, plain parquet tables,
-    // vendor warehouses). Two inbox files + maxFilesPerTrigger=1 force two
-    // real micro-batches; each batch folds into the previous table
-    // GENERATION with an argmax-per-user merge. The merge op is
-    // associative AND commutative (global argmax on (ts, event_id)), so
-    // the result is independent of batch arrival order — the property
-    // that makes the pattern restart-safe: replaying a batch after a
-    // checkpoint recovery converges to the same table. Generations make
-    // each batch's write atomic-by-rename-free overwrite-to-new-dir (a
-    // read-modify-overwrite of ONE dir would corrupt on mid-write crash).
-    "st12_foreachbatch_merge" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      val inbox = s"/tmp/graft_st12_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox) { p =>
-        ev.filter(col("event_id") % 2 === 0).coalesce(1)
-          .write.mode("overwrite").parquet(p)
-        ev.filter(col("event_id") % 2 === 1).coalesce(1)
-          .write.mode("append").parquet(p)
-      }
-      val gens = java.nio.file.Files.createTempDirectory("graft-st12-gen").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st12-ckpt").toString
-      @volatile var current: Option[String] = None
-      val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inbox)
-        .writeStream
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          val merged = current match {
-            case Some(prev) => s.read.parquet(prev).unionByName(batch.toDF())
-            case None => batch.toDF()
-          }
-          val next = s"$gens/gen_$batchId"
-          // the generation keeps the EVENT schema (incl. event_id) so the
-          // next batch's merge can still tie-break on (ts, event_id)
-          merged.groupBy("user_id")
-            .agg(max_by(
-              struct(col("event_id"), col("ts"), col("event_type"), col("value")),
-              struct(col("ts"), col("event_id"))).as("last"))
-            .select(col("last.event_id").as("event_id"), col("last.ts").as("ts"),
-              col("user_id"), col("last.event_type").as("event_type"),
-              col("last.value").as("value"))
-            .write.mode("overwrite").parquet(next)
-          current = Some(next)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(current.get)
-        .select(col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
-          col("event_type").as("last_type"),
-          round(col("value"), 4).as("last_value"))
-        .orderBy("user_id")
-    },
-
-    // ---- per-key mode (most frequent value): two hash aggregations —
-    // (key, value) counts, then max_by picks each key's winner with a
-    // deterministic (n, value) tie-break. No window sort, no per-key
-    // value lists; the second shuffle carries one row per (key, value). --
-    "a17_mode_per_user" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("n"))
-        .groupBy("user_id")
-        .agg(
-          max_by(col("event_type"), struct(col("n"), col("event_type")))
-            .as("top_type"),
-          max(struct(col("n"), col("event_type"))).getField("n").as("top_n"))
-        .orderBy("user_id")
-    },
-
-    // ---- data-quality constraint suite (Deequ-shaped): ONE pass over
-    // orders computes completeness / uniqueness / range / domain checks
-    // as plain aggregates; referential integrity is a broadcast
-    // anti-join against the customer key column. Metrics are integer
-    // violation counts (hash-exact), one row per check — the gate a
-    // pipeline consults before a training run may read the table. The
-    // 100k price-ceiling check fails on the fixture by design, so the
-    // oracle discriminates pass from fail. ------------------------------
-    "dq1_constraint_suite" -> { (s, dir) =>
-      val o = Tables.orders(s, dir)
-      val base = o.agg(
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
-        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
-        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("big_price"),
-        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
-          .as("bad_status"))
-      val orphans = o.select("o_custkey").filter(col("o_custkey").isNotNull)
-        .join(broadcast(Tables.customer(s, dir).select("c_custkey")),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_fk"))
-      base.crossJoin(orphans) // both sides are single aggregate rows
-        .select(explode(array(
-          struct(lit("completeness_custkey").as("check_name"),
-            col("null_cust").as("violations")),
-          struct(lit("domain_orderstatus").as("check_name"),
-            col("bad_status").as("violations")),
-          struct(lit("range_totalprice_le_100k").as("check_name"),
-            col("big_price").as("violations")),
-          struct(lit("range_totalprice_pos").as("check_name"),
-            col("nonpos_price").as("violations")),
-          struct(lit("ref_integrity_custkey").as("check_name"),
-            col("orphan_fk").as("violations")),
-          struct(lit("uniqueness_orderkey").as("check_name"),
-            col("dup_keys").as("violations")))).as("c"))
-        .select(col("c.check_name"), col("c.violations"),
-          (col("c.violations") === 0L).as("passed"))
-        .orderBy("check_name")
-    },
-
-    // ---- k-anonymity suppression (k = 8): quasi-identifier groups
-    // (nation × market segment) smaller than k are generalized to
-    // (-1, '*') so no released row is identifiable among fewer than k
-    // peers. One hash aggregation builds the QI histogram — bounded by
-    // QI-domain cardinality, not corpus size — and a broadcast join
-    // stamps each row with its group size; no window over raw rows. -----
-    "pv1_k_anonymity" -> { (s, dir) =>
-      val c = Tables.customer(s, dir)
-      val groups = c.groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("group_n"))
-      c.join(broadcast(groups), Seq("c_nationkey", "c_mktsegment"))
-        .select(
-          col("c_custkey"),
-          when(col("group_n") >= 8, col("c_nationkey").cast("bigint"))
-            .otherwise(lit(-1L)).as("nation_qi"),
-          when(col("group_n") >= 8, col("c_mktsegment"))
-            .otherwise(lit("*")).as("segment_qi"),
-          col("group_n"),
-          (col("group_n") < 8).as("suppressed"))
-        .orderBy("c_custkey")
-    },
-
-    // ---- DSIR-style importance selection, integer-exact: a token is
-    // "target-leaning" when its target-slice (lang = 'en') frequency
-    // beats its pool frequency, compared by int64 cross-multiplication
-    // (tc·R > rc·T) — no float log-ratios, so the oracle hash-matches.
-    // Docs where a majority of distinct tokens lean target are selected.
-    // Token stats are vocabulary-sized (≪ corpus); the per-doc pass
-    // joins distinct (doc, token) against that frame on token. Cross-
-    // multiplication overflows int64 past ~3×10⁹ pool tokens — widen
-    // both sides to DECIMAL when running beyond that. -------------------
-    "tp4_importance_select" -> { (s, dir) =>
-      // ONE tokenize pass, hash-spread off the single-row-group scan (dd2
-      // reason), collapsed to per-(doc, token) occurrence counts and
-      // materialized once — the token-stats branch and the per-doc
-      // majority vote both read the checkpointed frame instead of
-      // re-tokenizing the corpus (the naive three-branch lineage
-      // re-tokenizes 3×, serially). `lean` is vocabulary-sized (≪ corpus),
-      // so it broadcasts; beyond broadcast range drop the hint and the
-      // token join falls back to shuffle on the SMALL (doc, token) frame.
-      val tokCounts = Tables.documents(s, dir)
-        .repartition(32, col("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false)
-      val stats = tokCounts.groupBy("token").agg(
-        sum("cnt").as("rc"),
-        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("tc"))
-        .localCheckpoint(false) // vocabulary-sized; read twice (totals+lean)
-      val totals = stats.agg(sum("rc").cast("long").as("pool_total"),
-        sum("tc").cast("long").as("tgt_total"))
-      val lean = stats.crossJoin(broadcast(totals))
-        .select(col("token"),
-          (col("tc") * col("pool_total") > col("rc") * col("tgt_total"))
-            .as("lean"))
-      tokCounts.select("doc_id", "token") // distinct by construction
-        .join(broadcast(lean), "token")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("lean"), 1L).otherwise(0L)).as("n_lean"))
-        .withColumn("selected", col("n_lean") * 2 >= col("n_tokens"))
-        .orderBy("doc_id")
-    },
-
-    // ---- TPC-H Q18 (large-volume customer): the quantity aggregate is
-    // computed ONCE (groupBy l_orderkey), HAVING-filtered to the rare
-    // big orders, and that small frame is broadcast into orders — no
-    // second lineitem scan, no IN-subquery re-evaluation. The join
-    // output stays big-order-sized, so the customer join's probe side
-    // is tiny at any scale; TakeOrderedAndProject caps the result. ------
-    "q18_large_volume" -> { (s, dir) =>
-      val big = Tables.lineitem(s, dir)
-        .groupBy("l_orderkey")
-        .agg(sum("l_quantity").as("sum_qty"))
-        .filter(col("sum_qty") > 200)
-      Tables.orders(s, dir)
-        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          round(col("o_totalprice"), 2).as("o_totalprice"),
-          round(col("sum_qty"), 2).as("sum_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(100)
-    },
-
-    // ---- hybrid retrieval with reciprocal-rank fusion: the corpus is
-    // "indexed twice" — a lexical BM25 lane over documents (ta10's exact
-    // integer formula) and a semantic cosine-KNN lane over embeddings
-    // (e3's shape), doc_id and vec_id addressing the same item space.
-    // The two rankings are fused WITHOUT score calibration: rrf = 10⁹
-    // div (60 + lex_rank) + 10⁹ div (60 + sem_rank). Integer division
-    // keeps the fusion exact (no float reciprocals → no cross-engine
-    // ulp), a missing lane contributes 0 via the full outer join, and
-    // the final top-10 rides the bounded-heap TopKPerKey. Each lane is
-    // top-20-bounded before the fuse, so the join input is
-    // O(queries · k), independent of corpus size. ------------------------
-    "rr1_hybrid_rrf" -> { (s, dir) =>
-      import s.implicits._
-      val qterms = Seq((0L, "spark"), (0L, "dup"), (1L, "hash"), (1L, "join"),
-        (1L, "merge"), (2L, "window"), (2L, "sort"))
-      val lex = new Engine(s).bm25TopK(
-          Tables.documents(s, dir).select("doc_id", "text")
-            .repartition(32, col("doc_id")),
-          "doc_id", "text", qterms, k = 20)
-        .select(col("query_id"), col("doc_id"),
-          col("rank").cast("long").as("lex_rank"))
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val qvecs = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val sem = Knn.topK(emb.filter(col("vec_id") >= 3).select("vec_id", "vec"),
-          "vec", qvecs, "query_id", "qvec", k = 20, tiebreak = "vec_id")
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          col("rank").cast("long").as("sem_rank"))
-      val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf_score",
-          coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L)) +
-            coalesce(expr("1000000000L div (60 + sem_rank)"), lit(0L)))
-      graft.operators.TopK.perKey(fused, keys = Seq("query_id"),
-          order = Seq("rrf_score" -> false, "doc_id" -> true), k = 10)
-        .withColumn("rank", col("rank").cast("long"))
-    },
-
-    // ---- cohort retention: users bucketed by first-seen epoch-week
-    // (integer `unix_micros div week` — no date_trunc, whose ISO-week
-    // conventions are a cross-engine trap), then distinct-user counts
-    // per (cohort, offset) cell and an exact basis-point retention rate
-    // (n·10⁴ div size). Two shuffles on user_id (first-seen + join back,
-    // co-partitioned) and one on the cohort grain; the per-cohort size
-    // frame is weeks-sized, so it broadcasts at any corpus scale. --------
-    "ret1_cohort_retention" -> { (s, dir) =>
-      val weeks = Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(col("user_id"), expr("unix_micros(ts) div 604800000000L").as("week"))
-      val first = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
-      val cells = weeks.join(first, "user_id")
-        .groupBy(col("cohort_week"),
-          (col("week") - col("cohort_week")).as("offset_weeks"))
-        .agg(countDistinct("user_id").as("n_users"))
-      val sizes = first.groupBy("cohort_week")
-        .agg(count(lit(1)).as("cohort_size"))
-      cells.join(broadcast(sizes), "cohort_week")
-        .select(col("cohort_week"), col("offset_weeks"), col("n_users"),
-          col("cohort_size"),
-          expr("n_users * 10000L div cohort_size").as("retention_bp"))
-        .orderBy("cohort_week", "offset_weeks")
-    },
-
-    // ---- matryoshka truncation recall: rank by cosine over the FIRST 16
-    // of 64 dims (the cheap prefix an MRL-trained embedder makes
-    // meaningful) and measure top-5 overlap against full-dim ground
-    // truth — the measurement that justifies shipping truncated vectors
-    // to the ANN tier. Both lanes are e3's exact-KNN shape; slice() keeps
-    // everything in codegen'd array builtins. On these isotropic fixtures
-    // the overlap is honest (partial), not engineered to look good. ------
-    "e10_matryoshka_recall" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec", col("embedding").cast("array<double>"))
-      val qs = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val cands = emb.filter(col("vec_id") >= 20).select("vec_id", "vec")
-      val exact = Knn.topK(cands, "vec", qs, "query_id", "qvec",
-          k = 5, tiebreak = "vec_id").select("query_id", "vec_id")
-      val trunc = Knn.topK(
-          cands.select(col("vec_id"), expr("slice(vec, 1, 16)").as("vec")),
-          "vec",
-          qs.select(col("query_id"), expr("slice(qvec, 1, 16)").as("qvec")),
-          "query_id", "qvec", k = 5, tiebreak = "vec_id")
-        .select("query_id", "vec_id")
-      val hits = exact.join(trunc, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-      qs.select("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("n"), lit(0L)).as("n_hits5"))
-        .orderBy("query_id")
-    },
-
-    // ---- interval×interval overlap join, cell-bucketed: per-customer
-    // order-activity windows (even vs odd orderkeys) matched on overlap.
-    // Both sides explode to 32-day cells, equi-join on (custkey, cell),
-    // and each pair is kept only in the cell containing the overlap's
-    // START — a per-row predicate replacing the distinct() a naive
-    // bucketed interval join needs. Candidates are bounded per key-cell,
-    // never |A|×|B|; the oracle pays the quadratic per-customer form. ----
-    "j10_interval_overlap" -> { (s, dir) =>
-      val iv = Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"),
-          expr("unix_date(cast(o_orderdate AS date))").cast("long").as("lo"))
-        .withColumn("hi", col("lo") + col("o_orderkey") % 20 + 3)
-      val a = iv.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_custkey"), col("o_orderkey").as("a_key"),
-          col("lo").as("a_lo"), col("hi").as("a_hi"))
-      val b = iv.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_custkey"), col("o_orderkey").as("b_key"),
-          col("lo").as("b_lo"), col("hi").as("b_hi"))
-      graft.operators.TemporalJoins.intervalOverlapJoin(
-          a, b, "o_custkey", "a_lo", "a_hi", "b_lo", "b_hi", cellWidth = 32L)
-        .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_pairs"), sum("overlap").as("total_overlap_days"))
-        .orderBy("o_custkey")
-    },
-
-    // ---- distribution drift between the first and second half of the
-    // time range: per (event_type, value-bucket) counts for both halves
-    // and an exact cross-multiplied share test — 20·|n_a·T_b − n_b·T_a|
-    // > T_a·T_b flags cells whose share moved more than 5 points, with
-    // no float rates anywhere. The time split is the integer midpoint of
-    // the observed day range (broadcast single-row bounds); bucket
-    // partials are computed map-side, so the shuffle carries
-    // #types × #buckets × 2 rows regardless of corpus size. Products
-    // overflow int64 past ~3×10⁹ rows per half — widen to DECIMAL then. --
-    "dq2_drift" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("value").isNotNull)
-        .select(col("event_type"), col("value"),
-          expr("unix_micros(ts) div 86400000000L").as("day"))
-      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
-      val cells = ev.crossJoin(broadcast(bounds))
-        .select(col("event_type"),
-          (col("day") * 2 <= col("d0") + col("d1")).as("first_half"),
-          width_bucket(col("value"), lit(0.0), lit(100.0), lit(10)).as("bucket"))
-        .groupBy("event_type", "bucket")
-        .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_a"),
-          sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_b"))
-      // per-type totals via a window over the CELLS frame (types×buckets
-      // rows) — a separate agg+join branch would rescan events end-to-end
-      val tw = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-      cells
-        .withColumn("t_a", sum("n_a").over(tw))
-        .withColumn("t_b", sum("n_b").over(tw))
-        .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"),
-          (abs(col("n_a") * col("t_b") - col("n_b") * col("t_a")) * 20 >
-            col("t_a") * col("t_b")).as("drifted"))
-        .orderBy("event_type", "bucket")
-    },
-
-    // ---- daily growth curve: new users (first-seen day), active users,
-    // and the running cumulative-distinct total. "Cumulative distinct
-    // users" never scans history: it is the prefix-sum of first-seen
-    // counts — one groupBy(user) + one day-grain agg; the unpartitioned
-    // running-sum window is over the DAY-grain frame (bounded by the
-    // calendar, not the corpus), so the single window partition holds
-    // #days rows at any scale. ------------------------------------------
-    "w8_cumulative_users" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val days = Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
-      val newPerDay = days.groupBy("user_id").agg(min("day").as("day"))
-        .groupBy("day").agg(count(lit(1)).as("new_users"))
-      val activePerDay = days.groupBy("day")
-        .agg(countDistinct("user_id").as("active_users"))
-      val w = Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      newPerDay.join(activePerDay, Seq("day"), "full_outer")
-        .select(col("day"),
-          coalesce(col("new_users"), lit(0L)).as("new_users"),
-          coalesce(col("active_users"), lit(0L)).as("active_users"))
-        .withColumn("cum_users", sum("new_users").over(w))
-        .orderBy("day")
-    },
-
-    // ---- per-float track geometry (the reference's per-float lat/lon
-    // aggregation, preprocess_floats_to_chromadb.py:193-235, extended to
-    // ordered track stats). Integer centidegree coordinates derived
-    // arithmetically from event_id keep every displacement sum exact under
-    // any aggregation order; the lone float op is sqrt(max), IEEE-exact.
-    // One shuffle on the track key — see Trajectory.trackStats. ----------
-    "geo1_track_stats" -> { (s, dir) =>
-      val pts = Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("event_id") * 7919L % 18000L).as("lat_cd"),
-          (col("event_id") * 104729L % 36000L).as("lon_cd"))
-      graft.operators.Trajectory.trackStats(pts, "user_id", "ts", "event_id",
-          "lat_cd", "lon_cd", cellDiv = 1000L)
-        .orderBy("user_id")
-    },
-
-    // ---- ordered conversion funnel: first view → first later click →
-    // first later purchase, per user; one summary row. Every stage aggs
-    // and joins on user_id, so all k stages ride one hash partitioning;
-    // stage frames shrink monotonically. See Engine.funnelSteps. ---------
-    "fn1_funnel" -> { (s, dir) =>
-      new Engine(s).funnelSteps(
-          Tables.events(s, dir), "user_id", "ts", "event_type",
-          Seq("view", "click", "purchase"))
-        .agg(
-          count(lit(1)).as("n_step1"),
-          count(col("ts_2")).as("n_step2"),
-          count(col("ts_3")).as("n_step3"),
-          round(avg(unix_micros(col("ts_3")) - unix_micros(col("ts_1")))
-            / 1e6, 3).as("avg_sec_to_convert"))
-    },
-
-    // ---- z-score anomaly screen per event_type: the 5-row stats frame
-    // broadcasts back onto the event scan, so the 100 TB side is scanned
-    // twice but NEVER shuffled — at scale two columnar scans beat one
-    // full-table exchange. Thresholds use unrounded μ/σ (ulp-level engine
-    // divergence only matters if a value sits within ~1e-12 of the 3σ
-    // boundary — vanishing for continuous data); reported stats round. ---
-    "dq3_anomaly" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
-        .select(col("event_type"), col("value"))
-      val stats = ev.groupBy("event_type").agg(
-        avg("value").as("mu"), stddev_samp("value").as("sigma"),
-        count(lit(1)).as("n"))
-      val isOut = abs(col("value") - col("mu")) > col("sigma") * 3
-      ev.join(broadcast(stats), Seq("event_type"))
-        .groupBy("event_type")
-        .agg(
-          max(col("n")).as("n"),
-          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
-          round(max(when(isOut, col("value"))), 4).as("max_outlier"),
-          round(max(col("mu")), 4).as("mu"),
-          round(max(col("sigma")), 4).as("sigma"))
-        .orderBy("event_type")
-    },
-
-    // ---- video frame-sample schedule from REAL container metadata: the
-    // mvhd timescale/duration decoded by the Mp4 walker (not the synthesis
-    // arithmetic) drives a one-sample-per-media-second tick schedule via
-    // sequence+explode — the fan-out stage a frame extractor map-joins
-    // against. The oracle recomputes ticks from the synthesis formulas, so
-    // encode→parse drift anywhere in the container path breaks the hash. -
-    "mm5_frame_sample" -> { (s, dir) =>
-      Multimodal.decodeFeatures(
-          Multimodal.fromDocuments(Tables.documents(s, dir)
-            .repartition(32, col("doc_id"))))
-        .filter(col("kind") === "video" && col("decoded.sample_rate").isNotNull)
-        .select(col("media_id"),
-          col("decoded.sample_rate").cast("long").as("timescale"),
-          col("decoded.n_frames").as("dur_ticks"))
-        .withColumn("tick", explode(sequence(
-          lit(0L), col("dur_ticks") - 1, col("timescale"))))
-        .withColumn("sample_idx", expr("tick div timescale"))
-        .withColumn("ts_ms", col("sample_idx") * 1000L)
-        .orderBy("media_id", "sample_idx")
-    },
-
-    // ---- markup strip: wrap each doc in deterministic HTML, then strip
-    // tags + collapse whitespace with codegen'd regexp_replace — the
-    // boilerplate-removal stage of a crawl pipeline. Pure per-row work:
-    // the only shuffle is the per-language rollup. ----------------------
-    "ta12_html_strip" -> { (s, dir) =>
-      val html = concat(lit("<!DOCTYPE html><body><p id=\""), col("doc_id"),
-        lit("\">"), regexp_replace(col("text"), "\n", "</p><p>"),
-        lit("</p></body>"))
-      val stripped = trim(regexp_replace(
-        regexp_replace(html, "<[^>]*>", " "), " +", " "))
-      Tables.documents(s, dir)
-        .select(col("lang"), length(html).as("n_html"),
-          length(stripped).as("n_text"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_html").as("html_chars"), sum("n_text").as("text_chars"))
-        .withColumn("reduction_pct", round(
-          lit(100.0) * (col("html_chars") - col("text_chars"))
-            / col("html_chars"), 2))
-        .orderBy("lang")
-    },
-
-    // ---- per-source token-budget allocation: cap each source's token
-    // contribution at its budget and report the implied keep rate — the
-    // planning half of training-mixture construction (sampleMixture is
-    // the apply half). One aggregate over the corpus; the budget table is
-    // a literal CASE, so nothing joins or broadcasts. -------------------
-    "sp8_token_budget" -> { (s, dir) =>
-      val budget = when(col("source") === "src0", 40000L)
-        .when(col("source") === "src5", 5000L)
-        .when(col("source") === "src12", 100000L)
-        .otherwise(20000L)
-      Tables.documents(s, dir)
-        .select(col("source"), expr("n_chars div 4").as("toks"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
-        .withColumn("budget_tokens", budget)
-        .withColumn("kept_tokens", least(col("budget_tokens"), col("total_tokens")))
-        .withColumn("keep_rate",
-          round(col("kept_tokens") / col("total_tokens"), 6))
-        .orderBy("source")
-    },
-
-    // ---- event-type co-occurrence: which behaviors share users. Single
-    // shuffle on user_id builds the bounded per-user type set
-    // (|distinct types|, not |events|); ordered pairs explode from the
-    // sorted set per user — candidate volume is users × C(types,2), never
-    // a self-join of the event table. ----------------------------------
-    "a20_cooccurrence" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
-        .groupBy("user_id")
-        .agg(array_sort(collect_set("event_type")).as("ts"))
-        .select(posexplode(col("ts")).as(Seq("i", "type_a")), col("ts"))
-        .select(col("type_a"),
-          explode(expr("slice(ts, i + 2, size(ts))")).as("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy(desc("n_users"), col("type_a"), col("type_b"))
-    },
-
-    // ---- FORWARD as-of with freshness tolerance: each view matched to
-    // the user's NEXT purchase, but only if it lands within the hour —
-    // the feature-store "nearest reading, only if fresh" lookup. Same
-    // one-shuffle merge-union plan as j6; DuckDB's native ASOF (>=)
-    // oracles the direction, an interval CASE oracles the tolerance. ----
-    "j11_asof_tolerance" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy("user_id", "ts")
-        .agg(expr("max_by(value, event_id)").as("price"))
-      val views = ev.filter(col("event_type") === "view")
-        .select("event_id", "user_id", "ts")
-      graft.operators.TemporalJoins.asofJoinTolerance(
-          views, purchases, key = "user_id", time = "ts",
-          valueCol = "price", asofCol = "next_price",
-          toleranceMicros = 3600L * 1000000L, forward = true)
-        .select(col("event_id"), col("user_id"),
-          round(col("next_price"), 2).as("next_price"))
-        .orderBy("event_id")
-    },
-
-    // ---- group-wise least squares, closed form: price-per-quantity slope
-    // and intercept per return flag. The five moments accumulate as EXACT
-    // decimals (a15's recipe — FP summation order can't move them); the
-    // one double formula evaluates identically on both engines, so the
-    // fit is bit-deterministic at any partition count. -------------------
-    "lr1_price_regression" -> { (s, dir) =>
-      import Stats.parityRound
-      val d = Tables.lineitem(s, dir).select(col("l_returnflag"),
-        col("l_quantity").cast("decimal(18,2)").as("x"),
-        col("l_extendedprice").cast("decimal(18,2)").as("y"))
-      val m = d.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
-      val nd = col("n").cast("double")
-      def dbl(c: String) = col(c).cast("double")
-      val slope = (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
-        (nd * dbl("sxx") - dbl("sx") * dbl("sx"))
-      m.select(col("l_returnflag"), col("n"),
-          parityRound(slope, 6).as("slope"),
-          parityRound((dbl("sy") - slope * dbl("sx")) / nd, 6).as("intercept"))
-        .orderBy("l_returnflag")
-    },
-
-    // ---- feature hashing (the hashing trick): tokens → 64 stable buckets
-    // via md5 nibbles (cross-engine, unlike xxhash64 vs DuckDB hash());
-    // corpus-level bucket load histogram shows the collision spread a
-    // downstream linear model sees. Map-side explode + one 64-key agg —
-    // the shuffle carries 64 partial rows per task at any corpus size. ---
-    "f17_feature_hash" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(split(col("text"), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "")
-        .select(lower(col("tok")).as("tok"))
-        .withColumn("bucket",
-          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % 64)
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct("tok").as("n_distinct_tokens"))
-        .orderBy("bucket")
-    },
-
-    // ---- TPC-H Q7 shape: bilateral trade volume between two nations by
-    // ship year. The symmetric nation-pair predicate rides the joined row
-    // (after both nation dims broadcast), so Catalyst keeps the fact
-    // tables in one shuffle-join spine; the year split is a map-side
-    // projection. ------------------------------------------------------
-    "q7_nation_trade" -> { (s, dir) =>
-      val n1 = broadcast(Tables.nation(s, dir)
-        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
-      val n2 = broadcast(Tables.nation(s, dir)
-        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-        .join(n1, col("s_nationkey") === col("s_nkey"))
-        .join(n2, col("c_nationkey") === col("c_nkey"))
-        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
-          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    },
-
-    // ---- TPC-H Q10 shape: top customers by returned-item revenue in a
-    // two-quarter window. Selective order-date filter pushes to the scan;
-    // the customer/nation dims broadcast; the ranked cut is a
-    // TakeOrderedAndProject on rounded revenue (deterministic custkey
-    // tie-break), never a global sort. ---------------------------------
-    "q10_returned_items" -> { (s, dir) =>
-      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
-        .join(Tables.orders(s, dir)
-            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, dir)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(desc("revenue"), col("c_custkey"))
-        .limit(20)
-    },
-
-    // ---- length-bucket batching plan: docs binned to power-of-two token
-    // caps, per-bucket padding waste — the dynamic-batching table a
-    // trainer uses to size batches. Literal CASE boundaries (no float
-    // log2 knife-edge); one aggregate, map-side partials. ---------------
-    "tp5_length_buckets" -> { (s, dir) =>
-      val toks = expr("n_chars div 4")
-      val cap = when(toks <= 16, 16L).when(toks <= 32, 32L)
-        .when(toks <= 64, 64L).when(toks <= 128, 128L)
-        .when(toks <= 256, 256L).when(toks <= 512, 512L)
-        .when(toks <= 1024, 1024L).otherwise(2048L)
-      Tables.documents(s, dir)
-        .select(toks.as("toks"), cap.as("bucket_cap"))
-        .groupBy("bucket_cap")
-        .agg(count(lit(1)).as("n_docs"), sum("toks").as("sum_tokens"),
-          sum(col("bucket_cap") - col("toks")).as("padding_waste"))
-        .withColumn("waste_pct", round(
-          lit(100.0) * col("padding_waste")
-            / (col("padding_waste") + col("sum_tokens")), 2))
-        .orderBy("bucket_cap")
-    },
-
-    // ---- key-skew diagnostics: the pre-flight a 100 TB join needs —
-    // per-key frequency profile (max/avg skew factor, heavy-key count)
-    // per grouping column. Two narrow aggregates: per-key counts, then
-    // count-grain stats; integer except the one rounded ratio. ----------
-    "dq4_skew_stats" -> { (s, dir) =>
-      val perKey = Tables.events(s, dir)
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id").agg(count(lit(1)).as("c"))
-      val totals = perKey.agg(count(lit(1)).as("n_keys"),
-        sum("c").as("n_rows"), max("c").as("max_key_rows"))
-      // heavy key test by exact cross-multiplication: c > 2·avg ⇔
-      // c·n_keys > 2·n_rows — no float rates in the predicate. The
-      // products stay in int64 while max_key_rows·n_keys < 9.2e18
-      // (e.g. 1e9 keys × 1e9-row hottest key); widen to DECIMAL past that.
-      perKey.crossJoin(broadcast(totals))
-        .agg(max("n_keys").as("n_keys"), max("n_rows").as("n_rows"),
-          max("max_key_rows").as("max_key_rows"),
-          sum(when(col("c") * col("n_keys") > col("n_rows") * 2, 1L)
-            .otherwise(0L)).as("n_heavy_keys"))
-        .withColumn("skew_factor", round(
-          col("max_key_rows") * col("n_keys") / col("n_rows").cast("double"), 4))
-    },
-
-    // ---- long→wide pivot with an EXPLICIT value list (no collect-distinct
-    // driver pass — the list is part of the query contract, so the plan is
-    // a single groupBy with conditional aggregates, one shuffle). The
-    // dynamic-pivot variant would scan once to discover values; at 100 TB
-    // you pin the columns instead. u3 is the wide→long inverse. ----------
-    "u4_pivot_wide" -> { (s, dir) =>
-      Tables.events(s, dir).filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("user_id")
-    },
-
-    // ---- rolling 7-day active users, one pipeline: each distinct
-    // (user, day) presence pair explodes MAP-SIDE to the ≤7 trailing
-    // windows it feeds (shuffle volume presence×7, never events×7); the
-    // (user, window-day) aggregate both dedups and remembers whether the
-    // pair anchors the window (off=0), so the day-grain agg reads DAU and
-    // WAU from the same frame — 3 shuffles, zero joins. A window-day is
-    // real iff someone was active ON it (dau > 0), which prunes the
-    // phantom days past each activity gap. -------------------------------
-    "a21_trailing_dau" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .filter(col("ts").isNotNull && col("user_id").isNotNull)
-        .select(col("user_id"),
-          expr("unix_micros(ts) div 86400000000L").as("day"))
-        .distinct()
-        .withColumn("off", explode(sequence(lit(0L), lit(6L))))
-        .groupBy(col("user_id"), (col("day") + col("off")).as("day"))
-        .agg(max(when(col("off") === 0L, 1L).otherwise(0L)).as("h0"))
-        .groupBy("day")
-        .agg(sum("h0").as("dau"), count(lit(1)).as("wau7"))
-        .filter(col("dau") > 0)
-        .orderBy("day")
-    },
-
-    // ---- ANALYZE-style column profile: null count / NDV / min / max for
-    // every profiled column in ONE scan (multi-countDistinct plans a
-    // single expand + hash agg, no per-column passes), then stack() to the
-    // column-grain table a catalog stores. Numeric extrema stay typed
-    // (double) — cross-engine double→string rendering is a knife-edge. ---
-    "dq5_profile" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .agg(
-          count(lit(1)).as("n"),
-          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("id_null"),
-          countDistinct("event_id").as("id_nd"),
-          min("event_id").cast("double").as("id_min"),
-          max("event_id").cast("double").as("id_max"),
-          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("u_null"),
-          countDistinct("user_id").as("u_nd"),
-          min("user_id").cast("double").as("u_min"),
-          max("user_id").cast("double").as("u_max"),
-          sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_null"),
-          countDistinct("value").as("v_nd"),
-          round(min("value"), 4).as("v_min"), round(max("value"), 4).as("v_max"),
-          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("t_null"),
-          countDistinct("event_type").as("t_nd"))
-        .select(col("n"), expr(
-          """stack(4,
-               'event_id',   id_null, id_nd, id_min, id_max,
-               'user_id',    u_null,  u_nd,  u_min,  u_max,
-               'value',      v_null,  v_nd,  v_min,  v_max,
-               'event_type', t_null,  t_nd,  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
-             AS (column_name, n_null, n_distinct, min_val, max_val)"""))
-        .orderBy("column_name")
-    },
-
-    // ---- point-in-time dimension join: purchases attributed to the SCD2
-    // status version valid AT the fact's timestamp — the feature-store
-    // correctness op (training must see the feature value as-of the label
-    // time, not today's). Composed from scd2History + the one-shuffle
-    // as-of merge join (latest valid_from <= ts ≡ interval containment,
-    // versions tile time); no range θ-join anywhere. ---------------------
-    "j12_point_in_time" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      // dimension log: signup/error transitions, one change per (user, ts)
-      val log = ev.filter(col("event_type").isin("signup", "error"))
-        .groupBy("user_id", "ts")
-        .agg(expr("max_by(event_type, event_id)").as("status"),
-          max("event_id").as("event_id"))
-      val dim = new Engine(s)
-        .scd2History(log, "user_id", "ts", "status", "event_id")
-        .withColumn("sv", struct(col("version"), col("status")))
-        .withColumnRenamed("valid_from", "ts")
-      val facts = ev.filter(col("event_type") === "purchase")
-        .select("user_id", "ts", "value")
-      graft.operators.TemporalJoins.asofJoin(
-          facts, dim, key = "user_id", time = "ts",
-          valueCol = "sv", asofCol = "asof")
-        .groupBy(coalesce(col("asof.status"), lit("none")).as("status"))
-        .agg(count(lit(1)).as("n_purchases"),
-          countDistinct("user_id").as("n_users"),
-          round(sum("value"), 2).as("sum_value"))
-        .orderBy("status")
-    },
-
-    // ---- week-over-week change per event type: calendar-grain aggregate
-    // (shuffle carries types × weeks rows, map-side partials) + a lag
-    // window over that bounded frame; the change ratio is one rounded
-    // IEEE division. -----------------------------------------------------
-    "w9_wow_change" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val wk = Tables.events(s, dir)
-        .filter(col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 604800000000L").as("week"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("week")
-      wk.withColumn("prev_n", lag("n", 1).over(w))
-        .withColumn("change_pct",
-          round(lit(100.0) * (col("n") - col("prev_n")) / col("prev_n"), 2))
-        .orderBy("event_type", "week")
-    },
-
-    // ---- distributed n-gram language model as a quality filter: a corpus
-    // bigram table (token-domain, min-count-trimmed at c >= 3) scores every
-    // document by the fraction of its bigram OCCURRENCES the model knows —
-    // the rational-arithmetic stand-in for perplexity (no libm ln, so
-    // DuckDB and the JVM agree bit-for-bit). Scale shape: the trimmed model
-    // is vocabulary²-bounded — far smaller than the corpus — so the
-    // doc→model probe broadcasts (AQE flips it to shuffle past the
-    // threshold); the per-doc count is the only data-sized shuffle, and it
-    // carries (doc_id, hit-flag) pairs with map-side partials. -----------
-    "lm1_bigram_novelty" -> { (s, dir) =>
-      val bg = Tables.documents(s, dir)
-        .repartition(32, col("doc_id")) // single-row-group source: spread the tokenize+explode
-        .withColumn("toks", Dedup.tokens(col("text")))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(Dedup.shingles(col("toks"), 2)).as("bg"))
-      val model = bg.groupBy("bg").agg(count(lit(1)).as("c")).filter(col("c") >= 3)
-      bg.join(broadcast(model), Seq("bg"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), count(col("c")).as("n_known"))
-        .withColumn("novelty",
-          Stats.parityRound(lit(1.0) - col("n_known") / col("n_bigrams"), 6))
-        .orderBy("doc_id")
-    },
-
-    // ---- referential-integrity audit: orphan-FK and null-FK counts for
-    // every edge of the star schema — the pre-flight data-quality gate a
-    // pipeline runs before training joins. Each relationship is one left
-    // join against the BROADCAST distinct-PK frame (the 100 TB fact side
-    // never shuffles; counts fold map-side to a single row), unioned into
-    // one audit table. ----------------------------------------------------
-    "dq6_ref_integrity" -> { (s, dir) =>
-      def audit(name: String, fact: DataFrame, fk: String,
-          dim: DataFrame, pk: String): DataFrame =
-        fact.select(col(fk).as("__fk"))
-          .join(broadcast(dim.select(col(pk).as("__pk")).distinct()),
-            col("__fk") === col("__pk"), "left")
-          .agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
-            sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
-              .otherwise(0L)).as("n_orphans"))
-          .select(lit(name).as("relationship"),
-            col("n_rows"), col("n_null_fk"), col("n_orphans"))
-      Seq(
-        audit("customer.nationkey->nation", Tables.customer(s, dir), "c_nationkey",
-          Tables.nation(s, dir), "n_nationkey"),
-        audit("lineitem.orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
-          Tables.orders(s, dir), "o_orderkey"),
-        audit("lineitem.partkey->part", Tables.lineitem(s, dir), "l_partkey",
-          Tables.part(s, dir), "p_partkey"),
-        audit("lineitem.suppkey->supplier", Tables.lineitem(s, dir), "l_suppkey",
-          Tables.supplier(s, dir), "s_suppkey"),
-        audit("nation.regionkey->region", Tables.nation(s, dir), "n_regionkey",
-          Tables.region(s, dir), "r_regionkey"),
-        audit("orders.custkey->customer", Tables.orders(s, dir), "o_custkey",
-          Tables.customer(s, dir), "c_custkey"),
-        audit("supplier.nationkey->nation", Tables.supplier(s, dir), "s_nationkey",
-          Tables.nation(s, dir), "n_nationkey"))
-        .reduce(_.unionByName(_))
-        .orderBy("relationship")
-    },
-
-    // ---- deterministic per-stratum subsample: k docs per source chosen by
-    // id-hash rank — the balanced-downsample op for training mixtures,
-    // reproducible across runs and task retries because the "random" order
-    // is md5 of the id (no seed state, no resampling drift). Rides the
-    // bounded-heap TopKPerKey physical operator: O(k·strata) memory on
-    // both sides of the exchange, so a 100 TB stratum never sorts. -------
-    "sp9_stratified_take" -> { (s, dir) =>
-      val hashed = Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"),
-          md5(concat(lit("sp9:"), col("doc_id").cast("string"))).as("h"))
-      graft.operators.TopK.perKey(hashed,
-          keys = Seq("source"), order = Seq("h" -> true, "doc_id" -> true),
-          k = 20, rankName = "rk")
-        .withColumn("rk", col("rk").cast("long"))
-        .orderBy("source", "rk")
-    },
-
-    // ---- triangle counting with DEGREE-ORDERED orientation: each edge
-    // points from its lower-(degree, id) endpoint, so per-node out-degree
-    // is O(sqrt(m)) and the wedge self-join fans out far below the naive
-    // sum-of-deg² — the standard trick that keeps triangle enumeration
-    // feasible on power-law graphs (one hub of degree 10^6 would otherwise
-    // emit 10^12 wedges). Wedges close via one left-semi probe against the
-    // id-canonical edge set; every triangle has exactly one apex under the
-    // orientation, so no /3 correction and no double counting. -----------
-    "gr2_triangle_count" -> { (s, dir) =>
-      val k = 4096
-      val und = Tables.lineitem(s, dir)
-        .filter(col("l_linenumber") === 1 &&
-          col("l_orderkey") % k =!= col("l_partkey") % k)
-        .select(least(col("l_orderkey") % k, col("l_partkey") % k).as("u"),
-          greatest(col("l_orderkey") % k, col("l_partkey") % k).as("v"))
-        .distinct()
-        .localCheckpoint(false) // reused: degrees, orientation, wedge close
-      val deg = und.select(col("u").as("n"))
-        .unionAll(und.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val oriented = und
-        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-        .select(
-          when(col("du") < col("dv") ||
-              (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("s"), col("v").as("t")))
-            .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-        .select(col("e.s").as("s"), col("e.t").as("t"))
-      val wedges = oriented.as("x").join(oriented.as("y"),
-          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
-        .select(col("x.t").as("u"), col("y.t").as("v"))
-      val tri = wedges.join(und, Seq("u", "v"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val edges = und.agg(count(lit(1)).as("n_edges"))
-      val nodes = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-      nodes.crossJoin(edges).crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          Stats.parityRound(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-            .as("clustering"))
-    },
-
-    // ---- corpus-level source-overlap matrix: pairwise Jaccard of each
-    // source's distinct 3-shingle set — the contamination/diversity
-    // diagnostic run before mixing corpora into a training blend. The
-    // shingle-domain frame aggregates to a per-shingle source SET (bounded
-    // by the source count, not the corpus), pairs expand map-side inside
-    // the row, and only (pair → count) rows shuffle — no shingle self-join
-    // at any scale. -------------------------------------------------------
-    "cs1_source_overlap" -> { (s, dir) =>
-      val sh = Tables.documents(s, dir)
-        .repartition(32, col("doc_id")) // single-row-group source: spread the shingle explode
-        .select(col("source"),
-          explode(array_distinct(
-            Dedup.shingles(Dedup.tokens(col("text")), 3))).as("sh"))
-        .distinct()
-      // one shingle scan: the checkpointed source-set frame feeds sizes,
-      // pairs, AND both broadcast join-backs (4 consumers otherwise re-run
-      // the explode+distinct subtree end-to-end)
-      val srcSets = sh.groupBy("sh")
-        .agg(array_sort(collect_set("source")).as("ss"))
-        .localCheckpoint(false)
-      val sizes = srcSets.select(explode(col("ss")).as("source"))
-        .groupBy("source").agg(count(lit(1)).as("n"))
-      val pairs = srcSets.select(explode(flatten(transform(col("ss"),
-          (x, i) => transform(
-            slice(col("ss"), i + lit(2),
-              greatest(size(col("ss")) - i - 1, lit(0))),
-            y => struct(x.as("s1"), y.as("s2")))))).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(count(lit(1)).as("n_inter"))
-      pairs
-        .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n_s1"))), "s1")
-        .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n_s2"))), "s2")
-        .select(col("s1"), col("s2"), col("n_inter"), col("n_s1"), col("n_s2"),
-          Stats.parityRound(
-            col("n_inter") / (col("n_s1") + col("n_s2") - col("n_inter")), 6)
-            .as("jaccard"))
-        .orderBy("s1", "s2")
-    },
-
-    // ---- JSONL-export shard plan: assign docs to byte-budgeted shards by
-    // a global running total in doc_id order — Pack.globalCumsum's bucketed
-    // form (per-bucket totals + broadcast prefix offsets), so planning a
-    // 100 TB export never funnels through a single-partition window. A doc
-    // is planned into the shard where its payload begins; boundary docs may
-    // straddle, which the writer absorbs (byte budget is a target, exactly
-    // like Layout.compact's). --------------------------------------------
-    "o5_shard_plan" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          (octet_length(col("text")) + 1).cast("long").as("bytes"))
-      graft.operators.Pack.globalCumsum(docs, "doc_id", "bytes", "start")
-        .withColumn("shard_id", expr("start div 16384L"))
-        .groupBy("shard_id")
-        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("sum_bytes"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-        .orderBy("shard_id")
-    },
-
-    // ---- VAD-style audio segmentation: decode WAV → 16 window energies
-    // per clip (mapPartitions, O(windows) memory) → flag windows whose
-    // mean energy beats the clip mean by INTEGER cross-multiplication
-    // (sum_w·n_clip > tot·n_w, no FP) → gap-and-island run grouping. The
-    // window function runs over ≤16 rows per clip — bounded per key, so
-    // a 100 TB audio corpus sessionizes without a wide sort anywhere.
-    // Oracle reproduces PCM from the synthesis closed form (mm4's recipe).
-    "mm6_audio_segments" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val media = Multimodal.fromDocuments(
-          Tables.documents(s, dir).repartition(32, col("doc_id")))
-        .filter(col("kind") === "audio")
-      val cells = Multimodal.poolFeatures(media, audioWindows = 16)
-      val tot = cells.groupBy("media_id")
-        .agg(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
-      val runs = cells.join(tot, "media_id")
-        .filter(col("sum_v") * col("tot_n") > col("tot_v") * col("n"))
-        .withColumn("grp", col("cell_x") -
-          row_number().over(Window.partitionBy("media_id").orderBy("cell_x")))
-        .groupBy("media_id", "grp").agg(count(lit(1)).as("len"))
-      runs.groupBy("media_id")
-        .agg(count(lit(1)).as("n_segments"), max("len").as("longest"),
-          sum("len").as("n_active"))
-        .orderBy("media_id")
-    },
-
-    // ---- temperature-flattened mixture (the multilingual alpha-sampling
-    // recipe, alpha = 0.5): per-source keep-rate sqrt(c_min/c_s) keeps the
-    // smallest source whole and downsamples every other source toward
-    // c_s^0.5 — kept sizes ∝ sqrt(c_min·c_s). The keep decision is a pure
-    // row predicate (md5 lane vs a broadcast ppm rate), so task retries
-    // can't resample and the 100 TB side never shuffles for the sampling
-    // itself; sqrt/floor are IEEE-correctly-rounded in both engines, so
-    // the ppm rates agree bit-for-bit. -----------------------------------
-    "sp10_temperature_mixture" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
-      val rates = counts.crossJoin(broadcast(counts.agg(min("c").as("c_ref"))))
-        .withColumn("rate_ppm",
-          floor(sqrt(col("c_ref").cast("double") / col("c")) * 1000000.0)
-            .cast("long"))
-        .select("source", "rate_ppm")
-      docs.join(broadcast(rates), "source")
-        .withColumn("hv",
-          conv(substring(md5(concat(lit("sp10:"), col("doc_id").cast("string"))),
-            1, 8), 16, 10).cast("long") % 1000000L)
-        .groupBy("source", "rate_ppm")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("hv") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("hv") < col("rate_ppm"), col("n_chars")).otherwise(0L))
-            .as("kept_chars"))
-        .select(col("source"), col("n_total"), col("rate_ppm"),
-          col("n_kept"), col("kept_chars"))
-        .orderBy("source")
-    },
-
-    // ---- URL canonicalization dedup (the web-corpus pre-pass): five
-    // syntactic variants of each page — scheme/host case, explicit :443,
-    // trailing slash, fragment, utm_*/fbclid tracking params — collapse to
-    // one canonical form (lower host, https, port/fragment stripped,
-    // tracking params dropped with surviving params kept IN ORDER), then
-    // exact-dedup on the canonical string. Pure per-row regex work plus a
-    // single canonical-key aggregation: linear at any corpus size. -------
-    "dc3_url_canonical_dedup" -> { (s, dir) =>
-      val pid = expr("doc_id div 5").cast("string")
-      val raw = Tables.documents(s, dir).select(col("doc_id"),
-        element_at(array(
-          concat(lit("https://Docs.Example.com/page/"), pid, lit("?id="), pid),
-          concat(lit("HTTPS://docs.example.com:443/page/"), pid,
-            lit("?id="), pid, lit("&utm_source=feed")),
-          concat(lit("https://docs.example.com/page/"), pid,
-            lit("/?id="), pid, lit("#section-2")),
-          concat(lit("https://docs.example.com/page/"), pid,
-            lit("?id="), pid, lit("&fbclid=x"), col("doc_id").cast("string")),
-          concat(lit("https://docs.example.com/page/"), pid,
-            lit("?utm_campaign=mail&id="), pid)),
-          (col("doc_id") % 5 + 1).cast("int")).as("url"))
-      val host = lower(regexp_extract(col("url"),
-        "^[a-zA-Z]+://([^/?#:]+)", 1))
-      val path = regexp_replace(regexp_extract(col("url"),
-        "^[a-zA-Z]+://[^/?#]*(/[^?#]*)", 1), "/$", "")
-      val params = filter(
-        expr("regexp_extract_all(url, '[?&]([^?#&=]+=[^&#]*)', 1)"),
-        p => !p.rlike("^(utm_[a-z]+|fbclid)="))
-      raw.withColumn("canon", concat(lit("https://"), host, path,
-          when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
-            .otherwise(lit(""))))
-        .groupBy("canon")
-        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keep_doc"))
-        .orderBy("canon")
-    }
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ScanStreamQueries.queries ++ DedupQueries.queries ++
+      TextPipelineQueries.queries ++ AnalyticsQueries.queries ++
+      VectorQueries.queries
 
   /** DuckDB twins of `queries` (same columns, same order). */
-  /** Shared DuckDB CTEs for t6/t8: the reference deployment pipeline down to
-    * the per-float aggregate `g` (mirror of [[referenceFloatStats]]).
-    */
-  private val referenceFloatCte =
-    """WITH tidy AS (
-           SELECT CAST(user_id AS VARCHAR) AS float_id,
-                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
-                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
-                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
-                  fmod(value, 6000) AS pressure
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  NULL, fmod(value, 40), NULL
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  fmod(value, 50) - 5, NULL, NULL
-           FROM events),
-         cleaned AS (
-           SELECT float_id, profile_id, time, latitude, longitude,
-                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
-                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
-                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
-           FROM tidy
-           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
-             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
-             AND float_id IS NOT NULL AND float_id <> 'nan'
-             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
-         g AS (
-           SELECT float_id, min(time) AS t0, count(DISTINCT profile_id) AS n_prof,
-                  (min(latitude) + max(latitude)) / 2 AS latc,
-                  (min(longitude) + max(longitude)) / 2 AS lonc,
-                  min(pressure) AS pmin, max(pressure) AS pmax,
-                  floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pmean,
-                  min(temperature) AS tmin, max(temperature) AS tmax,
-                  floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS tmean,
-                  min(salinity) AS smin, max(salinity) AS smax,
-                  floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS smean,
-                  count(temperature) AS tc, count(salinity) AS sc, count(pressure) AS pc
-           FROM cleaned GROUP BY float_id)"""
-
-  /** Mirror of [[referenceDocText]] in DuckDB printf. */
-  private val referenceDocPrintf =
-    """printf('On %s, Argo float %s (platform %s) recorded %s profile%s near latitude %.3f°%s and longitude %.3f°%s. Pressure ranged from %.1f dbar to %.1f dbar (mean ~%.0f dbar). Temperature ranged from %.1f°C to %.1f°C (mean %.1f°C). Salinity ranged from %.2f PSU to %.2f PSU (mean %.2f PSU). A total of %s measurements were taken.',
-             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
-             'b''' || float_id || ' ''', 'b''' || float_id || ' ''',
-             CAST(n_prof AS VARCHAR), CASE WHEN n_prof = 1 THEN '' ELSE 's' END,
-             abs(floor(latc * 1000.0 + 0.5) / 1000.0),
-             CASE WHEN latc >= 0 THEN 'N' ELSE 'S' END,
-             abs(floor(lonc * 1000.0 + 0.5) / 1000.0),
-             CASE WHEN lonc >= 0 THEN 'E' ELSE 'W' END,
-             floor(pmin * 10.0 + 0.5) / 10.0, floor(pmax * 10.0 + 0.5) / 10.0,
-             floor(pmean + 0.5),
-             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
-             floor(tmean * 10.0 + 0.5) / 10.0,
-             floor(smin * 100.0 + 0.5) / 100.0, floor(smax * 100.0 + 0.5) / 100.0,
-             floor(smean * 100.0 + 0.5) / 100.0,
-             CAST(tc + sc + pc AS VARCHAR))"""
-
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-         floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
-         count(*) AS count_order
-         FROM lineitem
-         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    "w7_value_episodes" ->
-      """WITH e AS (
-           SELECT user_id, ts, event_id, value,
-                  CASE WHEN value > 50 THEN 1 ELSE 0 END AS high
-           FROM events WHERE value IS NOT NULL),
-         g AS (
-           SELECT user_id, value, high,
-                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
-                  row_number() OVER (PARTITION BY user_id, high ORDER BY ts, event_id) AS grp
-           FROM e),
-         ep AS (
-           SELECT user_id, grp, count(*) AS len, round(sum(value), 2) AS ep_sum
-           FROM g WHERE high = 1 GROUP BY 1, 2)
-         SELECT user_id, count(*) AS n_episodes, max(len) AS max_len,
-                round(sum(ep_sum), 2) AS total_high
-         FROM ep GROUP BY 1 ORDER BY user_id""",
-    "f16_url_parse" ->
-      """WITH u AS (
-           SELECT doc_id, lang, source,
-                  'https://' ||
-                  (['docs.example.com', 'blog.example.org',
-                    'www.data.net', 'cdn.media.io'])[CAST(doc_id % 4 + 1 AS INT)] ||
-                  '/p/' || CAST(doc_id AS VARCHAR) || '/' || lang ||
-                  '?ref=' || source AS url
-           FROM documents),
-         p AS (
-           SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
-                  regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
-                  regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
-           FROM u)
-         SELECT host, regexp_extract(host, '([^.]+)$', 1) AS tld,
-                count(*) AS n_docs,
-                count(DISTINCT ref) AS n_sources,
-                min(path) AS first_path, max(path) AS last_path
-         FROM p GROUP BY 1, 2 ORDER BY host""",
-    "q3_shipping_priority" ->
-      """SELECT l_orderkey,
-                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-         FROM customer
-         JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-01-01'
-           AND l_shipdate > TIMESTAMP '1998-01-01'
-         GROUP BY l_orderkey, o_orderdate
-         ORDER BY revenue DESC, l_orderkey
-         LIMIT 10""",
-    "q5_local_supplier_volume" ->
-      """SELECT n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                count(*) AS n_items
-         FROM customer
-         JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'ASIA'
-           AND o_orderdate >= TIMESTAMP '1996-01-01'
-           AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY n_name
-         ORDER BY n_name""",
-    "a1_user_summary" ->
-      """SELECT user_id,
-         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
-         count(DISTINCT event_id) AS n_distinct,
-         count(*) AS n_rows,
-         count(value) AS value_count,
-         round(min(value), 4) AS value_min,
-         round(max(value), 4) AS value_max,
-         floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
-         FROM events
-         GROUP BY user_id
-         ORDER BY user_id""",
-    "a3_global_stats" ->
-      """SELECT
-         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
-         count(*) AS n_rows,
-         count(value) AS value_count,
-         round(min(value), 4) AS value_min,
-         round(max(value), 4) AS value_max,
-         floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
-         FROM events""",
-    "p5_clean_events" ->
-      """SELECT event_type,
-         count(*) AS n_rows,
-         count(v) AS n_valid,
-         floor(CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / count(v) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
-         FROM (
-           SELECT event_type,
-                  CASE WHEN value BETWEEN 0 AND 200 THEN value END AS v
-           FROM events
-           WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
-         )
-         GROUP BY event_type
-         ORDER BY event_type""",
-    "j4_orders_by_region" ->
-      """SELECT r_name,
-         count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_price
-         FROM orders
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name
-         ORDER BY r_name""",
-    "d1_upsert_lastwins" ->
-      """SELECT event_id, round(value, 2) AS value, src FROM (
-           SELECT event_id, value, src,
-                  row_number() OVER (PARTITION BY event_id ORDER BY precedence DESC) AS rn
-           FROM (
-             SELECT event_id, value, 1 AS precedence, 'base' AS src FROM events
-             UNION ALL
-             SELECT event_id, value + 1000, 2 AS precedence, 'update' AS src
-             FROM events WHERE event_id % 5 = 0
-           )
-         ) WHERE rn = 1
-         ORDER BY event_id""",
-    "d2_insert_ignore" ->
-      """WITH existing AS (
-           SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
-         ), incoming AS (
-           SELECT event_id, event_type, value + 5 AS value FROM events
-         )
-         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM (
-           SELECT * FROM existing
-           UNION ALL
-           SELECT * FROM incoming i
-           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = i.event_id)
-         )
-         GROUP BY event_type
-         ORDER BY event_type""",
-    "j1_skip_existing" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders
-                           WHERE o_custkey = c_custkey AND o_custkey % 7 <> 0)
-         ORDER BY c_custkey""",
-    "j2_fuzzy_match" ->
-      """WITH dirty AS (
-           SELECT c_custkey,
-                  trim(regexp_replace('b''' || c_custkey || ' ''', '^b''(.*)''$', '\1')) AS clean_id
-           FROM customer
-         ), reg AS (
-           SELECT DISTINCT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS reg_id
-           FROM customer WHERE c_custkey % 2 = 0
-         )
-         SELECT d.c_custkey, d.clean_id, min(r.reg_id) AS matched_id
-         FROM dirty d LEFT JOIN reg r
-           ON d.clean_id = r.reg_id
-           OR contains(r.reg_id, d.clean_id)
-           OR contains(d.clean_id, r.reg_id)
-         GROUP BY d.c_custkey, d.clean_id
-         ORDER BY d.c_custkey""",
-    "j3_enrich_docs" ->
-      """SELECT doc_id, d.source, n_chars, n_docs, source_avg_chars
-         FROM documents d
-         JOIN (
-           SELECT source, count(*) AS n_docs, floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS source_avg_chars
-           FROM documents GROUP BY source
-         ) s ON d.source = s.source
-         ORDER BY doc_id""",
-    "w1_top_orders" ->
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
-         FROM orders
-         ORDER BY order_date DESC, o_orderkey DESC
-         LIMIT 100""",
-    "w3_topk_per_customer" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
-           FROM orders) t
-         WHERE rank <= 2
-         ORDER BY o_custkey, rank""",
-    "w4_moving_stats" ->
-      """SELECT o_custkey, o_orderkey,
-                lag(o_totalprice) OVER w AS prev_price,
-                lead(o_totalprice) OVER w AS next_price,
-                floor((sum(o_totalprice) OVER ma / count(*) OVER ma) * 100.0 + 0.5) / 100.0 AS ma3
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-                ma AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-         ORDER BY o_custkey, o_orderkey""",
-    "w5_rank_suite" ->
-      """WITH r AS (
-           SELECT c_custkey, c_nationkey,
-                  rank() OVER w AS rnk,
-                  dense_rank() OVER w AS drnk,
-                  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
-                  ntile(4) OVER w AS quartile,
-                  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
-           FROM customer
-           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
-         SELECT c_custkey, c_nationkey, CAST(rnk AS BIGINT) AS rnk,
-                CAST(drnk AS BIGINT) AS drnk, pct_rank,
-                CAST(quartile AS BIGINT) AS quartile, cume
-         FROM r WHERE rnk <= 10
-         ORDER BY c_nationkey, rnk, c_custkey""",
-    "a11_grouping_sets" ->
-      """SELECT coalesce(event_type, '__all__') AS event_type,
-                coalesce(yr, -1) AS yr,
-                count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM (SELECT event_type, year(ts) AS yr, value FROM events)
-         GROUP BY CUBE (event_type, yr)
-         ORDER BY event_type, yr""",
-    "j7_salted_skew_join" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment
-         ORDER BY c_mktsegment""",
-    "sp2_stratified_split" ->
-      """WITH r AS (
-           SELECT lang, n_chars,
-                  row_number() OVER (PARTITION BY lang
-                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-                  count(*) OVER (PARTITION BY lang) AS cnt
-           FROM documents)
-         SELECT lang,
-                CASE WHEN rn * 10 <= cnt * 8 THEN 'train'
-                     WHEN rn * 10 <= cnt * 9 THEN 'valid'
-                     ELSE 'test' END AS split,
-                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM r GROUP BY lang, split ORDER BY lang, split""",
-    "a2_profile_groups" ->
-      """WITH e AS (
-           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
-                  row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
-                                     ORDER BY ts, event_id) AS rn
-           FROM events
-         ), g AS (
-           SELECT user_id, day, count(*) AS n_events,
-                  round(max(CASE WHEN rn = 1 THEN value END), 2) AS first_value
-           FROM e GROUP BY user_id, day
-         )
-         SELECT user_id, day, n_events, first_value,
-                dense_rank() OVER (ORDER BY user_id, day) AS group_id
-         FROM g
-         ORDER BY user_id, day""",
-    "f1_f2_id_clean" ->
-      """SELECT c_custkey,
-         trim(regexp_replace(messy_id, '^b''(.*)''$', '\1')) AS clean_id,
-         CASE WHEN messy_id IS NULL THEN 'unknown'
-              ELSE CAST(CAST(trim(regexp_replace(messy_id, '^b''(.*)''$', '\1')) AS BIGINT) AS VARCHAR)
-         END AS safe_id
-         FROM (
-           SELECT c_custkey,
-                  CASE WHEN c_custkey % 10 = 7 THEN NULL
-                       ELSE 'b''' || c_custkey || ' ''' END AS messy_id
-           FROM customer
-         )
-         ORDER BY c_custkey""",
-    "f5_f6_date_features" ->
-      """SELECT CAST(day(o_orderdate) AS VARCHAR) || 'th ' || strftime(o_orderdate, '%b %Y') AS date_label,
-         CASE WHEN month(o_orderdate) BETWEEN 3 AND 5 THEN 'spring'
-              WHEN month(o_orderdate) BETWEEN 6 AND 8 THEN 'summer'
-              WHEN month(o_orderdate) BETWEEN 9 AND 11 THEN 'autumn'
-              ELSE 'winter' END AS order_season,
-         count(*) AS n
-         FROM orders
-         GROUP BY date_label, order_season
-         ORDER BY date_label, order_season""",
-    "f7_f9_geo_classify" ->
-      """WITH geo AS (
-           SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
-           FROM events
-         ), cls AS (
-           SELECT lat, lon,
-             CASE WHEN lon BETWEEN 20 AND 120 AND lat BETWEEN -60 AND 30 THEN 'Indian Ocean'
-                  WHEN lon <= -60 THEN 'Pacific Ocean'
-                  WHEN lon BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
-                  WHEN lon >= 120 AND lat >= 0 THEN 'North Pacific Ocean'
-                  WHEN lon >= 120 AND lat < 0 THEN 'South Pacific Ocean'
-                  ELSE 'Global Ocean' END AS region,
-             CASE WHEN lat < -30 THEN 'Southern Ocean region'
-                  WHEN lat > 30 THEN 'Northern hemisphere waters'
-                  ELSE 'tropical and subtropical waters' END AS band,
-             printf('%.3f°%s', abs(lat), CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END) AS lat_fmt
-           FROM geo
-         )
-         SELECT region, band, count(*) AS n, min(lat_fmt) AS sample_lat_fmt
-         FROM cls
-         GROUP BY region, band
-         ORDER BY region, band""",
-    "f10_bbox_center" ->
-      """SELECT user_id,
-         round((min(fmod(value, 180) - 90) + max(fmod(value, 180) - 90)) / 2.0, 6) AS lat_center,
-         round((min(fmod(value * 2, 360) - 180) + max(fmod(value * 2, 360) - 180)) / 2.0, 6) AS lon_center
-         FROM events
-         GROUP BY user_id
-         ORDER BY user_id""",
-    "f13_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-         count(*) AS n,
-         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-         FROM events
-         GROUP BY k_bucket
-         ORDER BY k_bucket""",
-    "u1_measure_unpivot" ->
-      """SELECT variable_name,
-         count(variable_value) AS n,
-         round(sum(variable_value), 2) AS sum_value,
-         floor(CAST(sum(CAST(variable_value AS DECIMAL(27,6))) AS DOUBLE) / count(variable_value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
-         round(min(variable_value), 4) AS min_value,
-         round(max(variable_value), 4) AS max_value
-         FROM (
-           SELECT 'l_quantity' AS variable_name, l_quantity AS variable_value FROM lineitem
-           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
-           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
-           UNION ALL SELECT 'l_tax', l_tax FROM lineitem
-         )
-         GROUP BY variable_name
-         ORDER BY variable_name""",
-    "w2_sessionize" ->
-      """WITH s AS (
-           SELECT user_id, event_id, ts,
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           FROM events),
-         t AS (
-           SELECT user_id, event_id, ts,
-                  CASE WHEN prev_ts IS NULL OR
-                            CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-                       THEN 1 ELSE 0 END AS new_session
-           FROM s),
-         u AS (
-           SELECT user_id,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-           FROM t),
-         g AS (SELECT user_id, session_id, count(*) AS n_events FROM u GROUP BY 1, 2)
-         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
-                CAST(max(n_events) AS BIGINT) AS max_session_events
-         FROM g GROUP BY user_id ORDER BY user_id""",
-    "s2_multiformat_scan" ->
-      """SELECT event_type,
-                count(*) AS n_json, round(sum(value), 2) AS sum_json,
-                count(*) AS n_csv,  round(sum(value), 2) AS sum_csv,
-                count(*) AS n_orc,  round(sum(value), 2) AS sum_orc
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "s3_schema_inspect" ->
-      """SELECT column_name, column_type, "null" = 'YES' AS is_nullable
-         FROM (DESCRIBE customer) ORDER BY column_name""",
-    "j8_bucketed_join" ->
-      """SELECT o_orderstatus, count(*) AS n,
-                round(sum(l_extendedprice), 2) AS sum_price
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "a12_approx_percentiles" ->
-      """SELECT event_type,
-         round(quantile_cont(value, 0.5), 6) AS p50_exact,
-         round(quantile_cont(value, 0.9), 6) AS p90_exact,
-         true AS approx_ok
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "a13_heavy_hitters" ->
-      """WITH s AS (SELECT CASE WHEN event_id % 4 < 3
-                                THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
-                                ELSE 'u' || CAST(user_id % 500 AS VARCHAR)
-                           END AS item FROM events),
-         t AS (SELECT count(*) AS total FROM s)
-         SELECT item, count(*) AS n
-         FROM s CROSS JOIN t
-         GROUP BY item, total
-         HAVING count(*) * 20 > total
-         ORDER BY item""",
-    "a7_percentiles" ->
-      """SELECT event_type,
-         round(quantile_cont(value, 0.5), 6) AS p50,
-         round(quantile_cont(value, 0.9), 6) AS p90,
-         round(quantile_cont(value, 0.99), 6) AS p99
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "a8_rollup" ->
-      """SELECT coalesce(event_type, '__total__') AS event_type,
-         count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY ROLLUP(event_type)
-         ORDER BY event_type""",
-    "a9_salted_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "pl1_full_pipeline" ->
-      """WITH tidy AS (
-           SELECT CAST(user_id AS VARCHAR) AS float_id,
-                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
-                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
-                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
-                  fmod(value, 6000) AS pressure
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  NULL, fmod(value, 40), NULL
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  fmod(value, 50) - 5, NULL, NULL
-           FROM events),
-         cleaned AS (
-           SELECT float_id, profile_id, time,
-                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
-                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
-                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
-           FROM tidy
-           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
-             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
-             AND float_id IS NOT NULL AND float_id <> 'nan'
-             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL))
-         SELECT float_id,
-                strftime(min(time), '%Y-%m-%d %H:%M:%S') AS first_ts,
-                strftime(max(time), '%Y-%m-%d %H:%M:%S') AS last_ts,
-                count(DISTINCT profile_id) AS n_distinct,
-                count(*) AS n_rows,
-                count(temperature) AS temperature_count,
-                round(min(temperature), 4) AS temperature_min,
-                round(max(temperature), 4) AS temperature_max,
-                floor(CAST(sum(CAST(temperature AS DECIMAL(27,6))) AS DOUBLE) / count(temperature) * 1000000.0 + 0.5) / 1000000.0 AS temperature_mean,
-                count(salinity) AS salinity_count,
-                round(min(salinity), 4) AS salinity_min,
-                round(max(salinity), 4) AS salinity_max,
-                floor(CAST(sum(CAST(salinity AS DECIMAL(27,6))) AS DOUBLE) / count(salinity) * 1000000.0 + 0.5) / 1000000.0 AS salinity_mean,
-                count(pressure) AS pressure_count,
-                round(min(pressure), 4) AS pressure_min,
-                round(max(pressure), 4) AS pressure_max,
-                floor(CAST(sum(CAST(pressure AS DECIMAL(27,6))) AS DOUBLE) / count(pressure) * 1000000.0 + 0.5) / 1000000.0 AS pressure_mean
-         FROM cleaned
-         GROUP BY float_id ORDER BY float_id""",
-    "sp1_hash_split" ->
-      """WITH h AS (
-           SELECT lang, n_chars,
-                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv
-           FROM documents)
-         SELECT lang,
-                CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
-                count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM h GROUP BY lang, split ORDER BY lang, split""",
-    "s5_partitioned_scan" ->
-      """SELECT o_orderstatus, count(*) AS n,
-                round(sum(o_totalprice), 2) AS total_price
-         FROM orders WHERE o_orderpriority = '1-URGENT'
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "s6_schema_evolution" ->
-      """SELECT coalesce(lang, '__pre_schema__') AS lang, count(*) AS n,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM (SELECT n_chars, NULL AS lang FROM documents WHERE doc_id % 2 = 0
-               UNION ALL
-               SELECT n_chars, lang FROM documents WHERE doc_id % 2 = 1)
-         GROUP BY 1 ORDER BY 1""",
-    // s7: the decoded table rebuilt from the fixture's closed form
-    // (graft.sources.NetCdfFixture) — 7305 = days from 1950-01-01 (the Argo
-    // JULD epoch) to the Unix epoch; all values are binary fractions so the
-    // float compare is exact.
-    "s7_netcdf_decode" ->
-      """WITH g AS (
-           SELECT f.f, p.p, l.l
-           FROM (SELECT unnest(generate_series(0,3)) AS f) f,
-                (SELECT unnest(generate_series(0,5)) AS p) p,
-                (SELECT unnest(generate_series(0,4)) AS l) l)
-         SELECT CAST(100 + f AS VARCHAR) AS float_id,
-                CAST(1000 + p AS BIGINT) AS profile_id,
-                CAST(l AS BIGINT) AS level,
-                strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
-                  * 86400000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts,
-                CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
-                CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
-                CASE WHEN (f+p+l) % 7 = 0 THEN NULL
-                     ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
-                CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
-                     ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
-                CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
-                     ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
-         FROM g ORDER BY float_id, profile_id, level""",
-    "st4_stream_windowed" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-                count(*) AS n_rows,
-                count(value) AS value_count,
-                round(min(value), 4) AS value_min,
-                round(max(value), 4) AS value_max,
-                floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0 AS value_mean
-         FROM events
-         GROUP BY 1 ORDER BY 1""",
-    "st5_stream_join" ->
-      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
-         FROM events c JOIN events p
-           ON c.user_id = p.user_id
-          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-         ORDER BY click_id, purchase_id""",
-    "st8_incremental_agg" ->
-      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "st7_stream_outer_join" ->
-      """WITH m AS (SELECT least(max(ts) FILTER (event_type = 'click'),
-                           max(ts) FILTER (event_type = 'purchase')) AS wm
-                    FROM events),
-         c AS (SELECT user_id, event_id AS click_id, ts AS cts
-               FROM events WHERE event_type = 'click'),
-         p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
-               FROM events WHERE event_type = 'purchase'),
-         j AS (SELECT c.user_id, c.click_id, p.purchase_id, c.cts
-               FROM c LEFT JOIN p
-                 ON c.user_id = p.user_id
-                AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
-         SELECT j.user_id, j.click_id, j.purchase_id
-         FROM j, m
-         WHERE j.purchase_id IS NOT NULL OR j.cts + INTERVAL 1 HOUR < m.wm
-         ORDER BY click_id, purchase_id""",
-    "st6_stream_sessions" ->
-      """WITH s AS (
-           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
-         o AS (
-           SELECT user_id, tsec,
-                  lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) AS prev
-           FROM s),
-         t AS (
-           SELECT user_id, tsec,
-                  CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns
-           FROM o),
-         u AS (
-           SELECT user_id, tsec,
-                  sum(ns) OVER (PARTITION BY user_id ORDER BY tsec
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           FROM t),
-         g AS (
-           SELECT user_id, sid, min(tsec) AS start_sec, max(tsec) AS end_sec,
-                  count(*) AS n_events
-           FROM u GROUP BY 1, 2),
-         m AS (SELECT max(tsec) AS maxts FROM s)
-         SELECT g.user_id, g.start_sec, g.end_sec, g.n_events
-         FROM g, m
-         WHERE g.sid < (SELECT max(g2.sid) FROM g g2 WHERE g2.user_id = g.user_id)
-            OR g.end_sec + 1800 < m.maxts
-         ORDER BY g.user_id, g.start_sec""",
-    "a10_approx_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
-         true AS approx_ok
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "j6_asof_join" ->
-      """SELECT q.event_id, q.user_id, round(u.price, 2) AS asof_price
-         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') q
-         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
-                         FROM events WHERE event_type = 'purchase'
-                         GROUP BY user_id, ts) u
-           ON q.user_id = u.user_id AND u.ts <= q.ts
-         ORDER BY q.event_id""",
-    "j5_range_join" ->
-      """WITH intervals AS (
-           SELECT p_partkey AS range_id,
-                  (p_partkey % 40) * 5.0 AS lo,
-                  (p_partkey % 40) * 5.0 + 12.5 AS hi
-           FROM part WHERE p_partkey <= 100)
-         SELECT range_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
-         FROM events e JOIN intervals i
-           ON e.value >= i.lo AND e.value < i.hi
-         GROUP BY range_id ORDER BY range_id""",
-    "t7_reference_t1" ->
-      """WITH tidy AS (
-           SELECT CAST(user_id AS VARCHAR) AS float_id,
-                  CAST(event_id AS VARCHAR) AS profile_id, ts AS time,
-                  fmod(value, 180) - 90 AS latitude, fmod(value * 2, 360) - 180 AS longitude,
-                  fmod(value, 45) AS temperature, fmod(value, 50) AS salinity,
-                  fmod(value, 6000) AS pressure
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  NULL, fmod(value, 40), NULL
-           FROM events
-           UNION ALL
-           SELECT CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), ts,
-                  fmod(value, 180) - 90, fmod(value * 2, 360) - 180,
-                  fmod(value, 50) - 5, NULL, NULL
-           FROM events),
-         cleaned AS (
-           SELECT float_id, profile_id, time, latitude, longitude,
-                  CASE WHEN temperature BETWEEN -5 AND 40 THEN temperature END AS temperature,
-                  CASE WHEN salinity BETWEEN 0 AND 50 THEN salinity END AS salinity,
-                  CASE WHEN pressure BETWEEN 0 AND 6000 THEN pressure END AS pressure
-           FROM tidy
-           WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180
-             AND time >= TIMESTAMP '1999-01-01' AND time <= TIMESTAMP '2026-01-01'
-             AND float_id IS NOT NULL AND float_id <> 'nan'
-             AND (temperature IS NOT NULL OR salinity IS NOT NULL OR pressure IS NOT NULL)),
-         g AS (
-           SELECT float_id,
-                  strftime(min(time), '%Y-%m-%d') AS d1, strftime(max(time), '%Y-%m-%d') AS d2,
-                  month(min(time)) AS m1,
-                  count(DISTINCT profile_id) AS n_prof,
-                  min(latitude) AS lat_min, max(latitude) AS lat_max,
-                  min(longitude) AS lon_min, max(longitude) AS lon_max,
-                  min(temperature) AS tmin, max(temperature) AS tmax,
-                  min(salinity) AS smin, max(salinity) AS smax,
-                  max(pressure) AS pmax
-           FROM cleaned GROUP BY float_id),
-         c AS (SELECT *, (lat_min + lat_max) / 2.0 AS latc, (lon_min + lon_max) / 2.0 AS lonc FROM g)
-         SELECT float_id,
-           printf('Argo float %s operated from %s to %s in the %s (latitude %.1f to %.1f, longitude %.1f to %.1f) with %s profiles measuring temperature ranging from %.1f°C to %.1f°C, salinity from %.1f to %.1f PSU, pressures up to %.0f dbar. This float operated in %s, %s deployment.',
-             float_id, d1, d2,
-             CASE WHEN lonc BETWEEN 20 AND 120 AND latc BETWEEN -60 AND 30 THEN 'Indian Ocean'
-                  WHEN lonc <= -60 THEN 'Pacific Ocean'
-                  WHEN lonc BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
-                  WHEN lonc >= 120 AND latc >= 0 THEN 'North Pacific Ocean'
-                  WHEN lonc >= 120 AND latc < 0 THEN 'South Pacific Ocean'
-                  ELSE 'Global Ocean' END,
-             floor(lat_min * 10.0 + 0.5) / 10.0, floor(lat_max * 10.0 + 0.5) / 10.0,
-             floor(lon_min * 10.0 + 0.5) / 10.0, floor(lon_max * 10.0 + 0.5) / 10.0,
-             CAST(n_prof AS VARCHAR),
-             floor(tmin * 10.0 + 0.5) / 10.0, floor(tmax * 10.0 + 0.5) / 10.0,
-             floor(smin * 10.0 + 0.5) / 10.0, floor(smax * 10.0 + 0.5) / 10.0,
-             floor(pmax + 0.5),
-             CASE WHEN latc < -30 THEN 'Southern Ocean region'
-                  WHEN latc > 30 THEN 'Northern hemisphere waters'
-                  ELSE 'tropical and subtropical waters' END,
-             CASE WHEN m1 BETWEEN 3 AND 5 THEN 'spring'
-                  WHEN m1 BETWEEN 6 AND 8 THEN 'summer'
-                  WHEN m1 BETWEEN 9 AND 11 THEN 'autumn'
-                  ELSE 'winter' END) AS summary
-         FROM c ORDER BY float_id""",
-    "t6_reference_doc" ->
-      s"""$referenceFloatCte
-         SELECT float_id,
-           $referenceDocPrintf AS document
-         FROM g ORDER BY float_id""",
-    "t8_report_export" ->
-      s"""$referenceFloatCte,
-         numbered AS (
-           SELECT float_id, $referenceDocPrintf AS document,
-                  row_number() OVER (ORDER BY float_id) AS i
-           FROM g),
-         header AS (
-           SELECT CAST(0 AS BIGINT) AS section_no,
-                  repeat('=', 100) || chr(10) ||
-                  'CHROMADB DATA EXPORT - FLOAT EMBEDDINGS COLLECTION' || chr(10) ||
-                  repeat('=', 100) || chr(10) ||
-                  'Export Date: ' || strftime((SELECT max(ts) FROM events), '%Y-%m-%d %H:%M:%S') || chr(10) ||
-                  'Collection: float_embeddings' || chr(10) ||
-                  'Total Documents: ' || CAST((SELECT count(*) FROM g) AS VARCHAR) || chr(10) ||
-                  repeat('=', 100) AS section),
-         sections AS (
-           SELECT CAST(i AS BIGINT) AS section_no,
-                  'DOCUMENT #' || CAST(i AS VARCHAR) || chr(10) || repeat('-', 80) || chr(10) ||
-                  'Document ID: doc_' || float_id || chr(10) || repeat('-', 40) || chr(10) ||
-                  'METADATA:' || chr(10) || '  float_id: ' || float_id || chr(10) ||
-                  '  collection: float_embeddings' || chr(10) || repeat('-', 40) || chr(10) ||
-                  'DOCUMENT CONTENT:' || chr(10) || document || chr(10) || chr(10) ||
-                  repeat('=', 100) AS section
-           FROM numbered),
-         footer AS (
-           SELECT CAST((SELECT count(*) FROM g) + 1 AS BIGINT) AS section_no,
-                  'SUMMARY STATISTICS' || chr(10) || repeat('-', 80) || chr(10) ||
-                  'total_documents: ' || CAST(count(*) AS VARCHAR) || chr(10) ||
-                  'measurement_availability: temperature=' ||
-                    CAST(sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) AS VARCHAR) ||
-                  ' salinity=' || CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS VARCHAR) ||
-                  ' pressure=' || CAST(sum(CASE WHEN pc > 0 THEN 1 ELSE 0 END) AS VARCHAR) || chr(10) ||
-                  'location_bounds: lat[' ||
-                    printf('%.3f', floor(min(latc) * 1000.0 + 0.5) / 1000.0) || ', ' ||
-                    printf('%.3f', floor(max(latc) * 1000.0 + 0.5) / 1000.0) || '] lon[' ||
-                    printf('%.3f', floor(min(lonc) * 1000.0 + 0.5) / 1000.0) || ', ' ||
-                    printf('%.3f', floor(max(lonc) * 1000.0 + 0.5) / 1000.0) || ']' AS section
-           FROM g)
-         SELECT section_no, section FROM (
-           SELECT * FROM header
-           UNION ALL SELECT * FROM sections
-           UNION ALL SELECT * FROM footer)
-         ORDER BY section_no""",
-    "p2_p4_clean_chain" ->
-      """WITH ev AS (
-           SELECT ts,
-                  (fmod(value, 180) - 90) *
-                    (CASE WHEN event_id % 11 = 0 THEN 2 ELSE 1 END) AS lat,
-                  fmod(value * 2, 360) - 180 AS lon,
-                  CASE WHEN user_id % 13 = 0 THEN 'nan'
-                       ELSE CAST(user_id AS VARCHAR) END AS uid
-           FROM events),
-         cleaned AS (
-           SELECT * FROM ev
-           WHERE lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
-             AND ts >= TIMESTAMP '1999-01-01' AND ts <= TIMESTAMP '2026-01-01'
-             AND uid IS NOT NULL AND uid <> 'nan')
-         SELECT count(*) AS n_clean,
-                CAST(sum(CASE WHEN lat BETWEEN -60 AND 30 AND lon BETWEEN 20 AND 120
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_indian_box,
-                round(sum(lat), 2) AS sum_lat
-         FROM cleaned""",
-    "s13_vector_update" ->
-      """WITH after AS (
-           SELECT vec_id, CASE WHEN vec_id % 10 = 3 THEN label + 100 ELSE label END AS label
-           FROM embeddings)
-         SELECT count(*) AS n_vecs,
-                count(DISTINCT label) AS n_labels,
-                CAST(sum(CASE WHEN label >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
-         FROM after""",
-    "a5_table_counts" ->
-      """SELECT table_name, n_rows FROM (
-           SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
-           UNION ALL SELECT 'documents', count(*) FROM documents
-           UNION ALL SELECT 'embeddings', count(*) FROM embeddings
-           UNION ALL SELECT 'events', count(*) FROM events
-           UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-           UNION ALL SELECT 'nation', count(*) FROM nation
-           UNION ALL SELECT 'orders', count(*) FROM orders
-           UNION ALL SELECT 'region', count(*) FROM region)
-         ORDER BY table_name""",
-    "e7_semantic_workload" -> SemanticWorkload.oracleSql,
-    "e9_quantized_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-         q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
-         c0 AS (SELECT vec_id, vec,
-                       list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
-                FROM e WHERE vec_id >= 20),
-         c AS (SELECT vec_id, vec,
-                      CASE WHEN scale > 0
-                           THEN list_transform(vec, x -> round(x / scale) * scale)
-                           ELSE vec END AS dvec
-               FROM c0),
-         exact AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, c.vec_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
-                               c.vec_id) AS r
-             FROM c CROSS JOIN q) WHERE r <= 5),
-         quant AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, c.vec_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY round(list_cosine_similarity(c.dvec, q.qvec), 6) DESC,
-                               c.vec_id) AS r
-             FROM c CROSS JOIN q) WHERE r <= 5),
-         hits AS (SELECT x.query_id, count(*) AS n
-                  FROM exact x JOIN quant USING (query_id, vec_id)
-                  GROUP BY x.query_id)
-         SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap5
-         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
-         ORDER BY q.query_id""",
-    "e8_ivf_recall" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-         q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
-         c AS (SELECT vec_id, label, vec FROM e WHERE vec_id >= 20),
-         poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
-         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
-                 FROM c CROSS JOIN poss GROUP BY label, pos),
-         cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
-         a1 AS (SELECT vec_id, vec, label FROM (
-             SELECT c.vec_id, c.vec, ct.label,
-                    row_number() OVER (PARTITION BY c.vec_id
-                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
-                               ct.label) AS r
-             FROM c CROSS JOIN cents0 ct) WHERE r = 1),
-         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
-                 FROM a1 CROSS JOIN poss GROUP BY label, pos),
-         cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
-         a2 AS (SELECT vec_id, vec, label FROM (
-             SELECT c.vec_id, c.vec, ct.label,
-                    row_number() OVER (PARTITION BY c.vec_id
-                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
-                               ct.label) AS r
-             FROM c CROSS JOIN cents1 ct) WHERE r = 1),
-         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
-                 FROM a2 CROSS JOIN poss GROUP BY label, pos),
-         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
-         idx AS (SELECT vec_id, vec, label FROM (
-             SELECT c.vec_id, c.vec, ct.label,
-                    row_number() OVER (PARTITION BY c.vec_id
-                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
-                               ct.label) AS r
-             FROM c CROSS JOIN cents ct) WHERE r = 1),
-         best AS (SELECT query_id, qvec, label FROM (
-             SELECT q.query_id, q.qvec, ct.label,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY round(list_cosine_similarity(ct.centroid, q.qvec), 6) DESC,
-                               ct.label) AS r
-             FROM q CROSS JOIN cents ct) WHERE r <= 6),
-         ivf AS (SELECT query_id, vec_id FROM (
-             SELECT b.query_id, i.vec_id,
-                    row_number() OVER (PARTITION BY b.query_id
-                      ORDER BY round(list_cosine_similarity(i.vec, b.qvec), 6) DESC,
-                               i.vec_id) AS r
-             FROM idx i JOIN best b ON i.label = b.label) WHERE r <= 5),
-         exact AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, c.vec_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
-                               c.vec_id) AS r
-             FROM c CROSS JOIN q) WHERE r <= 5),
-         hits AS (SELECT x.query_id, count(*) AS n
-                  FROM exact x JOIN ivf USING (query_id, vec_id)
-                  GROUP BY x.query_id)
-         SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits5
-         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
-         ORDER BY q.query_id""",
-    "e6_ivf_knn" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-         px AS (SELECT label, pos, avg(vec[pos]) AS cx
-                FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
-                GROUP BY label, pos),
-         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px GROUP BY label),
-         q AS (SELECT vec AS qvec FROM e WHERE vec_id = 5),
-         best AS (SELECT c.label, q.qvec,
-                         round(list_cosine_similarity(c.centroid, q.qvec), 6) AS csim
-                  FROM cents c, q ORDER BY csim DESC, label LIMIT 1)
-         SELECT e.label, e.vec_id, round(list_cosine_similarity(e.vec, b.qvec), 6) AS sim
-         FROM e JOIN best b ON e.label = b.label
-         WHERE e.vec_id <> 5
-         ORDER BY sim DESC, vec_id
-         LIMIT 5""",
-    "s4_alias_resolve" ->
-      """WITH v AS (
-           SELECT CASE WHEN l_linenumber % 3 = 0 THEN l_quantity END AS c1,
-                  CASE WHEN l_linenumber % 3 = 1 THEN l_quantity END AS c2,
-                  CASE WHEN l_linenumber % 3 = 2 THEN CAST(-999.0 AS DOUBLE) END AS c3
-           FROM lineitem),
-         r AS (SELECT nullif(coalesce(c1, c2, c3), CAST(-999.0 AS DOUBLE)) AS qty FROM v)
-         SELECT count(*) AS n_rows, count(qty) AS n_resolved,
-                round(sum(qty), 2) AS sum_qty
-         FROM r""",
-    "p12_doc_shape" ->
-      """WITH c AS (
-           SELECT lang,
-                  CASE WHEN doc_id % 2 = 0
-                       THEN CAST(to_json(struct_pack(id := doc_id, n := n_chars, lang := lang)) AS VARCHAR)
-                       ELSE text END AS content
-           FROM documents)
-         SELECT CASE WHEN json_valid(content)
-                      AND json_extract(CASE WHEN json_valid(content) THEN content
-                                            ELSE 'null' END, '$.id') IS NOT NULL
-                     THEN 'json' ELSE 'semantic' END AS shape,
-                lang, count(*) AS n
-         FROM c GROUP BY shape, lang ORDER BY shape, lang""",
-    "a1_properties_json" ->
-      """SELECT user_id,
-         to_json(struct_pack(
-           total_rows := count(*),
-           date_range := struct_pack(
-             start_ts := strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
-             end_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S')),
-           value_stats := struct_pack(
-             vmin := printf('%.4f', round(min(value), 4)),
-             vmax := printf('%.4f', round(max(value), 4)),
-             vmean := printf('%.6f', floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 1000000.0 + 0.5) / 1000000.0),
-             vcount := count(value)))) AS properties
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "a4_measure_total" ->
-      """SELECT user_id,
-         CAST(count(value) + count(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
-           AS total_measurements
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "a6_collection_stats" ->
-      """SELECT source, count(*) AS n_docs,
-         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-         CAST(sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
-         min(n_chars) AS chars_min, max(n_chars) AS chars_max
-         FROM documents GROUP BY source ORDER BY source""",
-    "t1_metadata_summary" ->
-      """WITH g AS (SELECT user_id, min(ts) AS d1, max(ts) AS d2, count(*) AS n,
-                           min(value) AS vmin, max(value) AS vmax
-                    FROM events GROUP BY user_id),
-         geo AS (SELECT *, fmod(vmin, 90) AS lat, fmod(vmax, 180) AS lon FROM g)
-         SELECT user_id,
-           printf('Unit %s operated from %s to %s in the %s with %s records. This unit operated in %s, %s deployment.',
-             CAST(user_id AS VARCHAR),
-             strftime(d1, '%Y-%m-%d'), strftime(d2, '%Y-%m-%d'),
-             CASE WHEN lon BETWEEN 20 AND 120 AND lat BETWEEN -60 AND 30 THEN 'Indian Ocean'
-                  WHEN lon <= -60 THEN 'Pacific Ocean'
-                  WHEN lon BETWEEN -60 AND 20 THEN 'Atlantic Ocean'
-                  WHEN lon >= 120 AND lat >= 0 THEN 'North Pacific Ocean'
-                  WHEN lon >= 120 AND lat < 0 THEN 'South Pacific Ocean'
-                  ELSE 'Global Ocean' END,
-             CAST(n AS VARCHAR),
-             CASE WHEN lat < -30 THEN 'Southern Ocean region'
-                  WHEN lat > 30 THEN 'Northern hemisphere waters'
-                  ELSE 'tropical and subtropical waters' END,
-             CASE WHEN month(d1) BETWEEN 3 AND 5 THEN 'spring'
-                  WHEN month(d1) BETWEEN 6 AND 8 THEN 'summer'
-                  WHEN month(d1) BETWEEN 9 AND 11 THEN 'autumn'
-                  ELSE 'winter' END) AS summary
-         FROM geo ORDER BY user_id""",
-    "t3_upload_description" ->
-      """SELECT printf('Data collected from %s to %s. Values: %.2f to %.2f (mean: %.2f, %s measurements).',
-           strftime(min(ts), '%Y-%m-%d'), strftime(max(ts), '%Y-%m-%d'),
-           round(min(value), 2), round(max(value), 2), floor(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) * 100.0 + 0.5) / 100.0,
-           CAST(count(value) AS VARCHAR)) AS description
-         FROM events""",
-    "t4_profile_summary" ->
-      """WITH eav AS (
-           SELECT l_orderkey, 'l_quantity' AS variable_name, l_quantity AS variable_value FROM lineitem
-           UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem),
-         g AS (SELECT l_orderkey,
-                 min(CASE WHEN variable_name = 'l_quantity' THEN variable_value END) AS qmin,
-                 max(CASE WHEN variable_name = 'l_quantity' THEN variable_value END) AS qmax,
-                 min(CASE WHEN variable_name = 'l_extendedprice' THEN variable_value END) AS pmin,
-                 max(CASE WHEN variable_name = 'l_extendedprice' THEN variable_value END) AS pmax
-               FROM eav GROUP BY l_orderkey)
-         SELECT l_orderkey,
-           printf('Order %s with quantity from %.2f to %.2f and price from %.2f to %.2f',
-             CAST(l_orderkey AS VARCHAR),
-             round(qmin, 2), round(qmax, 2), round(pmin, 2), round(pmax, 2)) AS summary
-         FROM g ORDER BY l_orderkey""",
-    "f3_filename_parse" ->
-      """WITH f AS (
-           SELECT CASE WHEN p_partkey % 3 = 0 THEN 'nodc_D' || p_partkey || '_1.nc'
-                       WHEN p_partkey % 3 = 1 THEN 'argo_R' || p_partkey || '_2.nc'
-                       ELSE 'file_' || p_partkey || '.nc' END AS filename
-           FROM part),
-         e AS (SELECT regexp_extract(filename, '_[DR](\d+)', 1) AS float_id FROM f)
-         SELECT float_id <> '' AS parsed, count(*) AS n,
-                count(DISTINCT CASE WHEN float_id <> '' THEN float_id END) AS n_ids
-         FROM e GROUP BY parsed ORDER BY parsed""",
-    "f4_time_coerce" ->
-      """WITH r AS (
-           SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
-                       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
-           FROM orders),
-         p AS (SELECT try_strptime(raw, '%Y-%m-%d') AS t FROM r)
-         SELECT count(*) AS n_rows, count(t) AS n_parsed,
-                strftime(min(t), '%Y-%m-%d') AS first_day,
-                strftime(max(t), '%Y-%m-%d') AS last_day
-         FROM p""",
-    "mm1_media_features" ->
-      """WITH m AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 3 = 0 THEN 'image'
-                       WHEN doc_id % 3 = 1 THEN 'audio'
-                       ELSE 'video' END AS kind
-           FROM documents)
-         SELECT kind, count(*) AS n_items,
-                CAST(count(*) AS BIGINT) AS n_decoded,
-                CAST(max(CASE WHEN kind = 'image' THEN 16 + doc_id % 8
-                              WHEN kind = 'video' THEN 320 + (doc_id % 8) * 4 END) AS INTEGER) AS max_width,
-                CAST(max(CASE WHEN kind = 'image' THEN 8 + doc_id % 4
-                              WHEN kind = 'video' THEN 180 + (doc_id % 6) * 4 END) AS INTEGER) AS max_height,
-                CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
-                CAST(max(CASE WHEN kind = 'audio' THEN 8000 + (doc_id % 5) * 1000
-                              WHEN kind = 'video' THEN 600 + (doc_id % 5) * 300 END) AS INTEGER) AS max_sample_rate,
-                CAST(sum(CASE WHEN kind = 'audio' THEN 50 + doc_id % 100
-                              WHEN kind = 'video' THEN 3000 + (doc_id % 100) * 60 END) AS BIGINT) AS sum_frames,
-                CAST(count(*) AS BIGINT) AS n_feat_ok
-         FROM m GROUP BY kind ORDER BY kind""",
-    "st2_idempotent_union" ->
-      """WITH u AS (
-           SELECT event_id, user_id, value, 1 AS arrival FROM events WHERE event_id % 3 = 0
-           UNION ALL SELECT event_id, user_id, value, 2 FROM events WHERE event_id % 3 = 1
-           UNION ALL SELECT event_id, user_id, value, 3 FROM events WHERE event_id % 2 = 0),
-         d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY arrival) AS rn FROM u)
-         SELECT arrival, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM d WHERE rn = 1 GROUP BY arrival ORDER BY arrival""",
-    "dd1_exact_dedup" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
-         g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
-               FROM all_docs GROUP BY 1)
-         SELECT n_copies, count(*) AS n_groups, min(keep_id) AS min_keep_id
-         FROM g GROUP BY n_copies ORDER BY n_copies""",
-    "dd2_minhash_lsh" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         sig AS (SELECT doc_id,
-                        min(substr(md5(shingle), 1, 5))  AS mh0, min(substr(md5(shingle), 6, 5))  AS mh1,
-                        min(substr(md5(shingle), 11, 5)) AS mh2, min(substr(md5(shingle), 16, 5)) AS mh3,
-                        min(substr(md5(shingle), 21, 5)) AS mh4, min(substr(md5(shingle), 26, 5)) AS mh5
-                 FROM sh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         bk AS (SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY 1, 2)
-         SELECT band_id, count(*) AS n_buckets,
-                CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_buckets,
-                CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_candidate_pairs
-         FROM bk GROUP BY band_id ORDER BY band_id""",
-    "mm2_media_pool" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
-              FROM documents),
-         img AS (SELECT media_id, 16 + media_id % 8 AS w, 8 + media_id % 4 AS h
-                 FROM m WHERE kind = 'image'),
-         px AS (SELECT media_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img),
-         pxy AS (SELECT media_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
-         icell AS (SELECT media_id, 'image' AS kind,
-                          (x * 4) // w AS cell_x, (y * 2) // h AS cell_y,
-                          count(*) AS n,
-                          sum(((media_id * 31 + x * 7 + y * 13) % 16777215) % 256) AS sum_v
-                   FROM pxy GROUP BY 1, 2, 3, 4),
-         aud AS (SELECT media_id, 50 + media_id % 100 AS nf FROM m WHERE kind = 'audio'),
-         ai AS (SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM aud),
-         acell AS (SELECT media_id, 'audio' AS kind,
-                          (i * 4) // nf AS cell_x, 0 AS cell_y,
-                          count(*) AS n,
-                          sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
-                   FROM ai GROUP BY 1, 2, 3, 4),
-         vid AS (SELECT media_id, 64 + media_id % 64 AS nb FROM m WHERE kind = 'video'),
-         vi AS (SELECT media_id, nb, unnest(generate_series(0, nb - 1)) AS i FROM vid),
-         vcell AS (SELECT media_id, 'video' AS kind,
-                          (i * 4) // nb AS cell_x, 0 AS cell_y,
-                          count(*) AS n,
-                          sum((media_id * 13 + i * 17) % 251) AS sum_v
-                   FROM vi GROUP BY 1, 2, 3, 4)
-         SELECT media_id, kind, CAST(cell_x AS BIGINT) AS cell_x,
-                CAST(cell_y AS BIGINT) AS cell_y, CAST(n AS BIGINT) AS n,
-                CAST(sum_v AS BIGINT) AS sum_v
-         FROM (SELECT * FROM icell UNION ALL SELECT * FROM acell UNION ALL SELECT * FROM vcell)
-         ORDER BY media_id, cell_y, cell_x""",
-    "dd8_lsh_verified" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b)
-         SELECT i.id_a, i.id_b, i.n_inter,
-                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
-                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS is_dup
-         FROM inter i
-         JOIN sig sa ON sa.doc_id = i.id_a
-         JOIN sig sb ON sb.doc_id = i.id_b
-         ORDER BY i.id_a, i.id_b""",
-    "ta5_tfidf_topk" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
-           FROM documents),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         scored AS (SELECT doc_id, token, tf, (tf * 1000000) // df AS score
-                    FROM tf JOIN dft USING (token)),
-         r AS (SELECT doc_id, token, tf, score,
-                      row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY score DESC, token) AS rank
-               FROM scored)
-         SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score, rank
-         FROM r WHERE rank <= 3
-         ORDER BY doc_id, rank""",
-    "ta6_pii_redact" ->
-      """WITH p AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 4 = 0
-                       THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-                            '@example.com or call ' || printf('555-%04d', doc_id % 10000)
-                       ELSE text END AS text
-           FROM documents)
-         SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-                regexp_replace(
-                  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-                  '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
-         FROM p ORDER BY doc_id""",
-    "ta7_repetition" ->
-      """WITH segs0 AS (
-           SELECT doc_id, unnest(string_split(text, '.')) AS s FROM documents),
-         segs AS (SELECT doc_id, trim(s) AS seg FROM segs0 WHERE trim(s) <> ''),
-         segstats AS (SELECT doc_id, count(*) AS n_segs,
-                             count(DISTINCT seg) AS n_distinct_segs
-                      FROM segs GROUP BY doc_id),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM documents),
-         bg0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-                 FROM tk WHERE len(toks) >= 2),
-         bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram FROM bg0),
-         bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
-         bgstats AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n
-                     FROM bgc GROUP BY doc_id)
-         SELECT d.doc_id,
-                CAST(coalesce(s.n_segs, 0) AS BIGINT) AS n_segs,
-                CAST(coalesce(s.n_distinct_segs, 0) AS BIGINT) AS n_distinct_segs,
-                CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-                (coalesce(b.top_bigram_n, 0) * 100 > coalesce(b.n_bigrams, 0) * 18) AS repetitive
-         FROM documents d
-         LEFT JOIN segstats s USING (doc_id)
-         LEFT JOIN bgstats b USING (doc_id)
-         ORDER BY d.doc_id""",
-    "dd9_dup_groups" ->
-      """WITH RECURSIVE all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         dup AS (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-                   UNION ALL SELECT id_b, id_a FROM dup),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach AS (
-           SELECT id, id AS m FROM nodes
-           UNION
-           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
-         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
-         SELECT l.member_id, l.group_id, g.n_members
-         FROM lab l
-         JOIN (SELECT group_id, count(*) AS n_members FROM lab GROUP BY group_id) g
-           USING (group_id)
-         ORDER BY l.member_id""",
-    "dd10_dedup_apply" ->
-      """WITH RECURSIVE all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         dup AS (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-                   UNION ALL SELECT id_b, id_a FROM dup),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach AS (
-           SELECT id, id AS m FROM nodes
-           UNION
-           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
-         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
-         SELECT d.doc_id,
-                coalesce(l.group_id, d.doc_id) AS group_id,
-                (l.group_id IS NULL OR l.group_id = d.doc_id) AS kept
-         FROM all_docs d LEFT JOIN lab l ON l.member_id = d.doc_id
-         ORDER BY d.doc_id""",
-    "dd16_canonical_pick" ->
-      """WITH RECURSIVE all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         dup AS (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-                   UNION ALL SELECT id_b, id_a FROM dup),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach AS (
-           SELECT id, id AS m FROM nodes
-           UNION
-           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
-         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id),
-         corpus AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q FROM all_docs),
-         labeled AS (SELECT c.doc_id, coalesce(l.group_id, c.doc_id) AS group_id, c.q
-                     FROM corpus c LEFT JOIN lab l ON l.member_id = c.doc_id),
-         canon AS (SELECT group_id, doc_id AS canon_id,
-                          row_number() OVER (PARTITION BY group_id
-                                             ORDER BY q DESC, doc_id) AS rn
-                   FROM labeled)
-         SELECT l.doc_id, l.group_id, (l.doc_id = c.canon_id) AS kept, l.q
-         FROM labeled l
-         JOIN (SELECT group_id, canon_id FROM canon WHERE rn = 1) c USING (group_id)
-         ORDER BY l.doc_id""",
-    "dd3_simhash" ->
-      """WITH toks AS (
-           SELECT doc_id,
-                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
-           FROM documents),
-         tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
-         bits AS (
-           SELECT doc_id, b,
-                  sum(cnt * (((strpos('0123456789abcdef', substr(md5(token), b + 1, 1)) - 1) % 2) * 2 - 1)) AS w
-           FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
-           GROUP BY doc_id, b)
-         SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash16
-         FROM bits GROUP BY doc_id ORDER BY doc_id""",
-    "dd6_simhash_hamming" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 100 = 0),
-         toks AS (
-           SELECT doc_id,
-                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
-           FROM all_docs),
-         tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
-         bits AS (
-           SELECT doc_id, b,
-                  sum(cnt * ((((strpos('0123456789abcdef', substr(md5(token), b // 4 + 1, 1)) - 1) >> (b % 4)) & 1) * 2 - 1)) AS w
-           FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
-           GROUP BY doc_id, b),
-         sigs AS (SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS h
-                  FROM bits GROUP BY doc_id),
-         banded AS (
-           SELECT doc_id, h, band_id, (h >> (band_id * 21)) & 2097151 AS chunk
-           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band_id)),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-           FROM banded a JOIN banded b
-             ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
-         ORDER BY id_a, id_b""",
-    "dd4_ngram_jaccard" ->
-      """WITH tk AS (SELECT doc_id,
-                            list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                     FROM documents),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-                 FROM tk WHERE len(toks) >= 2),
-         shl AS (SELECT doc_id, list(DISTINCT array_to_string(toks[i:i+1], ' ')) AS sh
-                 FROM sh0 GROUP BY doc_id)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-                floor(len(list_intersect(a.sh, b.sh)) /
-                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-         FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 20
-         ORDER BY doc_a""",
-    "dd7_minhash_est" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 20 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         shl AS (SELECT doc_id, list(DISTINCT array_to_string(toks[i:i+2], ' ')) AS sh
-                 FROM sh0 GROUP BY doc_id),
-         shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         sig AS (SELECT doc_id,
-                        min(substr(md5(shingle), 1, 5))  AS mh0, min(substr(md5(shingle), 6, 5))  AS mh1,
-                        min(substr(md5(shingle), 11, 5)) AS mh2, min(substr(md5(shingle), 16, 5)) AS mh3,
-                        min(substr(md5(shingle), 21, 5)) AS mh4, min(substr(md5(shingle), 26, 5)) AS mh5
-                 FROM shd GROUP BY doc_id),
-         ss AS (SELECT * FROM sig JOIN shl USING (doc_id)),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
-                   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
-                   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) AS nm,
-                  len(list_intersect(a.sh, b.sh)) AS ni, len(a.sh) AS na, len(b.sh) AS nb
-           FROM ss a JOIN ss b ON b.doc_id = a.doc_id + 100000
-           UNION ALL
-           SELECT a.doc_id, b.doc_id,
-                  (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
-                   CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
-                   CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END + CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END),
-                  len(list_intersect(a.sh, b.sh)), len(a.sh), len(b.sh)
-           FROM ss a JOIN ss b ON b.doc_id = a.doc_id + 20)
-         SELECT doc_a, doc_b, CAST(nm AS BIGINT) AS n_match,
-                floor(nm / 6.0 * 1000000.0 + 0.5) / 1000000.0 AS est_j,
-                floor(ni / (na + nb - ni) * 1000000.0 + 0.5) / 1000000.0 AS exact_j,
-                floor(abs(nm / 6.0 - ni / (na + nb - ni)) * 1000000.0 + 0.5) / 1000000.0 AS abs_err
-         FROM pairs ORDER BY doc_a, doc_b""",
-    "dd5_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-         sig AS (
-           SELECT vec_id,
-                  CAST(sum(CASE WHEN vec[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
-           FROM e CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS i)
-           GROUP BY vec_id),
-         banded AS (
-           SELECT e.vec_id, e.vec, band_id, (sig >> (band_id * 8)) & 255 AS chunk
-           FROM sig JOIN e USING (vec_id)
-                CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band_id)),
-         pairs AS (
-           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-                  round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
-           FROM banded a JOIN banded b
-             ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
-         SELECT id_a, id_b, sim FROM pairs
-         ORDER BY sim DESC, id_a, id_b
-         LIMIT 20""",
-    "dd11_semantic_dedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-         c0 AS (SELECT vec_id, vec FROM e
-                UNION ALL
-                SELECT vec_id + 10000, vec FROM e WHERE vec_id % 20 = 0),
-         k AS (SELECT greatest(10, count(*) // 256) AS ncells FROM c0),
-         c AS (SELECT vec_id, vec_id % ncells AS label, vec FROM c0 CROSS JOIN k),
-         poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
-         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
-                 FROM c CROSS JOIN poss GROUP BY label, pos),
-         cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
-         a1 AS (SELECT vec_id, vec, label FROM (
-             SELECT c.vec_id, c.vec, ct.label,
-                    row_number() OVER (PARTITION BY c.vec_id
-                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
-                               ct.label) AS r
-             FROM c CROSS JOIN cents0 ct) WHERE r = 1),
-         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
-                 FROM a1 CROSS JOIN poss GROUP BY label, pos),
-         cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
-         a2 AS (SELECT vec_id, vec, label FROM (
-             SELECT c.vec_id, c.vec, ct.label,
-                    row_number() OVER (PARTITION BY c.vec_id
-                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
-                               ct.label) AS r
-             FROM c CROSS JOIN cents1 ct) WHERE r = 1),
-         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
-                 FROM a2 CROSS JOIN poss GROUP BY label, pos),
-         cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
-         idx AS (SELECT vec_id, vec, label FROM (
-             SELECT c.vec_id, c.vec, ct.label,
-                    row_number() OVER (PARTITION BY c.vec_id
-                      ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
-                               ct.label) AS r
-             FROM c CROSS JOIN cents ct) WHERE r = 1),
-         pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                          round(list_cosine_similarity(x.vec, y.vec), 6) AS sim
-                   FROM idx x JOIN idx y
-                     ON x.label = y.label AND x.vec_id < y.vec_id),
-         dropped AS (SELECT id_b AS vec_id, min(id_a) AS kept_for,
-                            count(*) AS n_close
-                     FROM pairs WHERE sim >= 0.98 GROUP BY id_b)
-         SELECT i.vec_id, i.label AS cell,
-                d.kept_for IS NOT NULL AS is_dup,
-                coalesce(d.kept_for, i.vec_id) AS keep_id,
-                CAST(coalesce(d.n_close, 0) AS BIGINT) AS n_close
-         FROM idx i LEFT JOIN dropped d ON i.vec_id = d.vec_id""",
-    "ta1_lang_id" ->
-      """WITH t AS (SELECT lang,
-                           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                    FROM documents),
-         s AS (SELECT lang,
-                 len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
-                 len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
-                 len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
-                 len(list_filter(toks, t -> t IN ('el','los','las','y','es','un'))) AS s_es,
-                 len(list_filter(toks, t -> t IN ('的','是','在','了'))) AS s_zh
-               FROM t),
-         p AS (SELECT lang,
-                 CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'unknown'
-                      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-                      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
-                      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-                      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-                      ELSE 'zh' END AS predicted
-               FROM s)
-         SELECT lang, predicted, count(*) AS n FROM p
-         GROUP BY lang, predicted ORDER BY lang, predicted""",
-    "ta2_quality_score" ->
-      """WITH t AS (SELECT doc_id,
-                           list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                    FROM documents),
-         m AS (SELECT doc_id, len(toks) AS n_tokens,
-                 list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS sum_len,
-                 len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
-               FROM t)
-         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                floor(sum_len / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
-                floor(n_stop / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
-                floor(least(CAST(1.0 AS DOUBLE), n_tokens / 100.0) *
-                      (CAST(1.0 AS DOUBLE) - n_stop / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS quality
-         FROM m ORDER BY doc_id""",
-    "ta3_token_count" ->
-      """SELECT source,
-         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))) AS BIGINT) AS sum_ws_tokens,
-         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_re_tokens,
-         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS sum_bpe_est
-         FROM documents GROUP BY source ORDER BY source""",
-    "ta4_fingerprint" ->
-      """WITH f AS (SELECT source,
-           md5(array_to_string(
-             (list_sort(list_transform(
-                list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')),
-                t -> md5(t))))[1:5], ',')) AS fp
-           FROM documents)
-         SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp, min(fp) AS min_fp
-         FROM f GROUP BY source ORDER BY source""",
-    "t2_deploy_summary" ->
-      """WITH g AS (SELECT user_id, min(ts) AS t0, count(*) AS n,
-                           min(value) AS vmin, max(value) AS vmax
-                    FROM events GROUP BY user_id)
-         SELECT user_id,
-           printf('On %s, unit %s recorded %s event(s) near latitude %.3f°%s. Values ranged from %.2f to %.2f.',
-             CAST(day(t0) AS VARCHAR) || 'th ' || strftime(t0, '%b %Y'),
-             CAST(user_id AS VARCHAR), CAST(n AS VARCHAR),
-             abs(round(fmod(vmin, 90), 3)),
-             CASE WHEN fmod(vmin, 90) >= 0 THEN 'N' ELSE 'S' END,
-             round(vmin, 2), round(vmax, 2)) AS summary
-         FROM g ORDER BY user_id""",
-    "t5_doc_json" ->
-      """SELECT user_id,
-         to_json(struct_pack(user_id := user_id, n_events := count(*),
-           first_ts := strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
-           last_ts := strftime(max(ts), '%Y-%m-%d %H:%M:%S'))) AS doc
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "e1_embed_stats" ->
-      """SELECT source, count(*) AS n_docs, 384 AS dim,
-         CAST(1.0 AS DOUBLE) AS norm_min, CAST(1.0 AS DOUBLE) AS norm_max
-         FROM documents GROUP BY source ORDER BY source""",
-    "e2_knn_topk" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
-         SELECT vec_id, label,
-                round(list_cosine_similarity(embedding::DOUBLE[], qvec), 6) AS sim
-         FROM embeddings, q
-         WHERE vec_id <> 0 AND label % 2 = 0
-         ORDER BY sim DESC, vec_id
-         LIMIT 10""",
-    "e3_knn_batch" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-                    FROM embeddings WHERE vec_id < 3),
-         scored AS (
-           SELECT q.query_id, e.vec_id, e.label,
-                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS sim
-           FROM embeddings e, q WHERE e.vec_id >= 3)
-         SELECT query_id, vec_id, label, sim, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, vec_id) AS rank
-           FROM scored)
-         WHERE rank <= 5
-         ORDER BY query_id, rank""",
-    "e4_missing_repair" ->
-      """SELECT count(*) AS n_total,
-         CAST(count(*) AS BIGINT) AS n_valid_after,
-         CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
-         FROM embeddings""",
-    "e5_embed_verify" ->
-      """SELECT count(*) AS n_vecs,
-         CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok,
-         CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-         count(DISTINCT label) AS n_labels
-         FROM embeddings""",
-    "u3_pivot_back" ->
-      """SELECT l_returnflag,
-         floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS qty_mean,
-         floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS disc_mean
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "d3_set_ops" ->
-      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-         buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-         SELECT
-           (SELECT count(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)) AS n_both,
-           (SELECT count(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM buyers)) AS n_click_only,
-           (SELECT count(*) FROM (SELECT * FROM clickers UNION SELECT * FROM buyers)) AS n_union""",
-    "u2_token_explode" ->
-      """SELECT token, count(*) AS n, min(pos) AS first_pos
-         FROM (
-           SELECT unnest(string_split(text, ' ')) AS token,
-                  unnest(range(0, len(string_split(text, ' ')))) AS pos
-           FROM documents
-         )
-         WHERE token IS NOT NULL AND token <> ''
-         GROUP BY token
-         ORDER BY token""",
-    "gr1_pagerank" ->
-      """WITH e AS (SELECT DISTINCT l_orderkey % 4096 AS src, l_partkey % 4096 AS dst
-                    FROM lineitem),
-         n AS (SELECT DISTINCT node FROM
-                 (SELECT src AS node FROM e UNION SELECT dst FROM e)),
-         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM n),
-         c1 AS (SELECT e.dst, sum(p0.p // od.outdeg) AS contrib
-                FROM p0 JOIN e ON p0.node = e.src JOIN od ON e.src = od.src
-                GROUP BY e.dst),
-         p1 AS (SELECT n.node,
-                       CAST(150000 + (850 * COALESCE(c1.contrib, 0)) // 1000 AS BIGINT) AS p
-                FROM n LEFT JOIN c1 ON n.node = c1.dst),
-         c2 AS (SELECT e.dst, sum(p1.p // od.outdeg) AS contrib
-                FROM p1 JOIN e ON p1.node = e.src JOIN od ON e.src = od.src
-                GROUP BY e.dst),
-         p2 AS (SELECT n.node,
-                       CAST(150000 + (850 * COALESCE(c2.contrib, 0)) // 1000 AS BIGINT) AS p
-                FROM n LEFT JOIN c2 ON n.node = c2.dst),
-         c3 AS (SELECT e.dst, sum(p2.p // od.outdeg) AS contrib
-                FROM p2 JOIN e ON p2.node = e.src JOIN od ON e.src = od.src
-                GROUP BY e.dst),
-         p3 AS (SELECT n.node,
-                       CAST(150000 + (850 * COALESCE(c3.contrib, 0)) // 1000 AS BIGINT) AS p
-                FROM n LEFT JOIN c3 ON n.node = c3.dst)
-         SELECT node, p FROM p3 ORDER BY p DESC, node LIMIT 20""",
-    "mm4_audio_fingerprint" ->
-      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
-         all_m AS (SELECT media_id, media_id AS base_id FROM m
-                   UNION ALL SELECT media_id + 1000000, media_id FROM m),
-         aud AS (SELECT media_id, base_id, 50 + base_id % 100 AS nf FROM all_m),
-         ai AS (SELECT media_id, base_id, nf,
-                       unnest(generate_series(0, nf - 1)) AS i FROM aud),
-         acell AS (SELECT media_id, (i * 16) // nf AS w,
-                          sum(abs((base_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
-                   FROM ai GROUP BY 1, 2),
-         bits AS (SELECT media_id, (sum_v % 2) * (1 << w) AS b FROM acell),
-         h AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS fp FROM bits GROUP BY 1)
-         SELECT fp, count(*) AS n_clips, min(media_id) AS min_media_id
-         FROM h GROUP BY 1 ORDER BY 1""",
-    "mm3_image_ahash" ->
-      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
-         all_m AS (SELECT media_id, media_id AS base_id FROM m
-                   UNION ALL SELECT media_id + 1000000, media_id FROM m),
-         img AS (SELECT media_id, base_id,
-                        16 + base_id % 8 AS w, 8 + base_id % 4 AS h
-                 FROM all_m),
-         px AS (SELECT media_id, base_id, w, h,
-                       unnest(generate_series(0, w - 1)) AS x FROM img),
-         pxy AS (SELECT media_id, base_id, w, h, x,
-                        unnest(generate_series(0, h - 1)) AS y FROM px),
-         icell AS (SELECT media_id, (x * 4) // w AS cell_x, (y * 2) // h AS cell_y,
-                          count(*) AS n,
-                          sum(((base_id * 31 + x * 7 + y * 13) % 16777215) % 256) AS sum_v
-                   FROM pxy GROUP BY 1, 2, 3),
-         tot AS (SELECT media_id, sum(sum_v) AS tot_v, sum(n) AS tot_n
-                 FROM icell GROUP BY 1),
-         bits AS (SELECT i.media_id,
-                         (CASE WHEN i.sum_v * t.tot_n > t.tot_v * i.n THEN 1 ELSE 0 END)
-                           * (1 << (i.cell_y * 4 + i.cell_x)) AS w
-                  FROM icell i JOIN tot t USING (media_id)),
-         h AS (SELECT media_id, CAST(sum(w) AS BIGINT) AS ahash FROM bits GROUP BY 1)
-         SELECT ahash, count(*) AS n_images, min(media_id) AS min_media_id
-         FROM h GROUP BY 1 ORDER BY 1""",
-    "o3_corrupt_tolerant" ->
-      """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
-                count(*) AS n_good, round(sum(value), 2) AS sum_value
-         FROM events""",
-    "pl2_training_pipeline" ->
-      """WITH q AS (
-           SELECT doc_id, source, text, n_chars,
-                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                       t -> t <> '')) AS BIGINT) AS ntok
-           FROM documents
-           WHERE n_chars >= 100
-             AND len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) >= 10),
-         d AS (SELECT * FROM q WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM documents),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
-         contam AS (SELECT DISTINCT s.doc_id FROM shd s JOIN ev USING (shingle)
-                    WHERE s.doc_id % 97 <> 0),
-         clean AS (SELECT * FROM d
-                   WHERE doc_id % 97 <> 0
-                     AND doc_id NOT IN (SELECT doc_id FROM contam)),
-         samp AS (SELECT * FROM clean
-                  WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-                         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100
-                        < ((CAST(substr(source, 4) AS INT) % 4) * 25 + 25)),
-         offs AS (SELECT doc_id, ntok,
-                         CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-                           AS start_off
-                  FROM samp),
-         e2 AS (SELECT doc_id, ntok, start_off, start_off + ntok AS end_off
-                FROM offs WHERE ntok > 0),
-         x AS (SELECT doc_id, start_off, end_off,
-                      unnest(range(start_off // 2048, ((end_off - 1) // 2048) + 1)) AS chunk_id
-               FROM e2)
-         SELECT (SELECT count(*) FROM documents) AS n_docs_in,
-                (SELECT count(*) FROM q) AS n_quality,
-                (SELECT count(*) FROM d) AS n_deduped,
-                (SELECT count(*) FROM clean) AS n_decontaminated,
-                (SELECT count(*) FROM samp) AS n_sampled,
-                (SELECT CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM samp) AS n_tokens,
-                (SELECT count(DISTINCT chunk_id) FROM x) AS n_chunks,
-                (SELECT CAST(COALESCE(sum(least(end_off, (chunk_id + 1) * 2048) -
-                                          greatest(start_off, chunk_id * 2048)), 0) AS BIGINT)
-                 FROM x) AS packed_tokens""",
-    "j9_bloom_prune_join" ->
-      """SELECT o_orderstatus, count(*) AS n,
-                round(sum(l_extendedprice), 2) AS sum_price
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE o_orderpriority = '1-URGENT'
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "sp3_mixture_sample" ->
-      """WITH h AS (
-           SELECT source, n_chars,
-                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv,
-                  ((CAST(substr(source, 4) AS INT) % 4) * 25 + 25) AS rate_pct
-           FROM documents)
-         SELECT source, rate_pct, count(*) AS n_total,
-                CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-                CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
-         FROM h GROUP BY 1, 2 ORDER BY source""",
-    "dc1_decontaminate" ->
-      """WITH tk AS (
-           SELECT doc_id, source,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-           FROM documents),
-         sh0 AS (
-           SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-           FROM tk WHERE len(toks) >= 3),
-         shd AS (
-           SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
-           FROM sh0),
-         ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
-         tr AS (SELECT * FROM shd WHERE doc_id % 97 <> 0)
-         SELECT tr.doc_id, tr.source, count(*) AS n_hit_shingles
-         FROM tr JOIN ev USING (shingle)
-         GROUP BY 1, 2 ORDER BY 1""",
-    "tp1_token_packing" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                       x -> x <> '')) AS BIGINT) AS ntok
-           FROM documents),
-         s AS (
-           SELECT doc_id, ntok,
-                  CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-                    AS start_off
-           FROM t),
-         e AS (
-           SELECT doc_id, ntok, start_off, start_off + ntok AS end_off
-           FROM s WHERE ntok > 0),
-         x AS (
-           SELECT doc_id, start_off, end_off,
-                  unnest(range(start_off // 2048, ((end_off - 1) // 2048) + 1))
-                    AS chunk_id
-           FROM e)
-         SELECT chunk_id, count(*) AS n_docs,
-                CAST(sum(least(end_off, (chunk_id + 1) * 2048) -
-                         greatest(start_off, chunk_id * 2048)) AS BIGINT) AS n_tokens,
-                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM x GROUP BY 1 ORDER BY 1""",
-    "o1_compaction" ->
-      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-                round(sum(value), 2) AS sum_value,
-                CAST(48 AS BIGINT) AS files_before, TRUE AS files_after_on_target
-         FROM events""",
-    "o2_zorder_layout" ->
-      """WITH geo AS (
-           SELECT fmod(value, 180) - 90 AS lat, fmod(value * 2, 360) - 180 AS lon
-           FROM events),
-         q AS (
-           SELECT lat, lon,
-                  greatest(0, least(1023, CAST(floor((lat + 90) / 180 * 1024) AS BIGINT))) AS xi,
-                  greatest(0, least(1023, CAST(floor((lon + 180) / 360 * 1024) AS BIGINT))) AS yi
-           FROM geo),
-         s1 AS (SELECT lat, lon, (xi | (xi << 8)) & 16711935 AS xs,
-                       (yi | (yi << 8)) & 16711935 AS ys FROM q),
-         s2 AS (SELECT lat, lon, (xs | (xs << 4)) & 252645135 AS xs,
-                       (ys | (ys << 4)) & 252645135 AS ys FROM s1),
-         s3 AS (SELECT lat, lon, (xs | (xs << 2)) & 858993459 AS xs,
-                       (ys | (ys << 2)) & 858993459 AS ys FROM s2),
-         s4 AS (SELECT lat, lon, (xs | (xs << 1)) & 1431655765 AS xs,
-                       (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
-         z AS (SELECT lat, lon, xs | (ys << 1) AS zval FROM s4)
-         SELECT zval >> 8 AS bucket, count(*) AS n,
-                round(min(lat), 4) AS lat_min, round(max(lat), 4) AS lat_max,
-                round(min(lon), 4) AS lon_min, round(max(lon), 4) AS lon_max,
-                min(zval) AS z_min, max(zval) AS z_max
-         FROM z GROUP BY 1 ORDER BY 1""",
-    "d4_scd2_history" ->
-      """WITH o AS (
-           SELECT user_id, ts, event_id, event_type,
-                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    AS prev_type
-           FROM events),
-         c AS (
-           SELECT user_id, ts, event_id, event_type
-           FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
-         v AS (
-           SELECT user_id,
-                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    AS version,
-                  event_type AS status, ts AS vf,
-                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
-           FROM c)
-         SELECT user_id, version, status,
-                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
-                strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
-                vt IS NULL AS is_current
-         FROM v ORDER BY user_id, version""",
-    "d5_cdc_apply" ->
-      """WITH l AS (
-           SELECT user_id, value,
-                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
-                  row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts DESC, event_id DESC) AS rn
-           FROM events)
-         SELECT user_id % 10 AS bucket,
-                CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
-                CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
-                round(sum(CASE WHEN op <> 'D' THEN value END), 2) AS sum_final_value
-         FROM l WHERE rn = 1
-         GROUP BY 1 ORDER BY 1""",
-    "sp4_group_split" ->
-      """WITH h AS (
-           SELECT source, n_chars,
-                  ((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16 +
-                   (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1)) % 100 AS hv
-           FROM documents)
-         SELECT CASE WHEN hv < 80 THEN 'train'
-                     WHEN hv < 90 THEN 'valid' ELSE 'test' END AS split,
-                count(*) AS n_docs, count(DISTINCT source) AS n_groups,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM h GROUP BY 1 ORDER BY 1""",
-    "ta8_bpe_pairs" ->
-      """WITH w AS (
-           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                     x -> x <> '')) AS w
-           FROM documents),
-         p AS (
-           SELECT substr(w, CAST(i AS INT), 2) AS pair
-           FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
-                 FROM w WHERE len(w) >= 2))
-         SELECT pair, count(*) AS n
-         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
-    "a14_sketch_union" ->
-      """SELECT count(DISTINCT user_id) AS exact_users,
-                count(DISTINCT event_type) AS n_types,
-                TRUE AS est_within_5pct
-         FROM events""",
-    "tp3_chunk_overlap" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
-           FROM documents),
-         c AS (SELECT doc_id, ts,
-                      unnest(generate_series(0,
-                        greatest(CAST(ceil((len(ts) - 32) / 24.0) AS INT), 0))) AS chunk_id
-               FROM tk),
-         ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                       ts[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)] AS chunk
-                FROM c)
-         SELECT doc_id, chunk_id,
-                CAST(len(chunk) AS BIGINT) AS n_tokens,
-                md5(array_to_string(chunk, ' ')) AS chunk_md5
-         FROM ch ORDER BY doc_id, chunk_id""",
-    "tp2_curriculum" ->
-      """WITH d AS (
-           SELECT n_chars,
-                  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                  x -> x <> '')) AS ntok
-           FROM documents),
-         b AS (
-           SELECT least(greatest(n_chars // ntok, 3), 9) AS score_bin,
-                  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
-           FROM d WHERE ntok > 0 GROUP BY 1),
-         c AS (
-           SELECT score_bin, n_docs, n_tokens,
-                  CAST(sum(n_tokens) OVER (ORDER BY score_bin DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                    AS cum_tokens,
-                  CAST(sum(n_tokens) OVER () AS BIGINT) AS total
-           FROM b)
-         SELECT score_bin, n_docs, n_tokens, cum_tokens,
-                (cum_tokens - n_tokens) * 2 < total AS selected
-         FROM c ORDER BY score_bin""",
-    "dc2_neardup_decontam" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 200000, text || ' held out'
-           FROM documents WHERE doc_id % 40 = 0),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id
-                  WHERE b1.doc_id < 200000 AND b2.doc_id >= 200000),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         ver AS (SELECT i.id_a,
-                        floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5)
-                          / 1000000.0 AS jaccard
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b)
-         SELECT id_a AS doc_id, count(*) AS n_eval_dups, max(jaccard) AS max_jaccard
-         FROM ver WHERE jaccard >= 0.5
-         GROUP BY 1 ORDER BY 1""",
-    "st9_stream_dedup" ->
-      """SELECT event_type, count(*) AS n,
-                count(DISTINCT event_id) AS n_distinct,
-                round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "st10_stream_static" ->
-      """SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events JOIN nation ON user_id % 25 = n_nationkey
-         GROUP BY 1 ORDER BY 1""",
-    "o5_snapshot_diff" ->
-      """WITH base AS (
-           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders),
-         a AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
-         b AS (SELECT o_orderkey,
-                      CASE WHEN o_orderkey % 5 = 0 THEN cents + 500 ELSE cents END AS cents
-               FROM base WHERE o_orderkey % 10 <> 7),
-         d AS (
-           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-                  a.cents AS cents_a, b.cents AS cents_b,
-                  CASE WHEN a.o_orderkey IS NULL THEN 'added'
-                       WHEN b.o_orderkey IS NULL THEN 'removed'
-                       WHEN a.cents <> b.cents THEN 'changed'
-                       ELSE 'unchanged' END AS status
-           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
-         SELECT status, count(*) AS n,
-                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-                CAST(sum(coalesce(cents_b, 0) - coalesce(cents_a, 0)) AS BIGINT) AS net_cents_delta
-         FROM d GROUP BY 1 ORDER BY status""",
-    "o4_partition_overwrite" ->
-      """SELECT event_type, count(*) AS n,
-                round(sum(CASE WHEN event_type = 'click' THEN value * 2
-                               ELSE value END), 2) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "dd12_incremental_dedup" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 300002, text FROM documents WHERE doc_id % 30 = 1),
-         batch AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 3 = 0),
-         idx AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 3 <> 0),
-         ex AS (SELECT DISTINCT b.doc_id
-                FROM batch b JOIN idx i ON md5(b.text) = md5(i.text)),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id
-                  WHERE (b1.doc_id % 3 = 0) <> (b2.doc_id % 3 = 0)),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         near AS (SELECT DISTINCT
-                    CASE WHEN i.id_a % 3 = 0 THEN i.id_a ELSE i.id_b END AS doc_id
-                  FROM inter i
-                  JOIN sig sa ON sa.doc_id = i.id_a
-                  JOIN sig sb ON sb.doc_id = i.id_b
-                  WHERE 2 * i.n_inter >= sa.nsh + sb.nsh - i.n_inter)
-         SELECT b.doc_id,
-                CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
-                     WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
-                     ELSE 'new' END AS status
-         FROM batch b
-         LEFT JOIN ex ON b.doc_id = ex.doc_id
-         LEFT JOIN near nr ON b.doc_id = nr.doc_id
-         ORDER BY b.doc_id""",
-    "a15_cov_corr" ->
-      """WITH d AS (
-           SELECT l_returnflag,
-                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
-                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
-           FROM lineitem),
-         m AS (
-           SELECT l_returnflag, count(*) AS n,
-                  sum(x) AS sx, sum(y) AS sy,
-                  sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
-           FROM d GROUP BY 1)
-         SELECT l_returnflag, n,
-                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
-                      * 1000000.0 + 0.5) / 1000000.0 AS cov_xy,
-                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                      sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-                            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-                           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-                            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                      * 1000000.0 + 0.5) / 1000000.0 AS corr_xy
-         FROM m ORDER BY 1""",
-    "sp6_pps_sample" ->
-      """WITH h AS (
-           SELECT lang, doc_id, n_chars,
-                  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
-                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
-                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
-                   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS h
-           FROM documents),
-         r AS (SELECT lang, doc_id, n_chars, h,
-                      row_number() OVER (PARTITION BY lang
-                                         ORDER BY CAST(h + 1 AS DOUBLE) / n_chars, doc_id) AS rank
-               FROM h)
-         SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars, CAST(h AS BIGINT) AS h
-         FROM r WHERE rank <= 20 ORDER BY lang, rank""",
-    "sp5_temperature_mixture" ->
-      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
-         w AS (SELECT source, n_total,
-                      CAST(round(sqrt(n_total), 6) AS DECIMAL(27,6)) AS w
-               FROM c),
-         t AS (SELECT sum(w) AS sw, sum(n_total) AS n_corpus FROM w),
-         r AS (SELECT source, n_total,
-                      least(1.0, floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) *
-                                       CAST(n_corpus AS DOUBLE) * 0.5)
-                                 / CAST(n_total AS DOUBLE)) * 100 AS rate_pct
-               FROM w, t),
-         h AS (SELECT d.source, d.n_chars, r.rate_pct,
-                      ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
-                       (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS hv
-               FROM documents d JOIN r USING (source))
-         SELECT source, count(*) AS n_total,
-                floor(max(rate_pct) * 1000000.0 + 0.5) / 1000000.0 AS rate_pct,
-                CAST(sum(CASE WHEN hv < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-                CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
-                  AS sampled_chars
-         FROM h GROUP BY 1 ORDER BY 1""",
-    "gr2_triangle_census" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-                FROM li a JOIN li b
-                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         ef AS (SELECT pa, pb FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
-         wg AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
-                FROM ef e1 JOIN ef e2 ON e1.pb = e2.pa),
-         tr AS (SELECT count(*) AS n_triangles
-                FROM wg JOIN ef e3 ON wg.x = e3.pa AND wg.z = e3.pb)
-         SELECT (SELECT count(*) FROM ef) AS n_edges,
-                (SELECT count(*) FROM wg) AS n_wedges,
-                n_triangles,
-                (n_triangles * 1000000) // (SELECT count(*) FROM wg) AS closure_ppm
-         FROM tr""",
-    "ta9_bigram_lm" ->
-      """WITH tk AS (
-           SELECT doc_id, source,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
-           FROM documents),
-         b AS (
-           SELECT doc_id, source, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
-           FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
-                 FROM tk WHERE len(ts) >= 2)),
-         c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
-         model AS (SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS p_ppm
-                   FROM c2 JOIN c1 USING (w1)),
-         sc AS (SELECT doc_id, source, count(*) AS nb, sum(p_ppm) AS sump
-                FROM b JOIN model USING (w1, w2) GROUP BY 1, 2),
-         d AS (SELECT source, CAST(sump AS BIGINT) // nb AS doc_score FROM sc)
-         SELECT source, count(*) AS n_docs,
-                CAST(sum(doc_score) AS BIGINT) AS sum_score,
-                min(doc_score) AS min_score, max(doc_score) AS max_score
-         FROM d GROUP BY 1 ORDER BY 1""",
-    "ta11_normalize" ->
-      """WITH raw AS (
-           SELECT doc_id,
-                  (CASE WHEN doc_id % 2 = 0 THEN chr(9) || ' ' ELSE '' END) ||
-                  text ||
-                  (CASE WHEN doc_id % 3 = 0
-                        THEN chr(13) || chr(10) || 'end' || chr(160) || 'more'
-                        ELSE '' END) ||
-                  (CASE WHEN doc_id % 5 = 0
-                        THEN chr(7) || chr(8203) || 'x' ELSE '' END) AS raw
-           FROM documents),
-         c AS (
-           SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
-                  trim(regexp_replace(
-                    regexp_replace(raw, '[\x00-\x1f\x{00A0}\x{200B}]', ' ', 'g'),
-                    '\s+', ' ', 'g')) AS clean
-           FROM raw)
-         SELECT doc_id, len_raw,
-                CAST(length(clean) AS BIGINT) AS len_clean,
-                md5(clean) AS clean_md5
-         FROM c ORDER BY doc_id""",
-    "dd15_span_dedup" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
-           FROM documents),
-         tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
-                        greatest(CAST(len(ts) AS BIGINT) - 7, 0) AS n_spans
-                 FROM tk),
-         s0 AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
-                FROM tk WHERE len(ts) >= 8),
-         sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
-                       array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS span
-                FROM s0),
-         d AS (SELECT span FROM sp GROUP BY 1 HAVING count(*) > 1),
-         cv0 AS (SELECT sp.doc_id, sp.start,
-                        unnest(generate_series(sp.start, sp.start + 7)) AS pos
-                 FROM sp JOIN d USING (span)),
-         cv AS (SELECT doc_id, count(DISTINCT start) AS n_dup_spans,
-                       count(DISTINCT pos) AS covered
-                FROM cv0 GROUP BY 1)
-         SELECT t.doc_id, t.n_tokens, t.n_spans,
-                CAST(coalesce(cv.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-                CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered_tokens,
-                CAST(CASE WHEN t.n_tokens > 0
-                          THEN (coalesce(cv.covered, 0) * 1000000) // t.n_tokens
-                          ELSE 0 END AS BIGINT) AS dup_ppm
-         FROM tot t LEFT JOIN cv USING (doc_id) ORDER BY t.doc_id""",
-    "dd14_line_dedup" ->
-      """WITH t2 AS (
-           SELECT doc_id,
-                  text || chr(10) || 'cookie policy applies' ||
-                  CASE WHEN doc_id % 3 = 0
-                       THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
-                  CASE WHEN doc_id % 50 = 0
-                       THEN chr(10) || 'promo code ' || CAST((doc_id // 50) % 2 AS VARCHAR)
-                       ELSE '' END AS text2
-           FROM documents),
-         l0 AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS i
-                FROM (SELECT doc_id, string_split(text2, chr(10)) AS lines FROM t2)),
-         l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-                      lines[CAST(i AS INT)] AS line
-               FROM l0),
-         f AS (SELECT line, count(*) AS nd FROM l GROUP BY 1),
-         n AS (SELECT count(*) AS n_total FROM documents),
-         b AS (SELECT f.line FROM f, n WHERE f.nd * 20 > n.n_total),
-         k AS (SELECT l.doc_id,
-                      CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                      CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-                      coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
-                                          chr(10) ORDER BY l.pos), '') AS clean_text
-               FROM l LEFT JOIN b ON l.line = b.line
-               GROUP BY 1)
-         SELECT doc_id, n_kept, n_dropped,
-                CAST(length(clean_text) AS BIGINT) AS clean_len,
-                md5(clean_text) AS clean_md5
-         FROM k ORDER BY doc_id""",
-    "ta10_bm25_topk" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
-           FROM documents),
-         dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
-         tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-                WHERE token IN ('spark','dup','hash','join','merge','window','sort')
-                GROUP BY 1, 2),
-         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         g AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS aa FROM dl),
-         qt (query_id, token) AS (VALUES (0,'spark'),(0,'dup'),(1,'hash'),(1,'join'),
-                                         (1,'merge'),(2,'window'),(2,'sort')),
-         sc AS (SELECT query_id, tf.doc_id,
-                       ((((2*(nn - df) + 1) * 1000000) // (2*df + 1)) *
-                        ((22 * tf * aa * 1000000) // (10*aa*tf + 3*aa + 9*dl*nn)))
-                       // 1000000 AS tscore
-                FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
-                        JOIN qt USING (token), g),
-         ps AS (SELECT query_id, doc_id, CAST(sum(tscore) AS BIGINT) AS score
-                FROM sc GROUP BY 1, 2),
-         r AS (SELECT query_id, doc_id, score,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY score DESC, doc_id) AS rank
-               FROM ps)
-         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
-    "a18_equidepth_bins" ->
-      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-         r AS (SELECT event_type, value,
-                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-                      count(*) OVER (PARTITION BY event_type) AS nt
-               FROM e),
-         x AS (SELECT event_type, value,
-                      1 + ((rn - 1) * 10) // nt AS bin
-               FROM r)
-         SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
-                round(min(value), 4) AS lo, round(max(value), 4) AS hi
-         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
-    "a16_histogram" ->
-      """SELECT event_type,
-                CASE WHEN value < 0 THEN 0
-                     WHEN value >= 100 THEN 11
-                     ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
-                count(*) AS n,
-                round(min(value), 4) AS lo, round(max(value), 4) AS hi
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "w6_trailing_range" ->
-      """WITH s AS (
-           SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
-           FROM events),
-         w AS (
-           SELECT user_id,
-                  count(*) OVER (PARTITION BY user_id ORDER BY tsec
-                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h,
-                  sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
-                    ORDER BY tsec
-                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS sum_1h
-           FROM s)
-         SELECT user_id, count(*) AS n_events, max(n_1h) AS max_burst,
-                round(CAST(max(sum_1h) AS DOUBLE), 4) AS max_burst_value
-         FROM w GROUP BY 1 ORDER BY 1""",
-    "dd13_editdistance_dedup" ->
-      """WITH names AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1),
-         b AS (SELECT name, cnt, substr(name, 1, 3) AS pfx, len(name) // 4 AS lb
-               FROM names),
-         ex AS (SELECT CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS n_name_pairs,
-                       CAST(sum(cnt * (cnt - 1)) // 2 AS BIGINT) AS n_part_pairs
-                FROM b),
-         pr AS (SELECT levenshtein(a.name, b2.name) AS d, a.cnt * b2.cnt AS w
-                FROM b a JOIN b b2
-                  ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.name < b2.name),
-         nr AS (SELECT CAST(d AS BIGINT) AS d, count(*) AS n_name_pairs,
-                       CAST(sum(w) AS BIGINT) AS n_part_pairs
-                FROM pr WHERE d BETWEEN 1 AND 3 GROUP BY 1)
-         SELECT d, n_name_pairs, n_part_pairs FROM ex
-         UNION ALL SELECT d, n_name_pairs, n_part_pairs FROM nr
-         ORDER BY d""",
-    "st11_dedup_window_chain" ->
-      """WITH wm AS (SELECT max(ts) AS w FROM events),
-         h AS (
-           SELECT date_trunc('hour', ts) AS ws, value
-           FROM events)
-         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-                count(*) AS n_rows,
-                round(min(value), 4) AS value_min,
-                round(max(value), 4) AS value_max
-         FROM h, wm
-         WHERE ws + INTERVAL 1 HOUR <= wm.w
-         GROUP BY ws ORDER BY 1""",
-    "st12_foreachbatch_merge" ->
-      """WITH r AS (
-           SELECT user_id, ts, event_type, value,
-                  row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts DESC, event_id DESC) AS rn
-           FROM events)
-         SELECT user_id,
-                strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
-                event_type AS last_type,
-                round(value, 4) AS last_value
-         FROM r WHERE rn = 1 ORDER BY user_id""",
-    "a17_mode_per_user" ->
-      """WITH c AS (SELECT user_id, event_type, count(*) AS n
-                    FROM events GROUP BY 1, 2),
-         r AS (SELECT user_id, event_type, n,
-                      row_number() OVER (PARTITION BY user_id
-                        ORDER BY n DESC, event_type DESC) AS rn
-               FROM c)
-         SELECT user_id, event_type AS top_type, n AS top_n
-         FROM r WHERE rn = 1 ORDER BY user_id""",
-    "dq1_constraint_suite" ->
-      """WITH b AS (
-           SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
-                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
-                  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
-                  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_price,
-                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
-           FROM orders),
-         o AS (
-           SELECT CAST(count(*) AS BIGINT) AS orphan_fk FROM orders
-           WHERE o_custkey IS NOT NULL
-             AND o_custkey NOT IN (SELECT c_custkey FROM customer
-                                   WHERE c_custkey IS NOT NULL)),
-         u AS (
-           SELECT 'completeness_custkey' AS check_name, null_cust AS violations FROM b
-           UNION ALL SELECT 'domain_orderstatus', bad_status FROM b
-           UNION ALL SELECT 'range_totalprice_le_100k', big_price FROM b
-           UNION ALL SELECT 'range_totalprice_pos', nonpos_price FROM b
-           UNION ALL SELECT 'ref_integrity_custkey', orphan_fk FROM o
-           UNION ALL SELECT 'uniqueness_orderkey', dup_keys FROM b)
-         SELECT check_name, violations, violations = 0 AS passed
-         FROM u ORDER BY check_name""",
-    "pv1_k_anonymity" ->
-      """WITH g AS (
-           SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_n
-           FROM customer GROUP BY 1, 2)
-         SELECT c_custkey,
-                CASE WHEN group_n >= 8 THEN CAST(c_nationkey AS BIGINT)
-                     ELSE -1 END AS nation_qi,
-                CASE WHEN group_n >= 8 THEN c_mktsegment ELSE '*' END AS segment_qi,
-                group_n, group_n < 8 AS suppressed
-         FROM customer JOIN g USING (c_nationkey, c_mktsegment)
-         ORDER BY c_custkey""",
-    "tp4_importance_select" ->
-      """WITH tk AS (
-           SELECT doc_id, lang,
-                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                     t -> t <> '')) AS token
-           FROM documents),
-         st AS (
-           SELECT token, CAST(count(*) AS BIGINT) AS rc,
-                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
-           FROM tk GROUP BY 1),
-         tot AS (
-           SELECT CAST(sum(rc) AS BIGINT) AS pool_total,
-                  CAST(sum(tc) AS BIGINT) AS tgt_total
-           FROM st),
-         lean AS (
-           SELECT token, tc * (SELECT pool_total FROM tot)
-                         > rc * (SELECT tgt_total FROM tot) AS lean
-           FROM st),
-         dt AS (SELECT DISTINCT doc_id, token FROM tk)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                CAST(sum(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT) AS n_lean,
-                CAST(sum(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT) * 2
-                  >= count(*) AS selected
-         FROM dt JOIN lean USING (token)
-         GROUP BY doc_id ORDER BY doc_id""",
-    "q18_large_volume" ->
-      """WITH big AS (
-           SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
-         SELECT c_name, c_custkey, o_orderkey,
-                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                round(o_totalprice, 2) AS o_totalprice, sum_qty
-         FROM big
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
-    "rr1_hybrid_rrf" ->
-      """WITH tk AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
-           FROM documents),
-         dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tk),
-         tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-                WHERE token IN ('spark','dup','hash','join','merge','window','sort')
-                GROUP BY 1, 2),
-         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         g AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS aa FROM dl),
-         qt (query_id, token) AS (VALUES (0,'spark'),(0,'dup'),(1,'hash'),(1,'join'),
-                                         (1,'merge'),(2,'window'),(2,'sort')),
-         sc AS (SELECT query_id, tf.doc_id,
-                       ((((2*(nn - df) + 1) * 1000000) // (2*df + 1)) *
-                        ((22 * tf * aa * 1000000) // (10*aa*tf + 3*aa + 9*dl*nn)))
-                       // 1000000 AS tscore
-                FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
-                        JOIN qt USING (token), g),
-         ps AS (SELECT query_id, doc_id, CAST(sum(tscore) AS BIGINT) AS score
-                FROM sc GROUP BY 1, 2),
-         lexr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-                         CAST(rank AS BIGINT) AS lex_rank FROM (
-                    SELECT query_id, doc_id,
-                           row_number() OVER (PARTITION BY query_id
-                                              ORDER BY score DESC, doc_id) AS rank
-                    FROM ps) WHERE rank <= 20),
-         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-               FROM embeddings WHERE vec_id < 3),
-         semsc AS (SELECT q.query_id, e.vec_id AS doc_id,
-                          round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS sim
-                   FROM embeddings e, q WHERE e.vec_id >= 3),
-         semr AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS sem_rank FROM (
-                    SELECT query_id, doc_id,
-                           row_number() OVER (PARTITION BY query_id
-                                              ORDER BY sim DESC, doc_id) AS rank
-                    FROM semsc) WHERE rank <= 20),
-         fused AS (SELECT query_id, doc_id, lex_rank, sem_rank,
-                          COALESCE(1000000000 // (60 + lex_rank), 0) +
-                          COALESCE(1000000000 // (60 + sem_rank), 0) AS rrf_score
-                   FROM lexr FULL JOIN semr USING (query_id, doc_id))
-         SELECT query_id, doc_id, lex_rank, sem_rank,
-                CAST(rrf_score AS BIGINT) AS rrf_score, CAST(rank AS BIGINT) AS rank
-         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                            ORDER BY rrf_score DESC, doc_id) AS rank
-               FROM fused)
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-    "ret1_cohort_retention" ->
-      """WITH w AS (
-           SELECT user_id, epoch_us(ts) // 604800000000 AS week
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
-         cells AS (
-           SELECT f.cohort_week, w.week - f.cohort_week AS offset_weeks,
-                  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
-           FROM w JOIN f USING (user_id) GROUP BY 1, 2),
-         s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
-               FROM f GROUP BY 1)
-         SELECT cohort_week, offset_weeks, n_users, cohort_size,
-                n_users * 10000 // cohort_size AS retention_bp
-         FROM cells JOIN s USING (cohort_week)
-         ORDER BY cohort_week, offset_weeks""",
-    "e10_matryoshka_recall" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-                    FROM embeddings WHERE vec_id < 20),
-         c AS (SELECT vec_id, embedding::DOUBLE[] AS vec
-               FROM embeddings WHERE vec_id >= 20),
-         ex AS (SELECT query_id, vec_id FROM (
-                  SELECT q.query_id, c.vec_id,
-                         row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY round(list_cosine_similarity(c.vec, q.qvec), 6) DESC,
-                                    c.vec_id) AS r
-                  FROM c, q) WHERE r <= 5),
-         tr AS (SELECT query_id, vec_id FROM (
-                  SELECT q.query_id, c.vec_id,
-                         row_number() OVER (PARTITION BY q.query_id
-                           ORDER BY round(list_cosine_similarity(c.vec[1:16], q.qvec[1:16]), 6) DESC,
-                                    c.vec_id) AS r
-                  FROM c, q) WHERE r <= 5),
-         hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n
-                  FROM ex JOIN tr USING (query_id, vec_id) GROUP BY 1)
-         SELECT q.query_id, COALESCE(hits.n, 0) AS n_hits5
-         FROM q LEFT JOIN hits USING (query_id)
-         ORDER BY query_id""",
-    "j10_interval_overlap" ->
-      """WITH iv AS (
-           SELECT o_custkey, o_orderkey,
-                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo,
-                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-                    + o_orderkey % 20 + 3 AS hi
-           FROM orders),
-         a AS (SELECT o_custkey, o_orderkey AS a_key, lo AS a_lo, hi AS a_hi
-               FROM iv WHERE o_orderkey % 2 = 0),
-         b AS (SELECT o_custkey, o_orderkey AS b_key, lo AS b_lo, hi AS b_hi
-               FROM iv WHERE o_orderkey % 2 = 1),
-         p AS (SELECT a.o_custkey,
-                      least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1 AS overlap
-               FROM a JOIN b ON a.o_custkey = b.o_custkey
-                            AND a_lo <= b_hi AND b_lo <= a_hi)
-         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
-                CAST(sum(overlap) AS BIGINT) AS total_overlap_days
-         FROM p GROUP BY o_custkey ORDER BY o_custkey""",
-    "dq2_drift" ->
-      """WITH ev AS (
-           SELECT event_type, value, epoch_us(ts) // 86400000000 AS day
-           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
-         cells AS (
-           SELECT event_type,
-                  CASE WHEN value < 0 THEN 0
-                       WHEN value >= 100 THEN 11
-                       ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
-                  CAST(sum(CASE WHEN day * 2 <= d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                  CAST(sum(CASE WHEN day * 2 <= d0 + d1 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-           FROM ev, bounds GROUP BY 1, 2),
-         tot AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS t_a,
-                        CAST(sum(n_b) AS BIGINT) AS t_b
-                 FROM cells GROUP BY 1)
-         SELECT event_type, bucket, n_a, n_b,
-                abs(n_a * t_b - n_b * t_a) * 20 > t_a * t_b AS drifted
-         FROM cells JOIN tot USING (event_type)
-         ORDER BY event_type, bucket""",
-    "w8_cumulative_users" ->
-      """WITH d AS (
-           SELECT user_id, epoch_us(ts) // 86400000000 AS day
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
-         n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1),
-         a AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
-               FROM d GROUP BY 1),
-         j AS (SELECT day, COALESCE(new_users, 0) AS new_users,
-                      COALESCE(active_users, 0) AS active_users
-               FROM n FULL JOIN a USING (day))
-         SELECT day, new_users, active_users,
-                CAST(sum(new_users) OVER (ORDER BY day
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                  AS cum_users
-         FROM j ORDER BY day""",
-    "geo1_track_stats" ->
-      """WITH p AS (
-           SELECT user_id, ts, event_id,
-                  event_id * 7919 % 18000 AS lat_cd,
-                  event_id * 104729 % 36000 AS lon_cd
-           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         s AS (
-           SELECT user_id, lat_cd, lon_cd,
-                  lat_cd - lag(lat_cd) OVER w AS dlat,
-                  lon_cd - lag(lon_cd) OVER w AS dlon
-           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         d AS (SELECT user_id, lat_cd, lon_cd,
-                      dlat * dlat + dlon * dlon AS d2 FROM s)
-         SELECT user_id,
-                CAST(count(*) AS BIGINT) AS n_pings,
-                CAST(count(d2) AS BIGINT) AS n_steps,
-                CAST(COALESCE(sum(d2), 0) AS BIGINT) AS total_d2,
-                round(sqrt(COALESCE(max(d2), 0)), 6) AS max_step,
-                CAST(count(DISTINCT lat_cd // 1000 * 1000000 + lon_cd // 1000)
-                  AS BIGINT) AS n_cells
-         FROM d GROUP BY user_id ORDER BY user_id""",
-    "fn1_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, ts FROM events
-                     WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-         s1 AS (SELECT user_id, min(ts) AS ts_1 FROM ev
-                WHERE event_type = 'view' GROUP BY 1),
-         s2 AS (SELECT s1.user_id, ts_1,
-                       min(CASE WHEN ev.ts > ts_1 THEN ev.ts END) AS ts_2
-                FROM s1 LEFT JOIN ev
-                  ON ev.user_id = s1.user_id AND ev.event_type = 'click'
-                GROUP BY 1, 2),
-         s3 AS (SELECT s2.user_id, ts_1, ts_2,
-                       min(CASE WHEN ev.ts > ts_2 THEN ev.ts END) AS ts_3
-                FROM s2 LEFT JOIN ev
-                  ON ev.user_id = s2.user_id AND ev.event_type = 'purchase'
-                GROUP BY 1, 2, 3)
-         SELECT CAST(count(*) AS BIGINT) AS n_step1,
-                CAST(count(ts_2) AS BIGINT) AS n_step2,
-                CAST(count(ts_3) AS BIGINT) AS n_step3,
-                round(avg(epoch_us(ts_3) - epoch_us(ts_1)) / 1e6, 3)
-                  AS avg_sec_to_convert
-         FROM s3""",
-    "dq3_anomaly" ->
-      """WITH ev AS (SELECT event_type, value FROM events
-                     WHERE value IS NOT NULL),
-         st AS (SELECT event_type, avg(value) AS mu,
-                       stddev_samp(value) AS sigma,
-                       CAST(count(*) AS BIGINT) AS n
-                FROM ev GROUP BY 1)
-         SELECT ev.event_type, max(n) AS n,
-                CAST(sum(CASE WHEN abs(value - mu) > sigma * 3
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-                round(max(CASE WHEN abs(value - mu) > sigma * 3
-                          THEN value END), 4) AS max_outlier,
-                round(max(mu), 4) AS mu, round(max(sigma), 4) AS sigma
-         FROM ev JOIN st USING (event_type)
-         GROUP BY 1 ORDER BY 1""",
-    "mm5_frame_sample" ->
-      """WITH v AS (
-           SELECT doc_id AS media_id,
-                  CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
-                  CAST(3000 + (doc_id % 100) * 60 AS BIGINT) AS dur_ticks
-           FROM documents WHERE doc_id % 3 = 2),
-         t AS (SELECT media_id, timescale, dur_ticks,
-                      unnest(generate_series(0, dur_ticks - 1, timescale))
-                        AS tick
-               FROM v)
-         SELECT media_id, timescale, dur_ticks, tick,
-                tick // timescale AS sample_idx,
-                tick // timescale * 1000 AS ts_ms
-         FROM t ORDER BY media_id, sample_idx""",
-    "ta12_html_strip" ->
-      """WITH h AS (
-           SELECT lang,
-                  '<!DOCTYPE html><body><p id="' || doc_id || '">' ||
-                    regexp_replace(text, '\n', '</p><p>', 'g') ||
-                    '</p></body>' AS html
-           FROM documents),
-         m AS (SELECT lang, length(html) AS n_html,
-                      length(trim(regexp_replace(regexp_replace(
-                        html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')))
-                        AS n_text
-               FROM h),
-         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                      CAST(sum(n_html) AS BIGINT) AS html_chars,
-                      CAST(sum(n_text) AS BIGINT) AS text_chars
-               FROM m GROUP BY 1)
-         SELECT lang, n_docs, html_chars, text_chars,
-                round(100.0 * (html_chars - text_chars) / html_chars, 2)
-                  AS reduction_pct
-         FROM g ORDER BY lang""",
-    "sp8_token_budget" ->
-      """WITH g AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(sum(n_chars // 4) AS BIGINT) AS total_tokens
-           FROM documents GROUP BY 1),
-         b AS (SELECT *, CAST(CASE source WHEN 'src0' THEN 40000
-                              WHEN 'src5' THEN 5000
-                              WHEN 'src12' THEN 100000
-                              ELSE 20000 END AS BIGINT) AS budget_tokens
-               FROM g)
-         SELECT source, n_docs, total_tokens, budget_tokens,
-                least(budget_tokens, total_tokens) AS kept_tokens,
-                round(least(budget_tokens, total_tokens)
-                  / CAST(total_tokens AS DOUBLE), 6) AS keep_rate
-         FROM b ORDER BY source""",
-    "a20_cooccurrence" ->
-      """WITH ut AS (
-           SELECT DISTINCT user_id, event_type FROM events
-           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
-               FROM ut a JOIN ut b
-                 ON a.user_id = b.user_id AND a.event_type < b.event_type)
-         SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_users
-         FROM p GROUP BY 1, 2 ORDER BY n_users DESC, type_a, type_b""",
-    "j11_asof_tolerance" ->
-      """SELECT q.event_id, q.user_id,
-                CASE WHEN u.ts <= q.ts + INTERVAL 1 HOUR
-                     THEN round(u.price, 2) END AS next_price
-         FROM (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'view') q
-         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
-                         FROM events WHERE event_type = 'purchase'
-                         GROUP BY user_id, ts) u
-           ON q.user_id = u.user_id AND u.ts >= q.ts
-         ORDER BY q.event_id""",
-    "lr1_price_regression" ->
-      """WITH d AS (
-           SELECT l_returnflag,
-                  CAST(l_quantity AS DECIMAL(18,2)) AS x,
-                  CAST(l_extendedprice AS DECIMAL(18,2)) AS y
-           FROM lineitem),
-         m AS (
-           SELECT l_returnflag, count(*) AS n,
-                  sum(x) AS sx, sum(y) AS sy,
-                  sum(x*x) AS sxx, sum(x*y) AS sxy
-           FROM d GROUP BY 1)
-         SELECT l_returnflag, n,
-                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-                       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                      * 1000000.0 + 0.5) / 1000000.0 AS slope,
-                floor((CAST(sy AS DOUBLE) -
-                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
-                      * 1000000.0 + 0.5) / 1000000.0 AS intercept
-         FROM m ORDER BY 1""",
-    "f17_feature_hash" ->
-      """WITH raw AS (
-           SELECT unnest(string_split_regex(text, '\s+')) AS rawtok
-           FROM documents),
-         t AS (SELECT lower(rawtok) AS tok FROM raw WHERE rawtok <> ''),
-         b AS (
-           SELECT tok,
-                  ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
-                   (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64
-                    AS bucket
-           FROM t)
-         SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
-                CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
-         FROM b GROUP BY 1 ORDER BY bucket""",
-    "q7_nation_trade" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                CAST(count(*) AS BIGINT) AS n_items
-         FROM lineitem
-         JOIN orders   ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate <  TIMESTAMP '1998-01-01'
-           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
-                (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
-    "q10_returned_items" ->
-      """SELECT c_custkey, c_name, n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                CAST(count(*) AS BIGINT) AS n_items
-         FROM lineitem
-         JOIN orders   ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation   ON c_nationkey = n_nationkey
-         WHERE l_returnflag = 'R'
-           AND o_orderdate >= TIMESTAMP '1996-01-01'
-           AND o_orderdate <  TIMESTAMP '1996-07-01'
-         GROUP BY 1, 2, 3
-         ORDER BY revenue DESC, c_custkey LIMIT 20""",
-    "tp5_length_buckets" ->
-      """WITH d AS (
-           SELECT n_chars // 4 AS toks,
-                  CAST(CASE WHEN n_chars // 4 <= 16 THEN 16
-                       WHEN n_chars // 4 <= 32 THEN 32
-                       WHEN n_chars // 4 <= 64 THEN 64
-                       WHEN n_chars // 4 <= 128 THEN 128
-                       WHEN n_chars // 4 <= 256 THEN 256
-                       WHEN n_chars // 4 <= 512 THEN 512
-                       WHEN n_chars // 4 <= 1024 THEN 1024
-                       ELSE 2048 END AS BIGINT) AS bucket_cap
-           FROM documents),
-         g AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
-                      CAST(sum(toks) AS BIGINT) AS sum_tokens,
-                      CAST(sum(bucket_cap - toks) AS BIGINT) AS padding_waste
-               FROM d GROUP BY 1)
-         SELECT bucket_cap, n_docs, sum_tokens, padding_waste,
-                round(100.0 * padding_waste / (padding_waste + sum_tokens), 2)
-                  AS waste_pct
-         FROM g ORDER BY bucket_cap""",
-    "dq4_skew_stats" ->
-      """WITH pk AS (
-           SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
-           WHERE user_id IS NOT NULL GROUP BY 1),
-         t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-                      CAST(sum(c) AS BIGINT) AS n_rows,
-                      CAST(max(c) AS BIGINT) AS max_key_rows
-               FROM pk)
-         SELECT max(n_keys) AS n_keys, max(n_rows) AS n_rows,
-                max(max_key_rows) AS max_key_rows,
-                CAST(sum(CASE WHEN c * n_keys > n_rows * 2 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_heavy_keys,
-                round(max(max_key_rows) * max(n_keys)
-                  / CAST(max(n_rows) AS DOUBLE), 4) AS skew_factor
-         FROM pk, t""",
-    "u4_pivot_wide" ->
-      """SELECT user_id,
-                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events WHERE user_id IS NOT NULL
-         GROUP BY 1 ORDER BY 1""",
-    "a21_trailing_dau" ->
-      """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-                    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-         cal AS (SELECT DISTINCT day AS d FROM p),
-         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY 1),
-         w AS (SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
-               FROM cal JOIN p ON p.day BETWEEN cal.d - 6 AND cal.d
-               GROUP BY 1)
-         SELECT day, dau, wau7 FROM dau JOIN w USING (day) ORDER BY day""",
-    "dq5_profile" ->
-      """WITH s AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_null,
-                  CAST(count(DISTINCT event_id) AS BIGINT) AS id_nd,
-                  CAST(min(event_id) AS DOUBLE) AS id_min,
-                  CAST(max(event_id) AS DOUBLE) AS id_max,
-                  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_null,
-                  CAST(count(DISTINCT user_id) AS BIGINT) AS u_nd,
-                  CAST(min(user_id) AS DOUBLE) AS u_min,
-                  CAST(max(user_id) AS DOUBLE) AS u_max,
-                  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
-                  CAST(count(DISTINCT value) AS BIGINT) AS v_nd,
-                  round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
-                  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_null,
-                  CAST(count(DISTINCT event_type) AS BIGINT) AS t_nd
-           FROM events)
-         SELECT n, column_name, n_null, n_distinct, min_val, max_val
-         FROM (
-           SELECT n, 'event_id' AS column_name, id_null AS n_null,
-                  id_nd AS n_distinct, id_min AS min_val, id_max AS max_val FROM s
-           UNION ALL
-           SELECT n, 'user_id', u_null, u_nd, u_min, u_max FROM s
-           UNION ALL
-           SELECT n, 'value', v_null, v_nd, v_min, v_max FROM s
-           UNION ALL
-           SELECT n, 'event_type', t_null, t_nd, NULL, NULL FROM s)
-         ORDER BY column_name""",
-    "j12_point_in_time" ->
-      """WITH log AS (
-           SELECT user_id, ts, arg_max(event_type, event_id) AS status,
-                  max(event_id) AS event_id
-           FROM events WHERE event_type IN ('signup', 'error')
-           GROUP BY 1, 2),
-         chg AS (
-           SELECT user_id, ts, event_id, status,
-                  lag(status) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS prev
-           FROM log),
-         vers AS (
-           SELECT user_id, ts AS valid_from, status,
-                  lead(ts) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS valid_to
-           FROM chg WHERE prev IS NULL OR prev <> status),
-         f AS (SELECT user_id, ts, value FROM events
-               WHERE event_type = 'purchase'),
-         j AS (
-           SELECT f.user_id, f.value, v.status
-           FROM f LEFT JOIN vers v
-             ON f.user_id = v.user_id AND v.valid_from <= f.ts
-            AND (v.valid_to IS NULL OR f.ts < v.valid_to))
-         SELECT COALESCE(status, 'none') AS status,
-                CAST(count(*) AS BIGINT) AS n_purchases,
-                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                round(sum(value), 2) AS sum_value
-         FROM j GROUP BY 1 ORDER BY 1""",
-    "w9_wow_change" ->
-      """WITH wk AS (
-           SELECT event_type, epoch_us(ts) // 604800000000 AS week,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-         l AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week)
-                           AS prev_n
-               FROM wk)
-         SELECT event_type, week, n, prev_n,
-                round(100.0 * (n - prev_n) / prev_n, 2) AS change_pct
-         FROM l ORDER BY event_type, week""",
-    "lm1_bigram_novelty" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-           FROM documents),
-         b AS (SELECT doc_id,
-                 unnest(list_transform(range(1, len(toks)),
-                                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
-               FROM t WHERE len(toks) >= 2),
-         m AS (SELECT bg, count(*) AS c FROM b GROUP BY bg HAVING count(*) >= 3)
-         SELECT b.doc_id, count(*) AS n_bigrams,
-                CAST(count(m.c) AS BIGINT) AS n_known,
-                floor((CAST(1.0 AS DOUBLE) - count(m.c) / count(*)) * 1000000.0 + 0.5)
-                  / 1000000.0 AS novelty
-         FROM b LEFT JOIN m USING (bg)
-         GROUP BY b.doc_id ORDER BY b.doc_id""",
-    "dq6_ref_integrity" ->
-      """SELECT * FROM (
-           SELECT 'customer.nationkey->nation' AS relationship, count(*) AS n_rows,
-                  CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
-                  CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-           FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-           UNION ALL
-           SELECT 'lineitem.orderkey->orders', count(*),
-                  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
-           UNION ALL
-           SELECT 'lineitem.partkey->part', count(*),
-                  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-           UNION ALL
-           SELECT 'lineitem.suppkey->supplier', count(*),
-                  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
-           UNION ALL
-           SELECT 'nation.regionkey->region', count(*),
-                  CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(sum(CASE WHEN n_regionkey IS NOT NULL AND r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
-           UNION ALL
-           SELECT 'orders.custkey->customer', count(*),
-                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-           UNION ALL
-           SELECT 'supplier.nationkey->nation', count(*),
-                  CAST(sum(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
-         ORDER BY relationship""",
-    "sp9_stratified_take" ->
-      """SELECT source, doc_id, h, rk FROM (
-           SELECT source, doc_id,
-                  md5('sp9:' || CAST(doc_id AS VARCHAR)) AS h,
-                  row_number() OVER (PARTITION BY source
-                    ORDER BY md5('sp9:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-           FROM documents) t
-         WHERE rk <= 20
-         ORDER BY source, rk""",
-    "gr2_triangle_count" ->
-      """WITH e AS (SELECT DISTINCT
-             least(l_orderkey % 4096, l_partkey % 4096) AS u,
-             greatest(l_orderkey % 4096, l_partkey % 4096) AS v
-           FROM lineitem
-           WHERE l_linenumber = 1 AND l_orderkey % 4096 <> l_partkey % 4096),
-         d AS (SELECT x, count(*) AS deg
-               FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
-               GROUP BY x),
-         t AS (SELECT count(*) AS n_triangles
-               FROM e e1 JOIN e e2 ON e1.v = e2.u
-                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
-         SELECT (SELECT count(*) FROM d) AS n_nodes,
-                (SELECT count(*) FROM e) AS n_edges,
-                (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
-                (SELECT n_triangles FROM t) AS n_triangles,
-                floor(3.0 * (SELECT n_triangles FROM t)
-                      / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
-                      * 1000000.0 + 0.5) / 1000000.0 AS clustering""",
-    "cs1_source_overlap" ->
-      """WITH sh AS (SELECT DISTINCT source,
-             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
-           FROM (SELECT source,
-                   list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                 FROM documents)
-           WHERE len(toks) >= 3),
-         c AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
-         p AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
-               FROM sh a JOIN sh b USING (sh) WHERE a.source < b.source
-               GROUP BY 1, 2)
-         SELECT s1, s2, n_inter, c1.n AS n_s1, c2.n AS n_s2,
-                floor(n_inter / (c1.n + c2.n - n_inter) * 1000000.0 + 0.5)
-                  / 1000000.0 AS jaccard
-         FROM p JOIN c c1 ON p.s1 = c1.source JOIN c c2 ON p.s2 = c2.source
-         ORDER BY s1, s2""",
-    "o5_shard_plan" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) + 1 AS bytes FROM documents),
-         o AS (SELECT doc_id, bytes,
-                 CAST(COALESCE(sum(bytes) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-               FROM d)
-         SELECT CAST(start // 16384 AS BIGINT) AS shard_id, count(*) AS n_docs,
-                CAST(sum(bytes) AS BIGINT) AS sum_bytes,
-                min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM o GROUP BY 1 ORDER BY 1""",
-    "mm6_audio_segments" ->
-      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
-         aud AS (SELECT media_id, 50 + media_id % 100 AS nf FROM m),
-         ai AS (SELECT media_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM aud),
-         acell AS (SELECT media_id, (i * 16) // nf AS w, count(*) AS n,
-                          sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS sum_v
-                   FROM ai GROUP BY 1, 2),
-         tot AS (SELECT media_id, sum(sum_v) AS tot_v, sum(n) AS tot_n
-                 FROM acell GROUP BY 1),
-         fl AS (SELECT a.media_id, a.w FROM acell a JOIN tot t USING (media_id)
-                WHERE a.sum_v * t.tot_n > t.tot_v * a.n),
-         isl AS (SELECT media_id, w,
-                        w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
-                 FROM fl),
-         runs AS (SELECT media_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
-         SELECT media_id, count(*) AS n_segments,
-                CAST(max(len) AS BIGINT) AS longest,
-                CAST(sum(len) AS BIGINT) AS n_active
-         FROM runs GROUP BY 1 ORDER BY 1""",
-    "sp10_temperature_mixture" ->
-      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-         r AS (SELECT source,
-                 CAST(floor(sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt)
-                   * 1000000.0) AS BIGINT) AS rate_ppm
-               FROM c),
-         h AS (SELECT d.source, d.n_chars, r.rate_ppm,
-                 CAST(concat('0x', substr(md5('sp10:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                   AS BIGINT) % 1000000 AS hv
-               FROM documents d JOIN r USING (source))
-         SELECT source, count(*) AS n_total, rate_ppm,
-                CAST(sum(CASE WHEN hv < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                CAST(sum(CASE WHEN hv < rate_ppm THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
-         FROM h GROUP BY source, rate_ppm ORDER BY source""",
-    "dc3_url_canonical_dedup" ->
-      """WITH u AS (
-           SELECT doc_id,
-                  (['https://Docs.Example.com/page/' || pid || '?id=' || pid,
-                    'HTTPS://docs.example.com:443/page/' || pid || '?id=' || pid || '&utm_source=feed',
-                    'https://docs.example.com/page/' || pid || '/?id=' || pid || '#section-2',
-                    'https://docs.example.com/page/' || pid || '?id=' || pid || '&fbclid=x' || CAST(doc_id AS VARCHAR),
-                    'https://docs.example.com/page/' || pid || '?utm_campaign=mail&id=' || pid]
-                  )[CAST(doc_id % 5 + 1 AS INT)] AS url
-           FROM (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS pid FROM documents)),
-         p AS (
-           SELECT doc_id,
-                  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1)) AS host,
-                  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]*(/[^?#]*)', 1),
-                                 '/$', '') AS path,
-                  list_filter(regexp_extract_all(url, '[?&]([^?#&=]+=[^&#]*)', 1),
-                              q -> NOT regexp_matches(q, '^(utm_[a-z]+|fbclid)=')) AS params
-           FROM u),
-         canon AS (
-           SELECT doc_id, 'https://' || host || path ||
-                  CASE WHEN len(params) > 0
-                       THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
-           FROM p)
-         SELECT canon, count(*) AS n_variants, min(doc_id) AS keep_doc
-         FROM canon GROUP BY canon ORDER BY canon"""
-  )
+  def oracleSql: Map[String, String] = OracleSql.map
 }

@@ -1,0 +1,1269 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.agg.{Stats, Unpivot}
+import graft.functions.Scalars
+import graft.ingest.{Clean, Extract}
+import graft.operators.{FuzzyJoin, Upsert}
+import graft.sources.{Multimodal, NetCdf, NetCdfFixture}
+import graft.stream.Ingest
+import graft.vector.{Embed, Knn, SemanticWorkload}
+import graft.dedup.Dedup
+import graft.text.{Analysis, Summaries}
+import graft.QueryContext._
+
+/** Source/scan, streaming, layout, multimodal, cleaning, and reshape queries.
+  *
+  * Split from SparkEntry (round 7) purely for file-size hygiene: entries are
+  * unchanged; SparkEntry.queries concatenates the family maps.
+  */
+private[graft] object ScanStreamQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- P5+P6 cleaning chain (ingest/preprocess.py:177-293) --------------
+    "p5_clean_events" -> { (s, dir) =>
+      val cleaned = Tables.events(s, dir)
+        .withColumn("value", Clean.boundsToNull(col("value"), 0.0, 200.0))
+        .na.drop(Seq("event_id", "ts", "user_id"))
+      cleaned
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_valid"),
+          Stats.exactMean(col("value")).as("value_mean"))
+        .orderBy("event_type")
+    },
+
+    // ---- D1 last-writer-wins upsert (ingest/db_handler.py:180-187) --------
+    "d1_upsert_lastwins" -> { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), col("value"), lit(1).as("precedence"), lit("base").as("src"))
+      val updates = Tables.events(s, dir)
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("value") + 1000).as("value"),
+          lit(2).as("precedence"), lit("update").as("src"))
+      Upsert.lastWriterWins(base, updates, "event_id", "precedence", "event_id")
+        .select(col("event_id"), round(col("value"), 2).as("value"), col("src"))
+        .orderBy("event_id")
+    },
+
+    // ---- D2 insert-if-absent sink (ingest/db_handler.py:237-245) ----------
+    "d2_insert_ignore" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val existing = ev.filter(col("event_id") % 3 === 0)
+        .select("event_id", "event_type", "value")
+      val incoming = ev.select(col("event_id"), col("event_type"), (col("value") + 5).as("value"))
+      Upsert.insertIfAbsent(incoming, existing, "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- F1/F2 id cleanup (load_data.py:270-292, update_chromadb:167-179) -
+    "f1_f2_id_clean" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("messy_id",
+          when(col("c_custkey") % 10 === 7, lit(null: String))
+            .otherwise(concat(lit("b'"), col("c_custkey"), lit(" '"))))
+        .withColumn("clean_id", FuzzyJoin.cleanId(col("messy_id")))
+        .withColumn("safe_id", Scalars.safeIdString(col("clean_id").cast("double")))
+        .select("c_custkey", "clean_id", "safe_id")
+        .orderBy("c_custkey")
+    },
+
+    // ---- F5/F6 date label + season (embed.py:127-139, preprocess_floats:163-171)
+    "f5_f6_date_features" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("date_label", Scalars.dateTh(col("o_orderdate")))
+        .withColumn("order_season", Scalars.season(month(col("o_orderdate"))))
+        .groupBy("date_label", "order_season")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("date_label", "order_season")
+    },
+
+    // ---- F7/F8/F9 geo classifiers (embed.py:117-174) -----------------------
+    "f7_f9_geo_classify" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("lat", col("value") % 180 - 90)
+        .withColumn("lon", (col("value") * 2) % 360 - 180)
+        .withColumn("region", Scalars.oceanRegion(col("lat"), col("lon")))
+        .withColumn("band", Scalars.latBand(col("lat")))
+        .withColumn("lat_fmt", Scalars.hemisphereLat(col("lat")))
+        .groupBy("region", "band")
+        .agg(count(lit(1)).as("n"), min(col("lat_fmt")).as("sample_lat_fmt"))
+        .orderBy("region", "band")
+    },
+
+    // ---- F10 bbox center (embed.py:80-81) ---------------------------------
+    "f10_bbox_center" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("lat", col("value") % 180 - 90)
+        .withColumn("lon", (col("value") * 2) % 360 - 180)
+        .groupBy("user_id")
+        .agg(
+          round(Scalars.center(min(col("lat")), max(col("lat"))), 6).as("lat_center"),
+          round(Scalars.center(min(col("lon")), max(col("lon"))), 6).as("lon_center"))
+        .orderBy("user_id")
+    },
+
+    // ---- URL parsing + per-domain rollup: web-corpus provenance — every
+    // crawl pipeline groups quality/dedup decisions by registered domain.
+    // URLs are injected deterministically (the ta6 fire-everywhere
+    // pattern) and parsed with the parse_url BUILTIN (host / path /
+    // single query param), which the oracle mirrors with anchored
+    // regexes — the injected URLs stay inside the dialect where both
+    // agree. min/max(path) pin the per-row path extraction corpus-wide
+    // even though the output is host-grain; countDistinct(ref) pins the
+    // query-param extraction. One aggregation shuffle over a 4-row key
+    // domain (map-side partials carry the weight). -----------------------
+    "f16_url_parse" -> { (s, dir) =>
+      val host = element_at(
+        array(lit("docs.example.com"), lit("blog.example.org"),
+          lit("www.data.net"), lit("cdn.media.io")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      Tables.documents(s, dir)
+        .withColumn("url",
+          concat(lit("https://"), host, lit("/p/"), col("doc_id").cast("string"),
+            lit("/"), col("lang"), lit("?ref="), col("source")))
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+        .withColumn("tld", regexp_extract(col("host"), "([^.]+)$", 1))
+        .groupBy("host", "tld")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("ref").as("n_sources"),
+          min("path").as("first_path"), max("path").as("last_path"))
+        .orderBy("host")
+    },
+
+    // ---- F13 JSON extraction (db_handler.py:171-177) -----------------------
+    "f13_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select("props")
+        .repartition(32, col("props")) // single-row-group source: spread the JSON parse
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_bucket")
+    },
+
+    // ---- EAV unpivot (ingest/preprocess.py:359-431) ------------------------
+    "u1_measure_unpivot" -> { (s, dir) =>
+      Unpivot.toEav(
+        Tables.lineitem(s, dir),
+        keys = Seq("l_orderkey", "l_linenumber"),
+        measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("variable_name")
+        .agg(
+          count(col("variable_value")).as("n"),
+          round(sum("variable_value"), 2).as("sum_value"),
+          Stats.exactMean(col("variable_value")).as("avg_value"),
+          round(min("variable_value"), 4).as("min_value"),
+          round(max("variable_value"), 4).as("max_value"))
+        .orderBy("variable_name")
+    },
+
+    // ---- S2 multi-format scan parity: the same rows through the JSON and
+    // CSV sources (explicit schemas — schema inference is a scan of its own
+    // and never the production path) must aggregate identically to the
+    // parquet scan the oracle reads. Format conversion is one-time ingest
+    // per sfDir; the measured operator is the two text-format scans.
+    "s2_multiformat_scan" -> { (s, dir) =>
+      val base = s"/tmp/graft_s2_${cacheTag(dir, "events")}"
+      val src = Tables.events(s, dir).select("event_id", "event_type", "value")
+      materializeOnce(s"$base/json")(src.write.mode("overwrite").json(_))
+      materializeOnce(s"$base/csv")(
+        src.write.mode("overwrite").option("header", "true").csv(_))
+      // ORC: Spark's second native columnar format (stripe statistics +
+      // predicate pushdown like parquet) — the lake-migration scan path
+      materializeOnce(s"$base/orc")(src.write.mode("overwrite").orc(_))
+      val js = s.read.schema(src.schema).json(s"$base/json")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_json"), round(sum("value"), 2).as("sum_json"))
+      val cs = s.read.schema(src.schema).option("header", "true").csv(s"$base/csv")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_csv"), round(sum("value"), 2).as("sum_csv"))
+      val orc = s.read.schema(src.schema).orc(s"$base/orc")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_orc"), round(sum("value"), 2).as("sum_orc"))
+      js.join(cs, "event_type").join(orc, "event_type").orderBy("event_type")
+    },
+
+    // ---- S3 schema inspection as data: column name/type/nullability rows
+    // (db_handler.py get_schema_info shape). Spark's DataType.sql names map
+    // onto DuckDB's DESCRIBE vocabulary (STRING→VARCHAR, INT→INTEGER);
+    // driver-side metadata, no scan at all.
+    "s3_schema_inspect" -> { (s, dir) =>
+      import s.implicits._
+      val typeName = Map("STRING" -> "VARCHAR", "INT" -> "INTEGER")
+      Tables.customer(s, dir).schema.fields.toSeq.map { f =>
+        (f.name, typeName.getOrElse(f.dataType.sql, f.dataType.sql), f.nullable)
+      }.toDF("column_name", "column_type", "is_nullable")
+        .orderBy("column_name")
+    },
+
+    // ---- P2/P3/P4/P7 cleaning chain (preprocess.py:177-260, load_data:42) --
+    "p2_p4_clean_chain" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("lat",
+          (expr("mod(value, 180) - 90") *
+            when(col("event_id") % 11 === 0, 2).otherwise(1)))
+        .withColumn("lon", expr("mod(value * 2, 360) - 180"))
+        .withColumn("uid",
+          when(col("user_id") % 13 === 0, lit("nan"))
+            .otherwise(col("user_id").cast("string")))
+      val cleaned = Clean.validIdFilter(
+        Clean.timeFilter(
+          Clean.geoFilter(ev, "lat", "lon"),
+          "ts", "1999-01-01", "2026-01-01"),
+        "uid")
+      cleaned.agg(
+        count(lit(1)).as("n_clean"),
+        sum(when(col("lat").between(-60, 30) && col("lon").between(20, 120), 1)
+          .otherwise(0)).as("n_indian_box"),
+        round(sum("lat"), 2).as("sum_lat"))
+    },
+
+    // ---- S13 vector-collection delete + re-add update (cleanup_chromadb) ---
+    "s13_vector_update" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val toUpdate = emb.filter(col("vec_id") % 10 === 3)
+      val afterDelete = emb.join(toUpdate.select("vec_id"), Seq("vec_id"), "left_anti")
+      val updated = toUpdate.withColumn("label", col("label") + 100)
+      afterDelete.unionByName(updated)
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"),
+          sum(when(col("label") >= 100, 1).otherwise(0)).as("n_updated"))
+    },
+
+    // ---- S4 alias resolution + fill-value nulling (load_data.py:226-331) ---
+    "s4_alias_resolve" -> { (s, dir) =>
+      val variants = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") % 3 === 0, col("l_quantity")).as("QUANTITY"),
+        when(col("l_linenumber") % 3 === 1, col("l_quantity")).as("quantity_v2"),
+        when(col("l_linenumber") % 3 === 2, lit(-999.0)).as("qty_legacy"))
+      Extract.resolveAliases(variants, "qty",
+        Seq("QUANTITY", "quantity_v2", "qty_legacy"), fill = Some(-999.0))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("qty")).as("n_resolved"),
+          round(sum("qty"), 2).as("sum_qty"))
+    },
+
+    // ---- P12 document-shape classifier (cleanup_chromadb.py:73-116) --------
+    "p12_doc_shape" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("content",
+          when(col("doc_id") % 2 === 0,
+            to_json(struct(col("doc_id").as("id"), col("n_chars").as("n"), col("lang"))))
+            .otherwise(col("text")))
+        .withColumn("parsed",
+          from_json(col("content"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        .withColumn("shape",
+          when(col("parsed").isNotNull && array_contains(map_keys(col("parsed")), "id"), "json")
+            .otherwise("semantic"))
+        .groupBy("shape", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("shape", "lang")
+    },
+
+    // ---- F3 filename → id parse (fastapi_app.py:660-675) -------------------
+    "f3_filename_parse" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("filename",
+          when(col("p_partkey") % 3 === 0, concat(lit("nodc_D"), col("p_partkey"), lit("_1.nc")))
+            .when(col("p_partkey") % 3 === 1, concat(lit("argo_R"), col("p_partkey"), lit("_2.nc")))
+            .otherwise(concat(lit("file_"), col("p_partkey"), lit(".nc"))))
+        .withColumn("float_id", regexp_extract(col("filename"), "_[DR](\\d+)", 1))
+        .withColumn("parsed", col("float_id") =!= "")
+        .groupBy("parsed")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(when(col("float_id") =!= "", col("float_id"))).as("n_ids"))
+        .orderBy("parsed")
+    },
+
+    // ---- F4 time coercion: null-on-failure parse (preprocess.py:226) -------
+    "f4_time_coerce" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("raw",
+          when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .withColumn("t", try_to_timestamp(col("raw"), lit("yyyy-MM-dd")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("t")).as("n_parsed"),
+          date_format(min("t"), "yyyy-MM-dd").as("first_day"),
+          date_format(max("t"), "yyyy-MM-dd").as("last_day"))
+    },
+
+    // ---- multimodal: binary payload + stubbed decode + features ------------
+    "mm1_media_features" -> { (s, dir) =>
+      // REAL decode: PNG via javax.imageio, WAV via javax.sound.sampled,
+      // MP4 container boxes via the Mp4 byte walker (no codec — container
+      // metadata only). The oracle recomputes the decoded metadata from the
+      // synthesis arithmetic — if encode OR decode drifts, the hash breaks.
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(Tables.documents(s, dir)
+          .repartition(32, col("doc_id")))) // single-row-group source: spread encode+decode
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when(col("decoded.format").isNotNull ||
+            col("decoded.sample_rate").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_decoded"),
+          max("decoded.width").as("max_width"),
+          max("decoded.height").as("max_height"),
+          sum(when(col("decoded.format") === "png", 1).otherwise(0))
+            .cast("long").as("n_png"),
+          max("decoded.sample_rate").as("max_sample_rate"),
+          sum("decoded.n_frames").as("sum_frames"),
+          sum(when(size(col("features")) === 8, 1).otherwise(0))
+            .cast("long").as("n_feat_ok"))
+        .orderBy("kind")
+    },
+
+    // ---- multimodal resize / frame-sample: decode (REAL javax codecs) +
+    // average-pool to a 4x2 thumbnail grid (image) / 4 temporal amplitude
+    // windows (audio). Exact integer (n, sum_v) cells make the compare
+    // FP-free; the oracle recomputes every cell from the synthesis closed
+    // form — a drift in encode, decode, OR pooling arithmetic breaks it.
+    "mm2_media_pool" -> { (s, dir) =>
+      Multimodal.poolFeatures(
+        Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id"))))
+        .orderBy("media_id", "cell_y", "cell_x")
+    },
+
+    // ---- ST2 idempotent multi-upload union (first-arrival-wins) ------------
+    "st2_idempotent_union" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val u1 = ev.filter(col("event_id") % 3 === 0).withColumn("arrival", lit(1))
+      val u2 = ev.filter(col("event_id") % 3 === 1).withColumn("arrival", lit(2))
+      val u3 = ev.filter(col("event_id") % 2 === 0).withColumn("arrival", lit(3))
+      Ingest.idempotentUnion(Seq(u1, u2, u3), "event_id", "arrival")
+        .groupBy("arrival")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("arrival")
+    },
+
+    // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
+    // directory-tree scan whose predicate prunes at the PARTITION level —
+    // the filter never reaches row groups of other priorities; at 100 TB
+    // the scan lists 1/5th of the files and reads nothing else (the scan's
+    // PartitionFilters/pruning is gated by PlanQualitySpec). The write is
+    // one-time ingest per sfDir; the measured operator is the pruned scan.
+    "s5_partitioned_scan" -> { (s, dir) =>
+      val sink = s"/tmp/graft_s5_sink_${cacheTag(dir, "orders")}"
+      materializeOnce(sink)(Tables.orders(s, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(_))
+      s.read.parquet(sink)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- S-suite: schema evolution across file generations. Generation 1
+    // was written before the corpus had lang/source columns; generation 2
+    // carries them. One mergeSchema scan unions the footers so both
+    // generations read through a single schema, nulls where v1 predates the
+    // columns — the add-a-column story a 100 TB lake needs: no rewrite of
+    // old files, per-file pruning and pushdown intact. The writes are
+    // one-time ingest per sfDir; the measured operator is the merged scan.
+    "s6_schema_evolution" -> { (s, dir) =>
+      val sink = s"/tmp/graft_s6_sink_${cacheTag(dir, "documents")}"
+      val docs = Tables.documents(s, dir)
+      materializeOnce(s"$sink/gen1")(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "n_chars")
+          .write.mode("overwrite").parquet(_))
+      materializeOnce(s"$sink/gen2")(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "n_chars", "lang", "source")
+          .write.mode("overwrite").parquet(_))
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$sink/gen1", s"$sink/gen2")
+        .groupBy(coalesce(col("lang"), lit("__pre_schema__")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- S7: NetCDF container decode — the reference's real ingest format
+    // (xarray over per-float Argo .nc files, ingest/load_data.py:201-375),
+    // here a pure-Scala CDF-1 parser fanned out file-per-task through the
+    // binaryFile source. Exercises the loader's full semantic surface from
+    // actual container bytes, not pre-tabularized parquet: variable alias
+    // resolution (JULD vs time, case-insensitive), _FillValue AND
+    // missing_value → null, "days since"/"hours since" epoch decode,
+    // NC_CHAR fixed-width float ids, and (profile × level) dim-explode.
+    // The fixture fleet is synthesized from an integer-exact closed form so
+    // the oracle rebuilds the decoded table from generate_series. --------
+    "s7_netcdf_decode" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s7_netcdf_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeFleet(_))
+      NetCdf.read(s, ncDir)
+        .select(col("float_id"), col("profile_id"), col("level"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
+        .orderBy("float_id", "profile_id", "level")
+    },
+
+    // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
+    // readStream over a parquet inbox → watermark + window() groupBy (shared
+    // aggregate exprs with the batch A1/A3 path) → memory sink, drained with
+    // Trigger.AvailableNow. Complete mode is the test-harness shape (memory
+    // sink, all windows emitted for the oracle compare); a live deployment
+    // uses append mode where the same watermark evicts closed-window state —
+    // the property that keeps a 1000-executor job's state finite. The oracle
+    // is the batch equivalent: hour-truncated group-by in DuckDB.
+    "st4_stream_windowed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "value")
+      // one-time micros-normalized inbox per sfDir (the raw fixture is
+      // TIMESTAMP(NANOS), which the streaming parquet source rejects); the
+      // rewrite is ingest, not the measured operator
+      val inbox = s"/tmp/graft_st4_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString
+      s.catalog.dropTempView("st4_mem")
+      val q = graft.stream.WindowedStats.tumbling(
+          s.readStream.schema(ev.schema).parquet(inbox),
+          "ts", "1 hour", "1 hour", Seq("value"))
+        .writeStream.format("memory").queryName("st4_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt) // drained AvailableNow run; RocksDB state is dead weight
+      s.table("st4_mem").orderBy("window_start")
+    },
+
+    // ---- ST: stream-stream event-time interval join (click→purchase
+    // attribution). Both sides watermarked + the interval term in the join
+    // condition is what lets Spark EVICT join state (left row once the
+    // watermark passes click_ts + window, right row once it passes
+    // purchase_ts) — without it state grows forever. Inner matches emit as
+    // they arrive, so the drained AvailableNow run equals the batch join
+    // the oracle computes; StreamJoinSpec drives the multi-batch path and
+    // asserts the eviction actually happens. -------------------------------
+    "st5_stream_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val inbox = s"/tmp/graft_st5_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st5-ckpt").toString
+      s.catalog.dropTempView("st5_mem")
+      val src = s.readStream.schema(ev.schema).parquet(inbox)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", watermark = "1 hour", windowSec = 3600L)
+        .select("user_id", "click_id", "purchase_id")
+        .writeStream.format("memory").queryName("st5_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st5_mem").orderBy("click_id", "purchase_id")
+    },
+
+    // ---- ST: stream-stream LEFT OUTER interval join. Matches emit as
+    // they arrive (inner path); an unmatched click emits null-extended
+    // only when the watermark passes click_ts + window — state eviction
+    // proving no future purchase can match. The global watermark is the
+    // MIN across both sides' watermark nodes (multipleWatermarkPolicy
+    // default), i.e. least(max click_ts, max purchase_ts) after the
+    // drain, and the oracle encodes exactly that boundary (strict <;
+    // StreamJoinSpec pins the eviction behavior). Single-file inbox ⇒
+    // one data batch ⇒ no cross-batch late-arrival ambiguity (ingest,
+    // not the operator). --------------------------------------------------
+    "st7_stream_outer_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      val inbox = s"/tmp/graft_st7_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st7-ckpt").toString
+      s.catalog.dropTempView("st7_mem")
+      val src = s.readStream.schema(ev.schema).parquet(inbox)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", watermark = "0 seconds", windowSec = 3600L,
+          joinType = "leftOuter")
+        .select("user_id", "click_id", "purchase_id")
+        .writeStream.format("memory").queryName("st7_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st7_mem").orderBy("click_id", "purchase_id")
+    },
+
+    // ---- ST: incremental materialized view — the production streaming-ETL
+    // pattern. An UPDATE-mode aggregation emits each key's new cumulative
+    // total per micro-batch (maxFilesPerTrigger=1 forces four real
+    // batches), and foreachBatch MERGES those deltas into a keyed parquet
+    // table via the last-writer-wins upsert (version = batchId). However
+    // the files split into batches, the last update per key carries its
+    // final total, so the merged table equals the batch GROUP BY the
+    // oracle runs — while state per key stays O(1) and the sink table is
+    // queryable between batches, which is the whole point at 100 TB:
+    // never recompute the view from scratch. -----------------------------
+    "st8_incremental_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "value")
+      val inbox = s"/tmp/graft_st8_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.repartition(4).write.mode("overwrite").parquet(_))
+      val state = java.nio.file.Files.createTempDirectory("graft-st8-state")
+        .toString + "/tbl"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st8-ckpt").toString
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inbox)
+      val agg = src.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val incoming = batch.withColumn("__ver", lit(batchId))
+          val merged =
+            if (new java.io.File(s"$state/_SUCCESS").exists())
+              graft.operators.Upsert.lastWriterWins(
+                s.read.parquet(state), incoming, "user_id", "__ver", "__ver")
+            else incoming
+          // eager checkpoint severs the lineage from the files being
+          // overwritten — read-modify-write on one dir is safe
+          merged.localCheckpoint(true).write.mode("overwrite").parquet(state)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(state)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- ST: stateful gap sessionization via flatMapGroupsWithState.
+    // State per key is ONE open-session record (start, last, n) — O(active
+    // keys), not O(events) — and the event-time timeout closes sessions for
+    // keys that fall silent, so state drains even on an unbounded stream.
+    // The drained AvailableNow run emits every session EXCEPT each key's
+    // final one when the corpus watermark never passes its gap; the oracle
+    // encodes exactly that closure rule (sid < max sid, or end+gap <
+    // global max ts — Spark fires EventTimeTimeout on timeout < watermark,
+    // strictly) over the batch lag+running-sum sessionization. ------------
+    "st6_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // micros-normalized single-file inbox: one file ⇒ one data batch ⇒
+      // per-key fold sees every event together (ingest, not the operator)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("userId"), col("ts").cast("long").as("tsSec"))
+      val inbox = s"/tmp/graft_st6_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st6-ckpt").toString
+      s.catalog.dropTempView("st6_mem")
+      val stream = s.readStream.schema(ev.schema).parquet(inbox)
+        .as[graft.stream.SessionTracker.Event]
+      val q = graft.stream.SessionTracker.sessions(stream, gapSeconds = 1800L)
+        .writeStream.format("memory").queryName("st6_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st6_mem")
+        .select(col("userId").as("user_id"), col("startSec").as("start_sec"),
+          col("endSec").as("end_sec"), col("nEvents").as("n_events"))
+        .orderBy("user_id", "start_sec")
+    },
+
+    // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real
+    // ---- pivot operator; embed.py:305-361) ---------------------------------
+    "u3_pivot_back" -> { (s, dir) =>
+      Unpivot.toEav(
+        Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"),
+        measures = Seq("l_quantity", "l_discount"))
+        .groupBy("l_returnflag")
+        .pivot("variable_name", Seq("l_quantity", "l_discount"))
+        .agg(Stats.exactMean(col("variable_value")))
+        .withColumnRenamed("l_quantity", "qty_mean")
+        .withColumnRenamed("l_discount", "disc_mean")
+        .orderBy("l_returnflag")
+    },
+
+    // ---- relational set ops: intersect / except over key sets --------------
+    "d3_set_ops" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val both = clickers.intersect(buyers)
+      val clickOnly = clickers.except(buyers)
+      val all = clickers.union(buyers).distinct()
+      both.agg(count(lit(1)).as("n_both"))
+        .crossJoin(clickOnly.agg(count(lit(1)).as("n_click_only")))
+        .crossJoin(all.agg(count(lit(1)).as("n_union")))
+    },
+
+    // ---- positional explode (ingest/preprocess.py:113-175) -----------------
+    "u2_token_explode" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .withColumn("tokens", split(col("text"), " "))
+      Unpivot.explodeTokens(toks, "tokens")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), min(col("pos").cast("long")).as("first_pos"))
+        .orderBy("token")
+    },
+
+    // ---- perceptual image dedup: average-hash over REAL decoded PNGs.
+    // Each image decodes (javax.imageio) and pools to the 4×2 grid; bit i
+    // is "cell mean above global mean", compared by integer
+    // cross-multiplication (sum_cell·n_total > sum_total·n_cell — no FP),
+    // packed into an 8-bit aHash. Identical payloads land in the same
+    // bucket by construction (injected clones prove it); the hash is the
+    // O(1)-per-image bucketing key that makes image near-dup LINEAR at
+    // 100 TB, exactly like dd5's sign-bit buckets for text embeddings.
+    // The oracle reproduces pixels from the synthesis closed form
+    // (payload rides the clone, so pixels derive from media_id % 10^6). --
+    "mm3_image_ahash" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id")))
+        .filter(col("kind") === "image")
+      // clones carry the ORIGINAL payload under a shifted id — exact dups
+      val dup = media.withColumn("media_id", col("media_id") + 1000000L)
+      val cells = Multimodal.poolFeatures(media.unionByName(dup))
+      // one aggregation pivots the 8 cells wide — a totals+join form would
+      // run the decode mapPartitions twice and shuffle three extra times
+      val cellIdx = col("cell_y") * 4 + col("cell_x")
+      val aggs = (0 until 8).flatMap { k =>
+        Seq(
+          sum(when(cellIdx === k, col("sum_v")).otherwise(0L)).as(s"sv_$k"),
+          sum(when(cellIdx === k, col("n")).otherwise(0L)).as(s"n_$k"))
+      } ++ Seq(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
+      cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("ahash", (0 until 8).map(k =>
+          when(col(s"sv_$k") * col("tot_n") > col("tot_v") * col(s"n_$k"),
+            lit(1L << k)).otherwise(lit(0L))).reduce(_ + _))
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_images"), min("media_id").as("min_media_id"))
+        .orderBy("ahash")
+    },
+
+    // ---- acoustic content fingerprint: the audio twin of mm3, over REAL
+    // WAV decode → 16 temporal energy windows → bit w = parity of window
+    // w's summed |amplitude| → 16-bit fingerprint. Fingerprinting the
+    // DECODED samples (not the file bytes) is the point: two clips with
+    // identical audio but different container bytes collide, while any
+    // sample-level change flips parities. (A mean-threshold bit rule is
+    // degenerate on this fixture's monotone synthetic ramp — every clip
+    // would land in one bucket; parity discriminates and stays exact
+    // integer arithmetic the oracle replays.) Clones collide by
+    // construction; other clips spread across enough buckets to bound
+    // any in-bucket exact-confirm pass (the dd5/dd8 recall-then-verify
+    // shape). -------------------------------------------------------------
+    "mm4_audio_fingerprint" -> { (s, dir) =>
+      val media = Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id")))
+        .filter(col("kind") === "audio")
+      val dup = media.withColumn("media_id", col("media_id") + 1000000L)
+      val cells = Multimodal.poolFeatures(media.unionByName(dup),
+        audioWindows = 16)
+      val aggs = (0 until 16).map { k =>
+        sum(when(col("cell_x") === k, col("sum_v")).otherwise(0L)).as(s"sv_$k")
+      }
+      cells.groupBy("media_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("fp", (0 until 16).map(k =>
+          (col(s"sv_$k") % 2) * lit(1L << k)).reduce(_ + _))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_clips"), min("media_id").as("min_media_id"))
+        .orderBy("fp")
+    },
+
+    // ---- malformed-record tolerance: a 100 TB crawl ALWAYS contains
+    // broken lines, and a scan that aborts on them (FAILFAST) or silently
+    // swallows them (DROPMALFORMED) is operationally wrong at scale. The
+    // PERMISSIVE scan keeps every good row, routes each broken line into
+    // the corrupt-record column for quarantine accounting, and the counts
+    // ride inside the oracled result (5 garbage lines injected into the
+    // one-time JSON sink alongside the real rows). -----------------------
+    "o3_corrupt_tolerant" -> { (s, dir) =>
+      val base = s"/tmp/graft_o3_${cacheTag(dir, "events")}"
+      val src = Tables.events(s, dir).select("event_id", "event_type", "value")
+      materializeOnce(base) { tmp =>
+        src.write.mode("overwrite").json(tmp)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/part-99999-garbage.json"),
+          ("{\"event_id\": 1, \"event_type\": \"click\", \"value\": \n" + // truncated
+            "not json at all\n" +
+            "{\"event_id\": \"seven\"}garbage-tail\n" +                   // trailing junk
+            "[1, 2, 3\n" +                                                // unclosed array
+            "{broken\n").getBytes("UTF-8"))
+      }
+      val schema = org.apache.spark.sql.types.StructType(src.schema.fields :+
+        org.apache.spark.sql.types.StructField("_bad",
+          org.apache.spark.sql.types.StringType))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(base)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          count(col("event_id")).as("n_good"),
+          round(sum("value"), 2).as("sum_value"))
+    },
+
+    // ---- benchmark decontamination: flag training documents sharing any
+    // 3-gram with a held-out eval set (the GPT-3/PaLM n-gram-overlap
+    // recipe, shortened to 3-grams for the fixture corpus). The eval
+    // shingle set is the SMALL axis — thousands of benchmark docs against
+    // a 100 TB corpus — so it broadcasts and the corpus-side explosion
+    // joins map-side with no shuffle of the big frame on shingle;
+    // PlanQualitySpec gates the BroadcastHashJoin. ------------------------
+    "dc1_decontaminate" -> { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // single row-group source (dd2 reason)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
+            .as("shingle"))
+        // both branches (eval-set distinct + corpus probe) read this frame:
+        // materialize the shingle explode once instead of tokenizing twice
+        .localCheckpoint(false)
+      val evalSet = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSet), "shingle")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_hit_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // ---- small-file compaction: the lakehouse OPTIMIZE maintenance job.
+    // A fragmented ingest (48 tiny files here; millions at 100 TB) is
+    // rewritten to a 128 MB byte target via shuffle-free coalesce — whole
+    // input splits concatenate into each output task, nothing crosses the
+    // network. The achieved file counts ride INSIDE the oracled result
+    // (before from the forced fragmentation, after from the byte target),
+    // so the compaction itself is correctness-checked, not just the reread
+    // content. LayoutSpec covers sizing/content; BENCH_NOTES records that
+    // the oracle reads the original parquet instead of write+compact+reread.
+    "o1_compaction" -> { (s, dir) =>
+      val frag = s"/tmp/graft_o1_frag_${cacheTag(dir, "events")}"
+      materializeOnce(frag)(
+        Tables.events(s, dir).select("event_id", "user_id", "value")
+          .repartition(48).write.mode("overwrite").parquet(_))
+      // per-process output: concurrent bench+verify must not compact over
+      // each other (same reasoning as j8's bucket dirs)
+      val out = s"/tmp/graft_o1_out_${cacheTag(dir, "events")}" +
+        s"_p${ProcessHandle.current().pid()}"
+      val target = 128L << 20
+      val (fragBytes, _) = graft.sources.Layout.dataFileStats(s, frag)
+      val (before, after) = graft.sources.Layout.compact(s, frag, out, target)
+      // Parity is against the target-DERIVED count, not a literal: at a
+      // larger scale factor the fixture exceeds one 128 MB file and the
+      // expectation moves with it, so the oracle row stays TRUE anywhere.
+      val expected = math.max(1L, (fragBytes + target - 1) / target)
+      s.read.parquet(out)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"),
+          round(sum("value"), 2).as("sum_value"))
+        .withColumn("files_before", lit(before.toLong))
+        .withColumn("files_after_on_target", lit(after.toLong == expected))
+    },
+
+    // ---- Z-order data layout: Morton-code clustering for 2-D scan pruning.
+    // The native codegen `graft_zorder` interleaves the quantized lat/lon
+    // cells; bucketing on the z-value prefix yields tiles whose lat AND lon
+    // envelopes are simultaneously tight — the property that makes a
+    // z-sorted 100 TB write prunable by parquet min/max on either axis
+    // (ZOrderSpec measures the bbox shrink vs a time-sorted layout). The
+    // oracle reproduces the dilation as four shift-or-mask SQL stages. ----
+    "o2_zorder_layout" -> { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .withColumn("lat", col("value") % 180 - 90)
+        .withColumn("lon", (col("value") * 2) % 360 - 180)
+        .withColumn("xi", greatest(lit(0L), least(lit(1023L),
+          floor((col("lat") + 90) / 180 * 1024).cast("long"))))
+        .withColumn("yi", greatest(lit(0L), least(lit(1023L),
+          floor((col("lon") + 180) / 360 * 1024).cast("long"))))
+        .withColumn("zval", graft.expressions.ZOrder2(col("xi"), col("yi")))
+      cells
+        .groupBy(shiftright(col("zval"), 8).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min("lat"), 4).as("lat_min"), round(max("lat"), 4).as("lat_max"),
+          round(min("lon"), 4).as("lon_min"), round(max("lon"), 4).as("lon_max"),
+          min("zval").as("z_min"), max("zval").as("z_max"))
+        .orderBy("bucket")
+    },
+
+    // ---- SCD Type-2 history build: collapse a mutation log into versioned
+    // dimension rows with [valid_from, valid_to) ranges and an is_current
+    // flag — the standard warehouse dimension-history operator. One shuffle
+    // on the business key; both window passes (change detection, then
+    // range stitching over the collapsed rows) reuse the same hash
+    // partitioning, so the user_id exchange happens once. Ties at equal ts
+    // break on event_id so the fold is deterministic under retries. -------
+    "d4_scd2_history" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(byUser))
+        .withColumn("valid_to_ts", lead("ts", 1).over(byUser))
+        .select(
+          col("user_id"), col("version"),
+          col("event_type").as("status"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+
+    // ---- CDC apply: fold an insert/update/delete change stream into final
+    // table state in ONE aggregation — max_by over the (ts, event_id)
+    // ordering key picks each key's last change without a window sort
+    // (the d1 upsert recipe), then delete-ops drop the key. The op code is
+    // derived deterministically from the row so the oracle sees the same
+    // log. At 100 TB this is the nightly CDC-compaction shape: shuffle
+    // once on the primary key, no per-key state on the driver. ------------
+    "d5_cdc_apply" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("op",
+          when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+        .groupBy("user_id")
+        .agg(max_by(struct(col("op"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.op").as("op"),
+          col("last.value").as("value"))
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          round(sum(when(col("op") =!= "D", col("value"))), 2)
+            .as("sum_final_value"))
+        .orderBy("bucket")
+    },
+
+    // ---- NEAR-DUP decontamination: exact n-gram overlap (dc1) misses
+    // lightly-edited eval leaks; this flags training docs whose verified
+    // 3-gram Jaccard against any held-out doc clears 0.5, using the same
+    // banded-LSH machinery as dd8 — candidates are bucket-bounded, the
+    // verify runs in the row domain, and the held-out side is the small
+    // axis. The oracle replays the identical signature/band arithmetic,
+    // so parity checks the LSH itself, not just the verify. --------------
+    "dc2_neardup_decontam" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val heldOut = base.filter(col("doc_id") % 40 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" held out")))
+      val docs = base.unionByName(heldOut).repartition(32, col("doc_id"))
+      val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
+            .as("shingle")))
+        .select("doc_id", "sh_hi", "sh_lo")
+        .localCheckpoint(false)
+      val mh = Dedup.minhashAggs(6)
+      val sigs = shRows.groupBy("doc_id")
+        .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
+        .localCheckpoint(false)
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+        .filter(col("id_a") < 200000 && col("id_b") >= 200000)
+      Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
+        .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_dups"), max("jaccard").as("max_jaccard"))
+        .orderBy("doc_id")
+    },
+
+    // ---- streaming exactly-once dedup: the same event file lands in the
+    // inbox TWICE (at-least-once delivery) and
+    // dropDuplicatesWithinWatermark must emit each event exactly once.
+    // Watermarked dedup state evicts once event-time passes, so the state
+    // store holds a bounded window of keys — the property that lets this
+    // run forever at ingest scale (plain dropDuplicates would pin every
+    // key ever seen). Drained sink re-aggregated for the oracle. ---------
+    "st9_stream_dedup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox) { p =>
+        ev.coalesce(1).write.mode("overwrite").parquet(p)
+        ev.coalesce(1).write.mode("append").parquet(p)
+      }
+      // fresh per invocation: a reused path would accumulate re-appended
+      // files when the query runs again with a new checkpoint
+      val out = java.nio.file.Files.createTempDirectory("graft-st9-out").toString + "/data"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st9-ckpt").toString
+      val q = s.readStream.schema(ev.schema).parquet(inbox)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("event_id").as("n_distinct"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- stream-static enrichment join: the streaming fact joins a
+    // BROADCAST dimension (no dimension state in the store, re-read per
+    // micro-batch, so dim updates flow in without restarting the query) —
+    // the standard shape for decorating an event stream with reference
+    // data. Stateless, so append emits every enriched row on arrival. ----
+    "st10_stream_static" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "value")
+      val inbox = s"/tmp/graft_st10_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
+      val out = java.nio.file.Files.createTempDirectory("graft-st10-out").toString + "/data"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-ckpt").toString
+      val dim = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      val q = s.readStream.schema(ev.schema).parquet(inbox)
+        .withColumn("nkey", col("user_id") % 25)
+        .join(broadcast(dim), col("nkey") === col("n_nationkey"))
+        .select("event_id", "n_name", "value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("n_name")
+    },
+
+    // ---- dynamic partition overwrite: rewrite ONLY the partitions the
+    // incoming frame touches (one event_type here), leaving every other
+    // partition's files untouched — the selective-backfill op that at
+    // 100 TB replaces a petabyte rewrite with one partition's worth of
+    // IO. Parity rides the read-back: clicks carry the corrected values,
+    // every other partition is byte-identical original data. -------------
+    // ---- snapshot diff (the table-format time-travel primitive): two
+    // versions of the orders table — derived deterministically so the
+    // oracle can re-derive them — full-outer joined on the key, each key
+    // classified added / removed / changed / unchanged, with integer
+    // CENTS for the change test (no float equality). Output is the
+    // status-grain audit row a lakehouse diff job emits: key counts, a
+    // key checksum (sum of keys — cheap drift detector), and the net
+    // money delta. The join is the 100 TB shape: both sides shuffle on
+    // the key once, the classification is a map-side CASE. ---------------
+    "o5_snapshot_diff" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val snapA = base.filter(col("o_orderkey") % 10 =!= 3)
+      val snapB = base.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("cents",
+          when(col("o_orderkey") % 5 === 0, col("cents") + 500)
+            .otherwise(col("cents")))
+      snapA.withColumnRenamed("cents", "cents_a")
+        .join(snapB.withColumnRenamed("cents", "cents_b"),
+          Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("cents_a").isNull, lit("added"))
+            .when(col("cents_b").isNull, lit("removed"))
+            .when(col("cents_a") =!= col("cents_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("key_sum"),
+          sum(coalesce(col("cents_b"), lit(0L)) -
+            coalesce(col("cents_a"), lit(0L))).as("net_cents_delta"))
+        .orderBy("status")
+    },
+
+    "o4_partition_overwrite" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val tbl = s"/tmp/graft_o4_tbl_${cacheTag(dir, "events")}" +
+        s"_p${ProcessHandle.current().pid()}"
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+      // backfill: the click partition's values were mis-scaled — rewrite
+      // just that partition with corrected rows
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(tbl)
+      s.read.parquet(tbl)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- CHAINED stateful streaming: watermarked dedup FEEDING a
+    // windowed aggregation in ONE query (multiple stateful operators per
+    // stream, Spark 3.4+) — the shape that used to force two queries with
+    // an intermediate sink. The inbox holds every event twice; the hourly
+    // stats must equal single-copy batch stats for every window the
+    // watermark finalized (append emits a window once wm ≥ its end, so
+    // the trailing partial window correctly stays open — the oracle
+    // encodes that boundary). --------------------------------------------
+    "st11_dedup_window_chain" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
+      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}" // st9's doubled inbox
+      materializeOnce(inbox) { p =>
+        ev.coalesce(1).write.mode("overwrite").parquet(p)
+        ev.coalesce(1).write.mode("append").parquet(p)
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft-st11-out").toString + "/data"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st11-ckpt").toString
+      val q = s.readStream.schema(ev.schema).parquet(inbox)
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("value"), 4).as("value_min"),
+          round(max("value"), 4).as("value_max"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("n_rows"), col("value_min"), col("value_max"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out).orderBy("window_start")
+    },
+
+    // ---- foreachBatch streaming MERGE: the sink-side upsert pattern for
+    // stores with no native streaming writer (JDBC, plain parquet tables,
+    // vendor warehouses). Two inbox files + maxFilesPerTrigger=1 force two
+    // real micro-batches; each batch folds into the previous table
+    // GENERATION with an argmax-per-user merge. The merge op is
+    // associative AND commutative (global argmax on (ts, event_id)), so
+    // the result is independent of batch arrival order — the property
+    // that makes the pattern restart-safe: replaying a batch after a
+    // checkpoint recovery converges to the same table. Generations make
+    // each batch's write atomic-by-rename-free overwrite-to-new-dir (a
+    // read-modify-overwrite of ONE dir would corrupt on mid-write crash).
+    "st12_foreachbatch_merge" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val inbox = s"/tmp/graft_st12_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox) { p =>
+        ev.filter(col("event_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(p)
+        ev.filter(col("event_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(p)
+      }
+      val gens = java.nio.file.Files.createTempDirectory("graft-st12-gen").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st12-ckpt").toString
+      @volatile var current: Option[String] = None
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inbox)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val merged = current match {
+            case Some(prev) => s.read.parquet(prev).unionByName(batch.toDF())
+            case None => batch.toDF()
+          }
+          val next = s"$gens/gen_$batchId"
+          // the generation keeps the EVENT schema (incl. event_id) so the
+          // next batch's merge can still tie-break on (ts, event_id)
+          merged.groupBy("user_id")
+            .agg(max_by(
+              struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+              struct(col("ts"), col("event_id"))).as("last"))
+            .select(col("last.event_id").as("event_id"), col("last.ts").as("ts"),
+              col("user_id"), col("last.event_type").as("event_type"),
+              col("last.value").as("value"))
+            .write.mode("overwrite").parquet(next)
+          current = Some(next)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(current.get)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- per-float track geometry (the reference's per-float lat/lon
+    // aggregation, preprocess_floats_to_chromadb.py:193-235, extended to
+    // ordered track stats). Integer centidegree coordinates derived
+    // arithmetically from event_id keep every displacement sum exact under
+    // any aggregation order; the lone float op is sqrt(max), IEEE-exact.
+    // One shuffle on the track key — see Trajectory.trackStats. ----------
+    "geo1_track_stats" -> { (s, dir) =>
+      val pts = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") * 7919L % 18000L).as("lat_cd"),
+          (col("event_id") * 104729L % 36000L).as("lon_cd"))
+      graft.operators.Trajectory.trackStats(pts, "user_id", "ts", "event_id",
+          "lat_cd", "lon_cd", cellDiv = 1000L)
+        .orderBy("user_id")
+    },
+
+    // ---- video frame-sample schedule from REAL container metadata: the
+    // mvhd timescale/duration decoded by the Mp4 walker (not the synthesis
+    // arithmetic) drives a one-sample-per-media-second tick schedule via
+    // sequence+explode — the fan-out stage a frame extractor map-joins
+    // against. The oracle recomputes ticks from the synthesis formulas, so
+    // encode→parse drift anywhere in the container path breaks the hash. -
+    "mm5_frame_sample" -> { (s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.fromDocuments(Tables.documents(s, dir)
+            .repartition(32, col("doc_id"))))
+        .filter(col("kind") === "video" && col("decoded.sample_rate").isNotNull)
+        .select(col("media_id"),
+          col("decoded.sample_rate").cast("long").as("timescale"),
+          col("decoded.n_frames").as("dur_ticks"))
+        .withColumn("tick", explode(sequence(
+          lit(0L), col("dur_ticks") - 1, col("timescale"))))
+        .withColumn("sample_idx", expr("tick div timescale"))
+        .withColumn("ts_ms", col("sample_idx") * 1000L)
+        .orderBy("media_id", "sample_idx")
+    },
+
+    // ---- feature hashing (the hashing trick): tokens → 64 stable buckets
+    // via md5 nibbles (cross-engine, unlike xxhash64 vs DuckDB hash());
+    // corpus-level bucket load histogram shows the collision spread a
+    // downstream linear model sees. Map-side explode + one 64-key agg —
+    // the shuffle carries 64 partial rows per task at any corpus size. ---
+    "f17_feature_hash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(lower(col("tok")).as("tok"))
+        .withColumn("bucket",
+          conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % 64)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("tok").as("n_distinct_tokens"))
+        .orderBy("bucket")
+    },
+
+    // ---- long→wide pivot with an EXPLICIT value list (no collect-distinct
+    // driver pass — the list is part of the query contract, so the plan is
+    // a single groupBy with conditional aggregates, one shuffle). The
+    // dynamic-pivot variant would scan once to discover values; at 100 TB
+    // you pin the columns instead. u3 is the wide→long inverse. ----------
+    "u4_pivot_wide" -> { (s, dir) =>
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // ---- JSONL-export shard plan: assign docs to byte-budgeted shards by
+    // a global running total in doc_id order — Pack.globalCumsum's bucketed
+    // form (per-bucket totals + broadcast prefix offsets), so planning a
+    // 100 TB export never funnels through a single-partition window. A doc
+    // is planned into the shard where its payload begins; boundary docs may
+    // straddle, which the writer absorbs (byte budget is a target, exactly
+    // like Layout.compact's). --------------------------------------------
+    "o5_shard_plan" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (octet_length(col("text")) + 1).cast("long").as("bytes"))
+      graft.operators.Pack.globalCumsum(docs, "doc_id", "bytes", "start")
+        .withColumn("shard_id", expr("start div 16384L"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("sum_bytes"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard_id")
+    },
+
+    // ---- VAD-style audio segmentation: decode WAV → 16 window energies
+    // per clip (mapPartitions, O(windows) memory) → flag windows whose
+    // mean energy beats the clip mean by INTEGER cross-multiplication
+    // (sum_w·n_clip > tot·n_w, no FP) → gap-and-island run grouping. The
+    // window function runs over ≤16 rows per clip — bounded per key, so
+    // a 100 TB audio corpus sessionizes without a wide sort anywhere.
+    // Oracle reproduces PCM from the synthesis closed form (mm4's recipe).
+    "mm6_audio_segments" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.fromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id")))
+        .filter(col("kind") === "audio")
+      val cells = Multimodal.poolFeatures(media, audioWindows = 16)
+      val tot = cells.groupBy("media_id")
+        .agg(sum("sum_v").as("tot_v"), sum("n").as("tot_n"))
+      val runs = cells.join(tot, "media_id")
+        .filter(col("sum_v") * col("tot_n") > col("tot_v") * col("n"))
+        .withColumn("grp", col("cell_x") -
+          row_number().over(Window.partitionBy("media_id").orderBy("cell_x")))
+        .groupBy("media_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("media_id")
+        .agg(count(lit(1)).as("n_segments"), max("len").as("longest"),
+          sum("len").as("n_active"))
+        .orderBy("media_id")
+    },
+
+    // ---- URL canonicalization dedup (the web-corpus pre-pass): five
+    // syntactic variants of each page — scheme/host case, explicit :443,
+    // trailing slash, fragment, utm_*/fbclid tracking params — collapse to
+    // one canonical form (lower host, https, port/fragment stripped,
+    // tracking params dropped with surviving params kept IN ORDER), then
+    // exact-dedup on the canonical string. Pure per-row regex work plus a
+    // single canonical-key aggregation: linear at any corpus size. -------
+    "dc3_url_canonical_dedup" -> { (s, dir) =>
+      val pid = expr("doc_id div 5").cast("string")
+      val raw = Tables.documents(s, dir).select(col("doc_id"),
+        element_at(array(
+          concat(lit("https://Docs.Example.com/page/"), pid, lit("?id="), pid),
+          concat(lit("HTTPS://docs.example.com:443/page/"), pid,
+            lit("?id="), pid, lit("&utm_source=feed")),
+          concat(lit("https://docs.example.com/page/"), pid,
+            lit("/?id="), pid, lit("#section-2")),
+          concat(lit("https://docs.example.com/page/"), pid,
+            lit("?id="), pid, lit("&fbclid=x"), col("doc_id").cast("string")),
+          concat(lit("https://docs.example.com/page/"), pid,
+            lit("?utm_campaign=mail&id="), pid)),
+          (col("doc_id") % 5 + 1).cast("int")).as("url"))
+      val host = lower(regexp_extract(col("url"),
+        "^[a-zA-Z]+://([^/?#:]+)", 1))
+      val path = regexp_replace(regexp_extract(col("url"),
+        "^[a-zA-Z]+://[^/?#]*(/[^?#]*)", 1), "/$", "")
+      val params = filter(
+        expr("regexp_extract_all(url, '[?&]([^?#&=]+=[^&#]*)', 1)"),
+        p => !p.rlike("^(utm_[a-z]+|fbclid)="))
+      raw.withColumn("canon", concat(lit("https://"), host, path,
+          when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+            .otherwise(lit(""))))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keep_doc"))
+        .orderBy("canon")
+    },
+  )
+}
