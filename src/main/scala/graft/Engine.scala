@@ -38,6 +38,16 @@ class Engine(spark: SparkSession) {
     (Pipeline.floats(cleaned), Pipeline.profiles(cleaned))
   }
 
+  /** §3.1 container ingest: decode a directory of Argo-style NetCDF classic
+    * (.nc) profile files to the tabular (profile, level) rows the
+    * reference's loader produces — variable alias resolution, fill-value
+    * nulling, days/hours-since epoch time decode
+    * (ingest/load_data.py:201-375). One file per task via binaryFile;
+    * compose with [[ingest]]'s cleaning chain downstream.
+    */
+  def ingestNetCdf(path: String): DataFrame =
+    graft.sources.NetCdf.read(spark, path)
+
   /** §3.2 incremental path: watch `inbox` for new files, clean each
     * micro-batch, idempotently append by `key` into `sinkDir`.
     */

@@ -495,6 +495,36 @@ private[graft] object OracleSql {
                 CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
+    // s8: expected container inventory re-derived from the fixture recipe
+    // (NetCdfFixture: 3 dims + 8 vars per file, upper/lowercase naming by
+    // float parity, char PLATFORM_NUMBER on float 102, units attr on the
+    // time var, fill attr on the three measurement vars).
+    "s8_netcdf_inspect" ->
+      """WITH fs AS (SELECT unnest(generate_series(0,3)) AS f),
+         d(dname, dsize) AS (VALUES ('N_PROF','6'), ('N_LEVELS','5'), ('STRING8','8')),
+         v(un, ln, dt, shp, na) AS (VALUES
+           ('PLATFORM_NUMBER','platform_number','double','6',0),
+           ('CYCLE_NUMBER','cycle_number','int','6',0),
+           ('JULD','time','double','6',1),
+           ('LATITUDE','latitude','double','6',0),
+           ('LONGITUDE','longitude','double','6',0),
+           ('PRES','pres','float','6x5',1),
+           ('TEMP','temp','float','6x5',1),
+           ('PSAL','psal','float','6x5',1)),
+         rows AS (
+           SELECT 'float_' || CAST(100+f AS VARCHAR) || '.nc' AS file,
+                  'dim' AS kind, dname AS name, CAST(NULL AS VARCHAR) AS dtype,
+                  dsize AS shape, CAST(0 AS BIGINT) AS n_attrs
+           FROM fs, d
+           UNION ALL
+           SELECT 'float_' || CAST(100+f AS VARCHAR) || '.nc', 'var',
+                  CASE WHEN f % 2 = 0 THEN un ELSE ln END,
+                  CASE WHEN un = 'PLATFORM_NUMBER' AND f = 2 THEN 'char' ELSE dt END,
+                  CASE WHEN un = 'PLATFORM_NUMBER' AND f = 2 THEN '6x8' ELSE shp END,
+                  CAST(na AS BIGINT)
+           FROM fs, v)
+         SELECT file, kind, name, dtype, shape, n_attrs FROM rows
+         ORDER BY file, kind, name""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,

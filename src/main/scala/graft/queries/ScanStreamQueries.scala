@@ -414,6 +414,21 @@ private[graft] object ScanStreamQueries {
         .orderBy("float_id", "profile_id", "level")
     },
 
+    // ---- S3 on the container itself: dims + variables (dtype, shape,
+    // attr counts) read from the .nc header bytes — the reference's
+    // inspect_netcdf_file report (ingest/load_data.py:158-199), per-file
+    // parallel. The oracle re-derives the expected inventory from the
+    // fixture recipe (upper/lowercase naming by float parity, the char-
+    // encoded PLATFORM_NUMBER on float 102). ----------------------------
+    "s8_netcdf_inspect" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s7_netcdf_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeFleet(_))
+      NetCdf.inspect(s, ncDir)
+        .select(col("file"), col("kind"), col("name"), col("dtype"),
+          col("shape"), col("n_attrs"))
+        .orderBy("file", "kind", "name")
+    },
+
     // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
     // readStream over a parquet inbox → watermark + window() groupBy (shared
     // aggregate exprs with the batch A1/A3 path) → memory sink, drained with

@@ -397,6 +397,37 @@ object NetCdf {
       times(p), lats(p), lons(p), presF(p, l), tempF(p, l), psalF(p, l))
   }
 
+  /** One container-metadata row: a dimension or a variable of one file. */
+  final case class InspectRow(
+      file: String, kind: String, name: String,
+      dtype: Option[String], shape: String, n_attrs: Long)
+
+  private def typeName(t: Int): String = t match {
+    case NC_BYTE => "byte"; case NC_CHAR => "char"; case NC_SHORT => "short"
+    case NC_INT => "int"; case NC_FLOAT => "float"; case NC_DOUBLE => "double"
+  }
+
+  /** Schema inspection from container bytes — the reference's
+    * `inspect_netcdf_file` report (ingest/load_data.py:158-199: dims with
+    * sizes, variables with dtype/shape/attr counts) as a DataFrame, one
+    * task per file like [[read]].
+    */
+  def inspect(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.nc").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val file = p.substring(p.lastIndexOf('/') + 1)
+        val f = parse(bytes)
+        f.dims.map(d =>
+          InspectRow(file, "dim", d.name, None, d.size.toString, 0L)) ++
+          f.vars.map(v => InspectRow(file, "var", v.name,
+            Some(typeName(v.ncType)), v.dims.map(_.size).mkString("x"),
+            v.attrs.size.toLong))
+      }
+      .toDF()
+  }
+
   /** Distributed read: every .nc file under `path` becomes one task's worth
     * of parse work via Spark's binaryFile source; rows fan out from
     * `flatMap`. File-parallel is the right unit for the Argo corpus (many

@@ -82,6 +82,21 @@ class NetCdfSpec extends AnyFunSuite {
     assert(ts0.toInstant.toEpochMilli === expectMicros / 1000)
   }
 
+  test("inspect reports dims and vars with dtype, shape, and attr counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-inspect").toString
+    NetCdfFixture.writeFleet(dir)
+    val rows = NetCdf.inspect(spark, dir).collect()
+    assert(rows.length === 4 * (3 + 8)) // 3 dims + 8 vars per file
+    val f102platform = rows.find(r =>
+      r.getString(0) == "float_102.nc" && r.getString(2) == "PLATFORM_NUMBER").get
+    assert(f102platform.getString(3) === "char")
+    assert(f102platform.getString(4) === "6x8")
+    val f101time = rows.find(r =>
+      r.getString(0) == "float_101.nc" && r.getString(2) == "time").get
+    assert(f101time.getString(3) === "double")
+    assert(f101time.getLong(5) === 1L) // the units attr
+  }
+
   test("binaryFile read path fans files out and yields the full fleet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-read").toString
     NetCdfFixture.writeFleet(dir)
