@@ -208,7 +208,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "st6_stream_sessions" -> 1, "st7_stream_outer_join" -> 1,
       "pl2_training_pipeline" -> 8, "mm3_image_ahash" -> 5,
       "st8_incremental_agg" -> 1, "mm4_audio_fingerprint" -> 5,
-      "gr1_pagerank" -> 9,
+      "gr1_pagerank" -> 3,
       "d4_scd2_history" -> 2, "d5_cdc_apply" -> 3, "sp4_group_split" -> 3,
       "ta8_bpe_pairs" -> 1, "a14_sketch_union" -> 4,
       "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
@@ -224,7 +224,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "dd15_span_dedup" -> 6, "q3_shipping_priority" -> 1,
       "q5_local_supplier_volume" -> 2, "f16_url_parse" -> 3,
       "a18_equidepth_bins" -> 2, "w7_value_episodes" -> 2,
-      "o5_snapshot_diff" -> 4, "ta11_normalize" -> 1,
+      "o5_snapshot_diff" -> 3, "ta11_normalize" -> 1,
       "dd16_canonical_pick" -> 7,
       "dq1_constraint_suite" -> 3, "pv1_k_anonymity" -> 2,
       "tp4_importance_select" -> 3, "q18_large_volume" -> 1,
@@ -239,7 +239,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q10_returned_items" -> 1, "tp5_length_buckets" -> 2,
       "dq4_skew_stats" -> 4, "u4_pivot_wide" -> 3,
       "a21_trailing_dau" -> 4, "dq5_profile" -> 2,
-      "j12_point_in_time" -> 5, "w9_wow_change" -> 3)
+      "j12_point_in_time" -> 5, "w9_wow_change" -> 3,
+      "gr2_triangle_count" -> 8, "s7_netcdf_decode" -> 1,
+      "s8_netcdf_inspect" -> 1)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
