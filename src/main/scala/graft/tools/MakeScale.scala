@@ -17,6 +17,7 @@ object MakeScale {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val Shift = 100000000L
@@ -32,16 +33,13 @@ object MakeScale {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     keyed.foreach { case (t, keys) =>
-      val raw = spark.read.parquet(s"$src/$t.parquet")
-      // events.ts arrives as raw nanos under the legacy conf (the source
-      // fixture is TIMESTAMP(NANOS)); land it as a micros TIMESTAMP so the
-      // rehearsal fixture binds timestamp-typed oracles (epoch_us, strftime,
-      // INTERVAL arithmetic) instead of excluding the st6/st7/d4/fn1 family.
+      // events.ts routes through Tables.events so every fixture encoding the
+      // driver has shipped (NANOS-as-long, TIMESTAMP_NTZ micros, LTZ micros)
+      // lands in the rehearsal fixture as a plain micros TIMESTAMP and the
+      // timestamp-typed oracle family binds.
       val base =
-        if (t == "events" && raw.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+        if (t == "events") graft.Tables.events(spark, src)
+        else spark.read.parquet(s"$src/$t.parquet")
       (0 until copies).map { i =>
         keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * Shift)))
       }.reduce(_ unionByName _)
