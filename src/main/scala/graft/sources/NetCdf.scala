@@ -96,20 +96,25 @@ object NetCdf {
       attrs.foreach { case (n, v) => putName(b, n); putAttrVal(b, v) }
     }
 
-  /** Serialize a classic CDF-1 file. Fixed-size vars only (numrecs = 0). */
+  /** Serialize a classic file. Fixed-size vars only (numrecs = 0).
+    * `version` 1 = CDF-1 (32-bit data offsets), 2 = CDF-2 (64-bit offsets —
+    * the format variant real >2 GiB Argo aggregates ship in).
+    */
   def writeBytes(
       dims: Seq[NcDim], globalAttrs: Seq[(String, NcVal)],
-      vars: Seq[NcVar]): Array[Byte] = {
+      vars: Seq[NcVar], version: Int = 1): Array[Byte] = {
+    require(version == 1 || version == 2, s"unsupported CDF version $version")
     def dataCount(v: NcVar): Int =
       v.dimIds.map(dims(_).size.toLong).product.toInt.max(1)
     def vsize(v: NcVar): Int = pad4(dataCount(v) * typeSize(v.ncType))
+    val beginSz = if (version == 2) 8 else 4
 
     val dimListSz =
       if (dims.isEmpty) 8
       else 8 + dims.map(d => 4 + pad4(d.name.getBytes("UTF-8").length) + 4).sum
     val varHdrSz = vars.map { v =>
       4 + pad4(v.name.getBytes("UTF-8").length) + 4 + v.dimIds.length * 4 +
-        attrListSize(v.attrs) + 4 + 4 + 4 // nc_type, vsize, begin (CDF-1: 4B)
+        attrListSize(v.attrs) + 4 + 4 + beginSz // nc_type, vsize, begin
     }.sum
     val headerSz = 4 + 4 + dimListSz + attrListSize(globalAttrs) +
       (if (vars.isEmpty) 8 else 8 + varHdrSz)
@@ -118,7 +123,7 @@ object NetCdf {
     val total = headerSz + vars.map(vsize).sum
     val b = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
 
-    b.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(1.toByte)
+    b.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
     b.putInt(0) // numrecs
     if (dims.isEmpty) { b.putInt(0); b.putInt(0) }
     else {
@@ -133,7 +138,8 @@ object NetCdf {
         putName(b, v.name)
         b.putInt(v.dimIds.length); v.dimIds.foreach(b.putInt)
         putAttrList(b, v.attrs)
-        b.putInt(v.ncType); b.putInt(vsize(v)); b.putInt(begin)
+        b.putInt(v.ncType); b.putInt(vsize(v))
+        if (version == 2) b.putLong(begin.toLong) else b.putInt(begin)
       }
     }
     vars.foreach { v =>

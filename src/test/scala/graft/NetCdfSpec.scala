@@ -48,6 +48,33 @@ class NetCdfSpec extends AnyFunSuite {
     assert(new String(parsed.vars(1).chars.take(5), "UTF-8").trim === "ab")
   }
 
+  test("CDF-2 (64-bit offset) files round-trip and tabularize identically to CDF-1") {
+    val v1 = NetCdfFixture.fileBytes(0)
+    val f = NetCdf.parse(v1)
+    // re-serialize the same content as CDF-2 and compare decoded tables
+    val dims = f.dims
+    val vars2 = f.vars.map { pv =>
+      val data: NcVal = pv.ncType match {
+        case NC_CHAR => NcChars(pv.chars)
+        case NC_FLOAT => NcFloats(pv.numeric.map(_.toFloat))
+        case NC_INT => NcInts(pv.numeric.map(_.toInt))
+        case _ => NcDoubles(pv.numeric)
+      }
+      val attrs = pv.attrs.toSeq.map {
+        case (k, s: String) => k -> NcStr(s)
+        case (k, a: Array[Double]) if pv.ncType == NC_FLOAT =>
+          k -> NcFloats(a.map(_.toFloat))
+        case (k, a: Array[Double]) => k -> NcDoubles(a)
+        case (k, other) => k -> NcStr(other.toString)
+      }
+      NcVar(pv.name, pv.dims.map(d => dims.indexWhere(_.name == d.name)),
+        pv.ncType, attrs, data)
+    }
+    val v2 = NetCdf.writeBytes(dims, Nil, vars2, version = 2)
+    assert(v2(3) === 2.toByte)
+    assert(NetCdf.tabularize(NetCdf.parse(v2)) === NetCdf.tabularize(f))
+  }
+
   test("decodeTimeMicros handles days/hours/seconds since with date or datetime epochs") {
     // 1950-01-01 is 7305 days before the Unix epoch
     val dayUs = 86400000000L
