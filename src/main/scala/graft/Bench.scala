@@ -148,8 +148,9 @@ object Bench {
     // Dedicated artifact file: the driver's bounded log-tail capture has
     // truncated the per-query map mid-JSON twice (rounds 4 and 6); a file in
     // the repo makes the full map durable and committable regardless of how
-    // much stdout the harness keeps.
-    try {
+    // much stdout the harness keeps. FULL runs only — a SPARK_GRAFT_ONLY
+    // subset run must not clobber the durable full-surface capture.
+    if (only.isEmpty) try {
       val detail = s"$fullLine\n$oneShotLine\n$totalLine\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),

@@ -8,7 +8,7 @@ Registers the fixture parquet tables by bare name (like the driver's
 oracle), then runs every oracle SQL `reps` times (default 3) and reports
 the per-query minimum and the total, as one JSON line.
 """
-import sys, json, time
+import sys, json, time, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -20,8 +20,10 @@ def main():
     oracle = json.load(open(sql_path))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written fixtures (MakeScale ~sf1) are DIRECTORIES of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     best = {}
     for _ in range(reps):
         for name in sorted(oracle):
