@@ -4,28 +4,37 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Profile selection by input size. At fixture scale (sub-GB) the bench
-    // is latency-bound: AQE's per-stage materialization, wide shuffle
-    // fan-out, and shuffle compression are pure overhead on KB-sized
-    // shuffles, so the interactive profile turns them off. At cluster
-    // scale those same features are what keeps plans healthy (runtime
-    // re-planning, skew splitting), so anything ≥ 2 GiB keeps Spark's
-    // defaults with cores-wide shuffles. Heavy compute stages pin their
-    // own parallelism via explicit repartition(n, key), so the small
-    // shuffle width only governs the tiny exchanges.
+    // Profile selection by input size, three tiers (measured on the round-7
+    // rehearsal pair, BENCH_NOTES.md):
+    //   - tiny (< 64 MiB, the driver's sf0.1 fixture): latency-bound — 4-wide
+    //     shuffles, AQE/compression off. 32-wide here COSTS 1.6× (4→32
+    //     tripled gr2/dd8 at sf0.1: task overhead dominates KB shuffles).
+    //   - mid (64 MiB – 2 GiB, the ~sf1 rehearsal): shuffles carry real
+    //     volume — cores-wide width, still no AQE/compression (AQE's
+    //     per-stage materialization doubled dd8 at ~sf1; width alone cut the
+    //     heavy-query total 2.7×).
+    //   - large (≥ 2 GiB): Spark defaults with AQE + compression — runtime
+    //     re-planning and skew splitting are what keep cluster-scale plans
+    //     healthy.
+    // Heavy compute stages additionally pin their own parallelism via
+    // explicit repartition(n, key) where the input is a single row group.
     val inputBytes =
-      try new java.io.File(sfDir).listFiles().map(_.length()).sum
-      catch { case _: Throwable => Long.MaxValue }
-    val interactive = inputBytes < (2L << 30)
+      try {
+        def size(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+        size(new java.io.File(sfDir))
+      } catch { case _: Throwable => Long.MaxValue }
+    val interactive = inputBytes < (64L << 20)
+    val mid = !interactive && inputBytes < (2L << 30)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", if (interactive) "4" else cpus)
       // Pin UTC: Tables.events rebinds TIMESTAMP_NTZ fixtures via a session-TZ
       // cast; UTC makes that cast value-identical on any machine.
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", (!interactive).toString)
-      .config("spark.shuffle.compress", (!interactive).toString)
-      .config("spark.shuffle.spill.compress", (!interactive).toString)
+      .config("spark.sql.adaptive.enabled", (!interactive && !mid).toString)
+      .config("spark.shuffle.compress", (!interactive && !mid).toString)
+      .config("spark.shuffle.spill.compress", (!interactive && !mid).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.expressions.GraftExtensions())
     // Optional extra confs: SPARK_GRAFT_CONF="k1=v1;k2=v2" (experiments).
