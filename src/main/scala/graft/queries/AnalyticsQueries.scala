@@ -678,15 +678,32 @@ private[graft] object AnalyticsQueries {
         .select(col("p.pa"), col("p.pb"))
       val e = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2).select("pa", "pb")
-        .localCheckpoint(false) // three consumers: e1, e2, closure probe
-      val wedges = e.alias("e1").join(e.alias("e2"), col("e1.pb") === col("e2.pa"))
-        .select(col("e1.pa").as("x"), col("e1.pb").as("y"), col("e2.pb").as("z"))
-        .localCheckpoint(false) // two consumers: count + closure join
-      val tri = wedges.join(e,
-        col("x") === col("pa") && col("z") === col("pb"), "left_semi")
-      e.agg(count(lit(1)).as("n_edges")).crossJoin(
-          wedges.agg(count(lit(1)).as("n_wedges")))
-        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .localCheckpoint(false) // three consumers: adjacency, tri probe, degs
+      // No wedge materialization (the x→y→z join grows ~quadratically with
+      // density): the wedge COUNT is Σ_y indeg(y)·outdeg(y) — two narrow
+      // aggregates — and triangles come from the adjacency-intersection
+      // count (gr2_triangle_count's algorithm): for each edge (x,y), every
+      // z ∈ N⁺(x) ∩ N⁺(y) closes the x<y<z triangle exactly once. The
+      // part-count-bounded adjacency table broadcasts; at node counts past
+      // broadcast range the hints drop and the lookups shuffle on the key.
+      val succ = e.groupBy(col("pa"))
+        .agg(sort_array(collect_list(col("pb"))).as("nbrs"))
+        .localCheckpoint(false) // read twice (per-endpoint lookup)
+      val tri = e
+        .join(broadcast(succ.select(col("pa").as("__a"), col("nbrs").as("na"))),
+          col("pa") === col("__a"))
+        .join(broadcast(succ.select(col("pa").as("__b"), col("nbrs").as("nb"))),
+          col("pb") === col("__b"), "left")
+        .select(size(array_intersect(col("na"),
+          coalesce(col("nb"), array()))).cast("long").as("c"))
+        .agg(sum("c").as("n_triangles"))
+      val wedgeCount = e
+        .select(col("pa").as("n"), lit(1L).as("o"), lit(0L).as("i"))
+        .unionAll(e.select(col("pb").as("n"), lit(0L).as("o"), lit(1L).as("i")))
+        .groupBy("n").agg(sum("o").as("outd"), sum("i").as("ind"))
+        .agg(sum(col("ind") * col("outd")).as("n_wedges"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(wedgeCount)
+        .crossJoin(tri)
         .withColumn("closure_ppm",
           expr("n_triangles * 1000000 div n_wedges"))
     },
@@ -1288,11 +1305,27 @@ private[graft] object AnalyticsQueries {
             struct(col("u").as("s"), col("v").as("t")))
             .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
         .select(col("e.s").as("s"), col("e.t").as("t"))
-      val wedges = oriented.as("x").join(oriented.as("y"),
-          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
-        .select(col("x.t").as("u"), col("y.t").as("v"))
-      val tri = wedges.join(und, Seq("u", "v"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
+      // Adjacency-intersection count (the GraphFrames/MapReduce-standard
+      // algorithm): for each oriented edge (s,t), triangles through it are
+      // |N+(s) ∩ N+(t)|. Degree orientation bounds every N+ list by
+      // O(sqrt(m)), and the wedge set — which grows ~quadratically with
+      // density (the ~sf1 rehearsal's 10× denser graph produced ~100×
+      // wedges) — is never materialized or shuffled: the only moving data
+      // is one adjacency list per edge endpoint. The node-count-bounded
+      // adjacency table broadcasts here; on a graph whose node set outgrows
+      // broadcast range, drop the hints and both lookups become shuffle
+      // joins on s/t — still O(m·sqrt(m)) work, no wedge blowup.
+      val adj = oriented.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        .localCheckpoint(false) // read twice (per-endpoint lookup)
+      val tri = oriented
+        .join(broadcast(adj.select(col("s").as("__s"), col("nbrs").as("ns"))),
+          col("s") === col("__s"))
+        .join(broadcast(adj.select(col("s").as("__t"), col("nbrs").as("nt"))),
+          col("t") === col("__t"), "left")
+        .select(size(array_intersect(col("ns"),
+          coalesce(col("nt"), array()))).as("c"))
+        .agg(sum("c").as("n_triangles"))
       val edges = und.agg(count(lit(1)).as("n_edges"))
       val nodes = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))

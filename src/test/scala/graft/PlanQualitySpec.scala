@@ -215,7 +215,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15,
       "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5,
-      "gr2_triangle_census" -> 3, "ta9_bigram_lm" -> 5,
+      "gr2_triangle_census" -> 4, "ta9_bigram_lm" -> 5,
       "a16_histogram" -> 2, "w6_trailing_range" -> 2,
       "dd13_editdistance_dedup" -> 4, "a17_mode_per_user" -> 3,
       "st11_dedup_window_chain" -> 1, "ta10_bm25_topk" -> 5,
@@ -240,7 +240,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "dq4_skew_stats" -> 4, "u4_pivot_wide" -> 3,
       "a21_trailing_dau" -> 4, "dq5_profile" -> 2,
       "j12_point_in_time" -> 5, "w9_wow_change" -> 3,
-      "gr2_triangle_count" -> 8, "s7_netcdf_decode" -> 1,
+      "gr2_triangle_count" -> 6, "s7_netcdf_decode" -> 1,
       "s8_netcdf_inspect" -> 1)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
