@@ -440,11 +440,25 @@ object NetCdf {
     * small per-float files); parsing is a single linear pass over the
     * file's bytes.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, tolerant = false)
+
+  /** As [[read]]; with `tolerant = true` files that fail to parse are
+    * skipped instead of failing the job — the reference loader's behavior
+    * (`load_netcdf_file` catches, logs, and returns None,
+    * ingest/load_data.py:222-224). At corpus scale one truncated upload
+    * must not kill a million-file scan; pair with [[inspect]] to audit
+    * what was skipped.
+    */
+  def read(spark: SparkSession, path: String, tolerant: Boolean): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").option("pathGlobFilter", "*.nc").load(path)
       .select("content").as[Array[Byte]]
-      .flatMap(bytes => tabularize(parse(bytes)))
+      .flatMap { bytes =>
+        if (!tolerant) tabularize(parse(bytes))
+        else try tabularize(parse(bytes))
+        catch { case _: Exception => Seq.empty[ProfileLevel] }
+      }
       .toDF()
   }
 }

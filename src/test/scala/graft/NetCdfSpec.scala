@@ -124,6 +124,18 @@ class NetCdfSpec extends AnyFunSuite {
     assert(f101time.getLong(5) === 1L) // the units attr
   }
 
+  test("tolerant read skips corrupt files; strict read fails on them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-corrupt").toString
+    NetCdfFixture.writeFleet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/float_999.nc"),
+      "this is not a netcdf file".getBytes("UTF-8"))
+    val n = NetCdf.read(spark, dir, tolerant = true).count()
+    assert(n === NetCdfFixture.N_FLOATS * NetCdfFixture.N_PROF * NetCdfFixture.N_LEVELS)
+    assertThrows[org.apache.spark.SparkException](
+      NetCdf.read(spark, dir).count())
+  }
+
   test("binaryFile read path fans files out and yields the full fleet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-read").toString
     NetCdfFixture.writeFleet(dir)
