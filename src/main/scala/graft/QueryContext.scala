@@ -152,7 +152,12 @@ private[graft] object QueryContext {
     val sigs = shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
       .localCheckpoint(false)
+    // cands is consumed twice by the verify (side A and side B joins) and
+    // its lineage carries the band-bucket groupBy + pair explode + distinct;
+    // without the checkpoint the physical plan computes that subtree twice
+    // (ReuseExchange does not fire across the two broadcast builds).
     val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
+      .localCheckpoint(false)
     graft.dedup.Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
       .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
       .withColumn("is_dup", col("jaccard") >= 0.5)

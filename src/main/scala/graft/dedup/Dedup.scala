@@ -33,12 +33,27 @@ object Dedup {
     * Built with element_at (O(1) per access) rather than slice (which
     * materializes a sub-array per shingle) — ~n× less allocation on the
     * shingle-explode hot path.
+    *
+    * The token-array expression is bound ONCE as a lambda variable via a
+    * single-element `transform(array(toks), tks => ...)` wrapper. Without
+    * the binding, every reference to `toksCol` inside the inner lambda is a
+    * full copy of the caller's expression tree — and higher-order functions
+    * evaluate their lambda body INTERPRETED, re-evaluating children per
+    * element, so a caller passing `tokens(text)` (split+lower+filter) would
+    * re-run the regex split ~n× per shingle (~270× per document at n=3;
+    * measured 3.5× slower steady-state / 14× cold on the dd8 pipeline).
+    * The binding makes those references a variable lookup. NULL path is
+    * unchanged: a null token array flows to the `otherwise` branch either
+    * way, yielding an empty array.
     */
   def shingles(toksCol: Column, n: Int): Column =
-    when(size(toksCol) >= n,
-      transform(sequence(lit(0), size(toksCol) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(toksCol, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+    element_at(
+      transform(array(toksCol), tks =>
+        when(size(tks) >= n,
+          transform(sequence(lit(0), size(tks) - n),
+            i => concat_ws(" ", (1 to n).map(j => element_at(tks, i + lit(j))): _*)))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** Exact-dup groups: one row per distinct content hash with the surviving
     * (minimum) id and the copy count.
@@ -301,40 +316,48 @@ object Dedup {
     // aggregate over the edge list computes without the join — one fewer
     // propagation round (join + agg + checkpoint + convergence scan) on
     // every call, and the distinct() init job is folded into the same agg.
+    // NOT materialized by its own action: the seed rides inside round one's
+    // single job (the lazy checkpoint's block lock makes its two consumers
+    // there compute it once), so a clique-shaped graph — the near-dup norm
+    // — costs exactly ONE Spark action total.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), min(col("src"))).as("label"))
       .localCheckpoint(false)
-    // sum over an EMPTY frame is null — coalesce so a pair-free input
-    // converges on round one instead of NPE-ing. The sum is EXACT decimal:
-    // a Long sum could wrap on overflow and alias a changed labeling to
-    // "converged" (decimal(38,0) fits any |label|<2^63 summed over ~1e19
-    // nodes, so the monotone-decrease argument below has no wrap caveat)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var checksum = labelSum(labels)
+    val labelType = labels.schema("label").dataType
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val merged = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"))
+      // Carry each node's PREVIOUS label through the round as `old` (labels
+      // covers every node — each appears as an edge src — so exactly one
+      // union branch supplies a non-null old per id and max() recovers it
+      // without a join back to the previous frame).
+      val merged = labels.select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(prop.select(col("id"), col("label"),
+          lit(null).cast(labelType).as("old")))
+        .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
       // pointer jump: label(x) ← label(label(x)). Labels are always node
       // ids of the same component with label(y) <= y, so the composition
       // stays in-component and non-increasing; chains contract by half
       // per round (left join: the component min labels itself).
       val parents = merged
         .select(col("id").as("pid"), col("label").as("plabel"))
-      labels = merged.join(parents, col("label") === col("pid"), "left")
+      val next = merged.join(parents, col("label") === col("pid"), "left")
         .select(col("id"),
-          coalesce(col("plabel"), col("label")).as("label"))
+          coalesce(col("plabel"), col("label")).as("label"), col("old"))
         .localCheckpoint(false)
-      // min-propagation is monotone: the label sum strictly decreases until
-      // fixpoint, so an unchanged sum IS convergence (one action per round)
-      val next = labelSum(labels)
-      converged = next.compareTo(checksum) == 0
-      checksum = next
+      // Convergence = a full propagate+jump round changed NO label (the map
+      // is deterministic and monotone, so f(L)=L is a fixpoint). Counting
+      // changed rows is exact — no checksum, no overflow caveat — and the
+      // count runs as the SAME action that materializes the round's
+      // checkpoint: one Spark job per round, convergence detection included.
+      // coalesce: an empty pair list converges on round one, not NPE.
+      val nChanged = next.agg(coalesce(
+        sum(when(col("label") =!= col("old"), 1L).otherwise(0L)),
+        lit(0L))).head.getLong(0)
+      converged = nChanged == 0
+      labels = next.select("id", "label")
       iter += 1
     }
     // partially-propagated labels are silently WRONG groups — refuse them
