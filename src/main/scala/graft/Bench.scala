@@ -159,12 +159,17 @@ object Bench {
     // the repo makes the full map durable and committable regardless of how
     // much stdout the harness keeps. FULL runs only — a SPARK_GRAFT_ONLY
     // subset run must not clobber the durable full-surface capture.
-    if (only.isEmpty) try {
-      val detail = s"$fullLine\n$oneShotLine\n$totalLine\n"
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-        detail.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    if (only.isEmpty) {
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+        "BENCH_DETAIL.json") // relative to the working directory
+      try {
+        val detail = s"$fullLine\n$oneShotLine\n$totalLine\n"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(detailPath), detail.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] durable detail write to $detailPath failed: $e")
+      }
+    }
     spark.stop()
     // Print after spark.stop() so no executor/log output can follow or
     // interleave with the machine-readable lines; compact totals line LAST.

@@ -525,6 +525,31 @@ private[graft] object OracleSql {
            FROM fs, v)
          SELECT file, kind, name, dtype, shape, n_attrs FROM rows
          ORDER BY file, kind, name""",
+    // s9: the record-layout twin of s7 — same closed form for floats 4/5
+    // (ids 104/105); float 105's epoch carries a -02:00 offset, so its
+    // instants shift +7200 s vs the closed form.
+    "s9_netcdf_record" ->
+      """WITH g AS (
+           SELECT f.f, p.p, l.l
+           FROM (SELECT unnest(generate_series(4,5)) AS f) f,
+                (SELECT unnest(generate_series(0,5)) AS p) p,
+                (SELECT unnest(generate_series(0,4)) AS l) l)
+         SELECT CAST(100 + f AS VARCHAR) AS float_id,
+                CAST(1000 + p AS BIGINT) AS profile_id,
+                CAST(l AS BIGINT) AS level,
+                strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
+                  * 86400000000 AS BIGINT)
+                  + CASE WHEN f % 2 = 1 THEN 7200000000 ELSE 0 END),
+                  '%Y-%m-%d %H:%M:%S') AS ts,
+                CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
+                CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
+                CASE WHEN (f+p+l) % 7 = 0 THEN NULL
+                     ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
+                CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
+                     ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
+                CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
+                     ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
+         FROM g ORDER BY float_id, profile_id, level""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,

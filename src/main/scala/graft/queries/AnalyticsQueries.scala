@@ -696,7 +696,7 @@ private[graft] object AnalyticsQueries {
           col("pb") === col("__b"), "left")
         .select(size(array_intersect(col("na"),
           coalesce(col("nb"), array()))).cast("long").as("c"))
-        .agg(sum("c").as("n_triangles"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
       val wedgeCount = e
         .select(col("pa").as("n"), lit(1L).as("o"), lit(0L).as("i"))
         .unionAll(e.select(col("pb").as("n"), lit(0L).as("o"), lit(1L).as("i")))
@@ -1325,7 +1325,7 @@ private[graft] object AnalyticsQueries {
           col("t") === col("__t"), "left")
         .select(size(array_intersect(col("ns"),
           coalesce(col("nt"), array()))).as("c"))
-        .agg(sum("c").as("n_triangles"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
       val edges = und.agg(count(lit(1)).as("n_edges"))
       val nodes = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("d * (d - 1) div 2")).as("n_wedges"))

@@ -429,6 +429,26 @@ private[graft] object ScanStreamQueries {
         .orderBy("file", "kind", "name")
     },
 
+    // ---- S2 record-dimension variant: native per-float Argo layout, where
+    // N_PROF is the UNLIMITED dim and per-profile slabs interleave after
+    // the fixed data (numrecs + record-slab stride, the classic-format
+    // record encoding xarray reads at ingest/load_data.py:201-224). The
+    // fixture twins the s7 closed form — same values, record layout — and
+    // adds the real-world units spellings: a named-zone epoch token
+    // ("... 00:00:00 UTC") on float 104 and an APPLIED numeric offset
+    // ("... -02:00", shifting every instant +2 h) on float 105, which also
+    // ships with an UPPERCASE .NC suffix to pin the case-insensitive scan
+    // glob. ---------------------------------------------------------------
+    "s9_netcdf_record" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s9_netcdf_rec_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeRecordFleet(_))
+      NetCdf.read(s, ncDir)
+        .select(col("float_id"), col("profile_id"), col("level"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
+        .orderBy("float_id", "profile_id", "level")
+    },
+
     // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
     // readStream over a parquet inbox → watermark + window() groupBy (shared
     // aggregate exprs with the batch A1/A3 path) → memory sink, drained with

@@ -1,26 +1,28 @@
 package graft.sources
 
-import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.{BufferUnderflowException, ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Minimal NetCDF classic (CDF-1) container support, pure Scala.
+/** Minimal NetCDF classic (CDF-1/CDF-2) container support, pure Scala.
   *
   * The reference ingests Argo profile data from NetCDF files via xarray
   * (ingest/load_data.py:201-224) and tabularizes them with an alias table,
   * fill-value nulling, and "days/hours since epoch" time decode
   * (ingest/load_data.py:226-375). This module re-expresses that as a
-  * Spark-native source: the CDF-1 binary format itself is parsed with a
-  * ~150-line reader (the classic format is a flat big-endian header + data
+  * Spark-native source: the CDF binary format itself is parsed with a
+  * compact reader (the classic format is a flat big-endian header + data
   * spec), and files fan out across executors through Spark's `binaryFile`
   * source — one task per file, O(file) memory, which matches the real
   * corpus shape (Argo publishes millions of small per-float .nc files; a
   * 100 TB sweep is file-parallel, not row-parallel, at the container
   * level).
   *
-  * Scope: classic format (magic CDF\x01), fixed-size variables only (no
-  * record dimension) — exactly the shape of ERDDAP tabledap .nc responses
-  * the reference downloads. Types: NC_BYTE/CHAR/SHORT/INT/FLOAT/DOUBLE.
+  * Scope: classic format (magic CDF\x01 / CDF\x02), fixed-size AND record
+  * (UNLIMITED-dimension) variables — both the shape of ERDDAP tabledap .nc
+  * responses and of native per-float Argo profile files, which commonly
+  * store N_PROF as the record dimension with per-profile slabs interleaved.
+  * Types: NC_BYTE/CHAR/SHORT/INT/FLOAT/DOUBLE.
   */
 object NetCdf {
 
@@ -32,7 +34,21 @@ object NetCdf {
   private val TAG_VAR = 0x0B
   private val TAG_ATT = 0x0C
 
+  /** A dimension; `size == 0` marks the record (UNLIMITED) dimension, as in
+    * the on-disk format. At most one record dimension per file.
+    */
   final case class NcDim(name: String, size: Int)
+
+  /** Malformed-or-unsupported container bytes. The tolerant read path skips
+    * EXACTLY this class — a genuine engine bug (NPE, arithmetic) still
+    * fails the job instead of masquerading as a corrupt upload. Extends
+    * IllegalArgumentException so callers treating parse errors as invalid
+    * input keep working.
+    */
+  final class NetCdfParseException(msg: String, cause: Throwable = null)
+      extends IllegalArgumentException(msg, cause)
+
+  private def fail(msg: String): Nothing = throw new NetCdfParseException(msg)
 
   /** Attribute / data value container for the writer. */
   sealed trait NcVal
@@ -96,17 +112,43 @@ object NetCdf {
       attrs.foreach { case (n, v) => putName(b, n); putAttrVal(b, v) }
     }
 
-  /** Serialize a classic file. Fixed-size vars only (numrecs = 0).
-    * `version` 1 = CDF-1 (32-bit data offsets), 2 = CDF-2 (64-bit offsets —
-    * the format variant real >2 GiB Argo aggregates ship in).
+  /** Serialize a classic file. `version` 1 = CDF-1 (32-bit data offsets),
+    * 2 = CDF-2 (64-bit offsets — the format variant real >2 GiB Argo
+    * aggregates ship in).
+    *
+    * Record variables: a dim of size 0 in `dims` is the record dimension;
+    * a var whose FIRST dim id is that dim is a record var holding
+    * `numrecs × perRecordCount` values in record-major order. Per the
+    * spec, record data is laid out as `numrecs` interleaved records after
+    * all fixed-size data, each var's per-record slab padded to 4 bytes —
+    * except when there is exactly ONE record variable, where the spec
+    * drops the padding.
     */
   def writeBytes(
       dims: Seq[NcDim], globalAttrs: Seq[(String, NcVal)],
-      vars: Seq[NcVar], version: Int = 1): Array[Byte] = {
+      vars: Seq[NcVar], version: Int = 1, numrecs: Int = 0): Array[Byte] = {
     require(version == 1 || version == 2, s"unsupported CDF version $version")
-    def dataCount(v: NcVar): Int =
+    require(dims.count(_.size == 0) <= 1, "at most one record dimension")
+    val recDimId = dims.indexWhere(_.size == 0)
+    def isRec(v: NcVar): Boolean =
+      recDimId >= 0 && v.dimIds.headOption.contains(recDimId)
+    vars.foreach { v =>
+      require(recDimId < 0 || !v.dimIds.drop(1).contains(recDimId),
+        s"record dim must be the outermost dim: ${v.name}")
+    }
+    val recVars = vars.filter(isRec)
+    val singleRec = recVars.length == 1
+    def perRecCount(v: NcVar): Int =
+      v.dimIds.filter(_ != recDimId).map(dims(_).size.toLong).product.toInt.max(1)
+    def fixedCount(v: NcVar): Int =
       v.dimIds.map(dims(_).size.toLong).product.toInt.max(1)
-    def vsize(v: NcVar): Int = pad4(dataCount(v) * typeSize(v.ncType))
+    def slabPadded(v: NcVar): Int = {
+      val raw = perRecCount(v) * typeSize(v.ncType)
+      if (singleRec) raw else pad4(raw)
+    }
+    def vsize(v: NcVar): Int =
+      if (isRec(v)) pad4(perRecCount(v) * typeSize(v.ncType))
+      else pad4(fixedCount(v) * typeSize(v.ncType))
     val beginSz = if (version == 2) 8 else 4
 
     val dimListSz =
@@ -119,12 +161,25 @@ object NetCdf {
     val headerSz = 4 + 4 + dimListSz + attrListSize(globalAttrs) +
       (if (vars.isEmpty) 8 else 8 + varHdrSz)
 
-    val begins = vars.scanLeft(headerSz)((off, v) => off + vsize(v)).init
-    val total = headerSz + vars.map(vsize).sum
+    // fixed vars lay out sequentially after the header (in var order); the
+    // record block follows, each record var at its slab offset in record 0
+    var off = headerSz
+    val begins = vars.map { v =>
+      if (isRec(v)) -1L
+      else { val b = off.toLong; off += vsize(v); b }
+    }
+    val recordStart = off
+    var recOff = 0
+    val beginsResolved = vars.zip(begins).map { case (v, b) =>
+      if (b >= 0) b
+      else { val r = (recordStart + recOff).toLong; recOff += slabPadded(v); r }
+    }
+    val recsize = recOff
+    val total = recordStart + numrecs * recsize
     val b = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
 
     b.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
-    b.putInt(0) // numrecs
+    b.putInt(numrecs)
     if (dims.isEmpty) { b.putInt(0); b.putInt(0) }
     else {
       b.putInt(TAG_DIM); b.putInt(dims.length)
@@ -134,24 +189,34 @@ object NetCdf {
     if (vars.isEmpty) { b.putInt(0); b.putInt(0) }
     else {
       b.putInt(TAG_VAR); b.putInt(vars.length)
-      vars.zip(begins).foreach { case (v, begin) =>
+      vars.zip(beginsResolved).foreach { case (v, begin) =>
         putName(b, v.name)
         b.putInt(v.dimIds.length); v.dimIds.foreach(b.putInt)
         putAttrList(b, v.attrs)
         b.putInt(v.ncType); b.putInt(vsize(v))
-        if (version == 2) b.putLong(begin.toLong) else b.putInt(begin)
+        if (version == 2) b.putLong(begin) else b.putInt(begin.toInt)
       }
     }
-    vars.foreach { v =>
+    def putValues(v: NcVar, from: Int, n: Int): Unit = v.data match {
+      case NcFloats(a) => (from until from + n).foreach(i => b.putFloat(a(i)))
+      case NcDoubles(a) => (from until from + n).foreach(i => b.putDouble(a(i)))
+      case NcInts(a) => (from until from + n).foreach(i => b.putInt(a(i)))
+      case NcChars(a) => b.put(a, from, n)
+      case NcStr(s) => b.put(s.getBytes("UTF-8"), from, n)
+    }
+    // fixed data blocks
+    vars.filterNot(isRec).foreach { v =>
       val start = b.position()
-      v.data match {
-        case NcFloats(a) => a.foreach(b.putFloat)
-        case NcDoubles(a) => a.foreach(b.putDouble)
-        case NcInts(a) => a.foreach(b.putInt)
-        case NcChars(a) => b.put(a)
-        case NcStr(s) => b.put(s.getBytes("UTF-8"))
-      }
+      putValues(v, 0, fixedCount(v))
       while ((b.position() - start) % 4 != 0) b.put(0.toByte)
+    }
+    // interleaved records
+    for (r <- 0 until numrecs; v <- vars if isRec(v)) {
+      val start = b.position()
+      val n = perRecCount(v)
+      putValues(v, r * n, n)
+      if (!singleRec)
+        while ((b.position() - start) % 4 != 0) b.put(0.toByte)
     }
     b.array()
   }
@@ -163,18 +228,24 @@ object NetCdf {
 
   // ------------------------------------------------------------------ parser
 
-  /** A parsed variable: dims resolved, numeric data widened to Double
-    * (NC_CHAR kept as raw bytes for string assembly).
+  /** A parsed variable: dims resolved — the record dim reported at its
+    * actual record count — and numeric data widened to Double (NC_CHAR kept
+    * as raw bytes for string assembly).
     */
   final case class ParsedVar(
       name: String, dims: Seq[NcDim], ncType: Int,
       attrs: Map[String, Any], numeric: Array[Double], chars: Array[Byte])
 
+  /** `recordDim`: name of the UNLIMITED dimension if the file has one (its
+    * entry in `dims` carries the materialized record count, not 0).
+    */
   final case class ParsedFile(
-      dims: Seq[NcDim], globalAttrs: Map[String, Any], vars: Seq[ParsedVar])
+      dims: Seq[NcDim], globalAttrs: Map[String, Any], vars: Seq[ParsedVar],
+      recordDim: Option[String] = None)
 
   private def readName(b: ByteBuffer): String = {
     val n = b.getInt
+    if (n < 0 || n > b.remaining) fail(s"name length $n out of range")
     val bytes = new Array[Byte](n); b.get(bytes)
     var i = n; while (i % 4 != 0) { b.get(); i += 1 }
     new String(bytes, "UTF-8")
@@ -182,6 +253,7 @@ object NetCdf {
 
   private def readAttrVal(b: ByteBuffer): Any = {
     val t = b.getInt; val n = b.getInt
+    if (n < 0 || n.toLong * typeSizeChecked(t) > b.remaining) fail(s"attr length $n out of range")
     t match {
       case NC_CHAR =>
         val bytes = new Array[Byte](n); b.get(bytes)
@@ -199,66 +271,133 @@ object NetCdf {
     }
   }
 
+  private def typeSizeChecked(t: Int): Int =
+    if (t >= NC_BYTE && t <= NC_DOUBLE) typeSize(t)
+    else fail(s"unknown nc_type $t")
+
   private def readAttrList(b: ByteBuffer): Map[String, Any] = {
     val tag = b.getInt; val n = b.getInt
     if (tag == 0 || n == 0) Map.empty
+    else if (n < 0) fail(s"attr count $n out of range")
     else (0 until n).map(_ => readName(b) -> readAttrVal(b)).toMap
   }
 
-  def parse(bytes: Array[Byte]): ParsedFile = {
+  def parse(bytes: Array[Byte]): ParsedFile = try {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = Array(b.get(), b.get(), b.get())
-    require(magic.sameElements("CDF".getBytes), "not a NetCDF classic file")
+    if (!magic.sameElements("CDF".getBytes)) fail("not a NetCDF classic file")
     val version = b.get()
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
-    b.getInt // numrecs (0 for fixed-size-only files)
+    if (version != 1 && version != 2) fail(s"unsupported CDF version $version")
+    val numrecsRaw = b.getInt // -1 = STREAMING (count derived from length)
 
     val dimTag = b.getInt; val nDims = b.getInt
+    if (nDims < 0 || nDims > bytes.length) fail(s"dim count $nDims out of range")
     val dims =
       if (dimTag == 0) Seq.empty
       else (0 until nDims).map(_ => NcDim(readName(b), b.getInt))
+    if (dims.count(_.size == 0) > 1) fail("multiple record dimensions")
+    val recDimId = dims.indexWhere(_.size == 0)
 
     val gatts = readAttrList(b)
 
     val varTag = b.getInt; val nVars = b.getInt
+    if (nVars < 0 || nVars > bytes.length) fail(s"var count $nVars out of range")
     val headers =
       if (varTag == 0) Seq.empty
       else (0 until nVars).map { _ =>
         val name = readName(b)
         val nd = b.getInt
-        val dimIds = (0 until nd).map(_ => b.getInt)
+        if (nd < 0 || nd > nDims) fail(s"dim list length $nd out of range for $name")
+        val dimIds = (0 until nd).map { _ =>
+          val id = b.getInt
+          if (id < 0 || id >= dims.length) fail(s"dim id $id out of range for $name")
+          id
+        }
+        if (recDimId >= 0 && dimIds.drop(1).contains(recDimId))
+          fail(s"record dim must be the outermost dim: $name")
         val attrs = readAttrList(b)
         val t = b.getInt; val vsize = b.getInt
+        typeSizeChecked(t)
         val begin = if (version == 2) b.getLong else b.getInt.toLong
         (name, dimIds, attrs, t, vsize, begin)
       }
 
-    val vars = headers.map { case (name, dimIds, attrs, t, _, begin) =>
-      val vdims = dimIds.map(dims(_))
-      val count = vdims.map(_.size.toLong).product.toInt.max(1)
-      val d = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      d.position(begin.toInt)
-      t match {
-        case NC_CHAR =>
-          val raw = new Array[Byte](count); d.get(raw)
-          ParsedVar(name, vdims, t, attrs, Array.empty, raw)
-        case _ =>
-          val a = new Array[Double](count)
-          var i = 0
-          while (i < count) {
-            a(i) = t match {
-              case NC_BYTE => d.get().toDouble
-              case NC_SHORT => d.getShort.toDouble
-              case NC_INT => d.getInt.toDouble
-              case NC_FLOAT => d.getFloat.toDouble
-              case NC_DOUBLE => d.getDouble
-            }
-            i += 1
-          }
-          ParsedVar(name, vdims, t, attrs, a, Array.empty)
+    def isRec(dimIds: Seq[Int]): Boolean =
+      recDimId >= 0 && dimIds.headOption.contains(recDimId)
+    def perRec(dimIds: Seq[Int]): Int =
+      dimIds.filter(_ != recDimId).map(dims(_).size.toLong).product.toInt.max(1)
+    val recHeaders = headers.filter(h => isRec(h._2))
+    val singleRec = recHeaders.length == 1
+    // record stride: sum of per-record slabs, each padded to 4 — unless the
+    // file has exactly one record var (spec drops the padding there)
+    val recsize = recHeaders.map { h =>
+      val raw = perRec(h._2) * typeSize(h._4)
+      if (singleRec) raw else pad4(raw)
+    }.sum
+    val numrecs =
+      if (numrecsRaw >= 0) numrecsRaw
+      else { // STREAMING: every record is recsize bytes after the first slab
+        val recordStart = recHeaders.map(_._6).minOption.getOrElse(bytes.length.toLong)
+        if (recsize == 0) 0 else ((bytes.length - recordStart) / recsize).toInt
+      }
+
+    def readValues(d: ByteBuffer, t: Int, into: Array[Double], from: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        into(from + i) = t match {
+          case NC_BYTE => d.get().toDouble
+          case NC_SHORT => d.getShort.toDouble
+          case NC_INT => d.getInt.toDouble
+          case NC_FLOAT => d.getFloat.toDouble
+          case NC_DOUBLE => d.getDouble
+        }
+        i += 1
       }
     }
-    ParsedFile(dims, gatts, vars)
+
+    val vars = headers.map { case (name, dimIds, attrs, t, _, begin) =>
+      if (begin < 0 || begin > bytes.length) fail(s"data offset $begin out of range for $name")
+      val rec = isRec(dimIds)
+      val vdims = dimIds.map { i =>
+        if (i == recDimId) NcDim(dims(i).name, numrecs) else dims(i)
+      }
+      val count =
+        if (rec) numrecs * perRec(dimIds)
+        else dimIds.map(dims(_).size.toLong).product.toInt.max(1)
+      val d = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      if (t == NC_CHAR) {
+        val raw = new Array[Byte](count)
+        if (rec) {
+          val n = perRec(dimIds)
+          for (r <- 0 until numrecs) {
+            d.position((begin + r.toLong * recsize).toInt)
+            d.get(raw, r * n, n)
+          }
+        } else { d.position(begin.toInt); d.get(raw) }
+        ParsedVar(name, vdims, t, attrs, Array.empty, raw)
+      } else {
+        val a = new Array[Double](count)
+        if (rec) {
+          val n = perRec(dimIds)
+          for (r <- 0 until numrecs) {
+            d.position((begin + r.toLong * recsize).toInt)
+            readValues(d, t, a, r * n, n)
+          }
+        } else { d.position(begin.toInt); readValues(d, t, a, 0, count) }
+        ParsedVar(name, vdims, t, attrs, a, Array.empty)
+      }
+    }
+    val dimsResolved = dims.map(d => if (d.size == 0) NcDim(d.name, numrecs) else d)
+    ParsedFile(dimsResolved, gatts, vars,
+      if (recDimId >= 0) Some(dims(recDimId).name) else None)
+  } catch {
+    // malformed bytes surface as buffer/array failures mid-read — those ARE
+    // parse errors for a corrupt container; rethrow typed so the tolerant
+    // path can catch them narrowly
+    case e: NetCdfParseException => throw e
+    case e @ (_: BufferUnderflowException | _: IndexOutOfBoundsException |
+              _: NegativeArraySizeException | _: IllegalArgumentException) =>
+      throw new NetCdfParseException(s"malformed NetCDF container: $e", e)
   }
 
   // ------------------------------------------------- Argo tabularization
@@ -303,23 +442,76 @@ object NetCdf {
     if (isFill || x.isNaN) None else Some(x)
   }
 
+  /** Offset seconds for a timezone token: named UTC zones, `Z`, or a
+    * `±hh[:mm[:ss]]` / `±hhmm` numeric offset. None if not a zone token.
+    */
+  private def zoneOffsetSeconds(tok: String): Option[Int] = tok.toUpperCase match {
+    case "Z" | "UTC" | "GMT" | "UT" => Some(0)
+    case t if t.matches("[+-]\\d{1,2}(:?\\d{2})?(:?\\d{2})?") =>
+      val sign = if (t.startsWith("-")) -1 else 1
+      val digits = t.drop(1).replace(":", "")
+      val (hh, mm, ss) = digits.length match {
+        case 1 | 2 => (digits.toInt, 0, 0)
+        case 4 => (digits.take(2).toInt, digits.drop(2).toInt, 0)
+        case 6 => (digits.take(2).toInt, digits.slice(2, 4).toInt, digits.drop(4).toInt)
+        case _ => return None
+      }
+      Some(sign * (hh * 3600 + mm * 60 + ss))
+    case _ => None
+  }
+
   /** Decode a time value per its `units` attribute — "days since <epoch>" /
-    * "hours since <epoch>" (load_data.py:357-368). Returns micros since
+    * "hours since <epoch>" / "minutes/seconds since" (load_data.py:357-368).
+    * The epoch accepts a date or datetime, with an optional timezone as a
+    * trailing token ("... 00:00:00 UTC", "... -05:00") or attached suffix
+    * ("...T00:00:00Z") — common in real-world CF units strings; numeric
+    * offsets are APPLIED (epoch at -02:00 is two hours after the same
+    * wall-clock at UTC), not stripped. Returns micros since
     * 1970-01-01T00:00:00Z.
     */
   private[graft] def decodeTimeMicros(units: String, value: Double): Long = {
-    val u = units.toLowerCase.trim
-    val (scaleMicros, rest) =
-      if (u.startsWith("days since")) (86400000000.0, u.stripPrefix("days since").trim)
-      else if (u.startsWith("hours since")) (3600000000.0, u.stripPrefix("hours since").trim)
-      else if (u.startsWith("seconds since")) (1000000.0, u.stripPrefix("seconds since").trim)
-      else throw new IllegalArgumentException(s"unsupported time units: $units")
-    val epochStr = rest.takeWhile(c => c != 'Z' && c != '+').trim
-    val ld =
-      if (epochStr.contains(" ") || epochStr.contains("T"))
-        java.time.LocalDateTime.parse(epochStr.replace(' ', 'T'))
-      else java.time.LocalDate.parse(epochStr).atStartOfDay()
-    val epochMicros = ld.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val u = units.trim
+    val lower = u.toLowerCase
+    val scaleMicros =
+      if (lower.startsWith("days since")) 86400000000.0
+      else if (lower.startsWith("hours since")) 3600000000.0
+      else if (lower.startsWith("minutes since")) 60000000.0
+      else if (lower.startsWith("seconds since")) 1000000.0
+      else fail(s"unsupported time units: $units")
+    val toks = u.substring(lower.indexOf("since") + 5).trim
+      .split("\\s+").filter(_.nonEmpty).toBuffer
+    if (toks.isEmpty) fail(s"no epoch in time units: $units")
+    // trailing standalone zone token(s): "00:00:00 UTC", "00:00 -05:00"
+    var offsetSec = 0
+    while (toks.length > 1 && zoneOffsetSeconds(toks.last).isDefined) {
+      offsetSec = zoneOffsetSeconds(toks.last).get
+      toks.remove(toks.length - 1)
+    }
+    var dt = (if (toks.length >= 2 && toks(1).headOption.exists(_.isDigit))
+      s"${toks(0)}T${toks(1)}" else toks(0)).replace(' ', 'T')
+    // attached suffix: trailing Z, or a +/- offset after the time part (a
+    // '-' is only a zone marker past the first ':', never inside the date)
+    val colon = dt.indexOf(':')
+    val cut = Seq(
+      if (dt.toUpperCase.endsWith("Z")) dt.length - 1 else -1,
+      dt.indexOf('+'),
+      if (colon >= 0) dt.indexOf('-', colon) else -1).filter(_ >= 0)
+    if (cut.nonEmpty) {
+      val at = cut.min
+      offsetSec = zoneOffsetSeconds(dt.substring(at))
+        .getOrElse(fail(s"bad timezone in time units: $units"))
+      dt = dt.substring(0, at)
+    }
+    val ld = try {
+      if (dt.contains("T")) java.time.LocalDateTime.parse(dt)
+      else java.time.LocalDate.parse(dt).atStartOfDay()
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new NetCdfParseException(s"bad epoch in time units: $units", e)
+    }
+    val epochMicros =
+      ld.toEpochSecond(java.time.ZoneOffset.ofTotalSeconds(offsetSec)) * 1000000L +
+        ld.getNano / 1000L
     epochMicros + (value * scaleMicros).round
   }
 
@@ -329,7 +521,7 @@ object NetCdf {
   private def charStrings(v: ParsedVar): Array[String] = {
     val width = if (v.dims.length >= 2) v.dims.last.size else v.chars.length
     v.chars.grouped(width.max(1))
-      .map(g => new String(g, "UTF-8").trim.stripSuffix(" ").trim)
+      .map(g => new String(g, "UTF-8").trim.stripSuffix(" ").trim)
       .toArray
   }
 
@@ -343,7 +535,10 @@ object NetCdf {
 
   /** Tabularize one parsed file: 2D (profile × level) measurement arrays
     * explode to one row per (profile, level); 1D per-profile vars broadcast
-    * across that profile's levels.
+    * across that profile's levels. Record files parse to the same shape —
+    * the record dim is materialized at its record count — so native Argo
+    * per-float files (N_PROF unlimited) and ERDDAP fixed-size responses
+    * tabularize identically.
     */
   def tabularize(f: ParsedFile): Seq[ProfileLevel] = {
     val pres = resolve(f, "pressure")
@@ -413,20 +608,28 @@ object NetCdf {
     case NC_INT => "int"; case NC_FLOAT => "float"; case NC_DOUBLE => "double"
   }
 
+  /** Matches `*.nc` case-insensitively on the suffix — the reference's
+    * directory scan accepts both `*.nc` and `*.NC` (main.py:367-428).
+    */
+  private val NcGlob = "*.{nc,NC}"
+
   /** Schema inspection from container bytes — the reference's
     * `inspect_netcdf_file` report (ingest/load_data.py:158-199: dims with
     * sizes, variables with dtype/shape/attr counts) as a DataFrame, one
-    * task per file like [[read]].
+    * task per file like [[read]]. The record (UNLIMITED) dimension reports
+    * its materialized record count with dtype `record`.
     */
   def inspect(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").option("pathGlobFilter", "*.nc").load(path)
+    spark.read.format("binaryFile").option("pathGlobFilter", NcGlob).load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val file = p.substring(p.lastIndexOf('/') + 1)
         val f = parse(bytes)
         f.dims.map(d =>
-          InspectRow(file, "dim", d.name, None, d.size.toString, 0L)) ++
+          InspectRow(file, "dim", d.name,
+            if (f.recordDim.contains(d.name)) Some("record") else None,
+            d.size.toString, 0L)) ++
           f.vars.map(v => InspectRow(file, "var", v.name,
             Some(typeName(v.ncType)), v.dims.map(_.size).mkString("x"),
             v.attrs.size.toLong))
@@ -443,21 +646,49 @@ object NetCdf {
   def read(spark: SparkSession, path: String): DataFrame =
     read(spark, path, tolerant = false)
 
-  /** As [[read]]; with `tolerant = true` files that fail to parse are
-    * skipped instead of failing the job — the reference loader's behavior
-    * (`load_netcdf_file` catches, logs, and returns None,
+  /** As [[read]]; with `tolerant = true` files whose CONTAINER fails to
+    * parse ([[NetCdfParseException]] only — an engine bug still fails the
+    * job) are skipped instead of failing the scan — the reference loader's
+    * behavior (`load_netcdf_file` catches, logs, and returns None,
     * ingest/load_data.py:222-224). At corpus scale one truncated upload
-    * must not kill a million-file scan; pair with [[inspect]] to audit
-    * what was skipped.
+    * must not kill a million-file scan. Skips are NOT silent: pair with
+    * [[scanStatus]] for the per-file quarantine ledger (which files were
+    * dropped and why — the o3 skip-accounting pattern, design note 28).
     */
   def read(spark: SparkSession, path: String, tolerant: Boolean): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").option("pathGlobFilter", "*.nc").load(path)
+    spark.read.format("binaryFile").option("pathGlobFilter", NcGlob).load(path)
       .select("content").as[Array[Byte]]
       .flatMap { bytes =>
         if (!tolerant) tabularize(parse(bytes))
         else try tabularize(parse(bytes))
-        catch { case _: Exception => Seq.empty[ProfileLevel] }
+        catch { case _: NetCdfParseException => Seq.empty[ProfileLevel] }
+      }
+      .toDF()
+  }
+
+  /** Per-file parse status for a scan directory. */
+  final case class ScanStatus(
+      file: String, ok: Boolean, error: Option[String], n_rows: Long)
+
+  /** The quarantine ledger for a tolerant scan: one row per file with parse
+    * outcome, error message, and decoded row count — what `read(tolerant =
+    * true)` dropped and why. Same file-per-task fan-out as [[read]]; a
+    * million-file audit is one parallel pass.
+    */
+  def scanStatus(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", NcGlob).load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val file = p.substring(p.lastIndexOf('/') + 1)
+        try {
+          val rows = tabularize(parse(bytes))
+          ScanStatus(file, ok = true, None, rows.length.toLong)
+        } catch {
+          case e: NetCdfParseException =>
+            ScanStatus(file, ok = false, Some(e.getMessage), 0L)
+        }
       }
       .toDF()
   }

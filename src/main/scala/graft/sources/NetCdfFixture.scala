@@ -97,4 +97,86 @@ object NetCdfFixture {
       java.nio.file.Files.write(p.resolve(s"float_${100 + f}.nc"), fileBytes(f))
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
   }
+
+  // ---------------------------------------------- record-dimension variant
+
+  /** Serialize float `f`'s profiles as a RECORD file: N_PROF is the
+    * UNLIMITED dimension (size 0 in the dim list, numrecs = [[N_PROF]]),
+    * so per-profile slabs interleave after the fixed data — the layout of
+    * native per-float Argo profile files, vs the fixed-size ERDDAP
+    * response shape of [[fileBytes]]. Same closed-form values at the same
+    * (f, p, l), so the two encodings must tabularize identically modulo
+    * the time units:
+    *
+    *   - even floats: uppercase names, `_FillValue`, units
+    *     "days since 1950-01-01 00:00:00 UTC" (named-zone token);
+    *   - odd floats: lowercase names, `missing_value`, units
+    *     "hours since 1950-01-01 00:00:00 -02:00" — a real numeric-offset
+    *     epoch, so every decoded instant shifts +2 h vs the closed form;
+    *   - float f=4 stores PLATFORM_NUMBER as NC_CHAR over the record dim
+    *     (char record slabs);
+    *   - one fixed-size var (`DEPTH_INDEX`) rides along to exercise the
+    *     mixed fixed-then-record data layout.
+    */
+  def recordFileBytes(f: Int): Array[Byte] = {
+    val upper = f % 2 == 0
+    def nm(u: String, l: String) = if (upper) u else l
+    val dims = Seq(NcDim("N_PROF", 0), NcDim("N_LEVELS", N_LEVELS),
+      NcDim("STRING8", 8))
+    val fillAttr: Seq[(String, NcVal)] =
+      if (upper) Seq("_FillValue" -> NcFloats(Array(FILL)))
+      else Seq("missing_value" -> NcFloats(Array(FILL)))
+    val timeUnits =
+      if (upper) "days since 1950-01-01 00:00:00 UTC"
+      else "hours since 1950-01-01 00:00:00 -02:00"
+    def timeVal(p: Int): Double =
+      if (upper) juldDays(f, p) else juldDays(f, p) * 24.0
+
+    val platform: NcVar =
+      if (f == 4) {
+        val chars = (0 until N_PROF).flatMap { _ =>
+          (100 + f).toString.padTo(8, ' ').getBytes("UTF-8").toSeq
+        }.toArray
+        NcVar("PLATFORM_NUMBER", Seq(0, 2), NC_CHAR, Nil, NcChars(chars))
+      } else NcVar(nm("PLATFORM_NUMBER", "platform_number"), Seq(0), NC_DOUBLE,
+        Nil, NcDoubles(Array.fill(N_PROF)((100 + f).toDouble)))
+
+    val vars = Seq(
+      NcVar(nm("DEPTH_INDEX", "depth_index"), Seq(1), NC_INT, Nil,
+        NcInts((0 until N_LEVELS).toArray)), // fixed-size bystander
+      platform,
+      NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
+        NcInts((0 until N_PROF).map(1000 + _).toArray)),
+      NcVar(nm("JULD", "time"), Seq(0), NC_DOUBLE,
+        Seq("units" -> NcStr(timeUnits)),
+        NcDoubles((0 until N_PROF).map(timeVal).toArray)),
+      NcVar(nm("LATITUDE", "latitude"), Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until N_PROF).map(lat(f, _)).toArray)),
+      NcVar(nm("LONGITUDE", "longitude"), Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until N_PROF).map(lon(f, _)).toArray)),
+      NcVar(nm("PRES", "pres"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield pres(f, p, l)).toArray)),
+      NcVar(nm("TEMP", "temp"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield temp(f, p, l)).toArray)),
+      NcVar(nm("PSAL", "psal"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield psal(f, p, l)).toArray)))
+
+    writeBytes(dims,
+      Seq("title" -> NcStr(s"graft synthetic Argo float ${100 + f} (record)")),
+      vars, version = 1, numrecs = N_PROF)
+  }
+
+  /** Write the record-dimension fleet: floats 104 (lowercase `.nc`) and
+    * 105 (UPPERCASE `.NC` — the reference's scan accepts both suffixes).
+    */
+  def writeRecordFleet(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("rec_float_104.nc"), recordFileBytes(4))
+    java.nio.file.Files.write(p.resolve("rec_float_105.NC"), recordFileBytes(5))
+    java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
 }

@@ -124,6 +124,142 @@ class NetCdfSpec extends AnyFunSuite {
     assert(f101time.getLong(5) === 1L) // the units attr
   }
 
+  test("record (UNLIMITED) variables round-trip through interleaved record slabs") {
+    val dims = Seq(NcDim("rec", 0), NcDim("lev", 3), NcDim("str4", 4))
+    val nRec = 4
+    val vars = Seq(
+      // fixed var first: record data must start after it
+      NcVar("fixed", Seq(1), NC_INT, Nil, NcInts(Array(7, 8, 9))),
+      // scalar-per-record double
+      NcVar("t", Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until nRec).map(_ * 1.5).toArray)),
+      // (rec, lev) float — 12 bytes/record, 4-aligned
+      NcVar("v", Seq(0, 1), NC_FLOAT, Nil,
+        NcFloats((0 until nRec * 3).map(_.toFloat).toArray)),
+      // char record var (rec, str4)
+      NcVar("nm", Seq(0, 2), NC_CHAR, Nil,
+        NcChars("ab  cd  ef  gh  ".getBytes("UTF-8"))))
+    val bytes = NetCdf.writeBytes(dims, Nil, vars, version = 1, numrecs = nRec)
+    val f = NetCdf.parse(bytes)
+    assert(f.recordDim === Some("rec"))
+    assert(f.dims.head === NcDim("rec", nRec)) // materialized record count
+    assert(f.vars.find(_.name == "fixed").get.numeric.toSeq === Seq(7.0, 8.0, 9.0))
+    val t = f.vars.find(_.name == "t").get
+    assert(t.dims === Seq(NcDim("rec", nRec)))
+    assert(t.numeric.toSeq === Seq(0.0, 1.5, 3.0, 4.5))
+    val v = f.vars.find(_.name == "v").get
+    assert(v.dims.map(_.size) === Seq(nRec, 3))
+    assert(v.numeric.toSeq === (0 until 12).map(_.toDouble))
+    val nm = f.vars.find(_.name == "nm").get
+    assert(new String(nm.chars, "UTF-8") === "ab  cd  ef  gh  ")
+  }
+
+  test("single record variable: records are unpadded per the spec") {
+    // one NC_SHORT record var with 3 values/record = 6 bytes/record; with
+    // the single-record-var rule the stride is 6, NOT pad4(6) = 8. Write
+    // the container by hand to prove the PARSER honors the rule.
+    val dims = Seq(NcDim("r", 0), NcDim("k", 3))
+    val nRec = 3
+    val data = (1 to nRec * 3).map(_.toShort)
+    // header via writeBytes with zero records, then append hand-packed slabs
+    val empty = NetCdf.writeBytes(dims, Nil,
+      Seq(NcVar("s", Seq(0, 1), NC_SHORT, Nil, NcChars(Array.empty))),
+      version = 1, numrecs = 0)
+    val buf = java.nio.ByteBuffer.allocate(empty.length + nRec * 6)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(empty)
+    data.foreach(buf.putShort)
+    val bytes = buf.array()
+    // patch numrecs (bytes 4-8) to the real count
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(4, nRec)
+    val f = NetCdf.parse(bytes)
+    assert(f.vars.head.numeric.toSeq === data.map(_.toDouble))
+    // and the writer produces the same unpadded layout
+    val written = NetCdf.writeBytes(dims, Nil,
+      Seq(NcVar("s", Seq(0, 1), NC_SHORT, Nil, NcChars(Array.empty))),
+      version = 1, numrecs = 0)
+    assert(written.length === empty.length) // no record data emitted
+  }
+
+  test("STREAMING numrecs (-1) derives the record count from file length") {
+    val bytes = NetCdfFixture.recordFileBytes(4)
+    val patched = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(4, -1)
+    val f = NetCdf.parse(patched)
+    assert(f.dims.find(_.name == "N_PROF").get.size === NetCdfFixture.N_PROF)
+    assert(NetCdf.tabularize(f) === NetCdf.tabularize(NetCdf.parse(bytes)))
+  }
+
+  test("record fleet tabularizes to the fixed fleet's closed form (modulo epoch zone)") {
+    val rec4 = NetCdf.tabularize(NetCdf.parse(NetCdfFixture.recordFileBytes(4)))
+    assert(rec4.size === NetCdfFixture.N_PROF * NetCdfFixture.N_LEVELS)
+    assert(rec4.forall(_.float_id == "104")) // char record var decode
+    rec4.foreach { r =>
+      val (f, p, l) = (4, (r.profile_id - 1000).toInt, r.level.toInt)
+      assert(r.pres.isEmpty === ((f + p + l) % 7 == 0))
+      assert(r.lat.contains(NetCdfFixture.lat(f, p)))
+    }
+    // float 104: "days since ... UTC" — the named zone is offset 0, so the
+    // instants equal the plain closed form
+    val ts4 = rec4.find(r => r.profile_id == 1000L && r.level == 0L).get.ts.get
+    val base4 = NetCdf.decodeTimeMicros(
+      "days since 1950-01-01 00:00:00", NetCdfFixture.juldDays(4, 0))
+    assert(ts4.toInstant.toEpochMilli === base4 / 1000)
+    // float 105: epoch at -02:00 — every instant shifts +2 h
+    val rec5 = NetCdf.tabularize(NetCdf.parse(NetCdfFixture.recordFileBytes(5)))
+    val ts5 = rec5.find(r => r.profile_id == 1000L && r.level == 0L).get.ts.get
+    val base5 = NetCdf.decodeTimeMicros(
+      "days since 1950-01-01 00:00:00", NetCdfFixture.juldDays(5, 0))
+    assert(ts5.toInstant.toEpochMilli === base5 / 1000 + 2 * 3600 * 1000)
+  }
+
+  test("decodeTimeMicros: named zones, numeric offsets, attached suffixes") {
+    val hourUs = 3600000000L
+    assert(NetCdf.decodeTimeMicros("days since 1950-01-01 00:00:00 UTC", 7305.0) === 0L)
+    assert(NetCdf.decodeTimeMicros("days since 1950-01-01 00:00:00 GMT", 7305.0) === 0L)
+    assert(NetCdf.decodeTimeMicros("hours since 1970-01-01T00:00:00Z", 2.0) === 2 * hourUs)
+    // epoch at -05:00 is five hours AFTER midnight UTC
+    assert(NetCdf.decodeTimeMicros("hours since 1970-01-01 00:00:00 -05:00", 0.0) === 5 * hourUs)
+    assert(NetCdf.decodeTimeMicros("hours since 1970-01-01T00:00:00+05:00", 0.0) === -5 * hourUs)
+    assert(NetCdf.decodeTimeMicros("minutes since 1970-01-01", 90.0) === 5400000000L)
+    assertThrows[IllegalArgumentException](
+      NetCdf.decodeTimeMicros("days since not-a-date", 1.0))
+  }
+
+  test("scanStatus ledgers every file; tolerant read drops exactly the quarantined ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-status").toString
+    NetCdfFixture.writeFleet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/truncated.nc"),
+      NetCdfFixture.fileBytes(0).take(40)) // valid magic, truncated header
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/garbage.nc"),
+      "not netcdf at all".getBytes("UTF-8"))
+    val status = NetCdf.scanStatus(spark, dir).collect()
+    assert(status.length === NetCdfFixture.N_FLOATS + 2)
+    val bad = status.filter(!_.getBoolean(1))
+    assert(bad.map(_.getString(0)).sorted.toSeq === Seq("garbage.nc", "truncated.nc"))
+    assert(bad.forall(r => !r.isNullAt(2) && r.getString(2).nonEmpty)) // error recorded
+    val okRows = status.filter(_.getBoolean(1)).map(_.getLong(3)).sum
+    assert(okRows === NetCdf.read(spark, dir, tolerant = true).count())
+  }
+
+  test("read scans .NC (uppercase) files and decodes record containers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-rec").toString
+    NetCdfFixture.writeRecordFleet(dir)
+    val df = NetCdf.read(spark, dir)
+    assert(df.count() === 2L * NetCdfFixture.N_PROF * NetCdfFixture.N_LEVELS)
+    import org.apache.spark.sql.functions.col
+    val ids = df.select("float_id").distinct().collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("104", "105")) // 105 ships as .NC
+    // inspect flags the record dim
+    val recRow = NetCdf.inspect(spark, dir).where(col("name") === "N_PROF").collect()
+    assert(recRow.forall(r => r.getString(3) == "record" &&
+      r.getString(4) == NetCdfFixture.N_PROF.toString))
+  }
+
   test("tolerant read skips corrupt files; strict read fails on them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-corrupt").toString
     NetCdfFixture.writeFleet(dir)
