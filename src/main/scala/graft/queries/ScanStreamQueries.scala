@@ -464,7 +464,7 @@ private[graft] object ScanStreamQueries {
       // rewrite is ingest, not the measured operator
       val inbox = s"/tmp/graft_st4_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st4-ckpt").toString
+      val ckpt = scratchDir("graft-st4-ckpt").toString
       s.catalog.dropTempView("st4_mem")
       val q = graft.stream.WindowedStats.tumbling(
           s.readStream.schema(ev.schema).parquet(inbox),
@@ -491,7 +491,7 @@ private[graft] object ScanStreamQueries {
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
       val inbox = s"/tmp/graft_st5_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st5-ckpt").toString
+      val ckpt = scratchDir("graft-st5-ckpt").toString
       s.catalog.dropTempView("st5_mem")
       val src = s.readStream.schema(ev.schema).parquet(inbox)
       val clicks = src.filter(col("event_type") === "click")
@@ -525,7 +525,7 @@ private[graft] object ScanStreamQueries {
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
       val inbox = s"/tmp/graft_st7_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st7-ckpt").toString
+      val ckpt = scratchDir("graft-st7-ckpt").toString
       s.catalog.dropTempView("st7_mem")
       val src = s.readStream.schema(ev.schema).parquet(inbox)
       val clicks = src.filter(col("event_type") === "click")
@@ -560,9 +560,9 @@ private[graft] object ScanStreamQueries {
       val ev = Tables.events(s, dir).select("user_id", "value")
       val inbox = s"/tmp/graft_st8_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.repartition(4).write.mode("overwrite").parquet(_))
-      val state = java.nio.file.Files.createTempDirectory("graft-st8-state")
+      val state = scratchDir("graft-st8-state")
         .toString + "/tbl"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st8-ckpt").toString
+      val ckpt = scratchDir("graft-st8-ckpt").toString
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inbox)
       val agg = src.groupBy("user_id").agg(
@@ -609,7 +609,7 @@ private[graft] object ScanStreamQueries {
         .select(col("user_id").as("userId"), col("ts").cast("long").as("tsSec"))
       val inbox = s"/tmp/graft_st6_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st6-ckpt").toString
+      val ckpt = scratchDir("graft-st6-ckpt").toString
       s.catalog.dropTempView("st6_mem")
       val stream = s.readStream.schema(ev.schema).parquet(inbox)
         .as[graft.stream.SessionTracker.Event]
@@ -945,8 +945,8 @@ private[graft] object ScanStreamQueries {
       }
       // fresh per invocation: a reused path would accumulate re-appended
       // files when the query runs again with a new checkpoint
-      val out = java.nio.file.Files.createTempDirectory("graft-st9-out").toString + "/data"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st9-ckpt").toString
+      val out = scratchDir("graft-st9-out").toString + "/data"
+      val ckpt = scratchDir("graft-st9-ckpt").toString
       val q = s.readStream.schema(ev.schema).parquet(inbox)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -975,8 +975,8 @@ private[graft] object ScanStreamQueries {
       val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "value")
       val inbox = s"/tmp/graft_st10_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val out = java.nio.file.Files.createTempDirectory("graft-st10-out").toString + "/data"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st10-ckpt").toString
+      val out = scratchDir("graft-st10-out").toString + "/data"
+      val ckpt = scratchDir("graft-st10-ckpt").toString
       val dim = Tables.nation(s, dir).select("n_nationkey", "n_name")
       val q = s.readStream.schema(ev.schema).parquet(inbox)
         .withColumn("nkey", col("user_id") % 25)
@@ -1076,8 +1076,8 @@ private[graft] object ScanStreamQueries {
         ev.coalesce(1).write.mode("overwrite").parquet(p)
         ev.coalesce(1).write.mode("append").parquet(p)
       }
-      val out = java.nio.file.Files.createTempDirectory("graft-st11-out").toString + "/data"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st11-ckpt").toString
+      val out = scratchDir("graft-st11-out").toString + "/data"
+      val ckpt = scratchDir("graft-st11-ckpt").toString
       val q = s.readStream.schema(ev.schema).parquet(inbox)
         .withWatermark("ts", "0 seconds")
         .dropDuplicatesWithinWatermark("event_id")
@@ -1119,8 +1119,8 @@ private[graft] object ScanStreamQueries {
         ev.filter(col("event_id") % 2 === 1).coalesce(1)
           .write.mode("append").parquet(p)
       }
-      val gens = java.nio.file.Files.createTempDirectory("graft-st12-gen").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-st12-ckpt").toString
+      val gens = scratchDir("graft-st12-gen").toString
+      val ckpt = scratchDir("graft-st12-ckpt").toString
       @volatile var current: Option[String] = None
       val q = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(inbox)

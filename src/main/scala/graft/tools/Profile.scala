@@ -1,29 +1,15 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.{QueryContext, Tables}
-import graft.agg.Stats
-import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
-/** Scratch profiler for round-8 CC-trio work — not part of the engine. */
+/** Scratch profiler for round-8 one-shot streaming cost — not engine code. */
 object Profile {
   def t[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
     println(f"PROF $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     r
   }
-
-  /** shingles with the token array bound ONCE as a lambda variable. */
-  def shinglesFast(toksExpr: Column, n: Int): Column =
-    element_at(
-      transform(array(toksExpr), tks =>
-        when(size(tks) >= n,
-          transform(sequence(lit(0), size(tks) - n),
-            i => concat_ws(" ", (1 to n).map(j => element_at(tks, i + lit(j))): _*)))
-          .otherwise(array().cast("array<string>"))),
-      1)
-
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -35,35 +21,24 @@ object Profile {
       .withExtensions(new graft.expressions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println("java.io.tmpdir=" + System.getProperty("java.io.tmpdir"))
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"BATCH ${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}")
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     spark.range(1000).selectExpr("sum(id)").collect()
-
-    val base = Tables.documents(spark, dir).select("doc_id", "text")
-    val variants = base.filter(col("doc_id") % 25 === 0)
-      .withColumn("doc_id", col("doc_id") + 100000)
-      .withColumn("text", concat(col("text"), lit(" tailword")))
-    def docs = base.unionByName(variants).repartition(32, col("doc_id"))
-
-    def inlineShape = Dedup.withShingleHash(docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
-      .select("doc_id", "sh_hi", "sh_lo")
-    def fastShape = Dedup.withShingleHash(docs.select(col("doc_id"),
-        explode(array_distinct(shinglesFast(Dedup.tokens(col("text")), 3))).as("shingle")))
-      .select("doc_id", "sh_hi", "sh_lo")
-
-    t("warm inline") { inlineShape.count() }
-    t("warm fast") { fastShape.count() }
-    // equality check
-    val a = inlineShape.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      sum(col("sh_hi").cast("decimal(38,0)")).as("s"))
-    val b = fastShape.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      sum(col("sh_hi").cast("decimal(38,0)")).as("s"))
-    println("DIFF rows = " + a.exceptAll(b).unionByName(b.exceptAll(a)).count())
-    for (rep <- 1 to 3) {
-      println(s"--- rep $rep ---")
-      t("inline count") { inlineShape.count() }
-      t("fast count") { fastShape.count() }
-      t("fast ckpt materialize") { fastShape.localCheckpoint(false).count() }
+    val names = Seq("st5_stream_join", "st8_incremental_agg", "st7_stream_outer_join")
+    // warm one
+    t("warm st5") { graft.SparkEntry.queries("st5_stream_join")(spark, dir).count() }
+    for (rep <- 1 to 2; n <- names) {
+      Thread.sleep(500) // let listener drain
+      t(s"$n one-shot rep$rep") { graft.SparkEntry.queries(n)(spark, dir).count() }
     }
+    Thread.sleep(1000)
     spark.stop()
   }
 }
