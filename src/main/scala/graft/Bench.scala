@@ -1,21 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** The three-tier bench profile, keyed on total input bytes (measured on
+  * the round-7 rehearsal pair, BENCH_NOTES.md):
+  *   - tiny (< 64 MiB): latency-bound — 4-wide shuffles, AQE/compression
+  *     off (32-wide COSTS 1.6× at sf0.1: task overhead dominates KB
+  *     shuffles).
+  *   - mid (64 MiB – 2 GiB): shuffles carry real volume — cores-wide
+  *     width, still no AQE (AQE's per-stage materialization doubled dd8 at
+  *     ~sf1; width alone cut the heavy-query total 2.7×).
+  *   - large (≥ 2 GiB): Spark defaults with AQE + compression — runtime
+  *     re-planning and skew splitting keep cluster-scale plans healthy.
+  * Factored out of Bench.main so BenchProfileSpec can pin the boundaries —
+  * a threshold typo must not silently run sf1 in the interactive tier.
+  */
+object BenchProfile {
+  final case class Profile(
+      shufflePartitions: Int, aqe: Boolean, compress: Boolean, name: String)
+  val InteractiveMax: Long = 64L << 20
+  val MidMax: Long = 2L << 30
+  def tier(inputBytes: Long, cpus: Int): Profile =
+    if (inputBytes < InteractiveMax) Profile(4, aqe = false, compress = false, "interactive")
+    else if (inputBytes < MidMax) Profile(cpus, aqe = false, compress = false, "mid")
+    else Profile(cpus, aqe = true, compress = true, "large")
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Profile selection by input size, three tiers (measured on the round-7
-    // rehearsal pair, BENCH_NOTES.md):
-    //   - tiny (< 64 MiB, the driver's sf0.1 fixture): latency-bound — 4-wide
-    //     shuffles, AQE/compression off. 32-wide here COSTS 1.6× (4→32
-    //     tripled gr2/dd8 at sf0.1: task overhead dominates KB shuffles).
-    //   - mid (64 MiB – 2 GiB, the ~sf1 rehearsal): shuffles carry real
-    //     volume — cores-wide width, still no AQE/compression (AQE's
-    //     per-stage materialization doubled dd8 at ~sf1; width alone cut the
-    //     heavy-query total 2.7×).
-    //   - large (≥ 2 GiB): Spark defaults with AQE + compression — runtime
-    //     re-planning and skew splitting are what keep cluster-scale plans
-    //     healthy.
+    // Tier selection lives in BenchProfile (see its doc + BenchProfileSpec).
     // Heavy compute stages additionally pin their own parallelism via
     // explicit repartition(n, key) where the input is a single row group.
     val inputBytes =
@@ -24,17 +38,16 @@ object Bench {
           if (f.isDirectory) f.listFiles().map(size).sum else f.length()
         size(new java.io.File(sfDir))
       } catch { case _: Throwable => Long.MaxValue }
-    val interactive = inputBytes < (64L << 20)
-    val mid = !interactive && inputBytes < (2L << 30)
+    val profile = BenchProfile.tier(inputBytes, cpus.toInt)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", if (interactive) "4" else cpus)
+      .config("spark.sql.shuffle.partitions", profile.shufflePartitions.toString)
       // Pin UTC: Tables.events rebinds TIMESTAMP_NTZ fixtures via a session-TZ
       // cast; UTC makes that cast value-identical on any machine.
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", (!interactive && !mid).toString)
-      .config("spark.shuffle.compress", (!interactive && !mid).toString)
-      .config("spark.shuffle.spill.compress", (!interactive && !mid).toString)
+      .config("spark.sql.adaptive.enabled", profile.aqe.toString)
+      .config("spark.shuffle.compress", profile.compress.toString)
+      .config("spark.shuffle.spill.compress", profile.compress.toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.expressions.GraftExtensions())
     // Optional extra confs: SPARK_GRAFT_CONF="k1=v1;k2=v2" (experiments).

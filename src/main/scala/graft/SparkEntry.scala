@@ -28,7 +28,7 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ScanStreamQueries.queries ++ DedupQueries.queries ++
+    ScanStreamQueries.queries ++ StreamingQueries.queries ++ DedupQueries.queries ++
       TextPipelineQueries.queries ++ AnalyticsQueries.queries ++
       VectorQueries.queries
 

@@ -339,18 +339,6 @@ private[graft] object ScanStreamQueries {
         .orderBy("media_id", "cell_y", "cell_x")
     },
 
-    // ---- ST2 idempotent multi-upload union (first-arrival-wins) ------------
-    "st2_idempotent_union" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
-      val u1 = ev.filter(col("event_id") % 3 === 0).withColumn("arrival", lit(1))
-      val u2 = ev.filter(col("event_id") % 3 === 1).withColumn("arrival", lit(2))
-      val u3 = ev.filter(col("event_id") % 2 === 0).withColumn("arrival", lit(3))
-      Ingest.idempotentUnion(Seq(u1, u2, u3), "event_id", "arrival")
-        .groupBy("arrival")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("arrival")
-    },
-
     // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
     // directory-tree scan whose predicate prunes at the PARTITION level —
     // the filter never reaches row groups of other priorities; at 100 TB
@@ -447,184 +435,6 @@ private[graft] object ScanStreamQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
           col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
         .orderBy("float_id", "profile_id", "level")
-    },
-
-    // ---- ST: event-time tumbling-window stats as a REAL streaming query ----
-    // readStream over a parquet inbox → watermark + window() groupBy (shared
-    // aggregate exprs with the batch A1/A3 path) → memory sink, drained with
-    // Trigger.AvailableNow. Complete mode is the test-harness shape (memory
-    // sink, all windows emitted for the oracle compare); a live deployment
-    // uses append mode where the same watermark evicts closed-window state —
-    // the property that keeps a 1000-executor job's state finite. The oracle
-    // is the batch equivalent: hour-truncated group-by in DuckDB.
-    "st4_stream_windowed" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "value")
-      // one-time micros-normalized inbox per sfDir (the raw fixture is
-      // TIMESTAMP(NANOS), which the streaming parquet source rejects); the
-      // rewrite is ingest, not the measured operator
-      val inbox = s"/tmp/graft_st4_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val ckpt = scratchDir("graft-st4-ckpt").toString
-      s.catalog.dropTempView("st4_mem")
-      val q = graft.stream.WindowedStats.tumbling(
-          s.readStream.schema(ev.schema).parquet(inbox),
-          "ts", "1 hour", "1 hour", Seq("value"))
-        .writeStream.format("memory").queryName("st4_mem")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt) // drained AvailableNow run; RocksDB state is dead weight
-      s.table("st4_mem").orderBy("window_start")
-    },
-
-    // ---- ST: stream-stream event-time interval join (click→purchase
-    // attribution). Both sides watermarked + the interval term in the join
-    // condition is what lets Spark EVICT join state (left row once the
-    // watermark passes click_ts + window, right row once it passes
-    // purchase_ts) — without it state grows forever. Inner matches emit as
-    // they arrive, so the drained AvailableNow run equals the batch join
-    // the oracle computes; StreamJoinSpec drives the multi-batch path and
-    // asserts the eviction actually happens. -------------------------------
-    "st5_stream_join" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
-      val inbox = s"/tmp/graft_st5_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val ckpt = scratchDir("graft-st5-ckpt").toString
-      s.catalog.dropTempView("st5_mem")
-      val src = s.readStream.schema(ev.schema).parquet(inbox)
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
-          "click_ts", "purchase_ts", watermark = "1 hour", windowSec = 3600L)
-        .select("user_id", "click_id", "purchase_id")
-        .writeStream.format("memory").queryName("st5_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.table("st5_mem").orderBy("click_id", "purchase_id")
-    },
-
-    // ---- ST: stream-stream LEFT OUTER interval join. Matches emit as
-    // they arrive (inner path); an unmatched click emits null-extended
-    // only when the watermark passes click_ts + window — state eviction
-    // proving no future purchase can match. The global watermark is the
-    // MIN across both sides' watermark nodes (multipleWatermarkPolicy
-    // default), i.e. least(max click_ts, max purchase_ts) after the
-    // drain, and the oracle encodes exactly that boundary (strict <;
-    // StreamJoinSpec pins the eviction behavior). Single-file inbox ⇒
-    // one data batch ⇒ no cross-batch late-arrival ambiguity (ingest,
-    // not the operator). --------------------------------------------------
-    "st7_stream_outer_join" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
-      val inbox = s"/tmp/graft_st7_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
-      val ckpt = scratchDir("graft-st7-ckpt").toString
-      s.catalog.dropTempView("st7_mem")
-      val src = s.readStream.schema(ev.schema).parquet(inbox)
-      val clicks = src.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      val q = graft.stream.StreamJoin.intervalJoin(clicks, purchases, "user_id",
-          "click_ts", "purchase_ts", watermark = "0 seconds", windowSec = 3600L,
-          joinType = "leftOuter")
-        .select("user_id", "click_id", "purchase_id")
-        .writeStream.format("memory").queryName("st7_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.table("st7_mem").orderBy("click_id", "purchase_id")
-    },
-
-    // ---- ST: incremental materialized view — the production streaming-ETL
-    // pattern. An UPDATE-mode aggregation emits each key's new cumulative
-    // total per micro-batch (maxFilesPerTrigger=1 forces four real
-    // batches), and foreachBatch MERGES those deltas into a keyed parquet
-    // table via the last-writer-wins upsert (version = batchId). However
-    // the files split into batches, the last update per key carries its
-    // final total, so the merged table equals the batch GROUP BY the
-    // oracle runs — while state per key stays O(1) and the sink table is
-    // queryable between batches, which is the whole point at 100 TB:
-    // never recompute the view from scratch. -----------------------------
-    "st8_incremental_agg" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("user_id", "value")
-      val inbox = s"/tmp/graft_st8_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.repartition(4).write.mode("overwrite").parquet(_))
-      val state = scratchDir("graft-st8-state")
-        .toString + "/tbl"
-      val ckpt = scratchDir("graft-st8-ckpt").toString
-      val src = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inbox)
-      val agg = src.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
-      val q = agg.writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val incoming = batch.withColumn("__ver", lit(batchId))
-          val merged =
-            if (new java.io.File(s"$state/_SUCCESS").exists())
-              graft.operators.Upsert.lastWriterWins(
-                s.read.parquet(state), incoming, "user_id", "__ver", "__ver")
-            else incoming
-          // eager checkpoint severs the lineage from the files being
-          // overwritten — read-modify-write on one dir is safe
-          merged.localCheckpoint(true).write.mode("overwrite").parquet(state)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(state)
-        .select(col("user_id"), col("n_events"),
-          round(col("sum_value"), 2).as("sum_value"))
-        .orderBy("user_id")
-    },
-
-    // ---- ST: stateful gap sessionization via flatMapGroupsWithState.
-    // State per key is ONE open-session record (start, last, n) — O(active
-    // keys), not O(events) — and the event-time timeout closes sessions for
-    // keys that fall silent, so state drains even on an unbounded stream.
-    // The drained AvailableNow run emits every session EXCEPT each key's
-    // final one when the corpus watermark never passes its gap; the oracle
-    // encodes exactly that closure rule (sid < max sid, or end+gap <
-    // global max ts — Spark fires EventTimeTimeout on timeout < watermark,
-    // strictly) over the batch lag+running-sum sessionization. ------------
-    "st6_stream_sessions" -> { (s, dir) =>
-      import s.implicits._
-      implicit val sp: SparkSession = s
-      // micros-normalized single-file inbox: one file ⇒ one data batch ⇒
-      // per-key fold sees every event together (ingest, not the operator)
-      val ev = Tables.events(s, dir)
-        .select(col("user_id").as("userId"), col("ts").cast("long").as("tsSec"))
-      val inbox = s"/tmp/graft_st6_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
-      val ckpt = scratchDir("graft-st6-ckpt").toString
-      s.catalog.dropTempView("st6_mem")
-      val stream = s.readStream.schema(ev.schema).parquet(inbox)
-        .as[graft.stream.SessionTracker.Event]
-      val q = graft.stream.SessionTracker.sessions(stream, gapSeconds = 1800L)
-        .writeStream.format("memory").queryName("st6_mem")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.table("st6_mem")
-        .select(col("userId").as("user_id"), col("startSec").as("start_sec"),
-          col("endSec").as("end_sec"), col("nEvents").as("n_events"))
-        .orderBy("user_id", "start_sec")
     },
 
     // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real
@@ -929,73 +739,6 @@ private[graft] object ScanStreamQueries {
         .orderBy("doc_id")
     },
 
-    // ---- streaming exactly-once dedup: the same event file lands in the
-    // inbox TWICE (at-least-once delivery) and
-    // dropDuplicatesWithinWatermark must emit each event exactly once.
-    // Watermarked dedup state evicts once event-time passes, so the state
-    // store holds a bounded window of keys — the property that lets this
-    // run forever at ingest scale (plain dropDuplicates would pin every
-    // key ever seen). Drained sink re-aggregated for the oracle. ---------
-    "st9_stream_dedup" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
-      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox) { p =>
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
-        ev.coalesce(1).write.mode("append").parquet(p)
-      }
-      // fresh per invocation: a reused path would accumulate re-appended
-      // files when the query runs again with a new checkpoint
-      val out = scratchDir("graft-st9-out").toString + "/data"
-      val ckpt = scratchDir("graft-st9-ckpt").toString
-      val q = s.readStream.schema(ev.schema).parquet(inbox)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(out)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          countDistinct("event_id").as("n_distinct"),
-          round(sum("value"), 2).as("sum_value"))
-        .orderBy("event_type")
-    },
-
-    // ---- stream-static enrichment join: the streaming fact joins a
-    // BROADCAST dimension (no dimension state in the store, re-read per
-    // micro-batch, so dim updates flow in without restarting the query) —
-    // the standard shape for decorating an event stream with reference
-    // data. Stateless, so append emits every enriched row on arrival. ----
-    "st10_stream_static" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "value")
-      val inbox = s"/tmp/graft_st10_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
-      val out = scratchDir("graft-st10-out").toString + "/data"
-      val ckpt = scratchDir("graft-st10-ckpt").toString
-      val dim = Tables.nation(s, dir).select("n_nationkey", "n_name")
-      val q = s.readStream.schema(ev.schema).parquet(inbox)
-        .withColumn("nkey", col("user_id") % 25)
-        .join(broadcast(dim), col("nkey") === col("n_nationkey"))
-        .select("event_id", "n_name", "value")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(out)
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-        .orderBy("n_name")
-    },
-
     // ---- dynamic partition overwrite: rewrite ONLY the partitions the
     // incoming frame touches (one event_type here), leaving every other
     // partition's files untouched — the selective-backfill op that at
@@ -1059,102 +802,6 @@ private[graft] object ScanStreamQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
-    },
-
-    // ---- CHAINED stateful streaming: watermarked dedup FEEDING a
-    // windowed aggregation in ONE query (multiple stateful operators per
-    // stream, Spark 3.4+) — the shape that used to force two queries with
-    // an intermediate sink. The inbox holds every event twice; the hourly
-    // stats must equal single-copy batch stats for every window the
-    // watermark finalized (append emits a window once wm ≥ its end, so
-    // the trailing partial window correctly stays open — the oracle
-    // encodes that boundary). --------------------------------------------
-    "st11_dedup_window_chain" -> { (s, dir) =>
-      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type", "value")
-      val inbox = s"/tmp/graft_st9_inbox_${cacheTag(dir, "events")}" // st9's doubled inbox
-      materializeOnce(inbox) { p =>
-        ev.coalesce(1).write.mode("overwrite").parquet(p)
-        ev.coalesce(1).write.mode("append").parquet(p)
-      }
-      val out = scratchDir("graft-st11-out").toString + "/data"
-      val ckpt = scratchDir("graft-st11-ckpt").toString
-      val q = s.readStream.schema(ev.schema).parquet(inbox)
-        .withWatermark("ts", "0 seconds")
-        .dropDuplicatesWithinWatermark("event_id")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n_rows"),
-          round(min("value"), 4).as("value_min"),
-          round(max("value"), 4).as("value_max"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("n_rows"), col("value_min"), col("value_max"))
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(out).orderBy("window_start")
-    },
-
-    // ---- foreachBatch streaming MERGE: the sink-side upsert pattern for
-    // stores with no native streaming writer (JDBC, plain parquet tables,
-    // vendor warehouses). Two inbox files + maxFilesPerTrigger=1 force two
-    // real micro-batches; each batch folds into the previous table
-    // GENERATION with an argmax-per-user merge. The merge op is
-    // associative AND commutative (global argmax on (ts, event_id)), so
-    // the result is independent of batch arrival order — the property
-    // that makes the pattern restart-safe: replaying a batch after a
-    // checkpoint recovery converges to the same table. Generations make
-    // each batch's write atomic-by-rename-free overwrite-to-new-dir (a
-    // read-modify-overwrite of ONE dir would corrupt on mid-write crash).
-    "st12_foreachbatch_merge" -> { (s, dir) =>
-      val ev = Tables.events(s, dir)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-      val inbox = s"/tmp/graft_st12_inbox_${cacheTag(dir, "events")}"
-      materializeOnce(inbox) { p =>
-        ev.filter(col("event_id") % 2 === 0).coalesce(1)
-          .write.mode("overwrite").parquet(p)
-        ev.filter(col("event_id") % 2 === 1).coalesce(1)
-          .write.mode("append").parquet(p)
-      }
-      val gens = scratchDir("graft-st12-gen").toString
-      val ckpt = scratchDir("graft-st12-ckpt").toString
-      @volatile var current: Option[String] = None
-      val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inbox)
-        .writeStream
-        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          val merged = current match {
-            case Some(prev) => s.read.parquet(prev).unionByName(batch.toDF())
-            case None => batch.toDF()
-          }
-          val next = s"$gens/gen_$batchId"
-          // the generation keeps the EVENT schema (incl. event_id) so the
-          // next batch's merge can still tie-break on (ts, event_id)
-          merged.groupBy("user_id")
-            .agg(max_by(
-              struct(col("event_id"), col("ts"), col("event_type"), col("value")),
-              struct(col("ts"), col("event_id"))).as("last"))
-            .select(col("last.event_id").as("event_id"), col("last.ts").as("ts"),
-              col("user_id"), col("last.event_type").as("event_type"),
-              col("last.value").as("value"))
-            .write.mode("overwrite").parquet(next)
-          current = Some(next)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      rmTree(ckpt)
-      s.read.parquet(current.get)
-        .select(col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
-          col("event_type").as("last_type"),
-          round(col("value"), 4).as("last_value"))
-        .orderBy("user_id")
     },
 
     // ---- per-float track geometry (the reference's per-float lat/lon

@@ -11,15 +11,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1 10
   */
 object MakeScale {
-  def main(args: Array[String]): Unit = {
-    val Array(src, dst, copiesStr) = args.take(3)
-    val copies = copiesStr.toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  def build(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     val Shift = 100000000L
     val keyed: Map[String, Seq[String]] = Map(
       "lineitem" -> Seq("l_orderkey"),
@@ -46,6 +38,17 @@ object MakeScale {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[makescale] $t x$copies written")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, copiesStr) = args.take(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, dst, copiesStr.toInt)
     spark.stop()
   }
 }

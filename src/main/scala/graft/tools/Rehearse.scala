@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-command ~sf1 scale-regression gate.
+  *
+  * Builds the 10× key-shifted rehearsal fixture from sf0.1 if absent
+  * ([[MakeScale]]), then one-shot-times the scale-sensitive query set with
+  * the mid-tier bench profile and fails (exit 1) if any query errors,
+  * returns no rows, or blows its wall-time threshold — so a plan
+  * regression (a lost broadcast, a resurrected cartesian, a checkpoint
+  * that stopped cutting lineage) fails HERE, in one local command, instead
+  * of surfacing as a mysterious driver-bench blowup a round later.
+  *
+  * Thresholds are ~2× the times measured on this box in round 8 (see
+  * BENCH_NOTES.md) — loose enough for background-load wobble, tight
+  * enough that the asymptotic failures this gate exists for (quadratic
+  * pair generation, O(diameter) CC rounds, wedge materialization) land
+  * far past them.
+  *
+  * Usage: sbt "runMain graft.tools.Rehearse [srcSfDir] [rehearsalDir]"
+  *   defaults:  /root/testdata/sf0.1  /tmp/graft_sf1
+  */
+object Rehearse {
+
+  /** (query, max seconds) — the scale-sensitive set from the r7 verdict. */
+  val Gate: Seq[(String, Double)] = Seq(
+    "dd8_lsh_verified" -> 20.0,
+    "dd9_dup_groups" -> 40.0,
+    "dd16_canonical_pick" -> 45.0,
+    "gr1_pagerank" -> 15.0,
+    "gr2_triangle_count" -> 30.0,
+    "tp1_token_packing" -> 15.0,
+    "dc2_neardup_decontam" -> 25.0,
+    "st4_stream_windowed" -> 20.0,
+    "e8_ivf_recall" -> 25.0,
+    "mm1_media_features" -> 30.0)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
+    // mid-tier bench profile (64 MiB – 2 GiB): cores-wide shuffles, no AQE
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+      println(s"[rehearse] building 10x fixture $dst from $src")
+      MakeScale.build(spark, src, dst, copies = 10)
+    } else println(s"[rehearse] reusing fixture $dst")
+    spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
+
+    var failed = 0
+    Gate.foreach { case (name, maxSec) =>
+      val fn = graft.SparkEntry.queries(name)
+      val r = try {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dst).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (rows <= 0) { failed += 1; f"FAIL $name%-22s $sec%8.2f s  rows=0" }
+        else if (sec > maxSec) { failed += 1
+          f"FAIL $name%-22s $sec%8.2f s  over threshold ${maxSec}%.0f s  rows=$rows" }
+        else f"PASS $name%-22s $sec%8.2f s  rows=$rows"
+      } catch { case e: Throwable =>
+        failed += 1; f"FAIL $name%-22s error: ${e.getMessage.take(120)}"
+      }
+      println(s"[rehearse] $r")
+    }
+    spark.stop()
+    if (failed > 0) {
+      println(s"[rehearse] $failed of ${Gate.size} gates FAILED")
+      sys.exit(1)
+    }
+    println(s"[rehearse] all ${Gate.size} gates passed")
+  }
+}
