@@ -144,24 +144,32 @@ private[graft] object StreamingQueries {
       val ev = Tables.events(s, dir).select("user_id", "value")
       val inbox = s"/tmp/graft_st8_inbox_${cacheTag(dir, "events")}"
       materializeOnce(inbox)(ev.repartition(4).write.mode("overwrite").parquet(_))
-      val state = scratchDir("graft-st8-state")
-        .toString + "/tbl"
+      val stateRoot = scratchDir("graft-st8-state")
       val ckpt = scratchDir("graft-st8-ckpt").toString
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inbox)
       val agg = src.groupBy("user_id").agg(
         count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      // Versioned state generations (the st12 pattern): each batch reads
+      // generation batchId-1 and writes generation batchId — no in-place
+      // overwrite, so no lineage-severing checkpoint job per batch (one
+      // materialization fewer per micro-batch than read-modify-write), and
+      // a foreachBatch RETRY simply rewrites its own generation without
+      // corrupting the previous one. This is also the shape a real
+      // incremental-MV sink takes at scale: atomic snapshot publish, not
+      // mutation.
+      @volatile var current: Option[String] = None
       val q = agg.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val incoming = batch.withColumn("__ver", lit(batchId))
-          val merged =
-            if (new java.io.File(s"$state/_SUCCESS").exists())
-              graft.operators.Upsert.lastWriterWins(
-                s.read.parquet(state), incoming, "user_id", "__ver", "__ver")
-            else incoming
-          // eager checkpoint severs the lineage from the files being
-          // overwritten — read-modify-write on one dir is safe
-          merged.localCheckpoint(true).write.mode("overwrite").parquet(state)
+          val merged = current match {
+            case Some(prev) => graft.operators.Upsert.lastWriterWins(
+              s.read.parquet(prev), incoming, "user_id", "__ver", "__ver")
+            case None => incoming
+          }
+          val next = s"$stateRoot/v$batchId"
+          merged.write.mode("overwrite").parquet(next)
+          current = Some(next)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -169,7 +177,7 @@ private[graft] object StreamingQueries {
         .start()
       q.awaitTermination()
       rmTree(ckpt)
-      s.read.parquet(state)
+      s.read.parquet(current.get)
         .select(col("user_id"), col("n_events"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id")
