@@ -25,7 +25,7 @@ object Rehearse {
 
   /** (query, max seconds) — the scale-sensitive set from the r7 verdict. */
   val Gate: Seq[(String, Double)] = Seq(
-    "dd8_lsh_verified" -> 20.0,
+    "dd8_lsh_verified" -> 35.0,
     "dd9_dup_groups" -> 40.0,
     "dd16_canonical_pick" -> 45.0,
     "gr1_pagerank" -> 15.0,
