@@ -1,9 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+import java.util.concurrent.atomic.AtomicInteger
 
-/** Scratch profiler for round-8 one-shot streaming cost — not engine code. */
+/** Scratch profiler for round-8 perf work — not part of the engine. */
 object Profile {
   def t[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -21,24 +22,35 @@ object Profile {
       .withExtensions(new graft.expressions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("java.io.tmpdir=" + System.getProperty("java.io.tmpdir"))
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        println(s"BATCH ${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}")
+    val jobs = new AtomicInteger(0)
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); starts.put(j.jobId, System.nanoTime())
       }
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val t0 = starts.getOrDefault(j.jobId, 0L)
+        jobLog.add(f"job ${j.jobId} ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     })
     spark.range(1000).selectExpr("sum(id)").collect()
-    val names = Seq("st5_stream_join", "st8_incremental_agg", "st7_stream_outer_join")
-    // warm one
-    t("warm st5") { graft.SparkEntry.queries("st5_stream_join")(spark, dir).count() }
-    for (rep <- 1 to 2; n <- names) {
-      Thread.sleep(500) // let listener drain
-      t(s"$n one-shot rep$rep") { graft.SparkEntry.queries(n)(spark, dir).count() }
+    t("warm dd9") { graft.SparkEntry.queries("dd9_dup_groups")(spark, dir).count() }
+    Thread.sleep(300)
+    for (rep <- 1 to 2) {
+      jobs.set(0); jobLog.clear()
+      t(s"dd9 one-shot rep$rep") {
+        graft.SparkEntry.queries("dd9_dup_groups")(spark, dir).count()
+      }
+      Thread.sleep(300)
+      println(s"  jobs=${jobs.get()}  " + jobLog.toArray.mkString(" | "))
+      jobs.set(0); jobLog.clear()
+      t(s"dd16 one-shot rep$rep") {
+        graft.SparkEntry.queries("dd16_canonical_pick")(spark, dir).count()
+      }
+      Thread.sleep(300)
+      println(s"  jobs=${jobs.get()}  " + jobLog.toArray.mkString(" | "))
     }
-    Thread.sleep(1000)
     spark.stop()
   }
 }
