@@ -29,6 +29,14 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every Rehearse gate entry names a real query") {
+    // a query rename must not silently hollow out the ~sf1 scale gate
+    graft.tools.Rehearse.Gate.foreach { case (name, maxSec) =>
+      assert(SparkEntry.queries.contains(name), s"gate names unknown query $name")
+      assert(maxSec > 0)
+    }
+  }
+
   test("every query has matching column names with its oracle alias set") {
     // Each declared query must run and produce >0 rows on the smoke fixture.
     SparkEntry.queries.foreach { case (name, fn) =>
