@@ -146,8 +146,12 @@ object NetCdf {
       val raw = perRecCount(v) * typeSize(v.ncType)
       if (singleRec) raw else pad4(raw)
     }
+    // header vsize: per-record bytes for record vars (padded, EXCEPT the
+    // single-record-var case where the spec stores the exact unpadded size
+    // — third-party readers may use it as the record stride), full padded
+    // size for fixed vars
     def vsize(v: NcVar): Int =
-      if (isRec(v)) pad4(perRecCount(v) * typeSize(v.ncType))
+      if (isRec(v)) slabPadded(v)
       else pad4(fixedCount(v) * typeSize(v.ncType))
     val beginSz = if (version == 2) 8 else 4
 
