@@ -328,8 +328,18 @@ object NetCdf {
 
     def isRec(dimIds: Seq[Int]): Boolean =
       recDimId >= 0 && dimIds.headOption.contains(recDimId)
-    def perRec(dimIds: Seq[Int]): Int =
-      dimIds.filter(_ != recDimId).map(dims(_).size.toLong).product.toInt.max(1)
+    // element counts computed in Long and bounded by the FILE LENGTH before
+    // any allocation: a corrupt dim size or numrecs must quarantine as a
+    // parse error, not OOM the executor with a multi-GB array request
+    // (found by the NetCdfSpec fuzz pass)
+    def boundedCount(n: Long, what: String): Int = {
+      if (n < 0 || n > bytes.length.toLong.max(1L))
+        fail(s"$what count $n exceeds file size ${bytes.length}")
+      n.toInt
+    }
+    def perRec(dimIds: Seq[Int]): Int = boundedCount(
+      dimIds.filter(_ != recDimId).map(dims(_).size.toLong).product.max(1),
+      "per-record element")
     val recHeaders = headers.filter(h => isRec(h._2))
     val singleRec = recHeaders.length == 1
     // record stride: sum of per-record slabs, each padded to 4 — unless the
@@ -344,6 +354,14 @@ object NetCdf {
         val recordStart = recHeaders.map(_._6).minOption.getOrElse(bytes.length.toLong)
         if (recsize == 0) 0 else ((bytes.length - recordStart) / recsize).toInt
       }
+    // the record region must fit in the file (guards a corrupt numrecs)
+    if (recHeaders.nonEmpty && numrecs > 0) {
+      val recordStart = recHeaders.map(_._6).min
+      if (recordStart < 0 ||
+          recordStart + (numrecs - 1).toLong * recsize > bytes.length)
+        fail(s"record region ($numrecs records of $recsize bytes from " +
+          s"$recordStart) exceeds file size ${bytes.length}")
+    }
 
     def readValues(d: ByteBuffer, t: Int, into: Array[Double], from: Int, n: Int): Unit = {
       var i = 0
@@ -366,8 +384,16 @@ object NetCdf {
         if (i == recDimId) NcDim(dims(i).name, numrecs) else dims(i)
       }
       val count =
-        if (rec) numrecs * perRec(dimIds)
-        else dimIds.map(dims(_).size.toLong).product.toInt.max(1)
+        if (rec) boundedCount(numrecs.toLong * perRec(dimIds), s"$name element")
+        else {
+          val n = boundedCount(
+            dimIds.map(dims(_).size.toLong).product.max(1), s"$name element")
+          // fixed data must fit between begin and EOF
+          if (begin + n.toLong * typeSize(t) > bytes.length)
+            fail(s"data for $name ($n x ${typeSize(t)} B at $begin) " +
+              s"exceeds file size ${bytes.length}")
+          n
+        }
       val d = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       if (t == NC_CHAR) {
         val raw = new Array[Byte](count)

@@ -272,6 +272,64 @@ class NetCdfSpec extends AnyFunSuite {
       NetCdf.read(spark, dir).count())
   }
 
+  test("fuzz: corrupted containers parse or throw NetCdfParseException, nothing else") {
+    // The quarantine contract: tolerant reads catch EXACTLY
+    // NetCdfParseException, so parse() must never let malformed bytes
+    // surface as any other exception class (OOM-sized allocations, raw
+    // buffer underflows, NPEs). Deterministic fuzz: truncations at every
+    // boundary flavor plus seeded random byte mutations of real files.
+    val rnd = new scala.util.Random(42)
+    val bases = Seq(NetCdfFixture.fileBytes(0), NetCdfFixture.fileBytes(2),
+      NetCdfFixture.recordFileBytes(4), NetCdfFixture.recordFileBytes(5))
+    def check(bytes: Array[Byte], tag: String): Unit =
+      try { NetCdf.parse(bytes); () }
+      catch {
+        case _: NetCdf.NetCdfParseException => ()
+        case e: Throwable =>
+          fail(s"$tag leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (base <- bases) {
+      // truncations — header, dim list, attr list, var headers, data
+      for (len <- Seq(0, 3, 4, 7, 8, 12, 40, 100, base.length / 2, base.length - 3))
+        check(base.take(len.max(0)), s"truncate@$len")
+      // random single/multi-byte mutations (incl. the length/offset fields)
+      for (_ <- 1 to 300) {
+        val b = base.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        check(b, "mutate")
+      }
+      // hostile length fields: huge counts in the first slots after magic
+      for (pos <- Seq(4, 8, 12, 16, 20) if pos + 4 <= base.length) {
+        val b = base.clone()
+        val bb = java.nio.ByteBuffer.wrap(b)
+        bb.putInt(pos, Int.MaxValue)
+        check(b, s"maxint@$pos")
+        bb.putInt(pos, -1)
+        check(b, s"neg@$pos")
+      }
+    }
+  }
+
+  test("fuzz: decodeTimeMicros rejects malformed units only via parse exceptions") {
+    val rnd = new scala.util.Random(7)
+    val units = Seq(
+      "days since 1950-01-01", "hours since 1950-01-01 00:00:00 UTC",
+      "seconds since 1970-01-01T00:00:00Z", "minutes since 1999-12-31 23:59:59 -08:00")
+    for (u <- units; _ <- 1 to 200) {
+      val chars = u.toCharArray
+      for (_ <- 0 to rnd.nextInt(3))
+        chars(rnd.nextInt(chars.length)) = (32 + rnd.nextInt(90)).toChar
+      val mutated = new String(chars)
+      try { NetCdf.decodeTimeMicros(mutated, 1.5); () }
+      catch {
+        case _: IllegalArgumentException => () // NetCdfParseException included
+        case e: Throwable =>
+          fail(s"'$mutated' leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("binaryFile read path fans files out and yields the full fleet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-read").toString
     NetCdfFixture.writeFleet(dir)
