@@ -266,7 +266,14 @@ object Multimodal {
         val id = r.getLong(0); val kind = r.getString(1)
         val payload = r.get(2).asInstanceOf[Array[Byte]]
         val nBytes = if (payload == null) null else java.lang.Long.valueOf(payload.length.toLong)
-        val (decoded, features) = kind match {
+        // Per-row quarantine: a corrupt payload must yield the null-decoded
+        // row (the same shape as an unknown kind), never a thrown decoder
+        // exception — javax.imageio throws on hostile PNGs,
+        // getAudioInputStream throws UnsupportedAudioFileException, and a
+        // truncated WAV (<44 B) would IndexOutOfBounds on the sample fold.
+        // One poison blob must not kill a million-file scan (same contract
+        // as NetCdf tolerant reads; count rows with null decode to audit).
+        val (decoded, features) = try kind match {
           case "image" if payload != null && payload.nonEmpty =>
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(payload))
@@ -323,6 +330,9 @@ object Multimodal {
           case _ =>
             // empty/unknown payload: decode yields nulls
             (Row(null, null, null, null, null), null)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (Row(null, null, null, null, null), null)
         }
         Row(id, kind, nBytes, decoded, if (features == null) null else features.toSeq)
       }
@@ -361,7 +371,9 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getLong(0); val kind = r.getString(1)
         val payload = r.get(2).asInstanceOf[Array[Byte]]
-        kind match {
+        // per-row quarantine (see decodeFeatures): a hostile payload skips
+        // its own row, never kills the scan
+        try kind match {
           case "image" if payload != null && payload.nonEmpty =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
@@ -420,6 +432,8 @@ object Multimodal {
               case _ => Iterator.empty
             }
           case _ => Iterator.empty // empty/unknown payload
+        } catch {
+          case scala.util.control.NonFatal(_) => Iterator.empty
         }
       }
     }(enc)

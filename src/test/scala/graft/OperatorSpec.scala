@@ -269,6 +269,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.Mp4.parse(lying).isEmpty)
   }
 
+  test("multimodal decode quarantines corrupt payloads instead of failing the scan") {
+    import graft.sources.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType)))
+    val rnd = new scala.util.Random(11)
+    def junk(n: Int): Array[Byte] = { val a = new Array[Byte](n); rnd.nextBytes(a); a }
+    val truncatedWav = Multimodal.wavBytes(1).take(20) // < 44-byte header
+    val rows = Seq(
+      Row(1L, "image", junk(64)),
+      Row(2L, "audio", truncatedWav),
+      Row(3L, "audio", junk(30)),
+      Row(4L, "video", junk(64)),
+      Row(5L, "image", Multimodal.pngBytes(5)), // one valid row must survive
+      Row(6L, "video", "ftyp".getBytes("US-ASCII"))) // 4 B, under the 8 B guard
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(out.length === 6) // one row per input, nobody threw
+    val good = out.find(_.getLong(0) == 5L).get
+    assert(good.getStruct(3).getInt(0) === Multimodal.imgWidth(5L))
+    out.filter(_.getLong(0) != 5L).foreach { r =>
+      assert(r.getStruct(3).isNullAt(0), s"corrupt row ${r.getLong(0)} decoded?")
+    }
+    // the pooled path skips corrupt rows but keeps the valid one
+    val pooled = Multimodal.poolFeatures(media).select("media_id").distinct().collect()
+    assert(pooled.map(_.getLong(0)).toSet === Set(5L))
+  }
+
   test("multimodal decode round-trips real PNG and WAV payloads") {
     import graft.sources.Multimodal
     val media = Multimodal.fromDocuments(
