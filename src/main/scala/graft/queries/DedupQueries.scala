@@ -61,7 +61,9 @@ private[graft] object DedupQueries {
 
     // ---- SimHash fingerprints (16-bit, oracle-expressible) -----------------
     "dd3_simhash" -> { (s, dir) =>
+      // 32-way pinned: single-row-group source, compute-bound token explode
       val tc = Tables.documents(s, dir)
+        .repartition(32, col("doc_id"))
         .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       Dedup.simhash16(tc, "doc_id").orderBy("doc_id")

@@ -467,7 +467,9 @@ private[graft] object ScanStreamQueries {
 
     // ---- positional explode (ingest/preprocess.py:113-175) -----------------
     "u2_token_explode" -> { (s, dir) =>
+      // 32-way pinned: single-row-group source, compute-bound token explode
       val toks = Tables.documents(s, dir)
+        .repartition(32, col("doc_id"))
         .withColumn("tokens", split(col("text"), " "))
       Unpivot.explodeTokens(toks, "tokens")
         .groupBy("token")
@@ -848,7 +850,9 @@ private[graft] object ScanStreamQueries {
     // downstream linear model sees. Map-side explode + one 64-key agg —
     // the shuffle carries 64 partial rows per task at any corpus size. ---
     "f17_feature_hash" -> { (s, dir) =>
+      // 32-way pinned: single-row-group source, compute-bound token explode
       Tables.documents(s, dir)
+        .repartition(32, col("doc_id"))
         .select(explode(split(col("text"), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
         .select(lower(col("tok")).as("tok"))

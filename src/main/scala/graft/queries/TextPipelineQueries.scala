@@ -591,7 +591,11 @@ private[graft] object TextPipelineQueries {
     // few KB of partial counts per task no matter how many TB of text
     // went in; top-k is TakeOrdered, never a global sort. -----------------
     "ta8_bpe_pairs" -> { (s, dir) =>
+      // 32-way pinned (the dd2 lesson): the fixture parquet is one row
+      // group = one split, so without the repartition the whole
+      // tokenize+bigram explode — the compute-bound part — runs in ONE task
       Tables.documents(s, dir)
+        .repartition(32, col("doc_id"))
         .select(explode(Dedup.tokens(col("text"))).as("w"))
         .filter(length(col("w")) >= 2)
         .select(explode(expr(
@@ -701,7 +705,11 @@ private[graft] object TextPipelineQueries {
     // partitioning is reused; model size is vocabulary², sublinear in
     // corpus bytes. ------------------------------------------------------
     "ta9_bigram_lm" -> { (s, dir) =>
+      // 32-way pinned (the dd2 lesson): single-row-group source, so the
+      // tokenize+bigram explode feeding the checkpoint would otherwise run
+      // in one task
       val toks = Tables.documents(s, dir)
+        .repartition(32, col("doc_id"))
         .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("ts"))
         .filter(size(col("ts")) >= 2)
       val big = toks.select(col("doc_id"), col("source"),
