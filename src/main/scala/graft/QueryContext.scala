@@ -25,7 +25,11 @@ private[graft] object QueryContext {
     */
   def referenceFloatStats(s: SparkSession, dir: String): DataFrame = {
     import Stats.exactMean
-    val raw = Tables.events(s, dir).select(
+    // 32-way pinned: the events fixture is one row group = one split, and
+    // the tidy stage fans it into a 3-way union of per-branch projections —
+    // without the repartition every branch's partial aggregation runs in a
+    // single task (the exchange is planned once and reused by all branches)
+    val raw = Tables.events(s, dir).repartition(32, col("user_id")).select(
       col("user_id").cast("string").as("float_id"),
       col("event_id").cast("string").as("profile_id"),
       col("ts").as("time"),

@@ -1163,7 +1163,10 @@ private[graft] object AnalyticsQueries {
     // column-grain table a catalog stores. Numeric extrema stay typed
     // (double) — cross-engine double→string rendering is a knife-edge. ---
     "dq5_profile" -> { (s, dir) =>
+      // 32-way pinned: four countDistincts expand the single-split scan 4x
+      // and the whole partial aggregation otherwise runs in one task
       Tables.events(s, dir)
+        .repartition(32, col("event_id"))
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("id_null"),
