@@ -1163,10 +1163,11 @@ private[graft] object AnalyticsQueries {
     // column-grain table a catalog stores. Numeric extrema stay typed
     // (double) — cross-engine double→string rendering is a knife-edge. ---
     "dq5_profile" -> { (s, dir) =>
-      // 32-way pinned: four countDistincts expand the single-split scan 4x
-      // and the whole partial aggregation otherwise runs in one task
+      // NOT 32-way pinned: on a real multi-split input the expand's partial
+      // aggregation parallelizes per split for free; paying a full-table
+      // exchange to parallelize the single-split fixture trades a local
+      // 0.2 s for a 100 TB shuffle and blows the 2-shuffle budget
       Tables.events(s, dir)
-        .repartition(32, col("event_id"))
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("id_null"),

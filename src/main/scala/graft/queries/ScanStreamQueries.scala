@@ -850,9 +850,11 @@ private[graft] object ScanStreamQueries {
     // downstream linear model sees. Map-side explode + one 64-key agg —
     // the shuffle carries 64 partial rows per task at any corpus size. ---
     "f17_feature_hash" -> { (s, dir) =>
-      // 32-way pinned: single-row-group source, compute-bound token explode
+      // NOT 32-way pinned like ta8/dd3: the per-token work here (split +
+      // one md5 prefix) is light enough that the repartition exchange costs
+      // its own win, and it blows the 3-shuffle budget PlanQualitySpec
+      // holds this query to
       Tables.documents(s, dir)
-        .repartition(32, col("doc_id"))
         .select(explode(split(col("text"), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
         .select(lower(col("tok")).as("tok"))
