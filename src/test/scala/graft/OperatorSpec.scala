@@ -179,6 +179,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("connectedComponents works over string ids (typed old-label carry)") {
+    import graft.dedup.Dedup
+    // the round-8 convergence rewrite carries the previous label through
+    // the round as a typed null-able column — pin the non-long id path
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c").forall(got(_) == "a"))
+    assert(Seq("x", "y").forall(got(_) == "x"))
+    assert(got.size == 5)
+  }
+
   test("connectedComponents handles a long chain well inside the round cap") {
     import graft.dedup.Dedup
     // diameter 60: plain min-propagation would need 60 rounds (over the
