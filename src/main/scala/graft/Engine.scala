@@ -48,6 +48,20 @@ class Engine(spark: SparkSession) {
   def ingestNetCdf(path: String): DataFrame =
     graft.sources.NetCdf.read(spark, path)
 
+  /** As [[ingestNetCdf]], skipping files whose container fails to parse
+    * (one truncated upload must not kill a million-file crawl). Skips are
+    * accounted, not silent: pair with [[netCdfScanStatus]] for the
+    * per-file quarantine ledger.
+    */
+  def ingestNetCdfTolerant(path: String): DataFrame =
+    graft.sources.NetCdf.read(spark, path, tolerant = true)
+
+  /** Per-file parse ledger for a NetCDF scan directory: (file, ok, error,
+    * n_rows) — the audit companion of [[ingestNetCdfTolerant]].
+    */
+  def netCdfScanStatus(path: String): DataFrame =
+    graft.sources.NetCdf.scanStatus(spark, path)
+
   /** §3.2 incremental path: watch `inbox` for new files, clean each
     * micro-batch, idempotently append by `key` into `sinkDir`.
     */

@@ -435,6 +435,17 @@ class EngineSpec extends AnyFunSuite {
       (11L, s11, 2L), (10L, 1000000000L / 61, 1L), (12L, 1000000000L / 62, 1L)))
   }
 
+  test("ingestNetCdfTolerant skips what netCdfScanStatus quarantines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-nc").toString
+    graft.sources.NetCdfFixture.writeFleet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/broken.nc"), "nope".getBytes("UTF-8"))
+    val status = engine.netCdfScanStatus(dir).collect()
+    assert(status.count(!_.getBoolean(1)) === 1)
+    val okRows = status.filter(_.getBoolean(1)).map(_.getLong(3)).sum
+    assert(engine.ingestNetCdfTolerant(dir).count() === okRows)
+  }
+
   test("cohortRetention buckets by first-seen week and rates in basis points") {
     import spark.implicits._
     val ts = (w: Int, d: Int) => // week w, day d within it (epoch-week grid)
