@@ -136,7 +136,23 @@ object Bench {
       "st11_dedup_window_chain", "st12_foreachbatch_merge",
       "st2_idempotent_union", "st8_incremental_agg",
       "dd9_dup_groups", "dd10_dedup_apply", "dd16_canonical_pick",
-      "dd11_semantic_dedup", "dc2_neardup_decontam", "cs1_source_overlap")
+      "dd11_semantic_dedup", "dc2_neardup_decontam", "cs1_source_overlap",
+      // Round-8 expansion: every remaining query whose plan hides work from
+      // the rep sweeps — lazy localCheckpoints materialized by rep 1 and
+      // reused by later reps (gr1/gr2 edge+adjacency, the dd7/dd8 shingle
+      // pipeline, ta5/ta9/ta10/rr1 tf/bigram frames, dc1 shingle axis, t8's
+      // float stats, pl2/tp4 stages, e6/e8 IVF training) or driver-side
+      // seed actions run at query-FUNCTION time (tp1/tp2/pl2 via
+      // Pack.globalCumsum's bucket-offset collect). The r7-comparable
+      // 16-query subtotal is recoverable from the per-query map in
+      // BENCH_DETAIL.json.
+      "gr1_pagerank", "gr2_triangle_count", "gr2_triangle_census",
+      "dd7_minhash_est", "dd8_lsh_verified", "dd12_incremental_dedup",
+      "dc1_decontaminate", "t8_report_export", "ta5_tfidf_topk",
+      "ta9_bigram_lm", "ta10_bm25_topk", "rr1_hybrid_rrf",
+      "pl2_training_pipeline", "tp4_importance_select",
+      "tp1_token_packing", "tp2_curriculum",
+      "e6_ivf_knn", "e8_ivf_recall")
     val oneShot = oneShotFamily
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.exists(n.startsWith)))
       .map { name =>
