@@ -550,6 +550,20 @@ private[graft] object OracleSql {
                 CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
+    // s10: the expected quarantine ledger re-derived from the fixture
+    // recipe — 4 healthy files of N_PROF*N_LEVELS = 30 rows each, 2 poison
+    // files with ok=false; the tolerant read decodes exactly the healthy
+    // rows (4 * 30 = 120).
+    "s10_netcdf_quarantine" ->
+      """WITH rows AS (
+           SELECT 'float_' || CAST(100 + f AS VARCHAR) || '.nc' AS file,
+                  TRUE AS ok, FALSE AS has_error, CAST(30 AS BIGINT) AS n_rows
+           FROM (SELECT unnest(generate_series(0,3)) AS f)
+           UNION ALL
+           SELECT x.file, FALSE, TRUE, 0
+           FROM (VALUES ('upload_truncated.nc'), ('upload_garbage.nc')) x(file))
+         SELECT file, ok, has_error, n_rows, CAST(120 AS BIGINT) AS n_rows_decoded
+         FROM rows ORDER BY file""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,

@@ -437,6 +437,24 @@ private[graft] object ScanStreamQueries {
         .orderBy("float_id", "profile_id", "level")
     },
 
+    // ---- the quarantine ledger ITSELF under the correctness gate: a scan
+    // over an upload inbox with two deterministic poison files (truncated
+    // header, non-NetCDF payload) must decode every healthy file, skip the
+    // poison, and ACCOUNT for what it skipped — the o3 pattern (design
+    // note 28) applied to the container source. `error` is surfaced as a
+    // presence flag (the message text is engine-specific); row counts per
+    // healthy file come from the fixture closed form. -------------------
+    "s10_netcdf_quarantine" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s10_netcdf_q_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeQuarantineFleet(_))
+      val status = NetCdf.scanStatus(s, ncDir)
+        .select(col("file"), col("ok"),
+          col("error").isNotNull.as("has_error"), col("n_rows"))
+      val decoded = NetCdf.read(s, ncDir, tolerant = true)
+        .agg(count(lit(1)).as("n_rows_decoded"))
+      status.crossJoin(broadcast(decoded)).orderBy("file")
+    },
+
     // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real
     // ---- pivot operator; embed.py:305-361) ---------------------------------
     "u3_pivot_back" -> { (s, dir) =>

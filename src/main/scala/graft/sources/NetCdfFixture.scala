@@ -179,4 +179,22 @@ object NetCdfFixture {
     java.nio.file.Files.write(p.resolve("rec_float_105.NC"), recordFileBytes(5))
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
   }
+
+  /** An upload inbox as a real crawl sees it: the healthy fixed-size fleet
+    * PLUS two deterministic poison files — a truncated header (valid magic,
+    * cut mid-dim-list) and a non-NetCDF payload. Drives the quarantine
+    * ledger (`s10_netcdf_quarantine`): the scan must decode the healthy
+    * files and account for the skips, never abort.
+    */
+  def writeQuarantineFleet(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    for (f <- 0 until N_FLOATS)
+      java.nio.file.Files.write(p.resolve(s"float_${100 + f}.nc"), fileBytes(f))
+    java.nio.file.Files.write(p.resolve("upload_truncated.nc"),
+      fileBytes(0).take(40))
+    java.nio.file.Files.write(p.resolve("upload_garbage.nc"),
+      "not a netcdf container".getBytes("UTF-8"))
+    java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
 }
