@@ -50,6 +50,13 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every query has an oracle twin (none silently downgraded to rows-only)") {
+    // the driver records only a weaker rows>0 check for queries missing an
+    // oracle — a forgotten twin must fail HERE, not soften the gate
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracleSql: $unoracled")
+  }
+
   test("q1 aggregates are grouped correctly") {
     val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
     val keys = rows.map(r => (r.getString(0), r.getString(1))).toSet
