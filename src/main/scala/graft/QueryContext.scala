@@ -112,7 +112,17 @@ private[graft] object QueryContext {
     val base =
       if (shm.isDirectory && shm.canWrite) {
         val d = new java.io.File(shm, "graft-scratch")
-        d.mkdirs(); d.toPath
+        d.mkdirs()
+        // Self-limiting: some scratch dirs (foreachBatch sinks/generations)
+        // back the query's RESULT frame and so cannot be deleted by the
+        // query that made them — reap aged siblings instead, so repeated
+        // bench/verify runs on a long-lived box cannot grow the RAM-backed
+        // fs without bound. 2 h is far past any single run's lifetime.
+        val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.lastModified() < cutoff)
+          .foreach(f => try rmTree(f.toString) catch { case _: Exception => () })
+        d.toPath
       } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
