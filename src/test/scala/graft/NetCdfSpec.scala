@@ -330,6 +330,15 @@ class NetCdfSpec extends AnyFunSuite {
     }
   }
 
+  test("empty scan directory yields empty frames, not errors") {
+    // a sharded million-file crawl will hand some tasks empty directories
+    val dir = java.nio.file.Files.createTempDirectory("graft-nc-empty").toString
+    assert(NetCdf.read(spark, dir).count() === 0)
+    assert(NetCdf.read(spark, dir, tolerant = true).count() === 0)
+    assert(NetCdf.scanStatus(spark, dir).count() === 0)
+    assert(NetCdf.inspect(spark, dir).count() === 0)
+  }
+
   test("binaryFile read path fans files out and yields the full fleet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nc-read").toString
     NetCdfFixture.writeFleet(dir)
