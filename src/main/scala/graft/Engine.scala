@@ -150,10 +150,12 @@ class Engine(spark: SparkSession) {
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numSeeds: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     val unique = dedupExact(df, textCol, idCol)
-    val shRows = Dedup.withShingleHash(unique.select(col(idCol),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col(textCol)), shingleN)))
-          .as("shingle")))
-      .select(col(idCol), col("sh_hi"), col("sh_lo"))
+    // fused native shingle+digest — see graft.expressions.ShingleMd5
+    val shRows = unique.select(col(idCol),
+        explode(graft.expressions.ShingleMd5.of(
+          Dedup.tokens(col(textCol)), shingleN)).as("__s"))
+      .select(col(idCol), col("__s.sh_hi").as("sh_hi"),
+        col("__s.sh_lo").as("sh_lo"))
       .localCheckpoint(false)
     val mh = Dedup.minhashAggs(numSeeds)
     val sigs = shRows.groupBy(idCol)
@@ -362,10 +364,11 @@ class Engine(spark: SparkSession) {
       .select(col("doc_id"), lit("exact_dup").as("status"))
     val all = b.withColumn("__side", lit("b"))
       .unionByName(i.withColumn("__side", lit("i")))
-    val shRows = Dedup.withShingleHash(all.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("__text")), shingleN)))
-          .as("shingle")))
-      .select("doc_id", "sh_hi", "sh_lo").localCheckpoint(false)
+    val shRows = all.select(col("doc_id"),
+        explode(graft.expressions.ShingleMd5.of(
+          Dedup.tokens(col("__text")), shingleN)).as("__s"))
+      .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"),
+        col("__s.sh_lo").as("sh_lo")).localCheckpoint(false)
     val mh = Dedup.minhashAggs(6)
     val sigs = shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*).localCheckpoint(false)

@@ -170,9 +170,13 @@ private[graft] object QueryContext {
       .withColumn("doc_id", col("doc_id") + 100000)
       .withColumn("text", concat(col("text"), lit(" tailword")))
     val docs = base.unionByName(variants).repartition(32, col("doc_id"))
-    val shRowsPlan = Dedup.withShingleHash(docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
-      .select("doc_id", "sh_hi", "sh_lo")
+    // fused native shingle+digest (graft_shingle_md5): distinct word-3-gram
+    // digests per doc in ONE evaluation — no interpreted HOF chain, no
+    // intermediate shingle strings (ShingleMd5Spec pins parity with the
+    // composed explode(array_distinct(shingles))+md5_split form)
+    val shRowsPlan = docs.select(col("doc_id"),
+        explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), 3)).as("__s"))
+      .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
     // shRows feeds both the signature agg and the row-domain verify:
     // materialize it once (localCheckpoint) so the tokenize+shingle+md5
     // lineage isn't computed per consumer. Measured UNCONDITIONAL on

@@ -211,11 +211,12 @@ private[graft] object DedupQueries {
       // row, once per consumer branch). Shuffling shingle rows is also the
       // only shape that survives 100 TB — per-doc arrays never co-locate.
       val shRows = docs.select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle"))
+        explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), 3)).as("__s"))
+        .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
       val mh = Dedup.minhashAggs(6)
       // signatures AND set sizes in ONE groupBy pass; docs with < 3 tokens
       // have no shingle rows, hence no signature (oracle inner join mirrors)
-      val grouped = Dedup.withShingleHash(shRows).groupBy("doc_id")
+      val grouped = shRows.groupBy("doc_id")
         .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
         .select(col("doc_id"), col("nsh"),
           struct((0 until 6).map(j => col(s"mh$j")): _*).as("sig"))
@@ -249,7 +250,11 @@ private[graft] object DedupQueries {
         .filter(col("sig_a").isNotNull && col("sig_b").isNotNull)
       // exact intersection size per pair: a shingle is shared iff both
       // sides emitted it — two narrow aggregations, no array_intersect
-      val ni = pairRoles(shRows, "shingle")
+      // (the shingle identity is its 128-bit digest pair, same as the join
+      // keys everywhere else in the family)
+      val ni = pairRoles(
+          shRows.withColumn("shingle", struct(col("sh_hi"), col("sh_lo"))),
+          "shingle")
         .groupBy("pk", "off", "shingle")
         .agg(min("side").as("s0"), max("side").as("s1"))
         .filter(col("s0") === 0 && col("s1") === 1)

@@ -1,16 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
-import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
 
 /** Scratch profiler for round-8 perf work — not part of the engine. */
 object Profile {
-  def t[A](tag: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"PROF $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    r
-  }
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -22,35 +18,30 @@ object Profile {
       .withExtensions(new graft.expressions.GraftExtensions())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val jobs = new AtomicInteger(0)
-    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); starts.put(j.jobId, System.nanoTime())
-      }
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val t0 = starts.getOrDefault(j.jobId, 0L)
-        jobLog.add(f"job ${j.jobId} ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
-    })
     spark.range(1000).selectExpr("sum(id)").collect()
-    t("warm dd9") { graft.SparkEntry.queries("dd9_dup_groups")(spark, dir).count() }
-    Thread.sleep(300)
-    for (rep <- 1 to 2) {
-      jobs.set(0); jobLog.clear()
-      t(s"dd9 one-shot rep$rep") {
-        graft.SparkEntry.queries("dd9_dup_groups")(spark, dir).count()
-      }
-      Thread.sleep(300)
-      println(s"  jobs=${jobs.get()}  " + jobLog.toArray.mkString(" | "))
-      jobs.set(0); jobLog.clear()
-      t(s"dd16 one-shot rep$rep") {
-        graft.SparkEntry.queries("dd16_canonical_pick")(spark, dir).count()
-      }
-      Thread.sleep(300)
-      println(s"  jobs=${jobs.get()}  " + jobLog.toArray.mkString(" | "))
+
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val variants = base.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tailword")))
+    def docs = base.unionByName(variants).repartition(32, col("doc_id"))
+
+    def composed = Dedup.withShingleHash(docs.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3))).as("shingle")))
+      .select("doc_id", "sh_hi", "sh_lo")
+    def fused = docs.select(col("doc_id"),
+        explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), 3)).as("__s"))
+      .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
+
+    composed.count(); fused.count() // warm both codepaths
+    val tA = new Array[Double](5); val tB = new Array[Double](5)
+    for (r <- 0 until 5) {
+      var t0 = System.nanoTime(); composed.count(); tA(r) = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime(); fused.count(); tB(r) = (System.nanoTime() - t0) / 1e9
     }
+    println(f"AB composed min ${tA.min}%.3f  fused min ${tB.min}%.3f")
+    println("AB composed " + tA.map(t => f"$t%.3f").mkString(",") +
+      "  fused " + tB.map(t => f"$t%.3f").mkString(","))
     spark.stop()
   }
 }

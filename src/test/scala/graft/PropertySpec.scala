@@ -20,6 +20,38 @@ class PropertySpec extends AnyFunSuite {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("ShingleMd5 equals the composed shingle+array_distinct+md5-split form") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(99)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "longish-token",
+      "alpha", "UPPER", "12", "\u00e9t\u00e9") // repeats + unicode
+    val docs = (0 until 60).map { id =>
+      val n = rnd.nextInt(12)
+      (id.toLong, (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 5)) {
+      val composed = Dedup.withShingleHash(docs.select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), k))).as("shingle")))
+        .select("doc_id", "sh_hi", "sh_lo")
+      val fused = docs.select(col("doc_id"),
+          explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), k)).as("s"))
+        .select(col("doc_id"), col("s.sh_hi").as("sh_hi"), col("s.sh_lo").as("sh_lo"))
+      val diff = composed.exceptAll(fused).unionByName(fused.exceptAll(composed))
+      assert(diff.count() === 0, s"mismatch at n=$k")
+    }
+    // null tokens: concat_ws semantics (nulls skipped inside the shingle)
+    val withNulls = Seq((1L, Seq("a", null, "b", "c"))).toDF("doc_id", "toks")
+    val f = withNulls.select(explode(graft.expressions.ShingleMd5.of(col("toks"), 2)).as("s"))
+      .select("s.sh_hi", "s.sh_lo").collect().toSet
+    val c = withNulls
+      .select(explode(array_distinct(Dedup.shingles(col("toks"), 2))).as("sh"))
+      .select(graft.expressions.Md5Split(col("sh")).as("p"))
+      .select(element_at(col("p"), 1).as("sh_hi"), element_at(col("p"), 2).as("sh_lo"))
+      .collect().toSet
+    assert(f === c)
+  }
+
   test("cleanId strips any b'...' wrapper and whitespace") {
     val ids = samples(Gen.alphaNumStr.map(_.take(30)), 40)
     val df = ids.map(id => s"b'$id '").toDF("x")
