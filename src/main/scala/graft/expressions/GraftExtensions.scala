@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomFilterMightContain(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_md5"),
+      new ExpressionInfo(classOf[ShingleMd5].getName, "graft_shingle_md5"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_shingle_md5 takes exactly 2 arguments, got ${children.size}")
+        ShingleMd5(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
       (children: Seq[Expression]) => {
