@@ -101,10 +101,9 @@ class Engine(spark: SparkSession) {
     * 3-gram shingles, 6 lanes, 3 bands).
     */
   def nearDupCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sh = Dedup.withShingleHash(
-      df.withColumn("__toks", Dedup.tokens(col(textCol)))
-        .select(col(idCol),
-          explode(array_distinct(Dedup.shingles(col("__toks"), 3))).as("shingle")))
+    val sh = df.select(col(idCol),
+        explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col(textCol)), 3)).as("__s"))
+      .select(col(idCol), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
     val mh = Dedup.minhashAggs(6)
     val sigs = sh.groupBy(idCol).agg(mh.head, mh.tail: _*)
     val bands = sigs.select(col(idCol), explode(Dedup.bandKeys(6, 2)).as("b"))

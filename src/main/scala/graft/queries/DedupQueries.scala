@@ -386,10 +386,9 @@ private[graft] object DedupQueries {
         .select(col("doc_id"), lit("exact_dup").as("status"))
       // tier 2: near-dup LSH between batch and index (same arithmetic as
       // dd8/dc2 so the oracle replays it)
-      val shRows = Dedup.withShingleHash(all.select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-            .as("shingle")))
-        .select("doc_id", "sh_hi", "sh_lo")
+      val shRows = all.select(col("doc_id"),
+          explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), 3)).as("__s"))
+        .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
         .localCheckpoint(false)
       val mh = Dedup.minhashAggs(6)
       val sigs = shRows.groupBy("doc_id")

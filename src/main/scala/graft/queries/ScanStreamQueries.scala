@@ -740,10 +740,9 @@ private[graft] object ScanStreamQueries {
         .withColumn("doc_id", col("doc_id") + 200000)
         .withColumn("text", concat(col("text"), lit(" held out")))
       val docs = base.unionByName(heldOut).repartition(32, col("doc_id"))
-      val shRows = Dedup.withShingleHash(docs.select(col("doc_id"),
-          explode(array_distinct(Dedup.shingles(Dedup.tokens(col("text")), 3)))
-            .as("shingle")))
-        .select("doc_id", "sh_hi", "sh_lo")
+      val shRows = docs.select(col("doc_id"),
+          explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), 3)).as("__s"))
+        .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
         .localCheckpoint(false)
       val mh = Dedup.minhashAggs(6)
       val sigs = shRows.groupBy("doc_id")
