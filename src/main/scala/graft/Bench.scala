@@ -50,6 +50,7 @@ object Bench {
       .config("spark.shuffle.spill.compress", profile.compress.toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.expressions.GraftExtensions())
+    graft.stream.LocalFsPerf.tune(builder)
     // Optional extra confs: SPARK_GRAFT_CONF="k1=v1;k2=v2" (experiments).
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -96,35 +96,67 @@ private[graft] object QueryContext {
       .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 
-  /** Per-invocation scratch directory for streaming checkpoints / state
-    * sinks, preferring the RAM-backed `/dev/shm` when present. A streaming
-    * query's WAL, offset log, and state-store versions are pure harness
-    * plumbing at local-bench scale — a cluster deployment points
+  /** Per-invocation scratch directory for streaming checkpoints AND the
+    * streaming data sinks whose contents back a query's result frame
+    * (st9/st10/st11 parquet `out` dirs, st8/st12 state generations) —
+    * preferring the RAM-backed `/dev/shm` when present AND roomy. A
+    * streaming query's WAL, offset log, and state-store versions are pure
+    * harness plumbing at local-bench scale — a cluster deployment points
     * `checkpointLocation` at durable shared storage — so billing ext4
-    * latency (~70 ms of WAL+offset commits per micro-batch, plus state
-    * delta writes inside addBatch) to the engine overstates the streaming
-    * fixed cost. Semantics are unchanged: the WAL is still written, state
-    * is still versioned and committed, exactly-once still holds across the
-    * drain. Falls back to java.io.tmpdir when /dev/shm is unavailable.
+    * latency to the engine overstates the streaming fixed cost. Semantics
+    * are unchanged: the WAL is still written, state is still versioned and
+    * committed, exactly-once still holds across the drain. Falls back to
+    * java.io.tmpdir when /dev/shm is unavailable or has <4 GiB usable
+    * (data sinks land here, not just metadata — a small tmpfs must not
+    * fill where java.io.tmpdir would have succeeded).
+    *
+    * Dir names carry the owning PID, and the reaper (which keeps repeated
+    * runs on a long-lived box from growing the RAM-backed fs without
+    * bound) skips any sibling whose owner is still alive — a top-level
+    * mtime check alone would reap a LIVE >2h run's checkpoint mid-query,
+    * since dir mtimes don't update on nested writes.
     */
   def scratchDir(prefix: String): String = {
     val shm = new java.io.File("/dev/shm")
+    val minUsable = 4L << 30
     val base =
-      if (shm.isDirectory && shm.canWrite) {
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minUsable) {
         val d = new java.io.File(shm, "graft-scratch")
         d.mkdirs()
-        // Self-limiting: some scratch dirs (foreachBatch sinks/generations)
-        // back the query's RESULT frame and so cannot be deleted by the
-        // query that made them — reap aged siblings instead, so repeated
-        // bench/verify runs on a long-lived box cannot grow the RAM-backed
-        // fs without bound. 2 h is far past any single run's lifetime.
         val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+        val pidRe = ".*-pid(\\d+)-.*".r
+        def ownerAlive(name: String): Boolean = name match {
+          case pidRe(pid) =>
+            ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+          case _ => false // pre-round-9 unstamped dir: age check governs
+        }
         Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.lastModified() < cutoff)
+          .filter(f => f.isDirectory && f.lastModified() < cutoff &&
+            !ownerAlive(f.getName))
           .foreach(f => try rmTree(f.toString) catch { case _: Exception => () })
         d.toPath
       } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, prefix).toString
+    java.nio.file.Files.createTempDirectory(base,
+      s"$prefix-pid${ProcessHandle.current().pid()}-").toString
+  }
+
+  /** Runs `body` with the trailing no-data micro-batch disabled, restoring
+    * the previous setting after. ONLY legal for queries whose emitted rows
+    * are all produced in data batches (inner stream-stream joins, dedup —
+    * anything that emits on arrival): the no-data batch exists to advance
+    * the watermark one last time so held-back state (outer-join nulls,
+    * closed windows, fired timeouts) can emit, and those queries must keep
+    * it.
+    */
+  def withoutNoDataBatch[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   def rmTree(path: String): Unit = {

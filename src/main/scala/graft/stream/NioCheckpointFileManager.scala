@@ -1,0 +1,114 @@
+package graft.stream
+
+import java.io.{BufferedOutputStream, FileNotFoundException, FileOutputStream, OutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption, Path => NioPath}
+import java.util.Comparator
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, FSDataInputStream, Path, PathFilter, RawLocalFileSystem}
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager.CancellableFSDataOutputStream
+
+/** Checkpoint file manager for LOCAL checkpoint/state paths backed by
+  * `java.nio` instead of Hadoop's `FileContext`.
+  *
+  * The default `FileContextBasedCheckpointFileManager` routes every offset-log
+  * commit, commit-log entry, source-log entry, and state-store delta/snapshot
+  * write through `RawLocalFs`, whose create path forks a `chmod` process per
+  * file when the Hadoop native library is absent — measured ~31 ms per
+  * metadata write on this box vs ~0.1 ms for a plain NIO write+atomic-rename
+  * (tools/MetaLogProbe). For a drained `Trigger.AvailableNow` run with a
+  * fresh checkpoint, those forks ARE the bootstrap cost the round-8 bench
+  * surfaced (walCommit + commitOffsets + source-log ≈ 90 ms/batch, plus
+  * per-partition state deltas inside addBatch).
+  *
+  * Semantics preserved from the rename-based default:
+  *   - `createAtomic` writes a hidden temp file in the target directory and
+  *     renames on close; `cancel()` discards. With `overwriteIfPossible=false`
+  *     an existing target raises Hadoop's `FileAlreadyExistsException` —
+  *     the signal `HDFSMetadataLog` uses to detect a concurrent writer.
+  *   - `list`/`open` go through a plain `RawLocalFileSystem` (no forks on
+  *     the read path) so `FileStatus`/stream types match Hadoop contracts.
+  *
+  * Local-mode only by construction: selected via
+  * `spark.sql.streaming.checkpointFileManagerClass` in the session builders
+  * here, where checkpoints live on local disk or `/dev/shm`. A cluster
+  * deployment points checkpoints at durable shared storage and uses the
+  * default manager.
+  */
+class NioCheckpointFileManager(root: Path, conf: Configuration)
+    extends CheckpointFileManager {
+
+  private val raw: RawLocalFileSystem = {
+    val fs = new FastRawLocalFileSystem
+    fs.initialize(java.net.URI.create("file:///"), conf)
+    fs
+  }
+
+  private def nio(p: Path): NioPath = Paths.get(p.toUri.getPath)
+
+  override def createAtomic(path: Path,
+      overwriteIfPossible: Boolean): CancellableFSDataOutputStream = {
+    val dst = nio(path)
+    if (dst.getParent != null) Files.createDirectories(dst.getParent)
+    val tmp = dst.resolveSibling(
+      s".${dst.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+    new CancellableFSDataOutputStream(out) {
+      // close/cancel idempotence matches RenameBasedFSDataOutputStream:
+      // whichever terminates first wins; the other is a no-op.
+      @volatile private var terminated = false
+      override def close(): Unit = synchronized {
+        if (!terminated) {
+          terminated = true
+          super.close()
+          try {
+            if (overwriteIfPossible)
+              Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            else
+              // no ATOMIC_MOVE here on purpose: POSIX rename() silently
+              // replaces, and the no-overwrite contract must SURFACE an
+              // existing target. NIO's plain move pre-checks and throws.
+              Files.move(tmp, dst)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              throw new FileAlreadyExistsException(
+                s"rename destination $dst already exists")
+          }
+        }
+      }
+      override def cancel(): Unit = synchronized {
+        if (!terminated) {
+          terminated = true
+          try super.close() catch { case _: Exception => () }
+          Files.deleteIfExists(tmp)
+        }
+      }
+    }
+  }
+
+  override def open(path: Path): FSDataInputStream = raw.open(path)
+
+  override def list(path: Path, filter: PathFilter): Array[FileStatus] =
+    raw.listStatus(path).filter(st => filter.accept(st.getPath))
+
+  override def mkdirs(path: Path): Unit = Files.createDirectories(nio(path))
+
+  override def exists(path: Path): Boolean = Files.exists(nio(path))
+
+  override def delete(path: Path): Unit = {
+    val p = nio(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[NioPath]())
+        .forEach(f => try Files.delete(f) catch { case _: FileNotFoundException => () })
+  }
+
+  override def isLocal: Boolean = true
+
+  override def createCheckpointDirectory(): Path = {
+    Files.createDirectories(nio(root))
+    raw.makeQualified(root)
+  }
+}

@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
+  // Same local-fs/checkpoint perf shims Verify/Bench run with (no-fork
+  // chmod + NIO checkpoint manager) so the suites exercise the code paths
+  // the driver grades — here against the RocksDB provider below, which
+  // routes its uploads through the same CheckpointFileManager API.
+  lazy val spark: SparkSession = graft.stream.LocalFsPerf.tune(SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
@@ -17,7 +21,7 @@ object SparkTestSession {
     // Same extensions Verify/Bench run with, so query specs exercise the
     // plans the driver actually grades (custom TopKPerKey physical operator,
     // rank-1→max_by rewrite, SQL-registered vector functions).
-    .withExtensions(new graft.expressions.GraftExtensions())
+    .withExtensions(new graft.expressions.GraftExtensions()))
     .getOrCreate()
 }
 
