@@ -551,19 +551,48 @@ private[graft] object OracleSql {
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
     // s10: the expected quarantine ledger re-derived from the fixture
-    // recipe — 4 healthy files of N_PROF*N_LEVELS = 30 rows each, 2 poison
-    // files with ok=false; the tolerant read decodes exactly the healthy
-    // rows (4 * 30 = 120).
+    // recipe — 4 healthy files of N_PROF*N_LEVELS = 30 rows each, 3 poison
+    // files with ok=false (two corrupt + one valid-but-unsupported HDF5
+    // container with its distinct triage status); the tolerant read decodes
+    // exactly the healthy rows (4 * 30 = 120).
     "s10_netcdf_quarantine" ->
       """WITH rows AS (
            SELECT 'float_' || CAST(100 + f AS VARCHAR) || '.nc' AS file,
-                  TRUE AS ok, FALSE AS has_error, CAST(30 AS BIGINT) AS n_rows
+                  TRUE AS ok, 'ok' AS status, FALSE AS has_error,
+                  CAST(30 AS BIGINT) AS n_rows
            FROM (SELECT unnest(generate_series(0,3)) AS f)
            UNION ALL
-           SELECT x.file, FALSE, TRUE, 0
-           FROM (VALUES ('upload_truncated.nc'), ('upload_garbage.nc')) x(file))
-         SELECT file, ok, has_error, n_rows, CAST(120 AS BIGINT) AS n_rows_decoded
+           SELECT x.file, FALSE, x.status, TRUE, 0
+           FROM (VALUES ('upload_truncated.nc', 'corrupt'),
+                        ('upload_garbage.nc', 'corrupt'),
+                        ('upload_netcdf4.nc', 'unsupported-hdf5')) x(file, status))
+         SELECT file, ok, status, has_error, n_rows,
+                CAST(120 AS BIGINT) AS n_rows_decoded
          FROM rows ORDER BY file""",
+    // s11: the CDF-5 decode — same closed form as s7/s9 for floats 6/7
+    // (ids 106/107); float 106's epoch token is a named UTC zone (offset
+    // 0) and float 107's plain "hours since" has no zone, so no shift
+    // applies to either.
+    "s11_netcdf_cdf5" ->
+      """WITH g AS (
+           SELECT f.f, p.p, l.l
+           FROM (SELECT unnest(generate_series(6,7)) AS f) f,
+                (SELECT unnest(generate_series(0,5)) AS p) p,
+                (SELECT unnest(generate_series(0,4)) AS l) l)
+         SELECT CAST(100 + f AS VARCHAR) AS float_id,
+                CAST(1000 + p AS BIGINT) AS profile_id,
+                CAST(l AS BIGINT) AS level,
+                strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
+                  * 86400000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts,
+                CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
+                CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
+                CASE WHEN (f+p+l) % 7 = 0 THEN NULL
+                     ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
+                CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
+                     ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
+                CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
+                     ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
+         FROM g ORDER BY float_id, profile_id, level""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,

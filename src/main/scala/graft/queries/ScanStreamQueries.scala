@@ -438,21 +438,41 @@ private[graft] object ScanStreamQueries {
     },
 
     // ---- the quarantine ledger ITSELF under the correctness gate: a scan
-    // over an upload inbox with two deterministic poison files (truncated
-    // header, non-NetCDF payload) must decode every healthy file, skip the
-    // poison, and ACCOUNT for what it skipped — the o3 pattern (design
-    // note 28) applied to the container source. `error` is surfaced as a
-    // presence flag (the message text is engine-specific); row counts per
-    // healthy file come from the fixture closed form. -------------------
+    // over an upload inbox with three deterministic poison files (truncated
+    // header, non-NetCDF payload, HDF5-magic NetCDF-4 container) must
+    // decode every healthy file, skip the poison, and ACCOUNT for what it
+    // skipped — the o3 pattern (design note 28) applied to the container
+    // source. `status` is the triage signal an operator acts on: "corrupt"
+    // (discard/re-upload) vs "unsupported-hdf5" (VALID file — convert it);
+    // `error` is surfaced as a presence flag (the message text is
+    // engine-specific); row counts per healthy file come from the fixture
+    // closed form. ------------------------------------------------------
     "s10_netcdf_quarantine" -> { (s, dir) =>
-      val ncDir = "/tmp/graft_s10_netcdf_q_v1"
+      val ncDir = "/tmp/graft_s10_netcdf_q_v2"
       materializeOnce(ncDir)(NetCdfFixture.writeQuarantineFleet(_))
       val status = NetCdf.scanStatus(s, ncDir)
-        .select(col("file"), col("ok"),
+        .select(col("file"), col("ok"), col("status"),
           col("error").isNotNull.as("has_error"), col("n_rows"))
       val decoded = NetCdf.read(s, ncDir, tolerant = true)
         .agg(count(lit(1)).as("n_rows_decoded"))
       status.crossJoin(broadcast(decoded)).orderBy("file")
+    },
+
+    // ---- S2 CDF-5 variant: the PnetCDF 64-bit-data container (magic
+    // CDF\x05 — every NON_NEG header field widens to 8 bytes, extended
+    // numeric types appear; the format large MPI-written aggregates ship
+    // in). Float 106 is record-layout with an NC_INT64 cycle counter,
+    // float 107 fixed-size — same closed form as s7/s9, so the oracle is
+    // the generate_series rebuild and the container encoding is the only
+    // variable under test. ----------------------------------------------
+    "s11_netcdf_cdf5" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s11_netcdf_cdf5_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeCdf5Fleet(_))
+      NetCdf.read(s, ncDir)
+        .select(col("float_id"), col("profile_id"), col("level"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
+        .orderBy("float_id", "profile_id", "level")
     },
 
     // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real

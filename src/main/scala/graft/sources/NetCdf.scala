@@ -4,7 +4,7 @@ import java.nio.{BufferUnderflowException, ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Minimal NetCDF classic (CDF-1/CDF-2) container support, pure Scala.
+/** Minimal NetCDF classic (CDF-1/CDF-2/CDF-5) container support, pure Scala.
   *
   * The reference ingests Argo profile data from NetCDF files via xarray
   * (ingest/load_data.py:201-224) and tabularizes them with an alias table,
@@ -18,17 +18,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 100 TB sweep is file-parallel, not row-parallel, at the container
   * level).
   *
-  * Scope: classic format (magic CDF\x01 / CDF\x02), fixed-size AND record
-  * (UNLIMITED-dimension) variables — both the shape of ERDDAP tabledap .nc
-  * responses and of native per-float Argo profile files, which commonly
-  * store N_PROF as the record dimension with per-profile slabs interleaved.
-  * Types: NC_BYTE/CHAR/SHORT/INT/FLOAT/DOUBLE.
+  * Scope: the full classic family — CDF-1 (magic CDF\x01), CDF-2 (\x02,
+  * 64-bit data offsets), and CDF-5 (\x05, PnetCDF's 64-bit-data variant
+  * where every NON_NEG header field widens to 8 bytes and the extended
+  * numeric types NC_UBYTE/USHORT/UINT/INT64/UINT64 appear) — fixed-size
+  * AND record (UNLIMITED-dimension) variables: both the shape of ERDDAP
+  * tabledap .nc responses and of native per-float Argo profile files,
+  * which commonly store N_PROF as the record dimension with per-profile
+  * slabs interleaved.
+  *
+  * Out of scope (by design, SURVEY §7.4): HDF5-backed NetCDF-4 containers
+  * (magic \x89HDF) — a full HDF5 b-tree/chunking reader is out of
+  * proportion here. They are RECOGNIZED and quarantined with the distinct
+  * `unsupported-hdf5` kind so an operator can tell "convert this file"
+  * from "discard this corrupt upload" in the [[scanStatus]] ledger.
   */
 object NetCdf {
 
-  // nc_type tags (NetCDF classic spec)
+  // nc_type tags (NetCDF classic spec; 7-11 are the CDF-5 additions)
   val NC_BYTE = 1; val NC_CHAR = 2; val NC_SHORT = 3
   val NC_INT = 4; val NC_FLOAT = 5; val NC_DOUBLE = 6
+  val NC_UBYTE = 7; val NC_USHORT = 8; val NC_UINT = 9
+  val NC_INT64 = 10; val NC_UINT64 = 11
 
   private val TAG_DIM = 0x0A
   private val TAG_VAR = 0x0B
@@ -44,8 +55,15 @@ object NetCdf {
     * fails the job instead of masquerading as a corrupt upload. Extends
     * IllegalArgumentException so callers treating parse errors as invalid
     * input keep working.
+    *
+    * `kind` classifies the failure for the quarantine ledger:
+    * "corrupt" (malformed bytes — discard/re-upload) vs
+    * "unsupported-hdf5" (a VALID NetCDF-4/HDF5 container this classic
+    * parser doesn't read — convert, don't discard). The distinction is an
+    * operator-facing signal, not control flow.
     */
-  final class NetCdfParseException(msg: String, cause: Throwable = null)
+  final class NetCdfParseException(
+      msg: String, cause: Throwable = null, val kind: String = "corrupt")
       extends IllegalArgumentException(msg, cause)
 
   private def fail(msg: String): Nothing = throw new NetCdfParseException(msg)
@@ -57,6 +75,7 @@ object NetCdf {
   final case class NcDoubles(a: Array[Double]) extends NcVal
   final case class NcInts(a: Array[Int]) extends NcVal
   final case class NcChars(a: Array[Byte]) extends NcVal
+  final case class NcLongs(a: Array[Long]) extends NcVal // NC_INT64 (CDF-5)
 
   final case class NcVar(
       name: String, dimIds: Seq[Int], ncType: Int,
@@ -65,56 +84,78 @@ object NetCdf {
   // ------------------------------------------------------------------ writer
 
   private def typeSize(t: Int): Int = t match {
-    case NC_BYTE | NC_CHAR => 1; case NC_SHORT => 2
-    case NC_INT | NC_FLOAT => 4; case NC_DOUBLE => 8
+    case NC_BYTE | NC_CHAR | NC_UBYTE => 1
+    case NC_SHORT | NC_USHORT => 2
+    case NC_INT | NC_FLOAT | NC_UINT => 4
+    case NC_DOUBLE | NC_INT64 | NC_UINT64 => 8
   }
 
   private def pad4(n: Int): Int = (n + 3) & ~3
 
-  private def putName(b: ByteBuffer, s: String): Unit = {
+  /** NON_NEG header-field width: 4 bytes in CDF-1/2, 8 in CDF-5 (every
+    * count/size/length/dimid widens; tags and nc_type stay 4 bytes).
+    */
+  private def nnWidth(version: Int): Int = if (version == 5) 8 else 4
+
+  private def putNonNeg(b: ByteBuffer, version: Int, v: Long): Unit =
+    if (version == 5) b.putLong(v) else b.putInt(v.toInt)
+
+  private def putName(b: ByteBuffer, version: Int, s: String): Unit = {
     val bytes = s.getBytes("UTF-8")
-    b.putInt(bytes.length); b.put(bytes)
+    putNonNeg(b, version, bytes.length); b.put(bytes)
     var i = bytes.length
     while (i % 4 != 0) { b.put(0.toByte); i += 1 }
   }
 
-  private def putAttrVal(b: ByteBuffer, v: NcVal): Unit = v match {
+  private def putAttrVal(b: ByteBuffer, version: Int, v: NcVal): Unit = v match {
     case NcStr(s) =>
       val bytes = s.getBytes("UTF-8")
-      b.putInt(NC_CHAR); b.putInt(bytes.length); b.put(bytes)
+      b.putInt(NC_CHAR); putNonNeg(b, version, bytes.length); b.put(bytes)
       var i = bytes.length; while (i % 4 != 0) { b.put(0.toByte); i += 1 }
-    case NcFloats(a) => b.putInt(NC_FLOAT); b.putInt(a.length); a.foreach(b.putFloat)
-    case NcDoubles(a) => b.putInt(NC_DOUBLE); b.putInt(a.length); a.foreach(b.putDouble)
-    case NcInts(a) => b.putInt(NC_INT); b.putInt(a.length); a.foreach(b.putInt)
+    case NcFloats(a) =>
+      b.putInt(NC_FLOAT); putNonNeg(b, version, a.length); a.foreach(b.putFloat)
+    case NcDoubles(a) =>
+      b.putInt(NC_DOUBLE); putNonNeg(b, version, a.length); a.foreach(b.putDouble)
+    case NcInts(a) =>
+      b.putInt(NC_INT); putNonNeg(b, version, a.length); a.foreach(b.putInt)
+    case NcLongs(a) =>
+      b.putInt(NC_INT64); putNonNeg(b, version, a.length); a.foreach(b.putLong)
     case NcChars(a) =>
-      b.putInt(NC_CHAR); b.putInt(a.length); b.put(a)
+      b.putInt(NC_CHAR); putNonNeg(b, version, a.length); b.put(a)
       var i = a.length; while (i % 4 != 0) { b.put(0.toByte); i += 1 }
   }
 
-  private def attrListSize(attrs: Seq[(String, NcVal)]): Int =
-    if (attrs.isEmpty) 8
-    else 8 + attrs.map { case (n, v) =>
-      val nameSz = 4 + pad4(n.getBytes("UTF-8").length)
-      val valSz = v match {
-        case NcStr(s) => 8 + pad4(s.getBytes("UTF-8").length)
-        case NcFloats(a) => 8 + a.length * 4
-        case NcDoubles(a) => 8 + a.length * 8
-        case NcInts(a) => 8 + a.length * 4
-        case NcChars(a) => 8 + pad4(a.length)
-      }
+  private def attrListSize(version: Int, attrs: Seq[(String, NcVal)]): Int = {
+    val w = nnWidth(version)
+    if (attrs.isEmpty) 4 + w
+    else 4 + w + attrs.map { case (n, v) =>
+      val nameSz = w + pad4(n.getBytes("UTF-8").length)
+      val valSz = 4 + w + (v match {
+        case NcStr(s) => pad4(s.getBytes("UTF-8").length)
+        case NcFloats(a) => a.length * 4
+        case NcDoubles(a) => a.length * 8
+        case NcInts(a) => a.length * 4
+        case NcLongs(a) => a.length * 8
+        case NcChars(a) => pad4(a.length)
+      })
       nameSz + valSz
     }.sum
+  }
 
-  private def putAttrList(b: ByteBuffer, attrs: Seq[(String, NcVal)]): Unit =
-    if (attrs.isEmpty) { b.putInt(0); b.putInt(0) }
+  private def putAttrList(b: ByteBuffer, version: Int,
+      attrs: Seq[(String, NcVal)]): Unit =
+    if (attrs.isEmpty) { b.putInt(0); putNonNeg(b, version, 0L) }
     else {
-      b.putInt(TAG_ATT); b.putInt(attrs.length)
-      attrs.foreach { case (n, v) => putName(b, n); putAttrVal(b, v) }
+      b.putInt(TAG_ATT); putNonNeg(b, version, attrs.length)
+      attrs.foreach { case (n, v) =>
+        putName(b, version, n); putAttrVal(b, version, v)
+      }
     }
 
   /** Serialize a classic file. `version` 1 = CDF-1 (32-bit data offsets),
     * 2 = CDF-2 (64-bit offsets — the format variant real >2 GiB Argo
-    * aggregates ship in).
+    * aggregates ship in), 5 = CDF-5 (PnetCDF 64-bit data: every NON_NEG
+    * header field is 8 bytes and the extended numeric types are allowed).
     *
     * Record variables: a dim of size 0 in `dims` is the record dimension;
     * a var whose FIRST dim id is that dim is a record var holding
@@ -127,8 +168,11 @@ object NetCdf {
   def writeBytes(
       dims: Seq[NcDim], globalAttrs: Seq[(String, NcVal)],
       vars: Seq[NcVar], version: Int = 1, numrecs: Int = 0): Array[Byte] = {
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
     require(dims.count(_.size == 0) <= 1, "at most one record dimension")
+    require(version == 5 || vars.forall(_.ncType <= NC_DOUBLE),
+      "extended types (ubyte/ushort/uint/int64/uint64) require CDF-5")
     val recDimId = dims.indexWhere(_.size == 0)
     def isRec(v: NcVar): Boolean =
       recDimId >= 0 && v.dimIds.headOption.contains(recDimId)
@@ -153,17 +197,18 @@ object NetCdf {
     def vsize(v: NcVar): Int =
       if (isRec(v)) slabPadded(v)
       else pad4(fixedCount(v) * typeSize(v.ncType))
-    val beginSz = if (version == 2) 8 else 4
+    val w = nnWidth(version) // NON_NEG width: counts, lengths, dimids, vsize
+    val beginSz = if (version == 1) 4 else 8
 
     val dimListSz =
-      if (dims.isEmpty) 8
-      else 8 + dims.map(d => 4 + pad4(d.name.getBytes("UTF-8").length) + 4).sum
+      if (dims.isEmpty) 4 + w
+      else 4 + w + dims.map(d => w + pad4(d.name.getBytes("UTF-8").length) + w).sum
     val varHdrSz = vars.map { v =>
-      4 + pad4(v.name.getBytes("UTF-8").length) + 4 + v.dimIds.length * 4 +
-        attrListSize(v.attrs) + 4 + 4 + beginSz // nc_type, vsize, begin
+      w + pad4(v.name.getBytes("UTF-8").length) + w + v.dimIds.length * w +
+        attrListSize(version, v.attrs) + 4 + w + beginSz // nc_type, vsize, begin
     }.sum
-    val headerSz = 4 + 4 + dimListSz + attrListSize(globalAttrs) +
-      (if (vars.isEmpty) 8 else 8 + varHdrSz)
+    val headerSz = 4 + w + dimListSz + attrListSize(version, globalAttrs) +
+      (if (vars.isEmpty) 4 + w else 4 + w + varHdrSz)
 
     // fixed vars lay out sequentially after the header (in var order); the
     // record block follows, each record var at its slab offset in record 0
@@ -183,28 +228,39 @@ object NetCdf {
     val b = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
 
     b.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
-    b.putInt(numrecs)
-    if (dims.isEmpty) { b.putInt(0); b.putInt(0) }
+    putNonNeg(b, version, numrecs)
+    if (dims.isEmpty) { b.putInt(0); putNonNeg(b, version, 0L) }
     else {
-      b.putInt(TAG_DIM); b.putInt(dims.length)
-      dims.foreach { d => putName(b, d.name); b.putInt(d.size) }
+      b.putInt(TAG_DIM); putNonNeg(b, version, dims.length)
+      dims.foreach { d =>
+        putName(b, version, d.name); putNonNeg(b, version, d.size)
+      }
     }
-    putAttrList(b, globalAttrs)
-    if (vars.isEmpty) { b.putInt(0); b.putInt(0) }
+    putAttrList(b, version, globalAttrs)
+    if (vars.isEmpty) { b.putInt(0); putNonNeg(b, version, 0L) }
     else {
-      b.putInt(TAG_VAR); b.putInt(vars.length)
+      b.putInt(TAG_VAR); putNonNeg(b, version, vars.length)
       vars.zip(beginsResolved).foreach { case (v, begin) =>
-        putName(b, v.name)
-        b.putInt(v.dimIds.length); v.dimIds.foreach(b.putInt)
-        putAttrList(b, v.attrs)
-        b.putInt(v.ncType); b.putInt(vsize(v))
-        if (version == 2) b.putLong(begin) else b.putInt(begin.toInt)
+        putName(b, version, v.name)
+        putNonNeg(b, version, v.dimIds.length)
+        v.dimIds.foreach(id => putNonNeg(b, version, id))
+        putAttrList(b, version, v.attrs)
+        b.putInt(v.ncType); putNonNeg(b, version, vsize(v))
+        if (version == 1) b.putInt(begin.toInt) else b.putLong(begin)
       }
     }
     def putValues(v: NcVar, from: Int, n: Int): Unit = v.data match {
       case NcFloats(a) => (from until from + n).foreach(i => b.putFloat(a(i)))
       case NcDoubles(a) => (from until from + n).foreach(i => b.putDouble(a(i)))
-      case NcInts(a) => (from until from + n).foreach(i => b.putInt(a(i)))
+      case NcInts(a) =>
+        v.ncType match {
+          case NC_SHORT | NC_USHORT =>
+            (from until from + n).foreach(i => b.putShort(a(i).toShort))
+          case NC_BYTE | NC_UBYTE =>
+            (from until from + n).foreach(i => b.put(a(i).toByte))
+          case _ => (from until from + n).foreach(i => b.putInt(a(i)))
+        }
+      case NcLongs(a) => (from until from + n).foreach(i => b.putLong(a(i)))
       case NcChars(a) => b.put(a, from, n)
       case NcStr(s) => b.put(s.getBytes("UTF-8"), from, n)
     }
@@ -247,82 +303,136 @@ object NetCdf {
       dims: Seq[NcDim], globalAttrs: Map[String, Any], vars: Seq[ParsedVar],
       recordDim: Option[String] = None)
 
-  private def readName(b: ByteBuffer): String = {
-    val n = b.getInt
-    if (n < 0 || n > b.remaining) fail(s"name length $n out of range")
+  /** Unsigned widenings for the CDF-5 extended types, exact up to 2^53
+    * (Double's integer range — beyond that INT64/UINT64 round, which the
+    * tabular Double model shares with xarray's float64 promotion).
+    */
+  private def widen(b: ByteBuffer, t: Int): Double = t match {
+    case NC_BYTE => b.get().toDouble
+    case NC_UBYTE => (b.get() & 0xFF).toDouble
+    case NC_SHORT => b.getShort.toDouble
+    case NC_USHORT => (b.getShort & 0xFFFF).toDouble
+    case NC_INT => b.getInt.toDouble
+    case NC_UINT => (b.getInt.toLong & 0xFFFFFFFFL).toDouble
+    case NC_FLOAT => b.getFloat.toDouble
+    case NC_DOUBLE => b.getDouble
+    case NC_INT64 => b.getLong.toDouble
+    case NC_UINT64 =>
+      val x = b.getLong
+      if (x >= 0) x.toDouble else x.toDouble + 1.8446744073709552E19
+  }
+
+  /** NON_NEG header field: 4 bytes (CDF-1/2) or 8 (CDF-5), bounds-checked. */
+  private def readNonNeg(b: ByteBuffer, wide: Boolean, what: String): Long = {
+    val n = if (wide) b.getLong else b.getInt.toLong
+    if (n < -1) fail(s"$what $n out of range") // -1 = STREAMING numrecs
+    n
+  }
+
+  private def readName(b: ByteBuffer, wide: Boolean): String = {
+    val n0 = readNonNeg(b, wide, "name length")
+    if (n0 < 0 || n0 > b.remaining) fail(s"name length $n0 out of range")
+    val n = n0.toInt
     val bytes = new Array[Byte](n); b.get(bytes)
     var i = n; while (i % 4 != 0) { b.get(); i += 1 }
     new String(bytes, "UTF-8")
   }
 
-  private def readAttrVal(b: ByteBuffer): Any = {
-    val t = b.getInt; val n = b.getInt
-    if (n < 0 || n.toLong * typeSizeChecked(t) > b.remaining) fail(s"attr length $n out of range")
+  private def readAttrVal(b: ByteBuffer, wide: Boolean): Any = {
+    val t = b.getInt
+    val n0 = readNonNeg(b, wide, "attr length")
+    if (n0 < 0 || n0 * typeSizeChecked(t) > b.remaining) fail(s"attr length $n0 out of range")
+    val n = n0.toInt
     t match {
       case NC_CHAR =>
         val bytes = new Array[Byte](n); b.get(bytes)
         var i = n; while (i % 4 != 0) { b.get(); i += 1 }
         new String(bytes, "UTF-8")
-      case NC_BYTE =>
-        val a = Array.fill(n)(b.get().toDouble)
-        var i = n; while (i % 4 != 0) { b.get(); i += 1 }; a
-      case NC_SHORT =>
-        val a = Array.fill(n)(b.getShort.toDouble)
-        var i = n * 2; while (i % 4 != 0) { b.get(); i += 1 }; a
-      case NC_INT => Array.fill(n)(b.getInt.toDouble)
-      case NC_FLOAT => Array.fill(n)(b.getFloat.toDouble)
-      case NC_DOUBLE => Array.fill(n)(b.getDouble)
+      case _ =>
+        val a = Array.fill(n)(widen(b, t))
+        var i = n * typeSize(t); while (i % 4 != 0) { b.get(); i += 1 }
+        a
     }
   }
 
   private def typeSizeChecked(t: Int): Int =
-    if (t >= NC_BYTE && t <= NC_DOUBLE) typeSize(t)
+    if (t >= NC_BYTE && t <= NC_UINT64) typeSize(t)
     else fail(s"unknown nc_type $t")
 
-  private def readAttrList(b: ByteBuffer): Map[String, Any] = {
-    val tag = b.getInt; val n = b.getInt
+  private def readAttrList(b: ByteBuffer, wide: Boolean): Map[String, Any] = {
+    val tag = b.getInt
+    val n = readNonNeg(b, wide, "attr count")
     if (tag == 0 || n == 0) Map.empty
-    else if (n < 0) fail(s"attr count $n out of range")
-    else (0 until n).map(_ => readName(b) -> readAttrVal(b)).toMap
+    else if (n < 0 || n > b.remaining) fail(s"attr count $n out of range")
+    else (0 until n.toInt).map(_ =>
+      readName(b, wide) -> readAttrVal(b, wide)).toMap
   }
 
+  /** The HDF5 signature (`\x89HDF\r\n\x1a\n`) — a VALID NetCDF-4 container
+    * this classic parser does not read. Recognized so the quarantine ledger
+    * can say "convert" instead of "corrupt" (the reference opens these via
+    * xarray's HDF5 engine, ingest/load_data.py:201-224).
+    */
+  private def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 0x89.toByte &&
+      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
+
   def parse(bytes: Array[Byte]): ParsedFile = try {
+    if (isHdf5(bytes))
+      throw new NetCdfParseException(
+        "unsupported NetCDF-4/HDF5 container (magic \\x89HDF) — valid file, " +
+          "convert to classic CDF or read with an HDF5-capable engine",
+        kind = "unsupported-hdf5")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = Array(b.get(), b.get(), b.get())
     if (!magic.sameElements("CDF".getBytes)) fail("not a NetCDF classic file")
     val version = b.get()
-    if (version != 1 && version != 2) fail(s"unsupported CDF version $version")
-    val numrecsRaw = b.getInt // -1 = STREAMING (count derived from length)
+    if (version != 1 && version != 2 && version != 5)
+      fail(s"unsupported CDF version $version")
+    val wide = version == 5
+    // -1 = STREAMING (count derived from length); 4-byte in CDF-1/2,
+    // 8-byte in CDF-5
+    val numrecsRaw = readNonNeg(b, wide, "numrecs")
 
-    val dimTag = b.getInt; val nDims = b.getInt
+    val dimTag = b.getInt
+    val nDims = readNonNeg(b, wide, "dim count")
     if (nDims < 0 || nDims > bytes.length) fail(s"dim count $nDims out of range")
     val dims =
       if (dimTag == 0) Seq.empty
-      else (0 until nDims).map(_ => NcDim(readName(b), b.getInt))
+      else (0 until nDims.toInt).map { _ =>
+        val name = readName(b, wide)
+        val size = readNonNeg(b, wide, s"dim $name size")
+        // a >2^31 dim cannot materialize in one in-memory slab here anyway;
+        // boundedCount would also reject it against the file length
+        if (size < 0 || size > Int.MaxValue) fail(s"dim $name size $size out of range")
+        NcDim(name, size.toInt)
+      }
     if (dims.count(_.size == 0) > 1) fail("multiple record dimensions")
     val recDimId = dims.indexWhere(_.size == 0)
 
-    val gatts = readAttrList(b)
+    val gatts = readAttrList(b, wide)
 
-    val varTag = b.getInt; val nVars = b.getInt
+    val varTag = b.getInt
+    val nVars = readNonNeg(b, wide, "var count")
     if (nVars < 0 || nVars > bytes.length) fail(s"var count $nVars out of range")
     val headers =
       if (varTag == 0) Seq.empty
-      else (0 until nVars).map { _ =>
-        val name = readName(b)
-        val nd = b.getInt
+      else (0 until nVars.toInt).map { _ =>
+        val name = readName(b, wide)
+        val nd = readNonNeg(b, wide, s"dim list length for $name")
         if (nd < 0 || nd > nDims) fail(s"dim list length $nd out of range for $name")
-        val dimIds = (0 until nd).map { _ =>
-          val id = b.getInt
+        val dimIds = (0 until nd.toInt).map { _ =>
+          val id = readNonNeg(b, wide, s"dim id for $name")
           if (id < 0 || id >= dims.length) fail(s"dim id $id out of range for $name")
-          id
+          id.toInt
         }
         if (recDimId >= 0 && dimIds.drop(1).contains(recDimId))
           fail(s"record dim must be the outermost dim: $name")
-        val attrs = readAttrList(b)
-        val t = b.getInt; val vsize = b.getInt
+        val attrs = readAttrList(b, wide)
+        val t = b.getInt
+        val vsize = readNonNeg(b, wide, s"vsize for $name")
         typeSizeChecked(t)
-        val begin = if (version == 2) b.getLong else b.getInt.toLong
+        val begin = if (version == 1) b.getInt.toLong else b.getLong
         (name, dimIds, attrs, t, vsize, begin)
       }
 
@@ -349,8 +459,10 @@ object NetCdf {
       if (singleRec) raw else pad4(raw)
     }.sum
     val numrecs =
-      if (numrecsRaw >= 0) numrecsRaw
-      else { // STREAMING: every record is recsize bytes after the first slab
+      if (numrecsRaw >= 0) {
+        if (numrecsRaw > bytes.length) fail(s"numrecs $numrecsRaw exceeds file size")
+        numrecsRaw.toInt
+      } else { // STREAMING: every record is recsize bytes after the first slab
         val recordStart = recHeaders.map(_._6).minOption.getOrElse(bytes.length.toLong)
         if (recsize == 0) 0 else ((bytes.length - recordStart) / recsize).toInt
       }
@@ -365,16 +477,7 @@ object NetCdf {
 
     def readValues(d: ByteBuffer, t: Int, into: Array[Double], from: Int, n: Int): Unit = {
       var i = 0
-      while (i < n) {
-        into(from + i) = t match {
-          case NC_BYTE => d.get().toDouble
-          case NC_SHORT => d.getShort.toDouble
-          case NC_INT => d.getInt.toDouble
-          case NC_FLOAT => d.getFloat.toDouble
-          case NC_DOUBLE => d.getDouble
-        }
-        i += 1
-      }
+      while (i < n) { into(from + i) = widen(d, t); i += 1 }
     }
 
     val vars = headers.map { case (name, dimIds, attrs, t, _, begin) =>
@@ -636,6 +739,8 @@ object NetCdf {
   private def typeName(t: Int): String = t match {
     case NC_BYTE => "byte"; case NC_CHAR => "char"; case NC_SHORT => "short"
     case NC_INT => "int"; case NC_FLOAT => "float"; case NC_DOUBLE => "double"
+    case NC_UBYTE => "ubyte"; case NC_USHORT => "ushort"; case NC_UINT => "uint"
+    case NC_INT64 => "int64"; case NC_UINT64 => "uint64"
   }
 
   /** Matches `*.nc` case-insensitively on the suffix — the reference's
@@ -697,14 +802,18 @@ object NetCdf {
       .toDF()
   }
 
-  /** Per-file parse status for a scan directory. */
+  /** Per-file parse status for a scan directory. `status` is the operator
+    * triage signal: "ok", "corrupt" (malformed bytes — discard/re-upload),
+    * or "unsupported-hdf5" (a valid NetCDF-4 container — convert it).
+    */
   final case class ScanStatus(
-      file: String, ok: Boolean, error: Option[String], n_rows: Long)
+      file: String, ok: Boolean, status: String, error: Option[String],
+      n_rows: Long)
 
   /** The quarantine ledger for a tolerant scan: one row per file with parse
-    * outcome, error message, and decoded row count — what `read(tolerant =
-    * true)` dropped and why. Same file-per-task fan-out as [[read]]; a
-    * million-file audit is one parallel pass.
+    * outcome, triage status, error message, and decoded row count — what
+    * `read(tolerant = true)` dropped and why. Same file-per-task fan-out as
+    * [[read]]; a million-file audit is one parallel pass.
     */
   def scanStatus(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -714,10 +823,10 @@ object NetCdf {
         val file = p.substring(p.lastIndexOf('/') + 1)
         try {
           val rows = tabularize(parse(bytes))
-          ScanStatus(file, ok = true, None, rows.length.toLong)
+          ScanStatus(file, ok = true, "ok", None, rows.length.toLong)
         } catch {
           case e: NetCdfParseException =>
-            ScanStatus(file, ok = false, Some(e.getMessage), 0L)
+            ScanStatus(file, ok = false, e.kind, Some(e.getMessage), 0L)
         }
       }
       .toDF()

@@ -38,8 +38,11 @@ object NetCdfFixture {
     if ((f + 2 * p + l) % 13 == 0) FILL
     else (34.0 + (l % 4) * 0.25 + ((f + p) % 3) * 0.125).toFloat
 
-  /** Serialize float `f`'s profile file. */
-  def fileBytes(f: Int): Array[Byte] = {
+  /** Serialize float `f`'s profile file. `version` 1/2/5 selects the
+    * classic container variant; CDF-5 additionally stores CYCLE_NUMBER as
+    * NC_INT64 (the extended type real PnetCDF outputs use for counters).
+    */
+  def fileBytes(f: Int, version: Int = 1): Array[Byte] = {
     val upper = f % 2 == 0
     def nm(u: String, l: String) = if (upper) u else l
     val dims = Seq(NcDim("N_PROF", N_PROF), NcDim("N_LEVELS", N_LEVELS),
@@ -62,10 +65,15 @@ object NetCdfFixture {
       } else NcVar(nm("PLATFORM_NUMBER", "platform_number"), Seq(0), NC_DOUBLE,
         Nil, NcDoubles(Array.fill(N_PROF)((100 + f).toDouble)))
 
+    val cycle =
+      if (version == 5)
+        NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT64, Nil,
+          NcLongs((0 until N_PROF).map(p => (1000 + p).toLong).toArray))
+      else NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
+        NcInts((0 until N_PROF).map(1000 + _).toArray))
     val vars = Seq(
       platform,
-      NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
-        NcInts((0 until N_PROF).map(1000 + _).toArray)),
+      cycle,
       NcVar(nm("JULD", "time"), Seq(0), NC_DOUBLE,
         Seq("units" -> NcStr(timeUnits)),
         NcDoubles((0 until N_PROF).map(timeVal).toArray)),
@@ -84,7 +92,8 @@ object NetCdfFixture {
           yield psal(f, p, l)).toArray)))
 
     writeBytes(dims,
-      Seq("title" -> NcStr(s"graft synthetic Argo float ${100 + f}")), vars)
+      Seq("title" -> NcStr(s"graft synthetic Argo float ${100 + f}")), vars,
+      version = version)
   }
 
   /** Write the whole fleet (plus a `_SUCCESS` marker so the repo's
@@ -118,7 +127,7 @@ object NetCdfFixture {
     *   - one fixed-size var (`DEPTH_INDEX`) rides along to exercise the
     *     mixed fixed-then-record data layout.
     */
-  def recordFileBytes(f: Int): Array[Byte] = {
+  def recordFileBytes(f: Int, version: Int = 1): Array[Byte] = {
     val upper = f % 2 == 0
     def nm(u: String, l: String) = if (upper) u else l
     val dims = Seq(NcDim("N_PROF", 0), NcDim("N_LEVELS", N_LEVELS),
@@ -141,12 +150,17 @@ object NetCdfFixture {
       } else NcVar(nm("PLATFORM_NUMBER", "platform_number"), Seq(0), NC_DOUBLE,
         Nil, NcDoubles(Array.fill(N_PROF)((100 + f).toDouble)))
 
+    val cycle =
+      if (version == 5)
+        NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT64, Nil,
+          NcLongs((0 until N_PROF).map(p => (1000 + p).toLong).toArray))
+      else NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
+        NcInts((0 until N_PROF).map(1000 + _).toArray))
     val vars = Seq(
       NcVar(nm("DEPTH_INDEX", "depth_index"), Seq(1), NC_INT, Nil,
         NcInts((0 until N_LEVELS).toArray)), // fixed-size bystander
       platform,
-      NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
-        NcInts((0 until N_PROF).map(1000 + _).toArray)),
+      cycle,
       NcVar(nm("JULD", "time"), Seq(0), NC_DOUBLE,
         Seq("units" -> NcStr(timeUnits)),
         NcDoubles((0 until N_PROF).map(timeVal).toArray)),
@@ -166,7 +180,7 @@ object NetCdfFixture {
 
     writeBytes(dims,
       Seq("title" -> NcStr(s"graft synthetic Argo float ${100 + f} (record)")),
-      vars, version = 1, numrecs = N_PROF)
+      vars, version = version, numrecs = N_PROF)
   }
 
   /** Write the record-dimension fleet: floats 104 (lowercase `.nc`) and
@@ -181,10 +195,13 @@ object NetCdfFixture {
   }
 
   /** An upload inbox as a real crawl sees it: the healthy fixed-size fleet
-    * PLUS two deterministic poison files — a truncated header (valid magic,
-    * cut mid-dim-list) and a non-NetCDF payload. Drives the quarantine
-    * ledger (`s10_netcdf_quarantine`): the scan must decode the healthy
-    * files and account for the skips, never abort.
+    * PLUS three deterministic poison files — a truncated header (valid
+    * magic, cut mid-dim-list), a non-NetCDF payload, and an HDF5-magic
+    * NetCDF-4 container (VALID file, unsupported format — must quarantine
+    * with the distinct `unsupported-hdf5` status so an operator converts
+    * it instead of discarding it). Drives the quarantine ledger
+    * (`s10_netcdf_quarantine`): the scan must decode the healthy files and
+    * account for the skips, never abort.
     */
   def writeQuarantineFleet(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -195,6 +212,30 @@ object NetCdfFixture {
       fileBytes(0).take(40))
     java.nio.file.Files.write(p.resolve("upload_garbage.nc"),
       "not a netcdf container".getBytes("UTF-8"))
+    // the 8-byte HDF5 signature + superblock-ish filler: what a NetCDF-4
+    // upload's first bytes actually look like
+    java.nio.file.Files.write(p.resolve("upload_netcdf4.nc"),
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
+        Array.fill[Byte](56)(0))
+    java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  // --------------------------------------------------------- CDF-5 variant
+
+  /** The CDF-5 (PnetCDF 64-bit data) pair for `s11_netcdf_cdf5`: float 106
+    * in record layout (UNLIMITED N_PROF, named-zone epoch token, NC_INT64
+    * cycle counter) and float 107 fixed-size (lowercase alternates, "hours
+    * since" units, NC_INT64 cycle counter). Same closed form as the other
+    * fleets at the same (f, p, l) — the container encoding is the ONLY
+    * variable under test.
+    */
+  def writeCdf5Fleet(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("cdf5_float_106.nc"),
+      recordFileBytes(6, version = 5))
+    java.nio.file.Files.write(p.resolve("cdf5_float_107.nc"),
+      fileBytes(7, version = 5))
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 }

@@ -75,6 +75,61 @@ class NetCdfSpec extends AnyFunSuite {
     assert(NetCdf.tabularize(NetCdf.parse(v2)) === NetCdf.tabularize(f))
   }
 
+  test("CDF-5 (64-bit data) files round-trip: wide header fields + extended types") {
+    val dims = Seq(NcDim("x", 3))
+    val vars = Seq(
+      NcVar("big", Seq(0), NC_INT64, Seq("units" -> NcStr("count")),
+        NcLongs(Array(1L << 40, -5L, 42L))),
+      NcVar("ub", Seq(0), NC_UBYTE, Nil, NcInts(Array(0, 127, 255))),
+      NcVar("us", Seq(0), NC_USHORT, Nil, NcInts(Array(0, 40000, 65535))),
+      NcVar("d", Seq(0), NC_DOUBLE, Nil, NcDoubles(Array(1.5, 2.5, -3.0))))
+    val bytes = NetCdf.writeBytes(dims, Seq("title" -> NcStr("cdf5")), vars,
+      version = 5)
+    assert(bytes(3) === 5.toByte)
+    val parsed = NetCdf.parse(bytes)
+    assert(parsed.dims === dims)
+    assert(parsed.globalAttrs("title") === "cdf5")
+    assert(parsed.vars.find(_.name == "big").get.numeric.toSeq ===
+      Seq((1L << 40).toDouble, -5.0, 42.0))
+    assert(parsed.vars.find(_.name == "big").get.attrs("units") === "count")
+    assert(parsed.vars.find(_.name == "ub").get.numeric.toSeq === Seq(0.0, 127.0, 255.0))
+    assert(parsed.vars.find(_.name == "us").get.numeric.toSeq === Seq(0.0, 40000.0, 65535.0))
+    assert(parsed.vars.find(_.name == "d").get.numeric.toSeq === Seq(1.5, 2.5, -3.0))
+  }
+
+  test("CDF-5 record layout tabularizes identically to its CDF-1 twin") {
+    val v1 = NetCdf.tabularize(NetCdf.parse(NetCdfFixture.recordFileBytes(6)))
+    val v5 = NetCdf.tabularize(NetCdf.parse(
+      NetCdfFixture.recordFileBytes(6, version = 5)))
+    assert(v5 === v1)
+    val f1 = NetCdf.tabularize(NetCdf.parse(NetCdfFixture.fileBytes(7)))
+    val f5 = NetCdf.tabularize(NetCdf.parse(
+      NetCdfFixture.fileBytes(7, version = 5)))
+    assert(f5 === f1)
+  }
+
+  test("extended types require CDF-5; truncated CDF-5 quarantines as corrupt") {
+    intercept[IllegalArgumentException] {
+      NetCdf.writeBytes(Seq(NcDim("x", 1)),
+        Nil, Seq(NcVar("b", Seq(0), NC_INT64, Nil, NcLongs(Array(1L)))))
+    }
+    val e = intercept[NetCdfParseException] {
+      NetCdf.parse(NetCdfFixture.fileBytes(7, version = 5).take(48))
+    }
+    assert(e.kind === "corrupt")
+  }
+
+  test("HDF5 magic classifies as unsupported-hdf5, not corrupt") {
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
+      Array.fill[Byte](24)(0)
+    val e = intercept[NetCdfParseException](NetCdf.parse(hdf5))
+    assert(e.kind === "unsupported-hdf5")
+    assert(e.getMessage.contains("convert"))
+    val corrupt = intercept[NetCdfParseException](
+      NetCdf.parse("garbage".getBytes("UTF-8")))
+    assert(corrupt.kind === "corrupt")
+  }
+
   test("decodeTimeMicros handles days/hours/seconds since with date or datetime epochs") {
     // 1950-01-01 is 7305 days before the Unix epoch
     val dayUs = 86400000000L
@@ -237,12 +292,23 @@ class NetCdfSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/garbage.nc"),
       "not netcdf at all".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/netcdf4.nc"),
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    // columns: file, ok, status, error, n_rows
     val status = NetCdf.scanStatus(spark, dir).collect()
-    assert(status.length === NetCdfFixture.N_FLOATS + 2)
+    assert(status.length === NetCdfFixture.N_FLOATS + 3)
     val bad = status.filter(!_.getBoolean(1))
-    assert(bad.map(_.getString(0)).sorted.toSeq === Seq("garbage.nc", "truncated.nc"))
-    assert(bad.forall(r => !r.isNullAt(2) && r.getString(2).nonEmpty)) // error recorded
-    val okRows = status.filter(_.getBoolean(1)).map(_.getLong(3)).sum
+    assert(bad.map(_.getString(0)).sorted.toSeq ===
+      Seq("garbage.nc", "netcdf4.nc", "truncated.nc"))
+    assert(bad.forall(r => !r.isNullAt(3) && r.getString(3).nonEmpty)) // error recorded
+    // triage statuses: HDF5 is "convert", the others "discard"
+    val byFile = bad.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byFile("netcdf4.nc") === "unsupported-hdf5")
+    assert(byFile("garbage.nc") === "corrupt")
+    assert(byFile("truncated.nc") === "corrupt")
+    assert(status.filter(_.getBoolean(1)).forall(_.getString(2) == "ok"))
+    val okRows = status.filter(_.getBoolean(1)).map(_.getLong(4)).sum
     assert(okRows === NetCdf.read(spark, dir, tolerant = true).count())
   }
 
