@@ -147,7 +147,7 @@ object Bench {
       // Pack.globalCumsum's bucket-offset collect). The r7-comparable
       // 16-query subtotal is recoverable from the per-query map in
       // BENCH_DETAIL.json.
-      "gr1_pagerank", "gr2_triangle_count", "gr2_triangle_census",
+      "gr1_pagerank", "gr2_triangle_count", "gr3_triangle_census",
       "dd7_minhash_est", "dd8_lsh_verified", "dd12_incremental_dedup",
       "dc1_decontaminate", "t8_report_export", "ta5_tfidf_topk",
       "ta9_bigram_lm", "ta10_bm25_topk", "rr1_hybrid_rrf",
@@ -170,6 +170,14 @@ object Bench {
     // pushed it past ~2.8k chars and the harness's tail truncated its head,
     // leaving it unparseable in round 1).
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Ambient box load (1/5/15-min averages) recorded IN the artifact: the
+    // r7->r8 margin wobble (1.30x vs 1.47x same code) was pure box-load
+    // noise, so every capture now carries the evidence to adjudicate its
+    // own validity instead of relying on a hand-written BENCH_NOTES aside.
+    def loadAvg(): String =
+      try "[" + scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).mkString(",") + "]"
+      catch { case _: Throwable => "[]" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -183,7 +191,7 @@ object Bench {
     // leaving the artifact unparseable. The per-query map goes on its own
     // earlier line (for humans and paired-run analysis); the LAST line is a
     // short, always-capturable summary the driver can parse on its own.
-    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"one_shot_total":${fmt(oneShotTotal)},"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"one_shot_total":${fmt(oneShotTotal)},"load_avg":${loadAvg()},"sf":"$sfDir"}"""
     // Dedicated artifact file: the driver's bounded log-tail capture has
     // truncated the per-query map mid-JSON twice (rounds 4 and 6); a file in
     // the repo makes the full map durable and committable regardless of how

@@ -513,7 +513,7 @@ class Engine(spark: SparkSession) {
 
   /** Snapshot diff: classify every key across two table versions as
     * added / removed / changed / unchanged. `valCols` take part in the
-    * change test with null-safe equality. See `o5_snapshot_diff`. */
+    * change test with null-safe equality. See `o6_snapshot_diff`. */
   def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
       valCols: Seq[String]): DataFrame = {
     // presence markers, not value-null tests: an all-null value tuple is a

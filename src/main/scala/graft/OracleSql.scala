@@ -2003,7 +2003,7 @@ private[graft] object OracleSql {
       """SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY 1 ORDER BY 1""",
-    "o5_snapshot_diff" ->
+    "o6_snapshot_diff" ->
       """WITH base AS (
            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
            FROM orders),
@@ -2136,7 +2136,7 @@ private[graft] object OracleSql {
                 CAST(sum(CASE WHEN hv < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
                   AS sampled_chars
          FROM h GROUP BY 1 ORDER BY 1""",
-    "gr2_triangle_census" ->
+    "gr3_triangle_census" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
                 FROM li a JOIN li b

@@ -164,7 +164,7 @@ object ShingleMd5 {
     // cases in one probe; the rare distinct-lo-same-hi collisions fall
     // back to an exact composite-key set
     val dedup = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = new java.util.HashSet[(Long, Long)]()
     i = 0
     while (i <= len - k) {
       md.reset()
@@ -191,9 +191,10 @@ object ShingleMd5 {
         dedup.put(hi, lo)
         out.add(InternalRow(hi, lo))
       } else if (prev.longValue() != lo) {
-        // rare hi-collision with distinct lo: fall back to exact pair check
-        val key = java.lang.Long.valueOf(hi ^ java.lang.Long.rotateLeft(lo, 17))
-        if (seen.add(key)) out.add(InternalRow(hi, lo))
+        // rare hi-collision with distinct lo: exact check on the FULL
+        // 128-bit pair (a folded 64-bit key here could alias two distinct
+        // digests that share hi and silently drop a shingle)
+        if (seen.add((hi, lo))) out.add(InternalRow(hi, lo))
       }
       i += 1
     }

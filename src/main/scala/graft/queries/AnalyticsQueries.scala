@@ -666,7 +666,7 @@ private[graft] object AnalyticsQueries {
     // a<b<c wedge join closed against the edge list. Pair generation is
     // the in-bucket gather (one groupBy, no self-join of lineitem);
     // baskets are order-sized so the expansion is bounded per row. -------
-    "gr2_triangle_census" -> { (s, dir) =>
+    "gr3_triangle_census" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_partkey").distinct()
       val pairs = li.groupBy("l_orderkey")

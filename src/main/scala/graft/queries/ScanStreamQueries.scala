@@ -797,7 +797,7 @@ private[graft] object ScanStreamQueries {
     // join planner's two (one per side) plus a merge, which at 100 TB
     // halves the shuffle IO of the diff. Semantics are identical because
     // the key is unique within each snapshot. ----------------------------
-    "o5_snapshot_diff" -> { (s, dir) =>
+    "o6_snapshot_diff" -> { (s, dir) =>
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))

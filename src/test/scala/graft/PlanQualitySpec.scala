@@ -218,7 +218,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2, "dd12_incremental_dedup" -> 15,
       "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5,
-      "gr2_triangle_census" -> 4, "ta9_bigram_lm" -> 5,
+      "gr3_triangle_census" -> 4, "ta9_bigram_lm" -> 5,
       "a16_histogram" -> 2, "w6_trailing_range" -> 2,
       "dd13_editdistance_dedup" -> 4, "a17_mode_per_user" -> 3,
       "st11_dedup_window_chain" -> 1, "ta10_bm25_topk" -> 5,
@@ -227,7 +227,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "dd15_span_dedup" -> 6, "q3_shipping_priority" -> 1,
       "q5_local_supplier_volume" -> 2, "f16_url_parse" -> 3,
       "a18_equidepth_bins" -> 2, "w7_value_episodes" -> 2,
-      "o5_snapshot_diff" -> 3, "ta11_normalize" -> 1,
+      "o6_snapshot_diff" -> 3, "ta11_normalize" -> 1,
       "dd16_canonical_pick" -> 7,
       "dq1_constraint_suite" -> 3, "pv1_k_anonymity" -> 2,
       "tp4_importance_select" -> 3, "q18_large_volume" -> 1,
