@@ -551,12 +551,14 @@ private[graft] object AnalyticsQueries {
     // propagation. Simplified dangling-mass semantics (no redistribution)
     // — identical on both engines by construction. -----------------------
     "gr1_pagerank" -> { (s, dir) =>
+      // NOT separately checkpointed: `edges` has exactly two consumers
+      // (withDeg's join+agg below), both inside withDeg's own checkpoint
+      // materialization — the lazy-checkpoint block lock makes them share
+      // one computation, and a third materialization pass bought nothing
+      // (round-9 one-shot diet: one fewer cold job per invocation).
       val edges = Tables.lineitem(s, dir)
         .select((col("l_orderkey") % 4096).as("src"),
           (col("l_partkey") % 4096).as("dst"))
-        .distinct().localCheckpoint(false) // reused by 3 rounds + outdeg + nodes
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
         .distinct().localCheckpoint(false)
       // Pre-divide: edges carry their src's outdeg once (one-time shuffle,
       // checkpointed), so each round is a BROADCAST of the ≤4096-row rank
@@ -567,6 +569,9 @@ private[graft] object AnalyticsQueries {
       val withDeg = edges
         .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
         .localCheckpoint(false)
+      val nodes = withDeg.select(col("src").as("node"))
+        .union(withDeg.select(col("dst").as("node")))
+        .distinct().localCheckpoint(false)
       var p = nodes.withColumn("p", lit(1000000L))
       for (_ <- 1 to 3) {
         val contrib = withDeg
