@@ -440,9 +440,10 @@ class EngineSpec extends AnyFunSuite {
     graft.sources.NetCdfFixture.writeFleet(dir)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/broken.nc"), "nope".getBytes("UTF-8"))
+    // columns: file, ok, status, error, n_rows
     val status = engine.netCdfScanStatus(dir).collect()
     assert(status.count(!_.getBoolean(1)) === 1)
-    val okRows = status.filter(_.getBoolean(1)).map(_.getLong(3)).sum
+    val okRows = status.filter(_.getBoolean(1)).map(_.getLong(4)).sum
     assert(engine.ingestNetCdfTolerant(dir).count() === okRows)
   }
 
