@@ -32,8 +32,10 @@ scalacOptions ++= Seq("-deprecation")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the box has 128 GiB; at 8g the 32-thread local runs sit
-  // close enough to heap ceiling that concurrent background load pushes
-  // the heavy dedup queries into GC churn (observed 3-6x inflation).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default (box has 128 GiB): at 16g a full 184-query sweep's
+  // accumulated plan-cache + localCheckpoint blocks put fresh one-shot
+  // invocations into GC churn — measured 1.7 s off one_shot_total
+  // (30.46 -> 28.73) from the heap bump alone, round 9. At 8g the heavy
+  // dedup queries inflated 3-6x under concurrent load.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
