@@ -38,4 +38,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (30.46 -> 28.73) from the heap bump alone, round 9. At 8g the heavy
   // dedup queries inflated 3-6x under concurrent load.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
