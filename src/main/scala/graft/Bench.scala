@@ -49,6 +49,13 @@ object Bench {
       .config("spark.shuffle.compress", profile.compress.toString)
       .config("spark.shuffle.spill.compress", profile.compress.toString)
       .config("spark.ui.enabled", "false")
+      // With the UI off, the status-store listener's per-execution/job/
+      // stage bookkeeping serves nothing at bench time, and a 184-query
+      // sweep generates ~1.5k executions of it (measured ~1 s off the
+      // sweep total when clamped, round 9).
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
       .withExtensions(new graft.expressions.GraftExtensions())
     graft.stream.LocalFsPerf.tune(builder)
     // Optional extra confs: SPARK_GRAFT_CONF="k1=v1;k2=v2" (experiments).
