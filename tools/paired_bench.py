@@ -68,8 +68,14 @@ def main():
     duck = json.loads(duck_out.stdout.strip().splitlines()[-1])
 
     la1 = load_avg()
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+                             capture_output=True, text=True).stdout.strip()
+    except OSError:
+        rev = None
     ratio = (spark_summary["value"] / duck["value"]) if duck["value"] else None
     result = {
+        "git_rev": rev,
         "spark_total": spark_summary["value"],
         "spark_n": spark_summary.get("n"),
         "one_shot_total": spark_summary.get("one_shot_total"),
