@@ -33,6 +33,7 @@ object Rehearse {
     "tp1_token_packing" -> 15.0,
     "dc2_neardup_decontam" -> 25.0,
     "st4_stream_windowed" -> 20.0,
+    "st8_incremental_agg" -> 20.0, // round-9 2-batch generation rewrite
     "e8_ivf_recall" -> 25.0,
     "mm1_media_features" -> 30.0)
 
@@ -40,13 +41,14 @@ object Rehearse {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
     // mid-tier bench profile (64 MiB – 2 GiB): cores-wide shuffles, no AQE
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.stream.LocalFsPerf.tune(SparkSession.builder()
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.shuffle.compress", "false")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.expressions.GraftExtensions())
+      .withExtensions(new graft.expressions.GraftExtensions()))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (!new java.io.File(s"$dst/documents.parquet").exists()) {
@@ -71,11 +73,38 @@ object Rehearse {
       }
       println(s"[rehearse] $r")
     }
+    // Adversarial-shape gate for the large-star/small-star CC fallback
+    // (round 9): a 100k-node PATH — 10× the property spec's size, the
+    // chain shape that defeats plain min-label propagation — must
+    // converge in O(log n) alternating rounds and label every node with
+    // the component minimum. Not reachable through a SparkEntry query
+    // (organic near-dup graphs never trip the fallback), so gated here.
+    locally {
+      val name = "cc_stars_100k_path"
+      val maxSec = 60.0
+      val r = try {
+        val t0 = System.nanoTime()
+        val path = spark.range(99999).selectExpr("id as id_a", "id + 1 as id_b")
+        val labels = graft.dedup.Dedup.connectedComponentsStars(path)
+        val bad = labels.filter(org.apache.spark.sql.functions.col("group_id") =!= 0L).count()
+        val n = labels.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (bad != 0 || n != 100000) { failed += 1
+          f"FAIL $name%-22s $sec%8.2f s  mislabeled=$bad n=$n" }
+        else if (sec > maxSec) { failed += 1
+          f"FAIL $name%-22s $sec%8.2f s  over threshold ${maxSec}%.0f s" }
+        else f"PASS $name%-22s $sec%8.2f s  rows=$n"
+      } catch { case e: Throwable =>
+        failed += 1; f"FAIL $name%-22s error: ${e.getMessage.take(120)}"
+      }
+      println(s"[rehearse] $r")
+    }
+    val nGates = Gate.size + 1
     spark.stop()
     if (failed > 0) {
-      println(s"[rehearse] $failed of ${Gate.size} gates FAILED")
+      println(s"[rehearse] $failed of $nGates gates FAILED")
       sys.exit(1)
     }
-    println(s"[rehearse] all ${Gate.size} gates passed")
+    println(s"[rehearse] all $nGates gates passed")
   }
 }
