@@ -551,11 +551,11 @@ private[graft] object AnalyticsQueries {
     // propagation. Simplified dangling-mass semantics (no redistribution)
     // — identical on both engines by construction. -----------------------
     "gr1_pagerank" -> { (s, dir) =>
-      // NOT separately checkpointed: `edges` has exactly two consumers
-      // (withDeg's join+agg below), both inside withDeg's own checkpoint
-      // materialization — the lazy-checkpoint block lock makes them share
-      // one computation, and a third materialization pass bought nothing
-      // (round-9 one-shot diet: one fewer cold job per invocation).
+      // `edges` IS lazily checkpointed: it has two consumers inside
+      // withDeg (the join probe side and the outdeg groupBy), so without
+      // the checkpoint the scan+distinct would run twice within withDeg's
+      // own materialization. Lazy (eager=false) so the first action pays
+      // for it — no extra cold job per invocation.
       val edges = Tables.lineitem(s, dir)
         .select((col("l_orderkey") % 4096).as("src"),
           (col("l_partkey") % 4096).as("dst"))

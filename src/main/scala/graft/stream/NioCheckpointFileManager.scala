@@ -1,6 +1,6 @@
 package graft.stream
 
-import java.io.{BufferedOutputStream, FileNotFoundException, FileOutputStream, OutputStream}
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
 import java.nio.file.{Files, Paths, StandardCopyOption, Path => NioPath}
 import java.util.Comparator
 
@@ -100,9 +100,13 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
 
   override def delete(path: Path): Unit = {
     val p = nio(path)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[NioPath]())
-        .forEach(f => try Files.delete(f) catch { case _: FileNotFoundException => () })
+    if (Files.exists(p)) {
+      // deleteIfExists (not delete) so a concurrent purge racing us is a no-op,
+      // and close the walk stream — Files.walk holds a directory handle open.
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[NioPath]()).forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   override def isLocal: Boolean = true

@@ -65,7 +65,19 @@ def main():
         [sys.executable, os.path.join(repo, "tools", "duck_bench.py"),
          sf_dir, sql_path, "3"],
         capture_output=True, text=True)
-    duck = json.loads(duck_out.stdout.strip().splitlines()[-1])
+    if duck_out.returncode != 0 or not duck_out.stdout.strip():
+        print("FATAL: duck_bench.py failed (rc=%d); stderr tail:"
+              % duck_out.returncode, file=sys.stderr)
+        print(duck_out.stderr[-2000:], file=sys.stderr)
+        sys.exit(1)
+    try:
+        duck = json.loads(duck_out.stdout.strip().splitlines()[-1])
+    except json.JSONDecodeError:
+        print("FATAL: duck_bench.py printed no JSON; output tail:",
+              file=sys.stderr)
+        print(duck_out.stdout[-2000:], file=sys.stderr)
+        print(duck_out.stderr[-2000:], file=sys.stderr)
+        sys.exit(1)
 
     la1 = load_avg()
     try:
