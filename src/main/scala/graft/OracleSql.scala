@@ -551,10 +551,12 @@ private[graft] object OracleSql {
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
     // s10: the expected quarantine ledger re-derived from the fixture
-    // recipe — 4 healthy files of N_PROF*N_LEVELS = 30 rows each, 3 poison
-    // files with ok=false (two corrupt + one valid-but-unsupported HDF5
-    // container with its distinct triage status); the tolerant read decodes
-    // exactly the healthy rows (4 * 30 = 120).
+    // recipe — 4 healthy classic files + 1 healthy HDF5-backed NetCDF-4
+    // file (decodes since round 10) of N_PROF*N_LEVELS = 30 rows each, 4
+    // poison files with ok=false (three corrupt — incl. a truncated HDF5
+    // superblock — and one VALID szip-filtered NetCDF-4 container beyond
+    // the read subset, with its distinct "convert" triage status); the
+    // tolerant read decodes exactly the healthy rows (5 * 30 = 150).
     "s10_netcdf_quarantine" ->
       """WITH rows AS (
            SELECT 'float_' || CAST(100 + f AS VARCHAR) || '.nc' AS file,
@@ -562,12 +564,15 @@ private[graft] object OracleSql {
                   CAST(30 AS BIGINT) AS n_rows
            FROM (SELECT unnest(generate_series(0,3)) AS f)
            UNION ALL
+           SELECT 'hdf5_float_108.nc', TRUE, 'ok', FALSE, 30
+           UNION ALL
            SELECT x.file, FALSE, x.status, TRUE, 0
            FROM (VALUES ('upload_truncated.nc', 'corrupt'),
                         ('upload_garbage.nc', 'corrupt'),
+                        ('upload_hdf5_truncated.nc', 'corrupt'),
                         ('upload_netcdf4.nc', 'unsupported-hdf5')) x(file, status))
          SELECT file, ok, status, has_error, n_rows,
-                CAST(120 AS BIGINT) AS n_rows_decoded
+                CAST(150 AS BIGINT) AS n_rows_decoded
          FROM rows ORDER BY file""",
     // s11: the CDF-5 decode — same closed form as s7/s9 for floats 6/7
     // (ids 106/107); float 106's epoch token is a named UTC zone (offset
@@ -584,6 +589,32 @@ private[graft] object OracleSql {
                 CAST(l AS BIGINT) AS level,
                 strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
                   * 86400000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts,
+                CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
+                CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
+                CASE WHEN (f+p+l) % 7 = 0 THEN NULL
+                     ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
+                CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
+                     ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
+                CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
+                     ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
+         FROM g ORDER BY float_id, profile_id, level""",
+    // s12: the HDF5-backed NetCDF-4 decode — same closed form as s7/s9/s11
+    // for floats 8-10 (ids 108-110); float 109's epoch carries a -02:00
+    // offset (instants shift +2 h), 108's " UTC" token and 110's plain
+    // units are offset 0.
+    "s12_netcdf_hdf5" ->
+      """WITH g AS (
+           SELECT f.f, p.p, l.l
+           FROM (SELECT unnest(generate_series(8,10)) AS f) f,
+                (SELECT unnest(generate_series(0,5)) AS p) p,
+                (SELECT unnest(generate_series(0,4)) AS l) l)
+         SELECT CAST(100 + f AS VARCHAR) AS float_id,
+                CAST(1000 + p AS BIGINT) AS profile_id,
+                CAST(l AS BIGINT) AS level,
+                strftime(make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
+                  * 86400000000 AS BIGINT)
+                  + CASE WHEN f = 9 THEN 7200000000 ELSE 0 END),
+                  '%Y-%m-%d %H:%M:%S') AS ts,
                 CAST(-60 + ((f*7 + p*3) % 120) + 0.5 AS DOUBLE) AS lat,
                 CAST(-180 + ((f*11 + p*17) % 360) + 0.5 AS DOUBLE) AS lon,
                 CASE WHEN (f+p+l) % 7 = 0 THEN NULL

@@ -448,7 +448,7 @@ private[graft] object ScanStreamQueries {
     // engine-specific); row counts per healthy file come from the fixture
     // closed form. ------------------------------------------------------
     "s10_netcdf_quarantine" -> { (s, dir) =>
-      val ncDir = "/tmp/graft_s10_netcdf_q_v2"
+      val ncDir = "/tmp/graft_s10_netcdf_q_v3"
       materializeOnce(ncDir)(NetCdfFixture.writeQuarantineFleet(_))
       val status = NetCdf.scanStatus(s, ncDir)
         .select(col("file"), col("ok"), col("status"),
@@ -468,6 +468,26 @@ private[graft] object ScanStreamQueries {
     "s11_netcdf_cdf5" -> { (s, dir) =>
       val ncDir = "/tmp/graft_s11_netcdf_cdf5_v1"
       materializeOnce(ncDir)(NetCdfFixture.writeCdf5Fleet(_))
+      NetCdf.read(s, ncDir)
+        .select(col("float_id"), col("profile_id"), col("level"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
+        .orderBy("float_id", "profile_id", "level")
+    },
+
+    // ---- S2 HDF5-backed NetCDF-4 (round 10): the format modern Argo GDAC
+    // distributions ship and the one container family the engine still
+    // refused — now decoded by the pure-Scala `sources/Hdf5` subset
+    // (superblock v0 AND v2, symbol-table and link-message root groups,
+    // contiguous and chunked+shuffle+deflate layouts, dimension scales per
+    // the netCDF-4 convention) and tabularized through the SAME
+    // alias/fill/time machinery as the classic path. Floats 108-110 reuse
+    // the s7 closed form — container encoding is the only variable — so
+    // the oracle is the generate_series rebuild; float 109's epoch carries
+    // the applied -02:00 offset (+2 h, the s9 recipe). --------------------
+    "s12_netcdf_hdf5" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s12_netcdf_hdf5_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeHdf5Fleet(_))
       NetCdf.read(s, ncDir)
         .select(col("float_id"), col("profile_id"), col("level"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),

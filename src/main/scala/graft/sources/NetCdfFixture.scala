@@ -195,11 +195,12 @@ object NetCdfFixture {
   }
 
   /** An upload inbox as a real crawl sees it: the healthy fixed-size fleet
-    * PLUS three deterministic poison files — a truncated header (valid
-    * magic, cut mid-dim-list), a non-NetCDF payload, and an HDF5-magic
-    * NetCDF-4 container (VALID file, unsupported format — must quarantine
-    * with the distinct `unsupported-hdf5` status so an operator converts
-    * it instead of discarding it). Drives the quarantine ledger
+    * PLUS a healthy HDF5-backed NetCDF-4 file (decodes since round 10) and
+    * four poison files — a truncated classic header, a non-NetCDF payload,
+    * a truncated HDF5 superblock (corrupt), and a VALID szip-filtered
+    * NetCDF-4 container (beyond the read subset — must quarantine with the
+    * distinct `unsupported-hdf5` status so an operator converts it instead
+    * of discarding it). Drives the quarantine ledger
     * (`s10_netcdf_quarantine`): the scan must decode the healthy files and
     * account for the skips, never abort.
     */
@@ -208,16 +209,109 @@ object NetCdfFixture {
     java.nio.file.Files.createDirectories(p)
     for (f <- 0 until N_FLOATS)
       java.nio.file.Files.write(p.resolve(s"float_${100 + f}.nc"), fileBytes(f))
+    java.nio.file.Files.write(p.resolve("hdf5_float_108.nc"),
+      hdf5FileBytes(8, charPlatform = true, zone = " UTC"))
     java.nio.file.Files.write(p.resolve("upload_truncated.nc"),
       fileBytes(0).take(40))
     java.nio.file.Files.write(p.resolve("upload_garbage.nc"),
       "not a netcdf container".getBytes("UTF-8"))
-    // the 8-byte HDF5 signature + superblock-ish filler: what a NetCDF-4
-    // upload's first bytes actually look like
-    java.nio.file.Files.write(p.resolve("upload_netcdf4.nc"),
-      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n') ++
-        Array.fill[Byte](56)(0))
+    java.nio.file.Files.write(p.resolve("upload_hdf5_truncated.nc"),
+      hdf5FileBytes(8).take(60))
+    java.nio.file.Files.write(p.resolve("upload_netcdf4.nc"), hdf5SzipBytes)
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  // ----------------------------------------------- HDF5 (netCDF-4) variant
+
+  /** The shared fleet model (dims with REAL sizes + vars) for container
+    * writers that don't use the CDF record encoding — the HDF5 twin of the
+    * [[fileBytes]]/[[recordFileBytes]] recipe at the same (f, p, l) closed
+    * form, so cross-container parity is exact by construction.
+    */
+  private[graft] def fleetVars(f: Int, charPlatform: Boolean, zone: String)
+      : (Seq[NcDim], Seq[(String, NcVal)], Seq[NcVar]) = {
+    val upper = f % 2 == 0
+    def nm(u: String, l: String) = if (upper) u else l
+    val dims = Seq(NcDim("N_PROF", N_PROF), NcDim("N_LEVELS", N_LEVELS),
+      NcDim("STRING8", 8))
+    val fillAttr: Seq[(String, NcVal)] =
+      if (upper) Seq("_FillValue" -> NcFloats(Array(FILL)))
+      else Seq("missing_value" -> NcFloats(Array(FILL)))
+    val timeUnits =
+      (if (upper) "days since 1950-01-01 00:00:00"
+       else "hours since 1950-01-01 00:00:00") + zone
+    def timeVal(p: Int): Double =
+      if (upper) juldDays(f, p) else juldDays(f, p) * 24.0
+    val platform: NcVar =
+      if (charPlatform) {
+        val chars = (0 until N_PROF).flatMap { _ =>
+          (100 + f).toString.padTo(8, ' ').getBytes("UTF-8").toSeq
+        }.toArray
+        NcVar("PLATFORM_NUMBER", Seq(0, 2), NC_CHAR, Nil, NcChars(chars))
+      } else NcVar(nm("PLATFORM_NUMBER", "platform_number"), Seq(0), NC_DOUBLE,
+        Nil, NcDoubles(Array.fill(N_PROF)((100 + f).toDouble)))
+    val vars = Seq(
+      platform,
+      NcVar(nm("CYCLE_NUMBER", "cycle_number"), Seq(0), NC_INT, Nil,
+        NcInts((0 until N_PROF).map(1000 + _).toArray)),
+      NcVar(nm("JULD", "time"), Seq(0), NC_DOUBLE,
+        Seq("units" -> NcStr(timeUnits)),
+        NcDoubles((0 until N_PROF).map(timeVal).toArray)),
+      NcVar(nm("LATITUDE", "latitude"), Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until N_PROF).map(lat(f, _)).toArray)),
+      NcVar(nm("LONGITUDE", "longitude"), Seq(0), NC_DOUBLE, Nil,
+        NcDoubles((0 until N_PROF).map(lon(f, _)).toArray)),
+      NcVar(nm("PRES", "pres"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield pres(f, p, l)).toArray)),
+      NcVar(nm("TEMP", "temp"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield temp(f, p, l)).toArray)),
+      NcVar(nm("PSAL", "psal"), Seq(0, 1), NC_FLOAT, fillAttr,
+        NcFloats((for (p <- 0 until N_PROF; l <- 0 until N_LEVELS)
+          yield psal(f, p, l)).toArray)))
+    (dims, Seq("title" -> NcStr(s"graft synthetic Argo float ${100 + f} (hdf5)")), vars)
+  }
+
+  /** Serialize float `f` as an HDF5-backed NetCDF-4 container — the format
+    * modern Argo GDAC distributions ship — via [[Hdf5.writeBytes]].
+    * `record` marks N_PROF UNLIMITED (forcing chunked storage, as real
+    * HDF5 requires for extendable dims) with the shuffle+deflate pipeline;
+    * `v2` uses the v2 superblock + link-message root group.
+    */
+  def hdf5FileBytes(f: Int, record: Boolean = false, v2: Boolean = false,
+      charPlatform: Boolean = false, zone: String = ""): Array[Byte] = {
+    val (dims, gatts, vars) = fleetVars(f, charPlatform, zone)
+    Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
+      v2Superblock = v2,
+      unlimited = if (record) Set("N_PROF") else Set.empty))
+  }
+
+  /** The `s12_netcdf_hdf5` fleet: float 108 (v0 superblock, contiguous,
+    * NC_CHAR platform id, "... UTC" zone token), float 109 (record layout —
+    * UNLIMITED N_PROF, chunked + shuffle + deflate — lowercase alternates,
+    * applied -02:00 epoch offset), float 110 (v2 superblock with
+    * link-message root). Same closed form as every other fleet.
+    */
+  def writeHdf5Fleet(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("hdf5_float_108.nc"),
+      hdf5FileBytes(8, charPlatform = true, zone = " UTC"))
+    java.nio.file.Files.write(p.resolve("hdf5_float_109.nc"),
+      hdf5FileBytes(9, record = true, zone = " -02:00"))
+    java.nio.file.Files.write(p.resolve("hdf5_float_110.nc"),
+      hdf5FileBytes(10, v2 = true))
+    java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  /** A VALID-but-beyond-subset HDF5 container: declares the szip filter
+    * (publicly registered id 4, not implementable with the JDK alone) on
+    * its data — must triage as `unsupported-hdf5`, not `corrupt`.
+    */
+  def hdf5SzipBytes: Array[Byte] = {
+    val (dims, gatts, vars) = fleetVars(8, charPlatform = false, zone = "")
+    Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(szipVar = Some("PRES")))
   }
 
   // --------------------------------------------------------- CDF-5 variant

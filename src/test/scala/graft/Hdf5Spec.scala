@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Hdf5, NetCdf, NetCdfFixture}
+import graft.sources.NetCdf.{NcDim, NetCdfParseException}
+
+/** The HDF5-backed NetCDF-4 read path (round 10). The contract: an HDF5
+  * container serialized from the same fleet model as a classic CDF file
+  * must tabularize IDENTICALLY — the container encoding is the only
+  * variable — and beyond-subset features triage as `unsupported-hdf5`
+  * while malformed bytes triage as `corrupt`, with allocation-bounded
+  * parsing under fuzz (the CDF parser's quarantine contract).
+  */
+class Hdf5Spec extends AnyFunSuite {
+
+  private def cdfTwin(f: Int, zone: String, charPlatform: Boolean): Array[Byte] = {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(f, charPlatform, zone)
+    NetCdf.writeBytes(dims, gatts, vars, version = 1)
+  }
+
+  test("jenkins lookup3 matches the published test vector") {
+    // hashlittle("Four score and seven years ago", 0) from Bob Jenkins'
+    // lookup3.c self-test (public domain reference implementation).
+    assert(Hdf5.lookup3("Four score and seven years ago".getBytes("US-ASCII")) === 0x17770551)
+    assert(Hdf5.lookup3(Array.emptyByteArray) === 0xdeadbeef)
+  }
+
+  test("v0 superblock contiguous file tabularizes identically to its CDF twin") {
+    val h5 = NetCdfFixture.hdf5FileBytes(8, zone = " UTC")
+    val cdf = cdfTwin(8, " UTC", charPlatform = false)
+    assert(NetCdf.tabularize(NetCdf.parse(h5)) === NetCdf.tabularize(NetCdf.parse(cdf)))
+  }
+
+  test("NC_CHAR platform ids decode from HDF5 string-typed datasets") {
+    val h5 = NetCdfFixture.hdf5FileBytes(8, charPlatform = true, zone = " UTC")
+    val rows = NetCdf.tabularize(NetCdf.parse(h5))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.float_id == "108"))
+    val cdf = cdfTwin(8, " UTC", charPlatform = true)
+    assert(rows === NetCdf.tabularize(NetCdf.parse(cdf)))
+  }
+
+  test("chunked + shuffle + deflate record file decodes and flags the record dim") {
+    val h5 = NetCdfFixture.hdf5FileBytes(9, record = true, zone = " -02:00")
+    val parsed = NetCdf.parse(h5)
+    assert(parsed.recordDim === Some("N_PROF"))
+    val cdf = cdfTwin(9, " -02:00", charPlatform = false)
+    assert(NetCdf.tabularize(parsed) === NetCdf.tabularize(NetCdf.parse(cdf)))
+  }
+
+  test("v2 superblock with link-message root tabularizes identically") {
+    val h5 = NetCdfFixture.hdf5FileBytes(10, v2 = true)
+    val cdf = cdfTwin(10, "", charPlatform = false)
+    assert(NetCdf.tabularize(NetCdf.parse(h5)) === NetCdf.tabularize(NetCdf.parse(cdf)))
+  }
+
+  test("dims carry _Netcdf4Dimid order and global attrs survive") {
+    val parsed = NetCdf.parse(NetCdfFixture.hdf5FileBytes(8))
+    assert(parsed.dims === Seq(NcDim("N_PROF", 6), NcDim("N_LEVELS", 5), NcDim("STRING8", 8)))
+    assert(parsed.globalAttrs.get("title").exists(_.toString.contains("float 108")))
+    // phony dim scales must NOT surface as variables
+    assert(!parsed.vars.exists(_.name == "N_PROF"))
+    assert(parsed.vars.map(_.name).toSet ===
+      Set("PLATFORM_NUMBER", "CYCLE_NUMBER", "JULD", "LATITUDE", "LONGITUDE",
+        "PRES", "TEMP", "PSAL"))
+  }
+
+  test("szip-filtered container triages as unsupported-hdf5, not corrupt") {
+    val e = intercept[NetCdfParseException](NetCdf.parse(NetCdfFixture.hdf5SzipBytes))
+    assert(e.kind === "unsupported-hdf5")
+    assert(e.getMessage.contains("filter"))
+  }
+
+  test("truncated superblock triages as corrupt") {
+    val e = intercept[NetCdfParseException](
+      NetCdf.parse(NetCdfFixture.hdf5FileBytes(8).take(60)))
+    assert(e.kind === "corrupt")
+  }
+
+  test("fuzz: corrupted HDF5 containers parse or throw NetCdfParseException, nothing else") {
+    // Same quarantine contract as the CDF fuzz pass: tolerant reads catch
+    // EXACTLY NetCdfParseException, so hostile bytes must never surface as
+    // OOM-sized allocations, raw underflows, NPEs, or infinite loops.
+    val rnd = new scala.util.Random(4242)
+    val bases = Seq(
+      NetCdfFixture.hdf5FileBytes(8, charPlatform = true, zone = " UTC"),
+      NetCdfFixture.hdf5FileBytes(9, record = true, zone = " -02:00"),
+      NetCdfFixture.hdf5FileBytes(10, v2 = true))
+    def check(bytes: Array[Byte], tag: String): Unit =
+      try { NetCdf.parse(bytes); () }
+      catch {
+        case _: NetCdfParseException => ()
+        case e: Throwable =>
+          fail(s"$tag leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (base <- bases) {
+      for (len <- Seq(0, 7, 8, 9, 48, 96, 200, base.length / 2, base.length - 3))
+        check(base.take(len.max(0)), s"truncate@$len")
+      for (_ <- 1 to 300) {
+        val b = base.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        check(b, "mutate")
+      }
+      // hostile values in the superblock/addresses region
+      for (pos <- Seq(9, 13, 24, 32, 40, 56, 64, 80) if pos + 8 <= base.length) {
+        val b = base.clone()
+        java.util.Arrays.fill(b, pos, pos + 8, 0x7F.toByte)
+        check(b, s"bigaddr@$pos")
+        java.util.Arrays.fill(b, pos, pos + 8, 0xFF.toByte)
+        check(b, s"undef@$pos")
+      }
+    }
+  }
+
+  test("quarantine ledger triages healthy HDF5, corrupt, and unsupported per file") {
+    val dir = java.nio.file.Files.createTempDirectory("h5_quarantine").toString
+    NetCdfFixture.writeQuarantineFleet(dir)
+    val statuses = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".nc")).sorted
+      .map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val status = try { NetCdf.parse(bytes); "ok" }
+          catch { case e: NetCdfParseException => e.kind }
+        name -> status
+      }.toMap
+    assert(statuses("hdf5_float_108.nc") === "ok")
+    assert(statuses("float_100.nc") === "ok")
+    assert(statuses("upload_truncated.nc") === "corrupt")
+    assert(statuses("upload_garbage.nc") === "corrupt")
+    assert(statuses("upload_hdf5_truncated.nc") === "corrupt")
+    assert(statuses("upload_netcdf4.nc") === "unsupported-hdf5")
+  }
+}

@@ -292,9 +292,11 @@ class NetCdfSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/garbage.nc"),
       "not netcdf at all".getBytes("UTF-8"))
+    // a VALID NetCDF-4 container beyond the HDF5 read subset (szip filter):
+    // still the "convert, don't discard" triage — a bare signature would now
+    // read as a truncated (corrupt) superblock since round 10 decodes HDF5
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/netcdf4.nc"),
-      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+      java.nio.file.Paths.get(s"$dir/netcdf4.nc"), NetCdfFixture.hdf5SzipBytes)
     // columns: file, ok, status, error, n_rows
     val status = NetCdf.scanStatus(spark, dir).collect()
     assert(status.length === NetCdfFixture.N_FLOATS + 3)
