@@ -339,6 +339,21 @@ private[graft] object ScanStreamQueries {
         .orderBy("media_id", "cell_y", "cell_x")
     },
 
+    // ---- multimodal video FRAME decode (round 10): MP4s whose sample
+    // table (stsd 'png ' codec, stsz sizes, stco chunk offset) locates
+    // per-frame byte ranges, each frame REALLY decoded by javax.imageio —
+    // the QuickTime PNG-video / MJPEG shape, closing the one multimodal
+    // stub (mm5 stopped at container metadata). PNG is lossless, so the
+    // oracle rebuilds every per-frame integer pixel sum from the synthesis
+    // closed form: a drift in frame encode, sample-table write, range
+    // arithmetic, OR decode breaks the hash. --------------------------------
+    "mm7_video_frames" -> { (s, dir) =>
+      Multimodal.videoFrames(
+        Multimodal.framedFromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id"))))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
     // directory-tree scan whose predicate prunes at the PARTITION level —
     // the filter never reaches row groups of other priorities; at 100 TB

@@ -137,10 +137,17 @@ object Multimodal {
     bb.array()
   }
 
-  /** Parsed MP4 container metadata + the mdat sample range. */
+  /** Parsed MP4 container metadata + the mdat sample range. Round 10 adds
+    * the sample-table fields a frame extractor needs: the `stsd` codec
+    * fourcc, `stsz` per-sample byte sizes, and the first `stco` chunk
+    * offset (samples lay out contiguously from it in the single-chunk
+    * shape `stsc` declares).
+    */
   private[graft] final case class Mp4Info(
       brand: String, timescale: Int, durationTicks: Long,
-      width: Int, height: Int, mdatOff: Int, mdatLen: Int)
+      width: Int, height: Int, mdatOff: Int, mdatLen: Int,
+      codec: String = null, sampleSizes: Array[Long] = null,
+      chunkOff: Long = -1L)
 
   /** Minimal ISO-BMFF box walker: big-endian size+fourcc headers, 64-bit
     * `largesize` (size==1) and to-end-of-file (size==0) forms — the two
@@ -164,6 +171,9 @@ object Multimodal {
       var timescale = -1; var duration = -1L
       var width = -1; var height = -1
       var mdatOff = -1; var mdatB = -1
+      var codec: String = null
+      var sampleSizes: Array[Long] = null
+      var chunkOff = -1L
       // (start, end) box ranges still to walk; children are pushed so the
       // walk is iterative — no recursion depth to blow on adversarial input
       var stack = List((0, b.length))
@@ -186,7 +196,8 @@ object Multimodal {
           val p = off + hdr // payload start
           typ match {
             case "ftyp" if size >= hdr + 4 => brand = fourcc(b, p)
-            case "moov" | "trak" => stack = (p, (off + size).toInt) :: stack
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              stack = (p, (off + size).toInt) :: stack
             case "mvhd" if size >= hdr + 8 =>
               val v = b(p) & 0xff
               if (v == 1 && size >= hdr + 32) {
@@ -202,14 +213,230 @@ object Multimodal {
                 height = (u32(b, wOff + 4) >> 16).toInt
               }
             case "mdat" => mdatOff = p; mdatB = (size - hdr).toInt
+            case "stsd" if size >= hdr + 16 =>
+              // ver/flags(4) + entry_count(4), then the first sample entry's
+              // own box header carries the codec fourcc ('png ', 'jpeg',
+              // 'avc1', ...)
+              if (u32(b, p + 4) >= 1 && off + hdr + 16 <= off + size)
+                codec = fourcc(b, p + 12)
+            case "stsz" if size >= hdr + 12 =>
+              val fixed = u32(b, p + 4)
+              val n = u32(b, p + 8)
+              if (n >= 0 && n < 1000000) {
+                sampleSizes =
+                  if (fixed != 0) Array.fill(n.toInt)(fixed)
+                  else if (hdr + 12 + n * 4 <= size)
+                    Array.tabulate(n.toInt)(i => u32(b, p + 12 + i * 4))
+                  else null
+              }
+            case "stco" if size >= hdr + 12 =>
+              if (u32(b, p + 4) >= 1) chunkOff = u32(b, p + 8)
             case _ => ()
           }
           off += size.toInt
         }
       }
       if (brand == null || timescale < 0) None
-      else Some(Mp4Info(brand, timescale, duration, width, height, mdatOff, mdatB))
+      else Some(Mp4Info(brand, timescale, duration, width, height, mdatOff,
+        mdatB, codec, sampleSizes, chunkOff))
     }
+  }
+
+  // ------------------------------------------------ framed video (round 10)
+
+  // closed form for the frame-decode oracle: gray value of pixel (x, y) in
+  // frame k of video `id` — PNG is lossless, so the DECODED channel value
+  // equals this exactly and DuckDB can rebuild per-frame sums from it
+  private[graft] def vidNFrames(id: Long): Int = 2 + (id % 3).toInt
+  private[graft] def frameW(id: Long): Int = 8 + (id % 4).toInt * 2
+  private[graft] def frameH(id: Long): Int = 6 + (id % 3).toInt * 2
+  private[graft] def framePix(id: Long, k: Int, x: Int, y: Int): Int =
+    ((id * 7 + k * 13 + x * 3 + y * 5) % 251).toInt
+
+  /** One encoded frame: gray PNG (exact round-trip) or JPEG (lossy — used
+    * only to prove the extractor handles a second codec; pixel values are
+    * then codec-defined, not closed-form).
+    */
+  private[graft] def frameBytes(id: Long, k: Int, jpeg: Boolean): Array[Byte] = {
+    val w = frameW(id); val h = frameH(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = framePix(id, k, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (jpeg) "jpg" else "png", bos)
+    bos.toByteArray
+  }
+
+  /** A REAL MP4 with a full sample table: `moov/trak/mdia/minf/stbl` with
+    * `stsd` (a proper VisualSampleEntry carrying the codec fourcc and
+    * frame dims), `stts`, `stsc` (one chunk), `stsz` (per-frame byte
+    * sizes), `stco` (absolute offset of frame 0) — and an `mdat` holding
+    * the concatenated encoded frames. This is the QuickTime/ISO-BMFF
+    * "PNG video" / MJPEG shape: every frame is independently decodable by
+    * an image codec, which is exactly what `javax.imageio` provides — so
+    * the multimodal family gets real pixel decode for video, not just
+    * container metadata.
+    */
+  private[graft] def framedMp4Bytes(id: Long, jpeg: Boolean = false): Array[Byte] = {
+    val frames = (0 until vidNFrames(id)).map(frameBytes(id, _, jpeg))
+    val mdatPayload = frames.map(_.length).sum
+    val nf = frames.length
+    // fixed box sizes (bottom-up)
+    val stsdSz = 8 + 8 + 86 // hdr + ver/flags/count + VisualSampleEntry(86)
+    val sttsSz = 8 + 8 + 8
+    val stscSz = 8 + 8 + 12
+    val stszSz = 8 + 12 + nf * 4
+    val stcoSz = 8 + 8 + 4
+    val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stcoSz
+    val minfSz = 8 + stblSz
+    val hdlrSz = 8 + 25
+    val mdhdSz = 8 + 24
+    val mdiaSz = 8 + mdhdSz + hdlrSz + minfSz
+    val tkhdSz = 92
+    val trakSz = 8 + tkhdSz + mdiaSz
+    val mvhdSz = 108
+    val moovSz = 8 + mvhdSz + trakSz
+    val ftypSz = 16
+    val mdatOff = ftypSz + moovSz + 8 // payload offset of frame 0
+    val total = ftypSz + moovSz + 8 + mdatPayload
+    val bb = java.nio.ByteBuffer.allocate(total) // big-endian
+    def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(ftypSz); tag("ftyp"); tag("isom"); bb.putInt(0x200)
+    bb.putInt(moovSz); tag("moov")
+    bb.putInt(mvhdSz); tag("mvhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(vidTimescale(id)); bb.putInt(vidDurTicks(id).toInt)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort)
+    bb.position(bb.position() + 10 + 36 + 24)
+    bb.putInt(2)
+    bb.putInt(trakSz); tag("trak")
+    bb.putInt(tkhdSz); tag("tkhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(0)
+    bb.putInt(vidDurTicks(id).toInt)
+    bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36)
+    bb.putInt(frameW(id) << 16); bb.putInt(frameH(id) << 16)
+    bb.putInt(mdiaSz); tag("mdia")
+    bb.putInt(mdhdSz); tag("mdhd")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(vidTimescale(id)); bb.putInt(vidDurTicks(id).toInt)
+    bb.putShort(0x55C4.toShort); bb.putShort(0) // language "und", pre_defined
+    bb.putInt(hdlrSz); tag("hdlr")
+    bb.putInt(0); bb.putInt(0); tag("vide")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+    bb.put(0.toByte) // empty null-terminated handler name
+    bb.putInt(minfSz); tag("minf")
+    bb.putInt(stblSz); tag("stbl")
+    bb.putInt(stsdSz); tag("stsd")
+    bb.putInt(0); bb.putInt(1) // ver/flags, entry_count
+    bb.putInt(86); tag(if (jpeg) "jpeg" else "png ") // VisualSampleEntry
+    bb.putInt(0); bb.putShort(0) // reserved(6)
+    bb.putShort(1) // data_reference_index
+    bb.putShort(0); bb.putShort(0) // pre_defined, reserved
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // pre_defined[3]
+    bb.putShort(frameW(id).toShort); bb.putShort(frameH(id).toShort)
+    bb.putInt(0x00480000); bb.putInt(0x00480000) // 72 dpi
+    bb.putInt(0) // reserved
+    bb.putShort(1) // frame_count per sample
+    bb.position(bb.position() + 32) // compressorname
+    bb.putShort(24); bb.putShort(0xFFFF.toShort) // depth, pre_defined -1
+    bb.putInt(sttsSz); tag("stts")
+    bb.putInt(0); bb.putInt(1); bb.putInt(nf); bb.putInt(1) // nf samples, delta 1
+    bb.putInt(stscSz); tag("stsc")
+    bb.putInt(0); bb.putInt(1); bb.putInt(1); bb.putInt(nf); bb.putInt(1)
+    bb.putInt(stszSz); tag("stsz")
+    bb.putInt(0); bb.putInt(0); bb.putInt(nf)
+    frames.foreach(fr => bb.putInt(fr.length))
+    bb.putInt(stcoSz); tag("stco")
+    bb.putInt(0); bb.putInt(1); bb.putInt(mdatOff)
+    bb.putInt(8 + mdatPayload); tag("mdat")
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  private val makeFramedPayload = udf { (id: Long) => framedMp4Bytes(id) }
+
+  /** The framed-video fixture: every video-kind doc (doc_id % 3 == 2, the
+    * [[fromDocuments]] cycle) becomes a PNG-codec MP4 with a real sample
+    * table.
+    */
+  def framedFromDocuments(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"))
+      .withColumn("payload", makeFramedPayload(col("media_id")))
+
+  private val frameRowSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("n_pix", LongType, nullable = true),
+    StructField("sum_lum", LongType, nullable = true)))
+
+  /** REAL video frame decode: locate each sample's byte range from the
+    * parsed `stsz`/`stco` table, decode it with `javax.imageio` (PNG or
+    * MJPEG frames — the image-codec video shapes the JDK can decode), and
+    * fold per-frame integer pixel sums. Runs in `mapPartitions` with one
+    * decoded frame in flight — memory O(frame), the property that must
+    * hold when frames are 4K. Samples with a codec `imageio` can't sniff,
+    * or hostile frame bytes, skip per-row (the decodeFeatures quarantine
+    * contract).
+    */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(frameRowSchema)
+    media.select("media_id", "kind", "payload").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.get(2).asInstanceOf[Array[Byte]]
+        try {
+          Mp4.parse(payload) match {
+            case Some(info) if info.sampleSizes != null && info.chunkOff >= 0 =>
+              var off = info.chunkOff
+              info.sampleSizes.iterator.zipWithIndex.flatMap { case (sz, k) =>
+                // per-FRAME quarantine: a hostile frame payload (imageio
+                // throws or yields null) skips that frame only — the rest
+                // of the video still decodes
+                val res = try {
+                  if (sz <= 0 || off < 0 || off + sz > payload.length) None
+                  else {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(
+                        payload, off.toInt, sz.toInt))
+                    if (img == null) None
+                    else {
+                      val w = img.getWidth; val h = img.getHeight
+                      var sum = 0L
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                        y += 1
+                      }
+                      Some(Row(id, k.toLong, w.toLong, h.toLong,
+                        (w.toLong * h), sum))
+                    }
+                  }
+                } catch { case scala.util.control.NonFatal(_) => None }
+                off += sz
+                res
+              }.toSeq
+            case _ => Seq.empty[Row]
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[Row]
+        }
+      }
+    }(enc)
   }
 
   private val makePayload = udf { (id: Long, kind: String) =>

@@ -37,9 +37,29 @@ object Rehearse {
     "e8_ivf_recall" -> 25.0,
     "mm1_media_features" -> 30.0)
 
+  /** The ~sf10 (100×) tier — round-10 verdict item 3: another order of
+    * magnitude for the 5 TRULY asymptotic-risk families. Ceilings are
+    * ~2× the times measured on this box at sf10 (BENCH_NOTES round-10
+    * table); a superlinear blowup (hot LSH bucket from the clone-heavy
+    * corpus escaping the exact-dedup pre-pass, CC round growth past
+    * O(log n), pack bucket skew, IVF cell quadratic) lands 5-50× past
+    * them. Opt-in (`runMain graft.tools.Rehearse sf10`) — the tier runs
+    * minutes, not seconds.
+    */
+  val Gate10: Seq[(String, Double)] = Seq(
+    "dd8_lsh_verified" -> 260.0,
+    "dd9_dup_groups" -> 300.0,
+    "dd16_canonical_pick" -> 330.0,
+    "tp1_token_packing" -> 100.0,
+    "dc2_neardup_decontam" -> 180.0,
+    "e8_ivf_recall" -> 180.0)
+
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
+    val sf10 = args.headOption.contains("sf10")
+    val rest = if (sf10) args.drop(1) else args
+    val src = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = rest.drop(1).headOption
+      .getOrElse(if (sf10) "/tmp/graft_sf10" else "/tmp/graft_sf1")
     // mid-tier bench profile (64 MiB – 2 GiB): cores-wide shuffles, no AQE
     val spark = graft.stream.LocalFsPerf.tune(SparkSession.builder()
       .master("local[32]")
@@ -51,14 +71,15 @@ object Rehearse {
       .withExtensions(new graft.expressions.GraftExtensions()))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val copies = if (sf10) 100 else 10
     if (!new java.io.File(s"$dst/documents.parquet").exists()) {
-      println(s"[rehearse] building 10x fixture $dst from $src")
-      MakeScale.build(spark, src, dst, copies = 10)
+      println(s"[rehearse] building ${copies}x fixture $dst from $src")
+      MakeScale.build(spark, src, dst, copies = copies)
     } else println(s"[rehearse] reusing fixture $dst")
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
 
     var failed = 0
-    Gate.foreach { case (name, maxSec) =>
+    (if (sf10) Gate10 else Gate).foreach { case (name, maxSec) =>
       val fn = graft.SparkEntry.queries(name)
       val r = try {
         val t0 = System.nanoTime()
@@ -79,7 +100,7 @@ object Rehearse {
     // converge in O(log n) alternating rounds and label every node with
     // the component minimum. Not reachable through a SparkEntry query
     // (organic near-dup graphs never trip the fallback), so gated here.
-    locally {
+    if (!sf10) {
       val name = "cc_stars_100k_path"
       val maxSec = 60.0
       val r = try {
@@ -99,7 +120,7 @@ object Rehearse {
       }
       println(s"[rehearse] $r")
     }
-    val nGates = Gate.size + 1
+    val nGates = if (sf10) Gate10.size else Gate.size + 1
     spark.stop()
     if (failed > 0) {
       println(s"[rehearse] $failed of $nGates gates FAILED")

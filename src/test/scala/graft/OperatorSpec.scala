@@ -281,6 +281,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.Mp4.parse(lying).isEmpty)
   }
 
+  test("video frame decode: sample table locates frames, pixels round-trip exactly") {
+    import graft.sources.Multimodal
+    // container round-trip: stsd codec + stsz sizes + stco offset all parse
+    for (id <- Seq(2L, 5L, 8L, 11L)) {
+      val info = Multimodal.Mp4.parse(Multimodal.framedMp4Bytes(id)).get
+      assert(info.codec == "png ")
+      assert(info.sampleSizes.length == Multimodal.vidNFrames(id))
+      assert(info.chunkOff == info.mdatOff.toLong) // single-chunk layout
+      assert(info.sampleSizes.sum == info.mdatLen.toLong)
+    }
+    // per-frame decode exactness against the synthesis closed form (PNG is
+    // lossless, so the decoded channel equals the arithmetic bit-for-bit)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType)))
+    val ids = Seq(2L, 5L, 8L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(id => Row(id, "video", Multimodal.framedMp4Bytes(id)))),
+      schema)
+    val rows = Multimodal.videoFrames(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(rows.size == ids.map(Multimodal.vidNFrames(_)).sum)
+    for (id <- ids; k <- 0 until Multimodal.vidNFrames(id)) {
+      val w = Multimodal.frameW(id); val h = Multimodal.frameH(id)
+      val expectSum = (for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.framePix(id, k, x, y).toLong).sum
+      assert(rows((id, k.toLong)) == (w.toLong, h.toLong, expectSum),
+        s"frame ($id, $k) decode mismatch")
+    }
+    // MJPEG variant: a second image codec through the same sample table —
+    // dims must decode (JPEG pixel values are codec-defined, not asserted)
+    val jrowsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(7L, "video", Multimodal.framedMp4Bytes(7L, jpeg = true)))),
+      schema)
+    val jrows = Multimodal.videoFrames(jrowsDf).collect()
+    assert(jrows.length == Multimodal.vidNFrames(7L))
+    assert(jrows.forall(r => r.getLong(2) == Multimodal.frameW(7L) &&
+      r.getLong(3) == Multimodal.frameH(7L)))
+    // corrupt frame bytes quarantine that frame, never throw
+    val poison = Multimodal.framedMp4Bytes(2L)
+    val info2 = Multimodal.Mp4.parse(poison).get
+    java.util.Arrays.fill(poison, info2.mdatOff + 1, info2.mdatOff + 8, 0x00.toByte)
+    val pDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, "video", poison))), schema)
+    val pRows = Multimodal.videoFrames(pDf).collect()
+    assert(pRows.length < Multimodal.vidNFrames(2L)) // frame 0 quarantined
+  }
+
   test("multimodal decode quarantines corrupt payloads instead of failing the scan") {
     import graft.sources.Multimodal
     import org.apache.spark.sql.Row
