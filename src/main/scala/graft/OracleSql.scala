@@ -1187,13 +1187,22 @@ private[graft] object OracleSql {
                 CAST(sum_v AS BIGINT) AS sum_v
          FROM (SELECT * FROM icell UNION ALL SELECT * FROM acell UNION ALL SELECT * FROM vcell)
          ORDER BY media_id, cell_y, cell_x""",
+    // dd8 (round 10): mirrors the exact tier — byte-identical texts
+    // collapse to their min-id representative before the LSH pipeline, and
+    // clones attach by one rep→clone star edge (jaccard exactly 1.0)
+    // instead of a quadratic in-bucket pair expansion.
     "dd8_lsh_verified" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
+                 FROM all_docs GROUP BY md5(text)),
+         reps_docs AS (
+           SELECT a.doc_id, a.text
+           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
+                FROM reps_docs),
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
@@ -1216,14 +1225,24 @@ private[graft] object OracleSql {
                    FROM cand c
                    JOIN shh a ON a.doc_id = c.id_a
                    JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b)
-         SELECT i.id_a, i.id_b, i.n_inter,
-                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
-                floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS is_dup
-         FROM inter i
-         JOIN sig sa ON sa.doc_id = i.id_a
-         JOIN sig sb ON sb.doc_id = i.id_b
-         ORDER BY i.id_a, i.id_b""",
+                   GROUP BY c.id_a, c.id_b),
+         verified AS (
+           SELECT i.id_a, i.id_b, i.n_inter,
+                  floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+                  floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS is_dup
+           FROM inter i
+           JOIN sig sa ON sa.doc_id = i.id_a
+           JOIN sig sb ON sb.doc_id = i.id_b),
+         stars AS (
+           SELECT r.rep_id AS id_a, a.doc_id AS id_b,
+                  CAST(coalesce(s.nsh, 0) AS BIGINT) AS n_inter,
+                  1.0 AS jaccard, TRUE AS is_dup
+           FROM all_docs a
+           JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id
+           LEFT JOIN sig s ON s.doc_id = r.rep_id)
+         SELECT id_a, id_b, n_inter, jaccard, is_dup
+         FROM (SELECT * FROM verified UNION ALL SELECT * FROM stars)
+         ORDER BY id_a, id_b""",
     "ta5_tfidf_topk" ->
       """WITH toks AS (
            SELECT doc_id,

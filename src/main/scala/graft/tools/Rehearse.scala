@@ -47,12 +47,12 @@ object Rehearse {
     * minutes, not seconds.
     */
   val Gate10: Seq[(String, Double)] = Seq(
-    "dd8_lsh_verified" -> 260.0,
-    "dd9_dup_groups" -> 300.0,
-    "dd16_canonical_pick" -> 330.0,
-    "tp1_token_packing" -> 100.0,
-    "dc2_neardup_decontam" -> 180.0,
-    "e8_ivf_recall" -> 180.0)
+    "dd8_lsh_verified" -> 30.0,
+    "dd9_dup_groups" -> 30.0,
+    "dd16_canonical_pick" -> 35.0,
+    "tp1_token_packing" -> 8.0,
+    "dc2_neardup_decontam" -> 35.0,
+    "e8_ivf_recall" -> 5.0)
 
   def main(args: Array[String]): Unit = {
     val sf10 = args.headOption.contains("sf10")
