@@ -55,4 +55,15 @@ object LocalFsPerf {
     .config("spark.hadoop.fs.file.impl", classOf[FastLocalFileSystem].getName)
     .config("spark.sql.streaming.checkpointFileManagerClass",
       classOf[NioCheckpointFileManager].getName)
+    // Right-size the whole-stage-codegen source→class cache for a process
+    // hosting the full 186-plan surface: the 100-entry default evicts and
+    // Janino-RECOMPILES most codegen units on every re-execution once the
+    // live plan set passes ~30 queries. Measured (round 10, full sweep at
+    // sf0.1): 41.5 s → 22.3 s total, one-shots 32.5 → 18.4, zero per-query
+    // regressions — and it finally explains the r9 "sweep tax" (t7's 0.42 s
+    // in-sweep vs 0.145 s clean-session floor collapses to 0.11). Memory
+    // cost is bounded (≤ ~5k compiled classes, tens of KB each). The same
+    // setting belongs on any long-lived cluster driver/executor serving a
+    // wide query surface.
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
 }
