@@ -585,6 +585,13 @@ object Hdf5 {
             case kv => attrs += kv
           }
         case 0x0011 | 0x0002 => unsupported(s"nested group '$name'")
+        case 0x0015 =>
+          // Attribute Info: if the fractal heap is defined, the object's
+          // attributes live in DENSE storage (libhdf5 default past 8
+          // attrs) — they would be silently MISSED here, losing
+          // _FillValue/units and producing wrong values rather than an
+          // error. Triage as unsupported instead.
+          checkNoDenseAttributes(bytes, m, name)
         case _ => () // NIL, fill value, modification time, bogus, ...
       }
     }
@@ -628,6 +635,21 @@ object Hdf5 {
       case other => unsupported(s"data layout class $other")
     }
     RawDataset(name, addr, space, dtype, attrs.result(), dimRefs, data)
+  }
+
+  /** Attribute Info message (0x0015): dense attribute storage (fractal
+    * heap) is beyond the subset — and silently ignoring it would DROP
+    * attributes (fill values, units), decoding wrong data instead of
+    * failing. A defined heap address therefore quarantines the file.
+    */
+  private def checkNoDenseAttributes(bytes: Array[Byte], m: Msg, name: String): Unit = {
+    val c = new Cur(bytes, m.off)
+    c.u8() // version
+    val flags = c.u8()
+    if ((flags & 1) != 0) c.skip(2) // max creation index
+    val fheap = c.u64()
+    if (fheap != UNDEF)
+      unsupported(s"dense (fractal-heap) attribute storage on '$name'")
   }
 
   private def readFilterPipeline(c: Cur, m: Msg): Seq[(Int, Seq[Long])] = {
@@ -721,6 +743,7 @@ object Hdf5 {
           if (fheap != UNDEF) unsupported("dense (fractal-heap) link storage")
         case 0x000C =>
           readAttribute(bytes, m, gh).foreach(globalAttrs += _)
+        case 0x0015 => checkNoDenseAttributes(bytes, m, "/")
         case _ => ()
       }
     }
@@ -861,7 +884,31 @@ object Hdf5 {
       v2Superblock: Boolean = false,
       chunkBy: Map[String, Int] = Map.empty,
       unlimited: Set[String] = Set.empty,
-      szipVar: Option[String] = None)
+      szipVar: Option[String] = None,
+      compactVars: Set[String] = Set.empty, // layout class 0 (data in-header)
+      fletcher: Boolean = false, // append fletcher32 to each chunk pipeline
+      vlenTitle: Boolean = false, // global 'title' as a vlen string (gheap)
+      compoundAttrOn: Option[String] = None, // opaque compound attr (skip path)
+      denseAttrInfoOn: Option[String] = None) // defined-heap 0x0015 (quarantine)
+
+  /** HDF5's Fletcher-32: big-endian 16-bit words (odd tail high-byte
+    * padded), sums reduced mod 65535, checksum = s2<<16 | s1, stored
+    * little-endian after the chunk payload.
+    */
+  private[graft] def fletcher32(data: Array[Byte]): Long = {
+    var s1 = 0L; var s2 = 0L
+    var i = 0
+    val n = data.length
+    while (i + 1 < n) {
+      s1 += ((data(i) & 0xFFL) << 8) | (data(i + 1) & 0xFFL)
+      s2 += s1
+      if ((i & 0x3FE) == 0x3FE) { s1 %= 65535; s2 %= 65535 } // periodic reduce
+      i += 2
+    }
+    if (i < n) { s1 += (data(i) & 0xFFL) << 8; s2 += s1 }
+    s1 %= 65535; s2 %= 65535
+    (s2 << 16) | s1
+  }
 
   /** Serialize `dims`/`globalAttrs`/`vars` (the classic fixture model) as a
     * netCDF-4-style HDF5 file. Two-pass: blocks are built once with zeroed
@@ -993,9 +1040,58 @@ object Hdf5 {
       }
       attrMsg(name, dt, dsSimple(Seq(n.toLong), unlimitedFirst = false), w.result())
     }
+    // -- global heap: one object per (var, dim) DIMENSION_LIST element,
+    // plus (optionally) one object per vlen-string global attribute
+    val ghEntries: Seq[(String, Int, String)] = // (var, elementIdx, dim name)
+      vars.flatMap(v => v.dimIds.zipWithIndex.map { case (di, i) => (v.name, i, dims(di).name) })
+    val ghIndexOf: Map[(String, Int), Int] =
+      ghEntries.zipWithIndex.map { case ((vn, i, _), gi) => (vn, i) -> (gi + 1) }.toMap
+    val vlenStrAttrs: Seq[(String, String)] =
+      if (opts.vlenTitle)
+        globalAttrs.collect { case (n, NcStr(s)) if n == "title" => n -> s }
+      else Nil
+    val vlenStrIndexOf: Map[String, Int] =
+      vlenStrAttrs.zipWithIndex.map { case ((n, _), i) =>
+        n -> (ghEntries.size + 1 + i)
+      }.toMap
     def anyAttr(name: String, v: NcVal): Array[Byte] = v match {
       case NcStr(s) => strAttr(name, s)
       case other => numAttr(name, other)
+    }
+    // vlen-string attribute (h5netcdf's string-attr encoding): the value is
+    // a 16-byte {len, gheap addr, index} descriptor into the global heap
+    def vlenStrAttr(name: String, s: String, resolve: String => Long): Array[Byte] = {
+      val dt = { // class 9 vlen, type 1 = string
+        val w = new W
+        w.u8(0x19); w.u8(0x01); w.u8(0); w.u8(0)
+        w.u32(16L)
+        w.bytes(dtString(1)) // base type (chars)
+        w.result()
+      }
+      val value = {
+        val w = new W
+        w.u32(s.getBytes("UTF-8").length.toLong)
+        w.u64(resolve("gheap"))
+        w.u32(vlenStrIndexOf(name).toLong)
+        w.result()
+      }
+      attrMsg(name, dt, dsScalar, value)
+    }
+    // compound-typed attribute with an opaque payload: readers outside the
+    // subset must SKIP it (REFERENCE_LIST's shape), never fail on it
+    def compoundAttr(name: String): Array[Byte] = {
+      val dt = {
+        val w = new W
+        w.u8(0x16) // version 1, class 6 (compound)
+        w.u8(1); w.u8(0); w.u8(0) // 1 member
+        w.u32(12L)
+        // member: name "m\0" padded to 8, byte offset (4), member type
+        w.bytes("m".getBytes("US-ASCII")); (1 until 8).foreach(_ => w.u8(0))
+        w.u32(0L)
+        w.bytes(dtFixed(4, signed = true))
+        w.result()
+      }
+      attrMsg(name, dt, dsScalar, Array.fill[Byte](12)(0x2A))
     }
 
     // ---------- block plan. Addresses resolved via `resolve` in pass 2.
@@ -1010,27 +1106,31 @@ object Hdf5 {
     def builtSize(name: String): Int = sizes.getOrElse(name, 0)
 
     val allNames = (dimNames ++ vars.map(_.name)).sorted
-    val chunkedOf: NcVar => Option[Int] =
+    val chunkedOfGated: NcVar => Option[Int] =
       v => opts.chunkBy.get(v.name).orElse(
         // unlimited-dim vars MUST be chunked in HDF5
         if (v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name)))
           Some(1) else None)
 
-    // -- global heap: one object per (var, dim) DIMENSION_LIST element
-    val ghEntries: Seq[(String, Int, String)] = // (var, elementIdx, dim name)
-      vars.flatMap(v => v.dimIds.zipWithIndex.map { case (di, i) => (v.name, i, dims(di).name) })
-    val ghIndexOf: Map[(String, Int), Int] =
-      ghEntries.zipWithIndex.map { case ((vn, i, _), gi) => (vn, i) -> (gi + 1) }.toMap
     block("gheap") { resolve =>
       val w = new W
       w.bytes("GCOL".getBytes("US-ASCII"))
       w.u8(1); w.u8(0); w.u16(0)
-      val total = 16L + ghEntries.size * 24L + 16L
+      def pad8(n: Int): Int = (n + 7) & ~7
+      val total = 16L + ghEntries.size * 24L +
+        vlenStrAttrs.map(a => 16L + pad8(a._2.getBytes("UTF-8").length)).sum + 16L
       w.u64(total)
       ghEntries.zipWithIndex.foreach { case ((_, _, dimName), gi) =>
         w.u16(gi + 1); w.u16(1); w.u32(0L)
         w.u64(8L)
         w.u64(resolve(s"hdr:$dimName"))
+      }
+      vlenStrAttrs.foreach { case (n, s) =>
+        val data = s.getBytes("UTF-8")
+        w.u16(vlenStrIndexOf(n)); w.u16(1); w.u32(0L)
+        w.u64(data.length.toLong)
+        w.bytes(data)
+        (data.length until pad8(data.length)).foreach(_ => w.u8(0))
       }
       w.u16(0); w.u16(0); w.u32(0L); w.u64(16L) // free-space terminator
       w.result()
@@ -1122,8 +1222,9 @@ object Hdf5 {
       val sizes = varSizes(v)
       val esz = elemSize(v)
       val n = sizes.product.max(1L)
-      val chunk = chunkedOf(v)
+      val chunk = chunkedOfGated(v)
       val isSzip = opts.szipVar.contains(v.name)
+      val isCompact = opts.compactVars(v.name) && chunk.isEmpty && !isSzip
       block(s"hdr:${v.name}") { resolve =>
         val unlimitedFirst = v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name))
         val dimListValue = {
@@ -1141,22 +1242,42 @@ object Hdf5 {
         val layoutMsgs = chunk match {
           case Some(rows) if !isSzip =>
             val cdims = rows +: sizes.drop(1).map(_.toInt)
+            val filters =
+              Seq(2 -> Seq(esz.toLong), 1 -> Seq(6L)) ++
+                (if (opts.fletcher) Seq(3 -> Seq.empty[Long]) else Nil)
             Seq(
               0x0008 -> layoutChunked(resolve, v.name, cdims, esz),
-              0x000B -> filterMsg(Seq(2 -> Seq(esz.toLong), 1 -> Seq(6L))))
+              0x000B -> filterMsg(filters))
           case _ if isSzip =>
             val cdims = sizes.map(_.toInt)
             Seq(
               0x0008 -> layoutChunked(resolve, v.name, cdims, esz),
               0x000B -> filterMsg(Seq(4 -> Seq(4L, 32L)))) // szip: unsupported on read
+          case _ if isCompact =>
+            val w = new W
+            w.u8(3); w.u8(0) // layout v3, class 0 (compact)
+            val raw = rawData(v)
+            w.u16(raw.length)
+            w.bytes(raw)
+            Seq(0x0008 -> w.result())
           case _ =>
             Seq(0x0008 -> layoutContiguous(resolve, v.name, n * esz))
         }
         val attrMsgs =
           (0x000C -> attrMsg("DIMENSION_LIST", dtVlenOfObjRef,
             dsSimple(Seq(v.dimIds.length.toLong), unlimitedFirst = false), dimListValue)) +:
-            v.attrs.map { case (an, av) => 0x000C -> anyAttr(an, av) }
-        v1Header(base ++ layoutMsgs ++ attrMsgs)
+            (v.attrs.map { case (an, av) => 0x000C -> anyAttr(an, av) } ++
+              (if (opts.compoundAttrOn.contains(v.name))
+                Seq(0x000C -> compoundAttr("REFERENCE_LIST")) else Nil))
+        val extraMsgs =
+          if (opts.denseAttrInfoOn.contains(v.name)) {
+            val w = new W
+            w.u8(0); w.u8(0) // version, flags
+            w.u64(1024L) // DEFINED fractal heap address → dense storage
+            w.u64(UNDEF)
+            Seq(0x0015 -> w.result())
+          } else Nil
+        v1Header(base ++ layoutMsgs ++ attrMsgs ++ extraMsgs)
       }
       // data blocks
       chunk match {
@@ -1183,7 +1304,14 @@ object Hdf5 {
               val buf = new Array[Byte](shuffled.length + 64)
               val m = defl.deflate(buf)
               defl.end()
-              java.util.Arrays.copyOf(buf, m)
+              val out = java.util.Arrays.copyOf(buf, m)
+              if (!opts.fletcher) out
+              else { // checksum over the COMPRESSED payload, LE-stored
+                val sum = fletcher32(out)
+                val w2 = new W
+                w2.bytes(out); w2.u32(sum)
+                w2.result()
+              }
             }
           }
           block(s"btree:${v.name}") { resolve =>
@@ -1223,7 +1351,8 @@ object Hdf5 {
             w.result()
           }
         case _ =>
-          if (n * esz > 0) block(s"data:${v.name}") { _ => rawData(v) }
+          if (n * esz > 0 && !isCompact)
+            block(s"data:${v.name}") { _ => rawData(v) }
       }
     }
 
@@ -1278,7 +1407,13 @@ object Hdf5 {
         val st = new W
         st.u64(resolve("gbtree")); st.u64(resolve("heap"))
         v1Header(Seq(0x0011 -> st.result()) ++
-          globalAttrs.map { case (an, av) => 0x000C -> anyAttr(an, av) })
+          globalAttrs.map { case (an, av) =>
+            av match {
+              case NcStr(s) if vlenStrIndexOf.contains(an) =>
+                0x000C -> vlenStrAttr(an, s, resolve)
+              case _ => 0x000C -> anyAttr(an, av)
+            }
+          })
       }
     } else {
       block("rootHdr") { resolve =>
@@ -1294,7 +1429,13 @@ object Hdf5 {
           0x0006 -> w.result()
         }
         v2Header(Seq(0x0002 -> linkInfo, 0x000A -> groupInfo) ++ linkMsgs ++
-          globalAttrs.map { case (an, av) => 0x000C -> anyAttr(an, av) })
+          globalAttrs.map { case (an, av) =>
+            av match {
+              case NcStr(s) if vlenStrIndexOf.contains(an) =>
+                0x000C -> vlenStrAttr(an, s, resolve)
+              case _ => 0x000C -> anyAttr(an, av)
+            }
+          })
       }
     }
 

@@ -83,10 +83,14 @@ class Hdf5Spec extends AnyFunSuite {
     // EXACTLY NetCdfParseException, so hostile bytes must never surface as
     // OOM-sized allocations, raw underflows, NPEs, or infinite loops.
     val rnd = new scala.util.Random(4242)
+    val (fDims, fGatts, fVars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = "")
     val bases = Seq(
       NetCdfFixture.hdf5FileBytes(8, charPlatform = true, zone = " UTC"),
       NetCdfFixture.hdf5FileBytes(9, record = true, zone = " -02:00"),
-      NetCdfFixture.hdf5FileBytes(10, v2 = true))
+      NetCdfFixture.hdf5FileBytes(10, v2 = true),
+      Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
+        compactVars = Set("LATITUDE"), fletcher = true,
+        unlimited = Set("N_PROF"), vlenTitle = true)))
     def check(bytes: Array[Byte], tag: String): Unit =
       try { NetCdf.parse(bytes); () }
       catch {
@@ -112,6 +116,45 @@ class Hdf5Spec extends AnyFunSuite {
         check(b, s"undef@$pos")
       }
     }
+  }
+
+  test("compact layout, fletcher32 pipeline, and vlen-string attrs all round-trip") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    val cdf = NetCdf.tabularize(NetCdf.parse(NetCdf.writeBytes(dims, gatts, vars, version = 1)))
+    // compact: the 1-D coordinate-ish vars store their data IN the header
+    val compact = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(compactVars = Set("LATITUDE", "LONGITUDE", "JULD", "CYCLE_NUMBER")))
+    assert(NetCdf.tabularize(NetCdf.parse(compact)) === cdf)
+    // fletcher32 appended to the chunk pipeline (checksum stripped on read)
+    val fletch = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(unlimited = Set("N_PROF"), fletcher = true))
+    assert(NetCdf.tabularize(NetCdf.parse(fletch)) === cdf)
+    // vlen-string global attr (h5netcdf's encoding) resolves via the gheap
+    val vlen = Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(vlenTitle = true))
+    val parsed = NetCdf.parse(vlen)
+    assert(parsed.globalAttrs("title") === gatts.collectFirst {
+      case ("title", NetCdf.NcStr(s)) => s
+    }.get)
+    assert(NetCdf.tabularize(parsed) === cdf)
+  }
+
+  test("compound-typed attributes are skipped, never fatal") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    val bytes = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(compoundAttrOn = Some("PRES")))
+    val parsed = NetCdf.parse(bytes) // must not throw
+    val pres = parsed.vars.find(_.name == "PRES").get
+    assert(!pres.attrs.contains("REFERENCE_LIST")) // skipped
+    assert(pres.attrs.contains("_FillValue")) // siblings survive
+  }
+
+  test("dense (fractal-heap) attribute storage quarantines instead of silently dropping attrs") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    val bytes = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(denseAttrInfoOn = Some("PRES")))
+    val e = intercept[NetCdfParseException](NetCdf.parse(bytes))
+    assert(e.kind === "unsupported-hdf5")
+    assert(e.getMessage.contains("dense"))
   }
 
   test("quarantine ledger triages healthy HDF5, corrupt, and unsupported per file") {
