@@ -160,7 +160,7 @@ object Bench {
       "st4_stream_windowed", "st5_stream_join", "st6_stream_sessions",
       "st7_stream_outer_join", "st9_stream_dedup", "st10_stream_static",
       "st11_dedup_window_chain", "st12_foreachbatch_merge",
-      "st2_idempotent_union", "st8_incremental_agg",
+      "st2_idempotent_union", "st8_incremental_agg", "st13_stream_netcdf",
       "dd9_dup_groups", "dd10_dedup_apply", "dd16_canonical_pick",
       "dd11_semantic_dedup", "dc2_neardup_decontam", "cs1_source_overlap",
       // Round-8 expansion: every remaining query whose plan hides work from

@@ -624,6 +624,33 @@ private[graft] object OracleSql {
                 CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
+    // st13: streaming container ingest over the s10 quarantine inbox — the
+    // drained run must decode exactly the healthy floats (0-3 classic CDF +
+    // 8 HDF5); per-float sums of the s7 closed form are binary fractions,
+    // exact under any accumulation order.
+    "st13_stream_netcdf" ->
+      """WITH fset(f) AS (VALUES (0),(1),(2),(3),(8)),
+         g AS (SELECT f.f, p.p, l.l FROM fset f,
+               (SELECT unnest(generate_series(0,5)) AS p) p,
+               (SELECT unnest(generate_series(0,4)) AS l) l),
+         rows AS (
+           SELECT CAST(100+f AS VARCHAR) AS float_id, f, p, l,
+             make_timestamp(CAST((26000 + f*10 + p + 0.25 - 7305)
+               * 86400000000 AS BIGINT)) AS ts,
+             CASE WHEN (f+p+l) % 7 = 0 THEN NULL
+                  ELSE CAST(l*100 + p AS DOUBLE) END AS pres,
+             CASE WHEN (f*3+p+l*2) % 11 = 0 THEN NULL
+                  ELSE CAST(25 - 2*l - ((f+p) % 5) * 0.5 AS DOUBLE) END AS temp,
+             CASE WHEN (f+2*p+l) % 13 = 0 THEN NULL
+                  ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
+           FROM g)
+         SELECT float_id, count(*) AS n_rows, count(pres) AS n_pres,
+                CAST(sum(pres) AS DOUBLE) AS sum_pres,
+                CAST(sum(temp) AS DOUBLE) AS sum_temp,
+                CAST(sum(psal) AS DOUBLE) AS sum_psal,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+         FROM rows GROUP BY float_id ORDER BY float_id""",
     "st4_stream_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                 count(*) AS n_rows,

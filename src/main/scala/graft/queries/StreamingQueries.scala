@@ -409,5 +409,58 @@ private[graft] object StreamingQueries {
           round(col("value"), 4).as("last_value"))
         .orderBy("user_id")
     },
+
+
+    // ---- ST13 (round 10): STREAMING container ingest — the continuous
+    // GDAC-sync shape. A binaryFile readStream watches an upload inbox
+    // (here the s10 quarantine fleet: healthy classic CDF + healthy
+    // HDF5-backed NetCDF-4 + four poison files), each micro-batch decodes
+    // arrivals file-per-task through the SAME parse+tabularize path as the
+    // batch scan, tolerantly (poison skips per file, never kills the
+    // stream), appending rows to a parquet sink. Stateless flatMap ⇒
+    // exactly-once via the file-source log alone; at 100 TB this is
+    // file-parallel with O(file) memory per task, and new drops decode
+    // incrementally without rescanning the corpus. The oracle rebuilds the
+    // per-float aggregate from the s7 closed form over the HEALTHY floats
+    // (0-3 classic + 8 HDF5) — binary-fraction sums are order-exact. ------
+    "st13_stream_netcdf" -> { (s, dir) =>
+      import s.implicits._
+      val inbox = "/tmp/graft_s10_netcdf_q_v3"
+      materializeOnce(inbox)(graft.sources.NetCdfFixture.writeQuarantineFleet(_))
+      val out = scratchDir("graft-st13-out") + "/data"
+      val ckpt = scratchDir("graft-st13-ckpt")
+      val binSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+      val q = s.readStream.format("binaryFile").schema(binSchema)
+        .option("pathGlobFilter", "*.nc")
+        .load(inbox)
+        .select("content").as[Array[Byte]]
+        .flatMap { bytes =>
+          try graft.sources.NetCdf.tabularize(graft.sources.NetCdf.parse(bytes))
+          catch { case _: graft.sources.NetCdf.NetCdfParseException =>
+            Seq.empty[graft.sources.NetCdf.ProfileLevel] }
+        }
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.read.parquet(out)
+        .groupBy("float_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("pres")).as("n_pres"),
+          sum("pres").as("sum_pres"),
+          sum("temp").as("sum_temp"),
+          sum("psal").as("sum_psal"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("float_id")
+    },
   )
 }
