@@ -157,6 +157,57 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("dense"))
   }
 
+  test("random fleet models: HDF5 and CDF-5 containers parse identically") {
+    // Seeded structural fuzz across the WRITER x PARSER matrix: random
+    // dims/var shapes/types/values serialized as BOTH a CDF-5 classic file
+    // and an HDF5 file (random v0/v2 superblock, random per-var chunking,
+    // random fletcher32) must parse to the same dims, types, and numeric
+    // values — the two container stacks pin each other.
+    import graft.sources.NetCdf._
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 25) {
+      val nDims = 1 + rnd.nextInt(2)
+      val dims = (0 until nDims).map(i => NcDim(s"D$i", 1 + rnd.nextInt(7))) :+
+        NcDim("STR4", 4)
+      val types = Seq(NC_BYTE, NC_UBYTE, NC_SHORT, NC_USHORT, NC_INT, NC_UINT,
+        NC_INT64, NC_UINT64, NC_FLOAT, NC_DOUBLE)
+      val nVars = 1 + rnd.nextInt(4)
+      val vars = (0 until nVars).map { vi =>
+        val dimIds = (0 until nDims).filter(_ => rnd.nextBoolean()) match {
+          case Seq() => Seq(0)
+          case s => s
+        }
+        val count = dimIds.map(dims(_).size).product
+        val t = types(rnd.nextInt(types.length))
+        val data: NcVal = t match {
+          case NC_FLOAT => NcFloats(Array.fill(count)((rnd.nextInt(1024) * 0.25).toFloat))
+          case NC_DOUBLE => NcDoubles(Array.fill(count)(rnd.nextInt(65536) * 0.125))
+          case NC_INT64 | NC_UINT64 => NcLongs(Array.fill(count)(rnd.nextInt(1 << 20).toLong))
+          case _ => NcInts(Array.fill(count)(rnd.nextInt(100)))
+        }
+        NcVar(s"V$vi", dimIds, t, Seq("units" -> NcStr("arbitrary")), data)
+      }
+      val gatts = Seq("title" -> NcStr(s"trial $trial"))
+      val cdf = NetCdf.parse(NetCdf.writeBytes(dims, gatts, vars, version = 5))
+      val opts = Hdf5.H5Opts(
+        v2Superblock = rnd.nextBoolean(),
+        chunkBy = vars.filter(_ => rnd.nextBoolean())
+          .map(v => v.name -> (1 + rnd.nextInt(3))).toMap,
+        fletcher = rnd.nextBoolean())
+      val h5 = NetCdf.parse(Hdf5.writeBytes(dims, gatts, vars, opts))
+      assert(h5.dims === cdf.dims, s"trial $trial dims")
+      for (v <- vars) {
+        val a = cdf.vars.find(_.name == v.name).get
+        val b = h5.vars.find(_.name == v.name).get
+        assert(b.ncType === a.ncType, s"trial $trial ${v.name} type")
+        assert(b.dims.map(_.size) === a.dims.map(_.size), s"trial $trial ${v.name} dims")
+        assert(b.numeric.toSeq === a.numeric.toSeq, s"trial $trial ${v.name} values")
+        assert(b.attrs.get("units") === a.attrs.get("units"))
+      }
+      assert(h5.globalAttrs("title") === cdf.globalAttrs("title"))
+    }
+  }
+
   test("quarantine ledger triages healthy HDF5, corrupt, and unsupported per file") {
     val dir = java.nio.file.Files.createTempDirectory("h5_quarantine").toString
     NetCdfFixture.writeQuarantineFleet(dir)
