@@ -23,19 +23,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Rehearse {
 
-  /** (query, max seconds) — the scale-sensitive set from the r7 verdict. */
+  /** (query, max seconds) — the scale-sensitive set from the r7 verdict.
+    * Ceilings re-tightened in round 10 to ~2.5× the fresh post-codegen-fix
+    * measurements (BENCH_NOTES r10 table: dd8 7.95, dd9 8.36, dd16 7.10,
+    * gr1 5.11, gr2 4.32, tp1 1.19, dc2 3.87, st4 1.93, st8 1.76, e8 0.45,
+    * mm1 3.01) — the r7-era values had drifted to 4×+ actual, too loose to
+    * catch a 2× regression.
+    */
   val Gate: Seq[(String, Double)] = Seq(
-    "dd8_lsh_verified" -> 35.0,
-    "dd9_dup_groups" -> 40.0,
-    "dd16_canonical_pick" -> 45.0,
-    "gr1_pagerank" -> 15.0,
-    "gr2_triangle_count" -> 30.0,
-    "tp1_token_packing" -> 15.0,
-    "dc2_neardup_decontam" -> 25.0,
-    "st4_stream_windowed" -> 20.0,
-    "st8_incremental_agg" -> 20.0, // round-9 2-batch generation rewrite
-    "e8_ivf_recall" -> 25.0,
-    "mm1_media_features" -> 30.0)
+    "dd8_lsh_verified" -> 20.0,
+    "dd9_dup_groups" -> 21.0,
+    "dd16_canonical_pick" -> 18.0,
+    "gr1_pagerank" -> 13.0,
+    "gr2_triangle_count" -> 11.0,
+    "tp1_token_packing" -> 4.0,
+    "dc2_neardup_decontam" -> 10.0,
+    "st4_stream_windowed" -> 6.0,
+    "st8_incremental_agg" -> 6.0, // round-9 2-batch generation rewrite
+    "e8_ivf_recall" -> 2.5,
+    "mm1_media_features" -> 8.0)
 
   /** The ~sf10 (100×) tier — round-10 verdict item 3: another order of
     * magnitude for the 5 TRULY asymptotic-risk families. Ceilings are
