@@ -126,7 +126,55 @@ object Rehearse {
       }
       println(s"[rehearse] $r")
     }
-    val nGates = if (sf10) Gate10.size else Gate.size + 1
+    // Container-corpus gate: the NetCDF claim is "file-parallel over
+    // millions of small per-float files" — exercise the shape at 1k files:
+    // 800 classic CDF + 150 HDF5-backed + 50 poison, one binaryFile scan
+    // decoding everything healthy plus the quarantine ledger accounting
+    // for every file. Wall ceiling is generous (the gate exists to catch
+    // a per-file cost regression — driver-side listing, per-task setup —
+    // not to microbenchmark).
+    if (!sf10) {
+      val name = "nc_corpus_1k_files"
+      val maxSec = 30.0
+      val corpus = "/tmp/graft_nc_corpus_1k"
+      val r = try {
+        if (!new java.io.File(s"$corpus/_SUCCESS").exists()) {
+          val p = java.nio.file.Paths.get(corpus)
+          java.nio.file.Files.createDirectories(p)
+          (0 until 800).foreach { f =>
+            java.nio.file.Files.write(p.resolve(f"cdf_$f%04d.nc"),
+              graft.sources.NetCdfFixture.fileBytes(f))
+          }
+          (800 until 950).foreach { f =>
+            java.nio.file.Files.write(p.resolve(f"h5_$f%04d.nc"),
+              graft.sources.NetCdfFixture.hdf5FileBytes(f))
+          }
+          (0 until 50).foreach { i =>
+            java.nio.file.Files.write(p.resolve(f"poison_$i%02d.nc"),
+              if (i % 2 == 0) graft.sources.NetCdfFixture.fileBytes(0).take(40 + i)
+              else s"garbage payload $i".getBytes("UTF-8"))
+          }
+          java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+        }
+        val t0 = System.nanoTime()
+        val rows = graft.sources.NetCdf.read(spark, corpus, tolerant = true).count()
+        val ledger = graft.sources.NetCdf.scanStatus(spark, corpus)
+          .groupBy("status").count().collect()
+          .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+        val sec = (System.nanoTime() - t0) / 1e9
+        val expectRows = 950L * 30
+        if (rows != expectRows || ledger.getOrElse("ok", 0L) != 950L ||
+            ledger.getOrElse("corrupt", 0L) != 50L) { failed += 1
+          f"FAIL $name%-22s $sec%8.2f s  rows=$rows ledger=$ledger" }
+        else if (sec > maxSec) { failed += 1
+          f"FAIL $name%-22s $sec%8.2f s  over threshold ${maxSec}%.0f s" }
+        else f"PASS $name%-22s $sec%8.2f s  rows=$rows files=1000"
+      } catch { case e: Throwable =>
+        failed += 1; f"FAIL $name%-22s error: ${e.getMessage.take(120)}"
+      }
+      println(s"[rehearse] $r")
+    }
+    val nGates = if (sf10) Gate10.size else Gate.size + 2
     spark.stop()
     if (failed > 0) {
       println(s"[rehearse] $failed of $nGates gates FAILED")
