@@ -486,7 +486,9 @@ object Hdf5 {
       chunkDims: Array[Long], esz: Int, filters: Seq[(Int, Seq[Long])]): Array[Byte] = {
     val total = dims.product.max(1)
     if (total * esz > bytes.length.toLong * 64 || total * esz > Int.MaxValue)
-      fail(s"dataset size ${total * esz} B out of proportion to file")
+      // a VALID extreme-ratio file (deflate of constants) can trip this
+      // allocation bound — "convert/read elsewhere", not "discard"
+      unsupported(s"dataset size ${total * esz} B out of proportion to file")
     val out = new Array[Byte]((total * esz).toInt)
     val rank = dims.length
     val chunkElems = chunkDims.product.max(1)
@@ -605,7 +607,7 @@ object Hdf5 {
     val esz = dtype.size
     val n = space.count
     if (n * esz > Int.MaxValue || n * esz > bytes.length.toLong * 64)
-      fail(s"dataset '$name' size ${n * esz} B out of proportion to file")
+      unsupported(s"dataset '$name' size ${n * esz} B out of proportion to file")
     val c = new Cur(bytes, layout.off)
     val ver = c.u8()
     if (ver != 3) unsupported(s"data layout v$ver")
