@@ -1331,9 +1331,14 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
+                 FROM all_docs GROUP BY md5(text)),
+         reps_docs AS (
+           SELECT a.doc_id, a.text
+           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
+                FROM reps_docs),
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
@@ -1362,8 +1367,13 @@ private[graft] object OracleSql {
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
                  WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-                   UNION ALL SELECT id_b, id_a FROM dup),
+         stars AS (SELECT r.rep_id AS id_a, a.doc_id AS id_b
+                   FROM all_docs a
+                   JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id),
+         dup2 AS (SELECT id_a, id_b FROM dup
+                  UNION ALL SELECT id_a, id_b FROM stars),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
+                   UNION ALL SELECT id_b, id_a FROM dup2),
          nodes AS (SELECT DISTINCT src AS id FROM edges),
          reach AS (
            SELECT id, id AS m FROM nodes
@@ -1379,9 +1389,14 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
+                 FROM all_docs GROUP BY md5(text)),
+         reps_docs AS (
+           SELECT a.doc_id, a.text
+           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
+                FROM reps_docs),
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
@@ -1410,8 +1425,13 @@ private[graft] object OracleSql {
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
                  WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-                   UNION ALL SELECT id_b, id_a FROM dup),
+         stars AS (SELECT r.rep_id AS id_a, a.doc_id AS id_b
+                   FROM all_docs a
+                   JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id),
+         dup2 AS (SELECT id_a, id_b FROM dup
+                  UNION ALL SELECT id_a, id_b FROM stars),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
+                   UNION ALL SELECT id_b, id_a FROM dup2),
          nodes AS (SELECT DISTINCT src AS id FROM edges),
          reach AS (
            SELECT id, id AS m FROM nodes
@@ -1427,9 +1447,14 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
+                 FROM all_docs GROUP BY md5(text)),
+         reps_docs AS (
+           SELECT a.doc_id, a.text
+           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM all_docs),
+                FROM reps_docs),
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
@@ -1458,8 +1483,13 @@ private[graft] object OracleSql {
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
                  WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup
-                   UNION ALL SELECT id_b, id_a FROM dup),
+         stars AS (SELECT r.rep_id AS id_a, a.doc_id AS id_b
+                   FROM all_docs a
+                   JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id),
+         dup2 AS (SELECT id_a, id_b FROM dup
+                  UNION ALL SELECT id_a, id_b FROM stars),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
+                   UNION ALL SELECT id_b, id_a FROM dup2),
          nodes AS (SELECT DISTINCT src AS id FROM edges),
          reach AS (
            SELECT id, id AS m FROM nodes

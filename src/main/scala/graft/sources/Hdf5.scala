@@ -89,7 +89,10 @@ object Hdf5 {
   private final case class VlenStr(size: Int = 16) extends Dtype
   private final case class Opaque(cls: Int, size: Int) extends Dtype // tolerated in attrs only
 
-  private def readDatatype(c: Cur): Dtype = {
+  private def readDatatype(c: Cur, depth: Int = 0): Dtype = {
+    // depth cap: a crafted chain of nested vlen headers would otherwise
+    // recurse to StackOverflowError — an Error the quarantine can't catch
+    if (depth > 8) fail("datatype nesting depth out of range")
     val cv = c.u8(); val cls = cv & 0xF
     val b0 = c.u8(); c.u8(); c.u8() // class bit fields 0-23
     val size0 = c.u32()
@@ -111,7 +114,7 @@ object Hdf5 {
         ObjRef
       case 9 =>
         if ((b0 & 0xF) == 1) VlenStr()
-        else VlenSeq(readDatatype(c))
+        else VlenSeq(readDatatype(c, depth + 1))
       case other => Opaque(other, size) // compound/enum/etc: attr-skip only
     }
   }
@@ -119,7 +122,10 @@ object Hdf5 {
   // ------------------------------------------------------------ dataspace
 
   private final case class Dataspace(dims: Seq[Long], maxDims: Seq[Long]) {
-    def count: Long = if (dims.isEmpty) 1L else dims.product
+    def count: Long = // overflow-checked: a wrapped product could slip
+      // past every downstream size gate as a small positive number
+      try dims.foldLeft(1L)(Math.multiplyExact)
+      catch { case _: ArithmeticException => fail("dataspace element count overflows") }
   }
 
   private def readDataspace(c: Cur): Dataspace = {
@@ -141,8 +147,8 @@ object Hdf5 {
 
   // ------------------------------------------------------- object headers
 
-  /** One header message: (type, data offset, data length). */
-  private final case class Msg(tpe: Int, off: Int, len: Int)
+  /** One header message: (type, data offset, data length, header flags). */
+  private final case class Msg(tpe: Int, off: Int, len: Int, flags: Int = 0)
 
   private def readObjectHeader(bytes: Array[Byte], addr: Long): Seq[Msg] = {
     val head = at(bytes, addr, "object header")
@@ -158,7 +164,7 @@ object Hdf5 {
         if (guard > 4096) fail("object header message count out of range")
         val tpe = if (v2) c.u8() else c.u16()
         val len = c.u16()
-        c.u8() // flags
+        val mflags = c.u8()
         if (!v2) c.skip(3) else if (tracked) c.skip(2)
         if (len > end - c.pos) fail(s"message length $len overruns header block")
         val off = c.pos
@@ -167,7 +173,7 @@ object Hdf5 {
           val coff = cc.u64(); val clen = cc.u64()
           if (clen < 0 || clen > bytes.length) fail(s"continuation length $clen")
           if (seen.add(coff)) conts.enqueue((coff, clen))
-        } else msgs += Msg(tpe, off, len)
+        } else msgs += Msg(tpe, off, len, mflags)
         c.pos = off + len
       }
     }
@@ -352,14 +358,16 @@ object Hdf5 {
     val dataAddr = h.u64()
     if (off < 0 || off >= dataSize) fail(s"heap name offset $off out of segment")
     val c = at(bytes, dataAddr + off, "heap string")
-    val sb = new java.lang.StringBuilder
+    val buf = new java.io.ByteArrayOutputStream(16)
     var guard = 0
     var b = c.u8()
     while (b != 0) {
       guard += 1; if (guard > 4096) fail("unterminated heap string")
-      sb.append(b.toChar); b = c.u8()
+      buf.write(b); b = c.u8()
     }
-    sb.toString
+    // UTF-8, matching the link-message path — byte-wise toChar would
+    // mojibake multi-byte names in v0-superblock groups
+    new String(buf.toByteArray, "UTF-8")
   }
 
   /** Links of a v0-style group: symbol-table B-tree (v1, type 0) → SNOD
@@ -435,7 +443,10 @@ object Hdf5 {
       var total = 0
       while (total < expect && !inf.finished()) {
         val n = inf.inflate(out, total, expect - total)
-        if (n == 0 && inf.needsInput()) fail("deflate stream truncated")
+        // needsDictionary (zlib FDICT) would loop forever: n stays 0 with
+        // needsInput()==false — a hostile chunk must fail, not hang
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          fail("deflate stream truncated or needs preset dictionary")
         total += n
       }
       if (total != expect) fail(s"deflate chunk inflated to $total, expected $expect")
@@ -482,14 +493,26 @@ object Hdf5 {
   /** Chunked-layout read: walk the v1 chunk B-tree, reverse filters, and
     * scatter each chunk into the dense row-major element buffer.
     */
+  /** `n` bytes of repeated `fill` pattern (zeros when fill undefined). */
+  private def filled(n: Int, esz: Int, fill: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](n)
+    if (fill != null && fill.length == esz && esz > 0) {
+      var i = 0
+      while (i < n) { System.arraycopy(fill, 0, out, i, esz); i += esz }
+    }
+    out
+  }
+
   private def readChunked(bytes: Array[Byte], btreeAddr: Long, dims: Array[Long],
-      chunkDims: Array[Long], esz: Int, filters: Seq[(Int, Seq[Long])]): Array[Byte] = {
+      chunkDims: Array[Long], esz: Int, filters: Seq[(Int, Seq[Long])],
+      fill: Array[Byte]): Array[Byte] = {
     val total = dims.product.max(1)
     if (total * esz > bytes.length.toLong * 64 || total * esz > Int.MaxValue)
       // a VALID extreme-ratio file (deflate of constants) can trip this
       // allocation bound — "convert/read elsewhere", not "discard"
       unsupported(s"dataset size ${total * esz} B out of proportion to file")
-    val out = new Array[Byte]((total * esz).toInt)
+    // missing chunks (sparse / partially-written data) read as the fill
+    val out = filled((total * esz).toInt, esz, fill)
     val rank = dims.length
     val chunkElems = chunkDims.product.max(1)
     if (chunkElems * esz > Int.MaxValue) fail("chunk size out of range")
@@ -570,12 +593,44 @@ object Hdf5 {
     var dtype: Dtype = null
     var layout: Msg = null
     var filters: Seq[(Int, Seq[Long])] = Nil
+    var fill: Array[Byte] = null
     val attrs = Map.newBuilder[String, Any]
     var dimRefs: Seq[Long] = Nil
     msgs.foreach { m =>
+      // flag bit 1 = SHARED message: the body is a reference into the
+      // shared-message heap, NOT an inline encoding — parsing it as one
+      // would fabricate a garbage datatype. Beyond the subset.
+      if ((m.flags & 0x02) != 0 &&
+          (m.tpe == 0x0001 || m.tpe == 0x0003 || m.tpe == 0x0005 ||
+           m.tpe == 0x0008 || m.tpe == 0x000B))
+        unsupported(s"shared header message (type 0x${m.tpe.toHexString}) on '$name'")
       m.tpe match {
         case 0x0001 => space = readDataspace(new Cur(bytes, m.off))
         case 0x0003 => dtype = readDatatype(new Cur(bytes, m.off))
+        case 0x0005 =>
+          // Fill Value: unwritten storage must decode as THIS, not 0.0 —
+          // silently zeroing unallocated variables fabricates plausible
+          // measurements where xarray reports the fill/NaN
+          val fc = new Cur(bytes, m.off)
+          fc.u8() match {
+            case 1 =>
+              fc.skip(2)
+              val sz = fc.u32()
+              if (sz > 0 && sz <= m.len) fill = fc.slice(sz.toInt)
+            case 2 =>
+              fc.skip(2)
+              if (fc.u8() != 0) {
+                val sz = fc.u32()
+                if (sz > 0 && sz <= m.len) fill = fc.slice(sz.toInt)
+              }
+            case 3 =>
+              val fflags = fc.u8()
+              if ((fflags & 0x20) != 0) {
+                val sz = fc.u32()
+                if (sz > 0 && sz <= m.len) fill = fc.slice(sz.toInt)
+              }
+            case _ => () // unknown version: leave undefined
+          }
         case 0x0008 => layout = m
         case 0x000B => filters = readFilterPipeline(new Cur(bytes, m.off), m)
         case 0x000C =>
@@ -618,7 +673,7 @@ object Hdf5 {
         c.slice((n * esz).toInt)
       case 1 => // contiguous
         val daddr = c.u64(); val dsz = c.u64()
-        if (daddr == UNDEF) new Array[Byte]((n * esz).toInt) // unallocated
+        if (daddr == UNDEF) filled((n * esz).toInt, esz, fill) // unallocated
         else {
           if (dsz < n * esz) fail(s"contiguous data $dsz B short of ${n * esz}")
           if (daddr < 0 || daddr + n * esz > bytes.length)
@@ -633,7 +688,7 @@ object Hdf5 {
         val celem = c.u32()
         if (celem != esz) fail(s"chunk element size $celem vs datatype $esz")
         if (cdims.exists(d => d <= 0 || d > Int.MaxValue)) fail("chunk dims out of range")
-        readChunked(bytes, baddr, space.dims.toArray, cdims, esz, filters)
+        readChunked(bytes, baddr, space.dims.toArray, cdims, esz, filters, fill)
       case other => unsupported(s"data layout class $other")
     }
     RawDataset(name, addr, space, dtype, attrs.result(), dimRefs, data)
@@ -678,8 +733,26 @@ object Hdf5 {
   val Signature: Array[Byte] =
     Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
 
-  def isHdf5(bytes: Array[Byte]): Boolean =
-    bytes.length >= 8 && (0 until 8).forall(i => bytes(i) == Signature(i))
+  def isHdf5(bytes: Array[Byte]): Boolean = isHdf5At(bytes, 0)
+
+  def isHdf5At(bytes: Array[Byte], off: Int): Boolean =
+    off >= 0 && bytes.length - off >= 8 &&
+      (0 until 8).forall(i => bytes(off + i) == Signature(i))
+
+  /** Userblock probe: the HDF5 spec allows the superblock at any
+    * power-of-two offset ≥ 512 (the userblock precedes it). Stored
+    * addresses are relative to the superblock's base address, which
+    * libhdf5 sets to the userblock size — so slicing from the found
+    * offset realigns every address. Returns the offset, or -1.
+    */
+  def userblockOffset(bytes: Array[Byte]): Int = {
+    var off = 512
+    while (off + 8 <= bytes.length && off <= (1 << 26)) {
+      if (isHdf5At(bytes, off)) return off
+      off <<= 1
+    }
+    -1
+  }
 
   /** The netCDF-4 phony-dimension marker (a dimension without a coordinate
     * variable): such dimension-scale datasets are structure, not data.
@@ -891,7 +964,8 @@ object Hdf5 {
       fletcher: Boolean = false, // append fletcher32 to each chunk pipeline
       vlenTitle: Boolean = false, // global 'title' as a vlen string (gheap)
       compoundAttrOn: Option[String] = None, // opaque compound attr (skip path)
-      denseAttrInfoOn: Option[String] = None) // defined-heap 0x0015 (quarantine)
+      denseAttrInfoOn: Option[String] = None, // defined-heap 0x0015 (quarantine)
+      unallocatedFill: Map[String, Float] = Map.empty) // UNDEF storage + fill msg
 
   /** HDF5's Fletcher-32: big-endian 16-bit words (odd tail high-byte
     * padded), sums reduced mod 65535, checksum = s2<<16 | s1, stored
@@ -1227,6 +1301,7 @@ object Hdf5 {
       val chunk = chunkedOfGated(v)
       val isSzip = opts.szipVar.contains(v.name)
       val isCompact = opts.compactVars(v.name) && chunk.isEmpty && !isSzip
+      val unallocFill = opts.unallocatedFill.get(v.name)
       block(s"hdr:${v.name}") { resolve =>
         val unlimitedFirst = v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name))
         val dimListValue = {
@@ -1255,6 +1330,16 @@ object Hdf5 {
             Seq(
               0x0008 -> layoutChunked(resolve, v.name, cdims, esz),
               0x000B -> filterMsg(Seq(4 -> Seq(4L, 32L)))) // szip: unsupported on read
+          case _ if unallocFill.isDefined =>
+            // fill-value message (v3, defined) + contiguous UNDEF storage:
+            // the unwritten-variable shape libhdf5 leaves behind
+            val fw = new W
+            fw.u8(3); fw.u8(0x20 | 0x02 | 0x08) // v3: defined + alloc/write-time bits
+            fw.u32(4L)
+            fw.u32(java.lang.Float.floatToIntBits(unallocFill.get).toLong & 0xFFFFFFFFL)
+            Seq(
+              0x0005 -> fw.result(),
+              0x0008 -> layoutContiguous(resolve, s"__undef__${v.name}", 0L))
           case _ if isCompact =>
             val w = new W
             w.u8(3); w.u8(0) // layout v3, class 0 (compact)
@@ -1353,7 +1438,7 @@ object Hdf5 {
             w.result()
           }
         case _ =>
-          if (n * esz > 0 && !isCompact)
+          if (n * esz > 0 && !isCompact && unallocFill.isEmpty)
             block(s"data:${v.name}") { _ => rawData(v) }
       }
     }

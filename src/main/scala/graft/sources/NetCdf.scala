@@ -384,7 +384,16 @@ object NetCdf {
     if (isHdf5(bytes)) return Hdf5.parseToNetCdf(bytes)
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = Array(b.get(), b.get(), b.get())
-    if (!magic.sameElements("CDF".getBytes)) fail("not a NetCDF classic file")
+    if (!magic.sameElements("CDF".getBytes)) {
+      // not classic either: probe for an HDF5 superblock behind a
+      // userblock (spec: any power-of-two offset >= 512; addresses are
+      // base-relative, so slicing realigns them)
+      val off = Hdf5.userblockOffset(bytes)
+      if (off > 0)
+        return Hdf5.parseToNetCdf(
+          java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+      fail("not a NetCDF classic file")
+    }
     val version = b.get()
     if (version != 1 && version != 2 && version != 5)
       fail(s"unsupported CDF version $version")

@@ -99,13 +99,26 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
   override def exists(path: Path): Boolean = Files.exists(nio(path))
 
   override def delete(path: Path): Unit = {
+    // deleteIfExists (not delete) so a concurrent purge racing us is a
+    // no-op; the walk stream is closed (it holds a directory handle), and
+    // the TRAVERSAL itself tolerates the same race — a subtree vanishing
+    // mid-walk surfaces as (Unchecked)NoSuchFileException from the stream,
+    // which means the work is already done. DirectoryNotEmptyException
+    // (a concurrent writer re-populating) gets one retry, then propagates:
+    // a live writer means this delete genuinely cannot succeed.
+    def sweep(p: NioPath): Unit =
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[NioPath]()).forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
     val p = nio(path)
-    if (Files.exists(p)) {
-      // deleteIfExists (not delete) so a concurrent purge racing us is a no-op,
-      // and close the walk stream — Files.walk holds a directory handle open.
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[NioPath]()).forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
+    try sweep(p)
+    catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+      case _: java.nio.file.DirectoryNotEmptyException => sweep(p)
     }
   }
 

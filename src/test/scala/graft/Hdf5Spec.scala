@@ -157,6 +157,51 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("dense"))
   }
 
+  test("userblock files parse: superblock found at a power-of-two offset") {
+    val h5 = NetCdfFixture.hdf5FileBytes(8, zone = " UTC")
+    val withBlock = new Array[Byte](512) ++ h5
+    assert(NetCdf.tabularize(NetCdf.parse(withBlock)) ===
+      NetCdf.tabularize(NetCdf.parse(h5)))
+    // a 2048-byte userblock too (offsets double)
+    val big = new Array[Byte](2048) ++ h5
+    assert(NetCdf.tabularize(NetCdf.parse(big)) === NetCdf.tabularize(NetCdf.parse(h5)))
+  }
+
+  test("unallocated storage decodes as the fill-value message, then nulls out") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    // PRES never written: storage UNDEF + a fill message matching its
+    // _FillValue attr — every PRES cell must decode as FILL and then null
+    // out through cleanValue, exactly like an explicit fill write
+    val bytes = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(unallocatedFill = Map("PRES" -> NetCdfFixture.FILL)))
+    val parsed = NetCdf.parse(bytes)
+    val pres = parsed.vars.find(_.name == "PRES").get
+    assert(pres.numeric.forall(_ == NetCdfFixture.FILL.toDouble),
+      "unwritten storage must read as the declared fill, not zeros")
+    val rows = NetCdf.tabularize(parsed)
+    assert(rows.nonEmpty && rows.forall(_.pres.isEmpty))
+    assert(rows.exists(_.temp.nonEmpty)) // the written vars still decode
+  }
+
+  test("a zlib FDICT chunk fails fast instead of hanging the inflater") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(9, charPlatform = false, zone = "")
+    val bytes = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(unlimited = Set("N_PROF")))
+    // deflater output starts 0x78 0x9C; patch the first occurrence to
+    // 0x78 0xBB (valid zlib header with FDICT set)
+    var i = 0
+    var patched = false
+    while (!patched && i < bytes.length - 1) {
+      if (bytes(i) == 0x78.toByte && bytes(i + 1) == 0x9C.toByte) {
+        bytes(i + 1) = 0xBB.toByte; patched = true
+      }
+      i += 1
+    }
+    assert(patched, "no deflate header found to patch")
+    val e = intercept[NetCdfParseException](NetCdf.parse(bytes))
+    assert(e.kind === "corrupt")
+  }
+
   test("random fleet models: HDF5 and CDF-5 containers parse identically") {
     // Seeded structural fuzz across the WRITER x PARSER matrix: random
     // dims/var shapes/types/values serialized as BOTH a CDF-5 classic file
