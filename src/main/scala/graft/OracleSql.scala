@@ -1222,11 +1222,11 @@ private[graft] object OracleSql {
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
-                 FROM all_docs GROUP BY md5(text)),
+         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
          reps_docs AS (
-           SELECT a.doc_id, a.text
-           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
+           SELECT d.doc_id, d.text
+           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
                 FROM reps_docs),
@@ -1261,11 +1261,11 @@ private[graft] object OracleSql {
            JOIN sig sa ON sa.doc_id = i.id_a
            JOIN sig sb ON sb.doc_id = i.id_b),
          stars AS (
-           SELECT r.rep_id AS id_a, a.doc_id AS id_b,
+           SELECT r.rep_id AS id_a, d.doc_id AS id_b,
                   CAST(coalesce(s.nsh, 0) AS BIGINT) AS n_inter,
                   1.0 AS jaccard, TRUE AS is_dup
-           FROM all_docs a
-           JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id
+           FROM docs_dg d
+           JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id
            LEFT JOIN sig s ON s.doc_id = r.rep_id)
          SELECT id_a, id_b, n_inter, jaccard, is_dup
          FROM (SELECT * FROM verified UNION ALL SELECT * FROM stars)
@@ -1331,11 +1331,11 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
-                 FROM all_docs GROUP BY md5(text)),
+         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
          reps_docs AS (
-           SELECT a.doc_id, a.text
-           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
+           SELECT d.doc_id, d.text
+           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
                 FROM reps_docs),
@@ -1367,9 +1367,9 @@ private[graft] object OracleSql {
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
                  WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, a.doc_id AS id_b
-                   FROM all_docs a
-                   JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id),
+         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+                   FROM docs_dg d
+                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
          dup2 AS (SELECT id_a, id_b FROM dup
                   UNION ALL SELECT id_a, id_b FROM stars),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
@@ -1389,11 +1389,11 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
-                 FROM all_docs GROUP BY md5(text)),
+         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
          reps_docs AS (
-           SELECT a.doc_id, a.text
-           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
+           SELECT d.doc_id, d.text
+           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
                 FROM reps_docs),
@@ -1425,9 +1425,9 @@ private[graft] object OracleSql {
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
                  WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, a.doc_id AS id_b
-                   FROM all_docs a
-                   JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id),
+         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+                   FROM docs_dg d
+                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
          dup2 AS (SELECT id_a, id_b FROM dup
                   UNION ALL SELECT id_a, id_b FROM stars),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
@@ -1447,11 +1447,11 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         rep AS (SELECT md5(text) AS dg, min(doc_id) AS rep_id
-                 FROM all_docs GROUP BY md5(text)),
+         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
          reps_docs AS (
-           SELECT a.doc_id, a.text
-           FROM all_docs a JOIN rep r ON a.doc_id = r.rep_id AND md5(a.text) = r.dg),
+           SELECT d.doc_id, d.text
+           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
                 FROM reps_docs),
@@ -1483,9 +1483,9 @@ private[graft] object OracleSql {
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
                  WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, a.doc_id AS id_b
-                   FROM all_docs a
-                   JOIN rep r ON md5(a.text) = r.dg AND a.doc_id <> r.rep_id),
+         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+                   FROM docs_dg d
+                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
          dup2 AS (SELECT id_a, id_b FROM dup
                   UNION ALL SELECT id_a, id_b FROM stars),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
