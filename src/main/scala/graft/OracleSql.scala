@@ -1327,13 +1327,18 @@ private[graft] object OracleSql {
          LEFT JOIN segstats s USING (doc_id)
          LEFT JOIN bgstats b USING (doc_id)
          ORDER BY d.doc_id""",
+    // dd9/dd10/dd16: the shared shingle/signature CTEs are AS MATERIALIZED —
+    // DuckDB otherwise re-inlines (re-evaluates) the whole shingle chain
+    // inside the recursive closure, costing ~6s each at sf0.1 where the
+    // materialized form runs in ~0.5s. A fair denominator is a
+    // well-written one.
     "dd9_dup_groups" ->
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS (
+         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
+         reps_docs AS MATERIALIZED (
            SELECT d.doc_id, d.text
            FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
@@ -1342,8 +1347,8 @@ private[graft] object OracleSql {
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
+         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS MATERIALIZED (SELECT doc_id,
                         min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
                         min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
                         min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
@@ -1362,7 +1367,7 @@ private[graft] object OracleSql {
                    JOIN shh a ON a.doc_id = c.id_a
                    JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
                    GROUP BY c.id_a, c.id_b),
-         dup AS (SELECT i.id_a, i.id_b
+         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
                  FROM inter i
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
@@ -1370,7 +1375,7 @@ private[graft] object OracleSql {
          stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
                    FROM docs_dg d
                    JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS (SELECT id_a, id_b FROM dup
+         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
                   UNION ALL SELECT id_a, id_b FROM stars),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
                    UNION ALL SELECT id_b, id_a FROM dup2),
@@ -1389,9 +1394,9 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS (
+         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
+         reps_docs AS MATERIALIZED (
            SELECT d.doc_id, d.text
            FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
@@ -1400,8 +1405,8 @@ private[graft] object OracleSql {
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
+         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS MATERIALIZED (SELECT doc_id,
                         min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
                         min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
                         min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
@@ -1420,7 +1425,7 @@ private[graft] object OracleSql {
                    JOIN shh a ON a.doc_id = c.id_a
                    JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
                    GROUP BY c.id_a, c.id_b),
-         dup AS (SELECT i.id_a, i.id_b
+         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
                  FROM inter i
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
@@ -1428,7 +1433,7 @@ private[graft] object OracleSql {
          stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
                    FROM docs_dg d
                    JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS (SELECT id_a, id_b FROM dup
+         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
                   UNION ALL SELECT id_a, id_b FROM stars),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
                    UNION ALL SELECT id_b, id_a FROM dup2),
@@ -1447,9 +1452,9 @@ private[graft] object OracleSql {
       """WITH RECURSIVE all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS (
+         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
+         reps_docs AS MATERIALIZED (
            SELECT d.doc_id, d.text
            FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
          tk AS (SELECT doc_id,
@@ -1458,8 +1463,8 @@ private[graft] object OracleSql {
          sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
                  FROM tk WHERE len(toks) >= 3),
          sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
+         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS MATERIALIZED (SELECT doc_id,
                         min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
                         min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
                         min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
@@ -1478,7 +1483,7 @@ private[graft] object OracleSql {
                    JOIN shh a ON a.doc_id = c.id_a
                    JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
                    GROUP BY c.id_a, c.id_b),
-         dup AS (SELECT i.id_a, i.id_b
+         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
                  FROM inter i
                  JOIN sig sa ON sa.doc_id = i.id_a
                  JOIN sig sb ON sb.doc_id = i.id_b
@@ -1486,7 +1491,7 @@ private[graft] object OracleSql {
          stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
                    FROM docs_dg d
                    JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS (SELECT id_a, id_b FROM dup
+         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
                   UNION ALL SELECT id_a, id_b FROM stars),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
                    UNION ALL SELECT id_b, id_a FROM dup2),
