@@ -308,8 +308,16 @@ object Dedup {
     * component minimum).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The pair list is consumed twice by the undirected-edge union (and a
+    // third time by the stars fallback's node set). Callers typically hand
+    // in an EXPENSIVE lineage — dd9/dd10/dd16 pass the whole LSH+verify
+    // pipeline — and the union's two branches are separate scans, so
+    // without this checkpoint that lineage runs twice inside round one's
+    // job (measured ~0.5 s extra per query at sf0.1). The checkpoint is a
+    // narrow two-long-column frame: its write cost is noise.
+    val p = pairs.localCheckpoint(false)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
     // Seed with round one's result directly: min-propagation from identity
     // labels yields label(x) = min(x, min neighbor id), which one grouped
@@ -365,7 +373,7 @@ object Dedup {
     // large-star/small-star rounds, which converge in O(log n) rounds on ANY
     // graph shape (adversarial chains included) at the cost of a heavier
     // per-round edge rewrite.
-    if (!converged) connectedComponentsStars(pairs)
+    if (!converged) connectedComponentsStars(p)
     else labels.select(col("id").as("member_id"), col("label").as("group_id"))
   }
 
@@ -395,8 +403,11 @@ object Dedup {
     * group_id = component minimum), one row per distinct node in `pairs`.
     */
   def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    // same reasoning as [[connectedComponents]]: the input is consumed by
+    // the canonical-edge pass AND the final node-set union (two more scans)
+    val p = pairs.localCheckpoint(false)
     // canonical undirected edges, self-loops dropped
-    var edges = pairs
+    var edges = p
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -457,8 +468,8 @@ object Dedup {
     // fixpoint edges form stars (x, m): label both endpoints with the
     // component min, and keep isolated-in-`pairs` self-pair nodes labeled
     // by themselves via the union with the original node set
-    val nodes = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val nodes = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id"))).distinct()
     val starLabels = directed(edges).groupBy(col("u").as("id"))
       .agg(min(col("v")).as("lbl"))
     nodes.join(starLabels, Seq("id"), "left")
