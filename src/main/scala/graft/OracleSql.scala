@@ -7,6 +7,73 @@ private[graft] object OracleSql {
   import graft.QueryContext.{referenceFloatCte, referenceDocPrintf}
   import graft.vector.SemanticWorkload
 
+  /** Shared dd9/dd10/dd16 oracle prefix: the clone-injected corpus, the
+    * exact tier (digest once, min-id rep, rep→clone star edges), the LSH
+    * signature/band/candidate/verify chain, and the recursive transitive
+    * closure down to `lab(member_id, group_id)`. ONE definition so the
+    * exact-tier semantics and the 0.5 jaccard threshold cannot drift
+    * between the three dedup oracles (they must also stay in lockstep
+    * with the Spark side's QueryContext.dd8Pipeline + connectedComponents).
+    * The shared shingle/signature CTEs are AS MATERIALIZED — DuckDB
+    * otherwise re-inlines (re-evaluates) the whole shingle chain inside
+    * the recursive closure, costing ~6s each at sf0.1 where the
+    * materialized form runs in ~0.5s. A fair denominator is a well-written
+    * one.
+    */
+  private val ddDupClosureCte: String =
+    """WITH RECURSIVE all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
+         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
+         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
+         reps_docs AS MATERIALIZED (
+           SELECT d.doc_id, d.text
+           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
+         tk AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+                FROM reps_docs),
+         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM tk WHERE len(toks) >= 3),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
+         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
+         sig AS MATERIALIZED (SELECT doc_id,
+                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
+                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
+                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
+                        count(*) AS nsh
+                 FROM shh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
+         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+                  FROM bands b1 JOIN bands b2
+                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+                   AND b1.doc_id < b2.doc_id),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+                   FROM cand c
+                   JOIN shh a ON a.doc_id = c.id_a
+                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
+                   GROUP BY c.id_a, c.id_b),
+         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN sig sa ON sa.doc_id = i.id_a
+                 JOIN sig sb ON sb.doc_id = i.id_b
+                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
+         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+                   FROM docs_dg d
+                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
+         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
+                  UNION ALL SELECT id_a, id_b FROM stars),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
+                   UNION ALL SELECT id_b, id_a FROM dup2),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM nodes
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
+         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)"""
+
   val map: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1327,180 +1394,22 @@ private[graft] object OracleSql {
          LEFT JOIN segstats s USING (doc_id)
          LEFT JOIN bgstats b USING (doc_id)
          ORDER BY d.doc_id""",
-    // dd9/dd10/dd16: the shared shingle/signature CTEs are AS MATERIALIZED —
-    // DuckDB otherwise re-inlines (re-evaluates) the whole shingle chain
-    // inside the recursive closure, costing ~6s each at sf0.1 where the
-    // materialized form runs in ~0.5s. A fair denominator is a
-    // well-written one.
-    "dd9_dup_groups" ->
-      """WITH RECURSIVE all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS MATERIALIZED (
-           SELECT d.doc_id, d.text
-           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM reps_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS MATERIALIZED (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
-                   FROM docs_dg d
-                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
-                  UNION ALL SELECT id_a, id_b FROM stars),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
-                   UNION ALL SELECT id_b, id_a FROM dup2),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach AS (
-           SELECT id, id AS m FROM nodes
-           UNION
-           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
-         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
+    "dd9_dup_groups" -> (ddDupClosureCte +
+      """
          SELECT l.member_id, l.group_id, g.n_members
          FROM lab l
          JOIN (SELECT group_id, count(*) AS n_members FROM lab GROUP BY group_id) g
            USING (group_id)
-         ORDER BY l.member_id""",
-    "dd10_dedup_apply" ->
-      """WITH RECURSIVE all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS MATERIALIZED (
-           SELECT d.doc_id, d.text
-           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM reps_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS MATERIALIZED (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
-                   FROM docs_dg d
-                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
-                  UNION ALL SELECT id_a, id_b FROM stars),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
-                   UNION ALL SELECT id_b, id_a FROM dup2),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach AS (
-           SELECT id, id AS m FROM nodes
-           UNION
-           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
-         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id)
+         ORDER BY l.member_id"""),
+    "dd10_dedup_apply" -> (ddDupClosureCte +
+      """
          SELECT d.doc_id,
                 coalesce(l.group_id, d.doc_id) AS group_id,
                 (l.group_id IS NULL OR l.group_id = d.doc_id) AS kept
          FROM all_docs d LEFT JOIN lab l ON l.member_id = d.doc_id
-         ORDER BY d.doc_id""",
-    "dd16_canonical_pick" ->
-      """WITH RECURSIVE all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS MATERIALIZED (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS MATERIALIZED (
-           SELECT d.doc_id, d.text
-           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM reps_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS MATERIALIZED (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS MATERIALIZED (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
-                   FROM docs_dg d
-                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
-                  UNION ALL SELECT id_a, id_b FROM stars),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
-                   UNION ALL SELECT id_b, id_a FROM dup2),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         reach AS (
-           SELECT id, id AS m FROM nodes
-           UNION
-           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON r.id = e.src),
-         lab AS (SELECT id AS member_id, min(m) AS group_id FROM reach GROUP BY id),
+         ORDER BY d.doc_id"""),
+    "dd16_canonical_pick" -> (ddDupClosureCte +
+      """,
          corpus AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q FROM all_docs),
          labeled AS (SELECT c.doc_id, coalesce(l.group_id, c.doc_id) AS group_id, c.q
                      FROM corpus c LEFT JOIN lab l ON l.member_id = c.doc_id),
@@ -1511,7 +1420,7 @@ private[graft] object OracleSql {
          SELECT l.doc_id, l.group_id, (l.doc_id = c.canon_id) AS kept, l.q
          FROM labeled l
          JOIN (SELECT group_id, canon_id FROM canon WHERE rn = 1) c USING (group_id)
-         ORDER BY l.doc_id""",
+         ORDER BY l.doc_id"""),
     "dd3_simhash" ->
       """WITH toks AS (
            SELECT doc_id,

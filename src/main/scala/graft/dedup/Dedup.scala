@@ -373,7 +373,7 @@ object Dedup {
     // large-star/small-star rounds, which converge in O(log n) rounds on ANY
     // graph shape (adversarial chains included) at the cost of a heavier
     // per-round edge rewrite.
-    if (!converged) connectedComponentsStars(p)
+    if (!converged) starsImpl(p, 40) // p is already checkpointed
     else labels.select(col("id").as("member_id"), col("label").as("group_id"))
   }
 
@@ -402,10 +402,16 @@ object Dedup {
     * Returns the same shape as [[connectedComponents]]: (member_id,
     * group_id = component minimum), one row per distinct node in `pairs`.
     */
-  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 40): DataFrame =
     // same reasoning as [[connectedComponents]]: the input is consumed by
-    // the canonical-edge pass AND the final node-set union (two more scans)
-    val p = pairs.localCheckpoint(false)
+    // the canonical-edge pass AND the final node-set union (two more scans).
+    // The fallback call from connectedComponents skips straight to
+    // [[starsImpl]] — its input is already checkpointed, and a second
+    // localCheckpoint would re-cache the whole edge list under a new RDD
+    // on exactly the pathological-graph path where it is largest.
+    starsImpl(pairs.localCheckpoint(false), maxIter)
+
+  private def starsImpl(p: DataFrame, maxIter: Int): DataFrame = {
     // canonical undirected edges, self-loops dropped
     var edges = p
       .select(least(col("id_a"), col("id_b")).as("u"),

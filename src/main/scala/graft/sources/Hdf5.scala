@@ -493,6 +493,25 @@ object Hdf5 {
   /** Chunked-layout read: walk the v1 chunk B-tree, reverse filters, and
     * scatter each chunk into the dense row-major element buffer.
     */
+  /** element count × element size as an EXACT Long — a wrapped product
+    * would slip past every downstream size gate and fabricate an 'ok'
+    * decode over garbage, so overflow triages as unsupported (a valid
+    * file can't reach it; only a crafted dims product can).
+    */
+  private def byteSizeExact(n: Long, esz: Int, what: String): Long =
+    try Math.multiplyExact(n, esz.toLong)
+    catch {
+      case _: ArithmeticException =>
+        unsupported(s"$what byte size overflows ($n elements × $esz B)")
+    }
+
+  /** dims product as an EXACT Long (same rationale as [[byteSizeExact]]). */
+  private def productExact(ds: Array[Long], what: String): Long =
+    try ds.foldLeft(1L)(Math.multiplyExact)
+    catch {
+      case _: ArithmeticException => unsupported(s"$what dims product overflows")
+    }
+
   /** `n` bytes of repeated `fill` pattern (zeros when fill undefined). */
   private def filled(n: Int, esz: Int, fill: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](n)
@@ -506,17 +525,19 @@ object Hdf5 {
   private def readChunked(bytes: Array[Byte], btreeAddr: Long, dims: Array[Long],
       chunkDims: Array[Long], esz: Int, filters: Seq[(Int, Seq[Long])],
       fill: Array[Byte]): Array[Byte] = {
-    val total = dims.product.max(1)
-    if (total * esz > bytes.length.toLong * 64 || total * esz > Int.MaxValue)
+    val total = productExact(dims, "dataset").max(1)
+    val totalBytes = byteSizeExact(total, esz, "dataset")
+    if (totalBytes > bytes.length.toLong * 64 || totalBytes > Int.MaxValue)
       // a VALID extreme-ratio file (deflate of constants) can trip this
       // allocation bound — "convert/read elsewhere", not "discard"
-      unsupported(s"dataset size ${total * esz} B out of proportion to file")
+      unsupported(s"dataset size $totalBytes B out of proportion to file")
     // missing chunks (sparse / partially-written data) read as the fill
-    val out = filled((total * esz).toInt, esz, fill)
+    val out = filled(totalBytes.toInt, esz, fill)
     val rank = dims.length
-    val chunkElems = chunkDims.product.max(1)
-    if (chunkElems * esz > Int.MaxValue) fail("chunk size out of range")
-    val expect = (chunkElems * esz).toInt
+    val chunkElems = productExact(chunkDims, "chunk").max(1)
+    val expectL = byteSizeExact(chunkElems, esz, "chunk")
+    if (expectL > Int.MaxValue) fail("chunk size out of range")
+    val expect = expectL.toInt
     if (btreeAddr == UNDEF) return out // no chunks written yet
     val seen = collection.mutable.Set.empty[Long]
     def walk(addr: Long, depth: Int): Unit = {
@@ -534,7 +555,8 @@ object Hdf5 {
         val child = c.u64()
         if (level > 0) walk(child, depth + 1)
         else {
-          if (stored < 0 || child < 0 || child + stored > bytes.length)
+          // subtraction form: child + stored can wrap for a crafted u64 addr
+          if (stored < 0 || child < 0 || child > bytes.length - stored)
             fail(s"chunk at $child (+$stored B) out of file")
           val raw = java.util.Arrays.copyOfRange(bytes, child.toInt, (child + stored).toInt)
           val data = defilter(raw, filters, mask, esz, expect)
@@ -611,23 +633,27 @@ object Hdf5 {
           // Fill Value: unwritten storage must decode as THIS, not 0.0 —
           // silently zeroing unallocated variables fabricates plausible
           // measurements where xarray reports the fill/NaN
+          // size bounds subtract the header bytes already consumed (v1: 7,
+          // v2: 8, v3: 6) — bounding against the FULL m.len would let the
+          // fill slice read past the message end into the next header
+          // message and stamp those bytes over every unallocated cell
           val fc = new Cur(bytes, m.off)
           fc.u8() match {
             case 1 =>
               fc.skip(2)
               val sz = fc.u32()
-              if (sz > 0 && sz <= m.len) fill = fc.slice(sz.toInt)
+              if (sz > 0 && sz <= m.len - 7) fill = fc.slice(sz.toInt)
             case 2 =>
               fc.skip(2)
               if (fc.u8() != 0) {
                 val sz = fc.u32()
-                if (sz > 0 && sz <= m.len) fill = fc.slice(sz.toInt)
+                if (sz > 0 && sz <= m.len - 8) fill = fc.slice(sz.toInt)
               }
             case 3 =>
               val fflags = fc.u8()
               if ((fflags & 0x20) != 0) {
                 val sz = fc.u32()
-                if (sz > 0 && sz <= m.len) fill = fc.slice(sz.toInt)
+                if (sz > 0 && sz <= m.len - 6) fill = fc.slice(sz.toInt)
               }
             case _ => () // unknown version: leave undefined
           }
@@ -660,25 +686,28 @@ object Hdf5 {
       case _ => ()
     }
     val esz = dtype.size
+    if (esz <= 0) fail(s"dataset '$name' element size $esz")
     val n = space.count
-    if (n * esz > Int.MaxValue || n * esz > bytes.length.toLong * 64)
-      unsupported(s"dataset '$name' size ${n * esz} B out of proportion to file")
+    val nBytes = byteSizeExact(n, esz, s"dataset '$name'")
+    if (nBytes > Int.MaxValue || nBytes > bytes.length.toLong * 64)
+      unsupported(s"dataset '$name' size $nBytes B out of proportion to file")
     val c = new Cur(bytes, layout.off)
     val ver = c.u8()
     if (ver != 3) unsupported(s"data layout v$ver")
     val data = c.u8() match {
       case 0 => // compact
         val sz = c.u16()
-        if (sz < n * esz) fail(s"compact data $sz B short of ${n * esz}")
-        c.slice((n * esz).toInt)
+        if (sz < nBytes) fail(s"compact data $sz B short of $nBytes")
+        c.slice(nBytes.toInt)
       case 1 => // contiguous
         val daddr = c.u64(); val dsz = c.u64()
-        if (daddr == UNDEF) filled((n * esz).toInt, esz, fill) // unallocated
+        if (daddr == UNDEF) filled(nBytes.toInt, esz, fill) // unallocated
         else {
-          if (dsz < n * esz) fail(s"contiguous data $dsz B short of ${n * esz}")
-          if (daddr < 0 || daddr + n * esz > bytes.length)
-            fail(s"contiguous data at $daddr (+${n * esz} B) out of file")
-          java.util.Arrays.copyOfRange(bytes, daddr.toInt, (daddr + n * esz).toInt)
+          if (dsz < nBytes) fail(s"contiguous data $dsz B short of $nBytes")
+          // subtraction form: daddr + nBytes can wrap for a crafted u64 addr
+          if (daddr < 0 || daddr > bytes.length - nBytes)
+            fail(s"contiguous data at $daddr (+$nBytes B) out of file")
+          java.util.Arrays.copyOfRange(bytes, daddr.toInt, (daddr + nBytes).toInt)
         }
       case 2 => // chunked, b-tree v1 index
         val rank1 = c.u8() // dataset rank + 1 (element dimension)

@@ -380,20 +380,30 @@ object NetCdf {
     bytes.length >= 4 && bytes(0) == 0x89.toByte &&
       bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
 
-  def parse(bytes: Array[Byte]): ParsedFile = try {
-    if (isHdf5(bytes)) return Hdf5.parseToNetCdf(bytes)
+  def parse(bytes: Array[Byte]): ParsedFile =
+    if (isHdf5(bytes)) Hdf5.parseToNetCdf(bytes)
+    else try parseClassic(bytes) catch {
+      case e: NetCdfParseException =>
+        // A userblock is ARBITRARY user bytes — it can even start with
+        // 'CDF', in which case the classic parse gets arbitrarily far
+        // before failing. So the HDF5-behind-userblock probe runs on ANY
+        // classic-parse failure, not just a magic mismatch (spec: the
+        // superblock may sit at any power-of-two offset >= 512; addresses
+        // are base-relative, so slicing realigns them). A genuinely
+        // corrupt classic file has no superblock signature at those
+        // offsets and rethrows its original error.
+        val off = Hdf5.userblockOffset(bytes)
+        if (off > 0)
+          Hdf5.parseToNetCdf(
+            java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+        else throw e
+    }
+
+  private def parseClassic(bytes: Array[Byte]): ParsedFile = try {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val magic = Array(b.get(), b.get(), b.get())
-    if (!magic.sameElements("CDF".getBytes)) {
-      // not classic either: probe for an HDF5 superblock behind a
-      // userblock (spec: any power-of-two offset >= 512; addresses are
-      // base-relative, so slicing realigns them)
-      val off = Hdf5.userblockOffset(bytes)
-      if (off > 0)
-        return Hdf5.parseToNetCdf(
-          java.util.Arrays.copyOfRange(bytes, off, bytes.length))
+    if (!magic.sameElements("CDF".getBytes))
       fail("not a NetCDF classic file")
-    }
     val version = b.get()
     if (version != 1 && version != 2 && version != 5)
       fail(s"unsupported CDF version $version")

@@ -113,13 +113,19 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
         finally walk.close()
       }
     val p = nio(path)
-    try sweep(p)
-    catch {
-      case _: java.nio.file.NoSuchFileException => ()
-      case e: java.io.UncheckedIOException
-          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
-      case _: java.nio.file.DirectoryNotEmptyException => sweep(p)
-    }
+    // vanished-mid-walk tolerance must cover the RETRY sweep too — the
+    // concurrent-purge race is just as possible there, so both attempts
+    // run under the same handler instead of the retry sitting outside it
+    def tolerantSweep(retriesLeft: Int): Unit =
+      try sweep(p)
+      catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+        case _: java.nio.file.DirectoryNotEmptyException if retriesLeft > 0 =>
+          tolerantSweep(retriesLeft - 1)
+      }
+    tolerantSweep(1)
   }
 
   override def isLocal: Boolean = true

@@ -85,20 +85,43 @@ object Rehearse {
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up
 
     var failed = 0
-    (if (sf10) Gate10 else Gate).foreach { case (name, maxSec) =>
-      val fn = graft.SparkEntry.queries(name)
+    var nGates = 0
+    // One timing/threshold/report body for every gate: `setup` runs inside
+    // the try but OUTSIDE the timer (fixture builds), `body` returns the
+    // row count plus an optional shape-failure detail. The error formatter
+    // is null-message-safe (a bare NPE must print FAIL, not crash the
+    // rehearsal mid-report), and the gate total is counted by execution
+    // instead of a hand-maintained literal.
+    def runGate(name: String, maxSec: Double, setup: () => Unit = () => ())(
+        body: => (Long, Option[String])): Unit = {
+      nGates += 1
       val r = try {
+        setup()
         val t0 = System.nanoTime()
-        val rows = fn(spark, dst).count()
+        val (rows, shapeFail) = body
         val sec = (System.nanoTime() - t0) / 1e9
-        if (rows <= 0) { failed += 1; f"FAIL $name%-22s $sec%8.2f s  rows=0" }
-        else if (sec > maxSec) { failed += 1
-          f"FAIL $name%-22s $sec%8.2f s  over threshold ${maxSec}%.0f s  rows=$rows" }
-        else f"PASS $name%-22s $sec%8.2f s  rows=$rows"
+        shapeFail match {
+          case Some(detail) =>
+            failed += 1; f"FAIL $name%-22s $sec%8.2f s  $detail"
+          case None if sec > maxSec =>
+            failed += 1
+            f"FAIL $name%-22s $sec%8.2f s  over threshold $maxSec%.0f s  rows=$rows"
+          case None => f"PASS $name%-22s $sec%8.2f s  rows=$rows"
+        }
       } catch { case e: Throwable =>
-        failed += 1; f"FAIL $name%-22s error: ${e.getMessage.take(120)}"
+        failed += 1
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        f"FAIL $name%-22s error: ${msg.take(120)}"
       }
       println(s"[rehearse] $r")
+    }
+
+    (if (sf10) Gate10 else Gate).foreach { case (name, maxSec) =>
+      val fn = graft.SparkEntry.queries(name)
+      runGate(name, maxSec) {
+        val rows = fn(spark, dst).count()
+        (rows, if (rows <= 0) Some("rows=0") else None)
+      }
     }
     // Adversarial-shape gate for the large-star/small-star CC fallback
     // (round 9): a 100k-node PATH — 10× the property spec's size, the
@@ -106,25 +129,12 @@ object Rehearse {
     // converge in O(log n) alternating rounds and label every node with
     // the component minimum. Not reachable through a SparkEntry query
     // (organic near-dup graphs never trip the fallback), so gated here.
-    if (!sf10) {
-      val name = "cc_stars_100k_path"
-      val maxSec = 60.0
-      val r = try {
-        val t0 = System.nanoTime()
-        val path = spark.range(99999).selectExpr("id as id_a", "id + 1 as id_b")
-        val labels = graft.dedup.Dedup.connectedComponentsStars(path)
-        val bad = labels.filter(org.apache.spark.sql.functions.col("group_id") =!= 0L).count()
-        val n = labels.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (bad != 0 || n != 100000) { failed += 1
-          f"FAIL $name%-22s $sec%8.2f s  mislabeled=$bad n=$n" }
-        else if (sec > maxSec) { failed += 1
-          f"FAIL $name%-22s $sec%8.2f s  over threshold ${maxSec}%.0f s" }
-        else f"PASS $name%-22s $sec%8.2f s  rows=$n"
-      } catch { case e: Throwable =>
-        failed += 1; f"FAIL $name%-22s error: ${e.getMessage.take(120)}"
-      }
-      println(s"[rehearse] $r")
+    if (!sf10) runGate("cc_stars_100k_path", 60.0) {
+      val path = spark.range(99999).selectExpr("id as id_a", "id + 1 as id_b")
+      val labels = graft.dedup.Dedup.connectedComponentsStars(path)
+      val bad = labels.filter(org.apache.spark.sql.functions.col("group_id") =!= 0L).count()
+      val n = labels.count()
+      (n, if (bad != 0 || n != 100000) Some(s"mislabeled=$bad n=$n") else None)
     }
     // Container-corpus gate: the NetCDF claim is "file-parallel over
     // millions of small per-float files" — exercise the shape at 1k files:
@@ -134,10 +144,8 @@ object Rehearse {
     // a per-file cost regression — driver-side listing, per-task setup —
     // not to microbenchmark).
     if (!sf10) {
-      val name = "nc_corpus_1k_files"
-      val maxSec = 30.0
       val corpus = "/tmp/graft_nc_corpus_1k"
-      val r = try {
+      def buildCorpus(): Unit =
         if (!new java.io.File(s"$corpus/_SUCCESS").exists()) {
           val p = java.nio.file.Paths.get(corpus)
           java.nio.file.Files.createDirectories(p)
@@ -156,25 +164,19 @@ object Rehearse {
           }
           java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
         }
-        val t0 = System.nanoTime()
+      runGate("nc_corpus_1k_files", 30.0, setup = buildCorpus) {
         val rows = graft.sources.NetCdf.read(spark, corpus, tolerant = true).count()
         val ledger = graft.sources.NetCdf.scanStatus(spark, corpus)
           .groupBy("status").count().collect()
           .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
-        val sec = (System.nanoTime() - t0) / 1e9
         val expectRows = 950L * 30
-        if (rows != expectRows || ledger.getOrElse("ok", 0L) != 950L ||
-            ledger.getOrElse("corrupt", 0L) != 50L) { failed += 1
-          f"FAIL $name%-22s $sec%8.2f s  rows=$rows ledger=$ledger" }
-        else if (sec > maxSec) { failed += 1
-          f"FAIL $name%-22s $sec%8.2f s  over threshold ${maxSec}%.0f s" }
-        else f"PASS $name%-22s $sec%8.2f s  rows=$rows files=1000"
-      } catch { case e: Throwable =>
-        failed += 1; f"FAIL $name%-22s error: ${e.getMessage.take(120)}"
+        (rows,
+          if (rows != expectRows || ledger.getOrElse("ok", 0L) != 950L ||
+              ledger.getOrElse("corrupt", 0L) != 50L)
+            Some(s"rows=$rows ledger=$ledger")
+          else None)
       }
-      println(s"[rehearse] $r")
     }
-    val nGates = if (sf10) Gate10.size else Gate.size + 2
     spark.stop()
     if (failed > 0) {
       println(s"[rehearse] $failed of $nGates gates FAILED")

@@ -167,6 +167,25 @@ class Hdf5Spec extends AnyFunSuite {
     assert(NetCdf.tabularize(NetCdf.parse(big)) === NetCdf.tabularize(NetCdf.parse(h5)))
   }
 
+  test("a userblock that itself starts with 'CDF' still probes through to the superblock") {
+    // a userblock is ARBITRARY user bytes: when it begins with the classic
+    // magic, the classic parse runs (and fails somewhere past the header) —
+    // the HDF5 probe must still recover the file instead of triaging the
+    // valid container as corrupt
+    val h5 = NetCdfFixture.hdf5FileBytes(8, zone = " UTC")
+    val block = new Array[Byte](512)
+    "CDFthis userblock is not actually a classic file".getBytes("ISO-8859-1")
+      .copyToArray(block)
+    val withBlock = block ++ h5
+    assert(NetCdf.tabularize(NetCdf.parse(withBlock)) ===
+      NetCdf.tabularize(NetCdf.parse(h5)))
+    // and a genuinely corrupt classic file (no superblock anywhere) still
+    // fails with its ORIGINAL classic-parse error
+    val corrupt = block.clone()
+    val e = intercept[NetCdfParseException](NetCdf.parse(corrupt))
+    assert(e.kind === "corrupt")
+  }
+
   test("unallocated storage decodes as the fill-value message, then nulls out") {
     val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
     // PRES never written: storage UNDEF + a fill message matching its
