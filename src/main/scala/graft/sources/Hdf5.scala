@@ -994,7 +994,11 @@ object Hdf5 {
       vlenTitle: Boolean = false, // global 'title' as a vlen string (gheap)
       compoundAttrOn: Option[String] = None, // opaque compound attr (skip path)
       denseAttrInfoOn: Option[String] = None, // defined-heap 0x0015 (quarantine)
-      unallocatedFill: Map[String, Float] = Map.empty) // UNDEF storage + fill msg
+      unallocatedFill: Map[String, Float] = Map.empty, // UNDEF storage + fill msg
+      // adversarial: DECLARE these dataspace dims for a var while writing its
+      // real (small) data — the crafted-dims shape whose product arithmetic
+      // the reader must refuse rather than wrap (Hdf5Spec overflow test)
+      declaredDims: Map[String, Seq[Long]] = Map.empty)
 
   /** HDF5's Fletcher-32: big-endian 16-bit words (odd tail high-byte
     * padded), sums reduced mod 65535, checksum = s2<<16 | s1, stored
@@ -1343,7 +1347,8 @@ object Hdf5 {
           w.result()
         }
         val base = Seq(
-          0x0001 -> dsSimple(sizes, unlimitedFirst),
+          0x0001 -> dsSimple(
+            opts.declaredDims.getOrElse(v.name, sizes), unlimitedFirst),
           0x0003 -> dtOf(v))
         val layoutMsgs = chunk match {
           case Some(rows) if !isSzip =>

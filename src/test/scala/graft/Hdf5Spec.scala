@@ -167,6 +167,26 @@ class Hdf5Spec extends AnyFunSuite {
     assert(NetCdf.tabularize(NetCdf.parse(big)) === NetCdf.tabularize(NetCdf.parse(h5)))
   }
 
+  test("a crafted dims product that would wrap the size math quarantines, not decodes") {
+    import graft.sources.NetCdf.{NcVar, NcDoubles, NC_DOUBLE}
+    // Each declared dim passes the per-dim Int.MaxValue bound and the
+    // product 2^30 · (2^31-1) ≈ 2^61 passes the exact dataspace count —
+    // but × esz 8 the byte size is ~2^64, which WRAPS under plain
+    // multiplication to a small value that would sail through every
+    // downstream size gate and fabricate an 'ok' decode over garbage.
+    // The exact-multiply guard must triage the file instead.
+    val dims = Seq(NcDim("X", 8), NcDim("Y", 4))
+    val v = NcVar("PRES", Seq(0, 1), NC_DOUBLE, Nil,
+      NcDoubles(Array.fill(32)(1.0)))
+    val sane = Hdf5.writeBytes(dims, Nil, Seq(v))
+    assert(NetCdf.parse(sane).vars.exists(_.name == "PRES"))
+    val crafted = Hdf5.writeBytes(dims, Nil, Seq(v),
+      Hdf5.H5Opts(declaredDims = Map("PRES" -> Seq(1L << 30, (1L << 31) - 1))))
+    val e = intercept[NetCdfParseException](NetCdf.parse(crafted))
+    assert(e.getMessage.contains("overflows"),
+      s"expected the exact-multiply guard, got: ${e.getMessage}")
+  }
+
   test("a userblock that itself starts with 'CDF' still probes through to the superblock") {
     // a userblock is ARBITRARY user bytes: when it begins with the classic
     // magic, the classic parse runs (and fails somewhere past the header) —
