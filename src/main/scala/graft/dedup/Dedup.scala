@@ -373,7 +373,7 @@ object Dedup {
     // large-star/small-star rounds, which converge in O(log n) rounds on ANY
     // graph shape (adversarial chains included) at the cost of a heavier
     // per-round edge rewrite.
-    if (!converged) starsImpl(p, 40) // p is already checkpointed
+    if (!converged) starsImpl(p, StarsMaxIter) // p is already checkpointed
     else labels.select(col("id").as("member_id"), col("label").as("group_id"))
   }
 
@@ -402,7 +402,14 @@ object Dedup {
     * Returns the same shape as [[connectedComponents]]: (member_id,
     * group_id = component minimum), one row per distinct node in `pairs`.
     */
-  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 40): DataFrame =
+  /** Default round cap for the stars algorithm — shared by the public
+    * entry point and the connectedComponents fallback path so the two
+    * cannot silently diverge. O(log² n) bound ⇒ 40 covers any realistic
+    * graph by orders of magnitude.
+    */
+  val StarsMaxIter = 40
+
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = StarsMaxIter): DataFrame =
     // same reasoning as [[connectedComponents]]: the input is consumed by
     // the canonical-edge pass AND the final node-set union (two more scans).
     // The fallback call from connectedComponents skips straight to

@@ -490,9 +490,6 @@ object Hdf5 {
     data
   }
 
-  /** Chunked-layout read: walk the v1 chunk B-tree, reverse filters, and
-    * scatter each chunk into the dense row-major element buffer.
-    */
   /** element count × element size as an EXACT Long — a wrapped product
     * would slip past every downstream size gate and fabricate an 'ok'
     * decode over garbage, so overflow triages as unsupported (a valid
@@ -522,15 +519,15 @@ object Hdf5 {
     out
   }
 
+  /** Chunked-layout read: walk the v1 chunk B-tree, reverse filters, and
+    * scatter each chunk into the dense row-major element buffer.
+    * `totalBytes` is the caller's exact dims×esz product, already gated
+    * against Int.MaxValue and the file-proportion bound in readDataset —
+    * passed in rather than recomputed so the two gates cannot diverge.
+    */
   private def readChunked(bytes: Array[Byte], btreeAddr: Long, dims: Array[Long],
       chunkDims: Array[Long], esz: Int, filters: Seq[(Int, Seq[Long])],
-      fill: Array[Byte]): Array[Byte] = {
-    val total = productExact(dims, "dataset").max(1)
-    val totalBytes = byteSizeExact(total, esz, "dataset")
-    if (totalBytes > bytes.length.toLong * 64 || totalBytes > Int.MaxValue)
-      // a VALID extreme-ratio file (deflate of constants) can trip this
-      // allocation bound — "convert/read elsewhere", not "discard"
-      unsupported(s"dataset size $totalBytes B out of proportion to file")
+      fill: Array[Byte], totalBytes: Long): Array[Byte] = {
     // missing chunks (sparse / partially-written data) read as the fill
     val out = filled(totalBytes.toInt, esz, fill)
     val rank = dims.length
@@ -555,8 +552,10 @@ object Hdf5 {
         val child = c.u64()
         if (level > 0) walk(child, depth + 1)
         else {
-          // subtraction form: child + stored can wrap for a crafted u64 addr
-          if (stored < 0 || child < 0 || child > bytes.length - stored)
+          // subtraction form: child + stored can wrap for a crafted u64
+          // addr (stored is a u32 read, never negative, so the live guard
+          // is the subtraction bound)
+          if (child < 0 || child > bytes.length - stored)
             fail(s"chunk at $child (+$stored B) out of file")
           val raw = java.util.Arrays.copyOfRange(bytes, child.toInt, (child + stored).toInt)
           val data = defilter(raw, filters, mask, esz, expect)
@@ -717,7 +716,7 @@ object Hdf5 {
         val celem = c.u32()
         if (celem != esz) fail(s"chunk element size $celem vs datatype $esz")
         if (cdims.exists(d => d <= 0 || d > Int.MaxValue)) fail("chunk dims out of range")
-        readChunked(bytes, baddr, space.dims.toArray, cdims, esz, filters, fill)
+        readChunked(bytes, baddr, space.dims.toArray, cdims, esz, filters, fill, nBytes)
       case other => unsupported(s"data layout class $other")
     }
     RawDataset(name, addr, space, dtype, attrs.result(), dimRefs, data)

@@ -383,21 +383,34 @@ object NetCdf {
   def parse(bytes: Array[Byte]): ParsedFile =
     if (isHdf5(bytes)) Hdf5.parseToNetCdf(bytes)
     else try parseClassic(bytes) catch {
-      case e: NetCdfParseException =>
+      case e: NetCdfParseException if !hasClassicMagic(bytes) =>
         // A userblock is ARBITRARY user bytes — it can even start with
-        // 'CDF', in which case the classic parse gets arbitrarily far
-        // before failing. So the HDF5-behind-userblock probe runs on ANY
-        // classic-parse failure, not just a magic mismatch (spec: the
-        // superblock may sit at any power-of-two offset >= 512; addresses
-        // are base-relative, so slicing realigns them). A genuinely
-        // corrupt classic file has no superblock signature at those
-        // offsets and rethrows its original error.
+        // 'CDF' — so the HDF5-behind-userblock probe runs on any failure
+        // of a file that does NOT carry a complete classic magic+version
+        // (spec: the superblock may sit at any power-of-two offset >=
+        // 512; addresses are base-relative, so slicing realigns them).
+        // Files whose first four bytes ARE valid classic magic get their
+        // original error instead: probing those would let a corrupt
+        // classic file that merely EMBEDS HDF5 bytes at a power-of-two
+        // offset (e.g. an .h5 payload stored in a byte variable) be
+        // silently re-parsed as that embedded file — fabricated rows.
+        // (Residual corner: a userblock that itself begins with all four
+        // valid classic magic bytes triages as corrupt; indistinguishable
+        // without guessing.)
         val off = Hdf5.userblockOffset(bytes)
         if (off > 0)
           Hdf5.parseToNetCdf(
             java.util.Arrays.copyOfRange(bytes, off, bytes.length))
         else throw e
     }
+
+  /** First four bytes are a complete classic magic: 'C''D''F' + a version
+    * this parser recognizes (1/2/5).
+    */
+  private def hasClassicMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' &&
+      (bytes(3) == 1 || bytes(3) == 2 || bytes(3) == 5)
 
   private def parseClassic(bytes: Array[Byte]): ParsedFile = try {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)

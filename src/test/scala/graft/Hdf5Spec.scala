@@ -194,7 +194,7 @@ class Hdf5Spec extends AnyFunSuite {
     // valid container as corrupt
     val h5 = NetCdfFixture.hdf5FileBytes(8, zone = " UTC")
     val block = new Array[Byte](512)
-    "CDFthis userblock is not actually a classic file".getBytes("ISO-8859-1")
+    "CDFthis userblock is not actually a classic file".getBytes("ISO-8859-1")
       .copyToArray(block)
     val withBlock = block ++ h5
     assert(NetCdf.tabularize(NetCdf.parse(withBlock)) ===
@@ -204,6 +204,22 @@ class Hdf5Spec extends AnyFunSuite {
     val corrupt = block.clone()
     val e = intercept[NetCdfParseException](NetCdf.parse(corrupt))
     assert(e.kind === "corrupt")
+  }
+
+  test("a corrupt VALID-magic classic file embedding HDF5 bytes is not adopted as HDF5") {
+    // a classic file (complete 'CDF\x01' magic) corrupted past its header
+    // whose payload contains a full HDF5 file at a power-of-two offset:
+    // the userblock probe must NOT re-parse the embedded file as the
+    // upload's content (fabricated rows) — the corrupt triage stands
+    val classic = NetCdfFixture.fileBytes(0)
+    classic(12) = 0x7F // nDims high byte: dim count now absurd -> corrupt
+    val h5 = NetCdfFixture.hdf5FileBytes(8, zone = " UTC")
+    val crafted = classic ++ new Array[Byte](2048 - classic.length) ++ h5
+    assert(graft.sources.Hdf5.userblockOffset(crafted) === 2048,
+      "fixture premise: the embedded superblock IS findable by the probe")
+    val e = intercept[NetCdfParseException](NetCdf.parse(crafted))
+    assert(e.kind === "corrupt")
+    assert(e.getMessage.contains("dim count"))
   }
 
   test("unallocated storage decodes as the fill-value message, then nulls out") {
