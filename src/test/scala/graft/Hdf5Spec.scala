@@ -83,6 +83,10 @@ class Hdf5Spec extends AnyFunSuite {
     // EXACTLY NetCdfParseException, so hostile bytes must never surface as
     // OOM-sized allocations, raw underflows, NPEs, or infinite loops.
     val rnd = new scala.util.Random(4242)
+    // default 300 mutation rounds per base; GRAFT_FUZZ_N raises the budget
+    // for one-off deep sessions (same seed → the default prefix is
+    // reproduced, the extension explores further)
+    val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(300)
     val (fDims, fGatts, fVars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = "")
     val bases = Seq(
       NetCdfFixture.hdf5FileBytes(8, charPlatform = true, zone = " UTC"),
@@ -101,7 +105,7 @@ class Hdf5Spec extends AnyFunSuite {
     for (base <- bases) {
       for (len <- Seq(0, 7, 8, 9, 48, 96, 200, base.length / 2, base.length - 3))
         check(base.take(len.max(0)), s"truncate@$len")
-      for (_ <- 1 to 300) {
+      for (_ <- 1 to fuzzN) {
         val b = base.clone()
         for (_ <- 0 to rnd.nextInt(4))
           b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte

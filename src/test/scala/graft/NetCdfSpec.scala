@@ -347,6 +347,7 @@ class NetCdfSpec extends AnyFunSuite {
     // buffer underflows, NPEs). Deterministic fuzz: truncations at every
     // boundary flavor plus seeded random byte mutations of real files.
     val rnd = new scala.util.Random(42)
+    val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(300)
     val bases = Seq(NetCdfFixture.fileBytes(0), NetCdfFixture.fileBytes(2),
       NetCdfFixture.recordFileBytes(4), NetCdfFixture.recordFileBytes(5))
     def check(bytes: Array[Byte], tag: String): Unit =
@@ -361,7 +362,7 @@ class NetCdfSpec extends AnyFunSuite {
       for (len <- Seq(0, 3, 4, 7, 8, 12, 40, 100, base.length / 2, base.length - 3))
         check(base.take(len.max(0)), s"truncate@$len")
       // random single/multi-byte mutations (incl. the length/offset fields)
-      for (_ <- 1 to 300) {
+      for (_ <- 1 to fuzzN) {
         val b = base.clone()
         for (_ <- 0 to rnd.nextInt(4))
           b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
