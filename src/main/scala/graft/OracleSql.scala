@@ -666,13 +666,15 @@ private[graft] object OracleSql {
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
     // s12: the HDF5-backed NetCDF-4 decode — same closed form as s7/s9/s11
-    // for floats 8-10 (ids 108-110); float 109's epoch carries a -02:00
-    // offset (instants shift +2 h), 108's " UTC" token and 110's plain
-    // units are offset 0.
+    // for floats 8-11 (ids 108-111); float 109's epoch carries a -02:00
+    // offset (instants shift +2 h), 108's " UTC" token and 110/111's plain
+    // units are offset 0. Float 111 stores ALL its attributes densely
+    // (fractal heap) — identical rows prove the heap-read path carries
+    // _FillValue/units/DIMENSION_LIST like inline messages.
     "s12_netcdf_hdf5" ->
       """WITH g AS (
            SELECT f.f, p.p, l.l
-           FROM (SELECT unnest(generate_series(8,10)) AS f) f,
+           FROM (SELECT unnest(generate_series(8,11)) AS f) f,
                 (SELECT unnest(generate_series(0,5)) AS p) p,
                 (SELECT unnest(generate_series(0,4)) AS l) l)
          SELECT CAST(100 + f AS VARCHAR) AS float_id,

@@ -501,7 +501,7 @@ private[graft] object ScanStreamQueries {
     // the oracle is the generate_series rebuild; float 109's epoch carries
     // the applied -02:00 offset (+2 h, the s9 recipe). --------------------
     "s12_netcdf_hdf5" -> { (s, dir) =>
-      val ncDir = "/tmp/graft_s12_netcdf_hdf5_v1"
+      val ncDir = "/tmp/graft_s12_netcdf_hdf5_v2" // v2: + dense-attr float 111
       materializeOnce(ncDir)(NetCdfFixture.writeHdf5Fleet(_))
       NetCdf.read(s, ncDir)
         .select(col("float_id"), col("profile_id"), col("level"),

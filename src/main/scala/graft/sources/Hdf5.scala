@@ -617,6 +617,16 @@ object Hdf5 {
     var fill: Array[Byte] = null
     val attrs = Map.newBuilder[String, Any]
     var dimRefs: Seq[Long] = Nil
+    // one sink for compact (0x000C) and dense (0x0015) attributes: a
+    // DIMENSION_LIST stored densely must resolve dim references exactly
+    // like its compact twin
+    def addAttr(kv: (String, Any)): Unit = kv match {
+      case ("DIMENSION_LIST", refs: Seq[_]) =>
+        dimRefs = refs.collect { case s: Seq[_] => s.collectFirst { case l: Long => l } }
+          .flatten
+        attrs += "DIMENSION_LIST" -> dimRefs
+      case other => attrs += other
+    }
     msgs.foreach { m =>
       // flag bit 1 = SHARED message: the body is a reference into the
       // shared-message heap, NOT an inline encoding — parsing it as one
@@ -659,21 +669,10 @@ object Hdf5 {
         case 0x0008 => layout = m
         case 0x000B => filters = readFilterPipeline(new Cur(bytes, m.off), m)
         case 0x000C =>
-          readAttribute(bytes, m, gh).foreach {
-            case ("DIMENSION_LIST", refs: Seq[_]) =>
-              dimRefs = refs.collect { case s: Seq[_] => s.collectFirst { case l: Long => l } }
-                .flatten
-              attrs += "DIMENSION_LIST" -> dimRefs
-            case kv => attrs += kv
-          }
+          readAttribute(bytes, m, gh).foreach(addAttr)
         case 0x0011 | 0x0002 => unsupported(s"nested group '$name'")
         case 0x0015 =>
-          // Attribute Info: if the fractal heap is defined, the object's
-          // attributes live in DENSE storage (libhdf5 default past 8
-          // attrs) — they would be silently MISSED here, losing
-          // _FillValue/units and producing wrong values rather than an
-          // error. Triage as unsupported instead.
-          checkNoDenseAttributes(bytes, m, name)
+          readDenseAttributes(bytes, m, gh, name).foreach(addAttr)
         case _ => () // NIL, fill value, modification time, bogus, ...
       }
     }
@@ -722,19 +721,136 @@ object Hdf5 {
     RawDataset(name, addr, space, dtype, attrs.result(), dimRefs, data)
   }
 
-  /** Attribute Info message (0x0015): dense attribute storage (fractal
-    * heap) is beyond the subset — and silently ignoring it would DROP
-    * attributes (fill values, units), decoding wrong data instead of
-    * failing. A defined heap address therefore quarantines the file.
+  // ----------------------------------------------- dense attribute storage
+
+  /** Little-endian n-byte unsigned value (1 ≤ n ≤ 8). */
+  private def readLE(c: Cur, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v |= (c.u8().toLong << (8 * i)); i += 1 }
+    v
+  }
+
+  /** Minimum bytes to represent values up to `max` (≥ 1). */
+  private def bytesFor(max: Long): Int =
+    math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L)) + 7) / 8)
+
+  /** Fractal-heap parameters for the dense-attribute SUBSET: the root is a
+    * single unfiltered DIRECT block and every object is managed (libhdf5's
+    * shape for the 8+-attribute objects real netCDF-4 variables produce —
+    * long_name/units/_FillValue/valid_min/valid_max/C_format/... is
+    * exactly the default compact→dense transition). Huge/tiny objects,
+    * filtered heaps, and indirect-rooted heaps triage as unsupported.
     */
-  private def checkNoDenseAttributes(bytes: Array[Byte], m: Msg, name: String): Unit = {
+  private final case class FractalHeap(
+      blockAddr: Long, blockSize: Long, offBytes: Int, lenBytes: Int,
+      checksummed: Boolean)
+
+  private def readFractalHeap(bytes: Array[Byte], addr: Long, name: String): FractalHeap = {
+    val c = at(bytes, addr, "fractal heap")
+    c.sig("FRHP")
+    if (c.u8() != 0) fail("fractal heap version")
+    val idLen = c.u16()
+    val filterLen = c.u16()
+    if (filterLen != 0)
+      unsupported(s"filtered fractal heap (dense attributes on '$name')")
+    val flags = c.u8()
+    c.u32() // max managed object size
+    c.u64() // next huge object id
+    c.u64() // huge-object v2 b-tree address
+    c.u64() // free space
+    c.u64() // free-space manager address
+    c.u64() // managed space
+    c.u64() // allocated managed space
+    c.u64() // direct-block iterator offset
+    val nManaged = c.u64()
+    c.u64() // huge size
+    val nHuge = c.u64()
+    c.u64() // tiny size
+    val nTiny = c.u64()
+    if (nHuge != 0 || nTiny != 0)
+      unsupported(s"huge/tiny fractal-heap objects (dense attributes on '$name')")
+    if (nManaged < 0 || nManaged > 65536) fail(s"dense attribute count $nManaged")
+    c.u16() // table width
+    val startBlock = c.u64()
+    val maxDirect = c.u64()
+    val maxHeapBits = c.u16()
+    c.u16() // starting rows in root indirect block
+    val rootAddr = c.u64()
+    val curRows = c.u16()
+    if (curRows != 0)
+      unsupported(s"indirect-rooted fractal heap (dense attributes on '$name')")
+    if (rootAddr == UNDEF) fail("fractal heap without a root block")
+    if (startBlock <= 0 || startBlock > bytes.length)
+      fail(s"fractal heap block size $startBlock out of range")
+    val offBytes = (maxHeapBits + 7) / 8
+    val lenBytes = bytesFor(maxDirect)
+    if (offBytes <= 0 || offBytes > 8 || lenBytes > 8 || 1 + offBytes + lenBytes > 8)
+      unsupported(s"fractal heap id layout ($offBytes+$lenBytes B, idLen $idLen)")
+    FractalHeap(rootAddr, startBlock, offBytes, lenBytes, (flags & 2) != 0)
+  }
+
+  /** Attribute Info message (0x0015): when the fractal heap is defined the
+    * object's attributes live in DENSE storage (libhdf5's default past 8
+    * attributes). Reads the subset shape — one direct block + a depth-0
+    * attribute-name v2 b-tree — and returns the decoded attribute
+    * messages; beyond-subset shapes triage as unsupported rather than
+    * silently DROPPING attributes (fill values, units) and decoding wrong
+    * data.
+    */
+  private def readDenseAttributes(bytes: Array[Byte], m: Msg, gh: GlobalHeap,
+      name: String): Seq[(String, Any)] = {
     val c = new Cur(bytes, m.off)
     c.u8() // version
     val flags = c.u8()
     if ((flags & 1) != 0) c.skip(2) // max creation index
     val fheap = c.u64()
-    if (fheap != UNDEF)
-      unsupported(s"dense (fractal-heap) attribute storage on '$name'")
+    val nameBt = c.u64()
+    if (fheap == UNDEF) return Nil // dense storage never allocated
+    if (nameBt == UNDEF) fail(s"dense attributes on '$name' without a name index")
+    val fh = readFractalHeap(bytes, fheap, name)
+    val db = at(bytes, fh.blockAddr, "fractal heap direct block")
+    db.sig("FHDB")
+    if (db.u8() != 0) fail("fractal heap direct block version")
+    db.u64() // heap header back-pointer
+    if (readLE(db, fh.offBytes) != 0) fail("root direct block offset")
+    // heap offsets are relative to managed space, whose byte 0 is the
+    // direct block's own first byte (header included)
+    val bt = at(bytes, nameBt, "attribute-name b-tree")
+    bt.sig("BTHD")
+    if (bt.u8() != 0) fail("b-tree v2 version")
+    if (bt.u8() != 8) fail("b-tree v2 record type (expected attribute names)")
+    bt.u32() // node size
+    val recSize = bt.u16()
+    if (recSize < 1 + fh.offBytes + fh.lenBytes || recSize > 4096)
+      fail(s"attribute-name record size $recSize")
+    val depth = bt.u16()
+    if (depth != 0)
+      unsupported(s"attribute-name b-tree depth $depth (dense attributes on '$name')")
+    bt.u8(); bt.u8() // split/merge percent
+    val rootAddr = bt.u64()
+    val nRec = bt.u16()
+    if (nRec > 4096) fail(s"dense attribute record count $nRec")
+    if (nRec == 0) return Nil
+    val leaf = at(bytes, rootAddr, "attribute-name b-tree leaf")
+    leaf.sig("BTLF")
+    if (leaf.u8() != 0) fail("b-tree v2 leaf version")
+    if (leaf.u8() != 8) fail("b-tree v2 leaf record type")
+    (0 until nRec).flatMap { _ =>
+      val rec = new Cur(bytes, leaf.pos)
+      leaf.skip(recSize)
+      val idByte = rec.u8()
+      if (((idByte >> 4) & 3) != 0)
+        unsupported(s"non-managed dense attribute heap id (on '$name')")
+      val off = readLE(rec, fh.offBytes)
+      val len = readLE(rec, fh.lenBytes)
+      // the object must lie inside the root direct block
+      if (off < 0 || len <= 0 || off > fh.blockSize - len)
+        fail(s"dense attribute heap object ($off +$len B) outside block")
+      val attrOff = fh.blockAddr + off
+      if (attrOff < 0 || attrOff > bytes.length - len)
+        fail("dense attribute heap object outside file")
+      readAttribute(bytes, Msg(0x000C, attrOff.toInt, len.toInt), gh)
+    }
   }
 
   private def readFilterPipeline(c: Cur, m: Msg): Seq[(Int, Seq[Long])] = {
@@ -846,7 +962,8 @@ object Hdf5 {
           if (fheap != UNDEF) unsupported("dense (fractal-heap) link storage")
         case 0x000C =>
           readAttribute(bytes, m, gh).foreach(globalAttrs += _)
-        case 0x0015 => checkNoDenseAttributes(bytes, m, "/")
+        case 0x0015 =>
+          readDenseAttributes(bytes, m, gh, "/").foreach(globalAttrs += _)
         case _ => ()
       }
     }
@@ -992,7 +1109,10 @@ object Hdf5 {
       fletcher: Boolean = false, // append fletcher32 to each chunk pipeline
       vlenTitle: Boolean = false, // global 'title' as a vlen string (gheap)
       compoundAttrOn: Option[String] = None, // opaque compound attr (skip path)
-      denseAttrInfoOn: Option[String] = None, // defined-heap 0x0015 (quarantine)
+      // beyond-subset dense storage: a valid heap whose root is an
+      // INDIRECT block — must quarantine as unsupported (Hdf5Spec)
+      denseAttrInfoOn: Option[String] = None,
+      denseAttrs: Set[String] = Set.empty, // REAL dense attribute storage
       unallocatedFill: Map[String, Float] = Map.empty, // UNDEF storage + fill msg
       // adversarial: DECLARE these dataspace dims for a var while writing its
       // real (small) data — the crafted-dims shape whose product arithmetic
@@ -1334,8 +1454,12 @@ object Hdf5 {
       val isSzip = opts.szipVar.contains(v.name)
       val isCompact = opts.compactVars(v.name) && chunk.isEmpty && !isSzip
       val unallocFill = opts.unallocatedFill.get(v.name)
-      block(s"hdr:${v.name}") { resolve =>
-        val unlimitedFirst = v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name))
+      val isDense = opts.denseAttrs(v.name)
+      // full attribute-message bytes for this var (DIMENSION_LIST first,
+      // then the declared attrs) — shared by the inline header path and
+      // the dense fractal-heap path, which stores the SAME message bytes
+      // in heap objects instead of 0x000C header messages
+      def attrBlobs(resolve: String => Long): Seq[(String, Array[Byte])] = {
         val dimListValue = {
           val w = new W
           v.dimIds.zipWithIndex.foreach { case (_, i) =>
@@ -1345,6 +1469,12 @@ object Hdf5 {
           }
           w.result()
         }
+        ("DIMENSION_LIST" -> attrMsg("DIMENSION_LIST", dtVlenOfObjRef,
+          dsSimple(Seq(v.dimIds.length.toLong), unlimitedFirst = false), dimListValue)) +:
+          v.attrs.map { case (an, av) => an -> anyAttr(an, av) }
+      }
+      block(s"hdr:${v.name}") { resolve =>
+        val unlimitedFirst = v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name))
         val base = Seq(
           0x0001 -> dsSimple(
             opts.declaredDims.getOrElse(v.name, sizes), unlimitedFirst),
@@ -1384,20 +1514,133 @@ object Hdf5 {
             Seq(0x0008 -> layoutContiguous(resolve, v.name, n * esz))
         }
         val attrMsgs =
-          (0x000C -> attrMsg("DIMENSION_LIST", dtVlenOfObjRef,
-            dsSimple(Seq(v.dimIds.length.toLong), unlimitedFirst = false), dimListValue)) +:
-            (v.attrs.map { case (an, av) => 0x000C -> anyAttr(an, av) } ++
-              (if (opts.compoundAttrOn.contains(v.name))
-                Seq(0x000C -> compoundAttr("REFERENCE_LIST")) else Nil))
+          if (isDense) Nil
+          else attrBlobs(resolve).map { case (_, b) => 0x000C -> b } ++
+            (if (opts.compoundAttrOn.contains(v.name))
+              Seq(0x000C -> compoundAttr("REFERENCE_LIST")) else Nil)
         val extraMsgs =
-          if (opts.denseAttrInfoOn.contains(v.name)) {
+          if (isDense) {
             val w = new W
             w.u8(0); w.u8(0) // version, flags
-            w.u64(1024L) // DEFINED fractal heap address → dense storage
-            w.u64(UNDEF)
+            w.u64(resolve(s"frhp:${v.name}"))
+            w.u64(resolve(s"bthd:${v.name}"))
+            Seq(0x0015 -> w.result())
+          } else if (opts.denseAttrInfoOn.contains(v.name)) {
+            val w = new W
+            w.u8(0); w.u8(0) // version, flags
+            w.u64(resolve(s"frhp-ind:${v.name}")) // indirect-rooted heap
+            w.u64(1024L) // name index never reached (heap triages first)
             Seq(0x0015 -> w.result())
           } else Nil
         v1Header(base ++ layoutMsgs ++ attrMsgs ++ extraMsgs)
+      }
+      // dense-attribute storage blocks: one unfiltered direct block holding
+      // the attribute messages, the fractal-heap header rooted at it, and a
+      // depth-0 attribute-name v2 b-tree whose leaf records point into the
+      // block — the shape libhdf5 produces for 8+-attribute objects
+      if (isDense) {
+        val DbHdr = 4 + 1 + 8 + 4 // FHDB sig + version + back-ptr + offset(4B)
+        def blockSize(resolve: String => Long): Long = {
+          val need = DbHdr + attrBlobs(resolve).map(_._2.length).sum
+          var s = 512L; while (s < need) s <<= 1
+          s
+        }
+        block(s"fhdb:${v.name}") { resolve =>
+          val w = new W
+          w.bytes("FHDB".getBytes("US-ASCII")); w.u8(0)
+          w.u64(resolve(s"frhp:${v.name}"))
+          w.u32(0L) // block offset within managed space
+          attrBlobs(resolve).foreach { case (_, b) => w.bytes(b) }
+          java.util.Arrays.copyOf(w.result(), blockSize(resolve).toInt)
+        }
+        block(s"frhp:${v.name}") { resolve =>
+          val size = blockSize(resolve)
+          val n = 1 + v.attrs.length
+          val w = new W
+          w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
+          w.u16(8) // heap id length
+          w.u16(0) // filter info length
+          w.u8(0) // flags: no block checksums
+          w.u32(65536L) // max managed object size
+          w.u64(0L); w.u64(UNDEF) // next huge id, huge-object b-tree
+          w.u64(0L); w.u64(UNDEF) // free space, free-space manager
+          w.u64(size); w.u64(size); w.u64(size) // managed/allocated/iterator
+          w.u64(n.toLong) // managed object count
+          w.u64(0L); w.u64(0L); w.u64(0L); w.u64(0L) // huge/tiny size+count
+          w.u16(4) // table width
+          w.u64(size) // starting block size == the root direct block's size
+          w.u64(65536L) // max direct block size -> 3-byte lengths
+          w.u16(32) // max heap size (bits) -> 4-byte offsets
+          w.u16(1) // starting rows in root indirect block
+          w.u64(resolve(s"fhdb:${v.name}"))
+          w.u16(0) // current rows: 0 -> root IS the direct block
+          val pre = w.result()
+          val out = new W
+          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+          out.result()
+        }
+        block(s"btlf:${v.name}") { resolve =>
+          var off = DbHdr.toLong
+          val recs = attrBlobs(resolve).zipWithIndex.map { case ((an, b), i) =>
+            val r = (an, off, b.length, i); off += b.length; r
+          }.sortBy { case (an, _, _, _) =>
+            lookup3(an.getBytes("UTF-8")).toLong & 0xFFFFFFFFL
+          }
+          val w = new W
+          w.bytes("BTLF".getBytes("US-ASCII")); w.u8(0); w.u8(8)
+          recs.foreach { case (an, o, l, i) =>
+            w.u8(0) // managed heap id, version 0
+            w.u32(o) // heap offset (4 B LE)
+            w.u8(l); w.u8(l >> 8); w.u8(l >> 16) // length (3 B LE)
+            w.u8(0) // message flags
+            w.u32(i.toLong) // creation order
+            w.u32(lookup3(an.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+          }
+          val pre = w.result()
+          val out = new W
+          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+          out.result()
+        }
+        block(s"bthd:${v.name}") { resolve =>
+          val n = 1 + v.attrs.length
+          val w = new W
+          w.bytes("BTHD".getBytes("US-ASCII")); w.u8(0); w.u8(8)
+          w.u32(2048L); w.u16(17) // node size, record size
+          w.u16(0) // depth
+          w.u8(100); w.u8(40) // split/merge percent
+          w.u64(resolve(s"btlf:${v.name}"))
+          w.u16(n); w.u64(n.toLong)
+          val pre = w.result()
+          val out = new W
+          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+          out.result()
+        }
+      }
+      if (opts.denseAttrInfoOn.contains(v.name)) {
+        // poison twin: a VALID fractal-heap header whose root is an
+        // indirect block (current rows != 0) — real libhdf5 files reach
+        // this shape past ~4 KiB of attributes; the reader must triage
+        // unsupported, never silently drop the attributes
+        block(s"frhp-ind:${v.name}") { _ =>
+          val w = new W
+          w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
+          w.u16(8); w.u16(0); w.u8(0)
+          w.u32(65536L)
+          w.u64(0L); w.u64(UNDEF)
+          w.u64(0L); w.u64(UNDEF)
+          w.u64(512L); w.u64(512L); w.u64(512L)
+          w.u64(1L)
+          w.u64(0L); w.u64(0L); w.u64(0L); w.u64(0L)
+          w.u16(4)
+          w.u64(512L); w.u64(65536L); w.u16(32)
+          w.u16(1)
+          w.u64(1024L) // root block address (never dereferenced)
+          w.u16(2) // current rows != 0 -> indirect root -> unsupported
+          val pre = w.result()
+          val out = new W
+          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+          out.result()
+        }
       }
       // data blocks
       chunk match {

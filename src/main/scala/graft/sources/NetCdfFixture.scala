@@ -280,18 +280,22 @@ object NetCdfFixture {
     * `v2` uses the v2 superblock + link-message root group.
     */
   def hdf5FileBytes(f: Int, record: Boolean = false, v2: Boolean = false,
-      charPlatform: Boolean = false, zone: String = ""): Array[Byte] = {
+      charPlatform: Boolean = false, zone: String = "",
+      denseAttrs: Boolean = false): Array[Byte] = {
     val (dims, gatts, vars) = fleetVars(f, charPlatform, zone)
     Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
       v2Superblock = v2,
-      unlimited = if (record) Set("N_PROF") else Set.empty))
+      unlimited = if (record) Set("N_PROF") else Set.empty,
+      denseAttrs = if (denseAttrs) vars.map(_.name).toSet else Set.empty))
   }
 
   /** The `s12_netcdf_hdf5` fleet: float 108 (v0 superblock, contiguous,
     * NC_CHAR platform id, "... UTC" zone token), float 109 (record layout —
     * UNLIMITED N_PROF, chunked + shuffle + deflate — lowercase alternates,
     * applied -02:00 epoch offset), float 110 (v2 superblock with
-    * link-message root). Same closed form as every other fleet.
+    * link-message root), float 111 (DENSE fractal-heap attribute storage —
+    * _FillValue/units/DIMENSION_LIST all flow from the heap). Same closed
+    * form as every other fleet.
     */
   def writeHdf5Fleet(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -302,6 +306,8 @@ object NetCdfFixture {
       hdf5FileBytes(9, record = true, zone = " -02:00"))
     java.nio.file.Files.write(p.resolve("hdf5_float_110.nc"),
       hdf5FileBytes(10, v2 = true))
+    java.nio.file.Files.write(p.resolve("hdf5_float_111.nc"),
+      hdf5FileBytes(11, denseAttrs = true))
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 

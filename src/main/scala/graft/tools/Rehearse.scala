@@ -149,7 +149,9 @@ object Rehearse {
     // a per-file cost regression — driver-side listing, per-task setup —
     // not to microbenchmark).
     if (!sf10) {
-      val corpus = "/tmp/graft_nc_corpus_1k"
+      // v2: 50 of the HDF5 files store their attributes DENSELY (fractal
+      // heap) — the round-10 dense read path must hold at corpus scale
+      val corpus = "/tmp/graft_nc_corpus_1k_v2"
       def buildCorpus(): Unit =
         if (!new java.io.File(s"$corpus/_SUCCESS").exists()) {
           val p = java.nio.file.Paths.get(corpus)
@@ -160,7 +162,7 @@ object Rehearse {
           }
           (800 until 950).foreach { f =>
             java.nio.file.Files.write(p.resolve(f"h5_$f%04d.nc"),
-              graft.sources.NetCdfFixture.hdf5FileBytes(f))
+              graft.sources.NetCdfFixture.hdf5FileBytes(f, denseAttrs = f >= 900))
           }
           (0 until 50).foreach { i =>
             java.nio.file.Files.write(p.resolve(f"poison_$i%02d.nc"),

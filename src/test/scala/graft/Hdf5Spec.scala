@@ -94,7 +94,9 @@ class Hdf5Spec extends AnyFunSuite {
       NetCdfFixture.hdf5FileBytes(10, v2 = true),
       Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
         compactVars = Set("LATITUDE"), fletcher = true,
-        unlimited = Set("N_PROF"), vlenTitle = true)))
+        unlimited = Set("N_PROF"), vlenTitle = true)),
+      Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
+        denseAttrs = fVars.map(_.name).toSet)))
     def check(bytes: Array[Byte], tag: String): Unit =
       try { NetCdf.parse(bytes); () }
       catch {
@@ -152,7 +154,27 @@ class Hdf5Spec extends AnyFunSuite {
     assert(pres.attrs.contains("_FillValue")) // siblings survive
   }
 
-  test("dense (fractal-heap) attribute storage quarantines instead of silently dropping attrs") {
+  test("dense (fractal-heap) attribute storage decodes identically to compact attrs") {
+    // the default compact→dense transition fires at 8+ attributes — which
+    // real netCDF-4 Argo variables reach routinely (long_name, units,
+    // _FillValue, valid_min/max, C_format, ...) — so the read path must
+    // carry _FillValue, time units, and DIMENSION_LIST out of the heap
+    // exactly as from inline header messages
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    val cdf = NetCdf.tabularize(NetCdf.parse(NetCdf.writeBytes(dims, gatts, vars, version = 1)))
+    val dense = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(denseAttrs = vars.map(_.name).toSet))
+    val parsed = NetCdf.parse(dense)
+    assert(NetCdf.tabularize(parsed) === cdf)
+    val pres = parsed.vars.find(_.name == "PRES").get
+    assert(pres.attrs.contains("_FillValue"))
+    // mixed storage in one file: some vars dense, some compact
+    val mixed = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(denseAttrs = Set("PRES", "JULD")))
+    assert(NetCdf.tabularize(NetCdf.parse(mixed)) === cdf)
+  }
+
+  test("beyond-subset dense storage (indirect-rooted heap) quarantines, never drops attrs") {
     val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
     val bytes = Hdf5.writeBytes(dims, gatts, vars,
       Hdf5.H5Opts(denseAttrInfoOn = Some("PRES")))
