@@ -789,24 +789,15 @@ object Hdf5 {
     FractalHeap(rootAddr, startBlock, offBytes, lenBytes, (flags & 2) != 0)
   }
 
-  /** Attribute Info message (0x0015): when the fractal heap is defined the
-    * object's attributes live in DENSE storage (libhdf5's default past 8
-    * attributes). Reads the subset shape — one direct block + a depth-0
-    * attribute-name v2 b-tree — and returns the decoded attribute
-    * messages; beyond-subset shapes triage as unsupported rather than
-    * silently DROPPING attributes (fill values, units) and decoding wrong
-    * data.
+  /** Walk a dense-storage index: fractal heap + depth-0 v2 b-tree whose
+    * leaf records carry managed heap IDs, yielding each stored object's
+    * (offset, length) in the file. `btType` 8 = attribute names (heap ID
+    * leads the record), 5 = link names (a 4-byte name hash leads). Shared
+    * by dense attributes and dense links; beyond-subset shapes triage as
+    * unsupported rather than silently dropping the stored messages.
     */
-  private def readDenseAttributes(bytes: Array[Byte], m: Msg, gh: GlobalHeap,
-      name: String): Seq[(String, Any)] = {
-    val c = new Cur(bytes, m.off)
-    c.u8() // version
-    val flags = c.u8()
-    if ((flags & 1) != 0) c.skip(2) // max creation index
-    val fheap = c.u64()
-    val nameBt = c.u64()
-    if (fheap == UNDEF) return Nil // dense storage never allocated
-    if (nameBt == UNDEF) fail(s"dense attributes on '$name' without a name index")
+  private def denseHeapObjects(bytes: Array[Byte], fheap: Long, nameBt: Long,
+      btType: Int, name: String): Seq[(Long, Long)] = {
     val fh = readFractalHeap(bytes, fheap, name)
     val db = at(bytes, fh.blockAddr, "fractal heap direct block")
     db.sig("FHDB")
@@ -815,41 +806,87 @@ object Hdf5 {
     if (readLE(db, fh.offBytes) != 0) fail("root direct block offset")
     // heap offsets are relative to managed space, whose byte 0 is the
     // direct block's own first byte (header included)
-    val bt = at(bytes, nameBt, "attribute-name b-tree")
+    val bt = at(bytes, nameBt, "dense-storage name b-tree")
     bt.sig("BTHD")
     if (bt.u8() != 0) fail("b-tree v2 version")
-    if (bt.u8() != 8) fail("b-tree v2 record type (expected attribute names)")
+    val gotType = bt.u8()
+    if (gotType != btType) fail(s"b-tree v2 record type $gotType (expected $btType)")
     bt.u32() // node size
     val recSize = bt.u16()
-    if (recSize < 1 + fh.offBytes + fh.lenBytes || recSize > 4096)
-      fail(s"attribute-name record size $recSize")
+    val hashLead = if (btType == 5) 4 else 0 // link records lead with the hash
+    if (recSize < hashLead + 1 + fh.offBytes + fh.lenBytes || recSize > 4096)
+      fail(s"dense-storage record size $recSize")
     val depth = bt.u16()
     if (depth != 0)
-      unsupported(s"attribute-name b-tree depth $depth (dense attributes on '$name')")
+      unsupported(s"dense-storage b-tree depth $depth (on '$name')")
     bt.u8(); bt.u8() // split/merge percent
     val rootAddr = bt.u64()
     val nRec = bt.u16()
-    if (nRec > 4096) fail(s"dense attribute record count $nRec")
+    if (nRec > 4096) fail(s"dense-storage record count $nRec")
     if (nRec == 0) return Nil
-    val leaf = at(bytes, rootAddr, "attribute-name b-tree leaf")
+    val leaf = at(bytes, rootAddr, "dense-storage b-tree leaf")
     leaf.sig("BTLF")
     if (leaf.u8() != 0) fail("b-tree v2 leaf version")
-    if (leaf.u8() != 8) fail("b-tree v2 leaf record type")
-    (0 until nRec).flatMap { _ =>
+    if (leaf.u8() != btType) fail("b-tree v2 leaf record type")
+    (0 until nRec).map { _ =>
       val rec = new Cur(bytes, leaf.pos)
       leaf.skip(recSize)
+      rec.skip(hashLead)
       val idByte = rec.u8()
       if (((idByte >> 4) & 3) != 0)
-        unsupported(s"non-managed dense attribute heap id (on '$name')")
+        unsupported(s"non-managed dense-storage heap id (on '$name')")
       val off = readLE(rec, fh.offBytes)
       val len = readLE(rec, fh.lenBytes)
       // the object must lie inside the root direct block
       if (off < 0 || len <= 0 || off > fh.blockSize - len)
-        fail(s"dense attribute heap object ($off +$len B) outside block")
-      val attrOff = fh.blockAddr + off
-      if (attrOff < 0 || attrOff > bytes.length - len)
-        fail("dense attribute heap object outside file")
-      readAttribute(bytes, Msg(0x000C, attrOff.toInt, len.toInt), gh)
+        fail(s"dense-storage heap object ($off +$len B) outside block")
+      val objOff = fh.blockAddr + off
+      if (objOff < 0 || objOff > bytes.length - len)
+        fail("dense-storage heap object outside file")
+      (objOff, len)
+    }
+  }
+
+  /** Attribute Info message (0x0015): when the fractal heap is defined the
+    * object's attributes live in DENSE storage (libhdf5's default past 8
+    * attributes — a count real netCDF-4 Argo variables reach routinely).
+    * Returns the decoded attribute messages from the heap.
+    */
+  private def readDenseAttributes(bytes: Array[Byte], m: Msg, gh: GlobalHeap,
+      name: String): Seq[(String, Any)] = {
+    val c = new Cur(bytes, m.off)
+    c.u8() // version
+    val flags = c.u8()
+    if ((flags & 1) != 0) c.skip(2) // max creation index (2 B for attrs)
+    val fheap = c.u64()
+    val nameBt = c.u64()
+    if (fheap == UNDEF) return Nil // dense storage never allocated
+    if (nameBt == UNDEF) fail(s"dense attributes on '$name' without a name index")
+    denseHeapObjects(bytes, fheap, nameBt, btType = 8, name).flatMap {
+      case (off, len) => readAttribute(bytes, Msg(0x000C, off.toInt, len.toInt), gh)
+    }
+  }
+
+  /** Link Info message (0x0002) with an allocated fractal heap: DENSE link
+    * storage. netCDF-4 groups track link creation order, which makes every
+    * netCDF-4 group new-style — so any file with more than 8 links (i.e.
+    * any real multi-variable dataset) stores its links densely. The heap
+    * objects are ordinary link messages; records surface in name-hash
+    * order, and dimension order is still pinned by the `_Netcdf4Dimid`
+    * attribute every netCDF-4 writer stamps on dimension scales.
+    */
+  private def readDenseLinks(bytes: Array[Byte], m: Msg): Seq[(String, Long)] = {
+    val c = new Cur(bytes, m.off)
+    val ver = c.u8()
+    if (ver > 1) fail(s"link info version $ver")
+    val flags = c.u8()
+    if ((flags & 1) != 0) c.skip(8) // max creation index (8 B for links)
+    val fheap = c.u64()
+    val nameBt = c.u64()
+    if (fheap == UNDEF) return Nil // compact links (0x0006 messages) in use
+    if (nameBt == UNDEF) fail("dense links without a name index")
+    denseHeapObjects(bytes, fheap, nameBt, btType = 5, "/").map {
+      case (off, len) => readLinkMessage(bytes, Msg(0x0006, off.toInt, len.toInt))
     }
   }
 
@@ -953,13 +990,7 @@ object Hdf5 {
           val btree = sc.u64(); val heap = sc.u64()
           links ++= readSymbolTableLinks(bytes, btree, heap)
         case 0x0006 => links :+= readLinkMessage(bytes, m)
-        case 0x0002 => // link info: dense storage unsupported
-          val lc = new Cur(bytes, m.off)
-          lc.u8()
-          val flags = lc.u8()
-          if ((flags & 1) != 0) lc.skip(8)
-          val fheap = lc.u64()
-          if (fheap != UNDEF) unsupported("dense (fractal-heap) link storage")
+        case 0x0002 => links ++= readDenseLinks(bytes, m)
         case 0x000C =>
           readAttribute(bytes, m, gh).foreach(globalAttrs += _)
         case 0x0015 =>
@@ -1113,6 +1144,7 @@ object Hdf5 {
       // INDIRECT block — must quarantine as unsupported (Hdf5Spec)
       denseAttrInfoOn: Option[String] = None,
       denseAttrs: Set[String] = Set.empty, // REAL dense attribute storage
+      denseLinks: Boolean = false, // root links via fractal heap + type-5 b-tree
       unallocatedFill: Map[String, Float] = Map.empty, // UNDEF storage + fill msg
       // adversarial: DECLARE these dataspace dims for a var while writing its
       // real (small) data — the crafted-dims shape whose product arithmetic
@@ -1720,7 +1752,113 @@ object Hdf5 {
     }
 
     // -- root group
-    if (!opts.v2Superblock) {
+    if (opts.denseLinks) {
+      // DENSE link storage: the root's links live as link messages in a
+      // fractal-heap direct block, indexed by a depth-0 link-name v2
+      // b-tree (record type 5: 4-byte name hash, then the heap id) — the
+      // shape every real multi-variable netCDF-4 file has, since netCDF-4
+      // groups track creation order (new-style) and go dense past 8 links
+      val DbHdr = 4 + 1 + 8 + 4 // FHDB sig + version + back-ptr + offset(4B)
+      def linkBlobs(resolve: String => Long): Seq[(String, Array[Byte])] =
+        allNames.map { nm =>
+          val w = new W
+          val nb = nm.getBytes("UTF-8")
+          w.u8(1); w.u8(0) // version, flags: 1-byte name length, hard link
+          w.u8(nb.length)
+          w.bytes(nb)
+          w.u64(resolve(s"hdr:$nm"))
+          nm -> w.result()
+        }
+      def rootBlockSize(resolve: String => Long): Long = {
+        val need = DbHdr + linkBlobs(resolve).map(_._2.length).sum
+        var s = 512L; while (s < need) s <<= 1
+        s
+      }
+      block("root-fhdb") { resolve =>
+        val w = new W
+        w.bytes("FHDB".getBytes("US-ASCII")); w.u8(0)
+        w.u64(resolve("root-frhp"))
+        w.u32(0L)
+        linkBlobs(resolve).foreach { case (_, b) => w.bytes(b) }
+        java.util.Arrays.copyOf(w.result(), rootBlockSize(resolve).toInt)
+      }
+      block("root-frhp") { resolve =>
+        val size = rootBlockSize(resolve)
+        val n = allNames.length
+        val w = new W
+        w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
+        w.u16(8); w.u16(0); w.u8(0)
+        w.u32(65536L)
+        w.u64(0L); w.u64(UNDEF)
+        w.u64(0L); w.u64(UNDEF)
+        w.u64(size); w.u64(size); w.u64(size)
+        w.u64(n.toLong)
+        w.u64(0L); w.u64(0L); w.u64(0L); w.u64(0L)
+        w.u16(4)
+        w.u64(size); w.u64(65536L); w.u16(32)
+        w.u16(1)
+        w.u64(resolve("root-fhdb"))
+        w.u16(0)
+        val pre = w.result()
+        val out = new W
+        out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+        out.result()
+      }
+      block("root-btlf") { resolve =>
+        var off = DbHdr.toLong
+        val recs = linkBlobs(resolve).map { case (nm, b) =>
+          val r = (nm, off, b.length); off += b.length; r
+        }.sortBy { case (nm, _, _) =>
+          lookup3(nm.getBytes("UTF-8")).toLong & 0xFFFFFFFFL
+        }
+        val w = new W
+        w.bytes("BTLF".getBytes("US-ASCII")); w.u8(0); w.u8(5)
+        recs.foreach { case (nm, o, l) =>
+          w.u32(lookup3(nm.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
+          w.u8(0) // managed heap id, version 0
+          w.u32(o) // heap offset (4 B LE)
+          w.u8(l); w.u8(l >> 8); w.u8(l >> 16) // length (3 B LE)
+        }
+        val pre = w.result()
+        val out = new W
+        out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+        out.result()
+      }
+      block("root-bthd") { resolve =>
+        val n = allNames.length
+        val w = new W
+        w.bytes("BTHD".getBytes("US-ASCII")); w.u8(0); w.u8(5)
+        w.u32(2048L); w.u16(12) // node size, record size (4 hash + 8 id)
+        w.u16(0) // depth
+        w.u8(100); w.u8(40)
+        w.u64(resolve("root-btlf"))
+        w.u16(n); w.u64(n.toLong)
+        val pre = w.result()
+        val out = new W
+        out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+        out.result()
+      }
+      block("rootHdr") { resolve =>
+        val linkInfo = {
+          val w = new W
+          w.u8(0); w.u8(0) // version, flags
+          w.u64(resolve("root-frhp"))
+          w.u64(resolve("root-bthd"))
+          w.result()
+        }
+        val groupInfo = { val w = new W; w.u8(1); w.u8(0); w.result() }
+        val attrs = globalAttrs.map { case (an, av) =>
+          av match {
+            case NcStr(s) if vlenStrIndexOf.contains(an) =>
+              0x000C -> vlenStrAttr(an, s, resolve)
+            case _ => 0x000C -> anyAttr(an, av)
+          }
+        }
+        if (opts.v2Superblock)
+          v2Header(Seq(0x0002 -> linkInfo, 0x000A -> groupInfo) ++ attrs)
+        else v1Header(Seq(0x0002 -> linkInfo, 0x000A -> groupInfo) ++ attrs)
+      }
+    } else if (!opts.v2Superblock) {
       // local heap: names at offsets; data segment inline after header
       val heapOffsets = collection.mutable.Map.empty[String, Long]
       val heapData = {

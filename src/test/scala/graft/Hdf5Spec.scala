@@ -96,7 +96,9 @@ class Hdf5Spec extends AnyFunSuite {
         compactVars = Set("LATITUDE"), fletcher = true,
         unlimited = Set("N_PROF"), vlenTitle = true)),
       Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
-        denseAttrs = fVars.map(_.name).toSet)))
+        denseAttrs = fVars.map(_.name).toSet)),
+      Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
+        denseLinks = true, denseAttrs = Set("PRES", "TEMP"))))
     def check(bytes: Array[Byte], tag: String): Unit =
       try { NetCdf.parse(bytes); () }
       catch {
@@ -172,6 +174,28 @@ class Hdf5Spec extends AnyFunSuite {
     val mixed = Hdf5.writeBytes(dims, gatts, vars,
       Hdf5.H5Opts(denseAttrs = Set("PRES", "JULD")))
     assert(NetCdf.tabularize(NetCdf.parse(mixed)) === cdf)
+  }
+
+  test("dense (fractal-heap) link storage decodes identically to compact links") {
+    // netCDF-4 groups track link creation order (new-style groups), so any
+    // file with more than 8 links — i.e. any real multi-variable dataset —
+    // stores its root links DENSELY; the 11-link fleet model is exactly
+    // past that transition
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    val cdf = NetCdf.tabularize(NetCdf.parse(NetCdf.writeBytes(dims, gatts, vars, version = 1)))
+    // v0 superblock + dense links
+    val dense0 = Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(denseLinks = true))
+    assert(NetCdf.tabularize(NetCdf.parse(dense0)) === cdf)
+    // v2 superblock + dense links
+    val dense2 = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(v2Superblock = true, denseLinks = true))
+    assert(NetCdf.tabularize(NetCdf.parse(dense2)) === cdf)
+    // fully dense: links AND every var's attributes through fractal heaps
+    val full = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(denseLinks = true, denseAttrs = vars.map(_.name).toSet))
+    val parsed = NetCdf.parse(full)
+    assert(NetCdf.tabularize(parsed) === cdf)
+    assert(parsed.dims === Seq(NcDim("N_PROF", 6), NcDim("N_LEVELS", 5), NcDim("STRING8", 8)))
   }
 
   test("beyond-subset dense storage (indirect-rooted heap) quarantines, never drops attrs") {
