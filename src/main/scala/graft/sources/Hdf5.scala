@@ -734,15 +734,17 @@ object Hdf5 {
   private def bytesFor(max: Long): Int =
     math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L)) + 7) / 8)
 
-  /** Fractal-heap parameters for the dense-attribute SUBSET: the root is a
-    * single unfiltered DIRECT block and every object is managed (libhdf5's
-    * shape for the 8+-attribute objects real netCDF-4 variables produce —
-    * long_name/units/_FillValue/valid_min/valid_max/C_format/... is
-    * exactly the default compact→dense transition). Huge/tiny objects,
-    * filtered heaps, and indirect-rooted heaps triage as unsupported.
+  /** Fractal-heap parameters for the dense-storage SUBSET: unfiltered
+    * managed objects in DIRECT blocks — either one direct block rooted in
+    * the header, or an indirect root whose children are all direct blocks
+    * (libhdf5's default 512-byte starting block means any real
+    * multi-variable file's link heap grows past one block). `extents` maps
+    * managed-space offsets to file positions: (startOff, size, fileAddr)
+    * per allocated direct block, in offset order. Huge/tiny objects,
+    * filtered heaps, and indirect-block CHILDREN triage as unsupported.
     */
   private final case class FractalHeap(
-      blockAddr: Long, blockSize: Long, offBytes: Int, lenBytes: Int,
+      extents: Seq[(Long, Long, Long)], offBytes: Int, lenBytes: Int,
       checksummed: Boolean)
 
   private def readFractalHeap(bytes: Array[Byte], addr: Long, name: String): FractalHeap = {
@@ -752,7 +754,7 @@ object Hdf5 {
     val idLen = c.u16()
     val filterLen = c.u16()
     if (filterLen != 0)
-      unsupported(s"filtered fractal heap (dense attributes on '$name')")
+      unsupported(s"filtered fractal heap (dense storage on '$name')")
     val flags = c.u8()
     c.u32() // max managed object size
     c.u64() // next huge object id
@@ -768,25 +770,56 @@ object Hdf5 {
     c.u64() // tiny size
     val nTiny = c.u64()
     if (nHuge != 0 || nTiny != 0)
-      unsupported(s"huge/tiny fractal-heap objects (dense attributes on '$name')")
-    if (nManaged < 0 || nManaged > 65536) fail(s"dense attribute count $nManaged")
-    c.u16() // table width
+      unsupported(s"huge/tiny fractal-heap objects (dense storage on '$name')")
+    if (nManaged < 0 || nManaged > 65536) fail(s"dense object count $nManaged")
+    val width = c.u16()
     val startBlock = c.u64()
     val maxDirect = c.u64()
     val maxHeapBits = c.u16()
     c.u16() // starting rows in root indirect block
     val rootAddr = c.u64()
     val curRows = c.u16()
-    if (curRows != 0)
-      unsupported(s"indirect-rooted fractal heap (dense attributes on '$name')")
     if (rootAddr == UNDEF) fail("fractal heap without a root block")
     if (startBlock <= 0 || startBlock > bytes.length)
       fail(s"fractal heap block size $startBlock out of range")
+    if (maxDirect < startBlock || maxDirect > Int.MaxValue)
+      fail(s"fractal heap max direct block size $maxDirect")
     val offBytes = (maxHeapBits + 7) / 8
     val lenBytes = bytesFor(maxDirect)
     if (offBytes <= 0 || offBytes > 8 || lenBytes > 8 || 1 + offBytes + lenBytes > 8)
       unsupported(s"fractal heap id layout ($offBytes+$lenBytes B, idLen $idLen)")
-    FractalHeap(rootAddr, startBlock, offBytes, lenBytes, (flags & 2) != 0)
+    val extents =
+      if (curRows == 0) Seq((0L, startBlock, rootAddr))
+      else {
+        // root is an INDIRECT block; the doubling table makes row r's
+        // direct blocks size startBlock (r < 2) else startBlock·2^(r-1).
+        // Rows past the max-direct size would hold indirect CHILDREN —
+        // beyond the subset.
+        val maxDirectRows =
+          (63 - java.lang.Long.numberOfLeadingZeros(maxDirect)) -
+            (63 - java.lang.Long.numberOfLeadingZeros(startBlock)) + 2
+        if (curRows > maxDirectRows)
+          unsupported(s"indirect-block children in fractal heap (dense storage on '$name')")
+        if (width <= 0 || width > 64 || curRows > 32)
+          fail(s"fractal heap table shape $width x $curRows")
+        val ib = at(bytes, rootAddr, "fractal heap indirect block")
+        ib.sig("FHIB")
+        if (ib.u8() != 0) fail("fractal heap indirect block version")
+        ib.u64() // heap header back-pointer
+        if (readLE(ib, offBytes) != 0) fail("root indirect block offset")
+        var off = 0L
+        val ext = Vector.newBuilder[(Long, Long, Long)]
+        (0 until curRows).foreach { r =>
+          val size = if (r < 2) startBlock else startBlock << (r - 1)
+          (0 until width).foreach { _ =>
+            val child = ib.u64()
+            if (child != UNDEF) ext += ((off, size, child))
+            off += size
+          }
+        }
+        ext.result()
+      }
+    FractalHeap(extents, offBytes, lenBytes, (flags & 2) != 0)
   }
 
   /** Walk a dense-storage index: fractal heap + depth-0 v2 b-tree whose
@@ -799,13 +832,20 @@ object Hdf5 {
   private def denseHeapObjects(bytes: Array[Byte], fheap: Long, nameBt: Long,
       btType: Int, name: String): Seq[(Long, Long)] = {
     val fh = readFractalHeap(bytes, fheap, name)
-    val db = at(bytes, fh.blockAddr, "fractal heap direct block")
-    db.sig("FHDB")
-    if (db.u8() != 0) fail("fractal heap direct block version")
-    db.u64() // heap header back-pointer
-    if (readLE(db, fh.offBytes) != 0) fail("root direct block offset")
-    // heap offsets are relative to managed space, whose byte 0 is the
-    // direct block's own first byte (header included)
+    // validate every allocated direct block: signature, version, and the
+    // stored block offset must match its position in managed space.
+    // Heap offsets are relative to managed space, whose byte 0 is the
+    // first direct block's own first byte (header included).
+    fh.extents.foreach { case (startOff, size, addr) =>
+      if (addr < 0 || addr > bytes.length - size)
+        fail(s"fractal heap direct block at $addr (+$size B) out of file")
+      val db = at(bytes, addr, "fractal heap direct block")
+      db.sig("FHDB")
+      if (db.u8() != 0) fail("fractal heap direct block version")
+      db.u64() // heap header back-pointer
+      if (readLE(db, fh.offBytes) != startOff)
+        fail(s"direct block offset mismatch (expected $startOff)")
+    }
     val bt = at(bytes, nameBt, "dense-storage name b-tree")
     bt.sig("BTHD")
     if (bt.u8() != 0) fail("b-tree v2 version")
@@ -837,10 +877,11 @@ object Hdf5 {
         unsupported(s"non-managed dense-storage heap id (on '$name')")
       val off = readLE(rec, fh.offBytes)
       val len = readLE(rec, fh.lenBytes)
-      // the object must lie inside the root direct block
-      if (off < 0 || len <= 0 || off > fh.blockSize - len)
-        fail(s"dense-storage heap object ($off +$len B) outside block")
-      val objOff = fh.blockAddr + off
+      // the object must lie wholly inside ONE allocated direct block
+      val ext = fh.extents.find { case (s0, sz, _) =>
+        off >= s0 && len > 0 && off <= s0 + sz - len
+      }.getOrElse(fail(s"dense-storage heap object ($off +$len B) outside blocks"))
+      val objOff = ext._3 + (off - ext._1)
       if (objOff < 0 || objOff > bytes.length - len)
         fail("dense-storage heap object outside file")
       (objOff, len)
@@ -1145,6 +1186,9 @@ object Hdf5 {
       denseAttrInfoOn: Option[String] = None,
       denseAttrs: Set[String] = Set.empty, // REAL dense attribute storage
       denseLinks: Boolean = false, // root links via fractal heap + type-5 b-tree
+      // with denseLinks: pack the link heap into 512-byte doubling-table
+      // blocks under an INDIRECT root — libhdf5's real multi-variable shape
+      denseIndirectLinks: Boolean = false,
       unallocatedFill: Map[String, Float] = Map.empty, // UNDEF storage + fill msg
       // adversarial: DECLARE these dataspace dims for a var while writing its
       // real (small) data — the crafted-dims shape whose product arithmetic
@@ -1649,14 +1693,16 @@ object Hdf5 {
         }
       }
       if (opts.denseAttrInfoOn.contains(v.name)) {
-        // poison twin: a VALID fractal-heap header whose root is an
-        // indirect block (current rows != 0) — real libhdf5 files reach
-        // this shape past ~4 KiB of attributes; the reader must triage
+        // poison twin: a VALID fractal-heap header declaring an I/O filter
+        // pipeline on its blocks (compressed heaps are a real libhdf5
+        // option) — beyond the subset, so the reader must triage
         // unsupported, never silently drop the attributes
         block(s"frhp-ind:${v.name}") { _ =>
           val w = new W
           w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
-          w.u16(8); w.u16(0); w.u8(0)
+          w.u16(8)
+          w.u16(2) // filter info length != 0 -> filtered heap -> unsupported
+          w.u8(0)
           w.u32(65536L)
           w.u64(0L); w.u64(UNDEF)
           w.u64(0L); w.u64(UNDEF)
@@ -1667,7 +1713,7 @@ object Hdf5 {
           w.u64(512L); w.u64(65536L); w.u16(32)
           w.u16(1)
           w.u64(1024L) // root block address (never dereferenced)
-          w.u16(2) // current rows != 0 -> indirect root -> unsupported
+          w.u16(0)
           val pre = w.result()
           val out = new W
           out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
@@ -1774,41 +1820,100 @@ object Hdf5 {
         var s = 512L; while (s < need) s <<= 1
         s
       }
-      block("root-fhdb") { resolve =>
-        val w = new W
-        w.bytes("FHDB".getBytes("US-ASCII")); w.u8(0)
-        w.u64(resolve("root-frhp"))
-        w.u32(0L)
-        linkBlobs(resolve).foreach { case (_, b) => w.bytes(b) }
-        java.util.Arrays.copyOf(w.result(), rootBlockSize(resolve).toInt)
+      // doubling-table slot geometry (width 4, 512-byte starting block):
+      // row r's blocks are 512 B for r < 2, else 512·2^(r-1)
+      val Width = 4
+      def slotSize(k: Int): Long = {
+        val r = k / Width; if (r < 2) 512L else 512L << (r - 1)
+      }
+      def slotStart(k: Int): Long = (0 until k).map(slotSize).sum
+      /** greedy packing of the link blobs into doubling-table direct
+        * blocks: per blob (name, bytes, managed-space offset, slot). */
+      def packedLinks(resolve: String => Long): Seq[(String, Array[Byte], Long, Int)] = {
+        var k = 0
+        var used = DbHdr.toLong
+        linkBlobs(resolve).map { case (nm, b) =>
+          while (used + b.length > slotSize(k)) { k += 1; used = DbHdr.toLong }
+          val r = (nm, b, slotStart(k) + used, k)
+          used += b.length
+          r
+        }
+      }
+      if (opts.denseIndirectLinks) {
+        // INDIRECT root: libhdf5's actual shape once the links outgrow one
+        // 512-byte starting block — i.e. every real multi-variable file
+        val usedSlots = { val p = packedLinks(_ => 0L); p.map(_._4).max + 1 }
+        val rows = (usedSlots + Width - 1) / Width
+        (0 until usedSlots).foreach { k =>
+          block(s"root-fhdb$k") { resolve =>
+            val w = new W
+            w.bytes("FHDB".getBytes("US-ASCII")); w.u8(0)
+            w.u64(resolve("root-frhp"))
+            w.u32(slotStart(k)) // this block's offset in managed space
+            packedLinks(resolve).filter(_._4 == k).foreach { case (_, b, _, _) => w.bytes(b) }
+            java.util.Arrays.copyOf(w.result(), slotSize(k).toInt)
+          }
+        }
+        block("root-fhib") { resolve =>
+          val w = new W
+          w.bytes("FHIB".getBytes("US-ASCII")); w.u8(0)
+          w.u64(resolve("root-frhp"))
+          w.u32(0L) // root indirect block offset
+          (0 until rows * Width).foreach { k =>
+            w.u64(if (k < usedSlots) resolve(s"root-fhdb$k") else UNDEF)
+          }
+          val pre = w.result()
+          val out = new W
+          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+          out.result()
+        }
+      } else {
+        block("root-fhdb") { resolve =>
+          val w = new W
+          w.bytes("FHDB".getBytes("US-ASCII")); w.u8(0)
+          w.u64(resolve("root-frhp"))
+          w.u32(0L)
+          linkBlobs(resolve).foreach { case (_, b) => w.bytes(b) }
+          java.util.Arrays.copyOf(w.result(), rootBlockSize(resolve).toInt)
+        }
       }
       block("root-frhp") { resolve =>
-        val size = rootBlockSize(resolve)
         val n = allNames.length
+        val indirect = opts.denseIndirectLinks
+        val usedSlots =
+          if (indirect) { val p = packedLinks(_ => 0L); p.map(_._4).max + 1 } else 1
+        val rows = (usedSlots + Width - 1) / Width
+        val startBlock = if (indirect) 512L else rootBlockSize(resolve)
+        val tableSpan =
+          if (indirect) (0 until rows * Width).map(slotSize).sum else startBlock
         val w = new W
         w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
         w.u16(8); w.u16(0); w.u8(0)
         w.u32(65536L)
         w.u64(0L); w.u64(UNDEF)
         w.u64(0L); w.u64(UNDEF)
-        w.u64(size); w.u64(size); w.u64(size)
+        w.u64(tableSpan); w.u64(tableSpan); w.u64(tableSpan)
         w.u64(n.toLong)
         w.u64(0L); w.u64(0L); w.u64(0L); w.u64(0L)
-        w.u16(4)
-        w.u64(size); w.u64(65536L); w.u16(32)
-        w.u16(1)
-        w.u64(resolve("root-fhdb"))
-        w.u16(0)
+        w.u16(Width)
+        w.u64(startBlock); w.u64(65536L); w.u16(32)
+        w.u16(if (indirect) rows else 1)
+        w.u64(resolve(if (indirect) "root-fhib" else "root-fhdb"))
+        w.u16(if (indirect) rows else 0)
         val pre = w.result()
         val out = new W
         out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
         out.result()
       }
       block("root-btlf") { resolve =>
-        var off = DbHdr.toLong
-        val recs = linkBlobs(resolve).map { case (nm, b) =>
-          val r = (nm, off, b.length); off += b.length; r
-        }.sortBy { case (nm, _, _) =>
+        val recs = (if (opts.denseIndirectLinks)
+          packedLinks(resolve).map { case (nm, b, off, _) => (nm, off, b.length) }
+        else {
+          var off = DbHdr.toLong
+          linkBlobs(resolve).map { case (nm, b) =>
+            val r = (nm, off, b.length); off += b.length; r
+          }
+        }).sortBy { case (nm, _, _) =>
           lookup3(nm.getBytes("UTF-8")).toLong & 0xFFFFFFFFL
         }
         val w = new W

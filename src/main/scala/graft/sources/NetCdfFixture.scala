@@ -284,12 +284,14 @@ object NetCdfFixture {
       denseAttrs: Boolean = false): Array[Byte] = {
     val (dims, gatts, vars) = fleetVars(f, charPlatform, zone)
     // `denseAttrs` turns on BOTH dense stores — attributes per var and the
-    // root link index — the shape a real multi-variable netCDF-4 file has
+    // root link index, the latter under an INDIRECT-rooted doubling-table
+    // heap — the shape a real multi-variable netCDF-4 file has
     Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
       v2Superblock = v2,
       unlimited = if (record) Set("N_PROF") else Set.empty,
       denseAttrs = if (denseAttrs) vars.map(_.name).toSet else Set.empty,
-      denseLinks = denseAttrs))
+      denseLinks = denseAttrs,
+      denseIndirectLinks = denseAttrs))
   }
 
   /** The `s12_netcdf_hdf5` fleet: float 108 (v0 superblock, contiguous,

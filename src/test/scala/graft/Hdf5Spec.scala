@@ -198,7 +198,35 @@ class Hdf5Spec extends AnyFunSuite {
     assert(parsed.dims === Seq(NcDim("N_PROF", 6), NcDim("N_LEVELS", 5), NcDim("STRING8", 8)))
   }
 
-  test("beyond-subset dense storage (indirect-rooted heap) quarantines, never drops attrs") {
+  test("indirect-rooted dense link storage (multi-block heap) decodes") {
+    // libhdf5's default starting block is 512 B, so a real multi-variable
+    // file's link heap outgrows one block and the root becomes an INDIRECT
+    // block over doubling-table direct blocks — 30 long-named variables
+    // force at least two blocks here
+    import graft.sources.NetCdf.{NcVar, NcFloats, NcStr, NC_FLOAT}
+    val dims = Seq(NcDim("X", 4))
+    val vars = (0 until 30).map(i => NcVar(f"VARIABLE_NUMBER_$i%02d", Seq(0), NC_FLOAT,
+      Seq("units" -> NcStr("m")), NcFloats(Array.tabulate(4)(j => i * 10f + j))))
+    val compact = Hdf5.writeBytes(dims, Nil, vars)
+    val indirect = Hdf5.writeBytes(dims, Nil, vars,
+      Hdf5.H5Opts(denseLinks = true, denseIndirectLinks = true))
+    def occurrences(hay: Array[Byte], needle: String): Int = {
+      val nb = needle.getBytes("US-ASCII")
+      (0 to hay.length - nb.length).count(i => nb.indices.forall(j => hay(i + j) == nb(j)))
+    }
+    assert(occurrences(indirect, "FHIB") >= 1, "fixture premise: indirect root written")
+    assert(occurrences(indirect, "FHDB") >= 2, "fixture premise: multiple direct blocks")
+    val pc = NetCdf.parse(compact)
+    val pi = NetCdf.parse(indirect)
+    assert(pi.vars.map(_.name).sorted === pc.vars.map(_.name).sorted)
+    val byName = pc.vars.map(v => v.name -> v).toMap
+    pi.vars.foreach { v =>
+      assert(v.numeric === byName(v.name).numeric, s"values of ${v.name}")
+      assert(v.attrs.get("units") === byName(v.name).attrs.get("units"), s"attrs of ${v.name}")
+    }
+  }
+
+  test("beyond-subset dense storage (filtered heap) quarantines, never drops attrs") {
     val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
     val bytes = Hdf5.writeBytes(dims, gatts, vars,
       Hdf5.H5Opts(denseAttrInfoOn = Some("PRES")))
