@@ -744,8 +744,7 @@ object Hdf5 {
     * filtered heaps, and indirect-block CHILDREN triage as unsupported.
     */
   private final case class FractalHeap(
-      extents: Seq[(Long, Long, Long)], offBytes: Int, lenBytes: Int,
-      checksummed: Boolean)
+      extents: Seq[(Long, Long, Long)], offBytes: Int, lenBytes: Int)
 
   private def readFractalHeap(bytes: Array[Byte], addr: Long, name: String): FractalHeap = {
     val c = at(bytes, addr, "fractal heap")
@@ -755,7 +754,7 @@ object Hdf5 {
     val filterLen = c.u16()
     if (filterLen != 0)
       unsupported(s"filtered fractal heap (dense storage on '$name')")
-    val flags = c.u8()
+    c.u8() // flags (bit 1 = checksummed direct blocks; see note below)
     c.u32() // max managed object size
     c.u64() // next huge object id
     c.u64() // huge-object v2 b-tree address
@@ -814,12 +813,20 @@ object Hdf5 {
           (0 until width).foreach { _ =>
             val child = ib.u64()
             if (child != UNDEF) ext += ((off, size, child))
-            off += size
+            // exact accumulation: a crafted startBlock near the file-size
+            // cap with max rows/width could wrap the table span, aliasing
+            // later extents onto earlier offsets
+            off = try Math.addExact(off, size) catch {
+              case _: ArithmeticException => fail("fractal heap table span overflows")
+            }
           }
         }
         ext.result()
       }
-    FractalHeap(extents, offBytes, lenBytes, (flags & 2) != 0)
+    // note: the "checksum direct blocks" flag (bit 1) needs no handling —
+    // heap IDs store ABSOLUTE managed-space offsets, so the extra 4 header
+    // bytes of a checksummed block are already accounted for by the writer
+    FractalHeap(extents, offBytes, lenBytes)
   }
 
   /** Walk a dense-storage index: fractal heap + depth-0 v2 b-tree whose

@@ -98,7 +98,8 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
         denseAttrs = fVars.map(_.name).toSet)),
       Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
-        denseLinks = true, denseAttrs = Set("PRES", "TEMP"))))
+        denseLinks = true, denseIndirectLinks = true,
+        denseAttrs = Set("PRES", "TEMP"))))
     def check(bytes: Array[Byte], tag: String): Unit =
       try { NetCdf.parse(bytes); () }
       catch {
