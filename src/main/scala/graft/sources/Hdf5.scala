@@ -730,10 +730,6 @@ object Hdf5 {
     v
   }
 
-  /** Minimum bytes to represent values up to `max` (≥ 1). */
-  private def bytesFor(max: Long): Int =
-    math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L)) + 7) / 8)
-
   /** Fractal-heap parameters for the dense-storage SUBSET: unfiltered
     * managed objects in DIRECT blocks — either one direct block rooted in
     * the header, or an indirect root whose children are all direct blocks
@@ -783,9 +779,15 @@ object Hdf5 {
       fail(s"fractal heap block size $startBlock out of range")
     if (maxDirect < startBlock || maxDirect > Int.MaxValue)
       fail(s"fractal heap max direct block size $maxDirect")
+    // heap-ID geometry comes from the file's OWN declared id length: the
+    // managed ID is [1 version/type byte][offset][length] filling idLen,
+    // with the offset width fixed by Maximum Heap Size. Deriving the
+    // length width from idLen (not from a re-derivation of maxDirect's
+    // encoding, whose rounding libhdf5 and this writer could legitimately
+    // disagree on) parses ANY producer's geometry.
     val offBytes = (maxHeapBits + 7) / 8
-    val lenBytes = bytesFor(maxDirect)
-    if (offBytes <= 0 || offBytes > 8 || lenBytes > 8 || 1 + offBytes + lenBytes > 8)
+    val lenBytes = idLen - 1 - offBytes
+    if (idLen < 3 || idLen > 8 || offBytes <= 0 || offBytes > 8 || lenBytes < 1)
       unsupported(s"fractal heap id layout ($offBytes+$lenBytes B, idLen $idLen)")
     val extents =
       if (curRows == 0) Seq((0L, startBlock, rootAddr))
@@ -903,7 +905,10 @@ object Hdf5 {
   private def readDenseAttributes(bytes: Array[Byte], m: Msg, gh: GlobalHeap,
       name: String): Seq[(String, Any)] = {
     val c = new Cur(bytes, m.off)
-    c.u8() // version
+    val ver = c.u8()
+    // a non-v0 layout would put the heap/index addresses at different
+    // offsets — parsing it as v0 dereferences garbage, so triage instead
+    if (ver != 0) unsupported(s"attribute info message v$ver")
     val flags = c.u8()
     if ((flags & 1) != 0) c.skip(2) // max creation index (2 B for attrs)
     val fheap = c.u64()
@@ -926,7 +931,9 @@ object Hdf5 {
   private def readDenseLinks(bytes: Array[Byte], m: Msg): Seq[(String, Long)] = {
     val c = new Cur(bytes, m.off)
     val ver = c.u8()
-    if (ver > 1) fail(s"link info version $ver")
+    // v1 tolerated with the v0 layout: earlier fixture writers stamped 1
+    // (the spec defines only v0, with this exact field order)
+    if (ver > 1) unsupported(s"link info message v$ver")
     val flags = c.u8()
     if ((flags & 1) != 0) c.skip(8) // max creation index (8 B for links)
     val fheap = c.u64()
@@ -1160,6 +1167,15 @@ object Hdf5 {
     c
   }
 
+  /** `pre` with its Jenkins-lookup3 checksum appended — the trailer every
+    * v2-era structure (FRHP/FHIB/BTHD/BTLF/OHDR) carries.
+    */
+  private def withChecksum(pre: Array[Byte]): Array[Byte] = {
+    val out = new W
+    out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
+    out.result()
+  }
+
   private final class W {
     private val buf = new java.io.ByteArrayOutputStream(4096)
     def size: Int = buf.size
@@ -1188,9 +1204,12 @@ object Hdf5 {
       fletcher: Boolean = false, // append fletcher32 to each chunk pipeline
       vlenTitle: Boolean = false, // global 'title' as a vlen string (gheap)
       compoundAttrOn: Option[String] = None, // opaque compound attr (skip path)
-      // beyond-subset dense storage: a valid heap whose root is an
-      // INDIRECT block — must quarantine as unsupported (Hdf5Spec)
+      // beyond-subset dense storage poisons — must quarantine as
+      // unsupported (Hdf5Spec): a heap declaring an I/O filter pipeline,
+      // or (poisonDeep) one whose doubling table reaches indirect-block
+      // CHILDREN (rows past the max-direct-size row)
       denseAttrInfoOn: Option[String] = None,
+      denseAttrPoisonDeep: Boolean = false,
       denseAttrs: Set[String] = Set.empty, // REAL dense attribute storage
       denseLinks: Boolean = false, // root links via fractal heap + type-5 b-tree
       // with denseLinks: pack the link heap into 512-byte doubling-table
@@ -1611,7 +1630,7 @@ object Hdf5 {
           } else if (opts.denseAttrInfoOn.contains(v.name)) {
             val w = new W
             w.u8(0); w.u8(0) // version, flags
-            w.u64(resolve(s"frhp-ind:${v.name}")) // indirect-rooted heap
+            w.u64(resolve(s"frhp-poison:${v.name}")) // beyond-subset heap
             w.u64(1024L) // name index never reached (heap triages first)
             Seq(0x0015 -> w.result())
           } else Nil
@@ -1623,21 +1642,24 @@ object Hdf5 {
       // block — the shape libhdf5 produces for 8+-attribute objects
       if (isDense) {
         val DbHdr = 4 + 1 + 8 + 4 // FHDB sig + version + back-ptr + offset(4B)
-        def blockSize(resolve: String => Long): Long = {
-          val need = DbHdr + attrBlobs(resolve).map(_._2.length).sum
+        // blob LENGTHS are resolve-independent (addresses are fixed-width),
+        // so each builder materializes the list once per invocation
+        def blockSizeOf(bs: Seq[(String, Array[Byte])]): Long = {
+          val need = DbHdr + bs.map(_._2.length).sum
           var s = 512L; while (s < need) s <<= 1
           s
         }
         block(s"fhdb:${v.name}") { resolve =>
+          val bs = attrBlobs(resolve)
           val w = new W
           w.bytes("FHDB".getBytes("US-ASCII")); w.u8(0)
           w.u64(resolve(s"frhp:${v.name}"))
           w.u32(0L) // block offset within managed space
-          attrBlobs(resolve).foreach { case (_, b) => w.bytes(b) }
-          java.util.Arrays.copyOf(w.result(), blockSize(resolve).toInt)
+          bs.foreach { case (_, b) => w.bytes(b) }
+          java.util.Arrays.copyOf(w.result(), blockSizeOf(bs).toInt)
         }
         block(s"frhp:${v.name}") { resolve =>
-          val size = blockSize(resolve)
+          val size = blockSizeOf(attrBlobs(resolve))
           val n = 1 + v.attrs.length
           val w = new W
           w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
@@ -1657,10 +1679,7 @@ object Hdf5 {
           w.u16(1) // starting rows in root indirect block
           w.u64(resolve(s"fhdb:${v.name}"))
           w.u16(0) // current rows: 0 -> root IS the direct block
-          val pre = w.result()
-          val out = new W
-          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-          out.result()
+          withChecksum(w.result())
         }
         block(s"btlf:${v.name}") { resolve =>
           var off = DbHdr.toLong
@@ -1679,10 +1698,7 @@ object Hdf5 {
             w.u32(i.toLong) // creation order
             w.u32(lookup3(an.getBytes("UTF-8")).toLong & 0xFFFFFFFFL)
           }
-          val pre = w.result()
-          val out = new W
-          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-          out.result()
+          withChecksum(w.result())
         }
         block(s"bthd:${v.name}") { resolve =>
           val n = 1 + v.attrs.length
@@ -1693,22 +1709,23 @@ object Hdf5 {
           w.u8(100); w.u8(40) // split/merge percent
           w.u64(resolve(s"btlf:${v.name}"))
           w.u16(n); w.u64(n.toLong)
-          val pre = w.result()
-          val out = new W
-          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-          out.result()
+          withChecksum(w.result())
         }
       }
       if (opts.denseAttrInfoOn.contains(v.name)) {
-        // poison twin: a VALID fractal-heap header declaring an I/O filter
-        // pipeline on its blocks (compressed heaps are a real libhdf5
-        // option) — beyond the subset, so the reader must triage
-        // unsupported, never silently drop the attributes
-        block(s"frhp-ind:${v.name}") { _ =>
+        // poison twin: a VALID fractal-heap header that is beyond the
+        // subset — either declaring an I/O filter pipeline on its blocks
+        // (compressed heaps are a real libhdf5 option) or, with
+        // denseAttrPoisonDeep, a doubling table whose rows reach
+        // indirect-block CHILDREN (maxDirect 1024 over a 512 start block
+        // allows 3 direct rows; 5 current rows forces children). The
+        // reader must triage unsupported, never silently drop attributes.
+        block(s"frhp-poison:${v.name}") { _ =>
+          val deep = opts.denseAttrPoisonDeep
           val w = new W
           w.bytes("FRHP".getBytes("US-ASCII")); w.u8(0)
           w.u16(8)
-          w.u16(2) // filter info length != 0 -> filtered heap -> unsupported
+          w.u16(if (deep) 0 else 2) // filter info length != 0 -> filtered
           w.u8(0)
           w.u32(65536L)
           w.u64(0L); w.u64(UNDEF)
@@ -1717,14 +1734,11 @@ object Hdf5 {
           w.u64(1L)
           w.u64(0L); w.u64(0L); w.u64(0L); w.u64(0L)
           w.u16(4)
-          w.u64(512L); w.u64(65536L); w.u16(32)
+          w.u64(512L); w.u64(if (deep) 1024L else 65536L); w.u16(32)
           w.u16(1)
           w.u64(1024L) // root block address (never dereferenced)
-          w.u16(0)
-          val pre = w.result()
-          val out = new W
-          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-          out.result()
+          w.u16(if (deep) 5 else 0) // deep: rows past the direct limit
+          withChecksum(w.result())
         }
       }
       // data blocks
@@ -1846,11 +1860,14 @@ object Hdf5 {
           r
         }
       }
+      // slot assignment is resolve-independent (blob lengths are fixed
+      // width), so the plan-time packing is computed ONCE and shared
+      val usedSlots =
+        if (opts.denseIndirectLinks) packedLinks(_ => 0L).map(_._4).max + 1 else 1
+      val rows = (usedSlots + Width - 1) / Width
       if (opts.denseIndirectLinks) {
         // INDIRECT root: libhdf5's actual shape once the links outgrow one
         // 512-byte starting block — i.e. every real multi-variable file
-        val usedSlots = { val p = packedLinks(_ => 0L); p.map(_._4).max + 1 }
-        val rows = (usedSlots + Width - 1) / Width
         (0 until usedSlots).foreach { k =>
           block(s"root-fhdb$k") { resolve =>
             val w = new W
@@ -1869,10 +1886,7 @@ object Hdf5 {
           (0 until rows * Width).foreach { k =>
             w.u64(if (k < usedSlots) resolve(s"root-fhdb$k") else UNDEF)
           }
-          val pre = w.result()
-          val out = new W
-          out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-          out.result()
+          withChecksum(w.result())
         }
       } else {
         block("root-fhdb") { resolve =>
@@ -1887,9 +1901,6 @@ object Hdf5 {
       block("root-frhp") { resolve =>
         val n = allNames.length
         val indirect = opts.denseIndirectLinks
-        val usedSlots =
-          if (indirect) { val p = packedLinks(_ => 0L); p.map(_._4).max + 1 } else 1
-        val rows = (usedSlots + Width - 1) / Width
         val startBlock = if (indirect) 512L else rootBlockSize(resolve)
         val tableSpan =
           if (indirect) (0 until rows * Width).map(slotSize).sum else startBlock
@@ -1907,10 +1918,7 @@ object Hdf5 {
         w.u16(if (indirect) rows else 1)
         w.u64(resolve(if (indirect) "root-fhib" else "root-fhdb"))
         w.u16(if (indirect) rows else 0)
-        val pre = w.result()
-        val out = new W
-        out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-        out.result()
+        withChecksum(w.result())
       }
       block("root-btlf") { resolve =>
         val recs = (if (opts.denseIndirectLinks)
@@ -1931,10 +1939,7 @@ object Hdf5 {
           w.u32(o) // heap offset (4 B LE)
           w.u8(l); w.u8(l >> 8); w.u8(l >> 16) // length (3 B LE)
         }
-        val pre = w.result()
-        val out = new W
-        out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-        out.result()
+        withChecksum(w.result())
       }
       block("root-bthd") { resolve =>
         val n = allNames.length
@@ -1945,10 +1950,7 @@ object Hdf5 {
         w.u8(100); w.u8(40)
         w.u64(resolve("root-btlf"))
         w.u16(n); w.u64(n.toLong)
-        val pre = w.result()
-        val out = new W
-        out.bytes(pre); out.u32(lookup3(pre).toLong & 0xFFFFFFFFL)
-        out.result()
+        withChecksum(w.result())
       }
       block("rootHdr") { resolve =>
         val linkInfo = {
@@ -2030,7 +2032,7 @@ object Hdf5 {
       }
     } else {
       block("rootHdr") { resolve =>
-        val linkInfo = { val w = new W; w.u8(1); w.u8(0); w.u64(UNDEF); w.u64(UNDEF); w.result() }
+        val linkInfo = { val w = new W; w.u8(0); w.u8(0); w.u64(UNDEF); w.u64(UNDEF); w.result() }
         val groupInfo = { val w = new W; w.u8(1); w.u8(0); w.result() }
         val linkMsgs = allNames.map { nm =>
           val w = new W

@@ -233,7 +233,20 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.H5Opts(denseAttrInfoOn = Some("PRES")))
     val e = intercept[NetCdfParseException](NetCdf.parse(bytes))
     assert(e.kind === "unsupported-hdf5")
-    assert(e.getMessage.contains("dense"))
+    assert(e.getMessage.contains("filtered fractal heap"))
+  }
+
+  test("beyond-subset dense storage (indirect-block CHILDREN) quarantines") {
+    // maxDirect 1024 over a 512-byte start block allows 3 direct rows;
+    // a heap declaring 5 current rows must hold indirect children — past
+    // the subset, so it triages rather than parsing child addresses as
+    // direct blocks
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(8, charPlatform = false, zone = " UTC")
+    val bytes = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(denseAttrInfoOn = Some("PRES"), denseAttrPoisonDeep = true))
+    val e = intercept[NetCdfParseException](NetCdf.parse(bytes))
+    assert(e.kind === "unsupported-hdf5")
+    assert(e.getMessage.contains("indirect-block children"))
   }
 
   test("userblock files parse: superblock found at a power-of-two offset") {
