@@ -307,6 +307,17 @@ object Dedup {
     * silently-wrong partial labels. Returns (member_id, group_id =
     * component minimum).
     */
+  /** GRAFT_CC_DEBUG=1 -> stderr wall-time per CC round action (diagnostic). */
+  private def ccDebug(label: String, t0: Long): Unit =
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+
+  /** Unsettled-node ceiling under which a round runs the tier-2
+    * bichromatic-edge probe (see the convergence comment inside
+    * [[connectedComponents]]).
+    */
+  val BichromProbeMax = 65536L
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // The pair list is consumed twice by the undirected-edge union (and a
     // third time by the stars fallback's node set). Callers typically hand
@@ -331,20 +342,20 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), min(col("src"))).as("label"))
       .localCheckpoint(false)
-    val labelType = labels.schema("label").dataType
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      // Carry each node's PREVIOUS label through the round as `old` (labels
-      // covers every node — each appears as an edge src — so exactly one
-      // union branch supplies a non-null old per id and max() recovers it
-      // without a join back to the previous frame).
-      val merged = labels.select(col("id"), col("label"), col("label").as("old"))
-        .unionByName(prop.select(col("id"), col("label"),
-          lit(null).cast(labelType).as("old")))
-        .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
+      // labels covers every node (each appears as an edge src), so the
+      // union's labels branch keeps a node's current label even when no
+      // neighbor offers a smaller one. `mx` rides the SAME aggregate:
+      // min != max at a node ⟺ the node still sees two different labels
+      // across itself and its neighbors ⟺ some incident edge is
+      // bichromatic under the PREVIOUS round's labels — the free
+      // convergence signal (see below).
+      val merged = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"), max("label").as("mx"))
       // pointer jump: label(x) ← label(label(x)). Labels are always node
       // ids of the same component with label(y) <= y, so the composition
       // stays in-component and non-increasing; chains contract by half
@@ -352,19 +363,49 @@ object Dedup {
       val parents = merged
         .select(col("id").as("pid"), col("label").as("plabel"))
       val next = merged.join(parents, col("label") === col("pid"), "left")
-        .select(col("id"),
-          coalesce(col("plabel"), col("label")).as("label"), col("old"))
+        .select(col("id"), coalesce(col("plabel"), col("label")).as("label"),
+          (col("label") =!= col("mx")).as("nu"))
         .localCheckpoint(false)
-      // Convergence = a full propagate+jump round changed NO label (the map
-      // is deterministic and monotone, so f(L)=L is a fixpoint). Counting
-      // changed rows is exact — no checksum, no overflow caveat — and the
-      // count runs as the SAME action that materializes the round's
-      // checkpoint: one Spark job per round, convergence detection included.
+      // Two-tier EXACT convergence test. Soundness rests on the invariant
+      // that labels are always in-component node ids with label(x) <= x
+      // (seed, propagate, and jump each preserve it): if every edge is
+      // monochromatic then each component carries one label L, node L has
+      // label(L) = L, and the component minimum m has label(m) = L <= m —
+      // forcing L = m, so the labels ARE the component minima and the
+      // round map is the identity.
+      //   Tier 1 (free): nUnsettled counts nodes whose propagate multiset
+      //   held two labels. Zero ⟺ the PREVIOUS labels were already
+      //   monochromatic ⟺ this round was a no-op — the same stop round as
+      //   a changed-row count, with no carried `old` column, and the agg
+      //   runs as the SAME action that materializes the round checkpoint.
+      //   Tier 2 (gated probe): the jump can merge the last label chains
+      //   mid-round, so `next` may be converged a full round before tier 1
+      //   can see it. A bichromatic-edge count under `next` (two
+      //   edge-list-sized joins over the cached frames) detects that —
+      //   but on a far-from-converged high-diameter graph it is a ~50%
+      //   per-round surcharge with no chance of firing, so it runs only
+      //   once nUnsettled is small (most components already settled; the
+      //   near-dup norm reaches this on round one). The threshold trades
+      //   one probe ≈ half a round against skipping a whole round; 64k
+      //   keeps the probe out of the bulk phase of adversarial chains
+      //   while firing on every realistically-shaped tail.
       // coalesce: an empty pair list converges on round one, not NPE.
-      val nChanged = next.agg(coalesce(
-        sum(when(col("label") =!= col("old"), 1L).otherwise(0L)),
-        lit(0L))).head.getLong(0)
-      converged = nChanged == 0
+      val t0 = System.nanoTime()
+      val nUnsettled = next.agg(coalesce(
+        sum(when(col("nu"), 1L).otherwise(0L)), lit(0L))).head.getLong(0)
+      converged = nUnsettled == 0
+      if (!converged && nUnsettled <= BichromProbeMax) {
+        val nBichrom = edges
+          .join(next.select(col("id").as("sid"), col("label").as("sl")),
+            col("src") === col("sid"))
+          .join(next.select(col("id").as("did"), col("label").as("dl")),
+            col("dst") === col("did"))
+          .agg(coalesce(
+            sum(when(col("sl") =!= col("dl"), 1L).otherwise(0L)),
+            lit(0L))).head.getLong(0)
+        converged = nBichrom == 0
+        ccDebug(s"round${iter + 1} (unsettled=$nUnsettled bichrom=$nBichrom)", t0)
+      } else ccDebug(s"round${iter + 1} (unsettled=$nUnsettled)", t0)
       labels = next.select("id", "label")
       iter += 1
     }
