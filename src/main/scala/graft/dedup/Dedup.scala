@@ -318,7 +318,17 @@ object Dedup {
     */
   val BichromProbeMax = 65536L
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus (rounds run, label-propagation converged)
+    * — the stats let specs pin the convergence-tier behavior (e.g. that a
+    * diameter-2 graph exits on round ONE via the post-jump probe) instead
+    * of only the labels, which the stars fallback would also get right.
+    * `converged = false` means the stars fallback produced the labels.
+    */
+  private[graft] def connectedComponentsWithStats(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int, Boolean) = {
     // The pair list is consumed twice by the undirected-edge union (and a
     // third time by the stars fallback's node set). Callers typically hand
     // in an EXPENSIVE lineage — dd9/dd10/dd16 pass the whole LSH+verify
@@ -414,8 +424,10 @@ object Dedup {
     // large-star/small-star rounds, which converge in O(log n) rounds on ANY
     // graph shape (adversarial chains included) at the cost of a heavier
     // per-round edge rewrite.
-    if (!converged) starsImpl(p, StarsMaxIter) // p is already checkpointed
-    else labels.select(col("id").as("member_id"), col("label").as("group_id"))
+    val result =
+      if (!converged) starsImpl(p, StarsMaxIter) // p is already checkpointed
+      else labels.select(col("id").as("member_id"), col("label").as("group_id"))
+    (result, iter, converged)
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds

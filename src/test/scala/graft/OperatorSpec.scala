@@ -179,10 +179,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
-  test("connectedComponents works over string ids (typed old-label carry)") {
+  test("connectedComponents convergence tiers: round-one exits, no fallback") {
     import graft.dedup.Dedup
-    // the round-8 convergence rewrite carries the previous label through
-    // the round as a typed null-able column — pin the non-long id path
+    // tier 1 (free unsettled count): a min-star graph — every node adjacent
+    // to its component min — is correct at the SEED, and round one must
+    // observe that without the post-jump probe ever being needed
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (9L, 10L)).toDF("id_a", "id_b")
+    val (sLabels, sRounds, sConv) = Dedup.connectedComponentsWithStats(star)
+    assert(sConv && sRounds == 1, s"star graph: rounds=$sRounds conv=$sConv")
+    assert(sLabels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 10L -> 9L))
+    // tier 2 (gated bichromatic probe): on a diameter-2 path a-b-c the
+    // POINTER JUMP completes convergence mid-round-one; the pre-round-10
+    // changed-row test needed a second full round to observe it, the
+    // post-jump probe must not
+    val path3 = Seq((5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val (pLabels, pRounds, pConv) = Dedup.connectedComponentsWithStats(path3)
+    assert(pConv && pRounds == 1, s"3-path: rounds=$pRounds conv=$pConv")
+    assert(pLabels.as[(Long, Long)].collect().toMap ==
+      Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents works over string ids") {
+    import graft.dedup.Dedup
+    // labels must stay in the id's own type end-to-end (seed least/min,
+    // probe comparisons) — pin the non-long id path
     val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(pairs)
       .as[(String, String)].collect().toMap
