@@ -510,6 +510,23 @@ private[graft] object ScanStreamQueries {
         .orderBy("float_id", "profile_id", "level")
     },
 
+    // ---- S2 enhanced-model netCDF-4 (nested groups): floats 112/113 keep
+    // coordinates in the root group and the measurements in an `obs`
+    // SUBGROUP — the reader walks the group tree (path-prefixed names,
+    // cycle/diamond triage, depth cap) and alias-resolves by basename, so
+    // the decode must match the SAME s7 closed form as every flat twin.
+    // Both naming arms ride along: 112 uppercase + _FillValue, 113
+    // lowercase + missing_value ("hours since" units, no zone → no shift).
+    "s13_hdf5_groups" -> { (s, dir) =>
+      val ncDir = "/tmp/graft_s13_hdf5_groups_v1"
+      materializeOnce(ncDir)(NetCdfFixture.writeHdf5GroupFleet(_))
+      NetCdf.read(s, ncDir)
+        .select(col("float_id"), col("profile_id"), col("level"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("lat"), col("lon"), col("pres"), col("temp"), col("psal"))
+        .orderBy("float_id", "profile_id", "level")
+    },
+
     // ---- pivot: EAV long → wide (the reference's T4 pivot-back as a real
     // ---- pivot operator; embed.py:305-361) ---------------------------------
     "u3_pivot_back" -> { (s, dir) =>

@@ -995,10 +995,21 @@ object Hdf5 {
     */
   private val PhonyDimPrefix = "This is a netCDF dimension"
 
+  /** netCDF-4's group tree is shallow in practice (the classic model is
+    * flat; enhanced-model products nest one or two levels) — a crafted
+    * container with a deeper chain triages rather than recursing its way
+    * to a stack overflow.
+    */
+  private val MaxGroupDepth = 8
+
   /** Parse an HDF5-backed NetCDF-4 container into the SAME [[ParsedFile]]
     * model as the classic CDF parser, so tabularization/inspection are
-    * shared. Only the root group is read (the netCDF classic data model);
-    * nested groups quarantine as `unsupported-hdf5`.
+    * shared. The full group TREE is read (enhanced netCDF-4 model):
+    * subgroup members surface with path-prefixed names (`grp/var`), and
+    * alias resolution matches on the path basename, so a measurements
+    * subgroup tabularizes exactly like its root-group twin. Group graphs
+    * that are not trees (hard-link diamonds/cycles — valid HDF5, never
+    * netCDF-4) triage as `unsupported-hdf5`.
     */
   def parseToNetCdf(bytes: Array[Byte]): ParsedFile = try {
     if (!isHdf5(bytes)) fail("missing HDF5 signature")
@@ -1035,27 +1046,57 @@ object Hdf5 {
     }
 
     val gh = new GlobalHeap(bytes)
-    val rootMsgs = readObjectHeader(bytes, rootAddr)
     val globalAttrs = Map.newBuilder[String, Any]
-    var links = Vector.empty[(String, Long)]
-    rootMsgs.foreach { m =>
-      m.tpe match {
-        case 0x0011 => // symbol table
-          val sc = new Cur(bytes, m.off)
-          val btree = sc.u64(); val heap = sc.u64()
-          links ++= readSymbolTableLinks(bytes, btree, heap)
-        case 0x0006 => links :+= readLinkMessage(bytes, m)
-        case 0x0002 => links ++= readDenseLinks(bytes, m)
-        case 0x000C =>
-          readAttribute(bytes, m, gh).foreach(globalAttrs += _)
-        case 0x0015 =>
-          readDenseAttributes(bytes, m, gh, "/").foreach(globalAttrs += _)
-        case _ => ()
+    val dsLinks = Vector.newBuilder[(String, Long)]
+    val visited = collection.mutable.Set.empty[Long]
+    var nLinks = 0
+    // Group membership is decided by the child header's own messages: a
+    // group carries link storage (0x0011 old-style; 0x0002/0x0006/0x000A
+    // new-style), a dataset never does. Re-visiting an object header means
+    // the group graph is not a tree (hard-link diamond or cycle — valid
+    // HDF5, never netCDF-4): triage, don't loop. Subgroup attributes land
+    // in globalAttrs under their `grp/` prefix so inspection stays
+    // lossless; root attrs keep their bare names.
+    def walkGroup(addr: Long, prefix: String, depth: Int): Unit = {
+      if (depth > MaxGroupDepth)
+        unsupported(s"group nesting deeper than $MaxGroupDepth at '$prefix'")
+      if (!visited.add(addr))
+        unsupported(s"group graph re-visits object $addr at '$prefix' " +
+          "(hard-link diamond or cycle)")
+      val msgs = readObjectHeader(bytes, addr)
+      var links = Vector.empty[(String, Long)]
+      msgs.foreach { m =>
+        m.tpe match {
+          case 0x0011 => // symbol table
+            val sc = new Cur(bytes, m.off)
+            val btree = sc.u64(); val heap = sc.u64()
+            links ++= readSymbolTableLinks(bytes, btree, heap)
+          case 0x0006 => links :+= readLinkMessage(bytes, m)
+          case 0x0002 => links ++= readDenseLinks(bytes, m)
+          case 0x000C =>
+            readAttribute(bytes, m, gh).foreach { case (k, v) =>
+              globalAttrs += (prefix + k) -> v
+            }
+          case 0x0015 =>
+            readDenseAttributes(bytes, m, gh, if (prefix.isEmpty) "/" else prefix)
+              .foreach { case (k, v) => globalAttrs += (prefix + k) -> v }
+          case _ => ()
+        }
+      }
+      nLinks += links.size
+      if (nLinks > 4096) fail(s"link count $nLinks")
+      links.foreach { case (name, laddr) =>
+        val childMsgs = readObjectHeader(bytes, laddr)
+        val isGroup = childMsgs.exists(m =>
+          m.tpe == 0x0011 || m.tpe == 0x0002 || m.tpe == 0x0006 || m.tpe == 0x000A)
+        if (isGroup) walkGroup(laddr, s"$prefix$name/", depth + 1)
+        else dsLinks += ((prefix + name, laddr))
       }
     }
-    if (links.size > 4096) fail(s"link count ${links.size}")
+    walkGroup(rootAddr, "", 0)
 
-    val datasets = links.map { case (name, addr) => readDataset(bytes, name, addr, gh) }
+    val datasets = dsLinks.result()
+      .map { case (name, addr) => readDataset(bytes, name, addr, gh) }
     val byAddr = datasets.map(d => d.addr -> d).toMap
 
     def isScale(d: RawDataset) = d.attrs.get("CLASS").contains("DIMENSION_SCALE")
@@ -1219,7 +1260,17 @@ object Hdf5 {
       // adversarial: DECLARE these dataspace dims for a var while writing its
       // real (small) data — the crafted-dims shape whose product arithmetic
       // the reader must refuse rather than wrap (Hdf5Spec overflow test)
-      declaredDims: Map[String, Seq[Long]] = Map.empty)
+      declaredDims: Map[String, Seq[Long]] = Map.empty,
+      // enhanced-model netCDF-4: move these vars out of the root group into
+      // named SUBGROUPS (group name -> member var names); the reader must
+      // surface them as `grp/var` and tabularize by basename alias
+      subgroups: Map[String, Seq[String]] = Map.empty,
+      // adversarial twins for the group walk: a hard link back to the root
+      // inside the named subgroup (valid HDF5, not a tree — must triage,
+      // never loop), and a chain of N empty nested groups off the root
+      // (exercises/overruns the depth cap)
+      groupCycleIn: Option[String] = None,
+      nestChain: Int = 0)
 
   /** HDF5's Fletcher-32: big-endian 16-bit words (odd tail high-byte
     * padded), sums reduced mod 65535, checksum = s2<<16 | s1, stored
@@ -1250,6 +1301,20 @@ object Hdf5 {
     require(dims.map(_.name).distinct.size == dims.size, "duplicate dim names")
     require((dimNames ++ vars.map(_.name)).distinct.size == dims.size + vars.size,
       "dim/var name collision (netCDF-4 coordinate vars not modeled here)")
+    val groupMembers = opts.subgroups.values.flatten.toSeq
+    require(groupMembers.distinct.size == groupMembers.size, "var in two subgroups")
+    require(groupMembers.forall(m => vars.exists(_.name == m)),
+      "subgroup member is not a declared var")
+    require(opts.subgroups.keys.forall(g =>
+      !dimNames.contains(g) && !vars.exists(_.name == g)), "group/var name collision")
+    val grouped: Set[String] = groupMembers.toSet
+    val groupNames = opts.subgroups.keys.toSeq.sorted
+    // root-listing link target: subgroup links point at the group header;
+    // the adversarial nest chain hangs off a root link named "deep"
+    def hdrBlock(nm: String): String =
+      if (opts.subgroups.contains(nm)) s"grpHdr:$nm"
+      else if (nm == "deep" && opts.nestChain > 0) "nestHdr:0"
+      else s"hdr:$nm"
 
     // data element bytes, little-endian, per var
     def elemSize(v: NcVar): Int = NetCdf.typeSize(v.ncType)
@@ -1435,7 +1500,23 @@ object Hdf5 {
     val sizes = collection.mutable.Map.empty[String, Int]
     def builtSize(name: String): Int = sizes.getOrElse(name, 0)
 
-    val allNames = (dimNames ++ vars.map(_.name)).sorted
+    // root-group listing: dims + ungrouped vars + subgroup names (+ the
+    // adversarial nest-chain entry); grouped vars are listed by THEIR group
+    val allNames = (dimNames ++ vars.map(_.name).filterNot(grouped) ++
+      groupNames ++ (if (opts.nestChain > 0) Seq("deep") else Nil)).sorted
+
+    /** One hard-link message (0x0006): `nm` -> resolved object header. */
+    def linkMsgBytes(nm: String, target: Long): Array[Byte] = {
+      val w = new W
+      val nb = nm.getBytes("UTF-8")
+      w.u8(1); w.u8(0) // version, flags: 1-byte name length, hard link
+      w.u8(nb.length)
+      w.bytes(nb)
+      w.u64(target)
+      w.result()
+    }
+    val emptyLinkInfo = { val w = new W; w.u8(0); w.u8(0); w.u64(UNDEF); w.u64(UNDEF); w.result() }
+    val groupInfoMsg = { val w = new W; w.u8(1); w.u8(0); w.result() }
     val chunkedOfGated: NcVar => Option[Int] =
       v => opts.chunkBy.get(v.name).orElse(
         // unlimited-dim vars MUST be chunked in HDF5
@@ -1818,6 +1899,30 @@ object Hdf5 {
       }
     }
 
+    // -- subgroup headers (enhanced netCDF-4 model): new-style compact link
+    // storage — link-info with UNDEF heaps, group-info, one link message
+    // per member — the shape libhdf5 writes for small groups
+    groupNames.foreach { g =>
+      block(s"grpHdr:$g") { resolve =>
+        val linkMsgs =
+          opts.subgroups(g).sorted
+            .map(nm => 0x0006 -> linkMsgBytes(nm, resolve(s"hdr:$nm"))) ++
+          (if (opts.groupCycleIn.contains(g))
+            Seq(0x0006 -> linkMsgBytes("loop", resolve("rootHdr"))) else Nil)
+        v1Header(Seq(0x0002 -> emptyLinkInfo, 0x000A -> groupInfoMsg) ++ linkMsgs)
+      }
+    }
+    // -- adversarial nest chain: N empty groups, each linking the next
+    (0 until opts.nestChain).foreach { i =>
+      block(s"nestHdr:$i") { resolve =>
+        val next =
+          if (i + 1 < opts.nestChain)
+            Seq(0x0006 -> linkMsgBytes("g", resolve(s"nestHdr:${i + 1}")))
+          else Nil
+        v1Header(Seq(0x0002 -> emptyLinkInfo, 0x000A -> groupInfoMsg) ++ next)
+      }
+    }
+
     // -- root group
     if (opts.denseLinks) {
       // DENSE link storage: the root's links live as link messages in a
@@ -1827,15 +1932,7 @@ object Hdf5 {
       // groups track creation order (new-style) and go dense past 8 links
       val DbHdr = 4 + 1 + 8 + 4 // FHDB sig + version + back-ptr + offset(4B)
       def linkBlobs(resolve: String => Long): Seq[(String, Array[Byte])] =
-        allNames.map { nm =>
-          val w = new W
-          val nb = nm.getBytes("UTF-8")
-          w.u8(1); w.u8(0) // version, flags: 1-byte name length, hard link
-          w.u8(nb.length)
-          w.bytes(nb)
-          w.u64(resolve(s"hdr:$nm"))
-          nm -> w.result()
-        }
+        allNames.map(nm => nm -> linkMsgBytes(nm, resolve(hdrBlock(nm))))
       def rootBlockSize(resolve: String => Long): Long = {
         val need = DbHdr + linkBlobs(resolve).map(_._2.length).sum
         var s = 512L; while (s < need) s <<= 1
@@ -2001,7 +2098,7 @@ object Hdf5 {
         w.u16(allNames.length)
         allNames.foreach { nm =>
           w.u64(heapOffsets(nm))
-          w.u64(resolve(s"hdr:$nm"))
+          w.u64(resolve(hdrBlock(nm)))
           w.u32(0L); w.u32(0L)
           (0 until 16).foreach(_ => w.u8(0))
         }
@@ -2034,15 +2131,8 @@ object Hdf5 {
       block("rootHdr") { resolve =>
         val linkInfo = { val w = new W; w.u8(0); w.u8(0); w.u64(UNDEF); w.u64(UNDEF); w.result() }
         val groupInfo = { val w = new W; w.u8(1); w.u8(0); w.result() }
-        val linkMsgs = allNames.map { nm =>
-          val w = new W
-          val nb = nm.getBytes("UTF-8")
-          w.u8(1); w.u8(0) // version, flags: 1-byte name length, hard link
-          w.u8(nb.length)
-          w.bytes(nb)
-          w.u64(resolve(s"hdr:$nm"))
-          0x0006 -> w.result()
-        }
+        val linkMsgs =
+          allNames.map(nm => 0x0006 -> linkMsgBytes(nm, resolve(hdrBlock(nm))))
         v2Header(Seq(0x0002 -> linkInfo, 0x000A -> groupInfo) ++ linkMsgs ++
           globalAttrs.map { case (an, av) =>
             av match {

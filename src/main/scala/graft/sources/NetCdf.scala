@@ -586,10 +586,18 @@ object NetCdf {
     "temperature" -> Seq("temp", "temperature", "temp_adjusted"),
     "salinity" -> Seq("psal", "salinity", "psal_adjusted"))
 
+  /** Alias matching is on the PATH BASENAME: netCDF-4 enhanced-model files
+    * surface subgroup members as `grp/var` (Hdf5.parseToNetCdf), and the
+    * reference opens the group whose members carry the Argo names — so
+    * `obs/PRES` must resolve exactly like a root-group `PRES`. Ties (the
+    * same basename in two groups — not an Argo shape) go to the first
+    * match in depth-first link order, deterministically.
+    */
   private def resolve(f: ParsedFile, field: String): Option[ParsedVar] = {
     val names = aliases(field)
+    def base(n: String): String = n.substring(n.lastIndexOf('/') + 1)
     names.iterator
-      .flatMap(a => f.vars.find(_.name.equalsIgnoreCase(a)))
+      .flatMap(a => f.vars.find(v => base(v.name).equalsIgnoreCase(a)))
       .nextOption()
   }
 

@@ -316,6 +316,38 @@ object NetCdfFixture {
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 
+  /** Serialize float `f` as an ENHANCED-model netCDF-4 container: the
+    * measurement vars (pres/temp/psal) live in an `obs` SUBGROUP while the
+    * coordinates and dimension scales stay in the root — the split shape
+    * group-organized oceanographic products ship. Same closed form as
+    * every other fleet; the group topology is the only variable under
+    * test. The reader surfaces members as `obs/PRES` and alias-resolves by
+    * basename, so tabularization is identical to the flat twin.
+    */
+  def hdf5GroupFileBytes(f: Int): Array[Byte] = {
+    val (dims, gatts, vars) = fleetVars(f, charPlatform = false, zone = "")
+    val meas = vars.map(_.name)
+      .filter(n => Set("pres", "temp", "psal").contains(n.toLowerCase))
+    Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(subgroups = Map("obs" -> meas)))
+  }
+
+  /** The `s13_hdf5_groups` fleet: float 112 (uppercase names, `_FillValue`,
+    * "days since" units) and float 113 (lowercase alternates,
+    * `missing_value`, "hours since" units), both with the measurements in
+    * an `obs` subgroup — the fill/alias machinery must work THROUGH the
+    * group prefix on both naming arms.
+    */
+  def writeHdf5GroupFleet(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("hdf5_float_112.nc"),
+      hdf5GroupFileBytes(12))
+    java.nio.file.Files.write(p.resolve("hdf5_float_113.nc"),
+      hdf5GroupFileBytes(13))
+    java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** A VALID-but-beyond-subset HDF5 container: declares the szip filter
     * (publicly registered id 4, not implementable with the JDK alone) on
     * its data — must triage as `unsupported-hdf5`, not `corrupt`.

@@ -55,6 +55,39 @@ class Hdf5Spec extends AnyFunSuite {
     assert(NetCdf.tabularize(NetCdf.parse(h5)) === NetCdf.tabularize(NetCdf.parse(cdf)))
   }
 
+  test("nested groups: members surface as obs/VAR and tabularize like the flat twin") {
+    val parsed = NetCdf.parse(NetCdfFixture.hdf5GroupFileBytes(12))
+    assert(parsed.vars.map(_.name).toSet ===
+      Set("PLATFORM_NUMBER", "CYCLE_NUMBER", "JULD", "LATITUDE", "LONGITUDE",
+        "obs/PRES", "obs/TEMP", "obs/PSAL"))
+    assert(NetCdf.tabularize(parsed) ===
+      NetCdf.tabularize(NetCdf.parse(cdfTwin(12, "", charPlatform = false))))
+    // lowercase arm: missing_value + "hours since" resolve through the prefix
+    assert(NetCdf.tabularize(NetCdf.parse(NetCdfFixture.hdf5GroupFileBytes(13))) ===
+      NetCdf.tabularize(NetCdf.parse(cdfTwin(13, "", charPlatform = false))))
+  }
+
+  test("group hard-link cycle triages as unsupported-hdf5, never loops") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(12, charPlatform = false, zone = "")
+    val bytes = Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
+      subgroups = Map("obs" -> Seq("PRES", "TEMP", "PSAL")),
+      groupCycleIn = Some("obs")))
+    val e = intercept[NetCdfParseException](NetCdf.parse(bytes))
+    assert(e.kind === "unsupported-hdf5")
+    assert(e.getMessage.contains("re-visits"))
+  }
+
+  test("group nesting depth: the cap parses, one past it triages") {
+    def chained(n: Int): Array[Byte] = {
+      val (dims, gatts, vars) = NetCdfFixture.fleetVars(12, charPlatform = false, zone = "")
+      Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(nestChain = n))
+    }
+    assert(NetCdf.tabularize(NetCdf.parse(chained(8))).nonEmpty)
+    val e = intercept[NetCdfParseException](NetCdf.parse(chained(9)))
+    assert(e.kind === "unsupported-hdf5")
+    assert(e.getMessage.contains("nesting"))
+  }
+
   test("dims carry _Netcdf4Dimid order and global attrs survive") {
     val parsed = NetCdf.parse(NetCdfFixture.hdf5FileBytes(8))
     assert(parsed.dims === Seq(NcDim("N_PROF", 6), NcDim("N_LEVELS", 5), NcDim("STRING8", 8)))
@@ -99,7 +132,8 @@ class Hdf5Spec extends AnyFunSuite {
         denseAttrs = fVars.map(_.name).toSet)),
       Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
         denseLinks = true, denseIndirectLinks = true,
-        denseAttrs = Set("PRES", "TEMP"))))
+        denseAttrs = Set("PRES", "TEMP"))),
+      NetCdfFixture.hdf5GroupFileBytes(12))
     def check(bytes: Array[Byte], tag: String): Unit =
       try { NetCdf.parse(bytes); () }
       catch {

@@ -245,7 +245,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "j12_point_in_time" -> 5, "w9_wow_change" -> 3,
       "gr2_triangle_count" -> 6, "s7_netcdf_decode" -> 1,
       "s8_netcdf_inspect" -> 1, "s11_netcdf_cdf5" -> 1,
-      "s12_netcdf_hdf5" -> 1, "mm7_video_frames" -> 2)
+      "s12_netcdf_hdf5" -> 1, "s13_hdf5_groups" -> 1,
+      "mm7_video_frames" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
