@@ -57,12 +57,13 @@ object Rehearse {
     "dd9_dup_groups" -> 30.0,
     "dd16_canonical_pick" -> 35.0,
     "tp1_token_packing" -> 8.0,
-    // dc2's honest sf10 band on this box is 21-30 s with in-sequence
-    // spikes to ~42 (three r10 runs: 22.0, 42.0, 25.0; SpotBench one-shot
-    // 30.5, repeat 21.2) — the old 35 s ceiling false-alarmed on wobble.
-    // 60 s still catches the blowup this gate exists for by an order of
-    // magnitude (a quadratic pair explosion at sf10 runs minutes+).
-    "dc2_neardup_decontam" -> 60.0,
+    // post-rep-tier (the dd8 exact-dedup recipe applied per side): dc2's
+    // sf10 one-shot is ~15 s even on a loaded box — the pre-fix shape ran
+    // 94-240 s here because clone cliques made pair expansion quadratic in
+    // the copy count (adjudicated by an interleaved HEAD-vs-r10-capture
+    // A/B: no commit regression, the old "21-42 s band" was light-load
+    // wobble over that inherently quadratic compute; BENCH_NOTES r10).
+    "dc2_neardup_decontam" -> 30.0,
     "e8_ivf_recall" -> 5.0)
 
   def main(args: Array[String]): Unit = {

@@ -246,7 +246,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "gr2_triangle_count" -> 6, "s7_netcdf_decode" -> 1,
       "s8_netcdf_inspect" -> 1, "s11_netcdf_cdf5" -> 1,
       "s12_netcdf_hdf5" -> 1, "s13_hdf5_groups" -> 1,
-      "mm7_video_frames" -> 2)
+      "mm7_video_frames" -> 2,
+      // +2 over the pre-rep-tier shape: the (digest, side) agg and the
+      // clone fan-out join — both ~40 B/row — bought off the clone-clique
+      // quadratic pair expansion the sf10 gate caught
+      "dc2_neardup_decontam" -> 10)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
