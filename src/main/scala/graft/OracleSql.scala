@@ -694,14 +694,15 @@ private[graft] object OracleSql {
                      ELSE CAST(34 + (l % 4) * 0.25 + ((f+p) % 3) * 0.125 AS DOUBLE) END AS psal
          FROM g ORDER BY float_id, profile_id, level""",
     // s13: the nested-group netCDF-4 decode — same closed form as s7/s12
-    // for floats 12/13 (ids 112/113); both epochs are zone-free so no
+    // for floats 12-14 (ids 112-114); all epochs are zone-free so no
     // shift applies. Identical rows prove the group walk + basename alias
     // resolution carry _FillValue/missing_value/units through the `obs/`
-    // prefix on both naming arms.
+    // prefix on both naming arms, and that float 114's NC_STRING (vlen)
+    // platform ids decode through the global heap.
     "s13_hdf5_groups" ->
       """WITH g AS (
            SELECT f.f, p.p, l.l
-           FROM (SELECT unnest(generate_series(12,13)) AS f) f,
+           FROM (SELECT unnest(generate_series(12,14)) AS f) f,
                 (SELECT unnest(generate_series(0,5)) AS p) p,
                 (SELECT unnest(generate_series(0,4)) AS l) l)
          SELECT CAST(100 + f AS VARCHAR) AS float_id,

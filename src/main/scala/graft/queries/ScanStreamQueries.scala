@@ -510,15 +510,17 @@ private[graft] object ScanStreamQueries {
         .orderBy("float_id", "profile_id", "level")
     },
 
-    // ---- S2 enhanced-model netCDF-4 (nested groups): floats 112/113 keep
+    // ---- S2 enhanced-model netCDF-4 (nested groups): floats 112-114 keep
     // coordinates in the root group and the measurements in an `obs`
     // SUBGROUP — the reader walks the group tree (path-prefixed names,
     // cycle/diamond triage, depth cap) and alias-resolves by basename, so
     // the decode must match the SAME s7 closed form as every flat twin.
     // Both naming arms ride along: 112 uppercase + _FillValue, 113
-    // lowercase + missing_value ("hours since" units, no zone → no shift).
+    // lowercase + missing_value ("hours since" units, no zone → no shift);
+    // 114 stores platform ids as NC_STRING (vlen) — netCDF4-python's
+    // string-variable encoding — resolved through the global heap.
     "s13_hdf5_groups" -> { (s, dir) =>
-      val ncDir = "/tmp/graft_s13_hdf5_groups_v1"
+      val ncDir = "/tmp/graft_s13_hdf5_groups_v2" // v2: + vlen-str float 114
       materializeOnce(ncDir)(NetCdfFixture.writeHdf5GroupFleet(_))
       NetCdf.read(s, ncDir)
         .select(col("float_id"), col("profile_id"), col("level"),

@@ -12,22 +12,28 @@ import NetCdf.{NcDim, NcVal, NcStr, NcFloats, NcDoubles, NcInts, NcLongs, NcChar
   * increasingly ship HDF5-backed `.nc`, so a `\x89HDF` upload must DECODE,
   * not merely triage as `unsupported-hdf5`.
   *
-  * Scope (read-only, the netCDF-4 classic data model):
+  * Scope (read-only, classic AND enhanced netCDF-4 data models):
   *   - superblock v0 (symbol-table root group) and v2/v3 (link messages);
   *   - object headers v1 and v2, with continuation blocks;
+  *   - the group TREE (subgroup members surface as `grp/var`; compact,
+  *     symbol-table, and dense link storage alike);
   *   - datatypes: fixed-point (1/2/4/8 B, signed/unsigned, LE/BE), IEEE
   *     float (4/8 B, LE/BE), fixed strings (NC_CHAR), object references
-  *     and vlen sequences (for DIMENSION_LIST), vlen strings (attrs);
+  *     and vlen sequences (for DIMENSION_LIST), vlen strings — both
+  *     attributes and NC_STRING datasets (normalized to the char-matrix
+  *     shape the classic path tabularizes);
   *   - data layouts: compact, contiguous, and chunked v3 with the B-tree
   *     v1 chunk index; filters deflate (1), shuffle (2), fletcher32 (3);
+  *   - dense (fractal-heap) attribute and link storage, direct- and
+  *     indirect-rooted unfiltered heaps;
   *   - dimension scales: CLASS/NAME/DIMENSION_LIST/_Netcdf4Dimid per the
   *     netCDF-4 HDF5 convention, mapped onto the SAME [[NetCdf.ParsedFile]]
   *     model so alias resolution, fill-value nulling, epoch time decode,
   *     and (profile x level) tabularization are shared verbatim with the
   *     classic CDF path.
   *
-  * Beyond-subset features (dense/fractal-heap links, compound types,
-  * layout v1/2/4, unknown filters, nested groups) throw
+  * Beyond-subset features (compound types, layout v1/2/4, unknown filters,
+  * filtered/huge-object heaps, non-tree group graphs) throw
   * [[NetCdfParseException]] with kind `unsupported-hdf5` — a VALID file the
   * operator should convert; malformed bytes throw kind `corrupt`. Parsing
   * is allocation-bounded against the file length, like the CDF parser: a
@@ -680,7 +686,8 @@ object Hdf5 {
       fail(s"dataset '$name' missing dataspace/datatype/layout")
     dtype match {
       case Opaque(cls, _) => unsupported(s"dataset '$name' datatype class $cls")
-      case _: VlenSeq | _: VlenStr => unsupported(s"dataset '$name' vlen data")
+      case _: VlenSeq => unsupported(s"dataset '$name' vlen data")
+      case _: VlenStr => () // NC_STRING variable: descriptors resolve below
       case _ => ()
     }
     val esz = dtype.size
@@ -718,7 +725,39 @@ object Hdf5 {
         readChunked(bytes, baddr, space.dims.toArray, cdims, esz, filters, fill, nBytes)
       case other => unsupported(s"data layout class $other")
     }
-    RawDataset(name, addr, space, dtype, attrs.result(), dimRefs, data)
+    // NC_STRING (vlen-string) variables: `data` is n 16-byte {len, gheap
+    // addr, index} descriptors (the storage layouts and filter pipeline
+    // above applied to descriptor bytes). Resolve each through the global
+    // heap and normalize to the fixed-width null-padded char matrix the
+    // classic NC_CHAR path already tabularizes — downstream sees an
+    // ordinary (dims..., STRING<w>) char variable.
+    val (outDtype, outData) = dtype match {
+      case _: VlenStr =>
+        val dc = new Cur(data, 0)
+        val strs = Array.tabulate(n.toInt) { _ =>
+          val cnt = dc.u32(); val ga = dc.u64(); val gi = dc.u32()
+          if (cnt < 0 || cnt > bytes.length)
+            fail(s"vlen string length $cnt on '$name'")
+          if (ga == UNDEF || (ga == 0L && gi == 0L))
+            Array.emptyByteArray // unwritten element (null string)
+          else {
+            val o = gh(ga, gi.toInt)
+            if (o.length < cnt) fail(s"vlen string payload short on '$name'")
+            java.util.Arrays.copyOf(o, cnt.toInt)
+          }
+        }
+        val w = strs.foldLeft(1)((m, s) => m.max(s.length))
+        val wBytes = byteSizeExact(n, w, s"vlen dataset '$name'")
+        if (wBytes > Int.MaxValue || wBytes > bytes.length.toLong * 64)
+          unsupported(s"vlen dataset '$name' expands to $wBytes B")
+        val padded = new Array[Byte](wBytes.toInt)
+        strs.zipWithIndex.foreach { case (sb, i) =>
+          System.arraycopy(sb, 0, padded, i * w, sb.length)
+        }
+        (FixedStr(w), padded)
+      case t => (t, data)
+    }
+    RawDataset(name, addr, space, outDtype, attrs.result(), dimRefs, outData)
   }
 
   // ----------------------------------------------- dense attribute storage
@@ -1265,6 +1304,12 @@ object Hdf5 {
       // named SUBGROUPS (group name -> member var names); the reader must
       // surface them as `grp/var` and tabularize by basename alias
       subgroups: Map[String, Seq[String]] = Map.empty,
+      // write these NC_CHAR matrix vars as NC_STRING (vlen-string)
+      // datasets instead: the trailing width dim drops, each row's trimmed
+      // string becomes a global-heap object, and the data block stores
+      // 16-byte {len, heap addr, index} descriptors — netCDF4-python's
+      // default encoding for string variables
+      vlenStrVars: Set[String] = Set.empty,
       // adversarial twins for the group walk: a hard link back to the root
       // inside the named subgroup (valid HDF5, not a tree — must triage,
       // never loop), and a chain of N empty nested groups off the root
@@ -1374,6 +1419,14 @@ object Hdf5 {
       w.bytes(dtObjRef)
       w.result()
     }
+    // class 9 vlen, type 1 = string over char base (16-byte descriptors)
+    def dtVlenStr: Array[Byte] = {
+      val w = new W
+      w.u8(0x19); w.u8(0x01); w.u8(0); w.u8(0)
+      w.u32(16L)
+      w.bytes(dtString(1))
+      w.result()
+    }
     def dtOf(v: NcVar): Array[Byte] = v.ncType match {
       case NetCdf.NC_BYTE => dtFixed(1, signed = true)
       case NetCdf.NC_UBYTE => dtFixed(1, signed = false)
@@ -1404,9 +1457,38 @@ object Hdf5 {
       w.result()
     }
 
+    // NC_STRING (vlen) vars: per-row trimmed strings derived from the
+    // fixture model's char matrix; the trailing width dim drops from the
+    // dataspace/DIMENSION_LIST, each string becomes a global-heap object
+    val vlenStrs: Map[String, IndexedSeq[Array[Byte]]] = vars
+      .filter(v => opts.vlenStrVars(v.name))
+      .map { v =>
+        require(v.ncType == NetCdf.NC_CHAR && v.dimIds.size >= 2,
+          s"vlenStrVars: ${v.name} must be an NC_CHAR matrix")
+        require(!opts.chunkBy.contains(v.name) && !opts.szipVar.contains(v.name) &&
+          !opts.compactVars(v.name) &&
+          !v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name)),
+          s"vlenStrVars: ${v.name} supports the plain contiguous layout only")
+        val w = dims(v.dimIds.last).size
+        val nRows = v.dimIds.dropRight(1).map(dims(_).size).product.max(1)
+        val flat = v.data match {
+          case NcChars(a) => a
+          case other => throw new IllegalArgumentException(s"vlenStrVars: $other")
+        }
+        v.name -> (0 until nRows).map { r =>
+          val slice = java.util.Arrays.copyOfRange(flat, r * w, (r + 1) * w)
+          var e = slice.length
+          while (e > 0 && (slice(e - 1) == ' '.toByte || slice(e - 1) == 0)) e -= 1
+          java.util.Arrays.copyOf(slice, e)
+        }
+      }.toMap
+    def effDimIds(v: NcVar): Seq[Int] =
+      if (vlenStrs.contains(v.name)) v.dimIds.dropRight(1) else v.dimIds
+
     // var dataspace sizes: NC_CHAR vars use (dims..., width) like CDF; the
-    // last dimId IS the width dim for chars, so sizes map 1:1
-    def varSizes(v: NcVar): Seq[Long] = v.dimIds.map(i => dims(i).size.toLong)
+    // last dimId IS the width dim for chars, so sizes map 1:1 (vlen vars
+    // drop the width dim)
+    def varSizes(v: NcVar): Seq[Long] = effDimIds(v).map(i => dims(i).size.toLong)
 
     // ---- attribute message (version 1) encoding
     def attrMsg(name: String, dt: Array[Byte], ds: Array[Byte], value: Array[Byte]): Array[Byte] = {
@@ -1438,7 +1520,7 @@ object Hdf5 {
     // -- global heap: one object per (var, dim) DIMENSION_LIST element,
     // plus (optionally) one object per vlen-string global attribute
     val ghEntries: Seq[(String, Int, String)] = // (var, elementIdx, dim name)
-      vars.flatMap(v => v.dimIds.zipWithIndex.map { case (di, i) => (v.name, i, dims(di).name) })
+      vars.flatMap(v => effDimIds(v).zipWithIndex.map { case (di, i) => (v.name, i, dims(di).name) })
     val ghIndexOf: Map[(String, Int), Int] =
       ghEntries.zipWithIndex.map { case ((vn, i, _), gi) => (vn, i) -> (gi + 1) }.toMap
     val vlenStrAttrs: Seq[(String, String)] =
@@ -1448,6 +1530,14 @@ object Hdf5 {
     val vlenStrIndexOf: Map[String, Int] =
       vlenStrAttrs.zipWithIndex.map { case ((n, _), i) =>
         n -> (ghEntries.size + 1 + i)
+      }.toMap
+    // vlen VARIABLE string objects: heap indices continue after the attrs
+    val vlenVarElems: Seq[(String, Int)] =
+      vars.filter(v => vlenStrs.contains(v.name))
+        .flatMap(v => vlenStrs(v.name).indices.map(i => (v.name, i)))
+    val vlenVarIndexOf: Map[(String, Int), Int] =
+      vlenVarElems.zipWithIndex.map { case (k, i) =>
+        k -> (ghEntries.size + vlenStrAttrs.size + 1 + i)
       }.toMap
     def anyAttr(name: String, v: NcVal): Array[Byte] = v match {
       case NcStr(s) => strAttr(name, s)
@@ -1529,7 +1619,8 @@ object Hdf5 {
       w.u8(1); w.u8(0); w.u16(0)
       def pad8(n: Int): Int = (n + 7) & ~7
       val total = 16L + ghEntries.size * 24L +
-        vlenStrAttrs.map(a => 16L + pad8(a._2.getBytes("UTF-8").length)).sum + 16L
+        vlenStrAttrs.map(a => 16L + pad8(a._2.getBytes("UTF-8").length)).sum +
+        vlenVarElems.map { case (vn, i) => 16L + pad8(vlenStrs(vn)(i).length) }.sum + 16L
       w.u64(total)
       ghEntries.zipWithIndex.foreach { case ((_, _, dimName), gi) =>
         w.u16(gi + 1); w.u16(1); w.u32(0L)
@@ -1539,6 +1630,13 @@ object Hdf5 {
       vlenStrAttrs.foreach { case (n, s) =>
         val data = s.getBytes("UTF-8")
         w.u16(vlenStrIndexOf(n)); w.u16(1); w.u32(0L)
+        w.u64(data.length.toLong)
+        w.bytes(data)
+        (data.length until pad8(data.length)).foreach(_ => w.u8(0))
+      }
+      vlenVarElems.foreach { case (vn, i) =>
+        val data = vlenStrs(vn)(i)
+        w.u16(vlenVarIndexOf((vn, i))); w.u16(1); w.u32(0L)
         w.u64(data.length.toLong)
         w.bytes(data)
         (data.length until pad8(data.length)).foreach(_ => w.u8(0))
@@ -1631,7 +1729,8 @@ object Hdf5 {
     // variable datasets
     vars.foreach { v =>
       val sizes = varSizes(v)
-      val esz = elemSize(v)
+      val isVlen = vlenStrs.contains(v.name)
+      val esz = if (isVlen) 16 else elemSize(v)
       val n = sizes.product.max(1L)
       val chunk = chunkedOfGated(v)
       val isSzip = opts.szipVar.contains(v.name)
@@ -1645,7 +1744,7 @@ object Hdf5 {
       def attrBlobs(resolve: String => Long): Seq[(String, Array[Byte])] = {
         val dimListValue = {
           val w = new W
-          v.dimIds.zipWithIndex.foreach { case (_, i) =>
+          effDimIds(v).zipWithIndex.foreach { case (_, i) =>
             w.u32(1L) // one scale per dimension
             w.u64(resolve("gheap"))
             w.u32(ghIndexOf((v.name, i)).toLong)
@@ -1653,7 +1752,7 @@ object Hdf5 {
           w.result()
         }
         ("DIMENSION_LIST" -> attrMsg("DIMENSION_LIST", dtVlenOfObjRef,
-          dsSimple(Seq(v.dimIds.length.toLong), unlimitedFirst = false), dimListValue)) +:
+          dsSimple(Seq(effDimIds(v).length.toLong), unlimitedFirst = false), dimListValue)) +:
           v.attrs.map { case (an, av) => an -> anyAttr(an, av) }
       }
       block(s"hdr:${v.name}") { resolve =>
@@ -1661,7 +1760,7 @@ object Hdf5 {
         val base = Seq(
           0x0001 -> dsSimple(
             opts.declaredDims.getOrElse(v.name, sizes), unlimitedFirst),
-          0x0003 -> dtOf(v))
+          0x0003 -> (if (isVlen) dtVlenStr else dtOf(v)))
         val layoutMsgs = chunk match {
           case Some(rows) if !isSzip =>
             val cdims = rows +: sizes.drop(1).map(_.toInt)
@@ -1891,6 +1990,17 @@ object Hdf5 {
             w.u64(resolve(s"chunk:${v.name}:0"))
             w.u32(0L); w.u32(0L)
             sizes.foreach(w.u64); w.u64(esz.toLong)
+            w.result()
+          }
+        case _ if isVlen =>
+          // NC_STRING data: one 16-byte descriptor per element into gheap
+          block(s"data:${v.name}") { resolve =>
+            val w = new W
+            vlenStrs(v.name).zipWithIndex.foreach { case (sb, i) =>
+              w.u32(sb.length.toLong)
+              w.u64(resolve("gheap"))
+              w.u32(vlenVarIndexOf((v.name, i)).toLong)
+            }
             w.result()
           }
         case _ =>

@@ -324,19 +324,24 @@ object NetCdfFixture {
     * test. The reader surfaces members as `obs/PRES` and alias-resolves by
     * basename, so tabularization is identical to the flat twin.
     */
-  def hdf5GroupFileBytes(f: Int): Array[Byte] = {
-    val (dims, gatts, vars) = fleetVars(f, charPlatform = false, zone = "")
+  def hdf5GroupFileBytes(f: Int, vlenPlatform: Boolean = false): Array[Byte] = {
+    val (dims, gatts, vars) = fleetVars(f, charPlatform = vlenPlatform, zone = "")
     val meas = vars.map(_.name)
       .filter(n => Set("pres", "temp", "psal").contains(n.toLowerCase))
-    Hdf5.writeBytes(dims, gatts, vars,
-      Hdf5.H5Opts(subgroups = Map("obs" -> meas)))
+    Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
+      subgroups = Map("obs" -> meas),
+      // netCDF4-python's default string-variable encoding: NC_STRING
+      // (vlen) platform ids, resolved through the global heap
+      vlenStrVars = if (vlenPlatform) Set("PLATFORM_NUMBER") else Set.empty))
   }
 
   /** The `s13_hdf5_groups` fleet: float 112 (uppercase names, `_FillValue`,
-    * "days since" units) and float 113 (lowercase alternates,
-    * `missing_value`, "hours since" units), both with the measurements in
-    * an `obs` subgroup — the fill/alias machinery must work THROUGH the
-    * group prefix on both naming arms.
+    * "days since" units), float 113 (lowercase alternates,
+    * `missing_value`, "hours since" units), and float 114 (NC_STRING vlen
+    * platform ids — netCDF4-python's string-variable encoding), all with
+    * the measurements in an `obs` subgroup — the fill/alias machinery must
+    * work THROUGH the group prefix on both naming arms, and the string
+    * decode through the global heap.
     */
   def writeHdf5GroupFleet(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -345,6 +350,8 @@ object NetCdfFixture {
       hdf5GroupFileBytes(12))
     java.nio.file.Files.write(p.resolve("hdf5_float_113.nc"),
       hdf5GroupFileBytes(13))
+    java.nio.file.Files.write(p.resolve("hdf5_float_114.nc"),
+      hdf5GroupFileBytes(14, vlenPlatform = true))
     java.nio.file.Files.write(p.resolve("_SUCCESS"), Array.emptyByteArray)
   }
 

@@ -67,6 +67,18 @@ class Hdf5Spec extends AnyFunSuite {
       NetCdf.tabularize(NetCdf.parse(cdfTwin(13, "", charPlatform = false))))
   }
 
+  test("NC_STRING (vlen) platform ids decode and tabularize like the char-matrix twin") {
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(14, charPlatform = true, zone = "")
+    val h5 = Hdf5.writeBytes(dims, gatts, vars,
+      Hdf5.H5Opts(vlenStrVars = Set("PLATFORM_NUMBER")))
+    val rows = NetCdf.tabularize(NetCdf.parse(h5))
+    assert(rows.nonEmpty && rows.forall(_.float_id == "114"))
+    assert(rows === NetCdf.tabularize(NetCdf.parse(cdfTwin(14, "", charPlatform = true))))
+    // combined with subgroups (the s13 float-114 shape)
+    val grouped = NetCdf.parse(NetCdfFixture.hdf5GroupFileBytes(14, vlenPlatform = true))
+    assert(NetCdf.tabularize(grouped) === rows)
+  }
+
   test("group hard-link cycle triages as unsupported-hdf5, never loops") {
     val (dims, gatts, vars) = NetCdfFixture.fleetVars(12, charPlatform = false, zone = "")
     val bytes = Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
@@ -133,7 +145,8 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.writeBytes(fDims, fGatts, fVars, Hdf5.H5Opts(
         denseLinks = true, denseIndirectLinks = true,
         denseAttrs = Set("PRES", "TEMP"))),
-      NetCdfFixture.hdf5GroupFileBytes(12))
+      NetCdfFixture.hdf5GroupFileBytes(12),
+      NetCdfFixture.hdf5GroupFileBytes(14, vlenPlatform = true))
     def check(bytes: Array[Byte], tag: String): Unit =
       try { NetCdf.parse(bytes); () }
       catch {
