@@ -179,6 +179,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("connectedComponents stars tier: iteration-cap overrun attributes to the fallback") {
+    import graft.dedup.Dedup
+    // an 8-node chain under maxIter=1: one propagate+jump round cannot
+    // settle diameter 7 (the probe runs — 8 unsettled <= the gate — and
+    // correctly finds bichromatic edges), so the stars fallback must
+    // produce the labels and the stats must attribute them to it
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds, conv) = Dedup.connectedComponentsWithStats(chain, maxIter = 1)
+    assert(!conv && rounds == 1, s"chain: rounds=$rounds conv=$conv")
+    assert(labels.as[(Long, Long)].collect().toMap == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
   test("connectedComponents convergence tiers: round-one exits, no fallback") {
     import graft.dedup.Dedup
     // tier 1 (free unsettled count): a min-star graph — every node adjacent
