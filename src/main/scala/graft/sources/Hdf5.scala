@@ -437,9 +437,17 @@ object Hdf5 {
 
   // ------------------------------------------------------------- datasets
 
+  /** `vlenNormalized`: the dtype/data came from an NC_STRING (vlen)
+    * dataset re-shaped to a fixed-width char matrix — its width dim is
+    * SYNTHETIC and must be appended even at width 1, where a real
+    * FixedStr(1) dataset would not get one (all-empty or 1-char string
+    * variables otherwise lose the width dim and mis-tabularize: profile 0
+    * would swallow every profile's chars as one string).
+    */
   private final case class RawDataset(
       name: String, addr: Long, space: Dataspace, dtype: Dtype,
-      attrs: Map[String, Any], dimRefs: Seq[Long], data: Array[Byte])
+      attrs: Map[String, Any], dimRefs: Seq[Long], data: Array[Byte],
+      vlenNormalized: Boolean = false)
 
   private def inflateBound(in: Array[Byte], expect: Int): Array[Byte] = {
     val inf = new Inflater()
@@ -614,8 +622,11 @@ object Hdf5 {
     }
   }
 
-  private def readDataset(bytes: Array[Byte], name: String, addr: Long, gh: GlobalHeap): RawDataset = {
-    val msgs = readObjectHeader(bytes, addr)
+  /** `msgs`: the object header's messages, parsed ONCE by the group walk
+    * (which needed them for the group-vs-dataset classification anyway).
+    */
+  private def readDataset(bytes: Array[Byte], name: String, msgs: Seq[Msg],
+      addr: Long, gh: GlobalHeap): RawDataset = {
     var space: Dataspace = null
     var dtype: Dtype = null
     var layout: Msg = null
@@ -757,7 +768,8 @@ object Hdf5 {
         (FixedStr(w), padded)
       case t => (t, data)
     }
-    RawDataset(name, addr, space, outDtype, attrs.result(), dimRefs, outData)
+    RawDataset(name, addr, space, outDtype, attrs.result(), dimRefs, outData,
+      vlenNormalized = dtype.isInstanceOf[VlenStr])
   }
 
   // ----------------------------------------------- dense attribute storage
@@ -1086,7 +1098,7 @@ object Hdf5 {
 
     val gh = new GlobalHeap(bytes)
     val globalAttrs = Map.newBuilder[String, Any]
-    val dsLinks = Vector.newBuilder[(String, Long)]
+    val dsLinks = Vector.newBuilder[(String, Long, Seq[Msg])]
     val visited = collection.mutable.Set.empty[Long]
     var nLinks = 0
     // Group membership is decided by the child header's own messages: a
@@ -1126,16 +1138,24 @@ object Hdf5 {
       if (nLinks > 4096) fail(s"link count $nLinks")
       links.foreach { case (name, laddr) =>
         val childMsgs = readObjectHeader(bytes, laddr)
-        val isGroup = childMsgs.exists(m =>
+        val hasLinkStorage = childMsgs.exists(m =>
           m.tpe == 0x0011 || m.tpe == 0x0002 || m.tpe == 0x0006 || m.tpe == 0x000A)
-        if (isGroup) walkGroup(laddr, s"$prefix$name/", depth + 1)
-        else dsLinks += ((prefix + name, laddr))
+        val hasDatasetCore = childMsgs.exists(m =>
+          m.tpe == 0x0001 || m.tpe == 0x0008)
+        // a header carrying BOTH link storage and dataset dataspace/layout
+        // messages is malformed (no HDF5 writer emits it) — fail loudly so
+        // the quarantine ledger sees it; silently walking it as a group
+        // would drop the dataset's rows while reporting the file ok
+        if (hasLinkStorage && hasDatasetCore)
+          fail(s"object '$prefix$name' carries both link storage and dataset messages")
+        if (hasLinkStorage) walkGroup(laddr, s"$prefix$name/", depth + 1)
+        else dsLinks += ((prefix + name, laddr, childMsgs))
       }
     }
     walkGroup(rootAddr, "", 0)
 
     val datasets = dsLinks.result()
-      .map { case (name, addr) => readDataset(bytes, name, addr, gh) }
+      .map { case (name, addr, msgs) => readDataset(bytes, name, msgs, addr, gh) }
     val byAddr = datasets.map(d => d.addr -> d).toMap
 
     def isScale(d: RawDataset) = d.attrs.get("CLASS").contains("DIMENSION_SCALE")
@@ -1186,8 +1206,12 @@ object Hdf5 {
       if (t == NetCdf.NC_CHAR) {
         val k = d.dtype.size
         // a (dims..., size-k string) dataset is dims + a synthetic string
-        // width dim when k > 1 — the CDF char-matrix shape
-        val allDims = if (k > 1) dims :+ NcDim(s"STRING$k", k) else dims
+        // width dim when k > 1 — the CDF char-matrix shape. Vlen-normalized
+        // data ALWAYS gets the width dim: its dataspace never covers the
+        // chars, so dropping the dim at k == 1 would concatenate every
+        // element's chars into row 0 downstream
+        val allDims =
+          if (k > 1 || d.vlenNormalized) dims :+ NcDim(s"STRING$k", k) else dims
         ParsedVar(d.name, allDims, t, attrs, Array.empty, d.data)
       } else {
         val n = d.space.count.toInt
@@ -1352,6 +1376,9 @@ object Hdf5 {
       "subgroup member is not a declared var")
     require(opts.subgroups.keys.forall(g =>
       !dimNames.contains(g) && !vars.exists(_.name == g)), "group/var name collision")
+    require(opts.nestChain == 0 ||
+      !(dimNames ++ vars.map(_.name)).contains("deep"),
+      "nestChain reserves the root entry name 'deep'")
     val grouped: Set[String] = groupMembers.toSet
     val groupNames = opts.subgroups.keys.toSeq.sorted
     // root-listing link target: subgroup links point at the group header;

@@ -79,6 +79,22 @@ class Hdf5Spec extends AnyFunSuite {
     assert(NetCdf.tabularize(grouped) === rows)
   }
 
+  test("vlen strings of width <= 1 keep their synthetic width dim") {
+    import graft.sources.NetCdf.{NcVar, NcChars}
+    // all-1-char values (QC-flag shape): the normalized width floors at 1,
+    // and the width dim must STILL be appended — dropping it would make
+    // row 0 swallow every element's chars downstream (charStrings uses
+    // chars.length as the width for 1-D char vars)
+    val dims = Seq(NcDim("N", 4), NcDim("STRING8", 8))
+    val flat = Seq("A", "B", "C", "D").flatMap(_.padTo(8, ' ')).map(_.toByte).toArray
+    val v = NcVar("FLAG", Seq(0, 1), NetCdf.NC_CHAR, Nil, NcChars(flat))
+    val bytes = Hdf5.writeBytes(dims, Nil, Seq(v),
+      Hdf5.H5Opts(vlenStrVars = Set("FLAG")))
+    val flag = NetCdf.parse(bytes).vars.find(_.name == "FLAG").get
+    assert(flag.dims.map(_.name) === Seq("N", "STRING1"))
+    assert(new String(flag.chars, "US-ASCII") === "ABCD")
+  }
+
   test("group hard-link cycle triages as unsupported-hdf5, never loops") {
     val (dims, gatts, vars) = NetCdfFixture.fleetVars(12, charPlatform = false, zone = "")
     val bytes = Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
