@@ -444,16 +444,23 @@ class Hdf5Spec extends AnyFunSuite {
       }
       val gatts = Seq("title" -> NcStr(s"trial $trial"))
       val cdf = NetCdf.parse(NetCdf.writeBytes(dims, gatts, vars, version = 5))
+      // random subgroup placement: moved vars must parse back as g0/NAME
+      // with identical types/shapes/values (composes with chunking,
+      // fletcher32, and both superblock families)
+      val grouped = vars.filter(_ => rnd.nextBoolean()).map(_.name)
       val opts = Hdf5.H5Opts(
         v2Superblock = rnd.nextBoolean(),
         chunkBy = vars.filter(_ => rnd.nextBoolean())
           .map(v => v.name -> (1 + rnd.nextInt(3))).toMap,
-        fletcher = rnd.nextBoolean())
+        fletcher = rnd.nextBoolean(),
+        subgroups = if (grouped.nonEmpty) Map("g0" -> grouped) else Map.empty)
       val h5 = NetCdf.parse(Hdf5.writeBytes(dims, gatts, vars, opts))
       assert(h5.dims === cdf.dims, s"trial $trial dims")
       for (v <- vars) {
         val a = cdf.vars.find(_.name == v.name).get
-        val b = h5.vars.find(_.name == v.name).get
+        val wantName = if (grouped.contains(v.name)) s"g0/${v.name}" else v.name
+        val b = h5.vars.find(_.name == wantName)
+          .getOrElse(fail(s"trial $trial: '$wantName' missing from ${h5.vars.map(_.name)}"))
         assert(b.ncType === a.ncType, s"trial $trial ${v.name} type")
         assert(b.dims.map(_.size) === a.dims.map(_.size), s"trial $trial ${v.name} dims")
         assert(b.numeric.toSeq === a.numeric.toSeq, s"trial $trial ${v.name} values")
