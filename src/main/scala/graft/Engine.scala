@@ -363,7 +363,17 @@ class Engine(spark: SparkSession) {
       .select(col("doc_id"), lit("exact_dup").as("status"))
     val all = b.withColumn("__side", lit("b"))
       .unionByName(i.withColumn("__side", lit("i")))
-    val shRows = all.select(col("doc_id"),
+    // exact-tier representatives per (digest, side) — the dd8/dd12 recipe:
+    // clones share shingle sets hence signatures/buckets/jaccard, so
+    // rep-pair candidacy expands back exactly via the digest and a
+    // clone-heavy corpus can't hand the band buckets a quadratic clique
+    val slim = all.select(col("doc_id"), col("__side"),
+        md5(col("__text")).as("__dg"))
+      .localCheckpoint(false)
+    val repIds = slim.groupBy("__dg", "__side").agg(min("doc_id").as("rep_id"))
+    val repDocs = all
+      .join(repIds.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val shRows = repDocs.select(col("doc_id"),
         explode(graft.expressions.ShingleMd5.of(
           Dedup.tokens(col("__text")), shingleN)).as("__s"))
       .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"),
@@ -371,7 +381,7 @@ class Engine(spark: SparkSession) {
     val mh = Dedup.minhashAggs(6)
     val sigs = shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*).localCheckpoint(false)
-    val sides = all.select(col("doc_id"), col("__side"))
+    val sides = repIds.select(col("rep_id").as("doc_id"), col("__side"))
     val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
       .join(sides.select(col("doc_id").as("id_a"), col("__side").as("__sa")), "id_a")
       .join(sides.select(col("doc_id").as("id_b"), col("__side").as("__sb")), "id_b")
@@ -379,9 +389,10 @@ class Engine(spark: SparkSession) {
       .select("id_a", "id_b")
     val near = Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
       .filter(col("n_inter") * 2 >= col("nsh_a") + col("nsh_b") - col("n_inter"))
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .join(sides.filter(col("__side") === "b").select("doc_id"), "doc_id")
+      .select(explode(array(col("id_a"), col("id_b"))).as("rep_id"))
       .distinct()
+      .join(repIds.filter(col("__side") === "b").select("rep_id", "__dg"), "rep_id")
+      .join(slim.filter(col("__side") === "b").select("doc_id", "__dg"), "__dg")
       .select(col("doc_id"), lit("near_dup").as("status"))
     val flagged = exact.unionByName(near)
       .groupBy("doc_id").agg(min("status").as("status")) // exact_dup < near_dup

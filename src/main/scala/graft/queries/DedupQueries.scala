@@ -385,8 +385,20 @@ private[graft] object DedupQueries {
           md5(col("b.text")) === col("i.h"), "left_semi")
         .select(col("doc_id"), lit("exact_dup").as("status"))
       // tier 2: near-dup LSH between batch and index (same arithmetic as
-      // dd8/dc2 so the oracle replays it)
-      val shRows = all.select(col("doc_id"),
+      // dd8/dc2 so the oracle replays it), over EXACT-TIER REPRESENTATIVES
+      // per (digest, batch/index side) — the dd8/dc2 recipe: clones share
+      // shingle sets hence signatures/buckets/jaccard, so rep-pair
+      // candidacy expands back exactly and a clone-heavy corpus can't hand
+      // the band buckets a quadratic clique. The near flag fans out to
+      // every batch-side clone of a verified rep's digest.
+      val slim = all.select(col("doc_id"),
+          (col("doc_id") % 3 === 0).cast("int").as("side"),
+          md5(col("text")).as("dg"))
+        .localCheckpoint(false)
+      val repIds = slim.groupBy("dg", "side").agg(min("doc_id").as("rep_id"))
+      val repDocs = all
+        .join(repIds.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val shRows = repDocs.select(col("doc_id"),
           explode(graft.expressions.ShingleMd5.of(Dedup.tokens(col("text")), 3)).as("__s"))
         .select(col("doc_id"), col("__s.sh_hi").as("sh_hi"), col("__s.sh_lo").as("sh_lo"))
         .localCheckpoint(false)
@@ -400,9 +412,11 @@ private[graft] object DedupQueries {
       // the decision boundary, so the oracle can't disagree on a tie
       val nearIds = Dedup.verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh"))
         .filter(col("n_inter") * 2 >= col("nsh_a") + col("nsh_b") - col("n_inter"))
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-        .filter(col("doc_id") % 3 === 0)
+        .select(explode(array(col("id_a"), col("id_b"))).as("rep_id"))
+        .filter(col("rep_id") % 3 === 0)
         .distinct()
+        .join(repIds.filter(col("side") === 1).select("rep_id", "dg"), "rep_id")
+        .join(slim.filter(col("side") === 1).select("doc_id", "dg"), "dg")
         .select(col("doc_id"), lit("near_dup").as("status"))
       val flagged = exactHit.unionByName(nearIds)
         .groupBy("doc_id")

@@ -64,6 +64,9 @@ object Rehearse {
     // A/B: no commit regression, the old "21-42 s band" was light-load
     // wobble over that inherently quadratic compute; BENCH_NOTES r10).
     "dc2_neardup_decontam" -> 30.0,
+    // post-rep-tier like dc2 (measured 2.8 s one-shot at sf10); gated so
+    // the cross-set clone-clique quadratic can't silently return
+    "dd12_incremental_dedup" -> 15.0,
     "e8_ivf_recall" -> 5.0)
 
   def main(args: Array[String]): Unit = {
