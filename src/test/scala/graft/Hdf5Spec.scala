@@ -420,7 +420,7 @@ class Hdf5Spec extends AnyFunSuite {
     // values — the two container stacks pin each other.
     import graft.sources.NetCdf._
     val rnd = new scala.util.Random(777)
-    for (trial <- 0 until 25) {
+    for (trial <- 0 until 50) {
       val nDims = 1 + rnd.nextInt(2)
       val dims = (0 until nDims).map(i => NcDim(s"D$i", 1 + rnd.nextInt(7))) :+
         NcDim("STR4", 4)
