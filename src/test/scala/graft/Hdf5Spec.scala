@@ -86,13 +86,15 @@ class Hdf5Spec extends AnyFunSuite {
     // row 0 swallow every element's chars downstream (charStrings uses
     // chars.length as the width for 1-D char vars)
     val dims = Seq(NcDim("N", 4), NcDim("STRING8", 8))
-    val flat = Seq("A", "B", "C", "D").flatMap(_.padTo(8, ' ')).map(_.toByte).toArray
+    // row 1 is the EMPTY string: a zero-length heap object must decode as
+    // "" (all-zero padded row), not fail or shift later rows
+    val flat = Seq("A", "", "C", "D").flatMap(_.padTo(8, ' ')).map(_.toByte).toArray
     val v = NcVar("FLAG", Seq(0, 1), NetCdf.NC_CHAR, Nil, NcChars(flat))
     val bytes = Hdf5.writeBytes(dims, Nil, Seq(v),
       Hdf5.H5Opts(vlenStrVars = Set("FLAG")))
     val flag = NetCdf.parse(bytes).vars.find(_.name == "FLAG").get
     assert(flag.dims.map(_.name) === Seq("N", "STRING1"))
-    assert(new String(flag.chars, "US-ASCII") === "ABCD")
+    assert(new String(flag.chars, "US-ASCII") === "A\u0000CD")
   }
 
   test("group hard-link cycle triages as unsupported-hdf5, never loops") {
