@@ -1492,10 +1492,13 @@ object Hdf5 {
       .map { v =>
         require(v.ncType == NetCdf.NC_CHAR && v.dimIds.size >= 2,
           s"vlenStrVars: ${v.name} must be an NC_CHAR matrix")
-        require(!opts.chunkBy.contains(v.name) && !opts.szipVar.contains(v.name) &&
-          !opts.compactVars(v.name) &&
-          !v.dimIds.headOption.exists(i => opts.unlimited(dims(i).name)),
-          s"vlenStrVars: ${v.name} supports the plain contiguous layout only")
+        // chunked vlen is UNFILTERED (the real netCDF-4 shape: string vars
+        // over an unlimited dim must chunk, and netCDF refuses compression
+        // on vlen) — also a writer constraint: deflated descriptor bytes
+        // change length between the two assembly passes once addresses
+        // resolve, unfiltered descriptors don't
+        require(!opts.szipVar.contains(v.name) && !opts.compactVars(v.name),
+          s"vlenStrVars: ${v.name} cannot combine with szip/compact")
         val w = dims(v.dimIds.last).size
         val nRows = v.dimIds.dropRight(1).map(dims(_).size).product.max(1)
         val flat = v.data match {
@@ -1794,7 +1797,9 @@ object Hdf5 {
             val filters =
               Seq(2 -> Seq(esz.toLong), 1 -> Seq(6L)) ++
                 (if (opts.fletcher) Seq(3 -> Seq.empty[Long]) else Nil)
-            Seq(
+            // vlen chunks are UNFILTERED (see the vlenStrs require note)
+            if (isVlen) Seq(0x0008 -> layoutChunked(resolve, v.name, cdims, esz))
+            else Seq(
               0x0008 -> layoutChunked(resolve, v.name, cdims, esz),
               0x000B -> filterMsg(filters))
           case _ if isSzip =>
@@ -1949,37 +1954,52 @@ object Hdf5 {
         }
       }
       // data blocks
+      // vlen data bytes: the 16-byte descriptor stream (needs `resolve` for
+      // the gheap address, so it is built inside block builders; its LENGTH
+      // is resolve-independent, keeping two-pass sizes stable)
+      def vlenRaw(resolve: String => Long): Array[Byte] = {
+        val w = new W
+        vlenStrs(v.name).zipWithIndex.foreach { case (sb, i) =>
+          w.u32(sb.length.toLong)
+          w.u64(resolve("gheap"))
+          w.u32(vlenVarIndexOf((v.name, i)).toLong)
+        }
+        w.result()
+      }
       chunk match {
         case Some(rows) if !isSzip =>
-          val raw = rawData(v)
           val rowBytes = sizes.drop(1).product.max(1L).toInt * esz
           val chunkBytes = rows * rowBytes
           val nChunks = ((sizes.head + rows - 1) / rows).toInt
           (0 until nChunks).foreach { ci =>
-            block(s"chunk:${v.name}:$ci") { _ =>
+            block(s"chunk:${v.name}:$ci") { resolve =>
+              val raw = if (isVlen) vlenRaw(resolve) else rawData(v)
               val from = ci * chunkBytes
               val slice = java.util.Arrays.copyOfRange(raw, from, math.min(from + chunkBytes, raw.length))
               // edge chunks are stored FULL-SIZE in HDF5 (zero-padded)
               val full = java.util.Arrays.copyOf(slice, chunkBytes)
-              val shuffled = {
-                val nEl = full.length / esz
-                val out = new Array[Byte](full.length)
-                var j = 0
-                while (j < esz) { var i = 0; while (i < nEl) { out(j * nEl + i) = full(i * esz + j); i += 1 }; j += 1 }
-                out
-              }
-              val defl = new java.util.zip.Deflater(6)
-              defl.setInput(shuffled); defl.finish()
-              val buf = new Array[Byte](shuffled.length + 64)
-              val m = defl.deflate(buf)
-              defl.end()
-              val out = java.util.Arrays.copyOf(buf, m)
-              if (!opts.fletcher) out
-              else { // checksum over the COMPRESSED payload, LE-stored
-                val sum = fletcher32(out)
-                val w2 = new W
-                w2.bytes(out); w2.u32(sum)
-                w2.result()
+              if (isVlen) full // unfiltered descriptor chunk
+              else {
+                val shuffled = {
+                  val nEl = full.length / esz
+                  val out = new Array[Byte](full.length)
+                  var j = 0
+                  while (j < esz) { var i = 0; while (i < nEl) { out(j * nEl + i) = full(i * esz + j); i += 1 }; j += 1 }
+                  out
+                }
+                val defl = new java.util.zip.Deflater(6)
+                defl.setInput(shuffled); defl.finish()
+                val buf = new Array[Byte](shuffled.length + 64)
+                val m = defl.deflate(buf)
+                defl.end()
+                val out = java.util.Arrays.copyOf(buf, m)
+                if (!opts.fletcher) out
+                else { // checksum over the COMPRESSED payload, LE-stored
+                  val sum = fletcher32(out)
+                  val w2 = new W
+                  w2.bytes(out); w2.u32(sum)
+                  w2.result()
+                }
               }
             }
           }
@@ -2021,15 +2041,7 @@ object Hdf5 {
           }
         case _ if isVlen =>
           // NC_STRING data: one 16-byte descriptor per element into gheap
-          block(s"data:${v.name}") { resolve =>
-            val w = new W
-            vlenStrs(v.name).zipWithIndex.foreach { case (sb, i) =>
-              w.u32(sb.length.toLong)
-              w.u64(resolve("gheap"))
-              w.u32(vlenVarIndexOf((v.name, i)).toLong)
-            }
-            w.result()
-          }
+          block(s"data:${v.name}")(vlenRaw)
         case _ =>
           if (n * esz > 0 && !isCompact && unallocFill.isEmpty)
             block(s"data:${v.name}") { _ => rawData(v) }

@@ -79,6 +79,20 @@ class Hdf5Spec extends AnyFunSuite {
     assert(NetCdf.tabularize(grouped) === rows)
   }
 
+  test("chunked (unlimited-dim) NC_STRING platform ids decode like the char twin") {
+    // netCDF-4's REAL shape for string vars over the record dim: vlen
+    // descriptors in UNFILTERED chunks (vlen refuses compression), the
+    // numeric record vars chunked+shuffle+deflate alongside
+    val (dims, gatts, vars) = NetCdfFixture.fleetVars(14, charPlatform = true, zone = "")
+    val h5 = Hdf5.writeBytes(dims, gatts, vars, Hdf5.H5Opts(
+      unlimited = Set("N_PROF"),
+      vlenStrVars = Set("PLATFORM_NUMBER")))
+    val parsed = NetCdf.parse(h5)
+    assert(parsed.recordDim === Some("N_PROF"))
+    assert(NetCdf.tabularize(parsed) ===
+      NetCdf.tabularize(NetCdf.parse(cdfTwin(14, "", charPlatform = true))))
+  }
+
   test("vlen strings of width <= 1 keep their synthetic width dim") {
     import graft.sources.NetCdf.{NcVar, NcChars}
     // all-1-char values (QC-flag shape): the normalized width floors at 1,
