@@ -358,18 +358,20 @@ class Engine(spark: SparkSession) {
       idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val i = index.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val exact = b.join(i.select(md5(col("__text")).as("__h")).distinct(),
-        md5(b("__text")) === col("__h"), "left_semi")
-      .select(col("doc_id"), lit("exact_dup").as("status"))
     val all = b.withColumn("__side", lit("b"))
       .unionByName(i.withColumn("__side", lit("i")))
-    // exact-tier representatives per (digest, side) — the dd8/dd12 recipe:
-    // clones share shingle sets hence signatures/buckets/jaccard, so
-    // rep-pair candidacy expands back exactly via the digest and a
-    // clone-heavy corpus can't hand the band buckets a quadratic clique
+    // ONE md5 pass: `slim` feeds both tiers — the exact tier as a digest
+    // semi-join, and the near tier's exact-tier representatives per
+    // (digest, side) — the dd8/dd12 recipe: clones share shingle sets
+    // hence signatures/buckets/jaccard, so rep-pair candidacy expands back
+    // exactly via the digest and a clone-heavy corpus can't hand the band
+    // buckets a quadratic clique
     val slim = all.select(col("doc_id"), col("__side"),
         md5(col("__text")).as("__dg"))
       .localCheckpoint(false)
+    val exact = slim.filter(col("__side") === "b").select("doc_id", "__dg")
+      .join(slim.filter(col("__side") === "i").select("__dg"), Seq("__dg"), "left_semi")
+      .select(col("doc_id"), lit("exact_dup").as("status"))
     val repIds = slim.groupBy("__dg", "__side").agg(min("doc_id").as("rep_id"))
     val repDocs = all
       .join(repIds.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")

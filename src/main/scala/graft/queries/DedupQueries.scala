@@ -378,23 +378,22 @@ private[graft] object DedupQueries {
         .withColumn("doc_id", col("doc_id") + 300002)
       val all = base.unionByName(recrawled).repartition(32, col("doc_id"))
       val batch = all.filter(col("doc_id") % 3 === 0)
-      val index = all.filter(col("doc_id") % 3 =!= 0)
-      // tier 1: exact content match
-      val exactHit = batch.alias("b")
-        .join(index.select(md5(col("text")).as("h")).distinct().alias("i"),
-          md5(col("b.text")) === col("i.h"), "left_semi")
-        .select(col("doc_id"), lit("exact_dup").as("status"))
-      // tier 2: near-dup LSH between batch and index (same arithmetic as
-      // dd8/dc2 so the oracle replays it), over EXACT-TIER REPRESENTATIVES
-      // per (digest, batch/index side) — the dd8/dc2 recipe: clones share
-      // shingle sets hence signatures/buckets/jaccard, so rep-pair
-      // candidacy expands back exactly and a clone-heavy corpus can't hand
-      // the band buckets a quadratic clique. The near flag fans out to
-      // every batch-side clone of a verified rep's digest.
+      // ONE md5 pass over the corpus: `slim` feeds both tiers — the exact
+      // tier is a digest semi-join of the batch side against the index
+      // side, and the near tier's per-(digest, side) representatives
+      // (the dd8/dc2 recipe: clones share shingle sets hence signatures/
+      // buckets/jaccard, so rep-pair candidacy expands back exactly and a
+      // clone-heavy corpus can't hand the band buckets a quadratic clique;
+      // the near flag fans out to every batch-side clone of a verified
+      // rep's digest).
       val slim = all.select(col("doc_id"),
           (col("doc_id") % 3 === 0).cast("int").as("side"),
           md5(col("text")).as("dg"))
         .localCheckpoint(false)
+      // tier 1: exact content match
+      val exactHit = slim.filter(col("side") === 1).select("doc_id", "dg")
+        .join(slim.filter(col("side") === 0).select("dg"), Seq("dg"), "left_semi")
+        .select(col("doc_id"), lit("exact_dup").as("status"))
       val repIds = slim.groupBy("dg", "side").agg(min("doc_id").as("rep_id"))
       val repDocs = all
         .join(repIds.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")

@@ -687,7 +687,11 @@ object Hdf5 {
         case 0x000B => filters = readFilterPipeline(new Cur(bytes, m.off), m)
         case 0x000C =>
           readAttribute(bytes, m, gh).foreach(addAttr)
-        case 0x0011 | 0x0002 => unsupported(s"nested group '$name'")
+        case 0x0011 | 0x0002 =>
+          // unreachable via parseToNetCdf: walkGroup classifies headers
+          // carrying link storage as groups (or fails the link+dataset
+          // combination) before readDataset is ever called
+          fail(s"dataset '$name' carries group link storage")
         case 0x0015 =>
           readDenseAttributes(bytes, m, gh, name).foreach(addAttr)
         case _ => () // NIL, fill value, modification time, bogus, ...
@@ -1377,7 +1381,7 @@ object Hdf5 {
     require(opts.subgroups.keys.forall(g =>
       !dimNames.contains(g) && !vars.exists(_.name == g)), "group/var name collision")
     require(opts.nestChain == 0 ||
-      !(dimNames ++ vars.map(_.name)).contains("deep"),
+      !(dimNames ++ vars.map(_.name) ++ opts.subgroups.keys).contains("deep"),
       "nestChain reserves the root entry name 'deep'")
     val grouped: Set[String] = groupMembers.toSet
     val groupNames = opts.subgroups.keys.toSeq.sorted
@@ -1968,12 +1972,16 @@ object Hdf5 {
       }
       chunk match {
         case Some(rows) if !isSzip =>
+          // hoisted: serialized once per variable, not once per chunk per
+          // assembly pass (vlen descriptors need `resolve`, so they build
+          // inside the chunk builders instead)
+          val rawFixed = if (isVlen) null else rawData(v)
           val rowBytes = sizes.drop(1).product.max(1L).toInt * esz
           val chunkBytes = rows * rowBytes
           val nChunks = ((sizes.head + rows - 1) / rows).toInt
           (0 until nChunks).foreach { ci =>
             block(s"chunk:${v.name}:$ci") { resolve =>
-              val raw = if (isVlen) vlenRaw(resolve) else rawData(v)
+              val raw = if (isVlen) vlenRaw(resolve) else rawFixed
               val from = ci * chunkBytes
               val slice = java.util.Arrays.copyOfRange(raw, from, math.min(from + chunkBytes, raw.length))
               // edge chunks are stored FULL-SIZE in HDF5 (zero-padded)
