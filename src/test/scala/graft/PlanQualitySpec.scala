@@ -217,10 +217,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2,
-      // 15 -> 16 with the per-side exact-tier rep pass (r10): one more
-      // ~40 B/row digest-tier exchange bought off the clone-clique
-      // quadratic pair expansion, the dc2 trade
-      "dd12_incremental_dedup" -> 16,
+      // 15 -> 11 across the r10 rep-tier rework: the per-side exact-tier
+      // rep pass bought off the clone-clique quadratic, then deriving the
+      // exact tier from the shared slim digest frame dropped the second
+      // full-corpus md5 scan and its exchanges
+      "dd12_incremental_dedup" -> 11,
       "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5,
       "gr3_triangle_census" -> 4, "ta9_bigram_lm" -> 5,
       "a16_histogram" -> 2, "w6_trailing_range" -> 2,
