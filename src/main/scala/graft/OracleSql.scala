@@ -20,8 +20,14 @@ private[graft] object OracleSql {
     * materialized form runs in ~0.5s. A fair denominator is a well-written
     * one.
     */
-  private val ddDupClosureCte: String =
-    """WITH RECURSIVE all_docs AS (
+  /** Shared pipeline PREFIX of the dd8 row oracle and the dd9/dd10/dd16
+    * closure oracles (round 11, ADVICE item): exact-tier rep collapse,
+    * shingle/minhash/band arithmetic, LSH candidates, intersection counts,
+    * the rounded-jaccard `verified` pairs, and the exact-tier `stars0`
+    * edges — ONE definition, so dd8 cannot desynchronize from the trio.
+    */
+  private val ddPipelinePrefixCte: String =
+    """all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
          docs_dg AS MATERIALIZED (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
@@ -55,16 +61,21 @@ private[graft] object OracleSql {
                    JOIN shh a ON a.doc_id = c.id_a
                    JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
                    GROUP BY c.id_a, c.id_b),
-         dup AS MATERIALIZED (SELECT i.id_a, i.id_b
-                 FROM inter i
-                 JOIN sig sa ON sa.doc_id = i.id_a
-                 JOIN sig sb ON sb.doc_id = i.id_b
-                 WHERE floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5),
-         stars AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
-                   FROM docs_dg d
-                   JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id),
-         dup2 AS MATERIALIZED (SELECT id_a, id_b FROM dup
-                  UNION ALL SELECT id_a, id_b FROM stars),
+         verified AS MATERIALIZED (
+           SELECT i.id_a, i.id_b, i.n_inter,
+                  floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+           FROM inter i
+           JOIN sig sa ON sa.doc_id = i.id_a
+           JOIN sig sb ON sb.doc_id = i.id_b),
+         stars0 AS (SELECT r.rep_id AS id_a, d.doc_id AS id_b
+                    FROM docs_dg d
+                    JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id)"""
+
+  private val ddDupClosureCte: String =
+    "WITH RECURSIVE " + ddPipelinePrefixCte + """,
+         dup2 AS MATERIALIZED (
+           SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+           UNION ALL SELECT id_a, id_b FROM stars0),
          edges AS (SELECT id_a AS src, id_b AS dst FROM dup2
                    UNION ALL SELECT id_b, id_a FROM dup2),
          nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -1314,57 +1325,17 @@ private[graft] object OracleSql {
     // clones attach by one rep→clone star edge (jaccard exactly 1.0)
     // instead of a quadratic in-bucket pair expansion.
     "dd8_lsh_verified" ->
-      """WITH all_docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 100000, text || ' tailword' FROM documents WHERE doc_id % 25 = 0),
-         docs_dg AS (SELECT doc_id, text, md5(text) AS dg FROM all_docs),
-         rep AS (SELECT dg, min(doc_id) AS rep_id FROM docs_dg GROUP BY dg),
-         reps_docs AS (
-           SELECT d.doc_id, d.text
-           FROM docs_dg d JOIN rep r ON d.dg = r.dg AND d.doc_id = r.rep_id),
-         tk AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
-                FROM reps_docs),
-         sh0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-                 FROM tk WHERE len(toks) >= 3),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle FROM sh0),
-         shh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-         sig AS (SELECT doc_id,
-                        min(substr(h, 1, 5))  AS mh0, min(substr(h, 6, 5))  AS mh1,
-                        min(substr(h, 11, 5)) AS mh2, min(substr(h, 16, 5)) AS mh3,
-                        min(substr(h, 21, 5)) AS mh4, min(substr(h, 26, 5)) AS mh5,
-                        count(*) AS nsh
-                 FROM shh GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig),
-         cand AS (SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
-                  FROM bands b1 JOIN bands b2
-                    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
-                   AND b1.doc_id < b2.doc_id),
-         inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-                   FROM cand c
-                   JOIN shh a ON a.doc_id = c.id_a
-                   JOIN shh b ON b.doc_id = c.id_b AND b.h = a.h
-                   GROUP BY c.id_a, c.id_b),
-         verified AS (
-           SELECT i.id_a, i.id_b, i.n_inter,
-                  floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
-                  floor(i.n_inter / (sa.nsh + sb.nsh - i.n_inter) * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS is_dup
-           FROM inter i
-           JOIN sig sa ON sa.doc_id = i.id_a
-           JOIN sig sb ON sb.doc_id = i.id_b),
-         stars AS (
-           SELECT r.rep_id AS id_a, d.doc_id AS id_b,
-                  CAST(coalesce(s.nsh, 0) AS BIGINT) AS n_inter,
-                  1.0 AS jaccard, TRUE AS is_dup
-           FROM docs_dg d
-           JOIN rep r ON d.dg = r.dg AND d.doc_id <> r.rep_id
-           LEFT JOIN sig s ON s.doc_id = r.rep_id)
+      ("WITH RECURSIVE " + ddPipelinePrefixCte + """,
+         rows_all AS (
+           SELECT id_a, id_b, n_inter, jaccard, jaccard >= 0.5 AS is_dup
+           FROM verified
+           UNION ALL
+           SELECT s.id_a, s.id_b, CAST(coalesce(g.nsh, 0) AS BIGINT),
+                  1.0, TRUE
+           FROM stars0 s LEFT JOIN sig g ON g.doc_id = s.id_a)
          SELECT id_a, id_b, n_inter, jaccard, is_dup
-         FROM (SELECT * FROM verified UNION ALL SELECT * FROM stars)
-         ORDER BY id_a, id_b""",
+         FROM rows_all
+         ORDER BY id_a, id_b"""),
     "ta5_tfidf_topk" ->
       """WITH toks AS (
            SELECT doc_id,

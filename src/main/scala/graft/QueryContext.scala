@@ -209,7 +209,24 @@ private[graft] object QueryContext {
     }
   }
 
-  def dd8Pipeline(s: SparkSession, dir: String): DataFrame = {
+  def dd8Pipeline(s: SparkSession, dir: String): DataFrame =
+    dd8PipelineImpl(s, dir, full = true)
+
+  /** The verified dup-PAIR list for connected-components consumers
+    * (dd9/dd10/dd16): exactly the pair set of
+    * `dd8Pipeline.filter(is_dup).select(id_a, id_b)` — same exact tier,
+    * same LSH candidates, same rounded jaccard >= 0.5 decision — minus the
+    * output-only payload: the star edges skip the nsh join (n_inter is
+    * never read through a CC) and only two long columns flow through the
+    * union. A left join to a no-duplicate aggregate cannot change the pair
+    * set, but Catalyst cannot prove that (no uniqueness inference), so
+    * pruning it by hand is the only way the trio's fresh invocations stop
+    * paying its plan, codegen, and broadcast-build cost.
+    */
+  def ddDupPairs(s: SparkSession, dir: String): DataFrame =
+    dd8PipelineImpl(s, dir, full = false)
+
+  private def dd8PipelineImpl(s: SparkSession, dir: String, full: Boolean): DataFrame = {
     val base = Tables.documents(s, dir).select("doc_id", "text")
     val variants = base.filter(col("doc_id") % 25 === 0)
       .withColumn("doc_id", col("doc_id") + 100000)
@@ -237,6 +254,9 @@ private[graft] object QueryContext {
     // and re-hashing the full corpus text per action
     val slim = seg("slim")(docsAll.select(col("doc_id"), md5(col("text")).as("dg"))
       .localCheckpoint(false))
+    // start the corpus scan+digest on the workers while the driver builds
+    // the shingle plan — the semi-join broadcast then finds slim cached
+    Dedup.warmAsync(slim)
     val repIds = slim.groupBy("dg")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
       // NOT checkpointed: the semi join computes it inline within the
@@ -266,35 +286,55 @@ private[graft] object QueryContext {
     val sigs = seg("sigs")(shRows.groupBy("doc_id")
       .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
       .localCheckpoint(false))
-    // cands is consumed twice by the verify (side A and side B joins) and
-    // its lineage carries the band-bucket groupBy + pair explode + distinct;
-    // without the checkpoint the physical plan computes that subtree twice
-    // (ReuseExchange does not fire across the two broadcast builds).
-    val cands = seg("cands")(Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
-      .localCheckpoint(false))
+    // Background-materialize the signature chain (shingle scan + minhash
+    // agg — the pipeline's heaviest compute) while the driver constructs
+    // the candidate/verify/star plans (~0.3 s of single-threaded codegen
+    // during which the workers otherwise idle). Purely per-invocation
+    // pipelining; the downstream broadcast builds find the blocks cached.
+    Dedup.warmAsync(sigs)
+    // NOT checkpointed (round 11): verifyJaccard now consumes the pair list
+    // exactly once (pairs explode into side rows before a single shingle
+    // join), so the bucket-groupBy + pair-explode + distinct lineage runs
+    // once inline — the former checkpoint existed only because the verify's
+    // two side joins each forced a broadcast build of it.
+    val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
     val verified = seg("verified")(graft.dedup.Dedup
       .verifyJaccard(cands, shRows, sigs.select("doc_id", "nsh")))
       .withColumn("jaccard", Stats.parityRound(col("jaccard"), 6))
       .withColumn("is_dup", col("jaccard") >= 0.5)
     // exact-tier star edges: one (rep, clone) row per clone — jaccard is 1
     // by construction (identical text ⇒ identical shingle set); n_inter is
-    // the rep's shingle count (0 for shingle-less short texts)
+    // the rep's shingle count (0 for shingle-less short texts).
+    // SEMANTICS NOTE (round 10 change, documented round 11 per ADVICE): the
+    // exact tier flags BYTE-IDENTICAL texts shorter than one shingle
+    // (< 3 tokens) as dups with jaccard 1.0 — pairs the LSH tier alone
+    // could never emit (no shingles, nsh = 0). Pre-round-10, identical
+    // short texts were NOT flagged; consumers of dd8/dd9/dd10/dd16 group
+    // counts should know the dup definition widened. The DuckDB oracle
+    // mirrors the same tier, so parity holds by construction.
     // only digests with clones participate (n_copies > 1): the stars probe
     // side shrinks to the duplicated slice of the corpus. No broadcast
     // hints — that slice is data-sized in a clone-heavy corpus, so the
     // planner (AQE at the large tier) must keep the choice; at fixture
     // scale it broadcasts on its own
-    val starEdges = slim
+    val starBase = slim
       .join(repIds.filter(col("n_copies") > 1).select("dg", "rep_id"), "dg")
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col("doc_id").as("id_b"))
-      .join(sigs.select(col("doc_id").as("id_a"), col("nsh")),
-        Seq("id_a"), "left")
-      .select(col("id_a"), col("id_b"),
-        coalesce(col("nsh"), lit(0L)).as("n_inter"),
-        lit(1.0).as("jaccard"), lit(true).as("is_dup"))
-    verified.select("id_a", "id_b", "n_inter", "jaccard", "is_dup")
-      .unionByName(starEdges)
+    if (full) {
+      val starEdges = starBase
+        .join(sigs.select(col("doc_id").as("id_a"), col("nsh")),
+          Seq("id_a"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("nsh"), lit(0L)).as("n_inter"),
+          lit(1.0).as("jaccard"), lit(true).as("is_dup"))
+      verified.select("id_a", "id_b", "n_inter", "jaccard", "is_dup")
+        .unionByName(starEdges)
+    } else
+      // star edges are dups by construction (identical text); the verified
+      // side keeps the IDENTICAL rounded-jaccard decision as the full path
+      verified.filter(col("is_dup")).select("id_a", "id_b")
+        .unionByName(starBase)
   }
 
   /** Shared DuckDB CTEs for t6/t8: the reference deployment pipeline down to

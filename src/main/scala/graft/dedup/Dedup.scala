@@ -307,6 +307,32 @@ object Dedup {
     * silently-wrong partial labels. Returns (member_id, group_id =
     * component minimum).
     */
+  /** Kick off BACKGROUND materialization of a lazily-checkpointed frame:
+    * submits a no-op job over the checkpoint's RDD so the workers compute
+    * (and cache) its blocks WHILE the driver constructs the downstream
+    * plans. Analysis/optimization/codegen-source generation are
+    * single-threaded driver work (~0.2-0.3 s per heavy dedup segment,
+    * StageProbe round 11) during which every worker core otherwise idles;
+    * overlapping the two is pure pipelining — per-invocation work is
+    * unchanged, nothing is cached across invocations. The first consuming
+    * action finds the blocks built (BlockManager per-block locks dedupe a
+    * concurrent first compute); failures are deferred to that action,
+    * which recomputes and reports them through the normal path.
+    */
+  private[graft] def warmAsync(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = lr.rdd
+        try {
+          val f = rdd.sparkContext.submitJob[
+              org.apache.spark.sql.catalyst.InternalRow, Unit, Unit](
+            rdd, it => { while (it.hasNext) it.next() },
+            rdd.partitions.indices, (_, _) => (), ())
+          f.onComplete(_ => ())(scala.concurrent.ExecutionContext.parasitic)
+        } catch { case _: Throwable => () }
+      case _ => ()
+    }
+
   /** GRAFT_CC_DEBUG=1 -> stderr wall-time per CC round action (diagnostic). */
   private def ccDebug(label: String, t0: Long): Unit =
     if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -329,29 +355,39 @@ object Dedup {
     */
   private[graft] def connectedComponentsWithStats(
       pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int, Boolean) = {
-    // The pair list is consumed twice by the undirected-edge union (and a
-    // third time by the stars fallback's node set). Callers typically hand
-    // in an EXPENSIVE lineage — dd9/dd10/dd16 pass the whole LSH+verify
-    // pipeline — and the union's two branches are separate scans, so
-    // without this checkpoint that lineage runs twice inside round one's
-    // job (measured ~0.5 s extra per query at sf0.1). The checkpoint is a
-    // narrow two-long-column frame: its write cost is noise.
-    val p = pairs.localCheckpoint(false)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // The pair list is consumed ONCE: each pair explodes into its two
+    // directed orientations inside the edge checkpoint's own plan. Callers
+    // typically hand in an EXPENSIVE lineage — dd9/dd10/dd16 pass the
+    // whole LSH+verify pipeline — and the former two-branch union scanned
+    // it twice (which forced a second, pair-level checkpoint upstream:
+    // round 11 folds both into this ONE eager segment — one less Catalyst
+    // plan compilation and one less row-copy pass per invocation). The
+    // checkpoint is a narrow two-long-column frame: its write cost is
+    // noise, and every per-round consumer (seed, propagate join, tier-2
+    // probe, stars fallback) reads these blocks instead of the lineage.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
+    // overlap the edge-list compute with the seed/round-1 plan construction
+    warmAsync(edges)
     // Seed with round one's result directly: min-propagation from identity
     // labels yields label(x) = min(x, min neighbor id), which one grouped
     // aggregate over the edge list computes without the join — one fewer
     // propagation round (join + agg + checkpoint + convergence scan) on
     // every call, and the distinct() init job is folded into the same agg.
-    // NOT materialized by its own action: the seed rides inside round one's
-    // single job (the lazy checkpoint's block lock makes its two consumers
-    // there compute it once), so a clique-shaped graph — the near-dup norm
-    // — costs exactly ONE Spark action total.
+    // Checkpointed AND background-warmed: the seed has two round-one
+    // consumers (the propagate join and the merged union); without the
+    // checkpoint its aggregate subtree appears twice in the round plan,
+    // doubling that plan's analysis/codegen cost (driver-bound), while
+    // with it the round plan sees two LogicalRDD leaves. warmAsync starts
+    // the seed compute on the workers while the driver constructs the
+    // round plan, so the eager segment costs no wall time of its own.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), min(col("src"))).as("label"))
       .localCheckpoint(false)
+    warmAsync(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -390,31 +426,45 @@ object Dedup {
       //   runs as the SAME action that materializes the round checkpoint.
       //   Tier 2 (gated probe): the jump can merge the last label chains
       //   mid-round, so `next` may be converged a full round before tier 1
-      //   can see it. A bichromatic-edge count under `next` (two
-      //   edge-list-sized joins over the cached frames) detects that —
-      //   but on a far-from-converged high-diameter graph it is a ~50%
-      //   per-round surcharge with no chance of firing, so it runs only
-      //   once nUnsettled is small (most components already settled; the
+      //   can see it. A bichromatic-edge test under `next` detects that —
+      //   but on a far-from-converged high-diameter graph it is a per-round
+      //   surcharge with no chance of firing, so it runs only once
+      //   nUnsettled is small (most components already settled; the
       //   near-dup norm reaches this on round one). The threshold trades
-      //   one probe ≈ half a round against skipping a whole round; 64k
-      //   keeps the probe out of the bulk phase of adversarial chains
-      //   while firing on every realistically-shaped tail.
+      //   one probe against skipping a whole round; 64k keeps the probe
+      //   out of the bulk phase of adversarial chains while firing on
+      //   every realistically-shaped tail.
+      //   The probe is UNSETTLED-RESTRICTED (round 11; the former version
+      //   joined the full edge list against the labels twice): if both
+      //   endpoints of an edge were settled this round, each saw a single
+      //   label across itself and its neighbors, so the two labels were
+      //   equal and the jump maps both through the same parent — the edge
+      //   is monochromatic. Any bichromatic edge therefore has an
+      //   unsettled endpoint, and since `edges` carries both orientations,
+      //   filtering on an unsettled src sees every candidate. No join back
+      //   to dst labels either: deliver each unsettled node's label to its
+      //   neighbors and compare against the neighbors' own labels in ONE
+      //   narrow aggregate — a node holding two distinct labels ⟺ some
+      //   incident edge is bichromatic. The unsettled build side is
+      //   ≤ BichromProbeMax rows by the gate, so the broadcast is bounded
+      //   by construction.
       // coalesce: an empty pair list converges on round one, not NPE.
       val t0 = System.nanoTime()
       val nUnsettled = next.agg(coalesce(
         sum(when(col("nu"), 1L).otherwise(0L)), lit(0L))).head.getLong(0)
       converged = nUnsettled == 0
       if (!converged && nUnsettled <= BichromProbeMax) {
-        val nBichrom = edges
-          .join(next.select(col("id").as("sid"), col("label").as("sl")),
-            col("src") === col("sid"))
-          .join(next.select(col("id").as("did"), col("label").as("dl")),
-            col("dst") === col("did"))
+        val sl = next.filter(col("nu"))
+          .select(col("id").as("sid"), col("label").as("sl"))
+        val nMixed = edges.join(broadcast(sl), col("src") === col("sid"))
+          .select(col("dst").as("id"), col("sl").as("lbl"))
+          .unionByName(next.select(col("id"), col("label").as("lbl")))
+          .groupBy("id").agg(min("lbl").as("mn"), max("lbl").as("mx"))
           .agg(coalesce(
-            sum(when(col("sl") =!= col("dl"), 1L).otherwise(0L)),
+            sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L)),
             lit(0L))).head.getLong(0)
-        converged = nBichrom == 0
-        ccDebug(s"round${iter + 1} (unsettled=$nUnsettled bichrom=$nBichrom)", t0)
+        converged = nMixed == 0
+        ccDebug(s"round${iter + 1} (unsettled=$nUnsettled mixed=$nMixed)", t0)
       } else ccDebug(s"round${iter + 1} (unsettled=$nUnsettled)", t0)
       labels = next.select("id", "label")
       iter += 1
@@ -423,9 +473,13 @@ object Dedup {
     // them. Instead of refusing outright, fall back to the alternating
     // large-star/small-star rounds, which converge in O(log n) rounds on ANY
     // graph shape (adversarial chains included) at the cost of a heavier
-    // per-round edge rewrite.
+    // per-round edge rewrite. The checkpointed edge list carries both
+    // orientations of every input pair (self-pairs included), so feeding it
+    // back as a pair list preserves starsImpl's node set and — after its
+    // canonicalize+distinct pass — its edge set exactly.
     val result =
-      if (!converged) starsImpl(p, StarsMaxIter) // p is already checkpointed
+      if (!converged) starsImpl(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")), StarsMaxIter)
       else labels.select(col("id").as("member_id"), col("label").as("group_id"))
     (result, iter, converged)
   }
@@ -555,17 +609,21 @@ object Dedup {
     */
   def verifyJaccard(cands: DataFrame, shingleRows: DataFrame,
       sizes: DataFrame): DataFrame = {
-    val shA = cands.join(shingleRows, col("id_a") === col("doc_id"))
-      .select(col("id_a"), col("id_b"), col("sh_hi"), col("sh_lo"))
-    val shB = cands.join(shingleRows, col("id_b") === col("doc_id"))
-      .select(col("id_a"), col("id_b"), col("sh_hi"), col("sh_lo"))
+    // The pair list is consumed ONCE: each candidate row explodes into its
+    // two (pair, doc_id) side rows and a single equi-join on doc_id pulls
+    // both docs' shingle rows — the round-11 rework of the former
+    // two-joins-plus-union shape, which consumed `cands` twice (forcing
+    // callers to checkpoint it: one more eager plan compilation and a
+    // blocking broadcast build per invocation) for the identical row set.
+    val sides = cands.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     // intersection size WITHOUT a 4-column sort-merge join of the two
     // pair-shingle frames: shingleRows is distinct per doc, so a
     // (pair, shingle) key appears exactly twice iff both docs carry the
-    // shingle. Union + count==2 is the same answer as the equi-join but
-    // plans as two hash aggregates with map-side partial combine — no
+    // shingle. Join + count==2 is the same answer as a per-side equi-join
+    // but plans as two hash aggregates with map-side partial combine — no
     // per-partition sorts of the biggest frame in the pipeline.
-    val inter = shA.unionByName(shB)
+    val inter = sides.join(shingleRows, "doc_id")
       .groupBy("id_a", "id_b", "sh_hi", "sh_lo")
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") === 2)

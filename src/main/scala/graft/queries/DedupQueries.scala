@@ -128,9 +128,7 @@ private[graft] object DedupQueries {
     // pairwise dedup output into an actionable training-corpus filter.
     // Oracled against a DuckDB RECURSIVE CTE transitive closure.
     "dd9_dup_groups" -> { (s, dir) =>
-      val pairs = dd8Pipeline(s, dir).filter(col("is_dup"))
-        .select("id_a", "id_b")
-      val cc = Dedup.connectedComponents(pairs)
+      val cc = Dedup.connectedComponents(ddDupPairs(s, dir))
       cc.join(cc.groupBy("group_id").agg(count(lit(1)).as("n_members")), "group_id")
         .select("member_id", "group_id", "n_members")
         .orderBy("member_id")
@@ -148,8 +146,7 @@ private[graft] object DedupQueries {
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 100000).as("doc_id")))
-      val labels = Dedup.connectedComponents(
-          dd8Pipeline(s, dir).filter(col("is_dup")).select("id_a", "id_b"))
+      val labels = Dedup.connectedComponents(ddDupPairs(s, dir))
         .withColumnRenamed("member_id", "doc_id")
       corpus.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -174,8 +171,7 @@ private[graft] object DedupQueries {
               concat(col("text"), lit(" tailword")).as("text")))
         .withColumn("q", length(col("text")).cast("long"))
         .select("doc_id", "q")
-      val labels = Dedup.connectedComponents(
-          dd8Pipeline(s, dir).filter(col("is_dup")).select("id_a", "id_b"))
+      val labels = Dedup.connectedComponents(ddDupPairs(s, dir))
         .withColumnRenamed("member_id", "doc_id")
       val labeled = corpus.join(labels, Seq("doc_id"), "left")
         .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
@@ -405,6 +401,7 @@ private[graft] object DedupQueries {
       val sigs = shRows.groupBy("doc_id")
         .agg(mh.head, (mh.tail :+ count(lit(1)).as("nsh")): _*)
         .localCheckpoint(false)
+      Dedup.warmAsync(sigs) // overlap the signature compute with plan construction
       val cands = Dedup.lshCandidatePairs(sigs, "doc_id", numSeeds = 6, rowsPerBand = 2)
         .filter((col("id_a") % 3 === 0) =!= (col("id_b") % 3 === 0)) // cross-set only
       // jaccard >= 0.5 in INTEGER form (2·|∩| >= |∪|): no FP division at

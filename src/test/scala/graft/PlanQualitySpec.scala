@@ -214,7 +214,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // parallelizes the compute-bound bigram explode off the single-split
       // fixture (the dd2 pattern; 0.6 s -> 0.2 s at sf0.1)
       "ta8_bpe_pairs" -> 2, "a14_sketch_union" -> 4,
-      "tp2_curriculum" -> 2, "dc2_neardup_decontam" -> 8,
+      "tp2_curriculum" -> 2,
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2,
       // 15 -> 11 across the r10 rep-tier rework: the per-side exact-tier
