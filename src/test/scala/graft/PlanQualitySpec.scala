@@ -198,7 +198,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "dd1_exact_dedup" -> 3, "dd2_minhash_lsh" -> 4, "dd3_simhash" -> 3,
       "dd4_ngram_jaccard" -> 1, "dd5_embed_neardup" -> 1,
       "dd6_simhash_hamming" -> 3, "dd7_minhash_est" -> 6,
-      "dd8_lsh_verified" -> 7, "dd9_dup_groups" -> 3, "dd10_dedup_apply" -> 3,
+      "dd8_lsh_verified" -> 6, "dd9_dup_groups" -> 3, "dd10_dedup_apply" -> 3,
       "dd11_semantic_dedup" -> 4, "a2_profile_groups" -> 4,
       "a9_salted_agg" -> 3, "a13_heavy_hitters" -> 4, "j7_salted_skew_join" -> 4,
       "e6_ivf_knn" -> 1, "e9_quantized_recall" -> 7,
@@ -217,11 +217,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "tp2_curriculum" -> 2,
       "st9_stream_dedup" -> 3, "st10_stream_static" -> 2,
       "o4_partition_overwrite" -> 2,
-      // 15 -> 11 across the r10 rep-tier rework: the per-side exact-tier
-      // rep pass bought off the clone-clique quadratic, then deriving the
-      // exact tier from the shared slim digest frame dropped the second
-      // full-corpus md5 scan and its exchanges
-      "dd12_incremental_dedup" -> 11,
+      // 15 -> 11 across the r10 rep-tier rework (clone-clique quadratic
+      // bought off, shared slim digest frame), -> 9 in r11: verifyJaccard
+      // consumes the pair list once, dropping the two-join union shuffle
+      "dd12_incremental_dedup" -> 9,
       "a15_cov_corr" -> 2, "sp5_temperature_mixture" -> 5,
       "gr3_triangle_census" -> 4, "ta9_bigram_lm" -> 5,
       "a16_histogram" -> 2, "w6_trailing_range" -> 2,
@@ -252,10 +251,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "s8_netcdf_inspect" -> 1, "s11_netcdf_cdf5" -> 1,
       "s12_netcdf_hdf5" -> 1, "s13_hdf5_groups" -> 1,
       "mm7_video_frames" -> 2,
-      // +2 over the pre-rep-tier shape: the (digest, side) agg and the
-      // clone fan-out join — both ~40 B/row — bought off the clone-clique
-      // quadratic pair expansion the sf10 gate caught
-      "dc2_neardup_decontam" -> 10)
+      // +2 over the pre-rep-tier shape for the r10 (digest, side) agg and
+      // clone fan-out join, -2 in r11 for the single-consumption verify
+      "dc2_neardup_decontam" -> 8)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
