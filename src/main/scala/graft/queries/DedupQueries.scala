@@ -340,6 +340,7 @@ private[graft] object DedupQueries {
       val index = Knn.ivfAssign(all, cents, "vec_id", "vec", "label")
         .withColumn("nrm", Knn.l2norm(col("vec")))
         .localCheckpoint(false)
+      Dedup.warmAsync(index) // background-materialize while the driver plans
       val a = index.select(col("label"), col("vec_id").as("id_a"),
         col("vec").as("va"), col("nrm").as("na"))
       val b = index.select(col("label"), col("vec_id").as("id_b"),
@@ -627,6 +628,7 @@ private[graft] object DedupQueries {
       val srcSets = sh.groupBy("sh")
         .agg(array_sort(collect_set("source")).as("ss"))
         .localCheckpoint(false)
+      Dedup.warmAsync(srcSets) // background-materialize while the driver plans
       val sizes = srcSets.select(explode(col("ss")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n"))
       val pairs = srcSets.select(explode(flatten(transform(col("ss"),
