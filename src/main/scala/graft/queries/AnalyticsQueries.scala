@@ -673,8 +673,16 @@ private[graft] object AnalyticsQueries {
     // the in-bucket gather (one groupBy, no self-join of lineitem);
     // baskets are order-sized so the expansion is bounded per row. -------
     "gr3_triangle_census" -> { (s, dir) =>
+      // 32-way pinned on l_orderkey (dd2 reason: single-row-group scan,
+      // compute-bound explode): hash partitioning on the KEY SUBSET
+      // satisfies the clustering requirement of BOTH the (orderkey,
+      // partkey) distinct and the orderkey groupBy, so the whole
+      // distinct -> collect_set -> pair-explode chain runs 32-wide with
+      // no further exchange (one-shot was 4-wide: the latency tier's
+      // shuffle width starved ~1.2 s of HOF pair expansion).
       val li = Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_partkey").distinct()
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, col("l_orderkey")).distinct()
       val pairs = li.groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .filter(size(col("ps")) > 1)
@@ -1301,6 +1309,10 @@ private[graft] object AnalyticsQueries {
           col("l_orderkey") % k =!= col("l_partkey") % k)
         .select(least(col("l_orderkey") % k, col("l_partkey") % k).as("u"),
           greatest(col("l_orderkey") % k, col("l_partkey") % k).as("v"))
+        // NOT 32-way pinned (r11 A/B): the mod-4096 pair domain collapses
+        // this frame to a few thousand rows — a forced 32-wide exchange of
+        // the pre-distinct scan costs 2x the whole query (0.44 -> 0.89 s
+        // one-shot) and buys nothing downstream
         .distinct()
         .localCheckpoint(false) // reused: degrees, orientation, wedge close
       Dedup.warmAsync(und) // background-materialize while the driver plans
