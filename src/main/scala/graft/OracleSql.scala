@@ -1228,6 +1228,30 @@ private[graft] object OracleSql {
          FROM px
          GROUP BY media_id, k, w, h
          ORDER BY media_id, frame_idx""",
+    // identical SQL to mm7: I_PCM is lossless, so the H.264 path must land
+    // on the same closed-form pixel sums the PNG path does
+    "mm8_h264_frames" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id,
+                  2 + doc_id % 3 AS nf,
+                  8 + (doc_id % 4) * 2 AS w,
+                  6 + (doc_id % 3) * 2 AS h
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (
+           SELECT media_id, w, h, k.k
+           FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k),
+         px AS (
+           SELECT media_id, w, h, k, x.x, y.y
+           FROM f,
+                LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+                LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y)
+         SELECT media_id, CAST(k AS BIGINT) AS frame_idx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pix,
+                CAST(sum((media_id*7 + k*13 + x*3 + y*5) % 251) AS BIGINT) AS sum_lum
+         FROM px
+         GROUP BY media_id, k, w, h
+         ORDER BY media_id, frame_idx""",
     "mm1_media_features" ->
       """WITH m AS (
            SELECT doc_id,

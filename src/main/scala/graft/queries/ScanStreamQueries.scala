@@ -354,6 +354,21 @@ private[graft] object ScanStreamQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // ---- REAL H.264 intra decode (round 11): the same per-frame stat
+    // fold as mm7, but every sample is an Annex-B access unit of I_PCM
+    // macroblocks under the 'h264' fourcc — NAL framing, emulation-
+    // prevention unescape, Exp-Golomb header parsing, the CAVLC-mode
+    // macroblock loop, and SPS frame cropping are all on the decode path
+    // (sources/H264.scala). I_PCM is lossless, so the DuckDB oracle
+    // rebuilds the sums closed-form — the same pixel formula as mm7's PNG
+    // frames: two independent codec stacks, one provable answer. --------
+    "mm8_h264_frames" -> { (s, dir) =>
+      Multimodal.videoFrames(
+        Multimodal.h264FromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id"))))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
     // directory-tree scan whose predicate prunes at the PARTITION level —
     // the filter never reaches row groups of other priorities; at 100 TB

@@ -286,8 +286,23 @@ object Multimodal {
     * the multimodal family gets real pixel decode for video, not just
     * container metadata.
     */
-  private[graft] def framedMp4Bytes(id: Long, jpeg: Boolean = false): Array[Byte] = {
-    val frames = (0 until vidNFrames(id)).map(frameBytes(id, _, jpeg))
+  private[graft] def framedMp4Bytes(id: Long, jpeg: Boolean = false): Array[Byte] =
+    framedMp4BytesCodec(id, if (jpeg) "jpeg" else "png ")
+
+  /** [[framedMp4Bytes]] generalized over the sample codec: "png "/"jpeg"
+    * (imageio-encoded image frames) or "h264" (round 11: self-contained
+    * Annex-B access units of I_PCM intra macroblocks — the classic
+    * raw-H.264-in-MP4 shape carried under the 'h264' fourcc). PCM is
+    * lossless, so the h264 path keeps the same closed-form pixel oracle
+    * the PNG path has.
+    */
+  private[graft] def framedMp4BytesCodec(id: Long, codec: String): Array[Byte] = {
+    val frames = (0 until vidNFrames(id)).map { k =>
+      if (codec == "h264")
+        H264.encodeIdrPcm(frameW(id), frameH(id), framePix(id, k, _, _),
+          idrPicId = k)
+      else frameBytes(id, k, codec == "jpeg")
+    }
     val mdatPayload = frames.map(_.length).sum
     val nf = frames.length
     // fixed box sizes (bottom-up)
@@ -338,7 +353,7 @@ object Multimodal {
     bb.putInt(stblSz); tag("stbl")
     bb.putInt(stsdSz); tag("stsd")
     bb.putInt(0); bb.putInt(1) // ver/flags, entry_count
-    bb.putInt(86); tag(if (jpeg) "jpeg" else "png ") // VisualSampleEntry
+    bb.putInt(86); tag(codec) // VisualSampleEntry fourcc
     bb.putInt(0); bb.putShort(0) // reserved(6)
     bb.putShort(1) // data_reference_index
     bb.putShort(0); bb.putShort(0) // pre_defined, reserved
@@ -374,6 +389,20 @@ object Multimodal {
       .select(col("doc_id").as("media_id"), lit("video").as("kind"))
       .withColumn("payload", makeFramedPayload(col("media_id")))
 
+  private val makeH264Payload = udf { (id: Long) => framedMp4BytesCodec(id, "h264") }
+
+  /** The H.264 fixture (round 11): the same video-kind docs, but every
+    * sample is a self-contained Annex-B access unit (SPS+PPS+IDR) of
+    * I_PCM intra macroblocks under the 'h264' fourcc — a REAL temporal
+    * codec's syntax stack (NAL framing, emulation prevention, Exp-Golomb
+    * headers, macroblock layer, frame cropping) on the decode path, with
+    * the lossless-PCM property keeping the pixel oracle closed-form.
+    */
+  def h264FromDocuments(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"))
+      .withColumn("payload", makeH264Payload(col("media_id")))
+
   private val frameRowSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),
@@ -408,7 +437,18 @@ object Multimodal {
                 // of the video still decodes
                 val res = try {
                   if (sz <= 0 || off < 0 || off + sz > payload.length) None
-                  else {
+                  else if (info.codec == "h264") {
+                    // round 11: route H.264 samples through the native
+                    // intra decoder (imageio cannot sniff raw Annex-B)
+                    H264.decodeIdrPcm(java.util.Arrays.copyOfRange(
+                        payload, off.toInt, (off + sz).toInt)).map { f =>
+                      var sum = 0L
+                      var i = 0
+                      while (i < f.y.length) { sum += f.y(i) & 0xff; i += 1 }
+                      Row(id, k.toLong, f.width.toLong, f.height.toLong,
+                        f.width.toLong * f.height, sum)
+                    }
+                  } else {
                     val img = javax.imageio.ImageIO.read(
                       new java.io.ByteArrayInputStream(
                         payload, off.toInt, sz.toInt))
