@@ -291,14 +291,14 @@ private[graft] object H264 {
   }
 
   /** One self-contained Annex-B access unit ([SPS][PPS][IDR]) carrying the
-    * given luma plane as I_PCM macroblocks, cropped to (w, h). Chroma is
-    * the constant mid-gray 128. `w`/`h` must be even and <= 16 in this
-    * single-macroblock writer twin (the decoder itself handles any
-    * macroblock grid).
+    * given luma plane as I_PCM macroblocks over an arbitrary macroblock
+    * grid, cropped to (w, h) via the SPS cropping window. Chroma is the
+    * constant mid-gray 128. `w`/`h` must be even (CropUnit is 2 at 4:2:0).
     */
   private[graft] def encodeIdrPcm(w: Int, h: Int, luma: (Int, Int) => Int,
       idrPicId: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 16 && h <= 16 && w % 2 == 0 && h % 2 == 0)
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0)
+    val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
     // SPS
     val sw = new BitWriter
     sw.u(66, 8) // profile_idc: Baseline
@@ -309,13 +309,13 @@ private[graft] object H264 {
     sw.ue(2) // pic_order_cnt_type 2 (derived POC: no further fields)
     sw.ue(0) // max_num_ref_frames
     sw.u(0, 1) // gaps_in_frame_num_value_allowed_flag
-    sw.ue(0) // pic_width_in_mbs_minus1
-    sw.ue(0) // pic_height_in_map_units_minus1
+    sw.ue(mbW - 1) // pic_width_in_mbs_minus1
+    sw.ue(mbH - 1) // pic_height_in_map_units_minus1
     sw.u(1, 1) // frame_mbs_only_flag
     sw.u(1, 1) // direct_8x8_inference_flag
     sw.u(1, 1) // frame_cropping_flag
-    sw.ue(0); sw.ue((16 - w) / 2) // crop left, right (units of 2 px)
-    sw.ue(0); sw.ue((16 - h) / 2) // crop top, bottom
+    sw.ue(0); sw.ue((mbW * 16 - w) / 2) // crop left, right (units of 2 px)
+    sw.ue(0); sw.ue((mbH * 16 - h) / 2) // crop top, bottom
     sw.u(0, 1) // vui_parameters_present_flag
     sw.trailing()
     // PPS
@@ -340,17 +340,22 @@ private[graft] object H264 {
     iw.ue(idrPicId & 0xffff)
     iw.u(0, 1); iw.u(0, 1) // dec_ref_pic_marking (IDR)
     iw.se(0) // slice_qp_delta
-    // one I_PCM macroblock
-    iw.ue(25) // mb_type I_PCM
-    iw.byteAlignZero() // pcm_alignment_zero_bit(s)
-    var i = 0
-    while (i < 256) {
-      val x = i % 16; val y = i / 16
-      iw.u(if (x < w && y < h) luma(x, y) & 0xff else 0, 8)
-      i += 1
+    // all-I_PCM macroblocks in raster order
+    var mb = 0
+    while (mb < mbW * mbH) {
+      val bx = (mb % mbW) * 16; val by = (mb / mbW) * 16
+      iw.ue(25) // mb_type I_PCM
+      iw.byteAlignZero() // pcm_alignment_zero_bit(s)
+      var i = 0
+      while (i < 256) {
+        val x = bx + i % 16; val y = by + i / 16
+        iw.u(if (x < w && y < h) luma(x, y) & 0xff else 0, 8)
+        i += 1
+      }
+      var c = 0
+      while (c < 128) { iw.u(128, 8); c += 1 }
+      mb += 1
     }
-    var c = 0
-    while (c < 128) { iw.u(128, 8); c += 1 }
     iw.trailing()
     val out = new java.io.ByteArrayOutputStream()
     // nal_ref_idc 3 for SPS/PPS/IDR (reference material)

@@ -25,6 +25,19 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-macroblock grids round-trip (the loop one-MB fixtures never hit)") {
+    // 40x34 = 3x3 macroblocks with asymmetric right/bottom cropping;
+    // also a wide 1xN and tall Nx1 grid
+    for ((w, h) <- Seq((40, 34), (48, 16), (16, 48), (34, 40))) {
+      val au = H264.encodeIdrPcm(w, h, (x, y) => (x * 31 + y * 17 + 5) % 251)
+      val f = H264.decodeIdrPcm(au).getOrElse(fail(s"${w}x$h failed"))
+      assert(f.width == w && f.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((f.y(y * w + x) & 0xff) == (x * 31 + y * 17 + 5) % 251,
+          s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
   test("emulation prevention: zero-run PCM payloads survive the byte stream") {
     // an all-zero luma plane makes the raw RBSP carry long 00 runs that
     // MUST be escaped — otherwise they read back as start codes
