@@ -48,9 +48,23 @@ def main():
     spark_full = json.loads(spark_lines[0])
     spark_summary = json.loads(spark_lines[-1])
 
-    # 2. oracle SQL dump (reuse an existing verify dump when present)
+    # 2. oracle SQL dump (reuse an existing verify dump when it still
+    # matches the registry — a stale dump silently under-counts the DuckDB
+    # side when queries were added since it was written, observed round 11
+    # when mm8 landed: duck_n 188 vs spark_n 189)
     sql_path = "/tmp/graft_paired_oracle/oracle_sql.json"
-    if not os.path.exists(sql_path):
+    stale = True
+    if os.path.exists(sql_path):
+        try:
+            with open(sql_path) as f:
+                stale = len(json.load(f)) != spark_summary.get("n")
+        except (OSError, json.JSONDecodeError):
+            stale = True
+    if stale:
+        try:
+            os.remove(sql_path)
+        except OSError:
+            pass
         subprocess.run(
             ["sbt", "-batch",
              f"runMain graft.Verify {sf_dir} /tmp/graft_paired_oracle "
