@@ -66,4 +66,14 @@ object LocalFsPerf {
     // setting belongs on any long-lived cluster driver/executor serving a
     // wide query surface.
     .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // Drop the codegen stage id from generated CLASS NAMES (it exists only
+    // as a debugging aid): with it, two structurally identical stages from
+    // different queries — ubiquitous across a 189-query surface built from
+    // shared operators — generate different sources and MISS the Janino
+    // cache; without it they share one compiled class. Interleaved A/B on
+    // the heavy fresh-invocation subset (round 11, dd trio + gr3 + t8 +
+    // pl2): sweep −6.5%, one-shots −12%, every round of the interleave in
+    // the same direction. Debuggability loss is nil here (stage ids still
+    // appear in explain output and task names).
+    .config("spark.sql.codegen.useIdInClassName", "false")
 }
