@@ -27,6 +27,10 @@ object BenchProfile {
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Tier selection lives in BenchProfile (see its doc + BenchProfileSpec).

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated name filter for fast local iteration
     val only: Option[Set[String]] =

@@ -293,20 +293,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over an undirected pair list (id_a, id_b) by
-    * min-label propagation with POINTER JUMPING: every node starts labeled
-    * with its own id; each round labels flow across edges (every node keeps
-    * the minimum seen), then every label is replaced by its label's label
-    * (`label(x) ← label(label(x))`) — the star-contraction step that halves
-    * remaining label-chain depth, so convergence is O(log diameter) rounds,
-    * not O(diameter): a 1M-node chain needs ~20 rounds, not 1M. Near-dup
-    * components are clique-ish (diameter 1-2) and finish in 2-3 narrow
-    * shuffles regardless. Per-round localCheckpoint stops lineage doubling;
-    * the iteration cap is a safety net that now only fires on a genuinely
-    * pathological graph, and non-convergence THROWS rather than returning
-    * silently-wrong partial labels. Returns (member_id, group_id =
-    * component minimum).
+  /** Execution-intent gate for [[warmAsync]]. DataFrame CONSTRUCTION must
+    * not launch Spark jobs when the caller only wants the plan — specs
+    * that audit executedPlans, the oracle-SQL dump, and explain tools all
+    * build these frames without ever running them, and an ungated warm
+    * would execute the heavy checkpoint segments as a side effect (and
+    * leave cached blocks that are freed only on RDD GC). Default OFF;
+    * the execution entry points (Bench, Verify, the perf probes) flip it
+    * on before constructing queries. Purely a perf pipelining switch —
+    * results are identical either way.
     */
+  @volatile var warmOnConstruct: Boolean = false
+
   /** Kick off BACKGROUND materialization of a lazily-checkpointed frame:
     * submits a no-op job over the checkpoint's RDD so the workers compute
     * (and cache) its blocks WHILE the driver constructs the downstream
@@ -318,9 +316,10 @@ object Dedup {
     * action finds the blocks built (BlockManager per-block locks dedupe a
     * concurrent first compute); failures are deferred to that action,
     * which recomputes and reports them through the normal path.
+    * No-op unless [[warmOnConstruct]] — plan-only callers skip the jobs.
     */
   private[graft] def warmAsync(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    if (warmOnConstruct) df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val rdd = lr.rdd
         try {
@@ -344,6 +343,20 @@ object Dedup {
     */
   val BichromProbeMax = 65536L
 
+  /** Connected components over an undirected pair list (id_a, id_b) by
+    * min-label propagation with POINTER JUMPING: every node starts labeled
+    * with its own id; each round labels flow across edges (every node keeps
+    * the minimum seen), then every label is replaced by its label's label
+    * (`label(x) ← label(label(x))`) — the star-contraction step that halves
+    * remaining label-chain depth, so convergence is O(log diameter) rounds,
+    * not O(diameter): a 1M-node chain needs ~20 rounds, not 1M. Near-dup
+    * components are clique-ish (diameter 1-2) and finish in 2-3 narrow
+    * shuffles regardless. Per-round localCheckpoint stops lineage doubling;
+    * the iteration cap is a safety net that now only fires on a genuinely
+    * pathological graph, and non-convergence THROWS rather than returning
+    * silently-wrong partial labels. Returns (member_id, group_id =
+    * component minimum).
+    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithStats(pairs, maxIter)._1
 

@@ -55,10 +55,14 @@ private[graft] object H264 {
       }
       v
     }
-    /** Exp-Golomb unsigned: z leading zeros, '1', z info bits. */
+    /** Exp-Golomb unsigned: z leading zeros, '1', z info bits. z is capped
+      * at 30: z=31 would overflow `1 << z` to Int.MinValue and return a
+      * negative value (spec-valid codes in SPS/PPS/slice headers are far
+      * below 2^30, so the cap only rejects corrupt streams).
+      */
     def ue(): Int = {
       var z = 0
-      while (u(1) == 0) { z += 1; if (z > 31) throw new ParseEnd }
+      while (u(1) == 0) { z += 1; if (z > 30) throw new ParseEnd }
       if (z == 0) 0 else ((1 << z) | u(z)) - 1
     }
     /** Exp-Golomb signed: 0,1,-1,2,-2,... */
@@ -189,7 +193,10 @@ private[graft] object H264 {
         }
       }
       None
-    } catch { case _: ParseEnd | _: ArrayIndexOutOfBoundsException => None }
+    // IndexOutOfBoundsException, not its Array subclass: System.arraycopy
+    // only guarantees the parent type, and a corrupt-offset copy must stay
+    // inside the decoder's own None contract, not escape to the caller.
+    } catch { case _: ParseEnd | _: IndexOutOfBoundsException => None }
   }
 
   private def decodeIdrSlice(r: BitReader, sps: Sps, pps: Pps): Option[Frame] = {

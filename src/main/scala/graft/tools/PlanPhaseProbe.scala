@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanPhaseProbe {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.stream.LocalFsPerf.tune(SparkSession.builder()
       .master("local[32]")

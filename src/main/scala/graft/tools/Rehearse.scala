@@ -70,6 +70,10 @@ object Rehearse {
     "e8_ivf_recall" -> 5.0)
 
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val sf10 = args.headOption.contains("sf10")
     val rest = if (sf10) args.drop(1) else args
     val src = rest.headOption.getOrElse("/root/testdata/sf0.1")

@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   */
 object RehearseDedup {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SpotBench {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val dir = args(0)
     def size(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(size).sum else f.length()

@@ -10,6 +10,10 @@ import scala.collection.mutable
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def size(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(size).sum else f.length()

@@ -13,6 +13,10 @@ import scala.jdk.CollectionConverters._
   */
 object SweepTaxProbe {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val dir = "/root/testdata/sf0.1"
     val spark = graft.stream.LocalFsPerf.tune(SparkSession.builder()
       .master("local[32]")

@@ -3,6 +3,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 object T7Probe {
   def main(args: Array[String]): Unit = {
+    // execution intent: this entry point runs what it builds, so let
+    // query construction background-warm checkpoint segments (see
+    // Dedup.warmOnConstruct -- plan-only introspection paths leave it off).
+    graft.dedup.Dedup.warmOnConstruct = true
     val dir = "/root/testdata/sf0.1"
     val spark = graft.stream.LocalFsPerf.tune(SparkSession.builder()
       .master("local[32]")

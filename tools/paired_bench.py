@@ -53,11 +53,16 @@ def main():
     # side when queries were added since it was written, observed round 11
     # when mm8 landed: duck_n 188 vs spark_n 189)
     sql_path = "/tmp/graft_paired_oracle/oracle_sql.json"
+    # Staleness = the dump is missing a swept query (superset containment,
+    # not count equality: Verify always dumps the FULL registry, so a full
+    # dump must stay valid for subset sweeps and vice versa — a count
+    # compare forced a pointless full re-dump on every subset run).
+    swept = set(spark_full.get("queries", {}))
     stale = True
     if os.path.exists(sql_path):
         try:
             with open(sql_path) as f:
-                stale = len(json.load(f)) != spark_summary.get("n")
+                stale = not swept or not swept <= set(json.load(f))
         except (OSError, json.JSONDecodeError):
             stale = True
     if stale:
