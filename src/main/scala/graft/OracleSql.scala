@@ -88,9 +88,9 @@ private[graft] object OracleSql {
   val map: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         CAST(round(sum(CAST((l_quantity) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST((l_extendedprice) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
          floor(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
          floor(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
          count(*) AS count_order
@@ -109,10 +109,10 @@ private[graft] object OracleSql {
                   row_number() OVER (PARTITION BY user_id, high ORDER BY ts, event_id) AS grp
            FROM e),
          ep AS (
-           SELECT user_id, grp, count(*) AS len, round(sum(value), 2) AS ep_sum
+           SELECT user_id, grp, count(*) AS len, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS ep_sum
            FROM g WHERE high = 1 GROUP BY 1, 2)
          SELECT user_id, count(*) AS n_episodes, max(len) AS max_len,
-                round(sum(ep_sum), 2) AS total_high
+                CAST(round(sum(CAST((ep_sum) AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_high
          FROM ep GROUP BY 1 ORDER BY user_id""",
     "f16_url_parse" ->
       """WITH u AS (
@@ -136,7 +136,7 @@ private[graft] object OracleSql {
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -148,7 +148,7 @@ private[graft] object OracleSql {
          LIMIT 10""",
     "q5_local_supplier_volume" ->
       """SELECT n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM customer
          JOIN orders ON c_custkey = o_custkey
@@ -200,7 +200,7 @@ private[graft] object OracleSql {
     "j4_orders_by_region" ->
       """SELECT r_name,
          count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_price
+         CAST(round(sum(CAST((o_totalprice) AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_price
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -225,7 +225,7 @@ private[graft] object OracleSql {
          ), incoming AS (
            SELECT event_id, event_type, value + 5 AS value FROM events
          )
-         SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         SELECT event_type, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM (
            SELECT * FROM existing
            UNION ALL
@@ -258,7 +258,7 @@ private[graft] object OracleSql {
     "j3_enrich_docs" ->
       """SELECT doc_id, d.source, n_chars, n_docs, source_avg_chars
          FROM documents d
-         JOIN (
+         LEFT JOIN (
            SELECT source, count(*) AS n_docs, floor(CAST(sum(n_chars) AS DOUBLE) / count(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS source_avg_chars
            FROM documents GROUP BY source
          ) s ON d.source = s.source
@@ -304,12 +304,12 @@ private[graft] object OracleSql {
     "a11_grouping_sets" ->
       """SELECT coalesce(event_type, '__all__') AS event_type,
                 coalesce(yr, -1) AS yr,
-                count(*) AS n, round(sum(value), 2) AS sum_value
+                count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM (SELECT event_type, year(ts) AS yr, value FROM events)
          GROUP BY CUBE (event_type, yr)
          ORDER BY event_type, yr""",
     "j7_salted_skew_join" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT c_mktsegment, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
@@ -403,7 +403,7 @@ private[graft] object OracleSql {
     "u1_measure_unpivot" ->
       """SELECT variable_name,
          count(variable_value) AS n,
-         round(sum(variable_value), 2) AS sum_value,
+         CAST(round(sum(CAST((variable_value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
          floor(CAST(sum(CAST(variable_value AS DECIMAL(27,6))) AS DOUBLE) / count(variable_value) * 1000000.0 + 0.5) / 1000000.0 AS avg_value,
          round(min(variable_value), 4) AS min_value,
          round(max(variable_value), 4) AS max_value
@@ -437,16 +437,16 @@ private[graft] object OracleSql {
          FROM g GROUP BY user_id ORDER BY user_id""",
     "s2_multiformat_scan" ->
       """SELECT event_type,
-                count(*) AS n_json, round(sum(value), 2) AS sum_json,
-                count(*) AS n_csv,  round(sum(value), 2) AS sum_csv,
-                count(*) AS n_orc,  round(sum(value), 2) AS sum_orc
+                count(*) AS n_json, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_json,
+                count(*) AS n_csv,  CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_csv,
+                count(*) AS n_orc,  CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_orc
          FROM events GROUP BY event_type ORDER BY event_type""",
     "s3_schema_inspect" ->
       """SELECT column_name, column_type, "null" = 'YES' AS is_nullable
          FROM (DESCRIBE customer) ORDER BY column_name""",
     "j8_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
-                round(sum(l_extendedprice), 2) AS sum_price
+                CAST(round(sum(CAST((l_extendedprice) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "a12_approx_percentiles" ->
@@ -474,11 +474,11 @@ private[graft] object OracleSql {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "a8_rollup" ->
       """SELECT coalesce(event_type, '__total__') AS event_type,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+         count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY ROLLUP(event_type)
          ORDER BY event_type""",
     "a9_salted_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "pl1_full_pipeline" ->
       """WITH tidy AS (
@@ -539,7 +539,7 @@ private[graft] object OracleSql {
          FROM h GROUP BY lang, split ORDER BY lang, split""",
     "s5_partitioned_scan" ->
       """SELECT o_orderstatus, count(*) AS n,
-                round(sum(o_totalprice), 2) AS total_price
+                CAST(round(sum(CAST((o_totalprice) AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s6_schema_evolution" ->
@@ -774,7 +774,7 @@ private[graft] object OracleSql {
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY click_id, purchase_id""",
     "st8_incremental_agg" ->
-      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      """SELECT user_id, count(*) AS n_events, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
     "st7_stream_outer_join" ->
       """WITH m AS (SELECT least(max(ts) FILTER (event_type = 'click'),
@@ -825,7 +825,7 @@ private[graft] object OracleSql {
     "j6_asof_join" ->
       """SELECT q.event_id, q.user_id, round(u.price, 2) AS asof_price
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') q
-         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
+         ASOF LEFT JOIN (SELECT user_id, ts, first(value ORDER BY event_id DESC) AS price
                          FROM events WHERE event_type = 'purchase'
                          GROUP BY user_id, ts) u
            ON q.user_id = u.user_id AND u.ts <= q.ts
@@ -836,7 +836,7 @@ private[graft] object OracleSql {
                   (p_partkey % 40) * 5.0 AS lo,
                   (p_partkey % 40) * 5.0 + 12.5 AS hi
            FROM part WHERE p_partkey <= 100)
-         SELECT range_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
+         SELECT range_id, count(*) AS n_points, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events e JOIN intervals i
            ON e.value >= i.lo AND e.value < i.hi
          GROUP BY range_id ORDER BY range_id""",
@@ -968,7 +968,7 @@ private[graft] object OracleSql {
          SELECT count(*) AS n_clean,
                 CAST(sum(CASE WHEN lat BETWEEN -60 AND 30 AND lon BETWEEN 20 AND 120
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_indian_box,
-                round(sum(lat), 2) AS sum_lat
+                CAST(round(sum(CAST((lat) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_lat
          FROM cleaned""",
     "s13_vector_update" ->
       """WITH after AS (
@@ -1098,7 +1098,7 @@ private[graft] object OracleSql {
            FROM lineitem),
          r AS (SELECT nullif(coalesce(c1, c2, c3), CAST(-999.0 AS DOUBLE)) AS qty FROM v)
          SELECT count(*) AS n_rows, count(qty) AS n_resolved,
-                round(sum(qty), 2) AS sum_qty
+                CAST(round(sum(CAST((qty) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty
          FROM r""",
     "p12_doc_shape" ->
       """WITH c AS (
@@ -1278,7 +1278,7 @@ private[graft] object OracleSql {
            UNION ALL SELECT event_id, user_id, value, 2 FROM events WHERE event_id % 3 = 1
            UNION ALL SELECT event_id, user_id, value, 3 FROM events WHERE event_id % 2 = 0),
          d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY arrival) AS rn FROM u)
-         SELECT arrival, count(*) AS n, round(sum(value), 2) AS sum_value
+         SELECT arrival, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM d WHERE rn = 1 GROUP BY arrival ORDER BY arrival""",
     "dd1_exact_dedup" ->
       """WITH all_docs AS (
@@ -1793,7 +1793,7 @@ private[graft] object OracleSql {
          FROM h GROUP BY 1 ORDER BY 1""",
     "o3_corrupt_tolerant" ->
       """SELECT count(*) + 5 AS n_rows, CAST(5 AS BIGINT) AS n_corrupt,
-                count(*) AS n_good, round(sum(value), 2) AS sum_value
+                count(*) AS n_good, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events""",
     "pl2_training_pipeline" ->
       """WITH q AS (
@@ -1842,7 +1842,7 @@ private[graft] object OracleSql {
                  FROM x) AS packed_tokens""",
     "j9_bloom_prune_join" ->
       """SELECT o_orderstatus, count(*) AS n,
-                round(sum(l_extendedprice), 2) AS sum_price
+                CAST(round(sum(CAST((l_extendedprice) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
@@ -1900,7 +1900,7 @@ private[graft] object OracleSql {
          FROM x GROUP BY 1 ORDER BY 1""",
     "o1_compaction" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-                round(sum(value), 2) AS sum_value,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
                 CAST(48 AS BIGINT) AS files_before, TRUE AS files_after_on_target
          FROM events""",
     "o2_zorder_layout" ->
@@ -1957,7 +1957,7 @@ private[graft] object OracleSql {
          SELECT user_id % 10 AS bucket,
                 CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
                 CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
-                round(sum(CASE WHEN op <> 'D' THEN value END), 2) AS sum_final_value
+                CAST(round(sum(CAST((CASE WHEN op <> 'D' THEN value END) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_final_value
          FROM l WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
     "sp4_group_split" ->
@@ -2067,10 +2067,10 @@ private[graft] object OracleSql {
     "st9_stream_dedup" ->
       """SELECT event_type, count(*) AS n,
                 count(DISTINCT event_id) AS n_distinct,
-                round(sum(value), 2) AS sum_value
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "st10_stream_static" ->
-      """SELECT n_name, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT n_name, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY 1 ORDER BY 1""",
     "o6_snapshot_diff" ->
@@ -2086,7 +2086,7 @@ private[graft] object OracleSql {
                   a.cents AS cents_a, b.cents AS cents_b,
                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
                        WHEN b.o_orderkey IS NULL THEN 'removed'
-                       WHEN a.cents <> b.cents THEN 'changed'
+                       WHEN a.cents IS DISTINCT FROM b.cents THEN 'changed'
                        ELSE 'unchanged' END AS status
            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
          SELECT status, count(*) AS n,
@@ -2095,8 +2095,8 @@ private[graft] object OracleSql {
          FROM d GROUP BY 1 ORDER BY status""",
     "o4_partition_overwrite" ->
       """SELECT event_type, count(*) AS n,
-                round(sum(CASE WHEN event_type = 'click' THEN value * 2
-                               ELSE value END), 2) AS sum_value
+                CAST(round(sum(CAST((CASE WHEN event_type = 'click' THEN value * 2
+                               ELSE value END) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "dd12_incremental_dedup" ->
       """WITH all_docs AS (
@@ -2489,7 +2489,7 @@ private[graft] object OracleSql {
          GROUP BY doc_id ORDER BY doc_id""",
     "q18_large_volume" ->
       """WITH big AS (
-           SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+           SELECT l_orderkey, CAST(round(sum(CAST((l_quantity) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty
            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
          SELECT c_name, c_custkey, o_orderkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -2758,7 +2758,7 @@ private[graft] object OracleSql {
                      THEN round(u.price, 2) END AS next_price
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'view') q
-         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS price
+         ASOF LEFT JOIN (SELECT user_id, ts, first(value ORDER BY event_id DESC) AS price
                          FROM events WHERE event_type = 'purchase'
                          GROUP BY user_id, ts) u
            ON q.user_id = u.user_id AND u.ts >= q.ts
@@ -2805,7 +2805,7 @@ private[graft] object OracleSql {
     "q7_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
                 CAST(count(*) AS BIGINT) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -2820,7 +2820,7 @@ private[graft] object OracleSql {
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
                 CAST(count(*) AS BIGINT) AS n_items
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -2938,7 +2938,7 @@ private[graft] object OracleSql {
          SELECT COALESCE(status, 'none') AS status,
                 CAST(count(*) AS BIGINT) AS n_purchases,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                round(sum(value), 2) AS sum_value
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM j GROUP BY 1 ORDER BY 1""",
     "w9_wow_change" ->
       """WITH wk AS (

@@ -40,6 +40,22 @@ object Stats {
     floor(c * p + 0.5) / p
   }
 
+  /** Order-independent money sum: per-row cast to DECIMAL(30,10) — exact
+    * for the fixtures' ≤4-decimal money/measurement doubles (6 guard
+    * digits below the finest input decimal) — then an EXACT decimal sum,
+    * rounded to cents and surfaced as DOUBLE. `round(sum(double), 2)` is
+    * order-dependent: parallel partial-sum order differs between engines
+    * (and across partitionings of the same engine), and a sum landing
+    * within one ulp of a half-cent flips the rounded output — q7 did
+    * exactly that under the round-12 seed fuzz (242766.42 vs .43). The
+    * decimal sum is associative, so the result is identical under ANY
+    * partitioning — the property a 1000-executor aggregation needs.
+    * SQL twin: CAST(round(sum(CAST((x) AS DECIMAL(30,10))), 2) AS DOUBLE).
+    */
+  def sumMoney(c: Column): Column =
+    round(sum(c.cast("decimal(30,10)")), 2).cast("double")
+  def sumMoney(name: String): Column = sumMoney(col(name))
+
   /** The `{count, min, max, mean}` block the reference packs per measurement
     * (ingest/preprocess.py:331-339), as flat aliased columns.
     * Doubles are rounded so a DuckDB oracle summing in a different order

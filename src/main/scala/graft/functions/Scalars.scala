@@ -59,11 +59,18 @@ object Scalars {
   /** F9: "12.345°N" hemisphere formatting (reference:
     * preprocess_floats_to_chromadb.py:200-204).
     */
+  // null-guarded: format_string is java.util.Formatter underneath, which
+  // renders a null %f argument as the STRING "null" (truncated by the
+  // precision to "nul") instead of propagating NULL — a null latitude must
+  // yield a null label, as every SQL formatter does. Caught by the round-12
+  // null-injection fuzz (tools/fuzz_sweep.py).
   def hemisphereLat(lat: Column): Column =
-    format_string("%.3f°%s", abs(lat), when(lat >= 0, "N").otherwise("S"))
+    when(lat.isNotNull,
+      format_string("%.3f°%s", abs(lat), when(lat >= 0, "N").otherwise("S")))
 
   def hemisphereLon(lon: Column): Column =
-    format_string("%.3f°%s", abs(lon), when(lon >= 0, "E").otherwise("W"))
+    when(lon.isNotNull,
+      format_string("%.3f°%s", abs(lon), when(lon >= 0, "E").otherwise("W")))
 
   /** F10: bbox center (reference: embeddings/embed.py:80-81). */
   def center(lo: Column, hi: Column): Column = (lo + hi) / 2.0

@@ -31,15 +31,24 @@ object TemporalJoins {
       queries: DataFrame, updates: DataFrame,
       key: String, time: String, valueCol: String, asofCol: String): DataFrame = {
     val qCols = queries.columns
-    val u = updates.select(col(key), col(time), col(valueCol).as("__uval"))
+    // The update value rides inside a single-field STRUCT: the forward-fill
+    // skips nulls to pass over interleaved query rows, and a bare null
+    // VALUE would be passed over too — silently substituting the previous
+    // non-null update where true as-of semantics (DuckDB ASOF JOIN, pandas
+    // merge_asof) match the latest ROW and return its value, null included.
+    // The struct is non-null for every update row, so the fill stops at the
+    // matched row; the field extract then surfaces its possibly-null value.
+    // Caught by the round-12 null-injection fuzz (tools/fuzz_sweep.py).
+    val u = updates.select(col(key), col(time),
+        struct(col(valueCol).as("v")).as("__upd"))
       .withColumn("__side", lit(0))
-    val q = queries.withColumn("__uval", lit(null).cast(u.schema("__uval").dataType))
+    val q = queries.withColumn("__upd", lit(null).cast(u.schema("__upd").dataType))
       .withColumn("__side", lit(1))
     val unioned = q.unionByName(u, allowMissingColumns = true)
     val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(asofCol, last(col("__uval"), ignoreNulls = true).over(w))
+      .withColumn(asofCol, last(col("__upd"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .select(qCols.map(col).toIndexedSeq :+ col(asofCol): _*)
   }

@@ -26,9 +26,9 @@ private[graft] object AnalyticsQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          Stats.sumMoney("l_quantity").as("sum_qty"),
+          Stats.sumMoney("l_extendedprice").as("sum_base_price"),
+          Stats.sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           Stats.exactMean(col("l_quantity")).as("avg_qty"),
           Stats.exactMean(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -52,7 +52,7 @@ private[graft] object AnalyticsQueries {
             .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Stats.sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .select(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -82,7 +82,7 @@ private[graft] object AnalyticsQueries {
         .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Stats.sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("n_name")
     },
@@ -110,7 +110,7 @@ private[graft] object AnalyticsQueries {
         .groupBy("r_name")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          Stats.sumMoney("o_totalprice").as("total_price"))
         .orderBy("r_name")
     },
 
@@ -275,11 +275,11 @@ private[graft] object AnalyticsQueries {
           row_number().over(byUser) - row_number().over(byUserHigh))
         .filter(col("high") === 1)
         .groupBy("user_id", "grp")
-        .agg(count(lit(1)).as("len"), round(sum("value"), 2).as("ep_sum"))
+        .agg(count(lit(1)).as("len"), Stats.sumMoney("value").as("ep_sum"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_episodes"),
           max("len").as("max_len"),
-          round(sum("ep_sum"), 2).as("total_high"))
+          Stats.sumMoney("ep_sum").as("total_high"))
         .orderBy("user_id")
     },
 
@@ -298,7 +298,7 @@ private[graft] object AnalyticsQueries {
     "a8_rollup" -> { (s, dir) =>
       Tables.events(s, dir)
         .rollup("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .withColumn("event_type", coalesce(col("event_type"), lit("__total__")))
         .orderBy("event_type")
     },
@@ -334,7 +334,7 @@ private[graft] object AnalyticsQueries {
         .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          round(sum("l_extendedprice"), 2).as("sum_price"))
+          Stats.sumMoney("l_extendedprice").as("sum_price"))
         .orderBy("o_orderstatus")
     },
 
@@ -390,7 +390,7 @@ private[graft] object AnalyticsQueries {
       Tables.events(s, dir)
         .withColumn("yr", year(col("ts")).cast("long"))
         .cube("event_type", "yr")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .withColumn("event_type", coalesce(col("event_type"), lit("__all__")))
         .withColumn("yr", coalesce(col("yr"), lit(-1L)))
         .orderBy("event_type", "yr")
@@ -405,7 +405,7 @@ private[graft] object AnalyticsQueries {
         .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
       salted
         .groupBy("event_type")
-        .agg(sum("pn").as("n"), round(sum("psum"), 2).as("sum_value"))
+        .agg(sum("pn").as("n"), Stats.sumMoney("psum").as("sum_value"))
         .orderBy("event_type")
     },
 
@@ -428,7 +428,7 @@ private[graft] object AnalyticsQueries {
       fact.join(dim.hint("SHUFFLE_HASH"),
           fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("c_mktsegment")
     },
 
@@ -475,7 +475,7 @@ private[graft] object AnalyticsQueries {
         Tables.events(s, dir).select("event_id", "value"), "value",
         intervals, "lo", "hi", bucketWidth = 10.0)
         .groupBy("range_id")
-        .agg(count(lit(1)).as("n_points"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_points"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("range_id")
     },
 
@@ -609,7 +609,7 @@ private[graft] object AnalyticsQueries {
              SELECT graft_bloom_agg(xxhash64(o_orderkey), 20000L, 262144L) AS b
              FROM j9_dim)
            SELECT /*+ BROADCAST(d) */ d.o_orderstatus, count(*) AS n,
-                  round(sum(f.l_extendedprice), 2) AS sum_price
+                  CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_price
            FROM j9_fact f JOIN j9_dim d ON f.l_orderkey = d.o_orderkey
            WHERE graft_might_contain((SELECT b FROM bf), xxhash64(f.l_orderkey))
            GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus""")
@@ -1101,7 +1101,7 @@ private[graft] object AnalyticsQueries {
           (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Stats.sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
@@ -1121,7 +1121,7 @@ private[graft] object AnalyticsQueries {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Stats.sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
@@ -1234,7 +1234,7 @@ private[graft] object AnalyticsQueries {
         .groupBy(coalesce(col("asof.status"), lit("none")).as("status"))
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct("user_id").as("n_users"),
-          round(sum("value"), 2).as("sum_value"))
+          Stats.sumMoney("value").as("sum_value"))
         .orderBy("status")
     },
 

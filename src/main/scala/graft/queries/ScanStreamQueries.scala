@@ -56,7 +56,7 @@ private[graft] object ScanStreamQueries {
       val incoming = ev.select(col("event_id"), col("event_type"), (col("value") + 5).as("value"))
       Upsert.insertIfAbsent(incoming, existing, "event_id")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("event_type")
     },
 
@@ -158,7 +158,7 @@ private[graft] object ScanStreamQueries {
         .groupBy("variable_name")
         .agg(
           count(col("variable_value")).as("n"),
-          round(sum("variable_value"), 2).as("sum_value"),
+          Stats.sumMoney("variable_value").as("sum_value"),
           Stats.exactMean(col("variable_value")).as("avg_value"),
           round(min("variable_value"), 4).as("min_value"),
           round(max("variable_value"), 4).as("max_value"))
@@ -181,13 +181,13 @@ private[graft] object ScanStreamQueries {
       materializeOnce(s"$base/orc")(src.write.mode("overwrite").orc(_))
       val js = s.read.schema(src.schema).json(s"$base/json")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_json"), round(sum("value"), 2).as("sum_json"))
+        .agg(count(lit(1)).as("n_json"), Stats.sumMoney("value").as("sum_json"))
       val cs = s.read.schema(src.schema).option("header", "true").csv(s"$base/csv")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_csv"), round(sum("value"), 2).as("sum_csv"))
+        .agg(count(lit(1)).as("n_csv"), Stats.sumMoney("value").as("sum_csv"))
       val orc = s.read.schema(src.schema).orc(s"$base/orc")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_orc"), round(sum("value"), 2).as("sum_orc"))
+        .agg(count(lit(1)).as("n_orc"), Stats.sumMoney("value").as("sum_orc"))
       js.join(cs, "event_type").join(orc, "event_type").orderBy("event_type")
     },
 
@@ -223,7 +223,7 @@ private[graft] object ScanStreamQueries {
         count(lit(1)).as("n_clean"),
         sum(when(col("lat").between(-60, 30) && col("lon").between(20, 120), 1)
           .otherwise(0)).as("n_indian_box"),
-        round(sum("lat"), 2).as("sum_lat"))
+        Stats.sumMoney("lat").as("sum_lat"))
     },
 
     // ---- S13 vector-collection delete + re-add update (cleanup_chromadb) ---
@@ -251,7 +251,7 @@ private[graft] object ScanStreamQueries {
         .agg(
           count(lit(1)).as("n_rows"),
           count(col("qty")).as("n_resolved"),
-          round(sum("qty"), 2).as("sum_qty"))
+          Stats.sumMoney("qty").as("sum_qty"))
     },
 
     // ---- P12 document-shape classifier (cleanup_chromadb.py:73-116) --------
@@ -383,7 +383,7 @@ private[graft] object ScanStreamQueries {
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          Stats.sumMoney("o_totalprice").as("total_price"))
         .orderBy("o_orderstatus")
     },
 
@@ -679,7 +679,7 @@ private[graft] object ScanStreamQueries {
           count(lit(1)).as("n_rows"),
           sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
           count(col("event_id")).as("n_good"),
-          round(sum("value"), 2).as("sum_value"))
+          Stats.sumMoney("value").as("sum_value"))
     },
 
     // ---- benchmark decontamination: flag training documents sharing any
@@ -736,7 +736,7 @@ private[graft] object ScanStreamQueries {
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct("user_id").as("n_users"),
-          round(sum("value"), 2).as("sum_value"))
+          Stats.sumMoney("value").as("sum_value"))
         .withColumn("files_before", lit(before.toLong))
         .withColumn("files_after_on_target", lit(after.toLong == expected))
     },
@@ -812,7 +812,7 @@ private[graft] object ScanStreamQueries {
         .agg(
           sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
           sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
-          round(sum(when(col("op") =!= "D", col("value"))), 2)
+          Stats.sumMoney(when(col("op") =!= "D", col("value")))
             .as("sum_final_value"))
         .orderBy("bucket")
     },
@@ -908,16 +908,23 @@ private[graft] object ScanStreamQueries {
         .withColumn("cents",
           when(col("o_orderkey") % 5 === 0, col("cents") + 500)
             .otherwise(col("cents")))
+      // presence rides its own 0/1 tag, NOT value-nullness: a snapshot row
+      // whose cents is NULL is still PRESENT, and the former cents_a-isNull
+      // test misclassified it as added/removed (round-12 null fuzz).
+      // changed = null-safe inequality (IS DISTINCT FROM), so NULL→500 is
+      // 'changed', NULL→NULL is 'unchanged' — mirrored in the oracle SQL.
       snapA.select(col("o_orderkey"), col("cents").as("cents_a"),
-          lit(null).cast("long").as("cents_b"))
+          lit(null).cast("long").as("cents_b"), lit(1).as("__a"), lit(0).as("__b"))
         .unionAll(snapB.select(col("o_orderkey"),
-          lit(null).cast("long").as("cents_a"), col("cents").as("cents_b")))
+          lit(null).cast("long").as("cents_a"), col("cents").as("cents_b"),
+          lit(0).as("__a"), lit(1).as("__b")))
         .groupBy("o_orderkey")
-        .agg(max("cents_a").as("cents_a"), max("cents_b").as("cents_b"))
+        .agg(max("cents_a").as("cents_a"), max("cents_b").as("cents_b"),
+          max("__a").as("__a"), max("__b").as("__b"))
         .withColumn("status",
-          when(col("cents_a").isNull, lit("added"))
-            .when(col("cents_b").isNull, lit("removed"))
-            .when(col("cents_a") =!= col("cents_b"), lit("changed"))
+          when(col("__a") === 0, lit("added"))
+            .when(col("__b") === 0, lit("removed"))
+            .when(!(col("cents_a") <=> col("cents_b")), lit("changed"))
             .otherwise(lit("unchanged")))
         .groupBy("status")
         .agg(count(lit(1)).as("n"),
@@ -941,7 +948,7 @@ private[graft] object ScanStreamQueries {
         .partitionBy("event_type").parquet(tbl)
       s.read.parquet(tbl)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("event_type")
     },
 

@@ -33,7 +33,7 @@ private[graft] object StreamingQueries {
       val u3 = ev.filter(col("event_id") % 2 === 0).withColumn("arrival", lit(3))
       Ingest.idempotentUnion(Seq(u1, u2, u3), "event_id", "arrival")
         .groupBy("arrival")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("arrival")
     },
 
@@ -277,7 +277,7 @@ private[graft] object StreamingQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct("event_id").as("n_distinct"),
-          round(sum("value"), 2).as("sum_value"))
+          Stats.sumMoney("value").as("sum_value"))
         .orderBy("event_type")
     },
 
@@ -308,7 +308,7 @@ private[graft] object StreamingQueries {
       rmTree(ckpt)
       s.read.parquet(out)
         .groupBy("n_name")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("n_name")
     },
 
