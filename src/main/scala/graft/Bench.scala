@@ -165,6 +165,8 @@ object Bench {
       "st7_stream_outer_join", "st9_stream_dedup", "st10_stream_static",
       "st11_dedup_window_chain", "st12_foreachbatch_merge",
       "st2_idempotent_union", "st8_incremental_agg", "st13_stream_netcdf",
+      // Round-13 additions: their drains run at query-FUNCTION time
+      "st14_status_replay", "st15_bulk_append", "st16_stateful_upload",
       "dd9_dup_groups", "dd10_dedup_apply", "dd16_canonical_pick",
       "dd11_semantic_dedup", "dc2_neardup_decontam", "cs1_source_overlap",
       // Round-8 expansion: every remaining query whose plan hides work from

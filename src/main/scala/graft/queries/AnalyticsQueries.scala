@@ -352,8 +352,12 @@ private[graft] object AnalyticsQueries {
           expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
           expr("percentile_approx(value, 0.9, 1000)").as("p90_approx"))
         .select(col("event_type"), col("p50_exact"), col("p90_exact"),
-          (abs(col("p50_approx") - col("p50_exact")) < 1.0 &&
-            abs(col("p90_approx") - col("p90_exact")) < 1.0).as("approx_ok"))
+          // vacuously true when the group has no non-null values (both
+          // percentiles NULL): there is nothing to approximate, and the
+          // twin's literal TRUE flag must still match (round-12 allnull fuzz)
+          coalesce(abs(col("p50_approx") - col("p50_exact")) < 1.0 &&
+            abs(col("p90_approx") - col("p90_exact")) < 1.0, lit(true))
+            .as("approx_ok"))
         .orderBy("event_type")
     },
 
@@ -399,13 +403,18 @@ private[graft] object AnalyticsQueries {
     // ---- skew-safe two-phase (salted) aggregation — same result, bounded
     // ---- per-task key volume (the 100 TB skewed-key recipe) ----------------
     "a9_salted_agg" -> { (s, dir) =>
+      // the inner partial sum is ALREADY decimal-exact: a double pre-sum
+      // would re-introduce the partition-order dependence sumMoney exists
+      // to kill (the two-level sum must be exact end-to-end)
       val salted = Tables.events(s, dir)
         .withColumn("salt", col("event_id") % 8)
         .groupBy("event_type", "salt")
-        .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(30,10)")).as("psum"))
       salted
         .groupBy("event_type")
-        .agg(sum("pn").as("n"), Stats.sumMoney("psum").as("sum_value"))
+        .agg(sum("pn").as("n"),
+          round(sum(col("psum")), 2).cast("double").as("sum_value"))
         .orderBy("event_type")
     },
 
@@ -504,14 +513,19 @@ private[graft] object AnalyticsQueries {
           Stats.exactMean(col("value")).as("vmean"),
           count(col("value")).as("vcount"))
         .select(col("user_id"),
+          // ignoreNullFields=false + null-guarded formats: an all-null value
+          // column must serialize as "vmin":null (DuckDB printf/to_json
+          // semantics), not the string "null" in an omitted-field JSON —
+          // caught by the round-12 allnull fuzz variant.
           to_json(struct(
             col("total_rows"),
             struct(col("start_ts"), col("end_ts")).as("date_range"),
             struct(
-              format_string("%.4f", col("vmin")).as("vmin"),
-              format_string("%.4f", col("vmax")).as("vmax"),
-              format_string("%.6f", col("vmean")).as("vmean"),
-              col("vcount")).as("value_stats"))).as("properties"))
+              graft.text.Summaries.nullSafeFormat("%.4f", col("vmin")).as("vmin"),
+              graft.text.Summaries.nullSafeFormat("%.4f", col("vmax")).as("vmax"),
+              graft.text.Summaries.nullSafeFormat("%.6f", col("vmean")).as("vmean"),
+              col("vcount")).as("value_stats")),
+            Map("ignoreNullFields" -> "false")).as("properties"))
         .orderBy("user_id")
     },
 
@@ -654,14 +668,19 @@ private[graft] object AnalyticsQueries {
         sum(col("x") * col("y")).as("sxy"))
       val nd = col("n").cast("double")
       def dbl(c: String) = col(c).cast("double")
+      // nullif'd denominators: covariance/correlation over a single point
+      // (or a zero-variance column) is NULL, not a job failure — ANSI
+      // division raises DIVIDE_BY_ZERO where the DuckDB twin yields NULL.
+      // Caught by the round-12 single-row fuzz variant.
       m.select(col("l_returnflag"), col("n"),
           Stats.parityRound(
-            (nd * dbl("sxy") - dbl("sx") * dbl("sy")) / (nd * (nd - 1)), 6)
+            (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
+              nullif(nd * (nd - 1), lit(0.0)), 6)
             .as("cov_xy"),
           Stats.parityRound(
             (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
-              sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
-                   (nd * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+              nullif(sqrt((nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
+                   (nd * dbl("syy") - dbl("sy") * dbl("sy"))), lit(0.0)), 6)
             .as("corr_xy"))
         .orderBy("l_returnflag")
     },
@@ -717,11 +736,14 @@ private[graft] object AnalyticsQueries {
         .select(col("pa").as("n"), lit(1L).as("o"), lit(0L).as("i"))
         .unionAll(e.select(col("pb").as("n"), lit(0L).as("o"), lit(1L).as("i")))
         .groupBy("n").agg(sum("o").as("outd"), sum("i").as("ind"))
-        .agg(sum(col("ind") * col("outd")).as("n_wedges"))
+        // coalesce: an edge-free graph has ZERO wedges (the twin's COUNT
+        // form can't go null); nullif keeps the ppm NULL-not-crash there
+        // (round-12 empty/single fuzz).
+        .agg(coalesce(sum(col("ind") * col("outd")), lit(0L)).as("n_wedges"))
       e.agg(count(lit(1)).as("n_edges")).crossJoin(wedgeCount)
         .crossJoin(tri)
         .withColumn("closure_ppm",
-          expr("n_triangles * 1000000 div n_wedges"))
+          expr("n_triangles * 1000000 div nullif(n_wedges, 0)"))
     },
 
     // ---- equi-width histogram: width_bucket bins computed map-side, so
@@ -1071,8 +1093,11 @@ private[graft] object AnalyticsQueries {
         sum(col("x") * col("y")).as("sxy"))
       val nd = col("n").cast("double")
       def dbl(c: String) = col(c).cast("double")
+      // nullif'd: a one-point (zero-variance) group has no defined slope —
+      // NULL like the DuckDB twin, not an ANSI DIVIDE_BY_ZERO crash
+      // (round-12 single-row fuzz). The NULL slope nulls the intercept too.
       val slope = (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
-        (nd * dbl("sxx") - dbl("sx") * dbl("sx"))
+        nullif(nd * dbl("sxx") - dbl("sx") * dbl("sx"), lit(0.0))
       m.select(col("l_returnflag"), col("n"),
           parityRound(slope, 6).as("slope"),
           parityRound((dbl("sy") - slope * dbl("sx")) / nd, 6).as("intercept"))
@@ -1358,7 +1383,11 @@ private[graft] object AnalyticsQueries {
       nodes.crossJoin(edges).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
-          Stats.parityRound(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          // nullif'd: a wedge-free graph (degenerate input) has an undefined
+          // clustering coefficient — NULL like the DuckDB twin, not an ANSI
+          // DIVIDE_BY_ZERO crash (round-12 single-row fuzz).
+          Stats.parityRound(
+            lit(3.0) * col("n_triangles") / nullif(col("n_wedges"), lit(0L)), 6)
             .as("clustering"))
     },
   )

@@ -377,9 +377,13 @@ private[graft] object ScanStreamQueries {
     // one-time ingest per sfDir; the measured operator is the pruned scan.
     "s5_partitioned_scan" -> { (s, dir) =>
       val sink = s"/tmp/graft_s5_sink_${cacheTag(dir, "orders")}"
+      val schema = Tables.orders(s, dir).schema
       materializeOnce(sink)(Tables.orders(s, dir).write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(_))
-      s.read.parquet(sink)
+      // explicit read-back schema: the write side knows it, and an EMPTY
+      // inbox day writes zero part files — schema inference would fail the
+      // whole job where the right answer is a 0-row result (round-12 fuzz).
+      s.read.schema(schema).parquet(sink)
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -737,7 +741,13 @@ private[graft] object ScanStreamQueries {
           count(lit(1)).as("n_rows"),
           countDistinct("user_id").as("n_users"),
           Stats.sumMoney("value").as("sum_value"))
-        .withColumn("files_before", lit(before.toLong))
+        // boolean invariant, not the raw file count: repartition(48) only
+        // guarantees 48 files when every round-robin partition receives a
+        // row — a degenerate ingest (0/1 rows) legitimately writes 1-2
+        // files (schema placeholder + data), which no row-count formula in
+        // the oracle can reproduce (round-12 empty/single fuzz)
+        .withColumn("files_before_on_frag",
+          lit(before.toLong) === 48L || col("n_rows") < 48)
         .withColumn("files_after_on_target", lit(after.toLong == expected))
     },
 
@@ -946,7 +956,8 @@ private[graft] object ScanStreamQueries {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_type").parquet(tbl)
-      s.read.parquet(tbl)
+      // explicit read-back schema — same empty-inbox reasoning as s5
+      s.read.schema(ev.schema).parquet(tbl)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Stats.sumMoney("value").as("sum_value"))
         .orderBy("event_type")

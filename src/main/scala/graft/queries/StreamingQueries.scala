@@ -462,5 +462,111 @@ private[graft] object StreamingQueries {
           date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
         .orderBy("float_id")
     },
+
+
+    // ---- ST3 task-status state machine as a DRIVER-ORACLED row (the
+    // reference's pending→processing→completed/failed dict,
+    // fastapi_app.py:148-149,259-275): status events derived arithmetically
+    // from the events table stream through the REAL mapGroupsWithState
+    // tracker (stream/StatusTracker). The machine is monotone (status order
+    // never decreases, terminal absorbs), so its sequential fold has a
+    // CLOSED FORM the oracle computes set-wise: final status = first
+    // terminal event if any, else processing-if-seen, else pending;
+    // transitions/last_seq follow. Single-file inbox ⇒ one data batch ⇒
+    // the in-batch seq sort IS the full replay order. --------------------
+    "st14_status_replay" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        concat(lit("task_"), (col("user_id") % 97).cast("string")).as("taskId"),
+        when(col("event_id") % 7 <= 1, "pending")
+          .when(col("event_id") % 7 <= 4, "processing")
+          .when(col("event_id") % 7 === 5, "completed")
+          .otherwise("failed").as("status"),
+        col("event_id").as("seq"))
+      val inbox = s"/tmp/graft_st14_inbox_${cacheTag(dir, "events")}"
+      materializeOnce(inbox)(ev.coalesce(1).write.mode("overwrite").parquet(_))
+      val ckpt = scratchDir("graft-st14-ckpt").toString
+      s.catalog.dropTempView("st14_mem")
+      val src = s.readStream.schema(ev.schema).parquet(inbox)
+        .as[graft.stream.StatusTracker.StatusEvent]
+      val q = graft.stream.StatusTracker.track(src)(s).toDF()
+        .writeStream.format("memory").queryName("st14_mem")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      rmTree(ckpt)
+      s.table("st14_mem")
+        .select(col("taskId").as("task_id"), col("status"),
+          col("transitions"), col("lastSeq").as("last_seq"))
+        .orderBy("task_id")
+    },
+
+
+    // ---- S10/ST1 bulk chunked append through the REAL upload pipeline
+    // (stream/Ingest.start: file-source inbox → clean → in-batch dedup →
+    // sink anti-join → partitioned append), driver-oracled: two drains, the
+    // second re-sending overlapping keys, so the cross-run idempotence
+    // (ON CONFLICT DO NOTHING) is what the hash checks. Duplicate uploads
+    // carry IDENTICAL payloads (same fixture rows), so any within-batch
+    // pick is content-identical and the result is deterministic. ----------
+    "st15_bulk_append" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val base = scratchDir("graft-st15")
+      val inbox = s"$base/inbox"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      new java.io.File(inbox).mkdirs()
+      val clean = (df: DataFrame) => df.filter(col("value").isNotNull)
+      ev.filter(col("event_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inbox/u1")
+      ev.filter(col("event_id") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inbox/u2")
+      Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean)
+        .awaitTermination()
+      // second drain: u3 overlaps both prior uploads — the sink anti-join
+      // must drop the re-sends and append only the genuinely new keys
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inbox/u3")
+      Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean)
+        .awaitTermination()
+      val out = s.read.parquet(sink)
+      rmTree(ckpt)
+      out.agg(count(lit(1)).as("n_rows"),
+        countDistinct("event_id").as("n_keys"),
+        Stats.sumMoney("value").as("sum_value"))
+    },
+
+
+    // ---- S16/ST1 state-store upload ingest (stream/Ingest.startStateful:
+    // streaming dropDuplicates keeps the seen-key set in the CHECKPOINTED
+    // state store — O(batch) lookups instead of a full sink re-scan per
+    // batch, the 100 TB shape), driver-oracled across a RESTART: run 2
+    // resumes from the checkpoint and the RESTORED key set must drop run
+    // 1's re-sent keys. Sink layout is batch=<id> partition dirs (replay-
+    // idempotent overwrite); the aggregate reads the whole tree. ----------
+    "st16_stateful_upload" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val base = scratchDir("graft-st16")
+      val inbox = s"$base/inbox"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      new java.io.File(inbox).mkdirs()
+      val clean = (df: DataFrame) => df.filter(col("value").isNotNull)
+      withoutNoDataBatch(s) {
+        ev.filter(col("event_id") % 5 <= 1).coalesce(1)
+          .write.mode("overwrite").parquet(s"$inbox/u1")
+        Ingest.startStateful(s, s"$inbox/*", ev.schema, sink, ckpt,
+          "event_id", clean).awaitTermination()
+        // restart: u2 re-sends (event_id % 5 = 1) — already ingested, must
+        // be dropped by the RESTORED state — plus new keys (% 5 in 2,3)
+        ev.filter(col("event_id") % 5 >= 1 && col("event_id") % 5 <= 3)
+          .coalesce(1).write.mode("overwrite").parquet(s"$inbox/u2")
+        Ingest.startStateful(s, s"$inbox/*", ev.schema, sink, ckpt,
+          "event_id", clean).awaitTermination()
+      }
+      val out = s.read.parquet(sink)
+      rmTree(ckpt)
+      out.agg(count(lit(1)).as("n_rows"),
+        countDistinct("event_id").as("n_keys"),
+        Stats.sumMoney("value").as("sum_value"))
+    },
   )
 }

@@ -25,6 +25,8 @@ private[graft] object VectorQueries {
     "e6_ivf_knn" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         .withColumn("vec", col("embedding").cast("array<double>"))
+        // sentinel cell for unlabeled vectors — e8's null-cell reasoning
+        .withColumn("label", coalesce(col("label"), lit(-1L)))
       val cents = Knn.ivfCentroids(emb, "vec", "label")
       val q = emb.filter(col("vec_id") === 5).select(col("vec").as("qvec"))
       val best = cents.crossJoin(broadcast(q))
@@ -91,7 +93,13 @@ private[graft] object VectorQueries {
         .withColumn("vec", col("embedding").cast("array<double>"))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      val cands = emb.filter(col("vec_id") >= 20).select("vec_id", "label", "vec")
+      // coalesced label: a NULL initial cell id has no defined ordering in
+      // the trainer (Spark's packed argmax drops it; SQL row_number ranks
+      // it NULLS LAST) — unlabeled vectors form their own sentinel cell
+      // instead (round-12 fresh-seed fuzz, 5% null-injected labels)
+      val cands = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), coalesce(col("label"), lit(-1L)).as("label"),
+          col("vec"))
       val exact = Knn.topK(cands, "vec", queries, "query_id", "qvec",
         k = 5, tiebreak = "vec_id").select("query_id", "vec_id")
       // TRAINED quantizer: two Lloyd rounds over the initial label cells,
@@ -179,8 +187,12 @@ private[graft] object VectorQueries {
       healthy.unionByName(repaired)
         .agg(
           count(lit(1)).as("n_total"),
-          sum(when(size(col("embedding")) === 64, 1).otherwise(0)).as("n_valid_after"),
-          sum(when(col("vec_id") % 10 === 0, 1).otherwise(0)).as("n_repaired"))
+          // coalesced: a sum over zero vectors is 0 repaired, not NULL —
+          // keeps the empty-corpus row identical to the twin (round-12 fuzz)
+          coalesce(sum(when(size(col("embedding")) === 64, 1).otherwise(0)),
+            lit(0L)).as("n_valid_after"),
+          coalesce(sum(when(col("vec_id") % 10 === 0, 1).otherwise(0)),
+            lit(0L)).as("n_repaired"))
     },
 
     // ---- E5 embedding verification agg (test_chromadb_embeddings.py:81-159)

@@ -18,11 +18,21 @@ import graft.functions.Scalars
   */
 object Summaries {
 
+  /** format_string with SQL null semantics: any null argument nulls the whole
+    * template. java.util.Formatter renders a null %f/%s argument as the
+    * literal string "null" (precision-truncated to "nul"), while every SQL
+    * formatter — including the DuckDB printf twin — propagates NULL. The
+    * round-12 null-injection fuzz caught the bare form in T2/T3 (an all-null
+    * measurement column must yield a null summary, not "...from nul to nul").
+    */
+  def nullSafeFormat(fmt: String, args: Column*): Column =
+    when(args.map(_.isNotNull).reduce(_ && _), format_string(fmt, args: _*))
+
   /** T2-shaped deployment summary over per-key aggregates. */
   def deploymentSummary(
       dateLabel: Column, id: Column, n: Column,
       lat: Column, vmin: Column, vmax: Column): Column =
-    format_string(
+    nullSafeFormat(
       "On %s, unit %s recorded %s event(s) near latitude %.3f°%s. Values ranged from %.2f to %.2f.",
       dateLabel, id, n,
       abs(round(lat, 3)), when(lat >= 0, "N").otherwise("S"),
@@ -32,7 +42,7 @@ object Summaries {
   def uploadDescription(
       start: Column, end: Column, vmin: Column, vmax: Column,
       vmean: Column, nMeasurements: Column): Column =
-    format_string(
+    nullSafeFormat(
       "Data collected from %s to %s. Values: %.2f to %.2f (mean: %.2f, %s measurements).",
       start, end, round(vmin, 2), round(vmax, 2), round(vmean, 2), nMeasurements)
 

@@ -116,19 +116,23 @@ object MakeFuzz {
           val keepPct = 400 + Math.floorMod(
             scala.util.hashing.MurmurHash3.stringHash(t, seed.toInt), 560)
           val sampled = base.filter(die(t, seed, "keep") < lit(keepPct.toLong))
-          val cloned = cloneShift.get(t) match {
-            case Some(idCol) =>
-              val dup = sampled.filter(die(t, seed, "clone") < lit(100L))
-                .withColumn(idCol, col(idCol) + lit(Shift))
-              sampled.unionByName(dup)
-            case None => sampled
-          }
-          val nulled = nullable.getOrElse(t, Nil).foldLeft(cloned)((df, c) =>
+          // null injection BEFORE the clone union: the null die keys on the
+          // pk, so nulling after the id shift would null clone rows
+          // independently of their originals and break the documented
+          // IDENTICAL-payload clone property on the nullable columns
+          val nulled = nullable.getOrElse(t, Nil).foldLeft(sampled)((df, c) =>
             df.withColumn(c, when(die(t, seed, s"null:$c") < lit(50L),
               lit(null).cast(df.schema(c).dataType)).otherwise(col(c))))
+          val cloned = cloneShift.get(t) match {
+            case Some(idCol) =>
+              val dup = nulled.filter(die(t, seed, "clone") < lit(100L))
+                .withColumn(idCol, col(idCol) + lit(Shift))
+              nulled.unionByName(dup)
+            case None => nulled
+          }
           // seeded physical re-order: different file/row order than the base
           // exposes order-sensitive tie-breaking in top-k/window queries
-          nulled.repartition(4, die(t, seed, "order"))
+          cloned.repartition(4, die(t, seed, "order"))
         }
       case other => throw new IllegalArgumentException(s"unknown variant: $other")
     }

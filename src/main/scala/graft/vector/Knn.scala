@@ -56,11 +56,22 @@ object Knn {
     */
   def ivfCentroids(emb: DataFrame, vecCol: String, cellCol: String,
       dim: Int = 64): DataFrame =
+    // ORDER-INDEPENDENT mean: components quantize to micro-units
+    // (floor(x*1e6+0.5) — the parityRound recipe) BEFORE the sum, so the
+    // accumulator holds exact integers (≤2^53) and the mean is identical
+    // under ANY partition/merge order — 32 threads, 1000 executors, or
+    // DuckDB's sequential scan. A raw double mean drifts by an ulp with
+    // accumulation order; Lloyd iteration AMPLIFIES that ulp (one flipped
+    // assignment moves a whole centroid next round), which the round-12
+    // fresh-seed fuzz caught as 2/5-vs-4/5 recall divergence in e8. The
+    // 1e-6 input quantization is far below any ANN-meaningful resolution.
     emb.groupBy(col(cellCol))
       .agg(count(lit(1)).as("__n"),
-        graft.expressions.VectorSumAgg.vecSum(col(vecCol), dim).as("__s"))
+        graft.expressions.VectorSumAgg.vecSum(
+          transform(col(vecCol), x => floor(x * 1e6 + 0.5).cast("double")),
+          dim).as("__s"))
       .select(col(cellCol),
-        transform(col("__s"), x => x / col("__n")).as("centroid"))
+        transform(col("__s"), x => x / col("__n") / 1e6).as("centroid"))
 
   /** TRAINED IVF centroids: `iters` Lloyd rounds on top of [[ivfCentroids]].
     * Each round is the same two-phase DataFrame computation at cluster

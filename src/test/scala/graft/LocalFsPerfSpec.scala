@@ -20,6 +20,23 @@ class LocalFsPerfSpec extends AnyFunSuite {
   private def tempDir(): String =
     Files.createTempDirectory("graft-fsperf").toString
 
+  test("LocalFsPerf.tune pins the perf levers (codegen cache + class-name sharing + fs shims)") {
+    // These four confs carry measured double-digit-percent sweep wins
+    // (BENCH_NOTES r9-r11); a silent drop would regress 46%/12% of sweep
+    // perf without failing any correctness gate. The shared test session is
+    // built through LocalFsPerf.tune — the same wiring Verify/Bench use —
+    // so this asserts the END-TO-END effective configuration.
+    val s = SparkTestSession.spark
+    assert(s.conf.get("spark.sql.codegen.cache.maxEntries") === "5000",
+      "codegen source->class cache must stay sized for the 189-plan surface (r10, -46% sweep)")
+    assert(s.conf.get("spark.sql.codegen.useIdInClassName") === "false",
+      "stage-id-free class names let structurally identical stages share one Janino entry (r11, -6.5% sweep)")
+    assert(s.conf.get("spark.hadoop.fs.file.impl")
+      === classOf[FastLocalFileSystem].getName)
+    assert(s.conf.get("spark.sql.streaming.checkpointFileManagerClass")
+      === classOf[NioCheckpointFileManager].getName)
+  }
+
   test("FastRawLocalFileSystem.setPermission maps all nine POSIX bits") {
     val fs = new FastRawLocalFileSystem
     fs.initialize(java.net.URI.create("file:///"), new Configuration())

@@ -47,8 +47,13 @@ def run(cmd, **kw):
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
-    base = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    if args and os.path.isdir(args[0]):
+    base = "/root/testdata/sf0.01"
+    if args and (os.sep in args[0] or args[0].startswith("sf")):
+        # path-shaped first arg: require it to exist rather than silently
+        # falling back to the default and treating the typo as a variant
+        if not os.path.isdir(args[0]):
+            sys.exit(f"fuzz_sweep: base dir not found: {args[0]}")
+        base = args[0]
         args = args[1:]
     variants = args or ["rand:1", "rand:2", "rand:3",
                         "empty", "single", "allnull", "clones"]
