@@ -344,19 +344,31 @@ private[graft] object AnalyticsQueries {
     // Sketch values are engine-specific, so the oracle checks the exact
     // values plus a Spark-side tolerance flag (the a10 HLL recipe).
     "a12_approx_percentiles" -> { (s, dir) =>
+      // The sketch's contract is a RANK bound (±n/accuracy), not a value
+      // bound: in a sparse tail a few ranks can span arbitrary value
+      // distance, so any fixed value tolerance is distribution-dependent
+      // (a fresh-seed fuzz flipped the old abs<1.0 flag on a p90 tail).
+      // approx_ok therefore checks the approx value lands between the
+      // exact quantiles at p ± 5/accuracy — 5x the guaranteed 0.001 rank
+      // error, valid for ANY distribution.
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
           round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
           round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+          expr("percentile(value, 0.495)").as("p50_lo"),
+          expr("percentile(value, 0.505)").as("p50_hi"),
+          expr("percentile(value, 0.895)").as("p90_lo"),
+          expr("percentile(value, 0.905)").as("p90_hi"),
           expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
           expr("percentile_approx(value, 0.9, 1000)").as("p90_approx"))
         .select(col("event_type"), col("p50_exact"), col("p90_exact"),
           // vacuously true when the group has no non-null values (both
           // percentiles NULL): there is nothing to approximate, and the
           // twin's literal TRUE flag must still match (round-12 allnull fuzz)
-          coalesce(abs(col("p50_approx") - col("p50_exact")) < 1.0 &&
-            abs(col("p90_approx") - col("p90_exact")) < 1.0, lit(true))
+          coalesce(
+            col("p50_approx").between(col("p50_lo"), col("p50_hi")) &&
+            col("p90_approx").between(col("p90_lo"), col("p90_hi")), lit(true))
             .as("approx_ok"))
         .orderBy("event_type")
     },
@@ -451,8 +463,11 @@ private[graft] object AnalyticsQueries {
           countDistinct(col("user_id")).as("exact_distinct"),
           approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
         .select(col("event_type"), col("exact_distinct"),
+          // 8% = 4 sigma at rsd 0.02 — a 2.5-sigma bound flakes on ~1% of
+          // fresh fuzz seeds per group (the a12 lesson: tolerance flags
+          // must hold for ANY seed, not the fixtures they were tuned on)
           (abs(col("approx") - col("exact_distinct")) <=
-            greatest(col("exact_distinct") * 0.05, lit(5.0))).as("approx_ok"))
+            greatest(col("exact_distinct") * 0.08, lit(5.0))).as("approx_ok"))
         .orderBy("event_type")
     },
 
@@ -646,8 +661,10 @@ private[graft] object AnalyticsQueries {
         .crossJoin(merged)
         .select(
           col("exact_users"), col("n_types"),
+          // 7% ≈ 4.4 sigma at the HLL lgK=12 ~1.6% RSE (the a12 lesson:
+          // a 3-sigma tolerance flag eventually flakes on a fresh seed)
           (abs(col("est") - col("exact_users")) <=
-            col("exact_users") * 0.05).as("est_within_5pct"))
+            col("exact_users") * 0.07).as("est_within_tol"))
     },
 
     // ---- covariance / correlation with ORDER-INDEPENDENT moments: the

@@ -26,6 +26,11 @@ import org.apache.spark.sql.types.TimestampNTZType
   *   - allnull every measurement/attribute column 100% null.
   *   - clones  documents all share one text; embeddings all share one
   *             vector (ids stay distinct) — the 100%-clone corpus.
+  *   - utext   documents.text decorated with deterministic non-ASCII /
+  *             whitespace-shaped suffixes keyed on doc_id — stresses the
+  *             cross-engine text surface (tokenization regexes, lower(),
+  *             length(), hashing, edit distance) with multi-byte UTF-8,
+  *             which the ASCII-only base corpus never exercises.
   *
   * events.ts round-trips through [[graft.Tables.events]] (normalizing any
   * driver encoding to TimestampType) and is written back as TIMESTAMP_NTZ —
@@ -108,6 +113,25 @@ object MakeFuzz {
           base.crossJoin(broadcast(first))
             .withColumn("embedding", col("__e0")).drop("__e0")
         } else base
+      case "utext" =>
+        // Deterministic unicode decoration of the document corpus: accented
+        // Latin (2-byte UTF-8), CJK (3-byte), an emoji (4-byte, surrogate
+        // pair in UTF-16 — stresses codepoint-vs-code-unit length bugs),
+        // leading/trailing whitespace, and doubled inner spaces. n_chars is
+        // NOT recomputed: it is upstream metadata, and queries that consume
+        // it must not assume it matches length(text).
+        if (t != "documents") base
+        else {
+          val suffixes = array(
+            lit(""), lit(" café résumé"), lit(" 北京大学 研究"),
+            lit(" naïve Ω"), lit(" data 🚀 pipeline"),
+            lit("  double  space"), lit(" tab\tsep"))
+          base.withColumn("text",
+            when(col("text").isNull, col("text")).otherwise(
+              concat(element_at(suffixes, (col("doc_id") % 7 + 1).cast("int")),
+                col("text"),
+                element_at(suffixes, (col("doc_id") % 5 + 1).cast("int")))))
+        }
       case "rand" =>
         // region/nation stay intact: they are tiny broadcast dims and the
         // degenerate-dim cases are covered by empty/single

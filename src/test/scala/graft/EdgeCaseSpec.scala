@@ -14,6 +14,23 @@ class EdgeCaseSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("nullSafeFormat propagates NULL on any null argument (SQL printf semantics)") {
+    // java.util.Formatter renders a null %f/%s argument as the literal
+    // string "null"; every SQL formatter (incl. the DuckDB twins) yields
+    // NULL. The round-12 allnull fuzz caught bare format_string in the
+    // T1-T3 templates — this pins the shared guard.
+    val df = Seq(
+      (1L, Some(1.5), Some("a")),
+      (2L, None: Option[Double], Some("a")),
+      (3L, Some(1.5), None: Option[String]),
+      (4L, None: Option[Double], None: Option[String]))
+      .toDF("id", "x", "s")
+      .withColumn("out",
+        graft.text.Summaries.nullSafeFormat("%.2f-%s", col("x"), col("s")))
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("out")))
+    assert(df.toSeq == Seq(Some("1.50-a"), None, None, None))
+  }
+
   test("null and empty text flow through tokenize/shingle/fingerprint without errors") {
     val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one"))
       .toDF("id", "text")

@@ -100,4 +100,36 @@ class KnnSpec extends AnyFunSuite {
     assert(c1.nonEmpty && c1.length <= 8)
     assert(c1.forall(_._2.length == Dim))
   }
+
+  test("ivfTrain centroids are BIT-IDENTICAL under any partitioning") {
+    // The round-13 invariant (SURVEY §9 #37): centroid accumulation is
+    // fixed-point (micro-unit) so partition/merge order cannot move a mean
+    // by an ulp — which Lloyd rounds would amplify into flipped cell
+    // assignments. Trained centroids from a 1-partition and a 13-partition
+    // layout of the same vectors must agree to the BIT, not a tolerance.
+    def train(df: DataFrame) =
+      Knn.ivfTrain(df, "vec_id", "vec", "cell", iters = 2, dim = Dim)
+        .orderBy("cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+    val narrow = train(data.repartition(1))
+    val wide = train(data.repartition(13, col("vec_id")))
+    assert(narrow.toSeq == wide.toSeq,
+      "centroids differ across partitionings — accumulation is order-dependent again")
+  }
+
+  test("a null initial cell id never competes in assignment (sentinel required)") {
+    // A NULL cell id has no defined ordering in the trainer: the packed
+    // argmax drops the null cell entirely, so its members REASSIGN and the
+    // cell vanishes. Callers feeding nullable labels must coalesce to a
+    // sentinel first (e6/e8 do) — pinned here so the contract is explicit.
+    val withNull = data.withColumn("cell",
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("cell")))
+    val cents = Knn.ivfCentroids(withNull, "vec", "cell", dim = Dim)
+    assert(cents.filter(col("cell").isNull).count() == 1,
+      "groupBy keeps a null-cell centroid row (the hazard)")
+    val assigned = Knn.ivfAssign(withNull, cents, "vec_id", "vec", "cell")
+    assert(assigned.filter(col("cell").isNull).count() == 0,
+      "no vector may land in the null cell — it cannot win the packed argmax")
+    assert(assigned.count() == NVec, "every vector still assigned somewhere")
+  }
 }

@@ -253,7 +253,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "mm7_video_frames" -> 2,
       // +2 over the pre-rep-tier shape for the r10 (digest, side) agg and
       // clone fan-out join, -2 in r11 for the single-consumption verify
-      "dc2_neardup_decontam" -> 8)
+      "dc2_neardup_decontam" -> 8,
+      // r13 streaming rows: the RESULT frame is the post-drain read (memory
+      // table sort / sink-tree global agg); the drain itself is gated by
+      // the oracle, not a shuffle count
+      "st14_status_replay" -> 1, "st15_bulk_append" -> 2,
+      "st16_stateful_upload" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
