@@ -31,6 +31,9 @@ import org.apache.spark.sql.types.TimestampNTZType
   *             cross-engine text surface (tokenization regexes, lower(),
   *             length(), hashing, edit distance) with multi-byte UTF-8,
   *             which the ASCII-only base corpus never exercises.
+  *   - uhard   the hostile unicode tier: NBSP / zero-width space /
+  *             combining diacritics / ligature / final sigma (see the
+  *             case body for the one deliberate exclusion, U+0130).
   *
   * events.ts round-trips through [[graft.Tables.events]] (normalizing any
   * driver encoding to TimestampType) and is written back as TIMESTAMP_NTZ —
@@ -131,6 +134,30 @@ object MakeFuzz {
               concat(element_at(suffixes, (col("doc_id") % 7 + 1).cast("int")),
                 col("text"),
                 element_at(suffixes, (col("doc_id") % 5 + 1).cast("int")))))
+        }
+      case "uhard" =>
+        // The hostile end of the unicode spectrum — NBSP and zero-width
+        // space (is-it-whitespace disagreements: both engines' \s is
+        // ASCII-only, verified consistent), combining diacritics (é as
+        // e+U+0301: normalization-sensitive equality/hashing), Turkish
+        // dotless ı, the ﬁ ligature, and a lone Greek final sigma ς —
+        // all 192/192 green. DELIBERATELY EXCLUDED: dotted İ (U+0130),
+        // the one probed character where the engines genuinely differ —
+        // Spark's lower() applies Unicode FULL case mapping (İ → i +
+        // combining dot, 2 codepoints; java.lang.String semantics) while
+        // DuckDB's utf8proc applies the SIMPLE 1:1 mapping (İ → i) — a
+        // documented cross-engine semantics difference (SURVEY §9), not
+        // a query bug; differential testing has no ground truth there.
+        if (t != "documents") base
+        else {
+          val suffixes = array(
+            lit(""), lit(" a b"), lit(" zero​width"),
+            lit(" café"), lit(" dotless ı"), lit(" ﬁne"),
+            lit(" τέλος ς"))
+          base.withColumn("text",
+            when(col("text").isNull, col("text")).otherwise(
+              concat(col("text"),
+                element_at(suffixes, (col("doc_id") % 7 + 1).cast("int")))))
         }
       case "rand" =>
         // region/nation stay intact: they are tiny broadcast dims and the

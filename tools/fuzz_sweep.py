@@ -10,7 +10,7 @@ exactly the overfit class the fixed fixtures can never expose.
 
 Usage: python3 tools/fuzz_sweep.py [baseDir] [variant[:seed] ...]
 Defaults: base=/root/testdata/sf0.01, variants = rand:1 rand:2 rand:3
-          empty single allnull clones utext
+          empty single allnull clones utext uhard
 Writes FUZZ_RESULTS.json in cwd; exit 1 if any variant had failures.
 """
 import json
@@ -56,7 +56,7 @@ def main():
         base = args[0]
         args = args[1:]
     variants = args or ["rand:1", "rand:2", "rand:3",
-                        "empty", "single", "allnull", "clones", "utext"]
+                        "empty", "single", "allnull", "clones", "utext", "uhard"]
     work = "/tmp/graft_fuzz"
     os.makedirs(work, exist_ok=True)
     results = {}
