@@ -730,6 +730,11 @@ private[graft] object ScanStreamQueries {
       val out = s"/tmp/graft_o1_out_${cacheTag(dir, "events")}" +
         s"_p${ProcessHandle.current().pid()}"
       val target = 128L << 20
+      // input-partition count of the frame that fed repartition(48): the
+      // same fixture read yields the same file splits in every process, so
+      // recomputing it here matches the materializeOnce-time value
+      val inParts = Tables.events(s, dir)
+        .select("event_id", "user_id", "value").rdd.getNumPartitions.toLong
       val (fragBytes, _) = graft.sources.Layout.dataFileStats(s, frag)
       val (before, after) = graft.sources.Layout.compact(s, frag, out, target)
       // Parity is against the target-DERIVED count, not a literal: at a
@@ -742,12 +747,16 @@ private[graft] object ScanStreamQueries {
           countDistinct("user_id").as("n_users"),
           Stats.sumMoney("value").as("sum_value"))
         // boolean invariant, not the raw file count: repartition(48) only
-        // guarantees 48 files when every round-robin partition receives a
-        // row — a degenerate ingest (0/1 rows) legitimately writes 1-2
-        // files (schema placeholder + data), which no row-count formula in
-        // the oracle can reproduce (round-12 empty/single fuzz)
+        // guarantees 48 files when SOME input partition holds >= 48 rows —
+        // each input partition round-robins from its own offset, so a
+        // mid-sized multi-partition input (48 <= n_rows << 48 * inParts)
+        // can legitimately leave output partitions empty, and a degenerate
+        // ingest (0/1 rows) writes 1-2 files (schema placeholder + data).
+        // The partition-safe invariant: never MORE than 48, and exactly 48
+        // unless the input was too small to pin every output non-empty.
         .withColumn("files_before_on_frag",
-          lit(before.toLong) === 48L || col("n_rows") < 48)
+          lit(before.toLong) <= 48L &&
+            (lit(before.toLong) === 48L || col("n_rows") < lit(48L * inParts)))
         .withColumn("files_after_on_target", lit(after.toLong == expected))
     },
 

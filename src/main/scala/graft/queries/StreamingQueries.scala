@@ -529,11 +529,16 @@ private[graft] object StreamingQueries {
         .write.mode("overwrite").parquet(s"$inbox/u3")
       Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean)
         .awaitTermination()
-      val out = s.read.parquet(sink)
-      rmTree(ckpt)
-      out.agg(count(lit(1)).as("n_rows"),
-        countDistinct("event_id").as("n_keys"),
-        Stats.sumMoney("value").as("sum_value"))
+      val out = s.read.schema(ev.schema).parquet(sink)
+      // collect the 1-row aggregate EAGERLY, then reap the WHOLE scratch
+      // tree (inbox+sink+ckpt): a ckpt-only cleanup leaves one RAM-backed
+      // data dir per invocation for the life of the process (the reaper
+      // skips live-PID dirs), which a long bench rep loop turns into an
+      // unbounded /dev/shm leak (round-13 advice)
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_keys"),
+          Stats.sumMoney("value").as("sum_value")))
     },
 
 
@@ -562,11 +567,24 @@ private[graft] object StreamingQueries {
         Ingest.startStateful(s, s"$inbox/*", ev.schema, sink, ckpt,
           "event_id", clean).awaitTermination()
       }
-      val out = s.read.parquet(sink)
-      rmTree(ckpt)
-      out.agg(count(lit(1)).as("n_rows"),
-        countDistinct("event_id").as("n_keys"),
-        Stats.sumMoney("value").as("sum_value"))
+      val out = s.read.schema(ev.schema).parquet(sink)
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_keys"),
+          Stats.sumMoney("value").as("sum_value")))
     },
   )
+
+  /** Evaluate `df` to local rows, remove the scratch tree it read from,
+    * and re-wrap the rows as a DataFrame — so a query can clean up its
+    * OWN scratch dir instead of leaving it for the (live-PID-skipping)
+    * reaper. Only for tiny aggregates: the collect is the point.
+    */
+  private def collectThenReap(s: SparkSession, scratch: String)(
+      df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    val schema = df.schema
+    rmTree(scratch)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 }

@@ -47,9 +47,15 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val deduped = batch.dropDuplicates(key)
+        // read-back with the writer's schema, never inference: an
+        // all-cleaned first batch leaves an empty sink whose inferred
+        // schema would be row-less/column-less (the round-13 s5 rule —
+        // every parquet read-back of a directory this engine wrote passes
+        // the writer's schema explicitly)
         val toWrite =
           if (new java.io.File(sinkDir).exists())
-            Upsert.skipExisting(deduped, spark.read.parquet(sinkDir), key)
+            Upsert.skipExisting(deduped,
+              spark.read.schema(deduped.schema).parquet(sinkDir), key)
           else deduped
         // localCheckpoint: materialize BEFORE the append so the anti-join
         // against the sink can't observe the rows it is currently writing.

@@ -28,7 +28,7 @@ class LocalFsPerfSpec extends AnyFunSuite {
     // so this asserts the END-TO-END effective configuration.
     val s = SparkTestSession.spark
     assert(s.conf.get("spark.sql.codegen.cache.maxEntries") === "5000",
-      "codegen source->class cache must stay sized for the 189-plan surface (r10, -46% sweep)")
+      "codegen source->class cache must stay sized for the full query surface (r10, -46% sweep)")
     assert(s.conf.get("spark.sql.codegen.useIdInClassName") === "false",
       "stage-id-free class names let structurally identical stages share one Janino entry (r11, -6.5% sweep)")
     assert(s.conf.get("spark.hadoop.fs.file.impl")

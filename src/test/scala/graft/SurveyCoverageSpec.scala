@@ -52,6 +52,33 @@ class SurveyCoverageSpec extends AnyFunSuite {
       s"SURVEY.md §8 count sentence says $counts but the registry has ${SparkEntry.queries.size} queries")
   }
 
+  test("every SURVEY.md §2 operator id is cited in a §8 matrix row") {
+    // round-13 verdict nit: D3 had a §2 inventory row but no §8 matrix
+    // row, and the registry⊆§8 checks above can't see a §2 id that simply
+    // never appears — so assert §2-ID ⊆ §8-ID directly.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val s2Start = survey.indexOf("## 2.")
+    val s2End = survey.indexOf("## 3.", s2Start)
+    assert(s2Start >= 0 && s2End > s2Start, "SURVEY.md must contain §2 and §3 headers")
+    val s2 = survey.substring(s2Start, s2End)
+    // §2 inventory rows lead with the bare id: "| S1 | ..."
+    val s2Ids = """(?m)^\| ([A-Z]{1,2}\d{1,2}) \|""".r
+      .findAllMatchIn(s2).map(_.group(1)).toSet
+    assert(s2Ids.size > 50, s"suspiciously few §2 ids parsed: ${s2Ids.size}")
+    // §8 matrix rows cite ids in their FIRST cell, possibly slash-grouped
+    // ("W1/W2 sort"); collect every id-shaped token from those cells.
+    val s8Ids = section8.linesIterator
+      .filter(_.startsWith("| "))
+      .map(_.drop(2).takeWhile(_ != '|'))
+      .flatMap("""\b([A-Z]{1,2}\d{1,2})\b""".r.findAllMatchIn(_).map(_.group(1)))
+      .toSet
+    val missing = s2Ids diff s8Ids
+    assert(missing.isEmpty,
+      s"§2 operator ids with no §8 matrix row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("queries and oracleSql cover the same names") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

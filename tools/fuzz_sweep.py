@@ -48,9 +48,12 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = sys.argv[1:]
     base = "/root/testdata/sf0.01"
-    if args and (os.sep in args[0] or args[0].startswith("sf")):
-        # path-shaped first arg: require it to exist rather than silently
-        # falling back to the default and treating the typo as a variant
+    if args and (os.sep in args[0] or args[0].startswith("sf")
+                 or os.path.isdir(args[0])):
+        # path-shaped OR existing-dir first arg: a relative dir like
+        # "testdata" is a base dir, not a variant; a path-shaped arg that
+        # does NOT exist hard-fails rather than silently falling back to
+        # the default and treating the typo as a variant
         if not os.path.isdir(args[0]):
             sys.exit(f"fuzz_sweep: base dir not found: {args[0]}")
         base = args[0]
