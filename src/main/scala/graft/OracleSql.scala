@@ -26,6 +26,104 @@ private[graft] object OracleSql {
     * the rounded-jaccard `verified` pairs, and the exact-tier `stars0`
     * edges — ONE definition, so dd8 cannot desynchronize from the trio.
     */
+  /** Unrolled BPE training rounds (round 14, ta13/tp6): word-frequency
+    * table, then per round r: adjacent-pair stats from the space-joined
+    * symbol string, argmax by (n DESC, a, b), greedy left-to-right merge
+    * via list_reduce (a symbol equal to b following an accumulated tail
+    * equal to a concatenates WITHOUT the separator — the single-pass BPE
+    * rule; a merged token never re-merges because a+b ≠ a). s/b CTEs are
+    * AS MATERIALIZED: each round references its predecessor twice (stats +
+    * merge), so inlining would double the expression tree per round — 2^k
+    * blowup (same lesson as the dd-trio shingle chain). LEFT JOIN ON TRUE
+    * keeps the seq table alive through a round whose pair domain is empty
+    * (degenerate fuzz corpora), matching the Spark trainer's early stop.
+    * Returns the CTE list; callers append their final SELECT over b0..b{k-1}
+    * (the merge table) or s{k} (the final per-word encoding).
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """bpe_w AS MATERIALIZED (
+           SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                           x -> x <> '')) AS w
+                 FROM documents)
+           GROUP BY 1),
+         bpe_s0 AS MATERIALIZED (
+           SELECT word, freq,
+                  array_to_string(string_split(word, ''), ' ') AS seq
+           FROM bpe_w)""")
+    for (r <- 0 until k) {
+      sb.append(s""",
+         bpe_p$r AS (
+           SELECT q.t[u.i] AS a, q.t[u.i + 1] AS b, CAST(sum(q.freq) AS BIGINT) AS n
+           FROM (SELECT freq, string_split(seq, ' ') AS t FROM bpe_s$r) q,
+                UNNEST(generate_series(1, len(q.t) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         bpe_b$r AS MATERIALIZED (
+           SELECT a, b, n FROM bpe_p$r ORDER BY n DESC, a, b LIMIT 1),
+         bpe_s${r + 1} AS MATERIALIZED (
+           SELECT word, freq,
+                  CASE WHEN ma IS NULL THEN seq
+                       ELSE list_reduce(string_split(seq, ' '),
+                              (acc, x) -> CASE WHEN (acc = ma OR ends_with(acc, ' ' || ma))
+                                                    AND x = mb
+                                          THEN acc || x ELSE acc || ' ' || x END)
+                  END AS seq
+           FROM (SELECT s.word, s.freq, s.seq, br.a AS ma, br.b AS mb
+                 FROM bpe_s$r s LEFT JOIN bpe_b$r br ON TRUE))""")
+    }
+    sb.toString
+  }
+
+  /** The ta13 merge-table SELECT over the unrolled rounds. */
+  private def bpeMergeTableSql(k: Int): String = {
+    val unions = (0 until k).map(r =>
+      s"SELECT ${r + 1} AS step, a AS pair_a, b AS pair_b, a || b AS merged, n AS freq FROM bpe_b$r")
+      .mkString("\n           UNION ALL ")
+    s"""WITH ${bpeTrainCtes(k)}
+         SELECT * FROM (
+           $unions)
+         ORDER BY step"""
+  }
+
+  /** The tp6 SELECT: encode via the final symbol table, pack 1024-token
+    * windows with tp1's interval arithmetic.
+    */
+  private def bpePackSql(k: Int): String =
+    s"""WITH ${bpeTrainCtes(k)},
+         bpe_wt AS (
+           SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS wtok
+           FROM bpe_s$k),
+         docw AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '')) AS w
+           FROM documents),
+         t AS (
+           SELECT d.doc_id, CAST(sum(wt.wtok) AS BIGINT) AS ntok
+           FROM docw d JOIN bpe_wt wt ON d.w = wt.word
+           GROUP BY 1),
+         s AS (
+           SELECT doc_id, ntok,
+                  CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+           FROM t),
+         e AS (
+           SELECT doc_id, ntok, start_off, start_off + ntok AS end_off
+           FROM s WHERE ntok > 0),
+         x AS (
+           SELECT doc_id, start_off, end_off,
+                  unnest(range(start_off // 1024, ((end_off - 1) // 1024) + 1))
+                    AS chunk_id
+           FROM e)
+         SELECT chunk_id, count(*) AS n_docs,
+                CAST(sum(least(end_off, (chunk_id + 1) * 1024) -
+                         greatest(start_off, chunk_id * 1024)) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM x GROUP BY 1 ORDER BY 1"""
+
   private val ddPipelinePrefixCte: String =
     """all_docs AS (
            SELECT doc_id, text FROM documents
@@ -2054,6 +2152,8 @@ private[graft] object OracleSql {
                  FROM w WHERE len(w) >= 2))
          SELECT pair, count(*) AS n
          FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    "ta13_bpe_train" -> bpeMergeTableSql(8),
+    "tp6_bpe_pack" -> bpePackSql(8),
     "a14_sketch_union" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
                 count(DISTINCT event_type) AS n_types,

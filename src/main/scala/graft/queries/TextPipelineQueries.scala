@@ -611,6 +611,72 @@ private[graft] object TextPipelineQueries {
         .limit(20)
     },
 
+    // ---- iterative BPE TRAINING (round 14): the k-merge loop ta8 only
+    // took the first step of. Word-frequency table once from the corpus
+    // (the only corpus-sized pass), then 8 rounds of: adjacent-pair stats
+    // over the DISTINCT-WORD table (shuffle ≤ vocab², map-side combined),
+    // argmax to the driver (ONE row/round), greedy merge fold, lineage cut.
+    // Output = the learned merge table in rank order; the oracle replays
+    // the identical 8 rounds as unrolled materialized CTEs in DuckDB. -----
+    "ta13_bpe_train" -> { (s, dir) =>
+      import graft.text.Bpe
+      val words = Tables.documents(s, dir)
+        .repartition(32, col("doc_id")) // ta8's lesson: one row group = one task
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (rules, _) = Bpe.train(words, k = 8)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_a",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_b",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("merged",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("freq",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = rules.map(r => Row(r.step, r.a, r.b, r.a + r.b, r.freq))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("step")
+    },
+
+    // ---- BPE-token packing (round 14): tp1's concat-and-chunk windows,
+    // but the budget is REAL subword counts from the trained tokenizer,
+    // not whitespace words. Train (vocab-bounded rounds, as ta13), ENCODE
+    // every distinct word through the rank-ordered rule chain (the true
+    // encode path — works for out-of-vocab words too; BpeSpec pins
+    // encode == trainer-final), broadcast the (word → n_tokens) map onto
+    // the corpus, then pack 1024-token windows with the tp1 machinery
+    // (bucketed global cumsum — no single-partition window). --------------
+    "tp6_bpe_pack" -> { (s, dir) =>
+      import graft.text.Bpe
+      val docs = Tables.documents(s, dir).repartition(32, col("doc_id"))
+      val words = docs
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (rules, fin) = Bpe.train(words, k = 8)
+      // the trained table IS the encoding of every in-vocab word (identical
+      // to running the rank-ordered rule chain — Bpe.encode — which BpeSpec
+      // pins and which serves out-of-vocab words); reusing it keeps the
+      // 8-level HOF chain out of this plan
+      val wt = fin.select(col("word"), size(col("sym")).cast("long").as("wtok"))
+      val docTok = docs
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("word"))
+        .join(broadcast(wt), "word")
+        .groupBy("doc_id").agg(sum("wtok").as("ntok"))
+      val withOff = graft.operators.Pack.globalCumsum(
+        docTok, "doc_id", "ntok", "start_off", buckets = 32)
+      graft.operators.Pack.chunk(withOff, "start_off", "ntok", 1024)
+        .groupBy("chunk_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("chunk_tokens").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("chunk_id")
+    },
+
     // ---- token-budget curriculum selection: bin documents by a quality
     // proxy (integer-exact avg word length), then take bins best-first
     // until half the corpus token budget is spent — the data-selection

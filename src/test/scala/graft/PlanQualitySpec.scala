@@ -258,7 +258,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // table sort / sink-tree global agg); the drain itself is gated by
       // the oracle, not a shuffle count
       "st14_status_replay" -> 1, "st15_bulk_append" -> 2,
-      "st16_stateful_upload" -> 2)
+      "st16_stateful_upload" -> 2,
+      // r14 BPE rows: ta13's RESULT frame is the driver-built merge table
+      // (train rounds run on the RDD core at construction, each bounded by
+      // vocab²); tp6's four are the corpus repartition (ta8's single-split
+      // parallelism lesson) + per-doc agg + pack cumsum + chunk agg, with
+      // the vocab→token-count map arriving by broadcast
+      "ta13_bpe_train" -> 1, "tp6_bpe_pack" -> 4)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
