@@ -1,9 +1,11 @@
 package graft.sources
 
 /** Intra-only H.264/AVC (ITU-T H.264 | ISO/IEC 14496-10) decoder for IDR
-  * pictures whose macroblocks are I_PCM — the round-11 temporal-codec step
-  * for the video family (the reference pipeline treats video as opaque
-  * bytes; see /root/reference/ download/ingest scope).
+  * pictures — the temporal-codec step for the video family (the reference
+  * pipeline treats video as opaque bytes; see /root/reference/
+  * download/ingest scope). Round 11 built the I_PCM path; round 14 added
+  * transform-coded macroblocks (Intra_4x4 + Intra_16x16 with CAVLC
+  * residuals — see H264Cavlc/H264Coded).
   *
   * What is REAL here (the full syntax stack a conformant stream carries):
   *   - Annex-B byte-stream parsing: 3- and 4-byte start codes, NAL header
@@ -17,19 +19,19 @@ package graft.sources
   *   - SPS/PPS/IDR-slice-header parsing in spec field order, including
   *     frame cropping (CropUnit 2x2 at 4:2:0) — how a 10x12 frame really
   *     ships inside 16x16 macroblocks,
-  *   - CAVLC-mode macroblock loop with mb_type = I_PCM (value 25 in
-  *     I slices, Table 7-11): alignment bit skip, 256 raw luma + 2x64 raw
-  *     chroma samples per macroblock, raster placement, crop window.
+  *   - the CAVLC-mode macroblock loop: I_PCM (alignment bits, raw samples),
+  *     Intra_4x4 (per-block prediction-mode signalling, Table 9-4 cbp,
+  *     CAVLC luma residuals, dequant + inverse 4x4 transform, all nine
+  *     prediction modes) and Intra_16x16 (DC Hadamard path, AC blocks,
+  *     the four 16x16 modes); chroma residuals parsed per spec (luma-only
+  *     output — see H264Coded's scope notes).
   *
-  * The honest boundary (documented, quarantined, same policy as the HDF5
-  * subset): transform-coded macroblocks (Intra_4x4/16x16 residuals) need
-  * the CAVLC coefficient-token tables, which are large published constants
-  * with no offline copy in this container to transcribe from — a
-  * from-memory table would be self-consistent with our own encoder but
-  * unverifiable against real streams, so any non-I_PCM mb_type decodes to
-  * None (per-frame quarantine) rather than wrong pixels. I_PCM itself is
-  * lossless by definition, which is also what makes the closed-form pixel
-  * oracle exact.
+  * Honest boundaries that remain (documented in H264Cavlc/H264Coded):
+  * the CAVLC tables are from-memory transcriptions machine-checked for
+  * structure but not externally conformance-tested (driver-blocked
+  * artifact), no deblocking filter (writer twin disables it; real streams
+  * that leave it on decode to pre-filter reconstruction), CABAC / High
+  * profiles / inter prediction quarantine as before.
   *
   * Decoder never throws on garbage input: every read is bounds-checked and
   * any malformation returns None (the media quarantine contract; fuzz-pinned
@@ -39,10 +41,10 @@ private[graft] object H264 {
 
   final case class Frame(width: Int, height: Int, y: Array[Byte])
 
-  private final class ParseEnd extends RuntimeException(null, null, false, false)
+  private[graft] final class ParseEnd extends RuntimeException(null, null, false, false)
 
   /** MSB-first bounds-checked bit reader over one RBSP. */
-  private final class BitReader(b: Array[Byte]) {
+  private[graft] final class BitReader(b: Array[Byte]) {
     private var bit = 0
     def bitsLeft: Int = b.length * 8 - bit
     def u(n: Int): Int = {
@@ -122,7 +124,8 @@ private[graft] object H264 {
       widthMbs: Int, heightMbs: Int, log2MaxFrameNum: Int, pocType: Int,
       log2MaxPocLsb: Int, cropL: Int, cropR: Int, cropT: Int, cropB: Int)
 
-  private final case class Pps(picOrderPresent: Boolean, deblockPresent: Boolean)
+  private final case class Pps(picOrderPresent: Boolean, deblockPresent: Boolean,
+      picInitQp: Int)
 
   /** Parses the SPS fields up to cropping; returns None on profiles or
     * shapes outside the intra-PCM subset (never throws).
@@ -163,15 +166,23 @@ private[graft] object H264 {
     if (r.ue() != 0) return None // slice groups (FMO): out of subset
     r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
     r.u(1); r.u(2) // weighted_pred_flag, weighted_bipred_idc
-    r.se(); r.se(); r.se() // pic_init_qp, pic_init_qs, chroma_qp_offset
+    val picInitQp = 26 + r.se() // pic_init_qp_minus26
+    r.se(); r.se() // pic_init_qs, chroma_qp_offset
     val deblockPresent = r.u(1) == 1
     r.u(1); r.u(1) // constrained_intra_pred, redundant_pic_cnt_present
-    Some(Pps(picOrderPresent, deblockPresent))
+    if (picInitQp < 0 || picInitQp > 51) return None
+    Some(Pps(picOrderPresent, deblockPresent, picInitQp))
   }
 
-  /** Decodes the first IDR picture of an Annex-B stream whose macroblocks
-    * are all I_PCM. Returns the CROPPED luma plane. None on anything
-    * malformed or outside the subset.
+  /** Decodes the first IDR picture of an Annex-B stream — I_PCM,
+    * Intra_4x4, and Intra_16x16 macroblocks in any mix (CAVLC entropy;
+    * round 14 closed the I_PCM-only boundary). Returns the CROPPED luma
+    * plane. None on anything malformed or outside the subset.
+    */
+  def decodeIdr(annexB: Array[Byte]): Option[Frame] = decodeIdrPcm(annexB)
+
+  /** Historic name of [[decodeIdr]] (round-11 API, kept for the mm8
+    * fixtures' call sites; since round 14 it decodes coded MBs too).
     */
   def decodeIdrPcm(annexB: Array[Byte]): Option[Frame] = {
     try {
@@ -213,30 +224,37 @@ private[graft] object H264 {
     }
     // dec_ref_pic_marking for IDR
     r.u(1); r.u(1) // no_output_of_prior_pics_flag, long_term_reference_flag
-    r.se() // slice_qp_delta
+    val sliceQp = pps.picInitQp + r.se() // slice_qp_delta
+    if (sliceQp < 0 || sliceQp > 51) return None
     if (pps.deblockPresent) {
       val idc = r.ue()
       if (idc != 1) { r.se(); r.se() }
     }
-    // --- slice data: all-I_PCM macroblock loop ---
+    // --- slice data: I_PCM / Intra_4x4 / Intra_16x16 macroblock loop ---
     val wMb = sps.widthMbs; val hMb = sps.heightMbs
-    val lumaW = wMb * 16; val lumaH = hMb * 16
-    val yPlane = new Array[Byte](lumaW * lumaH)
+    val st = new H264Coded.SliceState(wMb, hMb, sliceQp)
+    val lumaW = st.lumaW; val lumaH = st.lumaH
+    val yPlane = st.y
     var mb = 0
     val nMbs = wMb * hMb
     while (mb < nMbs) {
       val mbType = r.ue()
-      if (mbType != 25) return None // transform-coded MBs: out of subset
-      r.byteAlign() // pcm_alignment_zero_bit(s)
-      val mbx = (mb % wMb) * 16; val mby = (mb / wMb) * 16
-      var i = 0
-      while (i < 256) { // pcm_sample_luma, raster within the MB
-        yPlane((mby + i / 16) * lumaW + mbx + (i % 16)) =
-          r.alignedByte().toByte
-        i += 1
-      }
-      var c = 0
-      while (c < 128) { r.alignedByte(); c += 1 } // Cb, Cr (parsed, unused)
+      val mbX = mb % wMb; val mbY = mb / wMb
+      if (mbType == 25) { // I_PCM
+        r.byteAlign() // pcm_alignment_zero_bit(s)
+        val mbx = mbX * 16; val mby = mbY * 16
+        var i = 0
+        while (i < 256) { // pcm_sample_luma, raster within the MB
+          yPlane((mby + i / 16) * lumaW + mbx + (i % 16)) =
+            r.alignedByte().toByte
+          i += 1
+        }
+        var c = 0
+        while (c < 128) { r.alignedByte(); c += 1 } // Cb, Cr (parsed, unused)
+        st.markPcm(mbX, mbY)
+      } else if (mbType == 0) H264Coded.decodeI4x4Mb(r, st, mbX, mbY)
+      else if (mbType >= 1 && mbType <= 24) H264Coded.decodeI16x16Mb(r, st, mbX, mbY, mbType)
+      else return None // not an I-slice mb_type
       mb += 1
     }
     // crop window (CropUnitX = CropUnitY = 2 at 4:2:0 frame-only)
@@ -256,7 +274,7 @@ private[graft] object H264 {
   // ------------------------------------------------------------------ writer
 
   /** MSB-first bit writer. */
-  private final class BitWriter {
+  private[graft] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nb = 0
@@ -294,6 +312,16 @@ private[graft] object H264 {
       out.write(v)
       zeros = if (v == 0) zeros + 1 else 0
     }
+    out.toByteArray
+  }
+
+  /** [SPS][PPS][IDR] Annex-B serialization from three RBSPs. */
+  private[sources] def nalUnits(sps: Array[Byte], pps: Array[Byte],
+      idr: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // nal_ref_idc 3 for SPS/PPS/IDR (reference material)
+    out.write(nal(0x67, sps)); out.write(nal(0x68, pps))
+    out.write(nal(0x65, idr))
     out.toByteArray
   }
 
@@ -364,10 +392,6 @@ private[graft] object H264 {
       mb += 1
     }
     iw.trailing()
-    val out = new java.io.ByteArrayOutputStream()
-    // nal_ref_idc 3 for SPS/PPS/IDR (reference material)
-    out.write(nal(0x67, sw.bytes)); out.write(nal(0x68, pw.bytes))
-    out.write(nal(0x65, iw.bytes))
-    out.toByteArray
+    nalUnits(sw.bytes, pw.bytes, iw.bytes)
   }
 }

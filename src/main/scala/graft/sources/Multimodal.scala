@@ -296,9 +296,11 @@ object Multimodal {
     * lossless, so the h264 path keeps the same closed-form pixel oracle
     * the PNG path has.
     */
-  private[graft] def framedMp4BytesCodec(id: Long, codec: String): Array[Byte] = {
+  private[graft] def framedMp4BytesCodec(id: Long, codec: String,
+      residual: Boolean = false): Array[Byte] = {
     val frames = (0 until vidNFrames(id)).map { k =>
-      if (codec == "h264")
+      if (codec == "h264" && residual) residualAu(id, k)
+      else if (codec == "h264")
         H264.encodeIdrPcm(frameW(id), frameH(id), framePix(id, k, _, _),
           idrPicId = k)
       else frameBytes(id, k, codec == "jpeg")
@@ -410,6 +412,132 @@ object Multimodal {
     StructField("height", LongType, nullable = true),
     StructField("n_pix", LongType, nullable = true),
     StructField("sum_lum", LongType, nullable = true)))
+
+  // ---- transform-coded H.264 fixtures (round 14, mm9) ----------------------
+
+  /** mm9's I_4x4 coefficient patterns: scan-index -> level. Positions are
+    * restricted to raster rows/cols >= 1 so every residual row/col sums in
+    * [-2, 1] post-rounding — the invariant that pins every DC prediction
+    * in a single-MB frame at exactly 128 and keeps the oracle closed-form
+    * (derivation + machine check: tools/h264_residual_ref.py; the oracle's
+    * residual constants come from that INDEPENDENT python implementation
+    * of dequant+IDCT, not from the Scala decoder under test).
+    */
+  private[graft] val residualPatterns: Array[Map[Int, Int]] = Array(
+    Map(4 -> 2),
+    Map(4 -> -2, 7 -> 1),
+    Map(7 -> -3, 13 -> 1),
+    Map(4 -> 4, 10 -> -2, 13 -> -1, 15 -> 1))
+
+  /** One transform-coded Annex-B access unit for frame `k` of media `id`
+    * (single 16x16 macroblock, cropped to frameW x frameH). Frame kinds
+    * cycle I_4x4-patterns / I_16x16-flat / I_PCM; QP alternates 28/31;
+    * chroma DC always coded and chroma AC on even frames (parse-gated:
+    * a chroma bit slip corrupts all later luma and breaks the oracle).
+    */
+  private[graft] def residualAu(id: Long, k: Int): Array[Byte] = {
+    import H264Coded._
+    val w = frameW(id); val h = frameH(id)
+    val qp = if ((id + k) % 2 == 0) 28 else 31
+    val mb: MbSpec = ((id + k) % 3).toInt match {
+      case 0 =>
+        val coeffs = Array.tabulate(16) { b =>
+          val scan = new Array[Int](16)
+          residualPatterns(((id * 5 + k * 3 + b) % 4).toInt)
+            .foreach { case (i, v) => scan(i) = v }
+          scan
+        }
+        val chromaDc = Array(Array(2, 0, 0, 0), Array(-2, 1, 0, 0))
+        val chromaAc =
+          if ((id + k) % 2 == 0)
+            Array.tabulate(2, 4) { (c, b) =>
+              val a = new Array[Int](15)
+              if (b == c) { a(0) = 3; a(2) = -1 }
+              a
+            }
+          else null
+        I4x4Mb(Array.fill(16)(2), coeffs, chromaDc, chromaAc)
+      case 1 =>
+        val dc = new Array[Int](16)
+        dc(0) = 40 * (1 + ((id + k) % 5).toInt)
+        I16x16Mb(predMode = 2, dcScan = dc, acCoeff = null,
+          chromaDc = Array(Array(5, 0, 0, 0), Array(-5, 0, 0, 0)), chromaAc = null)
+      case _ => PcmMb((x, y) => framePix(id, k, x, y))
+    }
+    H264Coded.encodeIdrCoded(w, h, qp, Seq(mb), idrPicId = k)
+  }
+
+  private val makeH264ResidualPayload =
+    udf { (id: Long) => framedMp4BytesCodec(id, "h264", residual = true) }
+
+  /** The transform-coded H.264 fixture (round 14): MP4-wrapped Annex-B
+    * samples mixing Intra_4x4 (CAVLC residuals, DC prediction), Intra_16x16
+    * (DC Hadamard path) and I_PCM macroblocks. Uses the doc_id % 4 == 1
+    * rows so it is independent of the mm7/mm8 fleets.
+    */
+  def h264ResidualFromDocuments(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"))
+      .withColumn("payload", makeH264ResidualPayload(col("media_id")))
+
+  private val residualFrameRowSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("n_pix", LongType, nullable = true),
+    StructField("sum_lum", LongType, nullable = true),
+    StructField("sum_wlum", LongType, nullable = true)))
+
+  /** Per-frame fold for the transform-coded fixture: the mm7/mm8 stat
+    * shape plus a POSITION-WEIGHTED luma sum (weight 1 + x + 2y) so a
+    * transposed, mirrored or mis-placed residual cannot hide inside an
+    * order-insensitive sum. Decode path is the native H264 intra decoder;
+    * per-frame quarantine as everywhere in the media family.
+    */
+  def h264ResidualFrames(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(residualFrameRowSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.get(1).asInstanceOf[Array[Byte]]
+        try {
+          Mp4.parse(payload) match {
+            case Some(info) if info.sampleSizes != null && info.chunkOff >= 0 &&
+                info.codec == "h264" =>
+              var off = info.chunkOff
+              info.sampleSizes.iterator.zipWithIndex.flatMap { case (sz, k) =>
+                val res = try {
+                  if (sz <= 0 || off < 0 || off + sz > payload.length) None
+                  else H264.decodeIdr(java.util.Arrays.copyOfRange(
+                    payload, off.toInt, (off + sz).toInt)).map { f =>
+                    var sum = 0L; var wsum = 0L
+                    var y = 0
+                    while (y < f.height) {
+                      var x = 0
+                      while (x < f.width) {
+                        val v = f.y(y * f.width + x) & 0xff
+                        sum += v
+                        wsum += v.toLong * (1 + x + 2 * y)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Row(id, k.toLong, f.width.toLong, f.height.toLong,
+                      f.width.toLong * f.height, sum, wsum)
+                  }
+                } catch { case scala.util.control.NonFatal(_) => None }
+                off += sz
+                res
+              }.toSeq
+            case _ => Seq.empty[Row]
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq.empty[Row]
+        }
+      }
+    }(enc)
+  }
 
   /** REAL video frame decode: locate each sample's byte range from the
     * parsed `stsz`/`stco` table, decode it with `javax.imageio` (PNG or
