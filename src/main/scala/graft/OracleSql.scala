@@ -1417,6 +1417,194 @@ private[graft] object OracleSql {
          FROM px
          GROUP BY media_id, k, w, h
          ORDER BY media_id, frame_idx""",
+    // mm9: transform-coded H.264. The I_4x4 residual constants and the
+    // I_16x16 flat values in the VALUES tables come from
+    // tools/h264_residual_ref.py — an independent python implementation of
+    // the spec's dequant/IDCT/Hadamard — so Spark's decoder and this oracle
+    // share no code. Pattern-block frames reconstruct as 128 + R (the
+    // zero-edge-sum patterns pin every DC prediction at 128), flat frames
+    // as 128 + fv, PCM frames as the mm7/mm8 closed form; sum_wlum weights
+    // by position so a transposed/mirrored residual cannot hide in the sum.
+    "mm9_h264_residual" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id,
+                  2 + doc_id % 3 AS nf,
+                  8 + (doc_id % 4) * 2 AS w,
+                  6 + (doc_id % 3) * 2 AS h
+           FROM documents WHERE doc_id % 4 = 1),
+         f AS (
+           SELECT media_id, w, h, k.k,
+                  (media_id + k.k) % 3 AS kind,
+                  CASE WHEN (media_id + k.k) % 2 = 0 THEN 28 ELSE 31 END AS qp
+           FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS k) k),
+         pix AS (
+           SELECT media_id, w, h, k, kind, qp, x.x, y.y
+           FROM f,
+                LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x,
+                LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y),
+         pat(qp, pid, py, pxx, r) AS (VALUES
+           (28, 0, 0, 0, 13),
+           (28, 0, 0, 1, 6),
+           (28, 0, 0, 2, -6),
+           (28, 0, 0, 3, -12),
+           (28, 0, 1, 0, 6),
+           (28, 0, 1, 1, 3),
+           (28, 0, 1, 2, -3),
+           (28, 0, 1, 3, -6),
+           (28, 0, 2, 0, -6),
+           (28, 0, 2, 1, -3),
+           (28, 0, 2, 2, 3),
+           (28, 0, 2, 3, 6),
+           (28, 0, 3, 0, -12),
+           (28, 0, 3, 1, -6),
+           (28, 0, 3, 2, 6),
+           (28, 0, 3, 3, 13),
+           (28, 1, 0, 0, -7),
+           (28, 1, 0, 1, -11),
+           (28, 1, 0, 2, 1),
+           (28, 1, 0, 3, 18),
+           (28, 1, 1, 0, -4),
+           (28, 1, 1, 1, -6),
+           (28, 1, 1, 2, 1),
+           (28, 1, 1, 3, 9),
+           (28, 1, 2, 0, 4),
+           (28, 1, 2, 1, 6),
+           (28, 1, 2, 2, -1),
+           (28, 1, 2, 3, -9),
+           (28, 1, 3, 0, 8),
+           (28, 1, 3, 1, 11),
+           (28, 1, 3, 2, -1),
+           (28, 1, 3, 3, -17),
+           (28, 2, 0, 0, -12),
+           (28, 2, 0, 1, 10),
+           (28, 2, 0, 2, 20),
+           (28, 2, 0, 3, -17),
+           (28, 2, 1, 0, -10),
+           (28, 2, 1, 1, 13),
+           (28, 2, 1, 2, 3),
+           (28, 2, 1, 3, -5),
+           (28, 2, 2, 0, 5),
+           (28, 2, 2, 1, -2),
+           (28, 2, 2, 2, -12),
+           (28, 2, 2, 3, 10),
+           (28, 2, 3, 0, 18),
+           (28, 2, 3, 1, -20),
+           (28, 2, 3, 2, -10),
+           (28, 2, 3, 3, 13),
+           (28, 3, 0, 0, 18),
+           (28, 3, 0, 1, 11),
+           (28, 3, 0, 2, -11),
+           (28, 3, 0, 3, -18),
+           (28, 3, 1, 0, 24),
+           (28, 3, 1, 1, 14),
+           (28, 3, 1, 2, -14),
+           (28, 3, 1, 3, -24),
+           (28, 3, 2, 0, -19),
+           (28, 3, 2, 1, -24),
+           (28, 3, 2, 2, 24),
+           (28, 3, 2, 3, 19),
+           (28, 3, 3, 0, -23),
+           (28, 3, 3, 1, -1),
+           (28, 3, 3, 2, 1),
+           (28, 3, 3, 3, 23),
+           (31, 0, 0, 0, 18),
+           (31, 0, 0, 1, 9),
+           (31, 0, 0, 2, -9),
+           (31, 0, 0, 3, -18),
+           (31, 0, 1, 0, 9),
+           (31, 0, 1, 1, 5),
+           (31, 0, 1, 2, -4),
+           (31, 0, 1, 3, -9),
+           (31, 0, 2, 0, -9),
+           (31, 0, 2, 1, -4),
+           (31, 0, 2, 2, 5),
+           (31, 0, 2, 3, 9),
+           (31, 0, 3, 0, -18),
+           (31, 0, 3, 1, -9),
+           (31, 0, 3, 2, 9),
+           (31, 0, 3, 3, 18),
+           (31, 1, 0, 0, -11),
+           (31, 1, 0, 1, -16),
+           (31, 1, 0, 2, 2),
+           (31, 1, 0, 3, 25),
+           (31, 1, 1, 0, -5),
+           (31, 1, 1, 1, -8),
+           (31, 1, 1, 2, 1),
+           (31, 1, 1, 3, 13),
+           (31, 1, 2, 0, 6),
+           (31, 1, 2, 1, 8),
+           (31, 1, 2, 2, -1),
+           (31, 1, 2, 3, -12),
+           (31, 1, 3, 0, 11),
+           (31, 1, 3, 1, 16),
+           (31, 1, 3, 2, -2),
+           (31, 1, 3, 3, -25),
+           (31, 2, 0, 0, -17),
+           (31, 2, 0, 1, 14),
+           (31, 2, 0, 2, 28),
+           (31, 2, 0, 3, -24),
+           (31, 2, 1, 0, -14),
+           (31, 2, 1, 1, 18),
+           (31, 2, 1, 2, 4),
+           (31, 2, 1, 3, -7),
+           (31, 2, 2, 0, 7),
+           (31, 2, 2, 1, -3),
+           (31, 2, 2, 2, -17),
+           (31, 2, 2, 3, 14),
+           (31, 2, 3, 0, 25),
+           (31, 2, 3, 1, -28),
+           (31, 2, 3, 2, -14),
+           (31, 2, 3, 3, 18),
+           (31, 3, 0, 0, 26),
+           (31, 3, 0, 1, 16),
+           (31, 3, 0, 2, -16),
+           (31, 3, 0, 3, -26),
+           (31, 3, 1, 0, 35),
+           (31, 3, 1, 1, 20),
+           (31, 3, 1, 2, -20),
+           (31, 3, 1, 3, -35),
+           (31, 3, 2, 0, -28),
+           (31, 3, 2, 1, -34),
+           (31, 3, 2, 2, 34),
+           (31, 3, 2, 3, 28),
+           (31, 3, 3, 0, -33),
+           (31, 3, 3, 1, -2),
+           (31, 3, 3, 2, 2),
+           (31, 3, 3, 3, 33)),
+         flat(qp, lvl, fv) AS (VALUES
+           (28, 40, 3),
+           (28, 80, 5),
+           (28, 120, 8),
+           (28, 160, 10),
+           (28, 200, 13),
+           (31, 40, 3),
+           (31, 80, 7),
+           (31, 120, 10),
+           (31, 160, 14),
+           (31, 200, 17)),
+         lum AS (
+           SELECT p.media_id, p.k, p.w, p.h, p.x, p.y,
+                  CASE p.kind
+                    WHEN 2 THEN (p.media_id*7 + p.k*13 + p.x*3 + p.y*5) % 251
+                    WHEN 1 THEN 128 + fl.fv
+                    ELSE 128 + pa.r
+                  END AS lum
+           FROM pix p
+           LEFT JOIN pat pa ON p.kind = 0 AND pa.qp = p.qp
+             AND pa.pid = (p.media_id*5 + p.k*3 +
+                           (4*(((p.y//4)//2)*2 + (p.x//4)//2)
+                            + ((p.y//4)%2)*2 + (p.x//4)%2)) % 4
+             AND pa.py = p.y % 4 AND pa.pxx = p.x % 4
+           LEFT JOIN flat fl ON p.kind = 1 AND fl.qp = p.qp
+             AND fl.lvl = 40 * (1 + (p.media_id + p.k) % 5))
+         SELECT media_id, CAST(k AS BIGINT) AS frame_idx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                CAST(w * h AS BIGINT) AS n_pix,
+                CAST(sum(lum) AS BIGINT) AS sum_lum,
+                CAST(sum(lum * (1 + x + 2*y)) AS BIGINT) AS sum_wlum
+         FROM lum GROUP BY media_id, k, w, h
+         ORDER BY media_id, frame_idx
+""",
     "mm1_media_features" ->
       """WITH m AS (
            SELECT doc_id,

@@ -369,6 +369,24 @@ private[graft] object ScanStreamQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // ---- TRANSFORM-CODED H.264 decode (round 14): frames mixing Intra_4x4
+    // (CAVLC residuals, DC prediction), Intra_16x16 (DC Hadamard path) and
+    // I_PCM macroblocks, QP alternating 28/31, chroma DC always coded and
+    // chroma AC on even frames. The fixture's coefficient patterns are
+    // engineered (zero edge sums) so reconstruction is closed-form:
+    // 128 + residual, where the oracle's residual table comes from an
+    // INDEPENDENT python implementation of dequant+IDCT
+    // (tools/h264_residual_ref.py) — any drift in CAVLC tables, level
+    // decode, dequant, transform, prediction, chroma PARSING (a bit slip
+    // corrupts later luma), or cropping breaks the hash. sum_wlum weights
+    // by position so order-insensitive errors can't hide. ------------------
+    "mm9_h264_residual" -> { (s, dir) =>
+      Multimodal.h264ResidualFrames(
+        Multimodal.h264ResidualFromDocuments(
+          Tables.documents(s, dir).repartition(32, col("doc_id"))))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- S5 + layout-aware sink: hive-partitioned parquet write, then a
     // directory-tree scan whose predicate prunes at the PARTITION level —
     // the filter never reaches row groups of other priorities; at 100 TB

@@ -264,7 +264,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // vocab²); tp6's four are the corpus repartition (ta8's single-split
       // parallelism lesson) + per-doc agg + pack cumsum + chunk agg, with
       // the vocab→token-count map arriving by broadcast
-      "ta13_bpe_train" -> 1, "tp6_bpe_pack" -> 4)
+      "ta13_bpe_train" -> 1, "tp6_bpe_pack" -> 4,
+      // mm9: the mm7/mm8 shape — encode+decode spread by the deliberate
+      // 32-way repartition, one sort for the ordered output
+      "mm9_h264_residual" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
