@@ -93,14 +93,22 @@ object Hdf5 {
   private case object ObjRef extends Dtype { val size = 8 }
   private final case class VlenSeq(base: Dtype) extends Dtype { val size = 16 }
   private final case class VlenStr(size: Int = 16) extends Dtype
+  /** Compound datatype (class 6): (memberName, byteOffset, memberType).
+    * Round 14: DATASETS of numeric-member compounds decode (each member
+    * surfaces as its own `dataset.member` variable — netCDF-4's
+    * user-defined-type vars tabularized); compound ATTRIBUTES still skip
+    * (REFERENCE_LIST's shape), and beyond-subset member types quarantine.
+    */
+  private final case class CompoundT(size: Int,
+      members: Seq[(String, Int, Dtype)]) extends Dtype
   private final case class Opaque(cls: Int, size: Int) extends Dtype // tolerated in attrs only
 
   private def readDatatype(c: Cur, depth: Int = 0): Dtype = {
     // depth cap: a crafted chain of nested vlen headers would otherwise
     // recurse to StackOverflowError — an Error the quarantine can't catch
     if (depth > 8) fail("datatype nesting depth out of range")
-    val cv = c.u8(); val cls = cv & 0xF
-    val b0 = c.u8(); c.u8(); c.u8() // class bit fields 0-23
+    val cv = c.u8(); val cls = cv & 0xF; val dtVer = (cv >> 4) & 0xF
+    val b0 = c.u8(); val b1 = c.u8(); c.u8() // class bit fields 0-23
     val size0 = c.u32()
     if (size0 < 0 || size0 > c.bytes.length) fail(s"datatype size $size0 out of range")
     val size = size0.toInt
@@ -118,10 +126,53 @@ object Hdf5 {
       case 7 =>
         if ((b0 & 0xF) != 0) unsupported("non-object reference type")
         ObjRef
+      case 6 => // compound: member list in version-specific encoding
+        val nMembers = (b0 & 0xFF) | ((b1 & 0xFF) << 8)
+        if (nMembers <= 0 || nMembers > 1024) fail(s"compound member count $nMembers")
+        if (dtVer < 1 || dtVer > 3) unsupported(s"compound datatype v$dtVer")
+        // v3 offsets use the minimal byte count for the compound's size
+        val offBytes = {
+          var nb = 1
+          while (nb < 8 && (size >>> (8 * nb)) != 0) nb += 1
+          nb
+        }
+        val members = (0 until nMembers).map { _ =>
+          val name = {
+            val sb = new StringBuilder
+            var b = c.u8()
+            while (b != 0) { sb.append(b.toChar); b = c.u8() }
+            if (dtVer <= 2) { // name (incl. null) padded to 8 bytes
+              var read = sb.length + 1
+              while (read % 8 != 0) { c.u8(); read += 1 }
+            }
+            sb.toString
+          }
+          if (name.isEmpty) fail("compound member with empty name")
+          val off = dtVer match {
+            case 3 => { var v = 0L; var i = 0
+              while (i < offBytes) { v |= (c.u8().toLong << (8 * i)); i += 1 }; v }
+            case 1 =>
+              val o = c.u32()
+              val dimensionality = c.u8()
+              c.skip(3) // reserved
+              c.skip(4); c.skip(4) // dim permutation + reserved
+              c.skip(16) // four dim sizes
+              if (dimensionality != 0) unsupported("array-typed compound member")
+              o
+            case _ => c.u32() // v2
+          }
+          val mt = readDatatype(c, depth + 1)
+          if (off < 0 || off + mt.size > size)
+            fail(s"compound member '$name' at $off overruns size $size")
+          (name, off.toInt, mt)
+        }
+        if (members.map(_._1).distinct.length != members.length)
+          fail("duplicate compound member names")
+        CompoundT(size, members)
       case 9 =>
         if ((b0 & 0xF) == 1) VlenStr()
         else VlenSeq(readDatatype(c, depth + 1))
-      case other => Opaque(other, size) // compound/enum/etc: attr-skip only
+      case other => Opaque(other, size) // enum/time/bitfield/etc: attr-skip only
     }
   }
 
@@ -703,6 +754,12 @@ object Hdf5 {
       case Opaque(cls, _) => unsupported(s"dataset '$name' datatype class $cls")
       case _: VlenSeq => unsupported(s"dataset '$name' vlen data")
       case _: VlenStr => () // NC_STRING variable: descriptors resolve below
+      case ct: CompoundT => // numeric members only; the rest quarantines
+        ct.members.foreach {
+          case (_, _, _: FixedPt) | (_, _, _: FloatPt) => ()
+          case (mn, _, other) =>
+            unsupported(s"dataset '$name' compound member '$mn' type $other")
+        }
       case _ => ()
     }
     val esz = dtype.size
@@ -1195,7 +1252,7 @@ object Hdf5 {
       case other => unsupported(s"variable datatype $other")
     }
 
-    val vars = datasets.filterNot(isPhony).map { d =>
+    val vars = datasets.filterNot(isPhony).flatMap { d =>
       val dims: Seq[NcDim] =
         if (isScale(d)) Seq(dimOf(d)) // coordinate variable: it IS its dim
         else if (d.dimRefs.nonEmpty) d.dimRefs.map { a =>
@@ -1206,22 +1263,35 @@ object Hdf5 {
         k == "DIMENSION_LIST" || k == "CLASS" || k == "NAME" ||
           k == "REFERENCE_LIST" || k.startsWith("_Netcdf4")
       }
-      val t = ncTypeOf(d.dtype)
-      if (t == NetCdf.NC_CHAR) {
-        val k = d.dtype.size
-        // a (dims..., size-k string) dataset is dims + a synthetic string
-        // width dim when k > 1 — the CDF char-matrix shape. Vlen-normalized
-        // data ALWAYS gets the width dim: its dataspace never covers the
-        // chars, so dropping the dim at k == 1 would concatenate every
-        // element's chars into row 0 downstream
-        val allDims =
-          if (k > 1 || d.vlenNormalized) dims :+ NcDim(s"STRING$k", k) else dims
-        ParsedVar(d.name, allDims, t, attrs, Array.empty, d.data)
-      } else {
-        val n = d.space.count.toInt
-        val cc = new Cur(d.data, 0)
-        val a = Array.tabulate(n)(_ => widenOne(cc, d.dtype))
-        ParsedVar(d.name, dims, t, attrs, a, Array.empty)
+      d.dtype match {
+        case ct: CompoundT =>
+          // each numeric member surfaces as `dataset.member`, striding the
+          // interleaved element bytes (netCDF-4 user-defined-type vars
+          // tabularized; alias/fill resolution matches on the basename)
+          val n = d.space.count.toInt
+          ct.members.map { case (mname, moff, mtype) =>
+            val a = Array.tabulate(n)(i =>
+              widenOne(new Cur(d.data, i * ct.size + moff), mtype))
+            ParsedVar(s"${d.name}.$mname", dims, ncTypeOf(mtype), attrs, a, Array.empty)
+          }
+        case _ =>
+          val t = ncTypeOf(d.dtype)
+          Seq(if (t == NetCdf.NC_CHAR) {
+            val k = d.dtype.size
+            // a (dims..., size-k string) dataset is dims + a synthetic string
+            // width dim when k > 1 — the CDF char-matrix shape. Vlen-normalized
+            // data ALWAYS gets the width dim: its dataspace never covers the
+            // chars, so dropping the dim at k == 1 would concatenate every
+            // element's chars into row 0 downstream
+            val allDims =
+              if (k > 1 || d.vlenNormalized) dims :+ NcDim(s"STRING$k", k) else dims
+            ParsedVar(d.name, allDims, t, attrs, Array.empty, d.data)
+          } else {
+            val n = d.space.count.toInt
+            val cc = new Cur(d.data, 0)
+            val a = Array.tabulate(n)(_ => widenOne(cc, d.dtype))
+            ParsedVar(d.name, dims, t, attrs, a, Array.empty)
+          })
       }
     }
 
@@ -1338,6 +1408,11 @@ object Hdf5 {
       // 16-byte {len, heap addr, index} descriptors — netCDF4-python's
       // default encoding for string variables
       vlenStrVars: Set[String] = Set.empty,
+      // write these NC_FLOAT vars as COMPOUND {val: f4, qc: i4} datasets
+      // (qc = element index % 7) — netCDF-4's user-defined-type shape; the
+      // reader surfaces them as `name.val`/`name.qc` member variables
+      compoundVars: Set[String] = Set.empty,
+      compoundV3: Boolean = false, // emit version-3 member encoding instead of v1
       // adversarial twins for the group walk: a hard link back to the root
       // inside the named subgroup (valid HDF5, not a tree — must triage,
       // never loop), and a chain of N empty nested groups off the root
@@ -1393,9 +1468,24 @@ object Hdf5 {
       else s"hdr:$nm"
 
     // data element bytes, little-endian, per var
-    def elemSize(v: NcVar): Int = NetCdf.typeSize(v.ncType)
+    def isCompound(v: NcVar): Boolean = opts.compoundVars(v.name)
+    def elemSize(v: NcVar): Int =
+      if (isCompound(v)) 8 else NetCdf.typeSize(v.ncType)
     def rawData(v: NcVar): Array[Byte] = {
       val w = new W
+      if (isCompound(v)) {
+        // compound {val: f4, qc: i4} — qc derives from the element index,
+        // the fixed rule Hdf5Spec asserts against the reader's member vars
+        val a = v.data match {
+          case NcFloats(fa) => fa
+          case _ => throw new IllegalArgumentException("compoundVars need NC_FLOAT data")
+        }
+        a.zipWithIndex.foreach { case (x, i) =>
+          w.u32(java.lang.Float.floatToIntBits(x).toLong & 0xFFFFFFFFL)
+          w.u32((i % 7).toLong)
+        }
+        return w.result()
+      }
       v.data match {
         case NcFloats(a) => a.foreach(x => w.u32(java.lang.Float.floatToIntBits(x).toLong & 0xFFFFFFFFL))
         case NcDoubles(a) => a.foreach(x => w.u64(java.lang.Double.doubleToLongBits(x)))
@@ -1470,6 +1560,39 @@ object Hdf5 {
       case NetCdf.NC_FLOAT => dtFloat(4)
       case NetCdf.NC_DOUBLE => dtFloat(8)
       case NetCdf.NC_CHAR => dtString(1)
+    }
+
+    /** Compound {val: f4 @ 0, qc: i4 @ 4} in v1 (padded-name) or v3
+      * (unpadded name, minimal-byte offsets) member encoding — both forms
+      * libhdf5 emits, both round-tripped by Hdf5Spec.
+      */
+    def dtCompound(): Array[Byte] = {
+      val w = new W
+      if (opts.compoundV3) {
+        w.u8(0x36); w.u8(2); w.u8(0); w.u8(0) // v3 class 6, 2 members
+        w.u32(8L)
+        def member(nm: String, off: Int, dt: Array[Byte]): Unit = {
+          w.bytes(nm.getBytes("US-ASCII")); w.u8(0)
+          w.u8(off) // total size 8 -> 1-byte offsets
+          w.bytes(dt)
+        }
+        member("val", 0, dtFloat(4)); member("qc", 4, dtFixed(4, signed = true))
+      } else {
+        w.u8(0x16); w.u8(2); w.u8(0); w.u8(0) // v1 class 6, 2 members
+        w.u32(8L)
+        def member(nm: String, off: Long, dt: Array[Byte]): Unit = {
+          val nb = nm.getBytes("US-ASCII")
+          w.bytes(nb)
+          (nb.length until (nb.length / 8 + 1) * 8).foreach(_ => w.u8(0))
+          w.u32(off)
+          w.u8(0); w.u8(0); w.u8(0); w.u8(0) // dimensionality + reserved
+          w.u32(0L); w.u32(0L) // dim permutation + reserved
+          (0 until 4).foreach(_ => w.u32(0L)) // dim sizes
+          w.bytes(dt)
+        }
+        member("val", 0L, dtFloat(4)); member("qc", 4L, dtFixed(4, signed = true))
+      }
+      w.result()
     }
 
     def dsSimple(sizes: Seq[Long], unlimitedFirst: Boolean): Array[Byte] = {
@@ -1794,7 +1917,9 @@ object Hdf5 {
         val base = Seq(
           0x0001 -> dsSimple(
             opts.declaredDims.getOrElse(v.name, sizes), unlimitedFirst),
-          0x0003 -> (if (isVlen) dtVlenStr else dtOf(v)))
+          0x0003 -> (if (isVlen) dtVlenStr
+                     else if (isCompound(v)) dtCompound()
+                     else dtOf(v)))
         val layoutMsgs = chunk match {
           case Some(rows) if !isSzip =>
             val cdims = rows +: sizes.drop(1).map(_.toInt)
