@@ -224,6 +224,39 @@ class Engine(spark: SparkSession) {
       .filter(col("quality") >= minQuality)
   }
 
+  /** Train a BPE tokenizer over `textCol` (k merges; see `ta13_bpe_train`):
+    * returns the rank-ordered merge rules. The corpus is touched once (the
+    * word-frequency aggregation); every round then runs over the
+    * distinct-word table on the RDD core (shuffle ≤ vocab², one argmax row
+    * to the driver per round).
+    */
+  def trainBpe(df: DataFrame, textCol: String, merges: Int = 256): Seq[graft.text.Bpe.MergeRule] = {
+    val words = df
+      .select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    graft.text.Bpe.train(words, merges)._1
+  }
+
+  /** Tokenize `textCol` with trained BPE rules: adds `outCol` with the
+    * subword-token COUNT per row (the packing/budget currency; see
+    * `tp6_bpe_pack`). The rule chain encodes each DISTINCT word once and
+    * the (word → count) map broadcasts back — no corpus shuffle.
+    */
+  def encodeBpeCounts(df: DataFrame, textCol: String,
+      rules: Seq[graft.text.Bpe.MergeRule], outCol: String = "n_bpe_tokens"): DataFrame = {
+    val vocab = df.select(explode(Dedup.tokens(col(textCol))).as("word")).distinct()
+    val wt = graft.text.Bpe.encode(vocab, rules)
+      .select(col("word"), size(col("sym")).cast("long").as("__wtok"))
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val counts = withId
+      .select(col("__rid"), explode(Dedup.tokens(col(textCol))).as("word"))
+      .join(broadcast(wt), Seq("word"))
+      .groupBy("__rid").agg(sum("__wtok").as(outCol))
+    withId.join(counts, Seq("__rid"), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
+      .drop("__rid")
+  }
+
   /** Concat-and-chunk sequence packing: one row per (doc × training window
     * it overlaps) with `chunk_id`/`chunk_tokens`, offsets computed by the
     * scale-safe bucketed cumsum (never a single-partition window). See

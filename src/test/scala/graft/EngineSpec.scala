@@ -463,4 +463,26 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Seq((2800L, 0L, 2L, 10000L), (2800L, 1L, 1L, 5000L),
       (2801L, 0L, 1L, 10000L)))
   }
+  test("trainBpe + encodeBpeCounts: counts equal trained-table sizes, rows without words get 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"),
+      (3L, ""),
+      (4L, "lower widest")).toDF("id", "text")
+    val rules = engine.trainBpe(docs, "text", merges = 4)
+    assert(rules.size === 4)
+    assert(rules.map(r => (r.a, r.b)) ===
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val enc = engine.encodeBpeCounts(docs, "text", rules)
+    val byId = enc.select("id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    // low -> [low] 1; lower -> [low,e,r] 3; newest -> [n,e,w,est] 4;
+    // widest -> [w,i,d,est] 4
+    assert(byId(1L) === 5 * 1 + 1 * 3 + 2 * 4)
+    assert(byId(2L) === 4 * 4 + 3 * 4)
+    assert(byId(3L) === 0L)
+    assert(byId(4L) === 3 + 4)
+    assert(enc.count() === 4)
+  }
+
 }
