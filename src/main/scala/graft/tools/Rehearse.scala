@@ -41,7 +41,14 @@ object Rehearse {
     "st4_stream_windowed" -> 6.0,
     "st8_incremental_agg" -> 6.0, // round-9 2-batch generation rewrite
     "e8_ivf_recall" -> 2.5,
-    "mm1_media_features" -> 8.0)
+    "mm1_media_features" -> 8.0,
+    // round 14: the new rows' scale shapes — BPE train is vocab-bounded
+    // (one-shot barely moves sf0.1 -> sf1: 2.7 -> 2.9 s), tp6 adds the
+    // corpus-sized broadcast-join encode pass, mm9 decodes every
+    // transform-coded frame (~1 s at sf1); ceilings ~3x measured
+    "ta13_bpe_train" -> 9.0,
+    "tp6_bpe_pack" -> 12.0,
+    "mm9_h264_residual" -> 4.0)
 
   /** The ~sf10 (100×) tier — round-10 verdict item 3: another order of
     * magnitude for the 5 TRULY asymptotic-risk families. Ceilings are
