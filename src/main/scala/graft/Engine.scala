@@ -62,6 +62,36 @@ class Engine(spark: SparkSession) {
   def netCdfScanStatus(path: String): DataFrame =
     graft.sources.NetCdf.scanStatus(spark, path)
 
+  /** §3.1 acquisition — the reference's `download_nc_files(url, max_files)`
+    * (download.py:12-37), distributed: `pages` holds one row per fetched
+    * index page (`pageCol`, `htmlCol`); `.nc` hrefs are extracted with the
+    * codegen'd tokenizer, the first `maxFiles` planned in (page, position)
+    * order with `{page}_{pos:03d}.nc` names and `{urlBase}{page}/{href}`
+    * urls, and the bytes land in `destDir` executor-side with atomic
+    * skip-if-exists. Returns the per-file (file_name, action, n_bytes)
+    * ledger. IO hides behind [[graft.sources.Transport]].
+    */
+  def downloadNcFiles(
+      pages: DataFrame, pageCol: String, htmlCol: String, destDir: String,
+      transport: graft.sources.Transport, maxFiles: Int = 300,
+      urlBase: String = ""): DataFrame = {
+    val nc = pages.select(col(pageCol).as("page"),
+        posexplode(graft.sources.Acquire.ncHrefs(col(htmlCol))))
+      .select(col("page"), col("pos"), col("col").as("href"))
+    val planned = graft.sources.Acquire
+      .downloadPlan(nc, "page", "pos", "href", maxFiles, urlBase)
+    graft.sources.Acquire.download(planned, "url", "file_name", destDir, transport)
+  }
+
+  /** §3.1 acquisition — `download_sample_data(name)` call-for-call
+    * (ingest/load_data.py:391-426): registry lookup, `sample_{name}.nc`
+    * cache, fetch-on-miss, None on unknown name or failed fetch.
+    */
+  def downloadSampleData(
+      name: String, registry: Map[String, String], cacheDir: String,
+      transport: graft.sources.Transport): Option[String] =
+    graft.sources.Acquire.fetchSample(name, registry, cacheDir, transport)
+
   /** §3.2 incremental path: watch `inbox` for new files, clean each
     * micro-batch, idempotently append by `key` into `sinkDir`.
     */

@@ -3476,5 +3476,67 @@ private[graft] object OracleSql {
            FROM p)
          SELECT canon, count(*) AS n_variants, min(doc_id) AS keep_doc
          FROM canon GROUP BY canon ORDER BY canon""",
+    // acq1/acq2 oracles recompute the link inventory analytically from the
+    // same (doc_id, md5(text)) synthesis the Spark side renders INTO html —
+    // the closed-form-fixture pattern (mm1): the real parser runs only on
+    // the Spark side, and any parse defect (comment ghost link, href-less
+    // anchor, quote-style miss) shifts a position or drops a row and breaks
+    // the hash.
+    "acq1_index_links" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 12 AS page_id,
+                  substr(md5(coalesce(text, '')), 1, 8) AS tag
+           FROM documents WHERE doc_id IS NOT NULL),
+         l AS (
+           SELECT page_id, doc_id, 0 AS k,
+                  'page_' || doc_id || '.html' AS href
+           FROM d WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT page_id, doc_id, 1,
+                  'prof_' || doc_id || '_' || tag || '.nc'
+           FROM d)
+         SELECT page_id,
+                row_number() OVER (PARTITION BY page_id ORDER BY doc_id, k) - 1 AS pos,
+                href, href LIKE '%.nc' AS is_nc
+         FROM l ORDER BY page_id, pos""",
+    "acq2_download_plan" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 12 AS page_id,
+                  substr(md5(coalesce(text, '')), 1, 8) AS tag
+           FROM documents WHERE doc_id IS NOT NULL),
+         nc AS (
+           SELECT page_id,
+                  row_number() OVER (PARTITION BY page_id ORDER BY doc_id) - 1 AS pos,
+                  'prof_' || doc_id || '_' || tag || '.nc' AS href
+           FROM d),
+         sq AS (SELECT *, row_number() OVER (ORDER BY page_id, pos) AS seq FROM nc)
+         SELECT seq, page_id,
+                page_id || '_' || printf('%03d', pos + 1) || '.nc' AS file_name, href,
+                'https://data.example.net/argo/' || page_id || '/' || href AS url,
+                CASE WHEN (pos + 1) % 5 = 2 THEN 'skip' ELSE 'download' END AS action
+         FROM sq WHERE seq <= 40 ORDER BY seq""",
+    "acq3_sample_cache" ->
+      """WITH reg(sample_name, url) AS (VALUES
+           ('small_test', 'https://erddap.example.net/tabledap/argo-synth.nc'),
+           ('ifremer_sample', 'https://erddap.example.net/tabledap/argo-floats.nc'),
+           ('indian_202001', 'https://data.example.net/argo/2020/01/all.nc')),
+         cached(sample_name) AS (VALUES ('small_test')),
+         req AS (
+           SELECT (['small_test', 'ifremer_sample', 'indian_202001', 'missing_set']
+                  )[CAST(doc_id % 4 AS INT) + 1] AS sample_name
+           FROM documents WHERE doc_id IS NOT NULL),
+         j AS (
+           SELECT r.sample_name, reg.url,
+                  CASE WHEN reg.url IS NULL THEN 'unknown'
+                       WHEN c.sample_name IS NOT NULL THEN 'cached'
+                       ELSE 'fetch' END AS status,
+                  CASE WHEN reg.url IS NOT NULL
+                       THEN 'sample_' || r.sample_name || '.nc' END AS cache_file
+           FROM req r
+           LEFT JOIN reg ON r.sample_name = reg.sample_name
+           LEFT JOIN cached c ON r.sample_name = c.sample_name)
+         SELECT sample_name, status, cache_file, url, count(*) AS n_requests
+         FROM j GROUP BY sample_name, status, cache_file, url
+         ORDER BY sample_name""",
   )
 }

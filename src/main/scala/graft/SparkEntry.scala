@@ -30,7 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanStreamQueries.queries ++ StreamingQueries.queries ++ DedupQueries.queries ++
       TextPipelineQueries.queries ++ AnalyticsQueries.queries ++
-      VectorQueries.queries
+      VectorQueries.queries ++ AcquireQueries.queries
 
   /** DuckDB twins of `queries` (same columns, same order). */
   def oracleSql: Map[String, String] = OracleSql.map

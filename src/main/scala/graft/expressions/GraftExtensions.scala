@@ -66,6 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleMd5(children(0), children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_extract_hrefs"),
+      new ExpressionInfo(classOf[ExtractHrefs].getName, "graft_extract_hrefs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_extract_hrefs takes exactly 1 argument, got ${children.size}")
+        ExtractHrefs(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
       (children: Seq[Expression]) => {

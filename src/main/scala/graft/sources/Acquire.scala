@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S6/S7 — the reference's acquisition layer (download.py:12-37,
+  * ingest/load_data.py:377-426), re-expressed as distributed operators.
+  *
+  * The reference runs a single-threaded driver loop: fetch one HTML index,
+  * soup out the `.nc` hrefs, download the first N with a per-file
+  * `os.path.exists` skip. At crawl scale the frontier is a DataFrame of
+  * pages, link extraction is a codegen'd scalar expression
+  * ([[graft.expressions.ExtractHrefs]]), "first N" is a prefix-sum over the
+  * per-page link counts (never a global sort of the link set), skip-if-exists
+  * is an anti-join against the download ledger, and the byte transfer runs
+  * executor-side, one partition per task.
+  *
+  * Network IO hides behind [[Transport]]: the test/fixture transport reads
+  * local paths; a production deployment drops in an HTTP client with the
+  * same one-method seam. This container has zero egress, so no HTTP
+  * implementation ships — the IO boundary, not the protocol, is the
+  * engine's concern.
+  */
+object Acquire {
+
+  /** All `href` attribute values of `<a>` tags in `html`, document order. */
+  def hrefs(html: Column): Column = graft.expressions.ExtractHrefs.of(html)
+
+  /** The reference's link filter: hrefs ending `.nc` (download.py:18). */
+  def ncHrefs(html: Column): Column =
+    filter(hrefs(html), _.endsWith(".nc"))
+
+  /** S6 planner: global download order + deterministic local names for the
+    * first `maxFiles` links of a crawl.
+    *
+    * `ncLinks` carries one row per link: (`pageCol`, `posCol`, `hrefCol`)
+    * with `posCol` the link's 0-based document-order position within its
+    * page. The global sequence is `offset(page) + pos + 1` where the
+    * per-page offsets come from a prefix sum over the per-page COUNTS — an
+    * aggregate of one row per page, so the only global sort touches the
+    * tiny page table, never the link set (the PlanQualitySpec global-window
+    * gate holds by construction). Offsets broadcast back to the links.
+    *
+    * Local names generalize the reference's `2020_01_{i+1:03d}.nc`
+    * (download.py:23): `{page}_{pos+1:03d}.nc` — the page key (any
+    * castable-to-string type; the reference's is the "2020_01" month
+    * label) prefixes a zero-padded position-within-page.
+    */
+  def downloadPlan(
+      ncLinks: DataFrame, pageCol: String, posCol: String, hrefCol: String,
+      maxFiles: Int, urlBase: String): DataFrame = {
+    val counts = ncLinks.groupBy(pageCol).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(pageCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col(pageCol),
+      coalesce(sum("__n").over(w), lit(0L)).as("__off"))
+    ncLinks.join(broadcast(offsets), pageCol)
+      .withColumn("seq", col("__off") + col(posCol) + 1)
+      .filter(col("seq") <= maxFiles)
+      .withColumn("file_name",
+        concat(col(pageCol).cast("string"), lit("_"),
+          format_string("%03d", col(posCol) + 1), lit(".nc")))
+      .withColumn("url", concat(lit(urlBase), col(pageCol), lit("/"), col(hrefCol)))
+      .drop("__off")
+  }
+
+  /** Skip-if-exists (download.py:26): mark each planned file `download` or
+    * `skip` against the existing-file ledger. A ledger is bounded by the
+    * files already fetched (≤ the plan's own size), so it broadcasts.
+    */
+  def markExisting(plan: DataFrame, existing: DataFrame, fileCol: String): DataFrame = {
+    val ex = existing.select(col(fileCol)).distinct().withColumn("__ex", lit(true))
+    plan.join(broadcast(ex), Seq(fileCol), "left")
+      .withColumn("action",
+        when(col("__ex").isNotNull, lit("skip")).otherwise(lit("download")))
+      .drop("__ex")
+  }
+
+  /** Executor-side fetch of a (url, file_name) plan into `destDir`, one
+    * partition per task. Skip-if-exists holds under concurrency: bytes land
+    * in a task-unique temp file and publish via atomic rename WITHOUT
+    * replace, so two tasks racing on one name produce one file and one
+    * `skip` — the idempotence StreamIngest relies on, at the acquisition
+    * tier. Returns the per-file ledger (file_name, action, n_bytes).
+    */
+  def download(
+      plan: DataFrame, urlCol: String, fileCol: String,
+      destDir: String, transport: Transport): DataFrame = {
+    val spark = plan.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(destDir))
+    plan.select(col(urlCol).cast("string"), col(fileCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (url, name) =>
+          val dest = Paths.get(destDir, name)
+          if (Files.exists(dest)) (name, "skip", Files.size(dest))
+          else {
+            val bytes = transport.fetch(url)
+            val tmp = Files.createTempFile(Paths.get(destDir), s".$name.", ".part")
+            try {
+              Files.write(tmp, bytes)
+              Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+              (name, "download", bytes.length.toLong)
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp)
+                (name, "skip", Files.size(dest))
+            }
+          }
+        }
+      }
+      .toDF("file_name", "action", "n_bytes")
+  }
+
+  /** S7 resolver: classify a request stream against the sample registry and
+    * the cache ledger — `cached` (reuse), `fetch` (registered, not yet
+    * cached), `unknown` (the reference logs an error and returns None,
+    * load_data.py:400-402 → null cache_file here). Registry and cache are
+    * small named sets: broadcast by construction.
+    */
+  def resolveSamples(
+      requests: DataFrame, registry: DataFrame, cachedNames: DataFrame): DataFrame = {
+    val reg = broadcast(registry.select(col("sample_name"), col("url")))
+    val cn = broadcast(
+      cachedNames.select(col("sample_name")).distinct().withColumn("__c", lit(true)))
+    requests.join(reg, Seq("sample_name"), "left")
+      .join(cn, Seq("sample_name"), "left")
+      .withColumn("status",
+        when(col("url").isNull, lit("unknown"))
+          .when(col("__c").isNotNull, lit("cached"))
+          .otherwise(lit("fetch")))
+      .withColumn("cache_file",
+        when(col("url").isNotNull,
+          concat(lit("sample_"), col("sample_name"), lit(".nc"))))
+      .drop("__c")
+  }
+
+  /** The reference's `download_sample_data` call-for-call
+    * (load_data.py:391-426): named registry lookup, `sample_{name}.nc`
+    * cache path, fetch-on-miss, None on unknown name or failed fetch.
+    * Deliberately driver-side — it moves ONE small file; the distributed
+    * path for real volume is [[downloadPlan]] + [[download]].
+    */
+  def fetchSample(
+      name: String, registry: Map[String, String], cacheDir: String,
+      transport: Transport): Option[String] =
+    registry.get(name).flatMap { url =>
+      val cache = Paths.get(cacheDir, s"sample_$name.nc")
+      if (Files.exists(cache)) Some(cache.toString)
+      else
+        try {
+          Files.createDirectories(cache.getParent)
+          val tmp = Files.createTempFile(cache.getParent, s".sample_$name.", ".part")
+          Files.write(tmp, transport.fetch(url))
+          try Files.move(tmp, cache, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp) // concurrent fetch won; reuse it
+          }
+          Some(cache.toString)
+        } catch { case _: java.io.IOException => None }
+    }
+}
+
+/** Byte-transfer seam for [[Acquire]]. Implementations must be serializable:
+  * [[Acquire.download]] ships the transport to executors.
+  */
+trait Transport extends Serializable {
+  def fetch(url: String): Array[Byte]
+}
+
+/** Test/fixture transport: resolves `url` as a local path (optionally
+  * `file:`-prefixed) under an allow-listed base directory. The production
+  * HTTP twin implements the same seam against a connection pool.
+  */
+class LocalTransport(base: String) extends Transport {
+  override def fetch(url: String): Array[Byte] = {
+    val rel = url.stripPrefix("file://").stripPrefix("file:")
+    val p = Paths.get(rel)
+    val resolved = (if (p.isAbsolute) p else Paths.get(base).resolve(p)).normalize()
+    require(resolved.startsWith(Paths.get(base).normalize()),
+      s"LocalTransport: $url escapes base $base")
+    Files.readAllBytes(resolved)
+  }
+}

@@ -22,9 +22,13 @@ import graft.Engine
   *     per-file loop; all files become ONE distributed plan.
   *   - `sample`      (main.py:606) → the bundled fixture tables stand in
   *     for the reference's downloaded sample set (no network here).
-  *   - `download`    (main.py:609, download.py) → acquisition is out of
-  *     engine scope (SURVEY §2 S6/S7) — exits with a pointer, like
-  *     `--setup-db` without a DB does in the reference.
+  *   - `download`    (main.py:609, download.py) → S6 end-to-end: scan
+  *     `--index-dir` for `*.html` index pages, extract `.nc` hrefs
+  *     (codegen'd `graft_extract_hrefs`), plan the first `--max-files`
+  *     (default 300, download.py:12) with skip-if-exists against
+  *     `--dest`, and fetch executor-side. Zero-egress container → the
+  *     transport resolves hrefs as paths relative to the index dir; a
+  *     deployment swaps in the HTTP transport behind the same seam.
   *   - `--no-embeddings` (main.py:560) skips the embedding sink;
   *     `--setup-db` (main.py:565) only materializes the sink layout.
   *
@@ -68,8 +72,10 @@ object Cli {
         val sf = opts.getOrElse("sample", "sf0.001")
         sampleRaw(spark, s"/root/testdata/$sf")
       case "download" =>
-        return err("download mode is data acquisition, outside this engine's scope " +
-          "(SURVEY.md S6/S7) — fetch files with any downloader, then run --mode data-folder")
+        val idx = opts.getOrElse("index-dir", return err("--index-dir required for download mode"))
+        val dest = opts.getOrElse("dest", s"$out/downloads")
+        val maxFiles = opts.getOrElse("max-files", "300").toInt
+        return downloadMode(spark, idx, dest, maxFiles)
       case other => return err(s"unknown mode '$other'")
     }
     val engine = new Engine(spark)
@@ -110,6 +116,33 @@ object Cli {
         lit(null).cast("double")).as("salinity"),
       array(expr("mod(value, 6000)"), lit(null).cast("double"),
         lit(null).cast("double")).as("pressure"))
+
+  /** S6 bulk download over local index pages (download.py:12-37 twin).
+    * Page key = the index file's basename, so a `2020_01.html` listing
+    * yields the reference's exact `2020_01_{i:03d}.nc` names.
+    */
+  def downloadMode(spark: SparkSession, indexDir: String, dest: String,
+      maxFiles: Int): Int = {
+    val pages = spark.read.option("wholetext", "true").text(s"$indexDir/*.html")
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.html$", 1).as("page"),
+        col("value").as("html"))
+    val nc = pages.select(col("page"),
+        posexplode(graft.sources.Acquire.ncHrefs(col("html"))))
+      .select(col("page"), col("pos"), col("col").as("href"))
+    val planned = graft.sources.Acquire
+      .downloadPlan(nc, "page", "pos", "href", maxFiles, urlBase = "")
+      // url resolves relative to the index dir (its page subdir layout is
+      // the href's own business); strip the plan's `{page}/` prefix
+      .withColumn("url", col("href"))
+    val ledger = graft.sources.Acquire.download(
+      planned, "url", "file_name", dest,
+      new graft.sources.LocalTransport(indexDir))
+    val byAction = ledger.groupBy("action").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[cli] mode=download $byAction -> $dest")
+    0
+  }
 
   private def err(msg: String): Int = { System.err.println(s"[cli] $msg"); 2 }
 
