@@ -48,7 +48,12 @@ object Rehearse {
     // transform-coded frame (~1 s at sf1); ceilings ~3x measured
     "ta13_bpe_train" -> 9.0,
     "tp6_bpe_pack" -> 12.0,
-    "mm9_h264_residual" -> 4.0)
+    "mm9_h264_residual" -> 4.0,
+    // round 14: the S6 pipeline's scale-sensitive shape — 12 fixture pages
+    // mean per-page HTML grows LINEARLY with the corpus (~2.5 MB/page at
+    // sf1), so a superlinear tokenizer or a collect_list spill lands far
+    // past the ceiling (~3x the measured 2.0 s one-shot)
+    "acq2_download_plan" -> 6.0)
 
   /** The ~sf10 (100×) tier — round-10 verdict item 3: another order of
     * magnitude for the 5 TRULY asymptotic-risk families. Ceilings are
