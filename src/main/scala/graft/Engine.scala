@@ -66,7 +66,7 @@ class Engine(spark: SparkSession) {
     * (download.py:12-37), distributed: `pages` holds one row per fetched
     * index page (`pageCol`, `htmlCol`); `.nc` hrefs are extracted with the
     * codegen'd tokenizer, the first `maxFiles` planned in (page, position)
-    * order with `{page}_{pos:03d}.nc` names and `{urlBase}{page}/{href}`
+    * order with `{page}_{pos+1:03d}.nc` names and `{urlBase}{page}/{href}`
     * urls, and the bytes land in `destDir` executor-side with atomic
     * skip-if-exists. Returns the per-file (file_name, action, n_bytes)
     * ledger. IO hides behind [[graft.sources.Transport]].
@@ -75,11 +75,11 @@ class Engine(spark: SparkSession) {
       pages: DataFrame, pageCol: String, htmlCol: String, destDir: String,
       transport: graft.sources.Transport, maxFiles: Int = 300,
       urlBase: String = ""): DataFrame = {
-    val nc = pages.select(col(pageCol).as("page"),
-        posexplode(graft.sources.Acquire.ncHrefs(col(htmlCol))))
-      .select(col("page"), col("pos"), col("col").as("href"))
+    val nc = graft.sources.Acquire
+      .ncLinks(pages.select(col(pageCol).as("page"), col(htmlCol)), "page", htmlCol)
     val planned = graft.sources.Acquire
-      .downloadPlan(nc, "page", "pos", "href", maxFiles, urlBase)
+      .downloadPlan(nc, "page", "pos", "href", maxFiles)
+      .withColumn("url", concat(lit(urlBase), col("page"), lit("/"), col("href")))
     graft.sources.Acquire.download(planned, "url", "file_name", destDir, transport)
   }
 

@@ -28,9 +28,13 @@ private[graft] object AcquireQueries {
     * opens with a commented-out ghost `.nc` anchor: a parser that reads
     * comments shifts every position and fails the oracle.
     *
-    * Scale shape: one shuffle keyed on page_id; page bodies are bounded by
-    * links-per-index-page (a crawl grows the PAGE count, not the page), so
-    * the collect_list per key stays executor-sized at any corpus size.
+    * Scale shape: one shuffle keyed on page_id. NOTE the fixture's
+    * deliberate tradeoff — 12 FIXED pages mean per-page HTML grows
+    * LINEARLY with the corpus (~2.5 MB/page at the ~sf1 rehearsal, where
+    * acq2 is gated), which is what makes it a superlinear-tokenizer canary;
+    * a real crawl grows the PAGE COUNT with bounded page bodies, and the
+    * operators are written for that shape (per-page parse, page-keyed
+    * aggregation).
     */
   private def indexPages(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -75,15 +79,14 @@ private[graft] object AcquireQueries {
 
     // ---- S6 first-N download plan + skip-if-exists (download.py:19-31) ---
     "acq2_download_plan" -> { (s, dir) =>
-      val nc = indexPages(s, dir)
-        .select(col("page_id"), posexplode(Acquire.ncHrefs(col("html"))))
-        .select(col("page_id"), col("pos"), col("col").as("href"))
+      val nc = Acquire.ncLinks(indexPages(s, dir), "page_id", "html")
       // capped at maxFiles rows by construction — checkpointing the tiny
       // plan once keeps the existing-ledger derivation below from replaying
       // the whole page-synthesis + parse + prefix-sum lineage a second and
       // third time (the plan had three full scans without it)
-      val planned = Acquire.downloadPlan(nc, "page_id", "pos", "href",
-        maxFiles = 40, urlBase = "https://data.example.net/argo/")
+      val planned = Acquire.downloadPlan(nc, "page_id", "pos", "href", maxFiles = 40)
+        .withColumn("url", concat(lit("https://data.example.net/argo/"),
+          col("page_id"), lit("/"), col("href")))
         .localCheckpoint(false)
       // "already on disk": a deterministic fifth of the planned names —
       // stands in for the reference's os.path.exists probe (download.py:26)

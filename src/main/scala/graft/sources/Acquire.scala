@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -33,6 +33,15 @@ object Acquire {
   def ncHrefs(html: Column): Column =
     filter(hrefs(html), _.endsWith(".nc"))
 
+  /** One row per `.nc` link of a page frame: (`pageCol`, pos, href) with
+    * `pos` the link's 0-based document-order position within its page —
+    * the link-domain view every downstream consumer (planner, CLI, acq2)
+    * starts from.
+    */
+  def ncLinks(pages: DataFrame, pageCol: String, htmlCol: String): DataFrame =
+    pages.select(col(pageCol), posexplode(ncHrefs(col(htmlCol))))
+      .select(col(pageCol), col("pos"), col("col").as("href"))
+
   /** S6 planner: global download order + deterministic local names for the
     * first `maxFiles` links of a crawl.
     *
@@ -47,11 +56,14 @@ object Acquire {
     * Local names generalize the reference's `2020_01_{i+1:03d}.nc`
     * (download.py:23): `{page}_{pos+1:03d}.nc` — the page key (any
     * castable-to-string type; the reference's is the "2020_01" month
-    * label) prefixes a zero-padded position-within-page.
+    * label) prefixes a zero-padded position-within-page. The remote URL
+    * shape is the CALLER's contract (relative hrefs, absolute hrefs, a
+    * base prefix — every crawl differs), so the plan deliberately carries
+    * no url column; attach one before [[download]].
     */
   def downloadPlan(
       ncLinks: DataFrame, pageCol: String, posCol: String, hrefCol: String,
-      maxFiles: Int, urlBase: String): DataFrame = {
+      maxFiles: Int): DataFrame = {
     val counts = ncLinks.groupBy(pageCol).agg(count(lit(1)).as("__n"))
     val w = Window.orderBy(pageCol)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -63,7 +75,6 @@ object Acquire {
       .withColumn("file_name",
         concat(col(pageCol).cast("string"), lit("_"),
           format_string("%03d", col(posCol) + 1), lit(".nc")))
-      .withColumn("url", concat(lit(urlBase), col(pageCol), lit("/"), col(hrefCol)))
       .drop("__off")
   }
 
@@ -81,10 +92,17 @@ object Acquire {
 
   /** Executor-side fetch of a (url, file_name) plan into `destDir`, one
     * partition per task. Skip-if-exists holds under concurrency: bytes land
-    * in a task-unique temp file and publish via atomic rename WITHOUT
-    * replace, so two tasks racing on one name produce one file and one
-    * `skip` — the idempotence StreamIngest relies on, at the acquisition
-    * tier. Returns the per-file ledger (file_name, action, n_bytes).
+    * in a task-unique temp file and publish via [[publish]] (hard-link
+    * creation — link(2) fails EEXIST atomically, unlike rename(2), which
+    * REPLACES silently on POSIX even under ATOMIC_MOVE), so two tasks
+    * racing on one name produce one file, one `download` and one `skip`.
+    * Names carrying path separators or `..` quarantine as `invalid` rows
+    * instead of probing outside `destDir` (the o3/s10 accounted-skip
+    * pattern — one hostile link must not kill or escape a crawl).
+    *
+    * The ledger is materialized EAGERLY (the transfer runs exactly once,
+    * here): a lazily re-executed side-effecting plan would re-fetch on
+    * every downstream action and re-report every row as `skip`.
     */
   def download(
       plan: DataFrame, urlCol: String, fileCol: String,
@@ -96,25 +114,37 @@ object Acquire {
       .as[(String, String)]
       .mapPartitions { it =>
         it.map { case (url, name) =>
-          val dest = Paths.get(destDir, name)
-          if (Files.exists(dest)) (name, "skip", Files.size(dest))
+          if (name == null || name.isEmpty || name.contains('/') ||
+            name.contains('\\') || name == "." || name == "..")
+            (name, "invalid", 0L)
           else {
-            val bytes = transport.fetch(url)
-            val tmp = Files.createTempFile(Paths.get(destDir), s".$name.", ".part")
-            try {
-              Files.write(tmp, bytes)
-              Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-              (name, "download", bytes.length.toLong)
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException =>
-                Files.deleteIfExists(tmp)
-                (name, "skip", Files.size(dest))
+            val dest = Paths.get(destDir, name)
+            if (Files.exists(dest)) (name, "skip", Files.size(dest))
+            else {
+              val bytes = transport.fetch(url)
+              val tmp = Files.createTempFile(Paths.get(destDir), s".$name.", ".part")
+              try {
+                Files.write(tmp, bytes)
+                if (Acquire.publish(tmp, dest)) (name, "download", bytes.length.toLong)
+                else (name, "skip", Files.size(dest)) // concurrent winner
+              } finally Files.deleteIfExists(tmp)
             }
           }
         }
       }
       .toDF("file_name", "action", "n_bytes")
+      // eager: run the transfer now, hand back the cached ledger rows
+      .localCheckpoint(true)
   }
+
+  /** Atomic no-replace publish: link `tmp` into place as `dest`. Returns
+    * false (leaving `dest` untouched) when a concurrent publisher already
+    * created it — the one primitive rename(2) cannot provide, since POSIX
+    * rename silently replaces. Callers delete `tmp` afterwards.
+    */
+  private[graft] def publish(tmp: Path, dest: Path): Boolean =
+    try { Files.createLink(dest, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
   /** S7 resolver: classify a request stream against the sample registry and
     * the cache ledger — `cached` (reuse), `fetch` (registered, not yet
@@ -155,13 +185,11 @@ object Acquire {
         try {
           Files.createDirectories(cache.getParent)
           val tmp = Files.createTempFile(cache.getParent, s".sample_$name.", ".part")
-          Files.write(tmp, transport.fetch(url))
-          try Files.move(tmp, cache, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Files.deleteIfExists(tmp) // concurrent fetch won; reuse it
-          }
-          Some(cache.toString)
+          try {
+            Files.write(tmp, transport.fetch(url))
+            publish(tmp, cache) // losing the race is fine: winner's bytes match
+            Some(cache.toString)
+          } finally Files.deleteIfExists(tmp)
         } catch { case _: java.io.IOException => None }
     }
 }

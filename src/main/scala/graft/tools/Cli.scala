@@ -74,7 +74,8 @@ object Cli {
       case "download" =>
         val idx = opts.getOrElse("index-dir", return err("--index-dir required for download mode"))
         val dest = opts.getOrElse("dest", s"$out/downloads")
-        val maxFiles = opts.getOrElse("max-files", "300").toInt
+        val maxFiles = opts.getOrElse("max-files", "300").toIntOption
+          .getOrElse(return err("--max-files must be an integer"))
         return downloadMode(spark, idx, dest, maxFiles)
       case other => return err(s"unknown mode '$other'")
     }
@@ -127,13 +128,10 @@ object Cli {
       .select(
         regexp_extract(input_file_name(), "([^/]+)\\.html$", 1).as("page"),
         col("value").as("html"))
-    val nc = pages.select(col("page"),
-        posexplode(graft.sources.Acquire.ncHrefs(col("html"))))
-      .select(col("page"), col("pos"), col("col").as("href"))
+    val nc = graft.sources.Acquire.ncLinks(pages, "page", "html")
     val planned = graft.sources.Acquire
-      .downloadPlan(nc, "page", "pos", "href", maxFiles, urlBase = "")
-      // url resolves relative to the index dir (its page subdir layout is
-      // the href's own business); strip the plan's `{page}/` prefix
+      .downloadPlan(nc, "page", "pos", "href", maxFiles)
+      // reference layout: hrefs resolve relative to the index dir itself
       .withColumn("url", col("href"))
     val ledger = graft.sources.Acquire.download(
       planned, "url", "file_name", dest,

@@ -63,13 +63,64 @@ class AcquireSpec extends AnyFunSuite {
   test("downloadPlan: global first-N in (page, pos) order, per-page names") {
     val nc = Seq((0L, 0, "p0a.nc"), (0L, 1, "p0b.nc"), (1L, 0, "p1a.nc"),
       (2L, 0, "p2a.nc"), (2L, 1, "p2b.nc")).toDF("page_id", "pos", "href")
-    val plan = Acquire.downloadPlan(nc, "page_id", "pos", "href", 4, "u/")
+    val plan = Acquire.downloadPlan(nc, "page_id", "pos", "href", 4)
       .orderBy("seq").collect()
     assert(plan.map(_.getAs[Long]("seq")).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(plan.map(_.getAs[String]("file_name")).toSeq ==
       Seq("0_001.nc", "0_002.nc", "1_001.nc", "2_001.nc"))
-    assert(plan.map(_.getAs[String]("url")).toSeq ==
-      Seq("u/0/p0a.nc", "u/0/p0b.nc", "u/1/p1a.nc", "u/2/p2a.nc"))
+    assert(plan.map(_.getAs[String]("href")).toSeq ==
+      Seq("p0a.nc", "p0b.nc", "p1a.nc", "p2a.nc"))
+  }
+
+  test("publish is atomic no-replace: the loser leaves the winner's bytes intact") {
+    // rename(2) silently REPLACES on POSIX (even under ATOMIC_MOVE), so the
+    // publish primitive is link(2), whose EEXIST failure is truly atomic.
+    val d = Files.createTempDirectory("acq-pub")
+    try {
+      val winner = d.resolve("w.part"); Files.write(winner, "winner".getBytes)
+      val loser = d.resolve("l.part"); Files.write(loser, "loser".getBytes)
+      val dest = d.resolve("out.nc")
+      assert(Acquire.publish(winner, dest))
+      assert(!Acquire.publish(loser, dest), "second publish must lose")
+      assert(Files.readString(dest) == "winner")
+    } finally QueryContext.rmTree(d.toString)
+  }
+
+  test("download quarantines separator/dot-dot names instead of escaping destDir") {
+    val src = Files.createTempDirectory("acq-q-src")
+    val dst = Files.createTempDirectory("acq-q-dst")
+    try {
+      Files.write(src.resolve("ok.nc"), "ok".getBytes)
+      val plan = Seq(("ok.nc", "good.nc"), ("ok.nc", "a/b.nc"),
+        ("ok.nc", ".."), ("ok.nc", "..\\up.nc"))
+        .toDF("url", "file_name")
+      val got = Acquire.download(plan, "url", "file_name", dst.toString,
+          new LocalTransport(src.toString))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got("good.nc") == "download")
+      assert(got("a/b.nc") == "invalid" && got("..") == "invalid" &&
+        got("..\\up.nc") == "invalid")
+      assert(new java.io.File(dst.toString).listFiles().map(_.getName).toSeq ==
+        Seq("good.nc"), "only the valid name landed")
+    } finally {
+      QueryContext.rmTree(src.toString); QueryContext.rmTree(dst.toString)
+    }
+  }
+
+  test("download's ledger survives re-execution: actions are materialized once") {
+    val src = Files.createTempDirectory("acq-m-src")
+    val dst = Files.createTempDirectory("acq-m-dst")
+    try {
+      Files.write(src.resolve("x.nc"), "x".getBytes)
+      val plan = Seq(("x.nc", "x.nc")).toDF("url", "file_name")
+      val ledger = Acquire.download(plan, "url", "file_name", dst.toString,
+        new LocalTransport(src.toString))
+      // a lazy plan would re-run the fetch here and report 'skip'
+      assert(ledger.count() == 1)
+      assert(ledger.collect().head.getString(1) == "download")
+    } finally {
+      QueryContext.rmTree(src.toString); QueryContext.rmTree(dst.toString)
+    }
   }
 
   test("download: executor-side fetch is idempotent and byte-faithful") {
