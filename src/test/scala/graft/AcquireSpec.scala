@@ -236,6 +236,28 @@ class AcquireSpec extends AnyFunSuite {
     }
   }
 
+  test("S6→S2 lifecycle: crawl an index, download real .nc files, decode them") {
+    // the reference's full acquisition-to-ingest flow (download.py feeding
+    // ingest/load_data.py) in one pass: an HTML index over real NetCDF
+    // classic files (the S2 writer twin), CLI download mode, then the
+    // downloaded directory decodes through the same source every upload
+    // uses — proving the acquisition tier hands S2 bytes it can ingest.
+    val base = Files.createTempDirectory("acq-e2e")
+    try {
+      (0 until 3).foreach(f => Files.write(base.resolve(s"float_$f.nc"),
+        graft.sources.NetCdfFixture.fileBytes(f)))
+      Files.writeString(base.resolve("2020_01.html"),
+        (0 until 3).map(f => s"""<a href="float_$f.nc">f$f</a>""")
+          .mkString("<html><body>", "", "</body></html>"))
+      val dest = s"$base/got"
+      assert(graft.tools.Cli.run(spark, Array("--mode", "download",
+        "--index-dir", base.toString, "--dest", dest)) == 0)
+      val rows = new Engine(spark).ingestNetCdf(dest)
+      assert(rows.select("float_id").distinct().count() == 3)
+      assert(rows.count() > 0)
+    } finally QueryContext.rmTree(base.toString)
+  }
+
   test("acq1 parses back exactly the synthesized inventory at sf0.001") {
     val df = SparkEntry.queries("acq1_index_links")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
