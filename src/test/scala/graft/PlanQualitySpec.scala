@@ -267,7 +267,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "ta13_bpe_train" -> 1, "tp6_bpe_pack" -> 4,
       // mm9: the mm7/mm8 shape — encode+decode spread by the deliberate
       // 32-way repartition, one sort for the ordered output
-      "mm9_h264_residual" -> 2)
+      "mm9_h264_residual" -> 2,
+      // r14 acquisition rows: page-synthesis groupBy + ordered output;
+      // acq2's prefix-sum window and existing-ledger join ride broadcasts
+      // (audited 2/2/2 at landing)
+      "acq1_index_links" -> 2, "acq2_download_plan" -> 2,
+      "acq3_sample_cache" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
