@@ -3515,6 +3515,23 @@ private[graft] object OracleSql {
                 'https://data.example.net/argo/' || page_id || '/' || href AS url,
                 CASE WHEN (pos + 1) % 5 = 2 THEN 'skip' ELSE 'download' END AS action
          FROM sq WHERE seq <= 40 ORDER BY seq""",
+    // st17's drained ledger equals acq1's .nc inventory exactly once per
+    // link (the re-crawl must not double the even pages): recompute it
+    // analytically and aggregate by re-crawl membership.
+    "st17_crawl_ledger" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 12 AS page_id,
+                  substr(md5(coalesce(text, '')), 1, 8) AS tag
+           FROM documents WHERE doc_id IS NOT NULL),
+         nc AS (
+           SELECT page_id,
+                  row_number() OVER (PARTITION BY page_id ORDER BY doc_id) - 1 AS pos,
+                  'prof_' || doc_id || '_' || tag || '.nc' AS href
+           FROM d)
+         SELECT page_id % 2 = 0 AS recrawled, count(*) AS n_files,
+                count(DISTINCT page_id || '_' || printf('%03d', pos + 1) || '.nc') AS n_names,
+                CAST(sum(length(href)) AS BIGINT) AS href_chars
+         FROM nc GROUP BY page_id % 2 = 0 ORDER BY recrawled""",
     "acq3_sample_cache" ->
       """WITH reg(sample_name, url) AS (VALUES
            ('small_test', 'https://erddap.example.net/tabledap/argo-synth.nc'),

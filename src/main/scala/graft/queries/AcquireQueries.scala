@@ -36,7 +36,7 @@ private[graft] object AcquireQueries {
     * operators are written for that shape (per-page parse, page-keyed
     * aggregation).
     */
-  private def indexPages(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def indexPages(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), (col("doc_id") % 12).as("page_id"),

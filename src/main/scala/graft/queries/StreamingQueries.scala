@@ -549,6 +549,41 @@ private[graft] object StreamingQueries {
     // resumes from the checkpoint and the RESTORED key set must drop run
     // 1's re-sent keys. Sink layout is batch=<id> partition dirs (replay-
     // idempotent overwrite); the aggregate reads the whole tree. ----------
+    // ---- S6/ST1 incremental crawl ledger: index pages arrive across
+    // micro-batches (a live crawl re-visits pages); the per-batch transform
+    // runs the REAL link tokenizer + per-page naming inside the streaming
+    // plan (stateless — posexplode + scalar exprs), and Ingest.start's
+    // sink anti-join on file_name is the reference's skip-if-exists
+    // (download.py:26) made incremental: a re-crawled page plans zero new
+    // downloads. Crawl 1 sees the even pages; crawl 2 re-crawls everything
+    // — the even pages' files must not double. ---------------------------
+    "st17_crawl_ledger" -> { (s, dir) =>
+      val pg = AcquireQueries.indexPages(s, dir)
+      val base = scratchDir("graft-st17")
+      val inbox = s"$base/inbox"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      new java.io.File(inbox).mkdirs()
+      val toPlan = (df: DataFrame) =>
+        graft.sources.Acquire.ncLinks(df, "page_id", "html")
+          .withColumn("file_name", concat(col("page_id").cast("string"),
+            lit("_"), format_string("%03d", col("pos") + 1), lit(".nc")))
+          .withColumn("url", concat(lit("https://data.example.net/argo/"),
+            col("page_id"), lit("/"), col("href")))
+      pg.filter(col("page_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inbox/c1")
+      Ingest.start(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
+        .awaitTermination()
+      pg.coalesce(1).write.mode("overwrite").parquet(s"$inbox/c2")
+      Ingest.start(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
+        .awaitTermination()
+      val out = s.read.schema(toPlan(pg.limit(0)).schema).parquet(sink)
+      collectThenReap(s, base)(
+        out.groupBy((col("page_id") % 2 === 0).as("recrawled"))
+          .agg(count(lit(1)).as("n_files"),
+            countDistinct(col("file_name")).as("n_names"),
+            sum(length(col("href"))).as("href_chars"))
+          .orderBy("recrawled"))
+    },
+
     "st16_stateful_upload" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
       val base = scratchDir("graft-st16")

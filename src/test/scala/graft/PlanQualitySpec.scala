@@ -271,7 +271,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // r14 acquisition rows: page-synthesis groupBy + ordered output;
       // acq2's prefix-sum window and existing-ledger join ride broadcasts
       // (audited 2/2/2 at landing)
-      "acq1_index_links" -> 2, "acq2_download_plan" -> 2,
+      "acq1_index_links" -> 2, "acq2_download_plan" -> 2, "st17_crawl_ledger" -> 2,
       "acq3_sample_cache" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
