@@ -3476,6 +3476,40 @@ private[graft] object OracleSql {
            FROM p)
          SELECT canon, count(*) AS n_variants, min(doc_id) AS keep_doc
          FROM canon GROUP BY canon ORDER BY canon""",
+    // s1_erddap_url recomputes the tabledap URL grammar literally: DuckDB
+    // string concatenation must reproduce graft.sources.Erddap's codegen'd
+    // projection byte-for-byte (variable list, bounds rendering, the
+    // T00:00:00Z/T23:59:59Z day envelope, unknown-source null URL).
+    "s1_erddap_url" ->
+      """WITH s AS (
+           SELECT DISTINCT
+                  (['ifremer', 'ncei', 'incois', 'deepsea']
+                  )[CAST(o_orderkey % 4 AS INT) + 1] AS source,
+                  CASE WHEN o_orderkey % 2 = 0 THEN 'indian_ocean'
+                       ELSE 'global' END AS region,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+           FROM orders WHERE o_orderkey IS NOT NULL),
+         e(source, base_url) AS (VALUES
+           ('ifremer', 'https://erddap-ifremer.example.net/erddap'),
+           ('ncei', 'https://erddap-ncei.example.net/erddap'),
+           ('incois', 'https://erddap-incois.example.net/erddap'))
+         SELECT s.source, s.region,
+                strftime(month, '%Y-%m-%d') AS month_str,
+                base_url || '/tabledap/ArgoFloats.nc?' ||
+                'platform_number,cycle_number,time,latitude,longitude,pres,temp,psal' ||
+                CASE WHEN region = 'indian_ocean'
+                     THEN '&latitude>=-60.0&latitude<=30.0&longitude>=20.0&longitude<=120.0'
+                     ELSE '' END ||
+                CASE WHEN month IS NOT NULL
+                     THEN '&time>=' || strftime(month, '%Y-%m-%d') || 'T00:00:00Z'
+                          || '&time<=' || strftime(last_day(month), '%Y-%m-%d')
+                          || 'T23:59:59Z'
+                     ELSE '' END AS url,
+                CASE WHEN month IS NOT NULL
+                     THEN 'ArgoFloats_' || s.source || '_' || region || '_'
+                          || strftime(month, '%Y%m%d') || '.nc' END AS cache_file
+         FROM s LEFT JOIN e ON s.source = e.source
+         ORDER BY s.source, region, month_str""",
     // acq1/acq2 oracles recompute the link inventory analytically from the
     // same (doc_id, md5(text)) synthesis the Spark side renders INTO html —
     // the closed-form-fixture pattern (mm1): the real parser runs only on

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Acquire
+import graft.sources.{Acquire, Erddap}
 
 /** S6/S7 acquisition queries (download.py:12-37, ingest/load_data.py:377-426).
   *
@@ -66,6 +66,48 @@ private[graft] object AcquireQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S1 ERDDAP tabledap URL construction (load_data.py:62-156) -------
+    // One fetch-spec row per (source, region, order-month): sources rotate
+    // through the three known endpoints plus one unknown (→ null URL, the
+    // reference's "return None"), regions alternate indian_ocean (bounds
+    // clause) / global (no clause), and a null month (fuzz allnull) takes
+    // the reference's time_range=None branch. Endpoints and region bounds
+    // are constant tables broadcast by construction; the URL itself is one
+    // codegen'd projection — the plan is scan → distinct → two broadcast
+    // joins, no wide shuffle beyond the distinct.
+    "s1_erddap_url" -> { (s, dir) =>
+      import s.implicits._
+      val endpoints = Seq(
+        ("ifremer", "https://erddap-ifremer.example.net/erddap"),
+        ("ncei", "https://erddap-ncei.example.net/erddap"),
+        ("incois", "https://erddap-incois.example.net/erddap"))
+        .toDF("source", "base_url")
+      val specs = Tables.orders(s, dir)
+        .filter(col("o_orderkey").isNotNull)
+        .select(
+          element_at(array(lit("ifremer"), lit("ncei"), lit("incois"),
+            lit("deepsea")), (col("o_orderkey") % 4 + 1).cast("int"))
+            .as("source"),
+          when(col("o_orderkey") % 2 === 0, lit("indian_ocean"))
+            .otherwise(lit("global")).as("region"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .distinct()
+      specs
+        .join(broadcast(endpoints), Seq("source"), "left")
+        .join(broadcast(Erddap.regions(s)), Seq("region"), "left")
+        .select(col("source"), col("region"),
+          date_format(col("month"), "yyyy-MM-dd").as("month_str"),
+          Erddap.tabledapUrl(
+            col("base_url"), lit("ArgoFloats"),
+            col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
+            date_format(col("month"), "yyyy-MM-dd"),
+            date_format(last_day(col("month")), "yyyy-MM-dd")).as("url"),
+          when(col("month").isNotNull,
+            Erddap.cacheFilename(lit("ArgoFloats"), col("source"),
+              col("region"), col("month"))).as("cache_file"))
+        .orderBy("source", "region", "month_str")
+    },
 
     // ---- S6 link extraction (download.py:15-18) --------------------------
     "acq1_index_links" -> { (s, dir) =>

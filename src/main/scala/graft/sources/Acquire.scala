@@ -18,11 +18,10 @@ import org.apache.spark.sql.functions._
   * is an anti-join against the download ledger, and the byte transfer runs
   * executor-side, one partition per task.
   *
-  * Network IO hides behind [[Transport]]: the test/fixture transport reads
-  * local paths; a production deployment drops in an HTTP client with the
-  * same one-method seam. This container has zero egress, so no HTTP
-  * implementation ships — the IO boundary, not the protocol, is the
-  * engine's concern.
+  * Network IO hides behind [[Transport]]: [[LocalTransport]] reads fixture
+  * paths; [[HttpTransport]] is the production wire (streamed 8 KB chunks,
+  * reference-matched timeouts), exercised in tests against an in-process
+  * loopback HTTP server — this container has zero egress.
   */
 object Acquire {
 
@@ -79,12 +78,22 @@ object Acquire {
   }
 
   /** Skip-if-exists (download.py:26): mark each planned file `download` or
-    * `skip` against the existing-file ledger. A ledger is bounded by the
-    * files already fetched (≤ the plan's own size), so it broadcasts.
+    * `skip` against the existing-file ledger. Per CRAWL the ledger is small,
+    * but a long-lived incremental crawl's ledger (st17's scenario) is every
+    * file ever fetched and grows without bound — so the broadcast hint is
+    * applied only while the ledger's estimated size fits the session's
+    * autoBroadcastJoinThreshold; past that the planner (and AQE, on runtime
+    * sizes) picks the strategy, falling back to a shuffled join keyed on
+    * `fileCol` rather than OOMing the driver on a multi-year ledger.
     */
   def markExisting(plan: DataFrame, existing: DataFrame, fileCol: String): DataFrame = {
     val ex = existing.select(col(fileCol)).distinct().withColumn("__ex", lit(true))
-    plan.join(broadcast(ex), Seq(fileCol), "left")
+    val thresh = plan.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val exHinted =
+      if (thresh > 0 && ex.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh)
+        broadcast(ex)
+      else ex
+    plan.join(exHinted, Seq(fileCol), "left")
       .withColumn("action",
         when(col("__ex").isNotNull, lit("skip")).otherwise(lit("download")))
       .drop("__ex")
@@ -121,11 +130,18 @@ object Acquire {
             val dest = Paths.get(destDir, name)
             if (Files.exists(dest)) (name, "skip", Files.size(dest))
             else {
-              val bytes = transport.fetch(url)
               val tmp = Files.createTempFile(Paths.get(destDir), s".$name.", ".part")
               try {
-                Files.write(tmp, bytes)
-                if (Acquire.publish(tmp, dest)) (name, "download", bytes.length.toLong)
+                // a failed wire transfer (non-200, timeout, mid-body
+                // disconnect) is an accounted `error` row, never a task
+                // failure — one dead link must not kill a million-file
+                // crawl — and never a partial publish: bytes stream into
+                // the temp file, which the finally reaps on every path
+                val n =
+                  try transport.fetchTo(url, tmp)
+                  catch { case scala.util.control.NonFatal(_) => -1L }
+                if (n < 0) (name, "error", 0L)
+                else if (Acquire.publish(tmp, dest)) (name, "download", n)
                 else (name, "skip", Files.size(dest)) // concurrent winner
               } finally Files.deleteIfExists(tmp)
             }
@@ -190,7 +206,10 @@ object Acquire {
             publish(tmp, cache) // losing the race is fine: winner's bytes match
             Some(cache.toString)
           } finally Files.deleteIfExists(tmp)
-        } catch { case _: java.io.IOException => None }
+          // the reference catches ANY exception and returns None
+          // (load_data.py:424-426) — a production transport's runtime
+          // failures must degrade to a failed fetch, not propagate
+        } catch { case scala.util.control.NonFatal(_) => None }
     }
 }
 
@@ -199,6 +218,19 @@ object Acquire {
   */
 trait Transport extends Serializable {
   def fetch(url: String): Array[Byte]
+
+  /** Stream `url` into `dest`, returning the byte count. The default
+    * buffers through [[fetch]]; transports with a real wire (HTTP) override
+    * to stream bounded chunks so a multi-GB NetCDF never materializes on
+    * one executor's heap (the reference's `iter_content(chunk_size=8192)`
+    * loop, download.py:28-30). On failure `dest`'s content is undefined —
+    * callers fetch into a task-unique temp file and publish only on success.
+    */
+  def fetchTo(url: String, dest: Path): Long = {
+    val bytes = fetch(url)
+    Files.write(dest, bytes)
+    bytes.length.toLong
+  }
 }
 
 /** Test/fixture transport: resolves `url` as a local path (optionally

@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.io.{IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+/** Production [[Transport]]: plain JDK `HttpURLConnection`, zero
+  * dependencies, serializable by construction (two ints — each executor
+  * task opens its own connection).
+  *
+  * Wire behavior matches the reference's `requests` usage:
+  *  - bodies stream in 8 KB chunks (download.py:28-30's
+  *    `iter_content(chunk_size=8192)`) — [[fetchTo]] never holds more than
+  *    one chunk on the heap, so a multi-GB file costs O(8 KB) memory;
+  *  - one timeout value applies to connect AND each read, the `requests`
+  *    `timeout=` contract (load_data.py:87 uses 300 s for bulk pulls,
+  *    load_data.py:415 uses 120 s for samples — see the companion presets);
+  *  - a non-2xx status raises (the reference's `raise_for_status()`,
+  *    load_data.py:88) — [[Acquire.download]] turns that into an accounted
+  *    `error` ledger row, and [[Acquire.fetchSample]] into `None`;
+  *  - a mid-body disconnect under a declared Content-Length surfaces as the
+  *    connection's premature-EOF `IOException`, so partial bodies never
+  *    publish (the caller's temp file is reaped on the failure path).
+  */
+class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport {
+
+  def this(timeoutMs: Int) = this(timeoutMs, timeoutMs)
+
+  override def fetch(url: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    withBody(url)(copyChunks(_, out))
+    out.toByteArray
+  }
+
+  override def fetchTo(url: String, dest: Path): Long = {
+    val out = Files.newOutputStream(dest,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try withBody(url)(copyChunks(_, out)) finally out.close()
+  }
+
+  /** Open `url`, enforce 2xx, hand the body stream to `f` (which returns
+    * the bytes it copied), verify the count against any declared
+    * Content-Length, always disconnect. Redirect following is the JDK
+    * default (same-protocol), matching `requests.get`.
+    */
+  private def withBody(url: String)(f: InputStream => Long): Long = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestProperty("Accept-Encoding", "identity")
+    try {
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new IOException(s"HTTP $code for $url")
+      val in = conn.getInputStream
+      try {
+        val got = f(in)
+        // the JDK client can surface a server hang-up mid-body as a clean
+        // EOF; enforce the declared length ourselves so a truncated file
+        // never counts as a successful transfer
+        val declared = conn.getContentLengthLong
+        if (declared >= 0 && got != declared)
+          throw new IOException(
+            s"premature EOF: $got of $declared bytes from $url")
+        got
+      } finally in.close()
+    } finally conn.disconnect()
+  }
+
+  /** The 8 KB chunk loop; returns bytes copied. */
+  private def copyChunks(in: InputStream, out: OutputStream): Long = {
+    val buf = new Array[Byte](HttpTransport.ChunkSize)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      total += n
+      n = in.read(buf)
+    }
+    total
+  }
+}
+
+object HttpTransport {
+  /** The reference's streaming chunk size (download.py:29). */
+  val ChunkSize = 8192
+
+  /** Bulk-download preset: 300 s, load_data.py:87. */
+  def bulk: HttpTransport = new HttpTransport(300000)
+
+  /** Sample-fetch preset: 120 s, load_data.py:415. */
+  def sample: HttpTransport = new HttpTransport(120000)
+}

@@ -72,6 +72,64 @@ class AcquireSpec extends AnyFunSuite {
       Seq("p0a.nc", "p0b.nc", "p1a.nc", "p2a.nc"))
   }
 
+  test("markExisting: correct under both join strategies; no forced broadcast " +
+    "of an over-threshold ledger") {
+    // a long-lived incremental crawl's ledger outgrows any broadcast budget
+    // (st17's scenario at years of scale): past the session threshold the
+    // hint must come OFF so the planner shuffles on file_name instead of
+    // materializing the ledger on the driver
+    val plan = (1 to 100).map(i => s"f$i.nc").toDF("file_name")
+    val ledger = (1 to 5000).filter(_ % 2 == 0).map(i => s"f$i.nc")
+      .toDF("file_name")
+    def actions() = Acquire.markExisting(plan, ledger, "file_name")
+      .collect().map(r => r.getAs[String]("file_name") -> r.getAs[String]("action"))
+      .toMap
+    val expected = (1 to 100)
+      .map(i => s"f$i.nc" -> (if (i % 2 == 0) "skip" else "download")).toMap
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      assert(actions() == expected) // small ledger: broadcast-hinted path
+      spark.conf.set(key, "64") // everything is over-threshold now
+      val marked = Acquire.markExisting(plan, ledger, "file_name")
+      val phys = marked.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastHashJoin") && !phys.contains("BroadcastExchange"),
+        s"over-threshold ledger must not broadcast:\n$phys")
+      assert(actions() == expected) // same answers on the shuffled path
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("Erddap builder reproduces the reference query grammar byte-for-byte") {
+    // load_data.py:105-156 with indian_ocean bounds and a time range — the
+    // exact string _build_erddap_query produces, prefixed per
+    // download_argo_data's f"{base}/tabledap/{dataset}.nc?" (load_data.py:70-72)
+    import graft.sources.Erddap
+    val spec = Seq(("https://erddap.example.net/erddap", "ArgoFloats",
+      "2023-01-01", "2023-01-31"))
+      .toDF("base", "ds", "t0", "t1")
+      .crossJoin(Erddap.regions(spark))
+    val Seq(full) = spec.select(Erddap.tabledapUrl(col("base"), col("ds"),
+      col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
+      col("t0"), col("t1")).as("u")).as[String].collect().toSeq
+    assert(full == "https://erddap.example.net/erddap/tabledap/ArgoFloats.nc?" +
+      "platform_number,cycle_number,time,latitude,longitude,pres,temp,psal" +
+      "&latitude>=-60.0&latitude<=30.0&longitude>=20.0&longitude<=120.0" +
+      "&time>=2023-01-01T00:00:00Z&time<=2023-01-31T23:59:59Z")
+    // region=None and time_range=None branches drop their clauses entirely
+    val Seq(bare) = Seq(("https://e.example.net", "ArgoFloats")).toDF("base", "ds")
+      .select(Erddap.tabledapUrl(col("base"), col("ds"), lit(null), lit(null),
+        lit(null), lit(null), lit(null).cast("string"), lit(null).cast("string"))
+        .as("u")).as[String].collect().toSeq
+    assert(bare == "https://e.example.net/tabledap/ArgoFloats.nc?" +
+      "platform_number,cycle_number,time,latitude,longitude,pres,temp,psal")
+    // unknown source (null base) nulls the URL — the reference's None
+    val nulled = Seq(("ArgoFloats", "x")).toDF("ds", "x")
+      .select(Erddap.tabledapUrl(lit(null), col("ds"), lit(null), lit(null),
+        lit(null), lit(null), lit(null).cast("string"), lit(null).cast("string"))
+        .as("u")).collect()
+    assert(nulled.head.isNullAt(0))
+  }
+
   test("publish is atomic no-replace: the loser leaves the winner's bytes intact") {
     // rename(2) silently REPLACES on POSIX (even under ATOMIC_MOVE), so the
     // publish primitive is link(2), whose EEXIST failure is truly atomic.

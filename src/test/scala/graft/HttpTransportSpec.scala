@@ -1,0 +1,144 @@
+package graft
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Acquire, HttpTransport}
+
+/** The production HTTP wire, exercised against an in-process loopback
+  * `com.sun.net.httpserver.HttpServer` (zero egress): byte-faithful
+  * streaming for fixed-length and chunked bodies, multi-chunk (>8 KB)
+  * payloads, non-200 → accounted `error` ledger row, read-timeout
+  * fail-fast, and mid-body disconnect → temp reaped, nothing published.
+  */
+class HttpTransportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Start a loopback server with the given (path → handler) routes, run
+    * `f` against its base URL, always stop the server.
+    */
+  private def withServer[A](routes: (String, HttpExchange => Unit)*)(
+      f: String => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = Executors.newCachedThreadPool()
+    server.setExecutor(pool)
+    routes.foreach { case (path, h) =>
+      server.createContext(path, (ex: HttpExchange) =>
+        try h(ex) finally ex.close())
+    }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally { server.stop(0); pool.shutdownNow() }
+  }
+
+  private def sendAll(ex: HttpExchange, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(200, body.length)
+    val os: OutputStream = ex.getResponseBody
+    os.write(body); os.close()
+  }
+
+  // deterministic >8 KB payload: exercises the multi-chunk copy loop
+  private val bigBody: Array[Byte] =
+    Array.tabulate(100003)(i => ((i * 31 + 7) % 251).toByte)
+
+  test("fetch round-trips fixed-length and chunked bodies byte-identically") {
+    val small = "netcdf-bytes-éλ".getBytes("UTF-8")
+    withServer(
+      "/fixed" -> (sendAll(_, bigBody)),
+      "/small" -> (sendAll(_, small)),
+      "/chunked" -> { ex =>
+        ex.sendResponseHeaders(200, 0) // 0 ⇒ chunked transfer encoding
+        val os = ex.getResponseBody
+        bigBody.grouped(1000).foreach(os.write) // server-side dribble
+        os.close()
+      }) { base =>
+      val t = new HttpTransport(5000)
+      assert(t.fetch(s"$base/small").toSeq == small.toSeq)
+      assert(t.fetch(s"$base/fixed").toSeq == bigBody.toSeq)
+      assert(t.fetch(s"$base/chunked").toSeq == bigBody.toSeq)
+    }
+  }
+
+  test("fetchTo streams to the destination file; bytes round-trip") {
+    val d = Files.createTempDirectory("http-to")
+    try withServer("/f.nc" -> (sendAll(_, bigBody))) { base =>
+      val dest = d.resolve("f.nc")
+      val n = new HttpTransport(5000).fetchTo(s"$base/f.nc", dest)
+      assert(n == bigBody.length.toLong)
+      assert(Files.readAllBytes(dest).toSeq == bigBody.toSeq)
+    } finally QueryContext.rmTree(d.toString)
+  }
+
+  test("non-2xx raises like raise_for_status; download accounts it as error") {
+    val dst = Files.createTempDirectory("http-404")
+    try withServer(
+      "/ok.nc" -> (sendAll(_, "fine".getBytes)),
+      "/gone.nc" -> (_.sendResponseHeaders(404, -1))) { base =>
+      val t = new HttpTransport(5000)
+      intercept[java.io.IOException](t.fetch(s"$base/gone.nc"))
+      val plan = Seq((s"$base/ok.nc", "ok.nc"), (s"$base/gone.nc", "gone.nc"))
+        .toDF("url", "file_name")
+      val got = Acquire.download(plan, "url", "file_name", dst.toString, t)
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(got("ok.nc") == (("download", 4L)))
+      assert(got("gone.nc") == (("error", 0L)))
+      // only the good file landed; the error path left no temp debris
+      assert(new java.io.File(dst.toString).listFiles().map(_.getName).toSeq ==
+        Seq("ok.nc"))
+    } finally QueryContext.rmTree(dst.toString)
+  }
+
+  test("read timeout fails fast instead of hanging the task") {
+    withServer("/slow.nc" -> { ex =>
+      Thread.sleep(10000); sendAll(ex, "late".getBytes)
+    }) { base =>
+      val t0 = System.nanoTime()
+      intercept[java.io.IOException](
+        new HttpTransport(400).fetch(s"$base/slow.nc"))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(elapsedMs < 5000, s"timed out in ${elapsedMs}ms, not ~400ms")
+    }
+  }
+
+  test("mid-body disconnect: no partial publish, temp reaped, error accounted") {
+    val dst = Files.createTempDirectory("http-trunc")
+    try withServer("/trunc.nc" -> { ex =>
+      // declare 100 KB, deliver 10 KB, hang up: the client sees premature EOF
+      ex.sendResponseHeaders(200, bigBody.length)
+      ex.getResponseBody.write(bigBody, 0, 10240)
+    }) { base =>
+      val t = new HttpTransport(5000)
+      intercept[java.io.IOException](t.fetch(s"$base/trunc.nc"))
+      val got = Acquire.download(
+        Seq((s"$base/trunc.nc", "t.nc")).toDF("url", "file_name"),
+        "url", "file_name", dst.toString, t).collect()
+      assert(got.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("error", 0L)))
+      assert(new java.io.File(dst.toString).listFiles().isEmpty,
+        "neither the file nor a .part temp may survive a truncated body")
+    } finally QueryContext.rmTree(dst.toString)
+  }
+
+  test("fetchSample over HTTP: caches on success, None on HTTP failure") {
+    val cache = Files.createTempDirectory("http-sample")
+    try withServer(
+      "/s.nc" -> (sendAll(_, "sample-bytes".getBytes)),
+      "/e.nc" -> (_.sendResponseHeaders(500, -1))) { base =>
+      val t = HttpTransport.sample
+      val reg = Map("good" -> s"$base/s.nc", "bad" -> s"$base/e.nc")
+      val p = Acquire.fetchSample("good", reg, cache.toString, t)
+      assert(p.contains(Paths.get(cache.toString, "sample_good.nc").toString))
+      assert(Files.readString(Paths.get(p.get)) == "sample-bytes")
+      // the reference returns None on any fetch failure (load_data.py:424-426)
+      assert(Acquire.fetchSample("bad", reg, cache.toString, t).isEmpty)
+      assert(!Files.exists(Paths.get(cache.toString, "sample_bad.nc")))
+    } finally QueryContext.rmTree(cache.toString)
+  }
+}
