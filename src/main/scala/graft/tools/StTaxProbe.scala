@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.stream.Ingest
+
+/** Segment-level wall-clock breakdown of the st15 streaming harness: where
+  * do the ~3 s that are NOT micro-batch execution go (fixture writes, query
+  * start/stop lifecycle, final aggregate)? Drives the round-15 one-shot-tax
+  * work; keep until the streaming tier's harness cost is settled.
+  */
+object StTaxProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.stream.LocalFsPerf.tune(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions()))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm scheduler
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      r
+    }
+
+    for (rep <- 1 to 4) {
+      val variant = if (rep % 2 == 1) "coalesce" else "repart+ckpt"
+      println(s"--- st15 segments, rep $rep ($variant) ---")
+      val evBase = Tables.events(spark, dir).select("event_id", "user_id", "value")
+      val ev = if (rep % 2 == 1) evBase
+        else t("ckpt events")(evBase.localCheckpoint(true))
+      def one(df: DataFrame): DataFrame =
+        if (rep % 2 == 1) df.coalesce(1) else df.repartition(1)
+      val base = s"/tmp/sttax_$rep"
+      graft.QueryContext.rmTree(base)
+      val inbox = s"$base/inbox"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      new java.io.File(inbox).mkdirs()
+      val clean = (df: DataFrame) => df.filter(col("value").isNotNull)
+      t("write u1")(one(ev.filter(col("event_id") % 3 === 0))
+        .write.mode("overwrite").parquet(s"$inbox/u1"))
+      t("write u2")(one(ev.filter(col("event_id") % 3 === 1))
+        .write.mode("overwrite").parquet(s"$inbox/u2"))
+      t("drain 1")(Ingest.start(spark, s"$inbox/*", ev.schema, sink, ckpt,
+        "event_id", clean).awaitTermination())
+      t("write u3")(one(ev.filter(col("event_id") % 2 === 0))
+        .write.mode("overwrite").parquet(s"$inbox/u3"))
+      t("drain 2")(Ingest.start(spark, s"$inbox/*", ev.schema, sink, ckpt,
+        "event_id", clean).awaitTermination())
+      val out = spark.read.schema(ev.schema).parquet(sink)
+      t("final agg")(out.agg(count(lit(1)).as("n_rows"),
+        countDistinct("event_id").as("n_keys")).collect())
+      t("reap")(graft.QueryContext.rmTree(base))
+    }
+    spark.stop()
+  }
+}
