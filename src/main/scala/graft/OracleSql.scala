@@ -1596,14 +1596,211 @@ private[graft] object OracleSql {
                             + ((p.y//4)%2)*2 + (p.x//4)%2)) % 4
              AND pa.py = p.y % 4 AND pa.pxx = p.x % 4
            LEFT JOIN flat fl ON p.kind = 1 AND fl.qp = p.qp
-             AND fl.lvl = 40 * (1 + (p.media_id + p.k) % 5))
-         SELECT media_id, CAST(k AS BIGINT) AS frame_idx,
+             AND fl.lvl = 40 * (1 + (p.media_id + p.k) % 5)),
+         cdc(qp, comp, blk, r) AS (VALUES
+           (28, 0, 0, 1),
+           (28, 0, 1, 1),
+           (28, 0, 2, 1),
+           (28, 0, 3, 1),
+           (28, 1, 0, 0),
+           (28, 1, 1, -1),
+           (28, 1, 2, 0),
+           (28, 1, 3, -1),
+           (31, 0, 0, 1),
+           (31, 0, 1, 1),
+           (31, 0, 2, 1),
+           (31, 0, 3, 1),
+           (31, 1, 0, -1),
+           (31, 1, 1, -2),
+           (31, 1, 2, -1),
+           (31, 1, 3, -2)),
+         cac(comp, blk, ccy, ccx, r) AS (VALUES
+           (0, 0, 0, 0, 7),
+           (0, 0, 0, 1, 2),
+           (0, 0, 0, 2, -8),
+           (0, 0, 0, 3, -13),
+           (0, 0, 1, 0, 15),
+           (0, 0, 1, 1, 10),
+           (0, 0, 1, 2, 0),
+           (0, 0, 1, 3, -5),
+           (0, 0, 2, 0, 15),
+           (0, 0, 2, 1, 10),
+           (0, 0, 2, 2, 0),
+           (0, 0, 2, 3, -5),
+           (0, 0, 3, 0, 7),
+           (0, 0, 3, 1, 2),
+           (0, 0, 3, 2, -8),
+           (0, 0, 3, 3, -13),
+           (0, 1, 0, 0, 8),
+           (0, 1, 0, 1, 1),
+           (0, 1, 0, 2, -14),
+           (0, 1, 0, 3, -22),
+           (0, 1, 1, 0, 24),
+           (0, 1, 1, 1, 17),
+           (0, 1, 1, 2, 2),
+           (0, 1, 1, 3, -6),
+           (0, 1, 2, 0, 24),
+           (0, 1, 2, 1, 17),
+           (0, 1, 2, 2, 2),
+           (0, 1, 2, 3, -6),
+           (0, 1, 3, 0, 8),
+           (0, 1, 3, 1, 1),
+           (0, 1, 3, 2, -14),
+           (0, 1, 3, 3, -22),
+           (0, 2, 0, 0, 17),
+           (0, 2, 0, 1, 7),
+           (0, 2, 0, 2, -13),
+           (0, 2, 0, 3, -23),
+           (0, 2, 1, 0, 25),
+           (0, 2, 1, 1, 15),
+           (0, 2, 1, 2, -5),
+           (0, 2, 1, 3, -15),
+           (0, 2, 2, 0, 25),
+           (0, 2, 2, 1, 15),
+           (0, 2, 2, 2, -5),
+           (0, 2, 2, 3, -15),
+           (0, 2, 3, 0, 17),
+           (0, 2, 3, 1, 7),
+           (0, 2, 3, 2, -13),
+           (0, 2, 3, 3, -23),
+           (0, 3, 0, 0, 18),
+           (0, 3, 0, 1, 6),
+           (0, 3, 0, 2, -19),
+           (0, 3, 0, 3, -32),
+           (0, 3, 1, 0, 34),
+           (0, 3, 1, 1, 22),
+           (0, 3, 1, 2, -3),
+           (0, 3, 1, 3, -16),
+           (0, 3, 2, 0, 34),
+           (0, 3, 2, 1, 22),
+           (0, 3, 2, 2, -3),
+           (0, 3, 2, 3, -16),
+           (0, 3, 3, 0, 18),
+           (0, 3, 3, 1, 6),
+           (0, 3, 3, 2, -19),
+           (0, 3, 3, 3, -32),
+           (1, 0, 0, 0, 7),
+           (1, 0, 0, 1, -1),
+           (1, 0, 0, 2, -16),
+           (1, 0, 0, 3, -23),
+           (1, 0, 1, 0, 23),
+           (1, 0, 1, 1, 15),
+           (1, 0, 1, 2, 0),
+           (1, 0, 1, 3, -7),
+           (1, 0, 2, 0, 23),
+           (1, 0, 2, 1, 15),
+           (1, 0, 2, 2, 0),
+           (1, 0, 2, 3, -7),
+           (1, 0, 3, 0, 7),
+           (1, 0, 3, 1, -1),
+           (1, 0, 3, 2, -16),
+           (1, 0, 3, 3, -23),
+           (1, 1, 0, 0, 15),
+           (1, 1, 0, 1, 5),
+           (1, 1, 0, 2, -15),
+           (1, 1, 0, 3, -25),
+           (1, 1, 1, 0, 23),
+           (1, 1, 1, 1, 13),
+           (1, 1, 1, 2, -7),
+           (1, 1, 1, 3, -17),
+           (1, 1, 2, 0, 23),
+           (1, 1, 2, 1, 13),
+           (1, 1, 2, 2, -7),
+           (1, 1, 2, 3, -17),
+           (1, 1, 3, 0, 15),
+           (1, 1, 3, 1, 5),
+           (1, 1, 3, 2, -15),
+           (1, 1, 3, 3, -25),
+           (1, 2, 0, 0, 17),
+           (1, 2, 0, 1, 4),
+           (1, 2, 0, 2, -21),
+           (1, 2, 0, 3, -33),
+           (1, 2, 1, 0, 33),
+           (1, 2, 1, 1, 20),
+           (1, 2, 1, 2, -5),
+           (1, 2, 1, 3, -17),
+           (1, 2, 2, 0, 33),
+           (1, 2, 2, 1, 20),
+           (1, 2, 2, 2, -5),
+           (1, 2, 2, 3, -17),
+           (1, 2, 3, 0, 17),
+           (1, 2, 3, 1, 4),
+           (1, 2, 3, 2, -21),
+           (1, 2, 3, 3, -33),
+           (1, 3, 0, 0, 25),
+           (1, 3, 0, 1, 10),
+           (1, 3, 0, 2, -20),
+           (1, 3, 0, 3, -35),
+           (1, 3, 1, 0, 33),
+           (1, 3, 1, 1, 18),
+           (1, 3, 1, 2, -12),
+           (1, 3, 1, 3, -27),
+           (1, 3, 2, 0, 33),
+           (1, 3, 2, 1, 18),
+           (1, 3, 2, 2, -12),
+           (1, 3, 2, 3, -27),
+           (1, 3, 3, 0, 25),
+           (1, 3, 3, 1, 10),
+           (1, 3, 3, 2, -20),
+           (1, 3, 3, 3, -35)),
+         c16(qp, comp, blk, r) AS (VALUES
+           (28, 0, 0, 1),
+           (28, 0, 1, 1),
+           (28, 0, 2, 1),
+           (28, 0, 3, 1),
+           (28, 1, 0, -1),
+           (28, 1, 1, -1),
+           (28, 1, 2, -1),
+           (28, 1, 3, -1),
+           (31, 0, 0, 1),
+           (31, 0, 1, 1),
+           (31, 0, 2, 1),
+           (31, 0, 3, 1),
+           (31, 1, 0, -1),
+           (31, 1, 1, -1),
+           (31, 1, 2, -1),
+           (31, 1, 3, -1)),
+         cpixg AS (
+           SELECT media_id, w, h, k, kind, qp, cx.cx, cy.cy
+           FROM f,
+                LATERAL (SELECT unnest(generate_series(0, w//2 - 1)) AS cx) cx,
+                LATERAL (SELECT unnest(generate_series(0, h//2 - 1)) AS cy) cy),
+         chrom AS (
+           SELECT p.media_id, p.k, c.comp,
+                  CASE p.kind
+                    WHEN 2 THEN 128
+                    WHEN 1 THEN 128 + c1.r
+                    ELSE 128 + CASE WHEN p.qp = 28 THEN ca.r ELSE cd.r END
+                  END AS cv,
+                  (1 + p.cx + 2*p.cy) AS cwgt
+           FROM cpixg p
+           CROSS JOIN (SELECT unnest([0, 1]) AS comp) c
+           LEFT JOIN c16 c1 ON p.kind = 1 AND c1.qp = p.qp
+             AND c1.comp = c.comp
+             AND c1.blk = (p.cy//4)*2 + (p.cx//4)
+           LEFT JOIN cac ca ON p.kind = 0 AND p.qp = 28 AND ca.comp = c.comp
+             AND ca.blk = (p.cy//4)*2 + (p.cx//4)
+             AND ca.ccy = p.cy % 4 AND ca.ccx = p.cx % 4
+           LEFT JOIN cdc cd ON p.kind = 0 AND p.qp <> 28 AND cd.qp = p.qp
+             AND cd.comp = c.comp
+             AND cd.blk = (p.cy//4)*2 + (p.cx//4)),
+         cagg AS (
+           SELECT media_id, k,
+                  CAST(sum(CASE WHEN comp = 0 THEN cv END) AS BIGINT) AS sum_cb,
+                  CAST(sum(CASE WHEN comp = 1 THEN cv END) AS BIGINT) AS sum_cr,
+                  CAST(sum(CASE WHEN comp = 0 THEN cv * cwgt END) AS BIGINT) AS sum_wcb,
+                  CAST(sum(CASE WHEN comp = 1 THEN cv * cwgt END) AS BIGINT) AS sum_wcr
+           FROM chrom GROUP BY media_id, k)
+         SELECT l.media_id, CAST(l.k AS BIGINT) AS frame_idx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 CAST(w * h AS BIGINT) AS n_pix,
                 CAST(sum(lum) AS BIGINT) AS sum_lum,
-                CAST(sum(lum * (1 + x + 2*y)) AS BIGINT) AS sum_wlum
-         FROM lum GROUP BY media_id, k, w, h
-         ORDER BY media_id, frame_idx
+                CAST(sum(lum * (1 + x + 2*y)) AS BIGINT) AS sum_wlum,
+                any_value(c.sum_cb) AS sum_cb, any_value(c.sum_cr) AS sum_cr,
+                any_value(c.sum_wcb) AS sum_wcb, any_value(c.sum_wcr) AS sum_wcr
+         FROM lum l JOIN cagg c ON l.media_id = c.media_id AND l.k = c.k
+         GROUP BY l.media_id, l.k, w, h
+         ORDER BY l.media_id, frame_idx
 """,
     "mm1_media_features" ->
       """WITH m AS (

@@ -23,8 +23,9 @@ package graft.sources
   *     Intra_4x4 (per-block prediction-mode signalling, Table 9-4 cbp,
   *     CAVLC luma residuals, dequant + inverse 4x4 transform, all nine
   *     prediction modes) and Intra_16x16 (DC Hadamard path, AC blocks,
-  *     the four 16x16 modes); chroma residuals parsed per spec (luma-only
-  *     output — see H264Coded's scope notes).
+  *     the four 16x16 modes); chroma fully reconstructed since round 15
+  *     (DC butterfly + QPc dequant, 8.3.4 prediction, PCM passthrough —
+  *     see H264Coded's scope notes).
   *
   * Honest boundaries that remain (documented in H264Cavlc/H264Coded):
   * the CAVLC tables are from-memory transcriptions machine-checked for
@@ -39,7 +40,15 @@ package graft.sources
   */
 private[graft] object H264 {
 
-  final case class Frame(width: Int, height: Int, y: Array[Byte])
+  /** Decoded picture: cropped luma plane plus (round 15) the cropped 4:2:0
+    * chroma planes, each (width/2) x (height/2) — CropUnit 2 in luma is 1
+    * in chroma, and cropped dims are even by construction.
+    */
+  final case class Frame(width: Int, height: Int, y: Array[Byte],
+      cb: Array[Byte], cr: Array[Byte]) {
+    def chromaWidth: Int = width / 2
+    def chromaHeight: Int = height / 2
+  }
 
   private[graft] final class ParseEnd extends RuntimeException(null, null, false, false)
 
@@ -125,7 +134,7 @@ private[graft] object H264 {
       log2MaxPocLsb: Int, cropL: Int, cropR: Int, cropT: Int, cropB: Int)
 
   private final case class Pps(picOrderPresent: Boolean, deblockPresent: Boolean,
-      picInitQp: Int)
+      picInitQp: Int, chromaQpOffset: Int)
 
   /** Parses the SPS fields up to cropping; returns None on profiles or
     * shapes outside the intra-PCM subset (never throws).
@@ -167,11 +176,13 @@ private[graft] object H264 {
     r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
     r.u(1); r.u(2) // weighted_pred_flag, weighted_bipred_idc
     val picInitQp = 26 + r.se() // pic_init_qp_minus26
-    r.se(); r.se() // pic_init_qs, chroma_qp_offset
+    r.se() // pic_init_qs_minus26
+    val chromaQpOffset = r.se() // chroma_qp_index_offset (7.4.2.2: -12..12)
     val deblockPresent = r.u(1) == 1
     r.u(1); r.u(1) // constrained_intra_pred, redundant_pic_cnt_present
     if (picInitQp < 0 || picInitQp > 51) return None
-    Some(Pps(picOrderPresent, deblockPresent, picInitQp))
+    if (chromaQpOffset < -12 || chromaQpOffset > 12) return None
+    Some(Pps(picOrderPresent, deblockPresent, picInitQp, chromaQpOffset))
   }
 
   /** Decodes the first IDR picture of an Annex-B stream — I_PCM,
@@ -232,7 +243,7 @@ private[graft] object H264 {
     }
     // --- slice data: I_PCM / Intra_4x4 / Intra_16x16 macroblock loop ---
     val wMb = sps.widthMbs; val hMb = sps.heightMbs
-    val st = new H264Coded.SliceState(wMb, hMb, sliceQp)
+    val st = new H264Coded.SliceState(wMb, hMb, sliceQp, pps.chromaQpOffset)
     val lumaW = st.lumaW; val lumaH = st.lumaH
     val yPlane = st.y
     var mb = 0
@@ -250,7 +261,13 @@ private[graft] object H264 {
           i += 1
         }
         var c = 0
-        while (c < 128) { r.alignedByte(); c += 1 } // Cb, Cr (parsed, unused)
+        while (c < 128) { // pcm_sample_chroma: 64 Cb then 64 Cr, 8x8 raster
+          val plane = if (c < 64) st.cb else st.cr
+          val idx = c & 63
+          st.setCPix(plane, mbX * 8 + (idx % 8), mbY * 8 + idx / 8,
+            r.alignedByte())
+          c += 1
+        }
         st.markPcm(mbX, mbY)
       } else if (mbType == 0) H264Coded.decodeI4x4Mb(r, st, mbX, mbY)
       else if (mbType >= 1 && mbType <= 24) H264Coded.decodeI16x16Mb(r, st, mbX, mbY, mbType)
@@ -268,7 +285,19 @@ private[graft] object H264 {
       System.arraycopy(yPlane, (y0 + yy) * lumaW + x0, out, yy * w, w)
       yy += 1
     }
-    Some(Frame(w, h, out))
+    // chroma crop: CropUnit 2 in luma == 1 chroma sample; cropped luma dims
+    // are even, so the chroma window is exactly (w/2) x (h/2)
+    val cw = w / 2; val ch = h / 2
+    val cx0 = sps.cropL; val cy0 = sps.cropT
+    val outCb = new Array[Byte](cw * ch)
+    val outCr = new Array[Byte](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      System.arraycopy(st.cb, (cy0 + cy) * st.chromaW + cx0, outCb, cy * cw, cw)
+      System.arraycopy(st.cr, (cy0 + cy) * st.chromaW + cx0, outCr, cy * cw, cw)
+      cy += 1
+    }
+    Some(Frame(w, h, out, outCb, outCr))
   }
 
   // ------------------------------------------------------------------ writer

@@ -7,12 +7,12 @@ package graft.sources
   * fixtures. Closes the round-13 "I_PCM only" boundary of sources/H264.
   *
   * Scope and honesty:
-  *   - LUMA is reconstructed and returned; CHROMA residuals are fully
-  *     PARSED (the bitstream advances exactly as the spec requires — chroma
-  *     DC 2x2 + AC 15-coeff blocks with their own nC grids) but not
-  *     reconstructed: every consumer in this engine (mm7/mm8/mm9 stat
-  *     folds) is luma-only, and a chroma PARSE slip corrupts every later
-  *     luma bit, so the oracle still gates chroma handling end to end.
+  *   - LUMA and (round 15) CHROMA are both reconstructed: chroma DC 2x2
+  *     butterfly + dequant (8.5.8), shared 4x4 AC dequant/IDCT at QPc
+  *     (Table 8-15 with the PPS chroma_qp_index_offset), all four 8.3.4
+  *     prediction modes (per-block DC, H, V, plane), and I_PCM chroma
+  *     passthrough. mm9's oracle pins position-weighted chroma sums
+  *     against tools/h264_residual_ref.py's independent derivation.
   *   - No deblocking filter: the writer twin disables it explicitly
   *     (PPS deblocking_filter_control_present + slice idc 1), making the
   *     fixtures exactly conformant; a real stream that leaves the filter
@@ -122,6 +122,31 @@ private[graft] object H264Coded {
     else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
   }
 
+  /** QPc from qPI (Table 8-15): identity below 30, compressed above. */
+  private val qpcTail: Array[Int] = Array(
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38,
+    38, 39, 39, 39, 39) // qPI 30..51
+  def chromaQp(qpY: Int, offset: Int): Int = {
+    val qpi = math.max(0, math.min(51, qpY + offset))
+    if (qpi < 30) qpi else qpcTail(qpi - 30)
+  }
+
+  /** Chroma DC (4:2:0, 8.5.8/8.5.11): 2x2 butterfly over the raster-scanned
+    * DC grid, then ((f * LevelScale(qPc%6, (0,0))) << (qPc/6)) >> 5. Input:
+    * 4 scan-order ChromaDCLevel values; output: per-4x4-block DC in block
+    * raster order (TL, TR, BL, BR).
+    */
+  def chromaDcDequant(scan: Array[Int], qpc: Int): Array[Int] = {
+    val f0 = scan(0) + scan(1) + scan(2) + scan(3)
+    val f1 = scan(0) - scan(1) + scan(2) - scan(3)
+    val f2 = scan(0) + scan(1) - scan(2) - scan(3)
+    val f3 = scan(0) - scan(1) - scan(2) + scan(3)
+    val ls = levelScale(qpc % 6, 0)
+    val per = qpc / 6
+    Array(((f0 * ls) << per) >> 5, ((f1 * ls) << per) >> 5,
+      ((f2 * ls) << per) >> 5, ((f3 * ls) << per) >> 5)
+  }
+
   @inline private def clip1(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   // ---- CBP mapping (Table 9-4, intra column): codeNum -> coded_block_pattern
@@ -142,9 +167,14 @@ private[graft] object H264Coded {
     * frame-global so nC/prediction derivation crosses MB boundaries the way
     * §9.2.1/§8.3.1 require (raster decode order == availability).
     */
-  final class SliceState(val wMb: Int, val hMb: Int, var qp: Int) {
+  final class SliceState(val wMb: Int, val hMb: Int, var qp: Int,
+      val chromaQpOffset: Int = 0) {
     val lumaW: Int = wMb * 16; val lumaH: Int = hMb * 16
     val y = new Array[Byte](lumaW * lumaH)
+    // 4:2:0 chroma planes (round 15: reconstructed, not just parsed)
+    val chromaW: Int = wMb * 8; val chromaH: Int = hMb * 8
+    val cb = new Array[Byte](chromaW * chromaH)
+    val cr = new Array[Byte](chromaW * chromaH)
     // per-4x4 totalCoeff; -1 = not decoded yet (doubles as availability)
     val lumaTc: Array[Array[Int]] = Array.fill(hMb * 4, wMb * 4)(-1)
     val cbTc: Array[Array[Int]] = Array.fill(hMb * 2, wMb * 2)(-1)
@@ -154,6 +184,10 @@ private[graft] object H264Coded {
 
     def pix(x: Int, yy: Int): Int = y(yy * lumaW + x) & 0xff
     def setPix(x: Int, yy: Int, v: Int): Unit = y(yy * lumaW + x) = v.toByte
+    def cPix(plane: Array[Byte], x: Int, yy: Int): Int =
+      plane(yy * chromaW + x) & 0xff
+    def setCPix(plane: Array[Byte], x: Int, yy: Int, v: Int): Unit =
+      plane(yy * chromaW + x) = v.toByte
 
     /** luma nC (9.2.1) for the 4x4 block at global block coords. */
     def lumaNc(gx: Int, gy: Int): Int = {
@@ -416,6 +450,97 @@ private[graft] object H264Coded {
     p
   }
 
+  /** Chroma 8x8 intra prediction (8.3.4) into a 64-entry raster array.
+    * Mode order is CHROMA's (0=DC, 1=Horizontal, 2=Vertical, 3=Plane) —
+    * deliberately different from luma 16x16's. DC is derived PER 4x4
+    * block (8.3.4.1): corner blocks average both edges, the top-right
+    * block prefers the top edge, the bottom-left block the left edge.
+    * Availability = neighbour MB exists (raster single-slice decode order
+    * makes in-frame neighbours always already reconstructed).
+    */
+  def predictChroma(st: SliceState, plane: Array[Byte], mbX: Int, mbY: Int,
+      mode: Int): Array[Int] = {
+    val x0 = mbX * 8; val y0 = mbY * 8
+    val availLeft = x0 > 0
+    val availTop = y0 > 0
+    val p = new Array[Int](64)
+    @inline def need(ok: Boolean): Unit = if (!ok) throw new ParseEnd
+    @inline def top(x: Int): Int = st.cPix(plane, x0 + x, y0 - 1)
+    @inline def left(y: Int): Int = st.cPix(plane, x0 - 1, y0 + y)
+    mode match {
+      case 0 => // DC, per 4x4 chroma block
+        var blk = 0
+        while (blk < 4) {
+          val bx = (blk & 1) * 4; val by = (blk >> 1) * 4
+          def sumTop: Int = top(bx) + top(bx + 1) + top(bx + 2) + top(bx + 3)
+          def sumLeft: Int = left(by) + left(by + 1) + left(by + 2) + left(by + 3)
+          val v = blk match {
+            case 0 | 3 =>
+              if (availLeft && availTop) (sumTop + sumLeft + 4) >> 3
+              else if (availTop) (sumTop + 2) >> 2
+              else if (availLeft) (sumLeft + 2) >> 2
+              else 128
+            case 1 => // top-right: top edge first
+              if (availTop) (sumTop + 2) >> 2
+              else if (availLeft) (sumLeft + 2) >> 2
+              else 128
+            case _ => // bottom-left: left edge first
+              if (availLeft) (sumLeft + 2) >> 2
+              else if (availTop) (sumTop + 2) >> 2
+              else 128
+          }
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) { p((by + yy) * 8 + bx + xx) = v; xx += 1 }
+            yy += 1
+          }
+          blk += 1
+        }
+      case 1 => // horizontal
+        need(availLeft)
+        var yv = 0
+        while (yv < 8) {
+          val v = left(yv)
+          var x = 0
+          while (x < 8) { p(yv * 8 + x) = v; x += 1 }
+          yv += 1
+        }
+      case 2 => // vertical
+        need(availTop)
+        var yv = 0
+        while (yv < 8) {
+          var x = 0
+          while (x < 8) { p(yv * 8 + x) = top(x); x += 1 }
+          yv += 1
+        }
+      case 3 => // plane (8.3.4.4; the 8x8 analogue of luma's mode 3)
+        need(availLeft && availTop)
+        val tl = st.cPix(plane, x0 - 1, y0 - 1)
+        var iH = 0; var iV = 0
+        var i = 1
+        while (i <= 4) {
+          iH += i * (top(3 + i) - (if (3 - i >= 0) top(3 - i) else tl))
+          iV += i * (left(3 + i) - (if (3 - i >= 0) left(3 - i) else tl))
+          i += 1
+        }
+        val a = 16 * (left(7) + top(7))
+        val b = (17 * iH + 16) >> 5
+        val c = (17 * iV + 16) >> 5
+        var yv = 0
+        while (yv < 8) {
+          var x = 0
+          while (x < 8) {
+            p(yv * 8 + x) = clip1((a + b * (x - 3) + c * (yv - 3) + 16) >> 5)
+            x += 1
+          }
+          yv += 1
+        }
+      case _ => throw new ParseEnd
+    }
+    p
+  }
+
   // ---- macroblock decode -----------------------------------------------------
 
   /** Parse + reconstruct one Intra_4x4 macroblock (mb_type 0). */
@@ -480,7 +605,7 @@ private[graft] object H264Coded {
       }
       i8 += 1
     }
-    parseChroma(r, st, mbX, mbY, cbpChroma)
+    decodeChroma(r, st, mbX, mbY, cbpChroma, chromaPredMode)
   }
 
   /** Parse + reconstruct one Intra_16x16 macroblock (mb_type 1..24). */
@@ -528,33 +653,60 @@ private[graft] object H264Coded {
       st.lumaTc(gy)(gx) = tc
       blk += 1
     }
-    parseChroma(r, st, mbX, mbY, cbpChroma)
+    decodeChroma(r, st, mbX, mbY, cbpChroma, chromaPredMode)
   }
 
-  /** Chroma residual SYNTAX (7.3.5.3.2 for 4:2:0): 2x2 DC per component
-    * when cbpChroma != 0, then 4 AC blocks per component when
-    * cbpChroma == 2. Parsed exactly (nC grids maintained), pixels not
-    * reconstructed (luma-only engine contract — see object scaladoc).
+  /** Chroma residual parse + RECONSTRUCTION (7.3.5.3.2 syntax, 8.5.8
+    * chroma DC dequant, shared AC dequant/IDCT, 8.3.4 prediction — round
+    * 15 closed the parse-only boundary). Syntax order is the spec's: both
+    * components' 2x2 DC blocks (when cbpChroma != 0), then per component
+    * four AC blocks (when cbpChroma == 2), with the nC grids feeding
+    * later blocks' CAVLC contexts. `predMode` is the MB header's
+    * intra_chroma_pred_mode.
     */
-  private def parseChroma(r: BitReader, st: SliceState, mbX: Int, mbY: Int,
-      cbpChroma: Int): Unit = {
+  private def decodeChroma(r: BitReader, st: SliceState, mbX: Int, mbY: Int,
+      cbpChroma: Int, predMode: Int): Unit = {
+    val qpc = chromaQp(st.qp, st.chromaQpOffset)
+    val dcScans = new Array[Array[Int]](2)
     if (cbpChroma != 0) {
       var comp = 0
       while (comp < 2) {
-        H264Cavlc.residualBlock(r, 4, -1) // ChromaDCLevel
+        dcScans(comp) = H264Cavlc.residualBlock(r, 4, -1)._1 // ChromaDCLevel
         comp += 1
       }
     }
     var comp = 0
     while (comp < 2) {
       val grid = if (comp == 0) st.cbTc else st.crTc
+      val plane = if (comp == 0) st.cb else st.cr
+      val dc = if (dcScans(comp) != null) chromaDcDequant(dcScans(comp), qpc) else null
+      val pred = predictChroma(st, plane, mbX, mbY, predMode)
       var blk = 0
       while (blk < 4) {
         val gx = mbX * 2 + (blk & 1); val gy = mbY * 2 + (blk >> 1)
+        var acScan: Array[Int] = null
         if (cbpChroma == 2) {
-          val (_, tc) = H264Cavlc.residualBlock(r, 15, st.chromaNc(grid, gx, gy))
+          val (scan, tc) = H264Cavlc.residualBlock(r, 15, st.chromaNc(grid, gx, gy))
+          acScan = scan
           grid(gy)(gx) = tc
-        } else grid(gy)(gx) = 0
+        } else {
+          acScan = new Array[Int](15)
+          grid(gy)(gx) = 0
+        }
+        val bx = (blk & 1) * 4; val by = (blk >> 1) * 4
+        val d = dequant4x4(acScan, qpc, 1)
+        if (dc != null) d(0) = dc(blk)
+        val resid = idct4x4(d)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            st.setCPix(plane, mbX * 8 + bx + xx, mbY * 8 + by + yy,
+              clip1(pred((by + yy) * 8 + bx + xx) + resid(yy * 4 + xx)))
+            xx += 1
+          }
+          yy += 1
+        }
         blk += 1
       }
       comp += 1
@@ -569,21 +721,26 @@ private[graft] object H264Coded {
     * closed-form oracle checks.
     */
   sealed trait MbSpec
-  /** luma(xWithinMb, yWithinMb) in 0..255. */
-  final case class PcmMb(luma: (Int, Int) => Int) extends MbSpec
+  /** luma(xWithinMb, yWithinMb) in 0..255; chroma(comp, x, y) over the 8x8
+    * chroma grid (comp 0 = Cb, 1 = Cr), mid-gray by default.
+    */
+  final case class PcmMb(luma: (Int, Int) => Int,
+      chroma: (Int, Int, Int) => Int = (_, _, _) => 128) extends MbSpec
   /** modes: 16 Intra4x4PredModes in block order; lumaCoeff: 16 blocks x 16
     * scan levels (all-zero blocks allowed — cbp is derived); chromaDc: 2
     * components x 4 scan levels or null; chromaAc: 2x4 blocks x 15 levels
-    * or null (forces cbpChroma 2).
+    * or null (forces cbpChroma 2); chromaMode: intra_chroma_pred_mode
+    * (0=DC 1=H 2=V 3=Plane).
     */
   final case class I4x4Mb(modes: Array[Int], lumaCoeff: Array[Array[Int]],
-      chromaDc: Array[Array[Int]], chromaAc: Array[Array[Array[Int]]]) extends MbSpec
+      chromaDc: Array[Array[Int]], chromaAc: Array[Array[Array[Int]]],
+      chromaMode: Int = 0) extends MbSpec
   /** predMode 0..3; dcScan: 16 scan levels of the Hadamard DC grid;
     * acCoeff: 16 blocks x 15 levels or null (cbpLuma 0); chroma as I4x4Mb.
     */
   final case class I16x16Mb(predMode: Int, dcScan: Array[Int],
       acCoeff: Array[Array[Int]], chromaDc: Array[Array[Int]],
-      chromaAc: Array[Array[Array[Int]]]) extends MbSpec
+      chromaAc: Array[Array[Array[Int]]], chromaMode: Int = 0) extends MbSpec
 
   /** Encode one self-contained Annex-B access unit ([SPS][PPS][IDR]) of
     * transform-coded / PCM macroblocks over a wMb x hMb grid, cropped to
@@ -592,9 +749,10 @@ private[graft] object H264Coded {
     * slice QP (pic_init_qp 26 + slice_qp_delta).
     */
   def encodeIdrCoded(w: Int, h: Int, qp: Int, mbs: Seq[MbSpec],
-      idrPicId: Int = 0): Array[Byte] = {
+      idrPicId: Int = 0, chromaQpOffset: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0)
     require(qp >= 0 && qp <= 51)
+    require(chromaQpOffset >= -12 && chromaQpOffset <= 12)
     val mbW = (w + 15) / 16; val mbH = (h + 15) / 16
     require(mbs.length == mbW * mbH, s"need ${mbW * mbH} MBs, got ${mbs.length}")
     val sw = new BitWriter
@@ -618,7 +776,8 @@ private[graft] object H264Coded {
     pw.ue(0)
     pw.ue(0); pw.ue(0)
     pw.u(0, 1); pw.u(0, 2)
-    pw.se(qp - 26); pw.se(0); pw.se(0) // pic_init_qp_minus26
+    pw.se(qp - 26); pw.se(0) // pic_init_qp_minus26, pic_init_qs
+    pw.se(chromaQpOffset) // chroma_qp_index_offset
     pw.u(1, 1) // deblocking_filter_control_present_flag
     pw.u(0, 1); pw.u(0, 1)
     pw.trailing()
@@ -637,7 +796,7 @@ private[graft] object H264Coded {
     while (mb < mbs.length) {
       val mbX = mb % mbW; val mbY = mb / mbW
       mbs(mb) match {
-        case PcmMb(luma) =>
+        case PcmMb(luma, chroma) =>
           iw.ue(25)
           iw.byteAlignZero()
           var i = 0
@@ -645,7 +804,10 @@ private[graft] object H264Coded {
             iw.u(luma(i % 16, i / 16) & 0xff, 8); i += 1
           }
           var c = 0
-          while (c < 128) { iw.u(128, 8); c += 1 }
+          while (c < 128) {
+            iw.u(chroma(c >> 6, (c & 63) % 8, (c & 63) / 8) & 0xff, 8)
+            c += 1
+          }
           st.markPcm(mbX, mbY)
         case m: I4x4Mb => encodeI4x4(iw, st, mbX, mbY, m)
         case m: I16x16Mb => encodeI16x16(iw, st, mbX, mbY, m)
@@ -682,7 +844,7 @@ private[graft] object H264Coded {
       st.i4mode(gy)(gx) = mode
       blk += 1
     }
-    w.ue(0) // intra_chroma_pred_mode DC
+    w.ue(m.chromaMode) // intra_chroma_pred_mode
     val cbpLuma = (0 until 4).map { i8 =>
       val coded = (0 until 4).exists(j => m.lumaCoeff(4 * i8 + j).exists(_ != 0))
       if (coded) 1 << i8 else 0
@@ -716,7 +878,7 @@ private[graft] object H264Coded {
     val cbpC = chromaCbp(m.chromaDc, m.chromaAc)
     val mbType = 1 + m.predMode + 4 * cbpC + (if (cbpLuma15) 12 else 0)
     w.ue(mbType)
-    w.ue(0) // intra_chroma_pred_mode DC
+    w.ue(m.chromaMode) // intra_chroma_pred_mode
     w.se(0) // mb_qp_delta
     H264Cavlc.writeResidualBlock(w, m.dcScan, 16, st.lumaNc(mbX * 4, mbY * 4))
     var blk = 0

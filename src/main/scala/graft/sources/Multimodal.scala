@@ -447,12 +447,20 @@ object Multimodal {
             .foreach { case (i, v) => scan(i) = v }
           scan
         }
-        val chromaDc = Array(Array(2, 0, 0, 0), Array(-2, 1, 0, 0))
+        // round 15 (chroma reconstruction): DC levels sized so the DC-only
+        // blocks dequantize to NONZERO residuals at both qps (the old
+        // 2/-2/1 levels all rounded to zero through the >>5 and the IDCT's
+        // >>6 — invisible to a chroma-sum oracle), and per-(comp, blk)
+        // distinct AC patterns so a swapped or misplaced chroma block
+        // cannot hide in the position-weighted sums. Constants mirrored in
+        // tools/h264_residual_ref.py (CHROMA_DC_I4 / chroma_ac_i4).
+        val chromaDc = Array(Array(8, 0, 0, 0), Array(-8, 4, 0, 0))
         val chromaAc =
           if ((id + k) % 2 == 0)
             Array.tabulate(2, 4) { (c, b) =>
               val a = new Array[Int](15)
-              if (b == c) { a(0) = 3; a(2) = -1 }
+              a(0) = 2 + c + b
+              a(2) = -(1 + ((c + b) % 2))
               a
             }
           else null
@@ -487,7 +495,11 @@ object Multimodal {
     StructField("height", LongType, nullable = true),
     StructField("n_pix", LongType, nullable = true),
     StructField("sum_lum", LongType, nullable = true),
-    StructField("sum_wlum", LongType, nullable = true)))
+    StructField("sum_wlum", LongType, nullable = true),
+    StructField("sum_cb", LongType, nullable = true),
+    StructField("sum_cr", LongType, nullable = true),
+    StructField("sum_wcb", LongType, nullable = true),
+    StructField("sum_wcr", LongType, nullable = true)))
 
   /** Per-frame fold for the transform-coded fixture: the mm7/mm8 stat
     * shape plus a POSITION-WEIGHTED luma sum (weight 1 + x + 2y) so a
@@ -523,8 +535,25 @@ object Multimodal {
                       }
                       y += 1
                     }
+                    // round 15: the chroma planes, position-weighted the
+                    // same way (over CHROMA coordinates)
+                    var scb = 0L; var scr = 0L; var wcb = 0L; var wcr = 0L
+                    val cw = f.chromaWidth
+                    var cy = 0
+                    while (cy < f.chromaHeight) {
+                      var cx = 0
+                      while (cx < cw) {
+                        val b = f.cb(cy * cw + cx) & 0xff
+                        val r2 = f.cr(cy * cw + cx) & 0xff
+                        scb += b; scr += r2
+                        wcb += b.toLong * (1 + cx + 2 * cy)
+                        wcr += r2.toLong * (1 + cx + 2 * cy)
+                        cx += 1
+                      }
+                      cy += 1
+                    }
                     Row(id, k.toLong, f.width.toLong, f.height.toLong,
-                      f.width.toLong * f.height, sum, wsum)
+                      f.width.toLong * f.height, sum, wsum, scb, scr, wcb, wcr)
                   }
                 } catch { case scala.util.control.NonFatal(_) => None }
                 off += sz

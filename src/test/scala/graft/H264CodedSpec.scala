@@ -180,6 +180,108 @@ class H264CodedSpec extends AnyFunSuite {
     }
   }
 
+  // ---- chroma reconstruction (round 15). Goldens from
+  // tools/h264_residual_ref.py's independent chroma derivation. ------------
+
+  private def chromaMb(dc: Array[Array[Int]], ac: Array[Array[Array[Int]]],
+      mode: Int = 0): I4x4Mb =
+    I4x4Mb(Array.fill(16)(2), Array.fill(16)(new Array[Int](16)), dc, ac, mode)
+
+  test("chroma DC-only blocks reconstruct 128 + golden per-block residual") {
+    val goldCr = Map(28 -> Array(0, -1, 0, -1), 31 -> Array(-1, -2, -1, -2))
+    for (qp <- Seq(28, 31)) {
+      val f = decode(16, 16, qp,
+        Seq(chromaMb(Array(Array(8, 0, 0, 0), Array(-8, 4, 0, 0)), null)))
+      assert(f.chromaWidth === 8 && f.chromaHeight === 8)
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val blk = (cy / 4) * 2 + cx / 4
+        assert((f.cb(cy * 8 + cx) & 0xff) === 129, s"qp=$qp Cb ($cx,$cy)")
+        assert((f.cr(cy * 8 + cx) & 0xff) === 128 + goldCr(qp)(blk),
+          s"qp=$qp Cr ($cx,$cy)")
+      }
+    }
+  }
+
+  test("chroma DC+AC blocks match the python reference per position") {
+    val ac = Array.tabulate(2, 4) { (c, b) =>
+      val a = new Array[Int](15)
+      a(0) = 2 + c + b; a(2) = -(1 + ((c + b) % 2)); a
+    }
+    val f = decode(16, 16, 28,
+      Seq(chromaMb(Array(Array(8, 0, 0, 0), Array(-8, 4, 0, 0)), ac)))
+    val goldCb0 = Array(7, 2, -8, -13, 15, 10, 0, -5, 15, 10, 0, -5, 7, 2, -8, -13)
+    val goldCr3 = Array(25, 10, -20, -35, 33, 18, -12, -27, 33, 18, -12, -27,
+      25, 10, -20, -35)
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      assert((f.cb(cy * 8 + cx) & 0xff) === 128 + goldCb0(cy * 4 + cx),
+        s"Cb blk0 ($cx,$cy)")
+      assert((f.cr((4 + cy) * 8 + 4 + cx) & 0xff) === 128 + goldCr3(cy * 4 + cx),
+        s"Cr blk3 ($cx,$cy)")
+    }
+  }
+
+  test("chroma_qp_index_offset drives QPc through Table 8-15") {
+    // qp 31 + offset 12 -> qPI 43 -> QPc 37 (table tail); -12 -> 19 (identity)
+    val dc = Array(Array(8, 0, 0, 0), Array(8, 0, 0, 0))
+    val fPlus = H264.decodeIdr(H264Coded.encodeIdrCoded(16, 16, 31,
+      Seq(chromaMb(dc, null)), chromaQpOffset = 12)).get
+    assert(fPlus.cb.forall(b => (b & 0xff) == 131), "offset +12: res 3")
+    val fMinus = H264.decodeIdr(H264Coded.encodeIdrCoded(16, 16, 31,
+      Seq(chromaMb(dc, null)), chromaQpOffset = -12)).get
+    assert(fMinus.cb.forall(b => (b & 0xff) == 128), "offset -12: res 0")
+  }
+
+  test("I_PCM chroma samples pass through to the chroma planes") {
+    val f = decode(16, 16, 28,
+      Seq(PcmMb((_, _) => 50, (comp, x, y) => 10 + comp * 100 + x + 8 * y)))
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      assert((f.cb(cy * 8 + cx) & 0xff) === 10 + cx + 8 * cy, s"Cb ($cx,$cy)")
+      assert((f.cr(cy * 8 + cx) & 0xff) === 110 + cx + 8 * cy, s"Cr ($cx,$cy)")
+    }
+  }
+
+  test("chroma prediction modes replicate PCM neighbors (H, V, DC, plane)") {
+    // horizontal: left PCM MB with per-row chroma gradient; right MB mode 1
+    val grad = PcmMb((_, _) => 90, (comp, _, y) => 40 + comp * 20 + y * 3)
+    val fH = decode(32, 16, 28, Seq(grad, chromaMb(null, null, mode = 1)))
+    for (cy <- 0 until 8; cx <- 8 until 16) {
+      assert((fH.cb(cy * 16 + cx) & 0xff) === 40 + cy * 3, s"H Cb ($cx,$cy)")
+      assert((fH.cr(cy * 16 + cx) & 0xff) === 60 + cy * 3, s"H Cr ($cx,$cy)")
+    }
+    // vertical: top PCM MB with per-column stripes; bottom MB mode 2
+    val stripes = PcmMb((_, _) => 90, (comp, x, _) => 30 + comp * 10 + x * 2)
+    val fV = decode(16, 32, 28, Seq(stripes, chromaMb(null, null, mode = 2)))
+    for (cy <- 8 until 16; cx <- 0 until 8) {
+      assert((fV.cb(cy * 8 + cx) & 0xff) === 30 + cx * 2, s"V Cb ($cx,$cy)")
+      assert((fV.cr(cy * 8 + cx) & 0xff) === 40 + cx * 2, s"V Cr ($cx,$cy)")
+    }
+    // DC and plane are weighted means: constant-95 neighbors reproduce 95
+    val const = PcmMb((_, _) => 95, (_, _, _) => 95)
+    for (mode <- Seq(0, 3)) {
+      val f = decode(32, 32, 28,
+        Seq(const, const, const, chromaMb(null, null, mode = mode)))
+      for (cy <- 8 until 16; cx <- 8 until 16) {
+        assert((f.cb(cy * 16 + cx) & 0xff) === 95, s"mode=$mode Cb ($cx,$cy)")
+        assert((f.cr(cy * 16 + cx) & 0xff) === 95, s"mode=$mode Cr ($cx,$cy)")
+      }
+    }
+  }
+
+  test("chroma DC prediction edge preference: top-right block uses top, " +
+    "bottom-left uses left") {
+    // top neighbor only (1x2 grid, predicting MB is the BOTTOM one): its
+    // blk2 (bottom-left) has no left edge -> falls back to top; per-block
+    // DC sums come from the top MB's column stripes
+    val stripes = PcmMb((_, _) => 90, (_, x, _) => 100 + x * 4)
+    val f = decode(16, 32, 28, Seq(stripes, chromaMb(null, null)))
+    // top edge values 100,104,...,128; blk0/blk2 use cols 0-3 (mean 106),
+    // blk1/blk3 use cols 4-7 (mean 122)
+    for (cy <- 8 until 16; cx <- 0 until 8) {
+      val want = if (cx < 4) 106 else 122
+      assert((f.cb(cy * 8 + cx) & 0xff) === want, s"Cb ($cx,$cy)")
+    }
+  }
+
   test("fuzz: corrupted residual streams never throw (quarantine contract)") {
     val rnd = new scala.util.Random(20260815L)
     val base = Multimodal.residualAu(5L, 0)

@@ -118,6 +118,54 @@ def flat_value(level, qp):
     return r[0]
 
 
+# ---- chroma (round 15): 2x2 DC butterfly + 2003-spec chroma DC dequant
+# ((f * LevelScale(qPc%6,0,0)) << (qPc/6)) >> 5, QPc per Table 8-15,
+# chroma_qp_index_offset 0 (the writer twin's PPS), then the shared 4x4
+# AC dequant/IDCT with the DC substituted at raster 0.
+
+QPC_TABLE = {30: 29, 31: 30, 32: 31, 33: 32, 34: 32, 35: 33, 36: 34,
+             37: 34, 38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37,
+             44: 37, 45: 38, 46: 38, 47: 38, 48: 39, 49: 39, 50: 39,
+             51: 39}
+
+
+def qpc(qp):
+    return QPC_TABLE.get(qp, qp) if qp >= 30 else qp
+
+
+def chroma_dc(scan4, qp_chroma):
+    # scan order == 2x2 raster for 4:2:0: c00 c01 c10 c11
+    c00, c01, c10, c11 = scan4
+    f = [c00 + c01 + c10 + c11, c00 - c01 + c10 - c11,
+         c00 + c01 - c10 - c11, c00 - c01 - c10 + c11]
+    ls = VA[qp_chroma % 6]
+    return [(v * ls << (qp_chroma // 6)) >> 5 for v in f]
+
+
+def chroma_block(dc, ac15, qp_chroma):
+    """4x4 chroma residual: AC levels (15 scan positions, zigzag 1..15)
+    dequantized at qPc, DC substituted at raster 0, shared IDCT."""
+    d = [0] * 16
+    for k, c in enumerate(ac15):
+        if c:
+            raster = ZIGZAG[k + 1]
+            d[raster] = (c * level_scale(qp_chroma % 6, raster)) << (qp_chroma // 6)
+    d[0] = dc
+    return idct(d)
+
+
+# fixture contract — must match Multimodal.residualAu (round 15 chroma)
+CHROMA_DC_I4 = [[8, 0, 0, 0], [-8, 4, 0, 0]]   # Cb, Cr scan levels
+CHROMA_DC_I16 = [[5, 0, 0, 0], [-5, 0, 0, 0]]
+
+
+def chroma_ac_i4(comp, blk):
+    a = [0] * 15
+    a[0] = 2 + comp + blk          # raster 1
+    a[2] = -(1 + (comp + blk) % 2)  # raster 8
+    return a
+
+
 def main():
     print("-- mm9 I_4x4 residual constants: (qp, pid, py, px, r)")
     rows = []
@@ -140,6 +188,48 @@ def main():
     print("-- mm9 I_16x16 flat values: (qp, level, v)")
     flat = [(qp, lv, flat_value(lv, qp)) for qp in QPS for lv in FLAT_LEVELS]
     print(",\n".join("           (%d, %d, %d)" % t for t in flat))
+
+    # chroma, I_4x4 frames WITHOUT AC (odd (id+k) == qp 31; DC-only blocks
+    # are position-constant) — and the qp-28 no-AC case never occurs in the
+    # fixture (AC rides even (id+k) == qp 28), but emit both qps anyway so
+    # the fixture parity can change without regenerating.
+    print("-- mm9 I_4x4 chroma DC-only residuals: (qp, comp, blk, r)")
+    cdc = []
+    for qp in QPS:
+        q = qpc(qp)
+        for comp in range(2):
+            dcs = chroma_dc(CHROMA_DC_I4[comp], q)
+            for blk in range(4):
+                r = chroma_block(dcs[blk], [0] * 15, q)
+                assert len(set(r)) == 1, (qp, comp, blk, r)
+                cdc.append((qp, comp, blk, r[0]))
+    print(",\n".join("           (%d, %d, %d, %d)" % t for t in cdc))
+    # chroma, I_4x4 frames WITH AC (qp 28 only): full per-position residual
+    # (DC contribution included)
+    print("-- mm9 I_4x4 chroma AC residuals at qp 28: (comp, blk, cy, cx, r)")
+    crows = []
+    q = qpc(28)
+    for comp in range(2):
+        dcs = chroma_dc(CHROMA_DC_I4[comp], q)
+        for blk in range(4):
+            r = chroma_block(dcs[blk], chroma_ac_i4(comp, blk), q)
+            assert all(-128 <= 128 + v <= 255 for v in r), (comp, blk, r)
+            for cy in range(4):
+                for cx in range(4):
+                    crows.append((comp, blk, cy, cx, r[4 * cy + cx]))
+    print(",\n".join("           (%d, %d, %d, %d, %d)" % t for t in crows))
+    print("-- mm9 I_16x16 chroma flat DC residuals: (qp, comp, blk, r) " +
+          "(constant over the 4x4 block)")
+    c16 = []
+    for qp in QPS:
+        q = qpc(qp)
+        for comp in range(2):
+            dcs = chroma_dc(CHROMA_DC_I16[comp], q)
+            for blk in range(4):
+                r = chroma_block(dcs[blk], [0] * 15, q)
+                assert len(set(r)) == 1, (qp, comp, blk, r)
+                c16.append((qp, comp, blk, r[0]))
+    print(",\n".join("           (%d, %d, %d, %d)" % t for t in c16))
 
 
 if __name__ == "__main__":
