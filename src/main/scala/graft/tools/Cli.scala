@@ -22,13 +22,15 @@ import graft.Engine
   *     per-file loop; all files become ONE distributed plan.
   *   - `sample`      (main.py:606) → the bundled fixture tables stand in
   *     for the reference's downloaded sample set (no network here).
-  *   - `download`    (main.py:609, download.py) → S6 end-to-end: scan
-  *     `--index-dir` for `*.html` index pages, extract `.nc` hrefs
-  *     (codegen'd `graft_extract_hrefs`), plan the first `--max-files`
-  *     (default 300, download.py:12) with skip-if-exists against
-  *     `--dest`, and fetch executor-side. Zero-egress container → the
-  *     transport resolves hrefs as paths relative to the index dir; a
-  *     deployment swaps in the HTTP transport behind the same seam.
+  *   - `download`    (main.py:609, download.py) → S6 end-to-end: extract
+  *     `.nc` hrefs (codegen'd `graft_extract_hrefs`) from index pages,
+  *     plan the first `--max-files` (default 300, download.py:12) with
+  *     skip-if-exists against `--dest`, and fetch executor-side. Index
+  *     source is either `--index-dir` (local `*.html` pages, hrefs
+  *     resolved relative to the dir — the zero-egress fixture path) or
+  *     `--base-url` (a live HTTP listing fetched and downloaded through
+  *     [[graft.sources.HttpTransport]] — the production wire, exercised
+  *     in tests against a loopback server).
   *   - `--no-embeddings` (main.py:560) skips the embedding sink;
   *     `--setup-db` (main.py:565) only materializes the sink layout.
   *
@@ -72,11 +74,16 @@ object Cli {
         val sf = opts.getOrElse("sample", "sf0.001")
         sampleRaw(spark, s"/root/testdata/$sf")
       case "download" =>
-        val idx = opts.getOrElse("index-dir", return err("--index-dir required for download mode"))
         val dest = opts.getOrElse("dest", s"$out/downloads")
         val maxFiles = opts.getOrElse("max-files", "300").toIntOption
           .getOrElse(return err("--max-files must be an integer"))
-        return downloadMode(spark, idx, dest, maxFiles)
+        opts.get("base-url") match {
+          case Some(u) => return downloadHttpMode(spark, u, dest, maxFiles)
+          case None =>
+            val idx = opts.getOrElse("index-dir",
+              return err("--index-dir or --base-url required for download mode"))
+            return downloadMode(spark, idx, dest, maxFiles)
+        }
       case other => return err(s"unknown mode '$other'")
     }
     val engine = new Engine(spark)
@@ -139,6 +146,39 @@ object Cli {
     val byAction = ledger.groupBy("action").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
     println(s"[cli] mode=download $byAction -> $dest")
+    0
+  }
+
+  /** S6 bulk download over a REAL HTTP index (download.py:12-37 on the
+    * wire): fetch the listing page once on the driver (the reference's
+    * single `requests.get`; the distributed page-frontier path is
+    * [[Engine.downloadNcFiles]]), extract `.nc` hrefs, resolve each as
+    * `base_url + link` (download.py:22), and stream the files
+    * executor-side through [[graft.sources.HttpTransport]] — 8 KB chunks,
+    * the reference's 300 s timeout, failed links accounted as `error`
+    * rows. Page key = the last two URL path segments (`.../2020/01/` →
+    * `2020_01`), reproducing the reference's `2020_01_{i:03d}.nc` names.
+    */
+  def downloadHttpMode(spark: SparkSession, baseUrl: String, dest: String,
+      maxFiles: Int): Int = {
+    import spark.implicits._
+    val transport = graft.sources.HttpTransport.bulk
+    val html = new String(transport.fetch(baseUrl),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val segs = java.net.URI.create(baseUrl).getPath.split("/").filter(_.nonEmpty)
+    val page =
+      if (segs.length >= 2) segs.takeRight(2).mkString("_")
+      else segs.lastOption.getOrElse("index")
+    val pages = Seq((page, html)).toDF("page", "html")
+    val nc = graft.sources.Acquire.ncLinks(pages, "page", "html")
+    val planned = graft.sources.Acquire
+      .downloadPlan(nc, "page", "pos", "href", maxFiles)
+      .withColumn("url", concat(lit(baseUrl), col("href")))
+    val ledger = graft.sources.Acquire.download(
+      planned, "url", "file_name", dest, transport)
+    val byAction = ledger.groupBy("action").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[cli] mode=download(http) $byAction -> $dest")
     0
   }
 

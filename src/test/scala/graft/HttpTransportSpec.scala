@@ -126,6 +126,40 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally QueryContext.rmTree(dst.toString)
   }
 
+  test("CLI download mode crawls a live HTTP index end-to-end into ingestable files") {
+    // the reference's full download.py flow on the wire: GET the month
+    // listing, soup out .nc links, stream base_url + link to disk with
+    // skip-if-exists — then prove the downloaded bytes ingest through the
+    // NetCDF source (the S6→S2 lifecycle, HTTP edition)
+    val dest = Files.createTempDirectory("http-cli")
+    try {
+      val ncBytes = (0 until 3).map(f => graft.sources.NetCdfFixture.fileBytes(f))
+      val index = (0 until 3).map(f => s"""<a href="float_$f.nc">f$f</a>""")
+        .mkString("<html><body><!-- <a href='ghost.nc'>x</a> -->", "", "</body></html>")
+      withServer(
+        (Seq("/argo/2020/01/" -> ((ex: HttpExchange) =>
+          sendAll(ex, index.getBytes("UTF-8")))) ++
+          (0 until 3).map(f => s"/argo/2020/01/float_$f.nc" ->
+            ((ex: HttpExchange) => sendAll(ex, ncBytes(f))))): _*) { base =>
+        val args = Array("--mode", "download", "--base-url", s"$base/argo/2020/01/",
+          "--dest", s"$dest/got", "--max-files", "2")
+        assert(graft.tools.Cli.run(spark, args) == 0)
+        // first-N cap + the reference's month_pos naming
+        val names = new java.io.File(s"$dest/got").listFiles().map(_.getName).sorted
+        assert(names.toSeq == Seq("2020_01_001.nc", "2020_01_002.nc"))
+        // re-run: everything skips, bytes untouched
+        assert(graft.tools.Cli.run(spark, args) == 0)
+        assert(Files.readAllBytes(Paths.get(s"$dest/got/2020_01_001.nc")).toSeq ==
+          ncBytes(0).toSeq)
+        // the downloaded directory decodes through the same NetCDF source
+        // every upload uses
+        val rows = new Engine(spark).ingestNetCdf(s"$dest/got")
+        assert(rows.select("float_id").distinct().count() == 2)
+        assert(rows.count() > 0)
+      }
+    } finally QueryContext.rmTree(dest.toString)
+  }
+
   test("fetchSample over HTTP: caches on success, None on HTTP failure") {
     val cache = Files.createTempDirectory("http-sample")
     try withServer(

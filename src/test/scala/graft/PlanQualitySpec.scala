@@ -272,7 +272,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // acq2's prefix-sum window and existing-ledger join ride broadcasts
       // (audited 2/2/2 at landing)
       "acq1_index_links" -> 2, "acq2_download_plan" -> 2, "st17_crawl_ledger" -> 2,
-      "acq3_sample_cache" -> 2)
+      "acq3_sample_cache" -> 2,
+      // r15 S1 twin: spec distinct + ordered output; the endpoint and
+      // region-bounds constant tables ride broadcasts (audited 2/2)
+      "s1_erddap_url" -> 2)
     budgets.foreach { case (name, budget) =>
       val (shuffles, _) = graft.tools.ExchangeAudit.countExchanges(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
