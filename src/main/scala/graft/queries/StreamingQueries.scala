@@ -510,7 +510,11 @@ private[graft] object StreamingQueries {
     // second re-sending overlapping keys, so the cross-run idempotence
     // (ON CONFLICT DO NOTHING) is what the hash checks. Duplicate uploads
     // carry IDENTICAL payloads (same fixture rows), so any within-batch
-    // pick is content-identical and the result is deterministic. ----------
+    // pick is content-identical and the result is deterministic.
+    // SCALE NOTE: Ingest.start's cross-batch idempotence re-reads the sink
+    // per micro-batch — acceptable only while the sink is small (this
+    // fixture); the 100 TB path is Ingest.startStateful (st16), whose
+    // state-store dedup is O(batch) per batch. ----------------------------
     "st15_bulk_append" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
       val base = scratchDir("graft-st15")
@@ -556,7 +560,10 @@ private[graft] object StreamingQueries {
     // sink anti-join on file_name is the reference's skip-if-exists
     // (download.py:26) made incremental: a re-crawled page plans zero new
     // downloads. Crawl 1 sees the even pages; crawl 2 re-crawls everything
-    // — the even pages' files must not double. ---------------------------
+    // — the even pages' files must not double. SCALE NOTE: the per-batch
+    // sink re-read inside Ingest.start is the small-ledger shortcut; a
+    // long-lived crawl moves to Ingest.startStateful (state-store seen-set,
+    // O(batch) lookups) — same operator shape, st16-verified. -------------
     "st17_crawl_ledger" -> { (s, dir) =>
       val pg = AcquireQueries.indexPages(s, dir)
       val base = scratchDir("graft-st17")
