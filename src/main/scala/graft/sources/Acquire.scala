@@ -80,20 +80,18 @@ object Acquire {
   /** Skip-if-exists (download.py:26): mark each planned file `download` or
     * `skip` against the existing-file ledger. Per CRAWL the ledger is small,
     * but a long-lived incremental crawl's ledger (st17's scenario) is every
-    * file ever fetched and grows without bound — so the broadcast hint is
-    * applied only while the ledger's estimated size fits the session's
-    * autoBroadcastJoinThreshold; past that the planner (and AQE, on runtime
-    * sizes) picks the strategy, falling back to a shuffled join keyed on
-    * `fileCol` rather than OOMing the driver on a multi-year ledger.
+    * file ever fetched and grows without bound — so there is deliberately
+    * NO broadcast hint: the planner auto-broadcasts while the ledger's
+    * estimated size fits autoBroadcastJoinThreshold (and AQE re-decides on
+    * runtime sizes), and past that the join shuffles on `fileCol` instead
+    * of OOMing the driver on a multi-year ledger. (An earlier revision
+    * forced the hint, which pinned the multi-year case to a driver
+    * collect; a round-15 review pass removed the replacement conditional
+    * hint too — it re-implemented the planner's own size rule.)
     */
   def markExisting(plan: DataFrame, existing: DataFrame, fileCol: String): DataFrame = {
     val ex = existing.select(col(fileCol)).distinct().withColumn("__ex", lit(true))
-    val thresh = plan.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val exHinted =
-      if (thresh > 0 && ex.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh)
-        broadcast(ex)
-      else ex
-    plan.join(exHinted, Seq(fileCol), "left")
+    plan.join(ex, Seq(fileCol), "left")
       .withColumn("action",
         when(col("__ex").isNotNull, lit("skip")).otherwise(lit("download")))
       .drop("__ex")
@@ -136,7 +134,11 @@ object Acquire {
                 // disconnect) is an accounted `error` row, never a task
                 // failure — one dead link must not kill a million-file
                 // crawl — and never a partial publish: bytes stream into
-                // the temp file, which the finally reaps on every path
+                // the temp file, which the finally reaps on every path.
+                // NOTE the catch also converts LOCAL faults raised inside
+                // fetchTo (ENOSPC, permissions) into error rows: a crawl
+                // monitor alarms on the ledger's error RATE, which is the
+                // signal that distinguishes a dead link from a dead disk
                 val n =
                   try transport.fetchTo(url, tmp)
                   catch { case scala.util.control.NonFatal(_) => -1L }

@@ -694,15 +694,23 @@ private[graft] object H264Coded {
           grid(gy)(gx) = 0
         }
         val bx = (blk & 1) * 4; val by = (blk >> 1) * 4
-        val d = dequant4x4(acScan, qpc, 1)
-        if (dc != null) d(0) = dc(blk)
-        val resid = idct4x4(d)
+        // dc == null ⇔ cbpChroma == 0 ⇔ no AC either: the residual is
+        // identically zero, so the prediction IS the block — skip the
+        // dequant/IDCT round trip on the per-frame hot path
+        val resid =
+          if (dc == null) null
+          else {
+            val d = dequant4x4(acScan, qpc, 1)
+            d(0) = dc(blk)
+            idct4x4(d)
+          }
         var yy = 0
         while (yy < 4) {
           var xx = 0
           while (xx < 4) {
+            val p = pred((by + yy) * 8 + bx + xx)
             st.setCPix(plane, mbX * 8 + bx + xx, mbY * 8 + by + yy,
-              clip1(pred((by + yy) * 8 + bx + xx) + resid(yy * 4 + xx)))
+              clip1(if (resid == null) p else p + resid(yy * 4 + xx)))
             xx += 1
           }
           yy += 1

@@ -165,6 +165,10 @@ object Cli {
     val transport = graft.sources.HttpTransport.bulk
     val html = new String(transport.fetch(baseUrl),
       java.nio.charset.StandardCharsets.UTF_8)
+    // normalize: without this, a --base-url missing its trailing slash
+    // would concatenate into malformed file URLs and the crawl would
+    // "succeed" as an all-error ledger
+    val base = if (baseUrl.endsWith("/")) baseUrl else baseUrl + "/"
     val segs = java.net.URI.create(baseUrl).getPath.split("/").filter(_.nonEmpty)
     val page =
       if (segs.length >= 2) segs.takeRight(2).mkString("_")
@@ -173,7 +177,7 @@ object Cli {
     val nc = graft.sources.Acquire.ncLinks(pages, "page", "html")
     val planned = graft.sources.Acquire
       .downloadPlan(nc, "page", "pos", "href", maxFiles)
-      .withColumn("url", concat(lit(baseUrl), col("href")))
+      .withColumn("url", concat(lit(base), col("href")))
     val ledger = graft.sources.Acquire.download(
       planned, "url", "file_name", dest, transport)
     val byAction = ledger.groupBy("action").count().collect()

@@ -137,7 +137,9 @@ class HttpTransportSpec extends AnyFunSuite {
       val index = (0 until 3).map(f => s"""<a href="float_$f.nc">f$f</a>""")
         .mkString("<html><body><!-- <a href='ghost.nc'>x</a> -->", "", "</body></html>")
       withServer(
-        (Seq("/argo/2020/01/" -> ((ex: HttpExchange) =>
+        // index registered at the no-slash prefix: serves both the slashed
+        // and unslashed listing URL; the longer .nc contexts still win
+        (Seq("/argo/2020/01" -> ((ex: HttpExchange) =>
           sendAll(ex, index.getBytes("UTF-8")))) ++
           (0 until 3).map(f => s"/argo/2020/01/float_$f.nc" ->
             ((ex: HttpExchange) => sendAll(ex, ncBytes(f))))): _*) { base =>
@@ -156,6 +158,13 @@ class HttpTransportSpec extends AnyFunSuite {
         val rows = new Engine(spark).ingestNetCdf(s"$dest/got")
         assert(rows.select("float_id").distinct().count() == 2)
         assert(rows.count() > 0)
+        // a base URL WITHOUT its trailing slash must normalize, not
+        // concatenate into malformed file URLs (all-error ledger trap)
+        assert(graft.tools.Cli.run(spark, Array("--mode", "download",
+          "--base-url", s"$base/argo/2020/01", "--dest", s"$dest/got2",
+          "--max-files", "1")) == 0)
+        assert(new java.io.File(s"$dest/got2").listFiles().map(_.getName).toSeq ==
+          Seq("2020_01_001.nc"))
       }
     } finally QueryContext.rmTree(dest.toString)
   }
