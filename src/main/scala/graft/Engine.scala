@@ -68,8 +68,10 @@ class Engine(spark: SparkSession) {
     * codegen'd tokenizer, the first `maxFiles` planned in (page, position)
     * order with `{page}_{pos+1:03d}.nc` names and `{urlBase}{page}/{href}`
     * urls, and the bytes land in `destDir` executor-side with atomic
-    * skip-if-exists. Returns the per-file (file_name, action, n_bytes)
-    * ledger. IO hides behind [[graft.sources.Transport]].
+    * skip-if-exists. Returns the per-file (file_name, action, n_bytes,
+    * error) ledger — `error` is the failing exception class + message on
+    * `error` rows, null otherwise. IO hides behind
+    * [[graft.sources.Transport]].
     */
   def downloadNcFiles(
       pages: DataFrame, pageCol: String, htmlCol: String, destDir: String,

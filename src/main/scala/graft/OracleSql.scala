@@ -500,6 +500,20 @@ private[graft] object OracleSql {
          FROM events
          GROUP BY k_bucket
          ORDER BY k_bucket""",
+    "f12_finite_guard" ->
+      """WITH e AS (
+           SELECT event_id % 11 AS lane,
+                  CASE WHEN event_id % 11 = 0 THEN CAST('NaN' AS DOUBLE)
+                       WHEN event_id % 11 = 1 THEN CAST('Infinity' AS DOUBLE)
+                       WHEN event_id % 11 = 2 THEN CAST('-Infinity' AS DOUBLE)
+                       WHEN event_id % 11 = 3 THEN NULL
+                       ELSE value END AS v
+           FROM events)
+         SELECT lane, count(*) AS n_rows,
+                count(CASE WHEN coalesce(isfinite(v), false) THEN 1 END) AS n_finite,
+                CAST(round(sum(CASE WHEN coalesce(isfinite(v), false)
+                                    THEN CAST(v AS DECIMAL(30,10)) END), 2) AS DOUBLE) AS sum_finite
+         FROM e GROUP BY lane ORDER BY lane""",
     "u1_measure_unpivot" ->
       """SELECT variable_name,
          count(variable_value) AS n,

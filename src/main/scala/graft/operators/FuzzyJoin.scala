@@ -7,14 +7,25 @@ import org.apache.spark.sql.functions._
   *
   * The reference nested-loops over two id sets matching by: exact equality
   * after byte-wrapper cleanup, OR substring containment in either direction;
-  * first match wins. Spark shape: clean ids with `regexp_replace`+`trim`,
-  * then a theta join (`===` OR `contains` either way). The containment
-  * predicate is non-equi, so Spark plans a BroadcastNestedLoopJoin — correct
-  * here because one side (the id registry) is small; NEVER use this shape
-  * for two large sides (at 100 TB, pre-bucket by a prefix key instead).
+  * first match wins. "First match wins" is order-dependent in the reference;
+  * we pin the deterministic equivalent: the minimum matching registry id.
   *
-  * "First match wins" is order-dependent in the reference; we pin the
-  * deterministic equivalent: the minimum matching registry id.
+  * Spark shape: clean ids with `regexp_replace`+`trim`, then generate
+  * candidate pairs by GRAM BANDING (two equi-joins — shuffle/broadcast
+  * hash, never a nested loop) and verify the real containment predicate
+  * only inside the candidate set. The banding is EXACT (no false
+  * negatives): if `b` is a substring of `a`, then `b`'s prefix gram — its
+  * first `min(K, len(b))` characters — occurs verbatim somewhere in `a`,
+  * i.e. it is one of `a`'s substrings of that length. So joining one
+  * side's prefix gram against the other side's full substring-of-length-≤K
+  * set (both directions, unioned) yields a candidate superset of every
+  * containment pair; an earlier revision evaluated the θ-predicate as a
+  * BroadcastNestedLoopJoin over the full |dirty|×|registry| cross product,
+  * which is quadratic the moment both sides grow. Candidate volume is
+  * bounded by gram selectivity instead: a pathological corpus (every id
+  * sharing one gram) degrades to the true match set's size, which the
+  * SEMANTICS require anyway — the banding only ever prunes verified-
+  * impossible pairs.
   */
 object FuzzyJoin {
 
@@ -23,6 +34,38 @@ object FuzzyJoin {
     */
   def cleanId(c: Column): Column = trim(regexp_replace(c, "^b'(.*)'$", "$1"))
 
+  /** Gram width for candidate banding. Wider prunes harder but emits more
+    * container grams per id (≤ K·len + 1); 3 is the dd13 recipe's width.
+    */
+  private val K = 3
+
+  /** All distinct substrings of `s` with length 0..K — the "container"
+    * key set (the length-0 gram `""` pairs an empty contained id with
+    * every container, which IS the containment truth: `contains(x, "")`).
+    */
+  private[graft] def containerGrams(s: Column): Column =
+    array_distinct(flatten(transform(
+      sequence(lit(0), least(length(s), lit(K))),
+      l => transform(sequence(lit(1), length(s) - l + lit(1)),
+        i => s.substr(i, l)))))
+
+  /** Candidate containment pairs between distinct id sets `a` (column `a`)
+    * and `b` (column `b`): every (a, b) where one contains the other is
+    * present; extra pairs are possible (same gram, no containment) and get
+    * filtered by the verify predicate in [[fuzzyMatch]]. The registry side
+    * `b` is small by the operator's contract, so its gram expansions
+    * broadcast; the `a` side streams map-side through the hash joins.
+    */
+  private[graft] def candidates(a: DataFrame, b: DataFrame): DataFrame = {
+    val aPfx = a.select(col("a"), col("a").substr(lit(1), lit(K)).as("g"))
+    val aAll = a.select(col("a"), explode(containerGrams(col("a"))).as("g"))
+    val bPfx = b.select(col("b"), col("b").substr(lit(1), lit(K)).as("g"))
+    val bAll = b.select(col("b"), explode(containerGrams(col("b"))).as("g"))
+    aPfx.join(broadcast(bAll), "g").select("a", "b") // a contained in b
+      .unionByName(aAll.join(broadcast(bPfx), "g").select("a", "b")) // b in a
+      .distinct()
+  }
+
   /** Fuzzy match `dirty` (column `dirtyIdCol`, may carry the byte wrapper)
     * against `registry` (column `regIdCol`, already clean). Returns one row
     * per dirty row with `matched_id` = min matching registry id (null when
@@ -30,12 +73,16 @@ object FuzzyJoin {
     */
   def fuzzyMatch(dirty: DataFrame, dirtyIdCol: String, registry: DataFrame, regIdCol: String): DataFrame = {
     val cleaned = dirty.withColumn("clean_id", cleanId(col(dirtyIdCol)))
-    val cond = col("clean_id") === col(regIdCol) ||
-      col(regIdCol).contains(col("clean_id")) ||
-      col("clean_id").contains(col(regIdCol))
+    val verified = candidates(
+      cleaned.select(col("clean_id").as("a")).distinct(),
+      registry.select(col(regIdCol).as("b")).distinct())
+      .filter(col("a") === col("b") ||
+        col("b").contains(col("a")) || col("a").contains(col("b")))
+      .groupBy(col("a").as("clean_id"))
+      .agg(min(col("b")).as("matched_id"))
     cleaned
-      .join(broadcast(registry.select(col(regIdCol))), cond, "left")
+      .join(verified, Seq("clean_id"), "left")
       .groupBy(cleaned.columns.map(col).toIndexedSeq: _*)
-      .agg(min(col(regIdCol)).as("matched_id"))
+      .agg(min(col("matched_id")).as("matched_id"))
   }
 }

@@ -149,6 +149,29 @@ private[graft] object ScanStreamQueries {
         .orderBy("k_bucket")
     },
 
+    // ---- F12 finite guard (fastapi_app.py:344-346): the NaN/±Inf/null
+    // screen applied before any float reaches stats. Specials are injected
+    // by event_id lane so the DuckDB twin reproduces them exactly; the
+    // guarded sum proves the guard (not data luck) is what keeps the
+    // decimal cast total. Pure row-local scalar — one scan, one shuffle
+    // for the 11-lane agg. --------------------------------------------------
+    "f12_finite_guard" -> { (s, dir) =>
+      val lane = col("event_id") % 11
+      val v = when(lane === 0, lit(Double.NaN))
+        .when(lane === 1, lit(Double.PositiveInfinity))
+        .when(lane === 2, lit(Double.NegativeInfinity))
+        .when(lane === 3, lit(null).cast("double"))
+        .otherwise(col("value"))
+      Tables.events(s, dir)
+        .select(lane.as("lane"), v.as("v"))
+        .withColumn("finite", Scalars.isFinite(col("v")))
+        .groupBy("lane")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("finite"), lit(1))).as("n_finite"),
+          Stats.sumMoney(when(col("finite"), col("v"))).as("sum_finite"))
+        .orderBy("lane")
+    },
+
     // ---- EAV unpivot (ingest/preprocess.py:359-431) ------------------------
     "u1_measure_unpivot" -> { (s, dir) =>
       Unpivot.toEav(

@@ -556,14 +556,15 @@ private[graft] object StreamingQueries {
     // ---- S6/ST1 incremental crawl ledger: index pages arrive across
     // micro-batches (a live crawl re-visits pages); the per-batch transform
     // runs the REAL link tokenizer + per-page naming inside the streaming
-    // plan (stateless — posexplode + scalar exprs), and Ingest.start's
-    // sink anti-join on file_name is the reference's skip-if-exists
-    // (download.py:26) made incremental: a re-crawled page plans zero new
-    // downloads. Crawl 1 sees the even pages; crawl 2 re-crawls everything
-    // — the even pages' files must not double. SCALE NOTE: the per-batch
-    // sink re-read inside Ingest.start is the small-ledger shortcut; a
-    // long-lived crawl moves to Ingest.startStateful (state-store seen-set,
-    // O(batch) lookups) — same operator shape, st16-verified. -------------
+    // plan (stateless — posexplode + scalar exprs), and the checkpointed
+    // STATE-STORE seen-set on file_name (Ingest.startStateful) is the
+    // reference's skip-if-exists (download.py:26) made incremental: a
+    // re-crawled page plans zero new downloads. Crawl 1 sees the even
+    // pages; crawl 2 re-crawls everything — the even pages' files must not
+    // double. SCALE NOTE: a crawl ledger grows without bound, so the dedup
+    // must be O(batch) per batch — state-store lookups, NOT Ingest.start's
+    // per-batch sink re-read (that O(sink) shortcut is sanctioned for the
+    // bounded st15 upload table only). ------------------------------------
     "st17_crawl_ledger" -> { (s, dir) =>
       val pg = AcquireQueries.indexPages(s, dir)
       val base = scratchDir("graft-st17")
@@ -575,13 +576,17 @@ private[graft] object StreamingQueries {
             lit("_"), format_string("%03d", col("pos") + 1), lit(".nc")))
           .withColumn("url", concat(lit("https://data.example.net/argo/"),
             col("page_id"), lit("/"), col("href")))
-      pg.filter(col("page_id") % 2 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$inbox/c1")
-      Ingest.start(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
-        .awaitTermination()
-      pg.coalesce(1).write.mode("overwrite").parquet(s"$inbox/c2")
-      Ingest.start(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
-        .awaitTermination()
+      // state-store dedup emits on arrival; the trailing no-data batch only
+      // evicts state, so skipping it cannot change the sink (the st16 rule)
+      withoutNoDataBatch(s) {
+        pg.filter(col("page_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$inbox/c1")
+        Ingest.startStateful(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
+          .awaitTermination()
+        pg.coalesce(1).write.mode("overwrite").parquet(s"$inbox/c2")
+        Ingest.startStateful(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
+          .awaitTermination()
+      }
       val out = s.read.schema(toPlan(pg.limit(0)).schema).parquet(sink)
       collectThenReap(s, base)(
         out.groupBy((col("page_id") % 2 === 0).as("recrawled"))

@@ -98,8 +98,11 @@ object Acquire {
   }
 
   /** Executor-side fetch of a (url, file_name) plan into `destDir`, one
-    * partition per task. Skip-if-exists holds under concurrency: bytes land
-    * in a task-unique temp file and publish via [[publish]] (hard-link
+    * partition per task. Returns the ledger: one row per planned file —
+    * (file_name, action ∈ download/skip/error/invalid, n_bytes, error)
+    * where `error` carries the failing exception's class + message (null
+    * on the non-error actions). Skip-if-exists holds under concurrency:
+    * bytes land in a task-unique temp file and publish via [[publish]] (hard-link
     * creation — link(2) fails EEXIST atomically, unlike rename(2), which
     * REPLACES silently on POSIX even under ATOMIC_MOVE), so two tasks
     * racing on one name produce one file, one `download` and one `skip`.
@@ -123,10 +126,10 @@ object Acquire {
         it.map { case (url, name) =>
           if (name == null || name.isEmpty || name.contains('/') ||
             name.contains('\\') || name == "." || name == "..")
-            (name, "invalid", 0L)
+            (name, "invalid", 0L, null: String)
           else {
             val dest = Paths.get(destDir, name)
-            if (Files.exists(dest)) (name, "skip", Files.size(dest))
+            if (Files.exists(dest)) (name, "skip", Files.size(dest), null: String)
             else {
               val tmp = Files.createTempFile(Paths.get(destDir), s".$name.", ".part")
               try {
@@ -136,21 +139,32 @@ object Acquire {
                 // crawl — and never a partial publish: bytes stream into
                 // the temp file, which the finally reaps on every path.
                 // NOTE the catch also converts LOCAL faults raised inside
-                // fetchTo (ENOSPC, permissions) into error rows: a crawl
-                // monitor alarms on the ledger's error RATE, which is the
-                // signal that distinguishes a dead link from a dead disk
+                // fetchTo (ENOSPC, permissions, even a transport NPE) into
+                // error rows; the `error` column records the exception
+                // class + message so a crawl monitor can tell N dead links
+                // (IOException, rate ∝ link quality) from a systemic fault
+                // (one class across every row) instead of inferring from
+                // the rate alone
                 val n =
-                  try transport.fetchTo(url, tmp)
-                  catch { case scala.util.control.NonFatal(_) => -1L }
-                if (n < 0) (name, "error", 0L)
-                else if (Acquire.publish(tmp, dest)) (name, "download", n)
-                else (name, "skip", Files.size(dest)) // concurrent winner
+                  try Right(transport.fetchTo(url, tmp))
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      Left(s"${e.getClass.getName}: ${e.getMessage}")
+                  }
+                n match {
+                  case Left(detail) => (name, "error", 0L, detail)
+                  case Right(bytes) =>
+                    if (Acquire.publish(tmp, dest))
+                      (name, "download", bytes, null: String)
+                    else // concurrent winner
+                      (name, "skip", Files.size(dest), null: String)
+                }
               } finally Files.deleteIfExists(tmp)
             }
           }
         }
       }
-      .toDF("file_name", "action", "n_bytes")
+      .toDF("file_name", "action", "n_bytes", "error")
       // eager: run the transfer now, hand back the cached ledger rows
       .localCheckpoint(true)
   }

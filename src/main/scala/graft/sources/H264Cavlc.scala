@@ -195,6 +195,29 @@ private[graft] object H264Cavlc {
     tz((3, 7), (3, 6), (3, 5), (3, 4), (3, 3), (3, 2), (3, 1), (4, 1), (5, 1),
       (6, 1), (7, 1), (8, 1), (9, 1), (10, 1), (11, 1))) // > 6
 
+  /** Every VLC table as symbol → (len, code), keyed by a stable name —
+    * the seam for `H264CavlcTablesSpec`'s SECOND, independently-written
+    * transcription (spec bit-string notation, table layout) to diff
+    * against: two transcriptions in two representations from two sittings
+    * turn a silent memory slip into a loud table mismatch. Test-only
+    * introspection; the decoder never reads this.
+    */
+  private[graft] def dumpTables: Map[String, Map[Int, (Int, Int)]] =
+    Map(
+      "coeff_token_nc0" -> coeffToken0.bySymbol,
+      "coeff_token_nc2" -> coeffToken1.bySymbol,
+      "coeff_token_nc4" -> coeffToken2.bySymbol,
+      "coeff_token_chroma_dc" -> coeffTokenChromaDc.bySymbol) ++
+      totalZeros4x4.zipWithIndex.map { case (v, i) =>
+        s"total_zeros_tc${i + 1}" -> v.bySymbol
+      } ++
+      totalZerosChromaDc.zipWithIndex.map { case (v, i) =>
+        s"total_zeros_chroma_dc_tc${i + 1}" -> v.bySymbol
+      } ++
+      runBefore.zipWithIndex.map { case (v, i) =>
+        s"run_before_zl${i + 1}" -> v.bySymbol
+      }
+
   /** Decode one residual block (§9.2). Returns the coefficient array in
     * SCAN order (index 0 = lowest frequency) of length `maxCoeff`, plus
     * totalCoeff (the value neighbors' nC derivation needs).

@@ -20,7 +20,10 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   *    `error` ledger row, and [[Acquire.fetchSample]] into `None`;
   *  - a mid-body disconnect under a declared Content-Length surfaces as the
   *    connection's premature-EOF `IOException`, so partial bodies never
-  *    publish (the caller's temp file is reaped on the failure path).
+  *    publish (the caller's temp file is reaped on the failure path);
+  *  - 3xx redirects are followed (bounded at [[HttpTransport.MaxRedirects]]
+  *    hops) INCLUDING cross-protocol http→https, which `requests.get`
+  *    follows but the JDK's auto-follow refuses — see [[withBody]].
   */
 class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport {
 
@@ -38,34 +41,60 @@ class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport
     try withBody(url)(copyChunks(_, out)) finally out.close()
   }
 
-  /** Open `url`, enforce 2xx, hand the body stream to `f` (which returns
-    * the bytes it copied), verify the count against any declared
-    * Content-Length, always disconnect. Redirect following is the JDK
-    * default (same-protocol), matching `requests.get`.
+  /** Open `url`, follow 3xx redirects (bounded hops), enforce 2xx, hand the
+    * body stream to `f` (which returns the bytes it copied), verify the
+    * count against any declared Content-Length, always disconnect.
+    *
+    * Redirects are followed MANUALLY (JDK auto-follow off): the JDK client
+    * refuses cross-protocol hops, so an `http://` URL that 301s to
+    * `https://` — routine on public data servers — would surface as an
+    * error instead of a download under the default. Re-opening from the
+    * resolved Location makes the hop protocol-agnostic, the `requests.get`
+    * contract. Relative Locations resolve against the redirecting URL
+    * (RFC 9110 §10.2.2); every request here is a bodiless GET, so the
+    * 303 see-other method switch is a no-op.
     */
   private def withBody(url: String)(f: InputStream => Long): Long = {
-    val conn = URI.create(url).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(connectTimeoutMs)
-    conn.setReadTimeout(readTimeoutMs)
-    conn.setRequestProperty("Accept-Encoding", "identity")
-    try {
-      val code = conn.getResponseCode
-      if (code < 200 || code >= 300)
-        throw new IOException(s"HTTP $code for $url")
-      val in = conn.getInputStream
-      try {
-        val got = f(in)
-        // the JDK client can surface a server hang-up mid-body as a clean
-        // EOF; enforce the declared length ourselves so a truncated file
-        // never counts as a successful transfer
-        val declared = conn.getContentLengthLong
-        if (declared >= 0 && got != declared)
-          throw new IOException(
-            s"premature EOF: $got of $declared bytes from $url")
-        got
-      } finally in.close()
-    } finally conn.disconnect()
+    @annotation.tailrec
+    def open(current: String, hops: Int): Long = {
+      val conn = URI.create(current).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setInstanceFollowRedirects(false)
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestProperty("Accept-Encoding", "identity")
+      val redirectTo: Option[String] =
+        try {
+          val code = conn.getResponseCode
+          if (code == 301 || code == 302 || code == 303 ||
+            code == 307 || code == 308) {
+            val loc = conn.getHeaderField("Location")
+            if (loc == null)
+              throw new IOException(s"HTTP $code without Location for $current")
+            if (hops >= HttpTransport.MaxRedirects)
+              throw new IOException(
+                s"too many redirects (${hops + 1}) for $url, last at $current")
+            Some(URI.create(current).resolve(loc).toString)
+          } else if (code < 200 || code >= 300) {
+            throw new IOException(s"HTTP $code for $current")
+          } else {
+            val in = conn.getInputStream
+            try {
+              val got = f(in)
+              // the JDK client can surface a server hang-up mid-body as a
+              // clean EOF; enforce the declared length ourselves so a
+              // truncated file never counts as a successful transfer
+              val declared = conn.getContentLengthLong
+              if (declared >= 0 && got != declared)
+                throw new IOException(
+                  s"premature EOF: $got of $declared bytes from $current")
+              return got
+            } finally in.close()
+          }
+        } finally conn.disconnect()
+      open(redirectTo.get, hops + 1)
+    }
+    open(url, 0)
   }
 
   /** The 8 KB chunk loop; returns bytes copied. */
@@ -85,6 +114,12 @@ class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport
 object HttpTransport {
   /** The reference's streaming chunk size (download.py:29). */
   val ChunkSize = 8192
+
+  /** Redirect hop bound — one shy of `requests`' default 30 would also be
+    * fine; 5 covers every real http→https / trailing-slash / CDN chain
+    * while keeping a redirect LOOP from spinning a crawl task for 30 RTTs.
+    */
+  val MaxRedirects = 5
 
   /** Bulk-download preset: 300 s, load_data.py:87. */
   def bulk: HttpTransport = new HttpTransport(300000)

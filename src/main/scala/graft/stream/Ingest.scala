@@ -28,7 +28,15 @@ object Ingest {
 
   /** Start the inbox→clean→dedup→append pipeline. `transform` is the
     * per-batch cleaning/aggregation chain (the reference's extract→clean→agg
-    * spine); `key` is the idempotence key.
+    * spine); `key` is the idempotence key; `readOptions` passes file-source
+    * options through (e.g. `maxFilesPerTrigger` — tests use it to force a
+    * multi-batch drain).
+    *
+    * The per-batch anti-join below re-reads the SINK — O(sink) per
+    * micro-batch. That is the small-sink shortcut, sanctioned for the
+    * bounded-table upload scenario (st15) only; anything whose sink grows
+    * without bound (the st17 crawl ledger) runs [[startStateful]], whose
+    * state-store dedup is O(batch) per batch.
     */
   def start(
       spark: SparkSession,
@@ -37,9 +45,11 @@ object Ingest {
       sinkDir: String,
       checkpointDir: String,
       key: String,
-      transform: DataFrame => DataFrame): StreamingQuery =
+      transform: DataFrame => DataFrame,
+      readOptions: Map[String, String] = Map.empty): StreamingQuery =
     spark.readStream
       .schema(schema)
+      .options(readOptions)
       .parquet(inbox)
       .transform(transform)
       .writeStream

@@ -95,6 +95,72 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally QueryContext.rmTree(dst.toString)
   }
 
+  test("3xx redirects are followed: absolute, relative, and cross-server Location") {
+    // Cross-protocol (http→https) can't run on a loopback without certs;
+    // cross-SERVER redirection exercises the same code path — the hop
+    // re-opens a fresh connection from the resolved Location instead of
+    // relying on the JDK's same-connection auto-follow (which refuses
+    // protocol changes). The second server stands in for the https target.
+    val body = "redirected-bytes".getBytes("UTF-8")
+    withServer("/final.nc" -> (sendAll(_, body))) { other =>
+      withServer(
+        "/final.nc" -> (sendAll(_, body)),
+        "/abs" -> { ex =>
+          val host = ex.getRequestHeaders.getFirst("Host")
+          ex.getResponseHeaders.add("Location", s"http://$host/final.nc")
+          ex.sendResponseHeaders(301, -1)
+        },
+        "/rel" -> { ex =>
+          ex.getResponseHeaders.add("Location", "/final.nc")
+          ex.sendResponseHeaders(302, -1)
+        },
+        "/cross" -> { ex =>
+          ex.getResponseHeaders.add("Location", s"$other/final.nc")
+          ex.sendResponseHeaders(307, -1)
+        }) { base =>
+        val t = new HttpTransport(5000)
+        assert(t.fetch(s"$base/abs").toSeq == body.toSeq)
+        assert(t.fetch(s"$base/rel").toSeq == body.toSeq)
+        assert(t.fetch(s"$base/cross").toSeq == body.toSeq)
+        // fetchTo streams through the hop too
+        val d = Files.createTempDirectory("http-redir")
+        try {
+          val n = t.fetchTo(s"$base/rel", d.resolve("f.nc"))
+          assert(n == body.length.toLong)
+          assert(Files.readAllBytes(d.resolve("f.nc")).toSeq == body.toSeq)
+        } finally QueryContext.rmTree(d.toString)
+      }
+    }
+  }
+
+  test("a redirect loop fails bounded, and the ledger's error column says why") {
+    val dst = Files.createTempDirectory("http-loop")
+    try withServer(
+      "/a" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/b"); ex.sendResponseHeaders(302, -1)
+      },
+      "/b" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/a"); ex.sendResponseHeaders(302, -1)
+      },
+      "/gone.nc" -> (_.sendResponseHeaders(404, -1))) { base =>
+      val t = new HttpTransport(5000)
+      val e = intercept[java.io.IOException](t.fetch(s"$base/a"))
+      assert(e.getMessage.contains("too many redirects"))
+      // download accounts the loop AND a plain 404 as error rows whose
+      // `error` column records class + message — a monitor can tell N dead
+      // links from one systemic fault without inferring from rates alone
+      val plan = Seq((s"$base/a", "loop.nc"), (s"$base/gone.nc", "gone.nc"))
+        .toDF("url", "file_name")
+      val got = Acquire.download(plan, "url", "file_name", dst.toString, t)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(3)))).toMap
+      assert(got("loop.nc")._1 == "error" &&
+        got("loop.nc")._2.contains("IOException") &&
+        got("loop.nc")._2.contains("too many redirects"))
+      assert(got("gone.nc")._1 == "error" && got("gone.nc")._2.contains("HTTP 404"))
+    } finally QueryContext.rmTree(dst.toString)
+  }
+
   test("read timeout fails fast instead of hanging the task") {
     withServer("/slow.nc" -> { ex =>
       Thread.sleep(10000); sendAll(ex, "late".getBytes)

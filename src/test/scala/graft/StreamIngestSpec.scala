@@ -43,6 +43,42 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == out.count(), "no duplicate keys")
   }
 
+  test("a micro-batch's own append is invisible to its anti-join (multi-batch drain)") {
+    // Regression guard for an undocumented planner dependency: Ingest.start
+    // reads the sink eagerly (InMemoryFileIndex lists files at
+    // DataFrame-creation time), which is what keeps a batch's anti-join from
+    // observing rows the SAME drain is appending. A Spark upgrade that made
+    // that listing lazy would silently turn the anti-join self-observing —
+    // batch 2 could see a stale/partial listing or (worse) its own append,
+    // dropping fresh keys. Two overlapping micro-batches through ONE drain
+    // (maxFilesPerTrigger=1) make that failure loud: every key must land
+    // exactly once, including batch 2's NEW keys.
+    val base = Files.createTempDirectory("graft-stream-own").toString
+    val inbox = s"$base/inbox"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(inbox).mkdirs()
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    // u1: keys [0,200); u2: keys [100,300) — overlap [100,200), fresh [200,300)
+    ev.filter(col("event_id") < 200).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inbox/u1")
+    ev.filter(col("event_id") >= 100 && col("event_id") < 300).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inbox/u2")
+    Ingest.start(spark, s"$inbox/*", ev.schema, sink, ckpt, "event_id",
+      identity, readOptions = Map("maxFilesPerTrigger" -> "1"))
+      .awaitTermination()
+
+    val out = spark.read.schema(ev.schema).parquet(sink)
+    val expected = ev.filter(col("event_id") < 300)
+    assert(out.select("event_id").distinct().count() == out.count(),
+      "overlapping keys must not double across the drain's batches")
+    assert(out.count() == expected.count(),
+      "batch 2's fresh keys must survive its own-append anti-join")
+    QueryContext.rmTree(base)
+  }
+
   test("state-store ingest dedups across batches and restarts without re-reading the sink") {
     val base = Files.createTempDirectory("graft-stream-state").toString
     val inbox = s"$base/inbox"

