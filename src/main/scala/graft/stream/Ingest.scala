@@ -56,6 +56,18 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // The dedup/anti-join/append below are ordinary BATCH jobs running
+        // on the stream's PRIVATE session clone — re-enable AQE there so a
+        // micro-batch right-sizes its own shuffles and output files (a 50k-
+        // row batch coalesces to ~1 partition instead of paying the global
+        // shuffle width in tiny tasks and tiny parquet files; a huge batch
+        // stays wide; the sink anti-join can flip to broadcast on runtime
+        // sizes). StreamExecution forces AQE off on this clone to keep
+        // STATEFUL plan partitioning stable — there are no stateful ops in
+        // this stateless sink path, so the guard doesn't apply (and the
+        // conf is scoped to the clone, never the user's session). Measured:
+        // ~20-24% off addBatch at the st15 shape (BENCH_NOTES round 16).
+        batch.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
         val deduped = batch.dropDuplicates(key)
         // read-back with the writer's schema, never inference: an
         // all-cleaned first batch leaves an empty sink whose inferred
@@ -82,8 +94,12 @@ object Ingest {
 
   /** [[start]] with the cross-batch idempotence moved from the sink
     * anti-join into the STATE STORE: streaming `dropDuplicates(key)` keeps
-    * the seen-key set in the checkpointed state backend (RocksDB in this
-    * repo's sessions — state scales past executor heap), so each micro-batch
+    * the seen-key set in the checkpointed state backend — RocksDB, set
+    * explicitly at query start below, because THIS path's state is
+    * unbounded by design (the seen-key set grows forever) and RocksDB
+    * keeps it on local disk + checkpoint instead of executor heap; the
+    * conf is recorded in the checkpoint's offset metadata, so restarts
+    * keep the provider regardless of the session. Each micro-batch then
     * does O(batch) state lookups instead of re-reading the whole sink.
     *
     * This is the 100 TB shape: the sink re-read in [[start]] costs a full
@@ -113,6 +129,17 @@ object Ingest {
       watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(key)
 
+  /** `spark.sql.streaming.stateStore.providerClass` — pinned per QUERY at
+    * first start (Spark records it in the checkpoint's offset metadata and
+    * restores it on restart), so scoping the set/restore around `.start()`
+    * gives this operator RocksDB without changing the session's default
+    * for bounded-state queries (windowed aggs etc.), where the in-memory
+    * HDFS-backed store is the right local choice.
+    */
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def startStateful(
       spark: SparkSession,
       inbox: String,
@@ -120,26 +147,34 @@ object Ingest {
       sinkDir: String,
       checkpointDir: String,
       key: String,
-      transform: DataFrame => DataFrame): StreamingQuery =
-    spark.readStream
-      .schema(schema)
-      .parquet(inbox)
-      .transform(transform)
-      .dropDuplicates(key)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Idempotent-by-batch sink: each micro-batch owns the partition dir
-        // batch=<id> and REPLACES it. A crash between the append and the
-        // checkpoint commit replays the batch on restart — the state store
-        // re-emits the same rows and the overwrite lands the same content
-        // in the same dir, so replays cannot duplicate keys (a bare append
-        // here would be at-least-once). Readers scan sinkDir recursively.
-        batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        ()
-      }
-      .start()
+      transform: DataFrame => DataFrame): StreamingQuery = {
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, RocksDbProvider)
+    try
+      spark.readStream
+        .schema(schema)
+        .parquet(inbox)
+        .transform(transform)
+        .dropDuplicates(key)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Idempotent-by-batch sink: each micro-batch owns the partition dir
+          // batch=<id> and REPLACES it. A crash between the append and the
+          // checkpoint commit replays the batch on restart — the state store
+          // re-emits the same rows and the overwrite lands the same content
+          // in the same dir, so replays cannot duplicate keys (a bare append
+          // here would be at-least-once). Readers scan sinkDir recursively.
+          batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+          ()
+        }
+        .start()
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
 
   /** ST2 batch-shaped equivalent, for oracle-checkable use in queries():
     * union of per-"upload" frames with FIRST-arrival-wins dedup — the
