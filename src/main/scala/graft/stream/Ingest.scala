@@ -92,29 +92,6 @@ object Ingest {
       }
       .start()
 
-  /** [[start]] with the cross-batch idempotence moved from the sink
-    * anti-join into the STATE STORE: streaming `dropDuplicates(key)` keeps
-    * the seen-key set in the checkpointed state backend — RocksDB, set
-    * explicitly at query start below, because THIS path's state is
-    * unbounded by design (the seen-key set grows forever) and RocksDB
-    * keeps it on local disk + checkpoint instead of executor heap; the
-    * conf is recorded in the checkpoint's offset metadata, so restarts
-    * keep the provider regardless of the session. Each micro-batch then
-    * does O(batch) state lookups instead of re-reading the whole sink.
-    *
-    * This is the 100 TB shape: the sink re-read in [[start]] costs a full
-    * sink scan per batch (acceptable only while the sink is small), while
-    * state-store dedup is constant-time per key and survives restarts via
-    * the checkpoint. Crash-replay idempotence comes from the SINK layout:
-    * each micro-batch overwrites its own `batch=<id>` partition dir, so a
-    * batch replayed after a crash (state restored to the pre-batch version
-    * re-emits the same rows) lands the same content in the same dir — an
-    * exactly-once sink EFFECT without a transactional table format (which
-    * is what this slot upgrades to at 100 TB).
-    * State is unbounded by design — the seen-key set IS the
-    * semantic (ON CONFLICT DO NOTHING forever); when keys have event-time
-    * locality, `dropDuplicatesWithinWatermark` bounds it instead.
-    */
   /** Bounded-state streaming dedup: keys are only remembered within the
     * watermark horizon (`dropDuplicatesWithinWatermark`), so the seen-key
     * state is O(rate × horizon) instead of O(all keys ever) — the variant
@@ -140,6 +117,29 @@ object Ingest {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** [[start]] with the cross-batch idempotence moved from the sink
+    * anti-join into the STATE STORE: streaming `dropDuplicates(key)` keeps
+    * the seen-key set in the checkpointed state backend — RocksDB, set
+    * explicitly at query start below, because THIS path's state is
+    * unbounded by design (the seen-key set grows forever) and RocksDB
+    * keeps it on local disk + checkpoint instead of executor heap; the
+    * conf is recorded in the checkpoint's offset metadata, so restarts
+    * keep the provider regardless of the session. Each micro-batch then
+    * does O(batch) state lookups instead of re-reading the whole sink.
+    *
+    * This is the 100 TB shape: the sink re-read in [[start]] costs a full
+    * sink scan per batch (acceptable only while the sink is small), while
+    * state-store dedup is constant-time per key and survives restarts via
+    * the checkpoint. Crash-replay idempotence comes from the SINK layout:
+    * each micro-batch overwrites its own `batch=<id>` partition dir, so a
+    * batch replayed after a crash (state restored to the pre-batch version
+    * re-emits the same rows) lands the same content in the same dir — an
+    * exactly-once sink EFFECT without a transactional table format (which
+    * is what this slot upgrades to at 100 TB).
+    * State is unbounded by design — the seen-key set IS the
+    * semantic (ON CONFLICT DO NOTHING forever); when keys have event-time
+    * locality, `dropDuplicatesWithinWatermark` bounds it instead.
+    */
   def startStateful(
       spark: SparkSession,
       inbox: String,
