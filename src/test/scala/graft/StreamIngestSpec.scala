@@ -119,6 +119,39 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out2.select("event_id").distinct().count() == out2.count(), "run-2 unique keys")
   }
 
+  test("per-stream confs never leak into the user session (AQE clone, provider restore)") {
+    // Ingest.start enables AQE on the stream's PRIVATE session clone and
+    // startStateful sets the RocksDB provider around .start() with a
+    // restore — both must leave the USER session's confs exactly as found,
+    // or one drain would silently re-plan every later batch query.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provBefore = spark.conf.getOption(provKey)
+
+    val base = Files.createTempDirectory("graft-stream-conf").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    new java.io.File(s"$base/in").mkdirs()
+    ev.filter(col("event_id") < 50).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/in/u1")
+    Ingest.start(spark, s"$base/in/*", ev.schema, s"$base/sink1",
+      s"$base/ckpt1", "event_id", identity).awaitTermination()
+    Ingest.startStateful(spark, s"$base/in/*", ev.schema, s"$base/sink2",
+      s"$base/ckpt2", "event_id", identity).awaitTermination()
+
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore,
+      "Ingest.start's AQE enable must stay on the stream clone")
+    assert(spark.conf.getOption(provKey) == provBefore,
+      "startStateful must restore the session's state-store provider conf")
+    // and the RocksDB provider really was pinned for the stateful query
+    val offsets = new java.io.File(s"$base/ckpt2/offsets").listFiles()
+    assert(offsets != null && offsets.nonEmpty)
+    val meta = Files.readString(offsets.head.toPath)
+    assert(meta.contains("RocksDBStateStoreProvider"),
+      s"checkpoint offset metadata must pin the RocksDB provider:\n$meta")
+    QueryContext.rmTree(base)
+  }
+
   test("dedupBounded: in-horizon dups dropped, state evicted, late dup re-admitted") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-ddw").toString
