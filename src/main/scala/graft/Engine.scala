@@ -96,12 +96,18 @@ class Engine(spark: SparkSession) {
 
   /** §3.2 incremental path: watch `inbox` for new files, clean each
     * micro-batch, idempotently append by `key` into `sinkDir`.
+    *
+    * `boundedSink` is [[stream.Ingest.start]]'s structural acknowledgment
+    * that the sink table stays small (its cross-batch idempotence re-reads
+    * the sink per micro-batch); for an unboundedly-growing sink use
+    * [[stream.Ingest.startStateful]] directly.
     */
   def ingestStream(
       inbox: String, schema: StructType, sinkDir: String,
-      checkpointDir: String, key: String,
+      checkpointDir: String, key: String, boundedSink: Boolean,
       transform: DataFrame => DataFrame = identity): StreamingQuery =
-    stream.Ingest.start(spark, inbox, schema, sinkDir, checkpointDir, key, transform)
+    stream.Ingest.start(spark, inbox, schema, sinkDir, checkpointDir, key,
+      transform, boundedSink)
 
   /** §3.3 semantic search: embed the query text with the deterministic
     * featurizer, score every document passing `metadataFilter`, return the

@@ -49,20 +49,63 @@ object FuzzyJoin {
       l => transform(sequence(lit(1), length(s) - l + lit(1)),
         i => s.substr(i, l)))))
 
+  /** Upper bound on gram-expanded bytes per base-registry byte, used to
+    * decide whether the expansion is broadcast-safe. Per id of length
+    * `len ≥ K`, [[containerGrams]] emits `Σ_{l=0..K} (len−l+1) = 4·len−2`
+    * gram rows (K=3), each carrying the id plus a ≤K-char gram. 64 is a
+    * true byte bound for ids up to ~12 chars (fan-out 46× at ~1.2× row
+    * width); the reference corpus's float ids are 7-10. Longer ids
+    * under-estimate proportionally — acceptable because the decision
+    * only gates a HINT against a 10 MB-default threshold with ~100×
+    * executor-memory headroom, and the unhinted planner errs the same
+    * way with a far smaller constant (it ignores fan-out entirely).
+    */
+  private[graft] val GramExpansionFactor = 64L
+
+  /** Broadcast `expanded` (a gram expansion of `base`) only while the
+    * ESTIMATED expanded size — base's optimizer estimate ×
+    * [[GramExpansionFactor]] — fits the session's auto-broadcast
+    * threshold. The planner can't make this call itself: a `Generate`
+    * node's size estimate ignores explode multiplicity, so an unhinted
+    * plan would auto-broadcast expansions ~40× bigger than their
+    * estimate, and the previous unconditional hint pinned a LARGE
+    * registry (a multi-year platform list) to a driver-side collect —
+    * the round-15 markExisting failure class. Past the threshold the
+    * equi-join degrades to a shuffle hash join: same semantics, no
+    * driver OOM, and AQE can still flip it back on runtime sizes.
+    */
+  private def broadcastIfEstSmall(expanded: DataFrame, base: DataFrame): DataFrame = {
+    // the conf may read "-1" (disabled), "10485760" (bytes), or "10MB"
+    // (size-string) — plain toLong first, JavaUtils for the suffixed form
+    // (whose parser rejects negatives)
+    val raw = base.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      try raw.toLong
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw) }
+    val est = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && est * GramExpansionFactor <= threshold) broadcast(expanded)
+    else expanded
+  }
+
   /** Candidate containment pairs between distinct id sets `a` (column `a`)
     * and `b` (column `b`): every (a, b) where one contains the other is
     * present; extra pairs are possible (same gram, no containment) and get
     * filtered by the verify predicate in [[fuzzyMatch]]. The registry side
-    * `b` is small by the operator's contract, so its gram expansions
-    * broadcast; the `a` side streams map-side through the hash joins.
+    * `b` is small in the operator's TYPICAL use, so its gram expansions
+    * broadcast and the `a` side streams map-side through the hash joins —
+    * but only while the size estimate says so ([[broadcastIfEstSmall]]);
+    * a large registry shuffles both sides on the gram instead.
     */
   private[graft] def candidates(a: DataFrame, b: DataFrame): DataFrame = {
     val aPfx = a.select(col("a"), col("a").substr(lit(1), lit(K)).as("g"))
     val aAll = a.select(col("a"), explode(containerGrams(col("a"))).as("g"))
     val bPfx = b.select(col("b"), col("b").substr(lit(1), lit(K)).as("g"))
     val bAll = b.select(col("b"), explode(containerGrams(col("b"))).as("g"))
-    aPfx.join(broadcast(bAll), "g").select("a", "b") // a contained in b
-      .unionByName(aAll.join(broadcast(bPfx), "g").select("a", "b")) // b in a
+    aPfx.join(broadcastIfEstSmall(bAll, b), "g").select("a", "b") // a ⊆ b
+      .unionByName(aAll.join(broadcastIfEstSmall(bPfx, b), "g")
+        .select("a", "b")) // b ⊆ a
       .distinct()
   }
 

@@ -525,13 +525,15 @@ private[graft] object StreamingQueries {
         .write.mode("overwrite").parquet(s"$inbox/u1")
       ev.filter(col("event_id") % 3 === 1).coalesce(1)
         .write.mode("overwrite").parquet(s"$inbox/u2")
-      Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean)
+      Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean,
+          boundedSink = true)
         .awaitTermination()
       // second drain: u3 overlaps both prior uploads — the sink anti-join
       // must drop the re-sends and append only the genuinely new keys
       ev.filter(col("event_id") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$inbox/u3")
-      Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean)
+      Ingest.start(s, s"$inbox/*", ev.schema, sink, ckpt, "event_id", clean,
+          boundedSink = true)
         .awaitTermination()
       val out = s.read.schema(ev.schema).parquet(sink)
       // collect the 1-row aggregate EAGERLY, then reap the WHOLE scratch

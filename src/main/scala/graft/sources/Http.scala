@@ -52,13 +52,18 @@ class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport
     * resolved Location makes the hop protocol-agnostic, the `requests.get`
     * contract. Relative Locations resolve against the redirecting URL
     * (RFC 9110 §10.2.2); every request here is a bodiless GET, so the
-    * 303 see-other method switch is a no-op.
+    * 303 see-other method switch is a no-op. An https→http DOWNGRADE
+    * redirect is followed (again the `requests` default — public data
+    * servers really do bounce between the schemes), but a redirect OFF
+    * http(s) entirely (ftp:, file:, …) or an unparseable Location is an
+    * [[IOException]] like every other transport failure — one exception
+    * type for callers ([[openHttp]]), never a leaked
+    * IllegalArgument/ClassCast from URI plumbing.
     */
   private def withBody(url: String)(f: InputStream => Long): Long = {
     @annotation.tailrec
     def open(current: String, hops: Int): Long = {
-      val conn = URI.create(current).toURL.openConnection()
-        .asInstanceOf[HttpURLConnection]
+      val conn = openHttp(current)
       conn.setInstanceFollowRedirects(false)
       conn.setConnectTimeout(connectTimeoutMs)
       conn.setReadTimeout(readTimeoutMs)
@@ -74,7 +79,16 @@ class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport
             if (hops >= HttpTransport.MaxRedirects)
               throw new IOException(
                 s"too many redirects (${hops + 1}) for $url, last at $current")
-            Some(URI.create(current).resolve(loc).toString)
+            val resolved =
+              try URI.create(current).resolve(loc)
+              catch { case e: IllegalArgumentException =>
+                throw new IOException(
+                  s"unresolvable redirect Location '$loc' from $current", e) }
+            val scheme = Option(resolved.getScheme).getOrElse("")
+            if (!scheme.equalsIgnoreCase("http") && !scheme.equalsIgnoreCase("https"))
+              throw new IOException(
+                s"refusing redirect off http(s) to '$resolved' from $current")
+            Some(resolved.toString)
           } else if (code < 200 || code >= 300) {
             throw new IOException(s"HTTP $code for $current")
           } else {
@@ -96,6 +110,21 @@ class HttpTransport(connectTimeoutMs: Int, readTimeoutMs: Int) extends Transport
     }
     open(url, 0)
   }
+
+  /** Open `url` as an [[HttpURLConnection]], converting the URI layer's
+    * unchecked failures — malformed URL (IllegalArgumentException) or a
+    * non-http(s) scheme (whose URLConnection can't cast) — into the
+    * [[IOException]] contract the fetch/fetchTo callers document.
+    */
+  private def openHttp(url: String): HttpURLConnection =
+    (try URI.create(url).toURL.openConnection()
+    catch { case e: IllegalArgumentException =>
+      throw new IOException(s"malformed URL '$url'", e)
+    }) match {
+      case h: HttpURLConnection => h
+      case other => throw new IOException(
+        s"non-http(s) URL '$url' (${other.getClass.getSimpleName})")
+    }
 
   /** The 8 KB chunk loop; returns bytes copied. */
   private def copyChunks(in: InputStream, out: OutputStream): Long = {

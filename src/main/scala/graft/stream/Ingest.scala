@@ -36,7 +36,10 @@ object Ingest {
     * micro-batch. That is the small-sink shortcut, sanctioned for the
     * bounded-table upload scenario (st15) only; anything whose sink grows
     * without bound (the st17 crawl ledger) runs [[startStateful]], whose
-    * state-store dedup is O(batch) per batch.
+    * state-store dedup is O(batch) per batch. The sanction is structural,
+    * not just prose: `boundedSink` has no default and anything but `true`
+    * is rejected at call time, so every new call site must spell out the
+    * acknowledgment (and a reviewer greps one token to audit them all).
     */
   def start(
       spark: SparkSession,
@@ -46,7 +49,14 @@ object Ingest {
       checkpointDir: String,
       key: String,
       transform: DataFrame => DataFrame,
-      readOptions: Map[String, String] = Map.empty): StreamingQuery =
+      boundedSink: Boolean,
+      readOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    require(boundedSink,
+      "Ingest.start re-reads the WHOLE sink per micro-batch (O(sink)) for " +
+        "cross-batch idempotence — sanctioned only while the sink stays " +
+        "small and bounded (the st15 upload table). Pass boundedSink = true " +
+        "to acknowledge that, or use Ingest.startStateful (O(batch) " +
+        "state-store dedup) for any sink that grows without bound.")
     spark.readStream
       .schema(schema)
       .options(readOptions)
@@ -67,6 +77,13 @@ object Ingest {
         // this stateless sink path, so the guard doesn't apply (and the
         // conf is scoped to the clone, never the user's session). Measured:
         // ~20-24% off addBatch at the st15 shape (BENCH_NOTES round 16).
+        // Fail LOUDLY if a Spark upgrade ever hands foreachBatch the user's
+        // session instead of the stream's private clone — silently leaking
+        // the AQE flip into the caller's session is the one way this set
+        // can go wrong (StreamIngestSpec pins the same invariant in CI).
+        require(batch.sparkSession ne spark,
+          "foreachBatch no longer runs on the stream's private session " +
+            "clone; refusing to mutate the caller's session conf")
         batch.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
         val deduped = batch.dropDuplicates(key)
         // read-back with the writer's schema, never inference: an
@@ -91,6 +108,7 @@ object Ingest {
         ()
       }
       .start()
+  }
 
   /** Bounded-state streaming dedup: keys are only remembered within the
     * watermark horizon (`dropDuplicatesWithinWatermark`), so the seen-key
@@ -147,7 +165,17 @@ object Ingest {
       sinkDir: String,
       checkpointDir: String,
       key: String,
-      transform: DataFrame => DataFrame): StreamingQuery = {
+      transform: DataFrame => DataFrame): StreamingQuery =
+    // Spark offers no per-query writeStream option for the state-store
+    // provider, so it has to ride the session conf around .start() (the
+    // query pins it into its checkpoint metadata at first start). The
+    // set/start/restore window is a read-modify-write of SHARED session
+    // state — synchronize on the session so a concurrent query start
+    // can't capture RocksDB unintentionally and a concurrent conf.set
+    // can't be clobbered by the restore. .start() returns as soon as the
+    // query thread is launched (it doesn't await a batch), so the lock
+    // is held for milliseconds, not the drain.
+    spark.synchronized {
     val prev = spark.conf.getOption(ProviderConf)
     spark.conf.set(ProviderConf, RocksDbProvider)
     try
@@ -174,7 +202,7 @@ object Ingest {
       case Some(v) => spark.conf.set(ProviderConf, v)
       case None => spark.conf.unset(ProviderConf)
     }
-  }
+    }
 
   /** ST2 batch-shaped equivalent, for oracle-checkable use in queries():
     * union of per-"upload" frames with FIRST-arrival-wins dedup — the

@@ -49,11 +49,11 @@ object StTaxProbe {
       t("write u2")(one(ev.filter(col("event_id") % 3 === 1))
         .write.mode("overwrite").parquet(s"$inbox/u2"))
       t("drain 1")(Ingest.start(spark, s"$inbox/*", ev.schema, sink, ckpt,
-        "event_id", clean).awaitTermination())
+        "event_id", clean, boundedSink = true).awaitTermination())
       t("write u3")(one(ev.filter(col("event_id") % 2 === 0))
         .write.mode("overwrite").parquet(s"$inbox/u3"))
       t("drain 2")(drainVerbose("d2", Ingest.start(spark, s"$inbox/*",
-        ev.schema, sink, ckpt, "event_id", clean)))
+        ev.schema, sink, ckpt, "event_id", clean, boundedSink = true)))
       val out = spark.read.schema(ev.schema).parquet(sink)
       t("final agg")(out.agg(count(lit(1)).as("n_rows"),
         countDistinct("event_id").as("n_keys")).collect())
@@ -80,11 +80,11 @@ object StTaxProbe {
       t("write u2")(ev.filter(col("event_id") % 3 === 1).coalesce(1)
         .write.mode("overwrite").parquet(s"$inbox/u2"))
       t("drain 1")(drainVerbose("a1", Ingest.start(spark, s"$inbox/*",
-        ev.schema, sink, ckpt, "event_id", clean)))
+        ev.schema, sink, ckpt, "event_id", clean, boundedSink = true)))
       t("write u3")(ev.filter(col("event_id") % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$inbox/u3"))
       t("drain 2")(drainVerbose("a2", Ingest.start(spark, s"$inbox/*",
-        ev.schema, sink, ckpt, "event_id", clean)))
+        ev.schema, sink, ckpt, "event_id", clean, boundedSink = true)))
       t("reap")(graft.QueryContext.rmTree(base))
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")

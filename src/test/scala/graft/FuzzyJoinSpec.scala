@@ -73,6 +73,45 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got(35L).isEmpty)
   }
 
+  test("registry-gram broadcast is size-conditional; shuffle strategy matches broadcast") {
+    // Round-17 verdict item: the gram expansion of the registry side used
+    // to broadcast UNCONDITIONALLY — a large registry (a multi-year
+    // platform list) would collect its whole gram expansion on the driver.
+    // Now the hint applies only while est(base) × GramExpansionFactor fits
+    // autoBroadcastJoinThreshold; past it (or with broadcast disabled) the
+    // same equi-joins run as shuffle joins. Both strategies must produce
+    // identical matches and neither may plan a nested loop.
+    val rng = new scala.util.Random(7)
+    def id(): String =
+      (0 until 1 + rng.nextInt(8)).map(_ => "0123456789".charAt(rng.nextInt(10))).mkString
+    val dirty = (0 until 200).map(i => (i.toLong,
+      if (i % 4 == 0) s"b'${id()} '" else id())).toDF("k", "messy")
+    val registry = (0 until 80).map(_ => id()).distinct.toDF("reg_id")
+
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(thresholdKey)
+    def runWith(threshold: String): (Map[Long, Option[String]], String) =
+      try {
+        spark.conf.set(thresholdKey, threshold)
+        val df = FuzzyJoin.fuzzyMatch(dirty, "messy", registry, "reg_id")
+        val got = df.select("k", "matched_id").collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        (got, df.queryExecution.executedPlan.toString)
+      } finally spark.conf.set(thresholdKey, before)
+
+    val (viaBroadcast, planB) = runWith("256MB") // tiny registry: hint applies
+    val (viaShuffle, planS) = runWith("-1") // disabled: no hint, no auto
+    assert(planB.contains("BroadcastHashJoin"),
+      s"broadcast-eligible registry must hash-broadcast:\n$planB")
+    assert(!planS.contains("Broadcast"),
+      s"with the threshold disabled nothing may broadcast:\n$planS")
+    assert(!planS.contains("CartesianProduct") && !planS.contains("NestedLoop"),
+      s"shuffle fallback must stay a hash/merge join:\n$planS")
+    assert(viaBroadcast == viaShuffle, "join strategy must not change matches")
+    assert(viaBroadcast.values.exists(_.isDefined) &&
+      viaBroadcast.values.exists(_.isEmpty))
+  }
+
   test("containment in BOTH directions and min-id tie-break survive banding") {
     val dirty = Seq(
       (1L, "b'00042 '"), // cleans to "00042"

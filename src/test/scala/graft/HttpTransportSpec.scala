@@ -161,6 +161,39 @@ class HttpTransportSpec extends AnyFunSuite {
     } finally QueryContext.rmTree(dst.toString)
   }
 
+  test("hostile redirects keep the IOException contract: off-scheme, malformed, bad URL") {
+    // A compromised/misconfigured server can point Location anywhere; the
+    // transport's documented error contract is ONE exception type
+    // (IOException) for every transport failure, so Acquire's ledger and
+    // fetchSample's None path stay total. Pre-round-17 these leaked
+    // ClassCastException (ftp:) and IllegalArgumentException (malformed)
+    // out of the URI plumbing.
+    withServer(
+      "/ftp" -> { ex =>
+        ex.getResponseHeaders.add("Location", "ftp://127.0.0.1/evil.nc")
+        ex.sendResponseHeaders(302, -1)
+      },
+      "/file" -> { ex =>
+        ex.getResponseHeaders.add("Location", "file:///etc/passwd")
+        ex.sendResponseHeaders(301, -1)
+      },
+      "/mangled" -> { ex =>
+        ex.getResponseHeaders.add("Location", "http://[not-a-host/..")
+        ex.sendResponseHeaders(302, -1)
+      }) { base =>
+      val t = new HttpTransport(5000)
+      val ftp = intercept[java.io.IOException](t.fetch(s"$base/ftp"))
+      assert(ftp.getMessage.contains("redirect off http(s)"), ftp.getMessage)
+      val file = intercept[java.io.IOException](t.fetch(s"$base/file"))
+      assert(file.getMessage.contains("redirect off http(s)"), file.getMessage)
+      val bad = intercept[java.io.IOException](t.fetch(s"$base/mangled"))
+      assert(bad.getMessage.contains("unresolvable redirect"), bad.getMessage)
+      // and a directly-supplied non-http(s)/malformed URL fails the same way
+      intercept[java.io.IOException](t.fetch("file:///etc/passwd"))
+      intercept[java.io.IOException](t.fetch("http://[broken"))
+    }
+  }
+
   test("read timeout fails fast instead of hanging the task") {
     withServer("/slow.nc" -> { ex =>
       Thread.sleep(10000); sendAll(ex, "late".getBytes)

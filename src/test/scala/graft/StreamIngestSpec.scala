@@ -25,7 +25,7 @@ class StreamIngestSpec extends AnyFunSuite {
     ev.filter(col("event_id") < 200).coalesce(1)
       .write.mode("overwrite").parquet(s"$inbox/u1")
     val q1 = Ingest.start(spark, s"$inbox/*", schema, sink, ckpt, "event_id",
-      df => df.filter(col("value").isNotNull))
+      df => df.filter(col("value").isNotNull), boundedSink = true)
     q1.awaitTermination()
     val n1 = spark.read.parquet(sink).count()
     assert(n1 == ev.filter(col("event_id") < 200 && col("value").isNotNull).count())
@@ -34,7 +34,7 @@ class StreamIngestSpec extends AnyFunSuite {
     ev.filter(col("event_id") >= 100 && col("event_id") < 300).coalesce(1)
       .write.mode("overwrite").parquet(s"$inbox/u2")
     val q2 = Ingest.start(spark, s"$inbox/*", schema, sink, ckpt, "event_id",
-      df => df.filter(col("value").isNotNull))
+      df => df.filter(col("value").isNotNull), boundedSink = true)
     q2.awaitTermination()
 
     val out = spark.read.parquet(sink)
@@ -67,7 +67,8 @@ class StreamIngestSpec extends AnyFunSuite {
     ev.filter(col("event_id") >= 100 && col("event_id") < 300).coalesce(1)
       .write.mode("overwrite").parquet(s"$inbox/u2")
     Ingest.start(spark, s"$inbox/*", ev.schema, sink, ckpt, "event_id",
-      identity, readOptions = Map("maxFilesPerTrigger" -> "1"))
+      identity, boundedSink = true,
+      readOptions = Map("maxFilesPerTrigger" -> "1"))
       .awaitTermination()
 
     val out = spark.read.schema(ev.schema).parquet(sink)
@@ -135,7 +136,8 @@ class StreamIngestSpec extends AnyFunSuite {
     ev.filter(col("event_id") < 50).coalesce(1)
       .write.mode("overwrite").parquet(s"$base/in/u1")
     Ingest.start(spark, s"$base/in/*", ev.schema, s"$base/sink1",
-      s"$base/ckpt1", "event_id", identity).awaitTermination()
+      s"$base/ckpt1", "event_id", identity, boundedSink = true)
+      .awaitTermination()
     Ingest.startStateful(spark, s"$base/in/*", ev.schema, s"$base/sink2",
       s"$base/ckpt2", "event_id", identity).awaitTermination()
 
@@ -150,6 +152,21 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(meta.contains("RocksDBStateStoreProvider"),
       s"checkpoint offset metadata must pin the RocksDB provider:\n$meta")
     QueryContext.rmTree(base)
+  }
+
+  test("Ingest.start structurally rejects an unacknowledged O(sink) sink") {
+    // The per-batch sink re-read is sanctioned for BOUNDED sinks only
+    // (st15's upload table); the sanction used to live in a comment. Now
+    // boundedSink has no default and false fails at call time — before
+    // any stream starts — pointing the caller at startStateful.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    val e = intercept[IllegalArgumentException] {
+      Ingest.start(spark, "/tmp/nonexistent-inbox/*", ev.schema,
+        "/tmp/nonexistent-sink", "/tmp/nonexistent-ckpt", "event_id",
+        identity, boundedSink = false)
+    }
+    assert(e.getMessage.contains("startStateful"), e.getMessage)
   }
 
   test("dedupBounded: in-horizon dups dropped, state evicted, late dup re-admitted") {
