@@ -895,6 +895,12 @@ private[graft] object OracleSql {
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
          FROM events
          WHERE (event_id % 3 IN (0, 1) OR event_id % 2 = 0) AND value IS NOT NULL""",
+    "o7_txn_manifest" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+                (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS n_mid,
+                CAST(1 AS BIGINT) AS n_orphans_reaped
+         FROM events""",
     "st16_stateful_upload" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value

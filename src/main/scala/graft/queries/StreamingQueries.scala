@@ -566,7 +566,11 @@ private[graft] object StreamingQueries {
     // double. SCALE NOTE: a crawl ledger grows without bound, so the dedup
     // must be O(batch) per batch — state-store lookups, NOT Ingest.start's
     // per-batch sink re-read (that O(sink) shortcut is sanctioned for the
-    // bounded st15 upload table only). ------------------------------------
+    // bounded st15 upload table only). Round 17: the ledger sink rides the
+    // TRANSACTIONAL manifest table (Ingest.startTransactional) — each
+    // micro-batch commits via atomic manifest publish, the read-back
+    // resolves the latest manifest instead of globbing the dir, and a
+    // crash-replayed batch is a ledger no-op (o7 drives that window). ----
     "st17_crawl_ledger" -> { (s, dir) =>
       val pg = AcquireQueries.indexPages(s, dir)
       val base = scratchDir("graft-st17")
@@ -583,19 +587,54 @@ private[graft] object StreamingQueries {
       withoutNoDataBatch(s) {
         pg.filter(col("page_id") % 2 === 0).coalesce(1)
           .write.mode("overwrite").parquet(s"$inbox/c1")
-        Ingest.startStateful(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
+        Ingest.startTransactional(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
           .awaitTermination()
         pg.coalesce(1).write.mode("overwrite").parquet(s"$inbox/c2")
-        Ingest.startStateful(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
+        Ingest.startTransactional(s, s"$inbox/*", pg.schema, sink, ckpt, "file_name", toPlan)
           .awaitTermination()
       }
-      val out = s.read.schema(toPlan(pg.limit(0)).schema).parquet(sink)
+      val out = graft.stream.ManifestTable.read(s, sink, toPlan(pg.limit(0)).schema)
       collectThenReap(s, base)(
         out.groupBy((col("page_id") % 2 === 0).as("recrawled"))
           .agg(count(lit(1)).as("n_files"),
             countDistinct(col("file_name")).as("n_names"),
             sum(length(col("href"))).as("href_chars"))
           .orderBy("recrawled"))
+    },
+
+    // ---- O7 transactional manifest sink: the commit protocol driven
+    // through its CRASH WINDOW (stream/ManifestTable — the 100 TB upgrade
+    // of startStateful's partition-overwrite sink effect, round-17 verdict
+    // item 5). Batch 0 commits; batch 1 CRASHES mid-commit (data + segment
+    // on disk, manifest publish never runs) — the reader, resolving the
+    // latest manifest, must see batch 0 ONLY (n_mid). The replayed batch 1
+    // then commits a fresh attempt, a DUPLICATE delivery of the committed
+    // batch is a ledger no-op, batch 2 commits, and vacuum reaps exactly
+    // the one crashed attempt dir. The final aggregate therefore equals a
+    // plain scan of the source — exactly-once across crash, replay, and
+    // duplicate delivery — and every waypoint (mid-crash count, orphan
+    // count) rides INSIDE the oracled row. --------------------------------
+    "o7_txn_manifest" -> { (s, dir) =>
+      import graft.stream.ManifestTable
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val base = scratchDir("graft-o7")
+      val table = s"$base/table"
+      val b = (i: Int) => ev.filter(col("event_id") % 3 === i)
+      ManifestTable.appendBatch(b(0), table, 0L)
+      // crash window: batch 1's data files + segment land, publish never runs
+      ManifestTable.writeAttempt(b(1), table, 1L)
+      val nMid = ManifestTable.read(s, table, ev.schema).count()
+      ManifestTable.appendBatch(b(1), table, 1L) // crash-replay: commits
+      ManifestTable.appendBatch(b(1), table, 1L) // duplicate delivery: no-op
+      ManifestTable.appendBatch(b(2), table, 2L)
+      val nOrphans = ManifestTable.vacuum(table).size.toLong
+      val out = ManifestTable.read(s, table, ev.schema)
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_keys"),
+          Stats.sumMoney("value").as("sum_value"))
+        .withColumn("n_mid", lit(nMid))
+        .withColumn("n_orphans_reaped", lit(nOrphans)))
     },
 
     "st16_stateful_upload" -> { (s, dir) =>

@@ -152,8 +152,9 @@ object Ingest {
     * each micro-batch overwrites its own `batch=<id>` partition dir, so a
     * batch replayed after a crash (state restored to the pre-batch version
     * re-emits the same rows) lands the same content in the same dir — an
-    * exactly-once sink EFFECT without a transactional table format (which
-    * is what this slot upgrades to at 100 TB).
+    * exactly-once sink EFFECT without a transactional table format —
+    * [[startTransactional]] IS that upgrade (manifest-committed sink,
+    * replay = batch-id-ledger no-op) when readers can resolve manifests.
     * State is unbounded by design — the seen-key set IS the
     * semantic (ON CONFLICT DO NOTHING forever); when keys have event-time
     * locality, `dropDuplicatesWithinWatermark` bounds it instead.
@@ -166,42 +167,82 @@ object Ingest {
       checkpointDir: String,
       key: String,
       transform: DataFrame => DataFrame): StreamingQuery =
-    // Spark offers no per-query writeStream option for the state-store
-    // provider, so it has to ride the session conf around .start() (the
-    // query pins it into its checkpoint metadata at first start). The
-    // set/start/restore window is a read-modify-write of SHARED session
-    // state — synchronize on the session so a concurrent query start
-    // can't capture RocksDB unintentionally and a concurrent conf.set
-    // can't be clobbered by the restore. .start() returns as soon as the
-    // query thread is launched (it doesn't await a batch), so the lock
-    // is held for milliseconds, not the drain.
-    spark.synchronized {
-    val prev = spark.conf.getOption(ProviderConf)
-    spark.conf.set(ProviderConf, RocksDbProvider)
-    try
-      spark.readStream
-        .schema(schema)
-        .parquet(inbox)
-        .transform(transform)
-        .dropDuplicates(key)
-        .writeStream
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // Idempotent-by-batch sink: each micro-batch owns the partition dir
-          // batch=<id> and REPLACES it. A crash between the append and the
-          // checkpoint commit replays the batch on restart — the state store
-          // re-emits the same rows and the overwrite lands the same content
-          // in the same dir, so replays cannot duplicate keys (a bare append
-          // here would be at-least-once). Readers scan sinkDir recursively.
-          batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-          ()
-        }
-        .start()
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderConf, v)
-      case None => spark.conf.unset(ProviderConf)
+    statefulDedupStream(spark, inbox, schema, checkpointDir, key, transform) {
+      (batch, batchId) =>
+        // Idempotent-by-batch sink: each micro-batch owns the partition dir
+        // batch=<id> and REPLACES it. A crash between the append and the
+        // checkpoint commit replays the batch on restart — the state store
+        // re-emits the same rows and the overwrite lands the same content
+        // in the same dir, so replays cannot duplicate keys (a bare append
+        // here would be at-least-once). Readers scan sinkDir recursively.
+        batch.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
     }
+
+  /** [[startStateful]] writing through the TRANSACTIONAL manifest table
+    * ([[ManifestTable.appendBatch]]) instead of `batch=<id>` partition
+    * overwrite — the promised 100 TB upgrade of that sink effect, as real
+    * engineering: each micro-batch commits atomically (hard-link manifest
+    * publish), readers resolve the latest manifest and can never observe a
+    * half-committed batch, and crash-replay is a batch-id-ledger no-op
+    * rather than a byte-identical overwrite. Read the sink back with
+    * [[ManifestTable.read]]; the o7 oracle row drives the crash window
+    * end-to-end and st17 rides this path at the query surface.
+    */
+  def startTransactional(
+      spark: SparkSession,
+      inbox: String,
+      schema: StructType,
+      tableDir: String,
+      checkpointDir: String,
+      key: String,
+      transform: DataFrame => DataFrame): StreamingQuery =
+    statefulDedupStream(spark, inbox, schema, checkpointDir, key, transform) {
+      (batch, batchId) => ManifestTable.appendBatch(batch, tableDir, batchId)
+    }
+
+  /** Shared spine of [[startStateful]]/[[startTransactional]]: file-source
+    * inbox → transform → state-store dropDuplicates (RocksDB, pinned per
+    * query at first start) → `sinkEffect` per micro-batch.
+    *
+    * Spark offers no per-query writeStream option for the state-store
+    * provider, so it has to ride the session conf around `.start()` (the
+    * query pins it into its checkpoint metadata at first start). The
+    * set/start/restore window is a read-modify-write of SHARED session
+    * state — synchronized on the session so a concurrent query start
+    * can't capture RocksDB unintentionally and a concurrent conf.set
+    * can't be clobbered by the restore. `.start()` returns as soon as the
+    * query thread is launched (it doesn't await a batch), so the lock is
+    * held for milliseconds, not the drain.
+    */
+  private def statefulDedupStream(
+      spark: SparkSession,
+      inbox: String,
+      schema: StructType,
+      checkpointDir: String,
+      key: String,
+      transform: DataFrame => DataFrame)(
+      sinkEffect: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.synchronized {
+      val prev = spark.conf.getOption(ProviderConf)
+      spark.conf.set(ProviderConf, RocksDbProvider)
+      try
+        spark.readStream
+          .schema(schema)
+          .parquet(inbox)
+          .transform(transform)
+          .dropDuplicates(key)
+          .writeStream
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            sinkEffect(batch, batchId)
+            ()
+          }
+          .start()
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
     }
 
   /** ST2 batch-shaped equivalent, for oracle-checkable use in queries():

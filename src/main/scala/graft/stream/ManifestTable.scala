@@ -1,0 +1,190 @@
+package graft.stream
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Minimal transactional table format for streaming sinks — the thing the
+  * `startStateful` docstring always said its `batch=<id>` partition
+  * overwrite "upgrades to at 100 TB", now real (round-17 verdict item 5).
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/b<batchId>_<uuid>/part-*.parquet   immutable data files, one
+  *                                           attempt dir per commit try
+  *   _manifests/seg_<uuid>.list              immutable SEGMENT: the file
+  *                                           list ONE commit added
+  *   _manifests/v<version>.manifest          snapshot: committed batch ids
+  *                                           + the segments composing it
+  * }}}
+  *
+  * The commit protocol (`appendBatch`):
+  *  1. write the batch's parquet under a fresh attempt dir (UUID-unique, so
+  *     a replayed attempt never collides with a crashed one's leftovers);
+  *  2. write an immutable segment file listing exactly those part files;
+  *  3. PUBLISH atomically: write the next version's manifest to a temp
+  *     name, then hard-link it to `v<N>.manifest` — link(2) fails EEXIST
+  *     atomically (the `Acquire.publish` rule: rename(2) REPLACES silently
+  *     on POSIX), so of two racing committers exactly one wins version N
+  *     and the loser re-reads and retries on N+1.
+  *
+  * Readers (`read`) resolve the HIGHEST committed manifest and scan exactly
+  * the files its segments list — a crash between steps 1-2 and 3 leaves
+  * data on disk that NO reader ever sees (`vacuum` reaps it), which is the
+  * reads-never-see-a-half-committed-batch guarantee the o7 oracle row
+  * drives end-to-end. Exactly-once across crash-replay comes from the
+  * batch-id ledger: every manifest carries the full set of committed batch
+  * ids, so a replayed `appendBatch` whose id already committed is a no-op
+  * (checked again after losing a publish race, closing the
+  * replay-races-its-own-twin window).
+  *
+  * Scale notes: a commit writes ONE segment (O(files added this batch))
+  * and ONE manifest (O(commits so far) lines — batch ids + segment names,
+  * NOT data files), so commit cost is independent of table size; the
+  * Iceberg/Delta analogue of snapshot → manifest-list → manifest. Readers
+  * pay O(commits) tiny metadata reads + the data scan. The local-FS
+  * hard-link publish maps to the conditional-PUT / atomic-rename primitive
+  * every object store and HDFS offers. Manifests are never rewritten, so
+  * any historical version remains readable (time travel) until a
+  * compaction (o1's job) folds segments and re-publishes.
+  */
+object ManifestTable {
+
+  /** A resolved snapshot: `files` are table-root-relative parquet paths. */
+  final case class Manifest(version: Long, batchIds: Set[Long], files: Seq[String])
+
+  private def manifestsDir(table: String): Path = Paths.get(table, "_manifests")
+
+  /** `Files.list` under a closed stream (the returned java Stream holds a
+    * directory handle until closed — a drain loop would leak them).
+    */
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  private val ManifestName = raw"v(\d{20})\.manifest".r
+
+  /** Highest committed snapshot, None for an empty/absent table. */
+  def latest(table: String): Option[Manifest] = {
+    val dir = manifestsDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val versions = listDir(dir)(_.flatMap(p => p.getFileName.toString match {
+      case ManifestName(v) => Some(v.toLong -> p)
+      case _ => None
+    }).toSeq)
+    if (versions.isEmpty) None
+    else {
+      val (version, path) = versions.maxBy(_._1)
+      val lines = Files.readAllLines(path).asScala
+      val batchIds = lines.collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }.toSet
+      val files = lines.collect { case s if s.startsWith("segment=") =>
+        Files.readAllLines(dir.resolve(s.stripPrefix("segment="))).asScala
+          .collect { case f if f.startsWith("file=") => f.stripPrefix("file=") }
+      }.flatten.toSeq
+      Some(Manifest(version, batchIds, files))
+    }
+  }
+
+  /** Batch ids the latest snapshot has committed (replay no-op test). */
+  def committedBatchIds(table: String): Set[Long] =
+    latest(table).map(_.batchIds).getOrElse(Set.empty)
+
+  /** Commit `batch` under `batchId`. Idempotent per id: a crash-replayed
+    * micro-batch whose id already committed returns without writing —
+    * exactly-once ACROSS crash-replay, not just per run.
+    */
+  def appendBatch(batch: DataFrame, table: String, batchId: Long): Unit = {
+    if (committedBatchIds(table).contains(batchId)) return
+    val segment = writeAttempt(batch, table, batchId)
+    publish(table, batchId, segment)
+  }
+
+  /** Steps 1-2 of the protocol WITHOUT the publish — data + segment on
+    * disk, invisible to every reader. Package-private so the o7 oracle row
+    * and specs can park a table in the mid-crash state and prove readers
+    * skip it; `appendBatch` is the only production path and always
+    * publishes. Returns the segment file name to hand to [[publish]].
+    */
+  private[graft] def writeAttempt(batch: DataFrame, table: String, batchId: Long): String = {
+    val attempt = s"data/b${batchId}_${UUID.randomUUID().toString.take(8)}"
+    batch.write.mode("error").parquet(s"$table/$attempt")
+    val files = listDir(Paths.get(table, attempt))(
+      _.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .toSeq.sorted)
+    val dir = manifestsDir(table)
+    Files.createDirectories(dir)
+    val segment = s"seg_${UUID.randomUUID().toString.take(8)}.list"
+    Files.write(dir.resolve(segment),
+      files.map(f => s"file=$attempt/$f").mkString("", "\n", "\n").getBytes("UTF-8"))
+    segment
+  }
+
+  /** Step 3: atomically claim the next version, folding `segment` and
+    * `batchId` into the previous snapshot. Retries on a lost race (EEXIST
+    * from the hard link), re-checking the batch-id ledger each round so a
+    * replay that raced its own twin degrades to the no-op.
+    */
+  @annotation.tailrec
+  private[graft] def publish(table: String, batchId: Long, segment: String): Unit = {
+    val dir = manifestsDir(table)
+    Files.createDirectories(dir)
+    val cur = latest(table)
+    if (cur.exists(_.batchIds.contains(batchId))) return
+    val next = cur.map(_.version + 1).getOrElse(0L)
+    val prevLines = cur.map { m =>
+      val prev = Files.readAllLines(dir.resolve(f"v${m.version}%020d.manifest")).asScala
+      prev.filter(s => s.startsWith("batch=") || s.startsWith("segment="))
+    }.getOrElse(Seq.empty)
+    val content = (Seq(s"version=$next") ++ prevLines ++
+      Seq(s"batch=$batchId", s"segment=$segment")).mkString("", "\n", "\n")
+    val tmp = dir.resolve(s".tmp_${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    val won =
+      try { Files.createLink(dir.resolve(f"v$next%020d.manifest"), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    Files.deleteIfExists(tmp)
+    if (!won) publish(table, batchId, segment)
+  }
+
+  /** Scan exactly the latest snapshot's files (explicit writer schema —
+    * the repo-wide read-back rule; an empty table is an empty frame, not
+    * an inference failure). A half-committed batch's files are structurally
+    * unreachable from here.
+    */
+  def read(spark: SparkSession, table: String, schema: StructType): DataFrame =
+    latest(table) match {
+      case Some(m) if m.files.nonEmpty =>
+        spark.read.schema(schema).parquet(m.files.map(f => s"$table/$f"): _*)
+      case _ =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+
+  /** Reap ATTEMPT DIRS no committed snapshot references — crashed attempts
+    * (data written, never published). Append-only commits mean the latest
+    * snapshot references every live file, so an attempt dir contributing
+    * nothing to the latest snapshot is exactly a crash orphan; whole-dir
+    * removal also reaps its _SUCCESS/.crc bookkeeping without ever
+    * touching a live dir's. Returns the removed attempt-dir names.
+    */
+  def vacuum(table: String): Seq[String] = {
+    val dataDir = Paths.get(table, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    // live attempt dirs = first two path components of every live file
+    val liveDirs = latest(table).map(_.files.map(f =>
+      f.split('/').take(2).mkString("/")).toSet).getOrElse(Set.empty)
+    val orphans = listDir(dataDir)(_.filter(d => Files.isDirectory(d) &&
+      !liveDirs.contains(s"data/${d.getFileName}")).toSeq)
+    orphans.foreach { d =>
+      listDir(d)(_.toSeq).foreach(Files.delete)
+      Files.delete(d)
+    }
+    orphans.map(d => s"data/${d.getFileName}")
+  }
+}
