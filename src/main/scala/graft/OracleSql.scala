@@ -901,6 +901,19 @@ private[graft] object OracleSql {
                 (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS n_mid,
                 CAST(1 AS BIGINT) AS n_orphans_reaped
          FROM events""",
+    "o8_txn_compact" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+                (SELECT CAST(coalesce(sum(least(2, cnt)), 0) AS BIGINT) FROM
+                  (SELECT count(*) AS cnt FROM events
+                   WHERE event_id IS NOT NULL GROUP BY event_id % 4) t)
+                  AS files_before,
+                TRUE AS compact_on_target,
+                (SELECT count(*) FROM events WHERE event_id % 4 = 0) AS n_v0_rows,
+                TRUE AS replay_noop,
+                TRUE AS expire_ok,
+                CAST(4 AS BIGINT) AS n_dirs_reclaimed
+         FROM events""",
     "st16_stateful_upload" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value

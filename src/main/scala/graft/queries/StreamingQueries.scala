@@ -637,6 +637,62 @@ private[graft] object StreamingQueries {
         .withColumn("n_orphans_reaped", lit(nOrphans)))
     },
 
+    // ---- O8 commit-log maintenance: OPTIMIZE/expire/vacuum INSIDE the
+    // manifest table (the lakehouse loop o1 runs on bare directories,
+    // closed over the transactional format). Four 2-file batches commit;
+    // compact() folds the 8-file listing into one ~128 MB-target file as a
+    // NEW version (batch ids carry over — a replayed batch id stays a
+    // no-op ACROSS the compaction, pinned by replay_noop); version 0 still
+    // time-travels to batch 0's rows until expireSnapshots(keepLast=1)
+    // drops v0..vN-1, after which vacuum reclaims exactly the four
+    // pre-compaction attempt dirs. File/version counts ride the oracled
+    // row as closed forms over the source (least(2, per-residue count) per
+    // batch dir; booleans for the version-chain invariants), so they stay
+    // TRUE on degenerate fixtures (empty/single/allnull fuzz variants)
+    // where a batch writes fewer than two files. ---------------------------
+    "o8_txn_compact" -> { (s, dir) =>
+      import graft.stream.ManifestTable
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val base = scratchDir("graft-o8")
+      val table = s"$base/table"
+      // coalesce(1) first so the round-robin repartition(2) fans out from
+      // ONE input partition: exactly min(2, rows) non-empty output files,
+      // the closed form the oracle recomputes per residue
+      val b = (i: Int) =>
+        ev.filter(col("event_id") % 4 === i).coalesce(1).repartition(2)
+      (0 until 4).foreach(i => ManifestTable.appendBatch(b(i), table, i.toLong))
+      val m0 = ManifestTable.latest(table)
+      val filesBefore = m0.map(_.files.size).getOrElse(0)
+      // target-DERIVED expectation (the o1 rule): at a larger scale factor
+      // the snapshot exceeds one 128 MB file and the count moves with it
+      val target = 128L << 20
+      val bytes = m0.map(_.files.map(f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(table, f))).sum)
+        .getOrElse(0L)
+      val expectedAfter =
+        if (bytes == 0L) 0L else math.max(1L, (bytes + target - 1) / target)
+      val (_, filesAfter) = ManifestTable.compact(s, table, ev.schema, target)
+      val nV0 = ManifestTable.readAt(s, table, ev.schema, 0L).count()
+      val vBeforeReplay = ManifestTable.latest(table).map(_.version).getOrElse(-1L)
+      ManifestTable.appendBatch(b(1), table, 1L) // replayed id: must be a no-op
+      val vAfterReplay = ManifestTable.latest(table).map(_.version).getOrElse(-1L)
+      val expired = ManifestTable.expireSnapshots(table, keepLast = 1)
+      val reclaimed = ManifestTable.vacuum(table).size.toLong
+      val out = ManifestTable.read(s, table, ev.schema)
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_keys"),
+          Stats.sumMoney("value").as("sum_value"))
+        .withColumn("files_before", lit(filesBefore.toLong))
+        .withColumn("compact_on_target", lit(filesAfter.toLong == expectedAfter))
+        .withColumn("n_v0_rows", lit(nV0))
+        .withColumn("replay_noop", lit(vAfterReplay == vBeforeReplay))
+        // dense version chain 0..N with only the latest kept ⇒ the expired
+        // count equals the latest version number
+        .withColumn("expire_ok", lit(expired.size.toLong == vAfterReplay))
+        .withColumn("n_dirs_reclaimed", lit(reclaimed)))
+    },
+
     "st16_stateful_upload" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
       val base = scratchDir("graft-st16")

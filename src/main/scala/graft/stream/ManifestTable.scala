@@ -48,9 +48,11 @@ import org.apache.spark.sql.types.StructType
   * Iceberg/Delta analogue of snapshot → manifest-list → manifest. Readers
   * pay O(commits) tiny metadata reads + the data scan. The local-FS
   * hard-link publish maps to the conditional-PUT / atomic-rename primitive
-  * every object store and HDFS offers. Manifests are never rewritten, so
-  * any historical version remains readable (time travel) until a
-  * compaction (o1's job) folds segments and re-publishes.
+  * every object store and HDFS offers. Manifests are never rewritten —
+  * historical versions stay readable ([[readAt]] time travel) until
+  * [[expireSnapshots]] drops them; [[compact]] folds the latest listing
+  * into size-targeted files as a NEW version (o1's OPTIMIZE inside the
+  * log), and [[vacuum]] reclaims whatever no retained version references.
   */
 object ManifestTable {
 
@@ -69,27 +71,44 @@ object ManifestTable {
 
   private val ManifestName = raw"v(\d{20})\.manifest".r
 
-  /** Highest committed snapshot, None for an empty/absent table. */
-  def latest(table: String): Option[Manifest] = {
+  /** (version, manifest path) for every committed snapshot on disk. */
+  private def versionsOnDisk(table: String): Seq[(Long, Path)] = {
     val dir = manifestsDir(table)
-    if (!Files.isDirectory(dir)) return None
-    val versions = listDir(dir)(_.flatMap(p => p.getFileName.toString match {
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir)(_.flatMap(p => p.getFileName.toString match {
       case ManifestName(v) => Some(v.toLong -> p)
       case _ => None
     }).toSeq)
+  }
+
+  private def parseManifest(table: String, version: Long, path: Path): Manifest = {
+    val dir = manifestsDir(table)
+    val lines = Files.readAllLines(path).asScala
+    val batchIds = lines.collect { case s if s.startsWith("batch=") =>
+      s.stripPrefix("batch=").toLong }.toSet
+    val files = lines.collect { case s if s.startsWith("segment=") =>
+      Files.readAllLines(dir.resolve(s.stripPrefix("segment="))).asScala
+        .collect { case f if f.startsWith("file=") => f.stripPrefix("file=") }
+    }.flatten.toSeq
+    Manifest(version, batchIds, files)
+  }
+
+  /** Highest committed snapshot, None for an empty/absent table. */
+  def latest(table: String): Option[Manifest] = {
+    val versions = versionsOnDisk(table)
     if (versions.isEmpty) None
     else {
       val (version, path) = versions.maxBy(_._1)
-      val lines = Files.readAllLines(path).asScala
-      val batchIds = lines.collect { case s if s.startsWith("batch=") =>
-        s.stripPrefix("batch=").toLong }.toSet
-      val files = lines.collect { case s if s.startsWith("segment=") =>
-        Files.readAllLines(dir.resolve(s.stripPrefix("segment="))).asScala
-          .collect { case f if f.startsWith("file=") => f.stripPrefix("file=") }
-      }.flatten.toSeq
-      Some(Manifest(version, batchIds, files))
+      Some(parseManifest(table, version, path))
     }
   }
+
+  /** A specific committed snapshot — time travel. None if that version was
+    * never committed or has been expired ([[expireSnapshots]]).
+    */
+  def manifestAt(table: String, version: Long): Option[Manifest] =
+    versionsOnDisk(table).find(_._1 == version)
+      .map { case (v, p) => parseManifest(table, v, p) }
 
   /** Batch ids the latest snapshot has committed (replay no-op test). */
   def committedBatchIds(table: String): Set[Long] =
@@ -133,24 +152,38 @@ object ManifestTable {
     */
   @annotation.tailrec
   private[graft] def publish(table: String, batchId: Long, segment: String): Unit = {
-    val dir = manifestsDir(table)
-    Files.createDirectories(dir)
     val cur = latest(table)
     if (cur.exists(_.batchIds.contains(batchId))) return
+    val won = tryPublish(table, cur, { prevLines =>
+      prevLines ++ Seq(s"batch=$batchId", s"segment=$segment")
+    })
+    if (!won) publish(table, batchId, segment)
+  }
+
+  /** Optimistic single-version claim: build the next manifest's body from
+    * the previous one's `batch=`/`segment=` lines via `buildLines`, then
+    * hard-link it into place. Returns false on a lost race (someone else
+    * claimed the version) — the CALLER decides whether to fold-and-retry
+    * (append) or recompute its whole input (compaction).
+    */
+  private def tryPublish(table: String, cur: Option[Manifest],
+      buildLines: Seq[String] => Seq[String]): Boolean = {
+    val dir = manifestsDir(table)
+    Files.createDirectories(dir)
     val next = cur.map(_.version + 1).getOrElse(0L)
     val prevLines = cur.map { m =>
-      val prev = Files.readAllLines(dir.resolve(f"v${m.version}%020d.manifest")).asScala
-      prev.filter(s => s.startsWith("batch=") || s.startsWith("segment="))
+      Files.readAllLines(dir.resolve(f"v${m.version}%020d.manifest")).asScala.toSeq
+        .filter(s => s.startsWith("batch=") || s.startsWith("segment="))
     }.getOrElse(Seq.empty)
-    val content = (Seq(s"version=$next") ++ prevLines ++
-      Seq(s"batch=$batchId", s"segment=$segment")).mkString("", "\n", "\n")
+    val content = (s"version=$next" +: buildLines(prevLines))
+      .mkString("", "\n", "\n")
     val tmp = dir.resolve(s".tmp_${UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, content.getBytes("UTF-8"))
     val won =
       try { Files.createLink(dir.resolve(f"v$next%020d.manifest"), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
     Files.deleteIfExists(tmp)
-    if (!won) publish(table, batchId, segment)
+    won
   }
 
   /** Scan exactly the latest snapshot's files (explicit writer schema —
@@ -159,26 +192,41 @@ object ManifestTable {
     * unreachable from here.
     */
   def read(spark: SparkSession, table: String, schema: StructType): DataFrame =
-    latest(table) match {
-      case Some(m) if m.files.nonEmpty =>
-        spark.read.schema(schema).parquet(m.files.map(f => s"$table/$f"): _*)
+    readManifest(spark, table, schema, latest(table))
+
+  /** Time-travel scan of a specific committed version (an expired or
+    * never-committed version reads empty — callers check [[manifestAt]]
+    * when absence must be distinguished from an empty snapshot).
+    */
+  def readAt(spark: SparkSession, table: String, schema: StructType,
+      version: Long): DataFrame =
+    readManifest(spark, table, schema, manifestAt(table, version))
+
+  private def readManifest(spark: SparkSession, table: String,
+      schema: StructType, m: Option[Manifest]): DataFrame =
+    m match {
+      case Some(mf) if mf.files.nonEmpty =>
+        spark.read.schema(schema).parquet(mf.files.map(f => s"$table/$f"): _*)
       case _ =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
 
-  /** Reap ATTEMPT DIRS no committed snapshot references — crashed attempts
-    * (data written, never published). Append-only commits mean the latest
-    * snapshot references every live file, so an attempt dir contributing
-    * nothing to the latest snapshot is exactly a crash orphan; whole-dir
-    * removal also reaps its _SUCCESS/.crc bookkeeping without ever
+  /** Reap ATTEMPT DIRS no RETAINED snapshot references. Before any
+    * [[expireSnapshots]] that is exactly the crash orphans (data written,
+    * publish never ran); after expiry it additionally reclaims files only
+    * expired versions referenced (pre-compaction originals). Whole-dir
+    * removal also reaps a dir's _SUCCESS/.crc bookkeeping without ever
     * touching a live dir's. Returns the removed attempt-dir names.
     */
   def vacuum(table: String): Seq[String] = {
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    // live attempt dirs = first two path components of every live file
-    val liveDirs = latest(table).map(_.files.map(f =>
-      f.split('/').take(2).mkString("/")).toSet).getOrElse(Set.empty)
+    // live attempt dirs = first two path components of every file any
+    // RETAINED manifest references (compaction REPLACES listings, so the
+    // latest manifest alone no longer covers older versions' files)
+    val liveDirs = versionsOnDisk(table)
+      .flatMap { case (v, p) => parseManifest(table, v, p).files }
+      .map(f => f.split('/').take(2).mkString("/")).toSet
     val orphans = listDir(dataDir)(_.filter(d => Files.isDirectory(d) &&
       !liveDirs.contains(s"data/${d.getFileName}")).toSeq)
     orphans.foreach { d =>
@@ -186,5 +234,76 @@ object ManifestTable {
       Files.delete(d)
     }
     orphans.map(d => s"data/${d.getFileName}")
+  }
+
+  /** OPTIMIZE inside the commit log: rewrite the latest snapshot's files
+    * to ~`targetBytes` outputs (shuffle-free coalesce — whole input splits
+    * concatenate per output task, the o1 `Layout.compact` recipe) and
+    * publish a version whose listing REPLACES the fragmented one. Batch
+    * ids carry over unchanged (the ledger tracks COMMITTED INGEST, not
+    * file layout, so replayed batches stay no-ops across a compaction);
+    * prior versions keep resolving the original files for time travel
+    * until [[expireSnapshots]] + [[vacuum]] reclaim them. A lost publish
+    * race (a concurrent append landed first) recomputes from the NEW
+    * snapshot — folding the prior listing forward would resurrect the
+    * fragments and drop the append. Returns (files before, files after);
+    * a no-op on an empty table.
+    */
+  def compact(spark: SparkSession, table: String, schema: StructType,
+      targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    var result = (0, 0)
+    var done = false
+    while (!done) {
+      val cur = latest(table)
+      if (cur.isEmpty || cur.get.files.isEmpty) { done = true }
+      else {
+        val m = cur.get
+        val bytes = m.files.map(f => Files.size(Paths.get(table, f))).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val attempt = s"data/c${m.version + 1}_${UUID.randomUUID().toString.take(8)}"
+        readManifest(spark, table, schema, Some(m)).coalesce(nOut)
+          .write.mode("error").parquet(s"$table/$attempt")
+        val files = listDir(Paths.get(table, attempt))(
+          _.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+            .toSeq.sorted)
+        val dir = manifestsDir(table)
+        val segment = s"seg_${UUID.randomUUID().toString.take(8)}.list"
+        Files.write(dir.resolve(segment),
+          files.map(f => s"file=$attempt/$f").mkString("", "\n", "\n")
+            .getBytes("UTF-8"))
+        done = tryPublish(table, Some(m), { prevLines =>
+          prevLines.filter(_.startsWith("batch=")) :+ s"segment=$segment"
+        })
+        if (done) result = (m.files.size, files.size)
+        // a lost race leaves this attempt dir + segment orphaned — exactly
+        // what vacuum reaps; the loop recomputes against the new snapshot
+      }
+    }
+    result
+  }
+
+  /** Drop every manifest except the newest `keepLast` (and the segments
+    * only expired manifests referenced). Expired versions stop resolving
+    * for time travel; the data files they alone referenced become vacuum
+    * fodder. Returns the expired version numbers.
+    */
+  def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must retain at least the latest: $keepLast")
+    val versions = versionsOnDisk(table).sortBy(_._1)
+    val expire = versions.dropRight(keepLast)
+    if (expire.isEmpty) return Seq.empty
+    val dir = manifestsDir(table)
+    def segmentsOf(p: Path): Set[String] =
+      Files.readAllLines(p).asScala
+        .collect { case s if s.startsWith("segment=") => s.stripPrefix("segment=") }
+        .toSet
+    val keptSegments = versions.takeRight(keepLast).map(_._2)
+      .flatMap(segmentsOf).toSet
+    val deadSegments = expire.map(_._2).flatMap(segmentsOf).toSet -- keptSegments
+    expire.foreach { case (_, p) => Files.delete(p) }
+    deadSegments.foreach(seg => Files.deleteIfExists(dir.resolve(seg)))
+    expire.map(_._1)
   }
 }

@@ -94,6 +94,43 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ids == (0L until 8L).toSeq, s"exactly-once per batch, got $ids")
   }
 
+  test("compact folds the listing as a NEW version; time travel survives until expiry") {
+    val t = freshTable()
+    val schema = Seq((1L, 1.0)).toDF("id", "v").schema
+    (0 until 4).foreach { i =>
+      ManifestTable.appendBatch(
+        Seq((i * 10L, i.toDouble), (i * 10L + 1, i + 0.5)).toDF("id", "v")
+          .repartition(2), t, i.toLong)
+    }
+    val before = ManifestTable.latest(t).get
+    assert(before.files.size == 8 && before.version == 3L)
+    val (nb, na) = ManifestTable.compact(spark, t, schema, 128L << 20)
+    assert(nb == 8 && na == 1, s"8 fragments must fold to 1 file, got ($nb, $na)")
+    val after = ManifestTable.latest(t).get
+    assert(after.version == 4L, "compaction publishes a NEW version")
+    assert(after.batchIds == before.batchIds, "ingest ledger carries over")
+    // a replayed batch id is STILL a no-op after the rewrite
+    ManifestTable.appendBatch(Seq((99L, 9.9)).toDF("id", "v"), t, 2L)
+    assert(ManifestTable.latest(t).get.version == 4L)
+    // content identical through the rewrite
+    val all = ManifestTable.read(spark, t, schema).count()
+    assert(all == 8)
+    // time travel: v1 = batches 0-1 only, reading the ORIGINAL files
+    assert(ManifestTable.readAt(spark, t, schema, 1L).count() == 4)
+    // pre-compaction files are NOT vacuum fodder while old versions remain
+    assert(ManifestTable.vacuum(t).isEmpty,
+      "retained versions' files must survive vacuum")
+    // expire everything but the compacted snapshot → originals reclaim
+    val expired = ManifestTable.expireSnapshots(t, keepLast = 1)
+    assert(expired == Seq(0L, 1L, 2L, 3L))
+    assert(ManifestTable.manifestAt(t, 1L).isEmpty, "expired version gone")
+    val reclaimed = ManifestTable.vacuum(t)
+    assert(reclaimed.size == 4 && reclaimed.forall(_.startsWith("data/b")),
+      s"exactly the four pre-compaction batch dirs reclaim: $reclaimed")
+    assert(ManifestTable.read(spark, t, schema).count() == 8,
+      "the compacted snapshot is untouched by expiry+vacuum")
+  }
+
   test("startTransactional: manifest-committed streaming ingest across a restart") {
     val base = Files.createTempDirectory("graft-txn-stream").toString
     val inbox = s"$base/inbox"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
