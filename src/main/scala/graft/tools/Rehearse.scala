@@ -79,7 +79,13 @@ object Rehearse {
     // post-rep-tier like dc2 (measured 2.8 s one-shot at sf10); gated so
     // the cross-set clone-clique quadratic can't silently return
     "dd12_incremental_dedup" -> 15.0,
-    "e8_ivf_recall" -> 5.0)
+    "e8_ivf_recall" -> 5.0,
+    // round 17: J2's gram banding at 1.5M dirty x 750k registry — the
+    // scale where the old unconditional registry broadcast would OOM-risk
+    // the driver and a lost band would go quadratic. Measured 2.2-3.5 s
+    // one-shot at sf10 on the (size-conditional) shuffle path; ceiling
+    // ~4x for this box's host-noise band.
+    "j2_fuzzy_match" -> 12.0)
 
   def main(args: Array[String]): Unit = {
     // execution intent: this entry point runs what it builds, so let
