@@ -898,22 +898,25 @@ private[graft] object OracleSql {
     "o7_txn_manifest" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
-                (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS n_mid,
+                (SELECT count(*) FROM events
+                 WHERE user_id % 5 = 0 AND event_id % 3 = 0) AS n_mid,
                 CAST(1 AS BIGINT) AS n_orphans_reaped
-         FROM events""",
+         FROM events WHERE user_id % 5 = 0""",
     "o8_txn_compact" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
                 (SELECT CAST(coalesce(sum(least(2, cnt)), 0) AS BIGINT) FROM
                   (SELECT count(*) AS cnt FROM events
-                   WHERE event_id IS NOT NULL GROUP BY event_id % 4) t)
+                   WHERE user_id % 5 = 0 AND event_id IS NOT NULL
+                   GROUP BY event_id % 4) t)
                   AS files_before,
                 TRUE AS compact_on_target,
-                (SELECT count(*) FROM events WHERE event_id % 4 = 0) AS n_v0_rows,
+                (SELECT count(*) FROM events
+                 WHERE user_id % 5 = 0 AND event_id % 4 = 0) AS n_v0_rows,
                 TRUE AS replay_noop,
                 TRUE AS expire_ok,
                 CAST(4 AS BIGINT) AS n_dirs_reclaimed
-         FROM events""",
+         FROM events WHERE user_id % 5 = 0""",
     "st16_stateful_upload" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value

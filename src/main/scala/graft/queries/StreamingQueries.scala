@@ -616,7 +616,11 @@ private[graft] object StreamingQueries {
     // count) rides INSIDE the oracled row. --------------------------------
     "o7_txn_manifest" -> { (s, dir) =>
       import graft.stream.ManifestTable
-      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      // a deterministic 20% slice: the protocol under test (crash window,
+      // ledger, vacuum) is volume-independent, and the bench sweep should
+      // price the COMMIT MACHINERY, not 5x bulk IO of the whole table
+      val ev = Tables.events(s, dir).filter(col("user_id") % 5 === 0)
+        .select("event_id", "user_id", "value")
       val base = scratchDir("graft-o7")
       val table = s"$base/table"
       val b = (i: Int) => ev.filter(col("event_id") % 3 === i)
@@ -652,7 +656,8 @@ private[graft] object StreamingQueries {
     // where a batch writes fewer than two files. ---------------------------
     "o8_txn_compact" -> { (s, dir) =>
       import graft.stream.ManifestTable
-      val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+      val ev = Tables.events(s, dir).filter(col("user_id") % 5 === 0)
+        .select("event_id", "user_id", "value") // the o7 20%-slice rule
       val base = scratchDir("graft-o8")
       val table = s"$base/table"
       // coalesce(1) first so the round-robin repartition(2) fans out from
