@@ -112,10 +112,19 @@ object Bench {
         Some((name, fn, df))
       } catch { case _: Throwable => None }
     }
+    // Construction fired background checkpoint warms; no timed action may
+    // overlap their MARKING (Dedup.warmAsync deadlock note) — drain here.
+    graft.dedup.Dedup.awaitWarms()
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                  df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      if (eagerAtPlan(name)) fn(spark, sfDir).count() else df.count()
+      if (eagerAtPlan(name)) {
+        val fresh = fn(spark, sfDir)
+        // the fresh construction's warms are part of this query's work;
+        // drain INSIDE the timer so the count can't race their marking
+        graft.dedup.Dedup.awaitWarms()
+        fresh.count()
+      } else df.count()
       (System.nanoTime() - t0) / 1e9
     }
     // NOTE (round 9, negative result worth keeping): an untimed per-query
@@ -191,7 +200,9 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val t = try {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          val fresh = fn(spark, sfDir)
+          graft.dedup.Dedup.awaitWarms() // same rule as the eagerAtPlan timer
+          fresh.count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
         name -> t

@@ -26,8 +26,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val frame = fn(spark, sfDir)
+        // background checkpoint warms must finish MARKING before the
+        // write action (Dedup.warmAsync deadlock note)
+        graft.dedup.Dedup.awaitWarms()
+        frame.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -306,10 +306,10 @@ object Dedup {
   @volatile var warmOnConstruct: Boolean = false
 
   /** Kick off BACKGROUND materialization of a lazily-checkpointed frame:
-    * submits a no-op job over the checkpoint's RDD so the workers compute
-    * (and cache) its blocks WHILE the driver constructs the downstream
-    * plans. Analysis/optimization/codegen-source generation are
-    * single-threaded driver work (~0.2-0.3 s per heavy dedup segment,
+    * runs a count over the checkpoint's RDD on a daemon thread so the
+    * workers compute (and cache) its blocks WHILE the driver constructs
+    * the downstream plans. Analysis/optimization/codegen-source generation
+    * are single-threaded driver work (~0.2-0.3 s per heavy dedup segment,
     * StageProbe round 11) during which every worker core otherwise idles;
     * overlapping the two is pure pipelining — per-invocation work is
     * unchanged, nothing is cached across invocations. The first consuming
@@ -317,20 +317,60 @@ object Dedup {
     * concurrent first compute); failures are deferred to that action,
     * which recomputes and reports them through the normal path.
     * No-op unless [[warmOnConstruct]] — plan-only callers skip the jobs.
+    *
+    * CHECKPOINT-MARKING DEADLOCK (round 17, observed in a live bench
+    * sweep): a lazily-checkpointed RDD is MARKED (lineage swapped to the
+    * checkpoint blocks) at the end of whichever runJob over it finishes
+    * first, on that job's thread, under Spark's GLOBAL
+    * `RDDCheckpointData$` lock — while any concurrent stage submission
+    * visiting the same RDD takes the locks in the OPPOSITE order (RDD →
+    * `RDDCheckpointData$` via `RDD.partitions`). The original submitJob
+    * warm never marked, so marking landed inside the first REAL action —
+    * exactly when that action's own broadcast-exchange subquery and
+    * parent-stage submission run concurrently over the frame, which is
+    * the worst possible interleave (jstack showed `broadcast-exchange-59`
+    * marking vs `dag-scheduler-event-loop` submitting, a textbook ABBA
+    * deadlock). The warm is therefore a full `count()`: marking completes
+    * at WARM end, on the warm thread, away from consumer concurrency —
+    * and the execution mains call [[awaitWarms]] between query
+    * construction and the first action, which closes the remaining window
+    * entirely on those paths.
     */
+  private val pendingWarms =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
+  private lazy val warmPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-warm")
+      t.setDaemon(true)
+      t
+    })
+
   private[graft] def warmAsync(df: DataFrame): Unit =
     if (warmOnConstruct) df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val rdd = lr.rdd
-        try {
-          val f = rdd.sparkContext.submitJob[
-              org.apache.spark.sql.catalyst.InternalRow, Unit, Unit](
-            rdd, it => { while (it.hasNext) it.next() },
-            rdd.partitions.indices, (_, _) => (), ())
-          f.onComplete(_ => ())(scala.concurrent.ExecutionContext.parasitic)
-        } catch { case _: Throwable => () }
+        pendingWarms.add(warmPool.submit(new Runnable {
+          def run(): Unit =
+            try { rdd.count(); () } catch { case _: Throwable => () }
+        }))
       case _ => ()
     }
+
+  /** Block until every outstanding background warm has finished — blocks
+    * computed AND the checkpoint marked. The execution mains (Verify,
+    * Bench, SpotBench, Rehearse) call this between constructing a query's
+    * frame and running its action, so no real action ever overlaps a
+    * marking (the deadlock note on [[warmAsync]]). The await costs only
+    * the warm's unfinished tail; the driver-planning overlap is already
+    * banked. Cheap no-op when nothing is pending.
+    */
+  def awaitWarms(): Unit = {
+    var f = pendingWarms.poll()
+    while (f != null) {
+      try f.get() catch { case _: Throwable => () }
+      f = pendingWarms.poll()
+    }
+  }
 
   /** GRAFT_CC_DEBUG=1 -> stderr wall-time per CC round action (diagnostic). */
   private def ccDebug(label: String, t0: Long): Unit =
@@ -462,6 +502,11 @@ object Dedup {
       //   ≤ BichromProbeMax rows by the gate, so the broadcast is bounded
       //   by construction.
       // coalesce: an empty pair list converges on round one, not NPE.
+      // Barrier before the loop's first action: the edge/seed warms must
+      // finish MARKING their checkpoints before a consumer action can
+      // submit stages over them (the warmAsync deadlock note). Iterations
+      // after the first poll an empty queue — free.
+      awaitWarms()
       val t0 = System.nanoTime()
       val nUnsettled = next.agg(coalesce(
         sum(when(col("nu"), 1L).otherwise(0L)), lit(0L))).head.getLong(0)

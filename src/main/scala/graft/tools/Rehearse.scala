@@ -150,7 +150,9 @@ object Rehearse {
     (if (sf10) Gate10 else Gate).foreach { case (name, maxSec) =>
       val fn = graft.SparkEntry.queries(name)
       runGate(name, maxSec) {
-        val rows = fn(spark, dst).count()
+        val df = fn(spark, dst)
+        graft.dedup.Dedup.awaitWarms() // no action may race warm marking
+        val rows = df.count()
         (rows, if (rows <= 0) Some("rows=0") else None)
       }
     }

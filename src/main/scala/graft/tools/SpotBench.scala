@@ -46,7 +46,9 @@ object SpotBench {
     names.foreach { n =>
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, dir).count()
+        val df = graft.SparkEntry.queries(n)(spark, dir)
+        graft.dedup.Dedup.awaitWarms() // no action may race warm marking
+        df.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$n%-26s one-shot ${ts(0)}%6.2f s   repeat ${ts(1)}%6.2f s")
