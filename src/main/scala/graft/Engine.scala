@@ -109,6 +109,26 @@ class Engine(spark: SparkSession) {
     stream.Ingest.start(spark, inbox, schema, sinkDir, checkpointDir, key,
       transform, boundedSink)
 
+  /** §3.2 incremental path at the 100 TB shape: state-store keyed dedup
+    * (O(batch) per micro-batch) writing through the TRANSACTIONAL manifest
+    * table — atomic per-batch commits, crash-replay a ledger no-op, readers
+    * resolve snapshots via [[readTable]] and never see a half-committed
+    * batch. See [[stream.ManifestTable]] for compaction / time travel /
+    * snapshot expiry on the same table.
+    */
+  def ingestStreamTransactional(
+      inbox: String, schema: StructType, tableDir: String,
+      checkpointDir: String, key: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    stream.Ingest.startTransactional(spark, inbox, schema, tableDir,
+      checkpointDir, key, transform)
+
+  /** Latest committed snapshot of a manifest table written by
+    * [[ingestStreamTransactional]] (or any [[stream.ManifestTable]] writer).
+    */
+  def readTable(tableDir: String, schema: StructType): DataFrame =
+    stream.ManifestTable.read(spark, tableDir, schema)
+
   /** §3.3 semantic search: embed the query text with the deterministic
     * featurizer, score every document passing `metadataFilter`, return the
     * exact top-k (TakeOrderedAndProject — no full sort).

@@ -131,6 +131,39 @@ class ManifestTableSpec extends AnyFunSuite {
       "the compacted snapshot is untouched by expiry+vacuum")
   }
 
+  test("concurrent readers always see a consistent committed snapshot, never a partial one") {
+    // Snapshot-isolation under live commits: a reader loop resolves and
+    // scans the table WHILE a writer commits batches of known shape (batch
+    // i = i+1 rows, all rows carrying value i). Every read must be some
+    // PREFIX of the commit history — total rows == sum of the first k
+    // batch sizes AND max batch id == k-1 — never a torn mix (files from
+    // an unpublished attempt, or a manifest whose segments are missing).
+    val t = freshTable()
+    val schema = Seq((0L, 0L)).toDF("batch", "x").schema
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        val rows = ManifestTable.read(spark, t, schema)
+          .groupBy("batch").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (rows.nonEmpty) {
+          val k = rows.keys.max.toInt + 1
+          val expect = (0 until k).map(i => i.toLong -> (i + 1L)).toMap
+          if (rows != expect)
+            bad.set(s"torn read: $rows (expected prefix $expect)")
+        }
+      }
+    }, "manifest-reader")
+    reader.start()
+    try (0 until 8).foreach { i =>
+      ManifestTable.appendBatch(
+        Seq.fill(i + 1)((i.toLong, 1L)).toDF("batch", "x"), t, i.toLong)
+    } finally { stop.set(true); reader.join(30000) }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(ManifestTable.read(spark, t, schema).count() == (1 to 8).sum)
+  }
+
   test("startTransactional: manifest-committed streaming ingest across a restart") {
     val base = Files.createTempDirectory("graft-txn-stream").toString
     val inbox = s"$base/inbox"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
