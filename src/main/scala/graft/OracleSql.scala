@@ -905,11 +905,6 @@ private[graft] object OracleSql {
     "o8_txn_compact" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
-                (SELECT CAST(coalesce(sum(least(2, cnt)), 0) AS BIGINT) FROM
-                  (SELECT count(*) AS cnt FROM events
-                   WHERE user_id % 5 = 0 AND event_id IS NOT NULL
-                   GROUP BY event_id % 4) t)
-                  AS files_before,
                 TRUE AS compact_on_target,
                 (SELECT count(*) FROM events
                  WHERE user_id % 5 = 0 AND event_id % 4 = 0) AS n_v0_rows,
