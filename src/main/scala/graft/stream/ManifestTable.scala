@@ -288,6 +288,13 @@ object ManifestTable {
     * only expired manifests referenced). Expired versions stop resolving
     * for time travel; the data files they alone referenced become vacuum
     * fodder. Returns the expired version numbers.
+    *
+    * Retention contract (the standard lakehouse one): a reader that
+    * resolved a manifest BEFORE it expired may fail mid-scan once a
+    * subsequent [[vacuum]] deletes that version's files — expiry is the
+    * operator's declaration that no reader needs those versions anymore.
+    * Readers of retained versions are never affected (vacuum only removes
+    * what no retained manifest references).
     */
   def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must retain at least the latest: $keepLast")
