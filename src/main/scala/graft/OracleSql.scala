@@ -900,7 +900,8 @@ private[graft] object OracleSql {
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
                 (SELECT count(*) FROM events
                  WHERE user_id % 5 = 0 AND event_id % 3 = 0) AS n_mid,
-                CAST(1 AS BIGINT) AS n_orphans_reaped
+                CAST(1 AS BIGINT) AS n_orphans_reaped,
+                CAST(1 AS BIGINT) AS n_segs_reaped
          FROM events WHERE user_id % 5 = 0""",
     "o8_txn_compact" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,

@@ -631,14 +631,22 @@ private[graft] object StreamingQueries {
       ManifestTable.appendBatch(b(1), table, 1L) // crash-replay: commits
       ManifestTable.appendBatch(b(1), table, 1L) // duplicate delivery: no-op
       ManifestTable.appendBatch(b(2), table, 2L)
-      val nOrphans = ManifestTable.vacuum(table).size.toLong
+      // grace 0: single committer, and the point IS reaping the attempt we
+      // just crashed — production callers take DefaultVacuumGraceMs so a
+      // LIVE committer's in-flight attempt survives (round-17 advice)
+      val reaped = ManifestTable.vacuum(table, 0L)
+      val nOrphans = reaped.count(_.startsWith("data/")).toLong
+      // the crashed attempt's never-published segment listing reaps too
+      // (round-17 advice: these accumulated unboundedly under crash-replay)
+      val nSegs = reaped.count(_.startsWith("_manifests/")).toLong
       val out = ManifestTable.read(s, table, ev.schema)
       collectThenReap(s, base)(
         out.agg(count(lit(1)).as("n_rows"),
           countDistinct("event_id").as("n_keys"),
           Stats.sumMoney("value").as("sum_value"))
         .withColumn("n_mid", lit(nMid))
-        .withColumn("n_orphans_reaped", lit(nOrphans)))
+        .withColumn("n_orphans_reaped", lit(nOrphans))
+        .withColumn("n_segs_reaped", lit(nSegs)))
     },
 
     // ---- O8 commit-log maintenance: OPTIMIZE/expire/vacuum INSIDE the
@@ -678,13 +686,17 @@ private[graft] object StreamingQueries {
         .getOrElse(0L)
       val expectedAfter =
         if (bytes == 0L) 0L else math.max(1L, (bytes + target - 1) / target)
-      val (_, filesAfter) = ManifestTable.compact(s, table, ev.schema, target)
+      // single committer here, so the capped-retry compact always wins
+      // round 1 (the None "lost, run me later" arm needs real contention —
+      // ManifestTableSpec drives that); grace-0 vacuum as in o7
+      val (_, filesAfter) = ManifestTable.compact(s, table, ev.schema, target).get
       val nV0 = ManifestTable.readAt(s, table, ev.schema, 0L).count()
       val vBeforeReplay = ManifestTable.latest(table).map(_.version).getOrElse(-1L)
       ManifestTable.appendBatch(b(1), table, 1L) // replayed id: must be a no-op
       val vAfterReplay = ManifestTable.latest(table).map(_.version).getOrElse(-1L)
       val expired = ManifestTable.expireSnapshots(table, keepLast = 1)
-      val reclaimed = ManifestTable.vacuum(table).size.toLong
+      val reclaimed = ManifestTable.vacuum(table, 0L)
+        .count(_.startsWith("data/")).toLong
       val out = ManifestTable.read(s, table, ev.schema)
       collectThenReap(s, base)(
         out.agg(count(lit(1)).as("n_rows"),

@@ -46,16 +46,25 @@ class ManifestTableSpec extends AnyFunSuite {
     ManifestTable.writeAttempt(Seq((9L, 90.0)).toDF("id", "v"), t, 1L)
     assert(ManifestTable.read(spark, t, df.schema).count() == 2,
       "reader must not see the unpublished attempt")
-    // replay commits a FRESH attempt; the crashed one stays orphaned
+    // replay commits a FRESH attempt; the crashed one stays orphaned.
+    // Default-grace vacuum must NOT reap it (it is seconds old — from
+    // vacuum's view indistinguishable from a LIVE committer's in-flight
+    // attempt, the round-17 advice race); grace-0 then reaps exactly the
+    // orphan dir and its never-published segment listing.
     ManifestTable.appendBatch(Seq((9L, 90.0)).toDF("id", "v"), t, 1L)
     assert(ManifestTable.read(spark, t, df.schema).count() == 3)
-    val reaped = ManifestTable.vacuum(t)
-    assert(reaped.size == 1 && reaped.head.startsWith("data/b1_"), reaped.toString)
+    assert(ManifestTable.vacuum(t).isEmpty,
+      "an attempt inside the grace window must survive vacuum")
+    val reaped = ManifestTable.vacuum(t, 0L)
+    assert(reaped.count(_.startsWith("data/b1_")) == 1, reaped.toString)
+    assert(reaped.count(_.startsWith("_manifests/seg_")) == 1,
+      s"the crashed attempt's orphan segment reaps too: $reaped")
+    assert(reaped.size == 2, reaped.toString)
     // vacuum touched nothing live: full content still reads back
     val got = ManifestTable.read(spark, t, df.schema)
       .as[(Long, Double)].collect().sorted.toSeq
     assert(got == Seq((1L, 10.0), (2L, 20.0), (9L, 90.0)))
-    assert(ManifestTable.vacuum(t).isEmpty, "second vacuum finds nothing")
+    assert(ManifestTable.vacuum(t, 0L).isEmpty, "second vacuum finds nothing")
   }
 
   test("duplicate delivery of a committed batch id is a no-op (ledger idempotence)") {
@@ -104,7 +113,7 @@ class ManifestTableSpec extends AnyFunSuite {
     }
     val before = ManifestTable.latest(t).get
     assert(before.files.size == 8 && before.version == 3L)
-    val (nb, na) = ManifestTable.compact(spark, t, schema, 128L << 20)
+    val (nb, na) = ManifestTable.compact(spark, t, schema, 128L << 20).get
     assert(nb == 8 && na == 1, s"8 fragments must fold to 1 file, got ($nb, $na)")
     val after = ManifestTable.latest(t).get
     assert(after.version == 4L, "compaction publishes a NEW version")
@@ -118,13 +127,13 @@ class ManifestTableSpec extends AnyFunSuite {
     // time travel: v1 = batches 0-1 only, reading the ORIGINAL files
     assert(ManifestTable.readAt(spark, t, schema, 1L).count() == 4)
     // pre-compaction files are NOT vacuum fodder while old versions remain
-    assert(ManifestTable.vacuum(t).isEmpty,
+    assert(ManifestTable.vacuum(t, 0L).isEmpty,
       "retained versions' files must survive vacuum")
     // expire everything but the compacted snapshot → originals reclaim
     val expired = ManifestTable.expireSnapshots(t, keepLast = 1)
     assert(expired == Seq(0L, 1L, 2L, 3L))
     assert(ManifestTable.manifestAt(t, 1L).isEmpty, "expired version gone")
-    val reclaimed = ManifestTable.vacuum(t)
+    val reclaimed = ManifestTable.vacuum(t, 0L)
     assert(reclaimed.size == 4 && reclaimed.forall(_.startsWith("data/b")),
       s"exactly the four pre-compaction batch dirs reclaim: $reclaimed")
     assert(ManifestTable.read(spark, t, schema).count() == 8,
@@ -193,7 +202,7 @@ class ManifestTableSpec extends AnyFunSuite {
     // non-empty micro-batch and every data file is manifest-listed
     val m = ManifestTable.latest(table).get
     assert(m.batchIds.nonEmpty && m.files.nonEmpty)
-    assert(ManifestTable.vacuum(table).isEmpty, "clean runs leave no orphans")
+    assert(ManifestTable.vacuum(table, 0L).isEmpty, "clean runs leave no orphans")
     QueryContext.rmTree(base)
   }
 }
