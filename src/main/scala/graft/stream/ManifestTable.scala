@@ -161,7 +161,9 @@ object ManifestTable {
   }
 
   private def parseStatLine(line: String): Option[(String, String, ColStats)] =
-    line.stripPrefix("stat=").split('|') match {
+    // limit -1: java's split DROPS trailing empty fields by default, and an
+    // all-null column's line legitimately ends "||" (absent min and max)
+    line.stripPrefix("stat=").split("\\|", -1) match {
       case Array(f, c, typ, rows, nulls, mn, mx) =>
         // empty min/max = known all-null (the writer only emits a stat line
         // when min/max exist OR the column is provably all-null); an empty
@@ -291,6 +293,25 @@ object ManifestTable {
     Files.write(dir.resolve(segment),
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     segment
+  }
+
+  /** Spark's default parquet timestamp encoding is the legacy INT96, whose
+    * footer statistics the parquet format DEPRECATED (readers must ignore
+    * them) — written that way, a time-range predicate could never skip a
+    * file. The format therefore pins its own writes to TIMESTAMP_MICROS
+    * (the modern encoding every engine reads; Delta/Iceberg made the same
+    * call). Session-scoped set/restore: a concurrent writer racing the
+    * restore degrades to INT96 → that file simply carries no ts stats —
+    * conservative, never wrong.
+    */
+  private def withStatsFriendlyWrites[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def listAttemptFiles(table: String, attempt: String): Seq[String] =
@@ -442,7 +463,9 @@ object ManifestTable {
     */
   private[graft] def writeAttempt(batch: DataFrame, table: String, batchId: Long): String = {
     val attempt = s"data/b${batchId}_${UUID.randomUUID().toString.take(8)}"
-    batch.write.mode("error").parquet(s"$table/$attempt")
+    withStatsFriendlyWrites(batch.sparkSession) {
+      batch.write.mode("error").parquet(s"$table/$attempt")
+    }
     val files = listAttemptFiles(table, attempt)
     writeSegmentFile(table,
       segmentLines(batch.sparkSession, table, files.map(f => s"$attempt/$f")))
@@ -749,8 +772,10 @@ object ManifestTable {
       val bytes = m.files.map(f => Files.size(Paths.get(table, f))).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val attempt = s"data/c${m.version + 1}_${UUID.randomUUID().toString.take(8)}"
-      readManifest(spark, table, readSchema, Some(m)).coalesce(nOut)
-        .write.mode("error").parquet(s"$table/$attempt")
+      withStatsFriendlyWrites(spark) {
+        readManifest(spark, table, readSchema, Some(m)).coalesce(nOut)
+          .write.mode("error").parquet(s"$table/$attempt")
+      }
       val files = listAttemptFiles(table, attempt)
       val segment = writeSegmentFile(table,
         segmentLines(spark, table, files.map(f => s"$attempt/$f")))
@@ -838,7 +863,9 @@ object ManifestTable {
           .parquet(touched.map(f => s"$table/$f"): _*)
           .join(broadcast(keyDf), keys, "left_anti")
       val attempt = s"data/m${UUID.randomUUID().toString.take(8)}"
-      replaced.union(aligned).write.mode("error").parquet(s"$table/$attempt")
+      withStatsFriendlyWrites(spark) {
+        replaced.union(aligned).write.mode("error").parquet(s"$table/$attempt")
+      }
       val newFiles = listAttemptFiles(table, attempt).map(f => s"$attempt/$f")
       // consolidated listing: untouched lines regenerated from the parsed
       // manifest (path + stat lines verbatim), new files footer-read once

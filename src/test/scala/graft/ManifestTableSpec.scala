@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -171,6 +173,232 @@ class ManifestTableSpec extends AnyFunSuite {
     } finally { stop.set(true); reader.join(30000) }
     assert(bad.get() == null, String.valueOf(bad.get()))
     assert(ManifestTable.read(spark, t, schema).count() == (1 to 8).sum)
+  }
+
+  test("data skipping: a selective predicate opens strictly fewer files, same answer") {
+    // Controlled layout (the o8 lesson: file counts are only closed-form on
+    // controlled inputs): four single-file batches with DISJOINT id ranges,
+    // so footer min/max make exactly one file admissible per point probe.
+    val t = freshTable()
+    val schema = Seq((1L, 1.0, "a")).toDF("id", "v", "s").schema
+    (0 until 4).foreach { i =>
+      val rows = (i * 100 until i * 100 + 50).map(k => (k.toLong, k / 10.0, s"s$k"))
+      ManifestTable.appendBatch(rows.toDF("id", "v", "s").coalesce(1), t, i.toLong)
+    }
+    val m = ManifestTable.latest(t).get
+    assert(m.files.size == 4)
+    assert(m.stats.size == 4, "every file carries footer stats")
+    assert(m.stats.values.forall(_.contains("id")), m.stats.toString)
+    // range predicate spanning one batch: 1 of 4 files survives pruning
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThanOrEqual, In,
+      IsNull, IsNotNull, LessThan, StringStartsWith}
+    val range = Seq[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("id", 100L), LessThan("id", 150L))
+    val kept = ManifestTable.pruneFiles(m, range)
+    assert(kept.size == 1, s"4 disjoint-range files, 1 admissible: $kept")
+    // the pruned scan + residual predicate == the full scan + predicate
+    val viaSkip = ManifestTable.readWhere(spark, t, schema, range)
+      .filter(col("id") >= 100 && col("id") < 150)
+    val viaFull = ManifestTable.read(spark, t, schema)
+      .filter(col("id") >= 100 && col("id") < 150)
+    assert(viaSkip.count() == 50 && viaFull.count() == 50)
+    assert(viaSkip.agg(sum("id")).head.getLong(0) == viaFull.agg(sum("id")).head.getLong(0))
+    // double + string stats prune too; In and prefix probes
+    assert(ManifestTable.pruneFiles(m, Seq(EqualTo("v", 24.0))).size == 1,
+      "v in [20, 24.9] only for batch 2's file")
+    assert(ManifestTable.pruneFiles(m, Seq(In("id", Array(5L, 310L)))).size == 2)
+    // lex ranges: "s30" lives in batch 0 (s30..s39) AND batch 3 (s300..s309)
+    assert(ManifestTable.pruneFiles(m, Seq(StringStartsWith("s", "s30"))).size == 2)
+    assert(ManifestTable.pruneFiles(m, Seq(StringStartsWith("s", "s15"))).size == 1,
+      "only batch 0 holds an s15* string (batch 1 stops at s149)")
+    assert(ManifestTable.pruneFiles(m, Seq(EqualTo("id", 9999L))).isEmpty,
+      "out-of-range point probe opens ZERO files")
+    // conjunction with an unknown column stays conservative, prunes on the known one
+    assert(ManifestTable.pruneFiles(m,
+      Seq(And(EqualTo("nope", 1L), EqualTo("id", 120L)))).size == 1)
+    // null-count pruning: a file whose column is all-null is skippable for
+    // IsNotNull (and for any value probe); a no-nulls file is skippable for IsNull
+    val t2 = freshTable()
+    ManifestTable.appendBatch(
+      Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+        .toDF("id", "v").coalesce(1), t2, 0L)
+    ManifestTable.appendBatch(
+      Seq((3L, Option(3.0))).toDF("id", "v").coalesce(1), t2, 1L)
+    val m2 = ManifestTable.latest(t2).get
+    assert(ManifestTable.pruneFiles(m2, Seq(IsNotNull("v"))).size == 1,
+      "the all-null file skips for IsNotNull")
+    assert(ManifestTable.pruneFiles(m2, Seq(IsNull("v"))).size == 1,
+      "the zero-nulls file skips for IsNull")
+    assert(ManifestTable.pruneFiles(m2, Seq(EqualTo("v", 99.0))).isEmpty,
+      "all-null file AND out-of-range file both prune for a value probe")
+  }
+
+  test("data skipping: timestamp stats prune on pushed Timestamp values") {
+    val t = freshTable()
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    ManifestTable.appendBatch(
+      Seq((1L, ts(1)), (2L, ts(5))).toDF("id", "at").coalesce(1), t, 0L)
+    ManifestTable.appendBatch(
+      Seq((3L, ts(10)), (4L, ts(20))).toDF("id", "at").coalesce(1), t, 1L)
+    val m = ManifestTable.latest(t).get
+    import org.apache.spark.sql.sources.GreaterThan
+    assert(ManifestTable.pruneFiles(m, Seq(GreaterThan("at", ts(6)))).size == 1)
+    assert(ManifestTable.pruneFiles(m, Seq(GreaterThan("at", ts(21)))).isEmpty)
+  }
+
+  test("merge: copy-on-write rewrites ONLY touched files; untouched survive by identity") {
+    val t = freshTable()
+    val schema = Seq((1L, 1.0)).toDF("id", "v").schema
+    // one attempt dir holding TWO files split by id range, plus a second
+    // batch far away — the merge below touches exactly one file of three
+    ManifestTable.appendBatch(
+      (0 until 100).map(k => (k.toLong, k.toDouble)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), t, 0L)
+    ManifestTable.appendBatch(
+      (1000 until 1050).map(k => (k.toLong, k.toDouble)).toDF("id", "v").coalesce(1),
+      t, 1L)
+    val before = ManifestTable.latest(t).get
+    assert(before.files.size == 3)
+    // upsert: update ids 0..9 (low half of batch 0), insert 5000..5004
+    val delta = ((0 until 10).map(k => (k.toLong, -1.0)) ++
+      (5000 until 5005).map(k => (k.toLong, k.toDouble))).toDF("id", "v")
+    val Some((touched, total)) = ManifestTable.merge(spark, t, schema, delta, Seq("id"))
+    assert(total == 3 && touched == 1, s"exactly the low-range file rewrites: ($touched, $total)")
+    val after = ManifestTable.latest(t).get
+    val untouchedBefore = before.files.toSet -- after.files.toSet // replaced
+    assert(untouchedBefore.size == 1, "one file left the listing")
+    assert((before.files.toSet - untouchedBefore.head).subsetOf(after.files.toSet),
+      "untouched files carry over BY IDENTITY (same paths, no rewrite)")
+    // untouched files keep their stat lines through the carry
+    (before.files.toSet - untouchedBefore.head).foreach { f =>
+      assert(after.stats.contains(f), s"stats carried for $f")
+    }
+    // semantics: last-writer-wins upsert
+    val got = ManifestTable.read(spark, t, schema)
+    assert(got.count() == 155, "100 + 50 + 5 inserts")
+    assert(got.filter(col("id") < 10 && col("v") =!= -1.0).count() == 0)
+    assert(got.filter(col("id") >= 5000).count() == 5)
+    assert(got.select("id").distinct().count() == 155)
+    // time travel still shows the pre-merge state
+    assert(ManifestTable.readAt(spark, t, schema, before.version)
+      .filter(col("id") < 10 && col("v") === -1.0).count() == 0)
+    // expiry + vacuum reclaim the REPLACED file at FILE level: its attempt-
+    // dir sibling is still live, so the dir must survive
+    ManifestTable.expireSnapshots(t, keepLast = 1)
+    val reclaimed = ManifestTable.vacuum(t, 0L)
+    assert(reclaimed.contains(untouchedBefore.head),
+      s"replaced file reclaims file-level: $reclaimed")
+    assert(ManifestTable.read(spark, t, schema).count() == 155,
+      "post-vacuum content intact")
+  }
+
+  test("merge: empty table inserts; empty delta is a no-op; key bounds prune candidates") {
+    val t = freshTable()
+    val schema = Seq((1L, 1.0)).toDF("id", "v").schema
+    // empty delta on an absent table: nothing published
+    val r0 = ManifestTable.merge(spark, t, schema,
+      Seq.empty[(Long, Double)].toDF("id", "v"), Seq("id"))
+    assert(r0 == Some((0, 0)) && ManifestTable.latest(t).isEmpty)
+    // first merge = insert-all
+    val r1 = ManifestTable.merge(spark, t, schema,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), Seq("id"))
+    assert(r1 == Some((0, 0)))
+    assert(ManifestTable.read(spark, t, schema).count() == 2)
+    // a delta whose key bounds miss every file touches nothing (stats
+    // pruning short-circuits the key scan entirely)
+    val r2 = ManifestTable.merge(spark, t, schema,
+      Seq((100L, 9.0)).toDF("id", "v"), Seq("id"))
+    assert(r2.exists(_._1 == 0), s"out-of-range delta must touch no files: $r2")
+    assert(ManifestTable.read(spark, t, schema).count() == 3)
+  }
+
+  test("schema evolution: a widening commit unions fields; old files read as null") {
+    val t = freshTable()
+    ManifestTable.appendBatch(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t, 0L)
+    assert(ManifestTable.latestSchema(t).get.fieldNames.toSeq == Seq("id", "v"))
+    ManifestTable.appendBatch(
+      Seq((3L, 3.0, "c"), (4L, 4.0, "d")).toDF("id", "v", "tag"), t, 1L)
+    val sch = ManifestTable.latestSchema(t).get
+    assert(sch.fieldNames.toSeq == Seq("id", "v", "tag"), "new field appends")
+    assert(sch("tag").nullable, "added fields arrive nullable")
+    // v0's recorded schema stays narrow (time-travel reads the old shape)
+    assert(ManifestTable.schemaAt(t, 0L).get.fieldNames.toSeq == Seq("id", "v"))
+    // resolved read: nulls where a file predates the field
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(got.filter(col("tag").isNull).count() == 2)
+    assert(got.filter(col("tag").isNotNull).count() == 2)
+    // a retype is NOT evolution
+    intercept[IllegalArgumentException] {
+      ManifestTable.appendBatch(Seq(("x", 1.0)).toDF("id", "v"), t, 2L)
+    }
+    // compaction carries the evolved schema and rewrites old rows wide
+    val Some((nb, na)) = ManifestTable.compact(spark, t, sch, 128L << 20)
+    assert(nb >= 2 && na == 1)
+    assert(ManifestTable.read(spark, t).filter(col("tag").isNull).count() == 2)
+  }
+
+  test("latest() resolves through the hint, a stale hint, and no hint at all") {
+    val t = freshTable()
+    (0 until 5).foreach(i => ManifestTable.appendBatch(
+      Seq((i.toLong, i.toString)).toDF("id", "s"), t, i.toLong))
+    val dir = java.nio.file.Paths.get(t, "_manifests")
+    val hint = dir.resolve("_latest.hint")
+    assert(Files.exists(hint), "publish maintains the advisory pointer")
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim == "4")
+    // stale hint: probe-forward finds the true head (versions are dense)
+    Files.write(hint, "1".getBytes("UTF-8"))
+    assert(ManifestTable.latest(t).get.version == 4L)
+    // torn/corrupt hint: fall back to the listing
+    Files.write(hint, "garbage".getBytes("UTF-8"))
+    assert(ManifestTable.latest(t).get.version == 4L)
+    // absent hint: fall back to the listing
+    Files.delete(hint)
+    assert(ManifestTable.latest(t).get.version == 4L)
+    // expiry + a below-expiry stale hint: fall back, not a miss
+    ManifestTable.expireSnapshots(t, keepLast = 2)
+    Files.write(hint, "0".getBytes("UTF-8")) // points at an expired version
+    assert(ManifestTable.latest(t).get.version == 4L)
+  }
+
+  test("compact under a competing committer does BOUNDED work and never loses an append") {
+    // Deterministic assertion under nondeterministic interleaving: whatever
+    // the race outcome, compact(maxAttempts = 2) may write at most TWO
+    // rewrite attempts (the round-17 nit: the old loop could livelock,
+    // paying a full-table rewrite per round forever), every concurrently
+    // appended batch survives, and a quiet-period compact always lands.
+    val t = freshTable()
+    val schema = Seq((1L, 1L)).toDF("id", "x").schema
+    (0 until 3).foreach(i => ManifestTable.appendBatch(
+      Seq((i.toLong, 0L)).toDF("id", "x"), t, i.toLong))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appended = new java.util.concurrent.atomic.AtomicLong(3)
+    val appender = new Thread(() => {
+      var i = 3L
+      while (!stop.get()) {
+        ManifestTable.appendBatch(Seq((i, 0L)).toDF("id", "x"), t, i)
+        appended.set(i + 1); i += 1
+      }
+    }, "contending-appender")
+    appender.start()
+    val res = try ManifestTable.compact(spark, t, schema, 128L << 20, maxAttempts = 2)
+    finally { stop.set(true); appender.join(30000) }
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    val dirStream = Files.list(dataDir)
+    val rewriteAttempts =
+      try dirStream.iterator().asScala.count(_.getFileName.toString.startsWith("c"))
+      finally dirStream.close()
+    assert(rewriteAttempts <= 2,
+      s"maxAttempts=2 must bound rewrite attempts, saw $rewriteAttempts")
+    assert(res.isEmpty || res.get._1 >= 3, res.toString)
+    // nothing lost either way
+    val n = appended.get()
+    assert(ManifestTable.read(spark, t, schema).count() == n)
+    assert(ManifestTable.latest(t).get.batchIds == (0L until n).toSet)
+    // quiet period: the returned-None case is "run me later" — later works
+    val settled = ManifestTable.compact(spark, t, schema, 128L << 20)
+    assert(settled.exists(_._2 == 1), settled.toString)
+    assert(ManifestTable.read(spark, t, schema).count() == n)
   }
 
   test("startTransactional: manifest-committed streaming ingest across a restart") {
