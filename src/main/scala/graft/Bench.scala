@@ -193,7 +193,12 @@ object Bench {
       "ta9_bigram_lm", "ta10_bm25_topk", "rr1_hybrid_rrf",
       "pl2_training_pipeline", "tp4_importance_select",
       "tp1_token_packing", "tp2_curriculum",
-      "e6_ivf_knn", "e8_ivf_recall")
+      "e6_ivf_knn", "e8_ivf_recall",
+      // Round-18: the transactional-table rows do ALL their work (commits,
+      // merge, vacuum) at query-FUNCTION time; the rep sweeps only re-count
+      // their collected aggregate, so the honest cost lives here.
+      "o7_txn_manifest", "o8_txn_compact", "o9_txn_skipping",
+      "o10_txn_merge", "o11_txn_schema_evo")
     val oneShot = oneShotFamily
       .filter(n => SparkEntry.queries.contains(n) && only.forall(_.exists(n.startsWith)))
       .map { name =>

@@ -913,6 +913,55 @@ private[graft] object OracleSql {
                 TRUE AS expire_ok,
                 CAST(4 AS BIGINT) AS n_dirs_reclaimed
          FROM events WHERE user_id % 5 = 0""",
+    // o9: the aggregates + point-probe count are fixture-derivable; the
+    // skipping invariants (pruned scan == full scan; >1 file => strictly
+    // fewer opened) are TRUE on any fixture by construction (disjoint
+    // range-partitioned files), with the exact 1-of-4 pruning pinned in
+    // ManifestTableSpec on controlled inputs.
+    "o9_txn_skipping" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+                (SELECT count(*) FROM events
+                 WHERE user_id % 5 = 0 AND event_id =
+                   (SELECT min(event_id) FROM events WHERE user_id % 5 = 0)) AS n_probe,
+                TRUE AS skip_sound,
+                TRUE AS skip_effective
+         FROM events WHERE user_id % 5 = 0""",
+    // o10: NOT EXISTS (not NOT IN) so a null key in the mutation log
+    // cannot vacuum the whole base — matching Spark's left_anti, where
+    // null keys never match.
+    "o10_txn_merge" ->
+      """WITH base AS (
+           SELECT event_id, user_id, value FROM events WHERE user_id % 5 = 0),
+         delta AS (
+           SELECT event_id, user_id, value * 2 AS value FROM base WHERE event_id % 7 = 0
+           UNION ALL
+           SELECT event_id + 1000000000, user_id, value FROM base WHERE event_id % 11 = 0),
+         merged AS (
+           SELECT * FROM base b
+           WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.event_id = b.event_id)
+           UNION ALL SELECT * FROM delta)
+         SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+                TRUE AS merge_identity,
+                TRUE AS merge_versioned
+         FROM merged""",
+    // o11: generation 1 lacks user_id entirely — the resolved read serves
+    // it as NULL, exactly the UNION ALL with a typed NULL below.
+    "o11_txn_schema_evo" ->
+      """WITH g AS (
+           SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id
+           FROM events WHERE user_id % 5 = 0 AND event_id % 2 = 0
+           UNION ALL
+           SELECT event_id, value, user_id
+           FROM events WHERE user_id % 5 = 0 AND event_id % 2 = 1)
+         SELECT count(*) AS n_rows,
+                count(user_id) AS n_wide,
+                count(*) FILTER (WHERE user_id IS NULL) AS n_narrow,
+                CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+                TRUE AS schema_v0_narrow,
+                TRUE AS schema_latest_wide
+         FROM g""",
     "st16_stateful_upload" ->
       """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_keys,
                 CAST(round(sum(CAST((value) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value

@@ -711,6 +711,118 @@ private[graft] object StreamingQueries {
         .withColumn("n_dirs_reclaimed", lit(reclaimed)))
     },
 
+    // ---- O9 data skipping through the manifest table (round-18 verdict
+    // item 1): one range-partitioned commit gives the snapshot's files
+    // DISJOINT event_id ranges; the footer min/max recorded in segment
+    // lines at commit time then let a point probe at the minimum key open
+    // ONE file instead of all of them (pruneFiles/readWhere). The oracled
+    // invariants are write-behavior-independent (the o8 lesson — file
+    // counts are not a closed form over row counts): skip_sound pins
+    // pruned-scan == full-scan under the same predicate on ANY fixture,
+    // skip_effective pins kept < total whenever the table has >1 file
+    // (disjoint ranges guarantee it), and n_probe/aggregates are
+    // fixture-derivable SQL. The exact 1-of-4 pruning is pinned on
+    // controlled inputs in ManifestTableSpec. At 100 TB this is the entire
+    // point of the format: a selective predicate over a z-ordered ledger
+    // reads a sliver of the snapshot, not the snapshot. -------------------
+    "o9_txn_skipping" -> { (s, dir) =>
+      import graft.stream.ManifestTable
+      import org.apache.spark.sql.sources.{EqualTo, Filter}
+      val ev = Tables.events(s, dir).filter(col("user_id") % 5 === 0)
+        .select("event_id", "user_id", "value") // the o7 20%-slice rule
+      val base = scratchDir("graft-o9")
+      val table = s"$base/table"
+      ManifestTable.appendBatch(ev.repartitionByRange(4, col("event_id")), table, 0L)
+      val minRow = ev.agg(min("event_id")).head()
+      val probe = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
+      val filters = Seq[Filter](EqualTo("event_id", probe))
+      val man = ManifestTable.latest(table).get
+      val kept = ManifestTable.pruneFiles(man, filters)
+      val nPruned = ManifestTable.readWhere(s, table, ev.schema, filters)
+        .filter(col("event_id") === probe).count()
+      val out = ManifestTable.read(s, table, ev.schema)
+      val nFull = out.filter(col("event_id") === probe).count()
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_keys"),
+          Stats.sumMoney("value").as("sum_value"))
+        .withColumn("n_probe", lit(nFull))
+        .withColumn("skip_sound", lit(nPruned == nFull))
+        .withColumn("skip_effective",
+          lit(man.files.size <= 1 || kept.size < man.files.size)))
+    },
+
+    // ---- O10 copy-on-write MERGE into the manifest table (round-18
+    // verdict item 2): the reference's ON CONFLICT DO UPDATE upsert
+    // (db_handler.py:180-187) as a TABLE OPERATION — stats-pruned
+    // candidate files, key-column-only broadcast-semi-join touch
+    // detection, rewrite of exactly the touched files, untouched files
+    // carried BY IDENTITY into the new version. The mutation log doubles
+    // the value of every event_id % 7 == 0 row and inserts shifted new
+    // keys; the final state hash-matches DuckDB's NOT-EXISTS + UNION ALL
+    // replay, and the identity invariant (files removed from the listing
+    // == files the merge reports touching; every other file path carries
+    // over verbatim) rides the row as a boolean that holds on any
+    // fixture. ------------------------------------------------------------
+    "o10_txn_merge" -> { (s, dir) =>
+      import graft.stream.ManifestTable
+      val ev = Tables.events(s, dir).filter(col("user_id") % 5 === 0)
+        .select("event_id", "user_id", "value") // the o7 20%-slice rule
+      val base = scratchDir("graft-o10")
+      val table = s"$base/table"
+      ManifestTable.appendBatch(ev.repartitionByRange(4, col("event_id")), table, 0L)
+      val before = ManifestTable.latest(table).get
+      val updates = ev.filter(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") * 2)
+      val inserts = ev.filter(col("event_id") % 11 === 0)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+      val (touched, totalBefore) = ManifestTable
+        .merge(s, table, ev.schema, updates.unionByName(inserts), Seq("event_id")).get
+      val after = ManifestTable.latest(table).get
+      val removed = before.files.toSet -- after.files.toSet
+      val identityOk = removed.size == touched && totalBefore == before.files.size &&
+        (before.files.toSet -- removed).subsetOf(after.files.toSet)
+      val out = ManifestTable.read(s, table, ev.schema)
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          countDistinct("event_id").as("n_keys"),
+          Stats.sumMoney("value").as("sum_value"))
+        .withColumn("merge_identity", lit(identityOk))
+        .withColumn("merge_versioned", lit(after.version == before.version + 1)))
+    },
+
+    // ---- O11 schema evolution inside the manifest table (round-18
+    // verdict item 4): generation 1 commits (event_id, value); generation
+    // 2 commits a WIDER (event_id, value, user_id). The published schema
+    // is the union (new fields append, nullable), v0's recorded schema
+    // stays narrow for time travel, and the resolved read serves gen-1
+    // files with nulls in the added column — the s6 mergeSchema semantics
+    // INSIDE the format, where a 100 TB table cannot afford a
+    // rewrite-on-widen. ---------------------------------------------------
+    "o11_txn_schema_evo" -> { (s, dir) =>
+      import graft.stream.ManifestTable
+      val ev = Tables.events(s, dir).filter(col("user_id") % 5 === 0)
+      val base = scratchDir("graft-o11")
+      val table = s"$base/table"
+      ManifestTable.appendBatch(
+        ev.filter(col("event_id") % 2 === 0).select("event_id", "value"), table, 0L)
+      ManifestTable.appendBatch(
+        ev.filter(col("event_id") % 2 === 1).select("event_id", "value", "user_id"),
+        table, 1L)
+      val narrow0 = ManifestTable.schemaAt(table, 0L)
+        .exists(_.fieldNames.toSeq == Seq("event_id", "value"))
+      val wideNow = ManifestTable.latestSchema(table)
+        .exists(_.fieldNames.toSeq == Seq("event_id", "value", "user_id"))
+      val out = ManifestTable.read(s, table) // manifest-resolved schema
+      collectThenReap(s, base)(
+        out.agg(count(lit(1)).as("n_rows"),
+          count(col("user_id")).as("n_wide"),
+          count(when(col("user_id").isNull, 1)).as("n_narrow"),
+          Stats.sumMoney("value").as("sum_value"))
+        .withColumn("schema_v0_narrow", lit(narrow0))
+        .withColumn("schema_latest_wide", lit(wideNow)))
+    },
+
     "st16_stateful_upload" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
       val base = scratchDir("graft-st16")
