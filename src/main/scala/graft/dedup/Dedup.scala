@@ -338,7 +338,14 @@ object Dedup {
     */
   private val pendingWarms =
     new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
-  private lazy val warmPool = java.util.concurrent.Executors.newCachedThreadPool(
+  // SINGLE-threaded (round-17 advice): two concurrent warms of DEPENDENT
+  // frames could re-create the ABBA between them — the downstream warm's
+  // stage submission walks the upstream RDD (RDD lock → global checkpoint
+  // lock) while the upstream warm's job-end marking holds them in the
+  // opposite order. Serializing warms keeps the driver-planning overlap
+  // (the only concurrency the warm exists for is warm-vs-PLANNING, and
+  // planning takes neither lock) while making warm-vs-warm impossible.
+  private lazy val warmPool = java.util.concurrent.Executors.newSingleThreadExecutor(
     (r: Runnable) => {
       val t = new Thread(r, "graft-warm")
       t.setDaemon(true)
@@ -371,6 +378,18 @@ object Dedup {
       f = pendingWarms.poll()
     }
   }
+
+  /** Construct-then-drain-then-act bridge for the DIAGNOSTIC mains whose
+    * build and first action sit in one expression (`fn(spark, dir)
+    * .count()`): the by-value argument finishes construction — its
+    * background warms are already submitted — before the body drains them,
+    * so the count can never overlap a checkpoint marking. Round-17 advice:
+    * the probe tools (RehearseDedup, StageProbe, CcProbe, T7Probe, ...)
+    * enabled [[warmOnConstruct]] but ran real actions without
+    * [[awaitWarms]], leaving the deadlock window the execution mains had
+    * closed. Cheap no-op once a frame's warms have drained.
+    */
+  def countSettled(df: DataFrame): Long = { awaitWarms(); df.count() }
 
   /** GRAFT_CC_DEBUG=1 -> stderr wall-time per CC round action (diagnostic). */
   private def ccDebug(label: String, t0: Long): Unit =

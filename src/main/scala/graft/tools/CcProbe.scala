@@ -49,11 +49,11 @@ object CcProbe {
 
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
-      fn(spark, dir).count() // warm plan/codegen caches like bench reps
+      graft.dedup.Dedup.countSettled(fn(spark, dir)) // warm plan/codegen caches like bench reps
       Thread.sleep(200)
       jobs.synchronized(jobs.clear())
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      graft.dedup.Dedup.countSettled(fn(spark, dir))
       val total = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       jobs.synchronized {

@@ -24,7 +24,7 @@ object CgProbe {
       CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
       CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean)
     val before = snap()
-    graft.SparkEntry.queries(args(0))(spark, dir).count()
+    graft.dedup.Dedup.countSettled(graft.SparkEntry.queries(args(0))(spark, dir))
     val after = snap()
     println(s"query=${args(0)} srcBytes=${after._1 - before._1} nCompiles=${after._2 - before._2} meanCompileMs=${after._3}")
     spark.stop()

@@ -35,7 +35,7 @@ object DdPhaseProbe {
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       val t1 = System.nanoTime()
-      df.count()
+      graft.dedup.Dedup.countSettled(df)
       val t2 = System.nanoTime()
       println(f"$name%-22s rep$rep construct=${(t1 - t0) / 1e9}%6.3f s  count=${(t2 - t1) / 1e9}%6.3f s")
     }

@@ -35,7 +35,7 @@ object DriverSampler {
     val name = args(0)
     val reps = if (args.length > 1) args(1).toInt else 10
     val fn = graft.SparkEntry.queries(name)
-    (1 to 4).foreach(_ => fn(spark, dir).count())
+    (1 to 4).foreach(_ => graft.dedup.Dedup.countSettled(fn(spark, dir)))
 
     val main = Thread.currentThread()
     val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -63,7 +63,7 @@ object DriverSampler {
     sampler.setDaemon(true)
     sampler.start()
     val t0 = System.nanoTime()
-    (1 to reps).foreach(_ => fn(spark, dir).count())
+    (1 to reps).foreach(_ => graft.dedup.Dedup.countSettled(fn(spark, dir)))
     val total = (System.nanoTime() - t0) / 1e9
     run = false
     Thread.sleep(50)

@@ -42,11 +42,11 @@ object JobProfile {
 
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
-      fn(spark, dir).count() // warm codegen/plan caches like the bench reps
+      graft.dedup.Dedup.countSettled(fn(spark, dir)) // warm codegen/plan caches like the bench reps
       Thread.sleep(200)
       jobs.clear()
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      graft.dedup.Dedup.countSettled(fn(spark, dir))
       val total = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let listener events drain
       val sum = jobs.map(_._2).sum

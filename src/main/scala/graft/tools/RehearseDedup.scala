@@ -24,19 +24,19 @@ object RehearseDedup {
       println(f"[rehearse] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
     val withPre = time("nearDupHamming (pre-pass)") {
-      engine.nearDupHamming(docs, "text", "doc_id", maxDist = 16).count()
+      graft.dedup.Dedup.countSettled(engine.nearDupHamming(docs, "text", "doc_id", maxDist = 16))
     }
     val without = time("raw hammingPairs") {
       val tc = docs
         .select(col("doc_id"), explode(graft.dedup.Dedup.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      graft.dedup.Dedup.hammingPairs(
+      graft.dedup.Dedup.countSettled(graft.dedup.Dedup.hammingPairs(
         graft.dedup.Dedup.simhashWide(tc, "doc_id"), "doc_id", "simhash",
-        bands = 3, maxDist = 16).count()
+        bands = 3, maxDist = 16))
     }
     println(s"[rehearse] pairs with pre-pass: $withPre, without: $without")
     val jacPre = time("nearDupJaccard (pre-pass)") {
-      engine.nearDupJaccard(docs, "text", "doc_id").count()
+      graft.dedup.Dedup.countSettled(engine.nearDupJaccard(docs, "text", "doc_id"))
     }
     println(s"[rehearse] verified jaccard pairs with pre-pass: $jacPre (dd8 raw shape: 314,600)")
     spark.stop()

@@ -33,10 +33,10 @@ object RuleTimeProbe {
 
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
-      (1 to 4).foreach(_ => fn(spark, dir).count())
+      (1 to 4).foreach(_ => graft.dedup.Dedup.countSettled(fn(spark, dir)))
       RuleExecutor.resetMetrics()
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      graft.dedup.Dedup.countSettled(fn(spark, dir))
       val total = (System.nanoTime() - t0) / 1e9
       println(f"$name%-26s total=$total%6.3f s")
       val report = RuleExecutor.dumpTimeSpent()

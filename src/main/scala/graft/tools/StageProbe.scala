@@ -57,12 +57,12 @@ object StageProbe {
 
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
-      (1 to 4).foreach(_ => fn(spark, dir).count()) // steady state
+      (1 to 4).foreach(_ => graft.dedup.Dedup.countSettled(fn(spark, dir))) // steady state
       Thread.sleep(200)
       stages.synchronized(stages.clear())
       jobSpan.clear()
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      graft.dedup.Dedup.countSettled(fn(spark, dir))
       val total = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       stages.synchronized {

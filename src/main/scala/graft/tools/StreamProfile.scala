@@ -52,7 +52,7 @@ object StreamProfile {
       progress.clear()
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      graft.dedup.Dedup.countSettled(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       val nb = progress.size
       println(f"$name%-28s total=${sec}%6.3f s  batches=$nb")

@@ -35,7 +35,7 @@ object SweepTaxProbe {
         .asScala.map(_.getCollectionTime).sum
     val t7 = graft.SparkEntry.queries("t7_reference_t1")(spark, dir)
     val neighbor = graft.SparkEntry.queries("dd6_simhash_hamming")(spark, dir)
-    t7.count(); neighbor.count() // warm both
+    graft.dedup.Dedup.countSettled(t7); graft.dedup.Dedup.countSettled(neighbor) // warm both (drained: no action may race a marking)
 
     def rep(label: String): Unit = {
       val g0 = gcMillis(); val t0 = System.nanoTime()

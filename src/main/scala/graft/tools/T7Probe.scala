@@ -20,7 +20,7 @@ object T7Probe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     def time(label: String)(df: => DataFrame): Unit = {
-      val d = df; d.count() // warm
+      val d = df; graft.dedup.Dedup.countSettled(d) // warm (drained)
       val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); d.count(); (System.nanoTime() - t0) / 1e9
       }
