@@ -129,6 +129,28 @@ class Engine(spark: SparkSession) {
   def readTable(tableDir: String, schema: StructType): DataFrame =
     stream.ManifestTable.read(spark, tableDir, schema)
 
+  /** [[readTable]] with file-level data skipping: the per-file footer
+    * stats recorded at commit time prune the snapshot's file list against
+    * `filters` BEFORE the scan (conservative — a file is skipped only
+    * when its min/max prove no row can match). The caller still applies
+    * the full predicate to the returned frame; the skipping is purely
+    * fewer files opened. See [[stream.ManifestTable.readWhere]].
+    */
+  def readTableWhere(tableDir: String, schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    stream.ManifestTable.readWhere(spark, tableDir, schema, filters)
+
+  /** Copy-on-write MERGE (upsert-by-key) into a manifest table: rewrites
+    * only the files holding a delta key (stats-pruned candidates,
+    * key-column broadcast-semi-join touch detection), carries every other
+    * file by identity, publishes one new version. Returns (files touched,
+    * files before); None if `maxAttempts` publish races were lost (run
+    * again at a quieter moment). See [[stream.ManifestTable.merge]].
+    */
+  def mergeTable(tableDir: String, schema: StructType, delta: DataFrame,
+      keys: Seq[String]): Option[(Int, Int)] =
+    stream.ManifestTable.merge(spark, tableDir, schema, delta, keys)
+
   /** §3.3 semantic search: embed the query text with the deterministic
     * featurizer, score every document passing `metadataFilter`, return the
     * exact top-k (TakeOrderedAndProject — no full sort).
