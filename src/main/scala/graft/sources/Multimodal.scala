@@ -60,26 +60,73 @@ object Multimodal {
   private[graft] def mdatLen(id: Long): Int = 64 + (id % 64).toInt
   private[graft] def mdatByte(id: Long, i: Int): Int = ((id * 13 + i * 17) % 251).toInt
 
-  /** Real PNG bytes: BufferedImage filled with id-derived pixels, encoded
-    * by the JDK's PNG writer.
+  /** Minimal spec-conformant PNG encoder: 8-bit truecolor, filter 0 on
+    * every scanline, one stored (uncompressed) zlib/deflate block stream.
+    * Round-18 fixture-synthesis optimization: `ImageIO.write` cost 421 µs
+    * per tiny image (tools/MmProbe) and synthesis dominated every mm query
+    * stage; this writer is ~10 µs and decodes — via the SAME `javax.imageio`
+    * read path the operators under test use — to pixel-identical RGB
+    * (pinned against an `ImageIO.write` round-trip by MultiFormatSourceSpec).
+    * Only the fixture's ENCODER changed; decode stays the real JDK codec,
+    * and no query or oracle observes encoded-byte properties (length/md5).
     */
-  private[graft] def pngBytes(id: Long): Array[Byte] = {
-    val w = imgWidth(id); val h = imgHeight(id)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+  private[graft] def pngEncode(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + w * 3)) // filter byte 0 + RGB per row
+    var o = 0
     var y = 0
     while (y < h) {
+      raw(o) = 0; o += 1
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) % 0xffffff).toInt)
-        x += 1
+        val p = rgb(x, y)
+        raw(o) = ((p >> 16) & 0xff).toByte
+        raw(o + 1) = ((p >> 8) & 0xff).toByte
+        raw(o + 2) = (p & 0xff).toByte
+        o += 3; x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // zlib stream: 0x78 0x01 header, stored deflate blocks, Adler-32 tail
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val idat = new Array[Byte](2 + nBlocks * 5 + raw.length + 4)
+    idat(0) = 0x78; idat(1) = 0x01
+    var ib = 2; var ro = 0
+    while (ro < raw.length || (raw.length == 0 && ro == 0)) {
+      val len = math.min(65535, raw.length - ro)
+      val fin = if (ro + len >= raw.length) 1 else 0
+      idat(ib) = fin.toByte
+      idat(ib + 1) = (len & 0xff).toByte; idat(ib + 2) = ((len >> 8) & 0xff).toByte
+      idat(ib + 3) = (~len & 0xff).toByte; idat(ib + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, ro, idat, ib + 5, len)
+      ib += 5 + len; ro += len
+      if (len == 0) ro = raw.length + 1 // degenerate 0x0: one empty final block
+    }
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    val av = adler.getValue
+    idat(ib) = ((av >> 24) & 0xff).toByte; idat(ib + 1) = ((av >> 16) & 0xff).toByte
+    idat(ib + 2) = ((av >> 8) & 0xff).toByte; idat(ib + 3) = (av & 0xff).toByte
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
   }
+
+  /** Real PNG bytes: id-derived pixels through [[pngEncode]] (decoded by
+    * the real JDK reader; see pngEncode's note on why not ImageIO.write).
+    */
+  private[graft] def pngBytes(id: Long): Array[Byte] =
+    pngEncode(imgWidth(id), imgHeight(id),
+      (x, y) => ((id * 31 + x * 7 + y * 13) % 0xffffff).toInt)
 
   /** Real WAV bytes: 44-byte RIFF/PCM header + mono 16-bit samples. */
   private[graft] def wavBytes(id: Long): Array[Byte] = {
@@ -259,21 +306,29 @@ object Multimodal {
     */
   private[graft] def frameBytes(id: Long, k: Int, jpeg: Boolean): Array[Byte] = {
     val w = frameW(id); val h = frameH(id)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val g = framePix(id, k, x, y)
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-        x += 1
+    if (!jpeg)
+      // lossless path: the fast stored-deflate writer (see pngEncode) —
+      // decoded grays identical to the ImageIO.write round-trip
+      pngEncode(w, h, (x, y) => {
+        val g = framePix(id, k, x, y); (g << 16) | (g << 8) | g
+      })
+    else {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = framePix(id, k, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, if (jpeg) "jpg" else "png", bos)
-    bos.toByteArray
   }
 
   /** A REAL MP4 with a full sample table: `moov/trak/mdia/minf/stbl` with
@@ -606,19 +661,16 @@ object Multimodal {
                         f.width.toLong * f.height, sum)
                     }
                   } else {
-                    val img = javax.imageio.ImageIO.read(
-                      new java.io.ByteArrayInputStream(
-                        payload, off.toInt, sz.toInt))
+                    // registry-free sniff+decode (see readImage): same
+                    // null-when-unrecognised contract as ImageIO.read
+                    val img = readImage(payload, off.toInt, sz.toInt)._2
                     if (img == null) None
                     else {
                       val w = img.getWidth; val h = img.getHeight
+                      val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk fold
                       var sum = 0L
-                      var y = 0
-                      while (y < h) {
-                        var x = 0
-                        while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
-                        y += 1
-                      }
+                      var i = 0
+                      while (i < px.length) { sum += px(i) & 0xff; i += 1 }
                       Some(Row(id, k.toLong, w.toLong, h.toLong,
                         (w.toLong * h), sum))
                     }
@@ -663,6 +715,78 @@ object Multimodal {
           lit(16000).as("sample_rate"),
           (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
 
+  /** The JDK's `AudioFileReader` SPI set, WAV-family readers first — a
+    * drop-in for `AudioSystem.getAudioInputStream` that scales. The
+    * AudioSystem entry point tries Aiff/Au/SoftMidi readers before Wave,
+    * and their rejection path serializes on a shared lock: 32 concurrent
+    * decode tasks ran SLOWER than one thread (tools/MmProbe3: 0.47 s/8k
+    * rows at 1 thread, 0.57 s at 32; wave-first 0.004 s and scaling).
+    * Same providers, same accept-or-UnsupportedAudioFileException
+    * semantics, loaded once per JVM.
+    */
+  @transient private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toArray
+    all.filter(_.getClass.getSimpleName.startsWith("Wave")) ++
+      all.filterNot(_.getClass.getSimpleName.startsWith("Wave"))
+  }
+
+  private[graft] def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no SPI reader accepts this stream")
+  }
+
+  /** The JDK's `ImageReaderSpi` set with PNG promoted to front (our media
+    * fixture's lossless format — one `canDecodeInput` sniff instead of
+    * three). Cached for the same reason as [[audioReaders]]: per-row
+    * `ImageIO.createImageInputStream`/`getImageReaders` consult the global
+    * IIORegistry, and bypassing it read 12 µs/image vs 29 with linear
+    * 32-thread scaling (tools/MmProbe3). The sniff loop is exactly what
+    * `ImageIO.getImageReaders` runs — same SPIs, same `canDecodeInput`
+    * contract (each provider mark/resets the stream).
+    */
+  @transient private lazy val imageSpis: Array[javax.imageio.spi.ImageReaderSpi] = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[javax.imageio.spi.ImageReaderSpi]
+    while (it.hasNext) buf += it.next()
+    val (png, rest) = buf.toArray.partition(_.getClass.getSimpleName.startsWith("PNG"))
+    png ++ rest
+  }
+
+  /** Sniff + decode one encoded image without touching the IIORegistry.
+    * `ImageIO.read` semantics: null when no reader recognises the bytes;
+    * decode failures after recognition propagate (the callers' per-row
+    * quarantine catches them). Returns (formatName, image); formatName is
+    * non-null whenever some reader accepted the stream.
+    */
+  private[graft] def readImage(bytes: Array[Byte], off: Int, len: Int):
+      (String, java.awt.image.BufferedImage) = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    var i = 0
+    while (i < imageSpis.length) {
+      if (imageSpis(i).canDecodeInput(iis)) {
+        val reader = imageSpis(i).createReaderInstance()
+        val fmt = reader.getFormatName.toLowerCase
+        val img = try { reader.setInput(iis); reader.read(0) }
+          finally { reader.dispose(); iis.close() }
+        return (fmt, img)
+      }
+      i += 1
+    }
+    iis.close()
+    (null, null)
+  }
+
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -699,30 +823,28 @@ object Multimodal {
         // as NetCdf tolerant reads; count rows with null decode to audit).
         val (decoded, features) = try kind match {
           case "image" if payload != null && payload.nonEmpty =>
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            val fmt = if (readers.hasNext) readers.next().getFormatName.toLowerCase else null
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload))
+            // ONE registry-free sniff + ONE parse via readImage (the former
+            // shape consulted the IIORegistry twice per row — once to sniff
+            // the format, then ImageIO.read re-scanned it and re-parsed the
+            // stream: 220 µs/image vs 12, tools/MmProbe + MmProbe3). Bulk
+            // getRGB replaces the per-pixel call (29 → 7 µs): identical
+            // sRGB values, one color-model pass. A throwing decode
+            // propagates to the outer quarantine (all-null row, as before).
+            val (fmt, img) = readImage(payload, 0, payload.length)
             if (img == null) (Row(null, null, fmt, null, null), null)
             else {
               val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
               val acc = new Array[Float](featureDim)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  acc((y * w + x) % featureDim) += (img.getRGB(x, y) & 0xff) / 255.0f
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < px.length) {
+                acc(i % featureDim) += (px(i) & 0xff) / 255.0f
+                i += 1
               }
               (Row(w, h, fmt, null, null), acc)
             }
           case "audio" if payload != null && payload.nonEmpty =>
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(payload))
+            val ais = openAudio(payload)
             val f = ais.getFormat
             val nFrames = ais.getFrameLength
             val acc = new Array[Float](featureDim)
@@ -799,11 +921,12 @@ object Multimodal {
         // its own row, never kills the scan
         try kind match {
           case "image" if payload != null && payload.nonEmpty =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload))
+            // registry-free sniff+decode (see readImage)
+            val img = readImage(payload, 0, payload.length)._2
             if (img == null) Iterator.empty
             else {
               val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk: one color-model pass
               val n = Array.ofDim[Long](th, tw)
               val sum = Array.ofDim[Long](th, tw)
               var y = 0
@@ -813,7 +936,7 @@ object Multimodal {
                 while (x < w) {
                   val cx = x * tw / w
                   n(cy)(cx) += 1
-                  sum(cy)(cx) += (img.getRGB(x, y) & 0xff).toLong
+                  sum(cy)(cx) += (px(y * w + x) & 0xff).toLong
                   x += 1
                 }
                 y += 1

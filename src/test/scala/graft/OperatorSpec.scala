@@ -129,6 +129,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fast PNG writer decodes pixel-identical to an ImageIO.write round-trip") {
+    // Round-18: pngEncode (stored-deflate writer) replaced per-row
+    // ImageIO.write in fixture synthesis (421 → ~10 µs/image). The decode
+    // side is unchanged (real javax.imageio), so the invariant that makes
+    // the swap safe is pixel equality THROUGH that real decoder, for both
+    // the id-derived media images and the gray video frames.
+    import graft.sources.Multimodal
+    def decode(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    def viaImageIO(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    for (id <- Seq(0L, 1L, 7L, 12L, 123456L)) {
+      val rgb = (x: Int, y: Int) => ((id * 31 + x * 7 + y * 13) % 0xffffff).toInt
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      val fast = decode(Multimodal.pngBytes(id))
+      val ref = decode(viaImageIO(w, h, rgb))
+      assert(fast.getWidth == w && fast.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        assert((fast.getRGB(x, y) & 0xffffff) == (ref.getRGB(x, y) & 0xffffff),
+          s"pixel ($x,$y) of image $id diverged")
+        assert((fast.getRGB(x, y) & 0xffffff) == rgb(x, y),
+          s"pixel ($x,$y) of image $id lost the closed form")
+      }
+      // gray video frames (frameBytes PNG path)
+      val fb = decode(Multimodal.frameBytes(id, 1, jpeg = false))
+      for (y <- 0 until Multimodal.frameH(id); x <- 0 until Multimodal.frameW(id)) {
+        val g = Multimodal.framePix(id, 1, x, y)
+        assert((fb.getRGB(x, y) & 0xffffff) == ((g << 16) | (g << 8) | g),
+          s"frame pixel ($x,$y) of video $id diverged")
+      }
+    }
+  }
+
   test("lshCandidatePairs + verifyJaccard agree with the array-domain jaccard") {
     import graft.dedup.Dedup
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
