@@ -1317,44 +1317,15 @@ private[graft] object AnalyticsQueries {
               .otherwise(0L)).as("n_orphans"))
           .select(lit(name).as("relationship"),
             col("n_rows"), col("n_null_fk"), col("n_orphans"))
-      // Round-18: the three lineitem audits ride ONE scan of the largest
-      // fact (they were three separate full scans — at 100 TB, two
-      // redundant passes over the biggest table). Each dim still broadcast-
-      // probes (left joins on distinct PKs preserve row count), one
-      // aggregate carries all nine counters, and stack() restores the
-      // per-relationship rows. Plan: 6 Exchanges → 4, 3 lineitem scans → 1.
-      val li = Tables.lineitem(s, dir).select(
-        col("l_orderkey").as("fk_o"), col("l_partkey").as("fk_p"),
-        col("l_suppkey").as("fk_s"))
-      def orphans(fk: String, pk: String) =
-        sum(when(col(fk).isNotNull && col(pk).isNull, 1L).otherwise(0L))
-      def nulls(fk: String) =
-        sum(when(col(fk).isNull, 1L).otherwise(0L))
-      val liAudits = li
-        .join(broadcast(Tables.orders(s, dir)
-          .select(col("o_orderkey").as("pk_o")).distinct()),
-          col("fk_o") === col("pk_o"), "left")
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey").as("pk_p")).distinct()),
-          col("fk_p") === col("pk_p"), "left")
-        .join(broadcast(Tables.supplier(s, dir)
-          .select(col("s_suppkey").as("pk_s")).distinct()),
-          col("fk_s") === col("pk_s"), "left")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          nulls("fk_o").as("no_null"), orphans("fk_o", "pk_o").as("no_orph"),
-          nulls("fk_p").as("np_null"), orphans("fk_p", "pk_p").as("np_orph"),
-          nulls("fk_s").as("ns_null"), orphans("fk_s", "pk_s").as("ns_orph"))
-        .select(expr(
-          """stack(3,
-               'lineitem.orderkey->orders',   n_rows, no_null, no_orph,
-               'lineitem.partkey->part',      n_rows, np_null, np_orph,
-               'lineitem.suppkey->supplier',  n_rows, ns_null, ns_orph)
-             AS (relationship, n_rows, n_null_fk, n_orphans)"""))
       Seq(
         audit("customer.nationkey->nation", Tables.customer(s, dir), "c_nationkey",
           Tables.nation(s, dir), "n_nationkey"),
-        liAudits,
+        audit("lineitem.orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        audit("lineitem.partkey->part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        audit("lineitem.suppkey->supplier", Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"),
         audit("nation.regionkey->region", Tables.nation(s, dir), "n_regionkey",
           Tables.region(s, dir), "r_regionkey"),
         audit("orders.custkey->customer", Tables.orders(s, dir), "o_custkey",
