@@ -55,15 +55,22 @@ private[graft] object StreamingQueries {
       materializeOnce(inbox)(ev.write.mode("overwrite").parquet(_))
       val ckpt = scratchDir("graft-st4-ckpt").toString
       s.catalog.dropTempView("st4_mem")
-      val q = graft.stream.WindowedStats.tumbling(
-          s.readStream.schema(ev.schema).parquet(inbox),
-          "ts", "1 hour", "1 hour", Seq("value"))
-        .writeStream.format("memory").queryName("st4_mem")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
+      // COMPLETE mode emits every window on every batch regardless of the
+      // watermark — the trailing no-data batch only re-emits the identical
+      // table (nothing is held back for eviction to release), so skipping
+      // it cannot change the sink contents; it drops one micro-batch of
+      // drained-run cost per invocation (round 18; the r9 st5/st9 rule)
+      withoutNoDataBatch(s) {
+        val q = graft.stream.WindowedStats.tumbling(
+            s.readStream.schema(ev.schema).parquet(inbox),
+            "ts", "1 hour", "1 hour", Seq("value"))
+          .writeStream.format("memory").queryName("st4_mem")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
       rmTree(ckpt) // drained AvailableNow run; RocksDB state is dead weight
       s.table("st4_mem").orderBy("window_start")
     },
@@ -489,13 +496,18 @@ private[graft] object StreamingQueries {
       s.catalog.dropTempView("st14_mem")
       val src = s.readStream.schema(ev.schema).parquet(inbox)
         .as[graft.stream.StatusTracker.StatusEvent]
-      val q = graft.stream.StatusTracker.track(src)(s).toDF()
-        .writeStream.format("memory").queryName("st14_mem")
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
+      // the tracker runs GroupStateTimeout.NoTimeout, so a no-data batch
+      // has nothing to fire and update mode emits no rows from it —
+      // skipping it is output-identical (round 18; the r9 st5/st9 rule)
+      withoutNoDataBatch(s) {
+        val q = graft.stream.StatusTracker.track(src)(s).toDF()
+          .writeStream.format("memory").queryName("st14_mem")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
       rmTree(ckpt)
       s.table("st14_mem")
         .select(col("taskId").as("task_id"), col("status"),
